@@ -1,0 +1,103 @@
+"""Unit tests for the generic operator inventory (SURVEY §2)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from open_ftth_relational_projector_spark.operators import (
+    asof_join,
+    dedup_preserving_order,
+    explode_with_seq,
+    first_element,
+    last_element,
+    latest_by_key,
+    latest_touch_by_key,
+)
+from open_ftth_relational_projector_spark.operators.lww import touched, untouched
+
+
+def test_latest_by_key(spark):
+    df = spark.createDataFrame(
+        [("a", 1, "v1"), ("a", 3, "v3"), ("a", 2, "v2"), ("b", 5, "w")],
+        "id string, seq long, val string",
+    )
+    out = {r["id"]: r["val"] for r in latest_by_key(df, "id").collect()}
+    assert out == {"a": "v3", "b": "w"}
+
+
+def test_latest_touch_by_key_null_writes_win(spark):
+    # seq2 writes NULL into val — a real write, must beat seq1's non-null.
+    df = spark.createDataFrame(
+        [("a", 1, ("x",)), ("a", 2, (None,)), ("b", 1, ("y",)), ("b", 2, None)],
+        "id string, seq long, val struct<v:string>",
+    )
+    out = latest_touch_by_key(df, "id", ["val"]).collect()
+    got = {r["id"]: (r["val"]["v"] if r["val"] is not None else "NEVER") for r in out}
+    assert got == {"a": None, "b": "y"}
+
+
+def test_touch_markers(spark):
+    df = spark.createDataFrame([("a", 1)], "id string, seq long")
+    row = df.select(
+        touched(F.lit("x")).alias("t"), untouched("string").alias("u")
+    ).first()
+    assert row["t"]["v"] == "x" and row["u"] is None
+
+
+def test_asof_join_basic(spark):
+    versions = spark.createDataFrame(
+        [("c1", 1, "n1"), ("c1", 5, "n2"), ("c2", 2, "m1")],
+        "key string, seq long, route string",
+    )
+    facts = spark.createDataFrame(
+        [("c1", 3, "f1"), ("c1", 6, "f2"), ("c1", 1, "f0"), ("c2", 9, "f3"), ("c3", 4, "f4")],
+        "key string, seq long, fact string",
+    )
+    out = {
+        r["fact"]: r["route"]
+        for r in asof_join(facts, versions, "key").collect()
+    }
+    # strict: fact at seq 1 sees nothing (version at seq 1 not < 1)
+    assert out == {"f0": None, "f1": "n1", "f2": "n2", "f3": "m1", "f4": None}
+
+
+def test_asof_join_tombstone(spark):
+    # deletion modeled as a version whose fields are NULL but marker present
+    versions = spark.createDataFrame(
+        [("c1", 1, "n1"), ("c1", 4, None)],
+        "key string, seq long, route string",
+    )
+    facts = spark.createDataFrame(
+        [("c1", 3, "before"), ("c1", 5, "after")],
+        "key string, seq long, fact string",
+    )
+    out = {r["fact"]: r["route"] for r in asof_join(facts, versions, "key").collect()}
+    assert out == {"before": "n1", "after": None}
+
+
+def test_dedup_preserving_order(spark):
+    df = spark.createDataFrame([(["b", "a", "b", "c", "a"],)], "arr array<string>")
+    assert df.select(dedup_preserving_order(F.col("arr")).alias("d")).first()["d"] == [
+        "b",
+        "a",
+        "c",
+    ]
+
+
+def test_first_last_element(spark):
+    df = spark.createDataFrame([(["x", "y", "z"],)], "arr array<string>")
+    row = df.select(
+        first_element(F.col("arr")).alias("f"), last_element(F.col("arr")).alias("l")
+    ).first()
+    assert (row["f"], row["l"]) == ("x", "z")
+
+
+def test_explode_with_seq(spark):
+    df = spark.createDataFrame(
+        [("i1", ["a", "b", "c"]), ("i2", ["z"])], "id string, els array<string>"
+    )
+    out = sorted(
+        (r["id"], r["el"], r["seq_no"])
+        for r in explode_with_seq(df, "id", "els", "el").collect()
+    )
+    assert out == [("i1", "a", 1), ("i1", "b", 2), ("i1", "c", 3), ("i2", "z", 1)]
