@@ -1,0 +1,78 @@
+"""Event-log reader: envelope scan + type dispatch + JSON parse (S1/S3/S4).
+
+The reference replays envelopes through a 27-way type switch
+(RelationalDatabaseProjection.cs:90-221). Spark-first, dispatch is a filter
+per type over one scan — Catalyst pushes ``event_type = 'X'`` into the
+parquet scan, and each projection reads only the payloads it consumes.
+
+``EventLog`` is the seam between the raw stream and the projection
+expression core: projections consume *typed* per-event DataFrames, so tests
+and driver queries can inject typed events directly (no JSON round-trip)
+while production reads JSON envelopes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from open_ftth_relational_projector_spark.events.schemas import (
+    ENVELOPE_SCHEMA,
+    PAYLOAD_SCHEMAS,
+)
+
+
+class EventLog:
+    """Typed access to an event stream.
+
+    ``of(event_type)`` → DataFrame of (seq, <payload fields...>) for that
+    type, payload struct flattened one level.
+    """
+
+    def __init__(self, typed: dict[str, DataFrame], spark: SparkSession):
+        self._typed = typed
+        self._spark = spark
+
+    @classmethod
+    def from_envelopes(cls, raw: DataFrame) -> "EventLog":
+        """raw: (seq long, event_type string, payload json-string)."""
+        spark = raw.sparkSession
+        typed = {}
+        for etype, schema in PAYLOAD_SCHEMAS.items():
+            typed[etype] = (
+                raw.filter(F.col("event_type") == etype)
+                .select("seq", F.from_json("payload", schema).alias("p"))
+                .select("seq", "p.*")
+            )
+        return cls(typed, spark)
+
+    @classmethod
+    def from_typed(cls, spark: SparkSession, typed: dict[str, DataFrame]) -> "EventLog":
+        return cls(dict(typed), spark)
+
+    def of(self, event_type: str) -> DataFrame:
+        if event_type in self._typed:
+            return self._typed[event_type]
+        # absent type → empty DataFrame with the right flattened schema
+        return self._spark.createDataFrame([], _flat_schema(event_type))
+
+    @property
+    def spark(self) -> SparkSession:
+        return self._spark
+
+
+def _flat_schema(event_type: str):
+    from pyspark.sql import types as T
+
+    schema = PAYLOAD_SCHEMAS[event_type]
+    return T.StructType(
+        [T.StructField("seq", T.LongType(), False), *schema.fields]
+    )
+
+
+def read_event_log(spark: SparkSession, path: str) -> EventLog:
+    """Read a parquet/json envelope table and return the typed view."""
+    if path.endswith(".json") or path.endswith(".jsonl"):
+        raw = spark.read.schema(ENVELOPE_SCHEMA).json(path)
+    else:
+        raw = spark.read.parquet(path)
+    return EventLog.from_envelopes(raw)
