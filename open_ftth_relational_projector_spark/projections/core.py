@@ -1,0 +1,589 @@
+"""The 8 standing projections, as declarative Spark expressions.
+
+Each function maps an EventLog to one output table with the exact column
+names of the reference DDL (Database/PostgresWriter.cs:27, 118, 211, 306,
+415, 534, 622, 698). Shared building blocks: fold_entity (epoch + partial
+field updates), asof_join (state-at-event-time lookups), subtract_hops (X2),
+explode_with_seq (W1/X1), array_distinct (A3).
+
+Faithfulness notes (verified against the reference fold, see events/oracle.py):
+  * is_customer_conduit frozen at placement (SpanEquipmentState.cs:53).
+  * cable→route-element rows are (re)computed at placement-if-spec-cable,
+    affix, and detach — never on walk modification, never deleted on removal
+    (ProjektorState.cs:169-171, 388, 421).
+  * service_termination resolves container→route-node at placement time and
+    keeps it even if the container is later removed (ProjektorState.cs:536).
+  * conduit_slack is a recompute over final state; the reference maintains it
+    incrementally, which is equivalent under single-concurrent-child-per-
+    parent discipline (divergence documented in SURVEY §7 hard part 3).
+  * conduit_slack.id is deterministic (uuid5 of route_node_id) instead of
+    Guid.NewGuid() — excluded from correctness hashing (FIXTURES.md §3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from open_ftth_relational_projector_spark.events.reader import EventLog
+from open_ftth_relational_projector_spark.operators.arrays import EMPTY_GUID
+from open_ftth_relational_projector_spark.operators.asof import asof_join
+from open_ftth_relational_projector_spark.operators.explode_seq import explode_with_seq
+from open_ftth_relational_projector_spark.operators.lww import latest_by_key, touched
+from open_ftth_relational_projector_spark.operators.walk_hops import subtract_hops
+from open_ftth_relational_projector_spark.projections.base import fold_entity
+
+# --------------------------------------------------------------------------
+# shared sub-streams
+# --------------------------------------------------------------------------
+
+
+def _walk_versions(log: EventLog) -> DataFrame:
+    """Interest-walk state versions: registered ∪ modified, stored deduped
+    (ProjektorState.cs:101, 106)."""
+    reg = log.of("WalkOfInterestRegistered").select(
+        F.col("interest.id").alias("interest_id"),
+        "seq",
+        F.array_distinct("interest.routeNetworkElementRefs").alias("walk"),
+    )
+    mod = log.of("WalkOfInterestRouteNetworkElementsModified").select(
+        F.col("interestId").alias("interest_id"),
+        "seq",
+        F.array_distinct("routeNetworkElementIds").alias("walk"),
+    )
+    return reg.unionByName(mod)
+
+
+def _span_placements(log: EventLog) -> DataFrame:
+    """Placement events with all derived per-event fields + as-of spec joins."""
+    eq = log.of("SpanEquipmentPlacedInRouteNetwork").select("seq", "equipment.*")
+    segs = F.flatten("spanStructures.spanSegments")
+    placed = eq.select(
+        "seq",
+        F.col("id"),
+        F.col("name"),
+        F.col("specificationId").alias("spec_id"),
+        F.col("walkOfInterestId").alias("interest_id"),
+        F.col("isCable").alias("is_cable"),
+        F.element_at("nodesOfInterestIds", 1).alias("from_node_id"),
+        F.element_at("nodesOfInterestIds", -1).alias("to_node_id"),
+        F.col("spanStructures")[0]["spanSegments"][0]["id"].alias("root_segment_id"),
+        F.exists(
+            segs,
+            lambda s: (s["fromNodeOfInterestIndex"] == 0)
+            & (s["fromTerminalId"] != F.lit(EMPTY_GUID)),
+        ).alias("root_has_from_conn"),
+        F.exists(
+            segs,
+            lambda s: (s["toNodeOfInterestIndex"] == F.size("nodesOfInterestIds") - 1)
+            & (s["toTerminalId"] != F.lit(EMPTY_GUID)),
+        ).alias("root_has_to_conn"),
+        F.col("addressInfo.accessAddressId").alias("access_address_id"),
+        F.col("addressInfo.unitAddressId").alias("unit_address_id"),
+        F.col("utilityNetworkHops").alias("hops"),
+    )
+    return _with_span_spec(log, placed)
+
+
+def _with_span_spec(log: EventLog, facts: DataFrame) -> DataFrame:
+    """Chained as-of joins: spec_id → span spec → root structure spec."""
+    spec_v = log.of("SpanEquipmentSpecificationAdded").select(
+        F.col("specification.id").alias("spec_id"),
+        "seq",
+        F.col("specification.name").alias("spec_name"),
+        F.col("specification.isCable").alias("spec_is_cable"),
+        F.col("specification.rootTemplate.spanStructureSpecificationId").alias(
+            "struct_spec_id"
+        ),
+    )
+    struct_v = log.of("SpanStructureSpecificationAdded").select(
+        F.col("specification.id").alias("struct_spec_id"),
+        "seq",
+        F.col("specification.outerDiameter").alias("outer_diameter"),
+    )
+    out = asof_join(facts, spec_v, "spec_id")
+    out = asof_join(out, struct_v, "struct_spec_id")
+    return out
+
+
+def _span_state(log: EventLog) -> DataFrame:
+    """Final per-equipment state (live rows only) — feeds the span_equipment
+    table, conduit_slack, and the has-child timeline."""
+    placed = _span_placements(log)
+    base = placed.select(
+        "id",
+        "seq",
+        touched(F.col("name")).alias("name"),
+        touched(F.col("interest_id")).alias("interest_id"),
+        touched(F.col("spec_name")).alias("spec_name"),
+        touched(F.col("outer_diameter")).alias("outer_diameter"),
+        touched(F.col("is_cable")).alias("is_cable"),
+        touched(F.col("access_address_id")).alias("access_address_id"),
+        touched(F.col("unit_address_id")).alias("unit_address_id"),
+        touched(F.col("from_node_id")).alias("from_node_id"),
+        touched(F.col("to_node_id")).alias("to_node_id"),
+        touched(
+            F.lower(F.col("spec_name")).contains("ø12")
+        ).alias("is_customer_conduit"),
+        touched(F.col("root_segment_id")).alias("root_segment_id"),
+        touched(F.col("root_has_from_conn")).alias("root_has_from_conn"),
+        touched(F.col("root_has_to_conn")).alias("root_has_to_conn"),
+    )
+
+    moved = (
+        log.of("SpanEquipmentMoved")
+        .unionByName(log.of("SpanEquipmentMerged"))
+        .select(
+            F.col("spanEquipmentId").alias("id"),
+            "seq",
+            touched(F.element_at("nodesOfInterestIds", 1)).alias("from_node_id"),
+            touched(F.element_at("nodesOfInterestIds", -1)).alias("to_node_id"),
+        )
+    )
+
+    spec_changed_raw = log.of("SpanEquipmentSpecificationChanged").select(
+        F.col("spanEquipmentId").alias("id"),
+        "seq",
+        F.col("newSpecificationId").alias("spec_id"),
+    )
+    spec_changed = _with_span_spec(log, spec_changed_raw).select(
+        "id",
+        "seq",
+        touched(F.col("spec_name")).alias("spec_name"),
+        touched(F.col("outer_diameter")).alias("outer_diameter"),
+        # is_customer_conduit deliberately NOT touched (frozen at placement)
+    )
+
+    addr_changed = log.of("SpanEquipmentAddressInfoChanged").select(
+        F.col("spanEquipmentId").alias("id"),
+        "seq",
+        touched(F.col("addressInfo.accessAddressId")).alias("access_address_id"),
+        touched(F.col("addressInfo.unitAddressId")).alias("unit_address_id"),
+    )
+
+    removed = log.of("SpanEquipmentRemoved").select(
+        F.col("spanEquipmentId").alias("id"), "seq"
+    )
+
+    fields = {
+        "name": "string",
+        "interest_id": "string",
+        "spec_name": "string",
+        "outer_diameter": "int",
+        "is_cable": "boolean",
+        "access_address_id": "string",
+        "unit_address_id": "string",
+        "from_node_id": "string",
+        "to_node_id": "string",
+        "is_customer_conduit": "boolean",
+        "root_segment_id": "string",
+        "root_has_from_conn": "boolean",
+        "root_has_to_conn": "boolean",
+    }
+    return fold_entity(
+        [base], [moved, spec_changed, addr_changed], "id", fields, removals=removed
+    )
+
+
+def _has_child_final(log: EventLog) -> DataFrame:
+    """Final HasChildSpanEquipments per parent equipment id.
+
+    Timeline per parent: affix edges referencing its root segment set TRUE
+    (ProjektorState.cs:370-371); the FIRST detach of a child after an affix
+    edge sets FALSE for that edge's parent (the child's parent list is
+    cleared on detach, ProjektorState.cs:398-417). Last event wins.
+    """
+    placed = log.of("SpanEquipmentPlacedInRouteNetwork").select(
+        "seq",
+        F.col("equipment.id").alias("id"),
+        F.col("equipment.utilityNetworkHops").alias("hops"),
+        F.col("equipment.spanStructures")[0]["spanSegments"][0]["id"].alias(
+            "root_segment_id"
+        ),
+    )
+    affix = log.of("SpanEquipmentAffixedToParent").select(
+        "seq",
+        F.col("spanEquipmentId").alias("id"),
+        F.col("newUtilityHopList").alias("hops"),
+    )
+    # placement-embedded hops count as an affix (ProjektorState.cs:162-167)
+    emb = placed.filter(F.col("hops").isNotNull() & (F.size("hops") > 0)).select(
+        "seq", "id", "hops"
+    )
+    edges_raw = (
+        emb.unionByName(affix)
+        .select(
+            F.col("id").alias("child_id"),
+            "seq",
+            F.explode("hops").alias("hop"),
+        )
+        .select(
+            "child_id",
+            "seq",
+            F.explode_outer("hop.parentAffixes").alias("affix"),
+        )
+        .filter(F.col("affix").isNotNull())
+        .select("child_id", "seq", F.col("affix.spanSegmentId").alias("root_segment_id"))
+    )
+
+    # resolve parent as of the edge event: placements register the root
+    # segment, removals tombstone it (ProjektorState.cs:146, 285)
+    reg = placed.select("root_segment_id", "seq", F.col("id").alias("parent_id"))
+    removed = log.of("SpanEquipmentRemoved").select(
+        F.col("spanEquipmentId").alias("id"), "seq"
+    )
+    rm_root = (
+        asof_join(
+            removed.withColumnRenamed("id", "pid"),
+            placed.select(F.col("id").alias("pid"), "seq", "root_segment_id"),
+            "pid",
+        )
+        .filter(F.col("root_segment_id").isNotNull())
+        .select("root_segment_id", "seq", F.lit(None).cast("string").alias("parent_id"))
+    )
+    parent_versions = reg.unionByName(rm_root)
+
+    edges = asof_join(edges_raw, parent_versions, "root_segment_id").filter(
+        F.col("parent_id").isNotNull()
+    )
+
+    detaches = log.of("SpanEquipmentDetachedFromParent").select(
+        F.col("spanEquipmentId").alias("child_id"), F.col("seq").alias("detach_seq")
+    )
+    cancels = (
+        edges.join(detaches, "child_id", "left")
+        .filter(F.col("detach_seq") > F.col("seq"))
+        .groupBy("parent_id", "child_id", "seq")
+        .agg(F.min("detach_seq").alias("cancel_seq"))
+        .select("parent_id", F.col("cancel_seq").alias("seq"))
+        .distinct()
+        .withColumn("val", F.lit(False))
+    )
+    sets = edges.select("parent_id", "seq").withColumn("val", F.lit(True))
+    timeline = sets.unionByName(cancels)
+    return (
+        latest_by_key(timeline, "parent_id")
+        .select(F.col("parent_id").alias("id"), F.col("val").alias("has_child"))
+    )
+
+
+# --------------------------------------------------------------------------
+# the 8 tables
+# --------------------------------------------------------------------------
+
+
+def project_rel_interest_to_route_element(log: EventLog) -> DataFrame:
+    """rel_interest_to_route_element(interest_id, route_network_element_id, seq_no)."""
+    walks = latest_by_key(_walk_versions(log), "interest_id")
+    unreg = (
+        log.of("InterestUnregistered")
+        .groupBy(F.col("interestId").alias("interest_id"))
+        .agg(F.max("seq").alias("_rm_seq"))
+    )
+    live = (
+        walks.join(unreg, "interest_id", "left")
+        .filter(F.col("_rm_seq").isNull() | (F.col("_rm_seq") < F.col("seq")))
+        .select("interest_id", "walk")
+    )
+    return explode_with_seq(live, "interest_id", "walk", "route_network_element_id")
+
+
+def project_rel_fiber_cable_to_route_element(log: EventLog) -> DataFrame:
+    """rel_fiber_cable_to_route_element(fiber_cable_id, route_network_element_id, seq_no).
+
+    Triggers: placement when the SPEC says cable (ProjektorState.cs:169 — the
+    spec flag, not the payload flag), affix, detach (both unconditional,
+    even for non-cables). Latest trigger wins; the walk is resolved as of
+    that trigger; rows survive equipment removal.
+    """
+    placed = _span_placements(log)
+    t_place = placed.filter(F.col("spec_is_cable")).select(
+        F.col("id").alias("cable_id"), "seq", "interest_id", "hops"
+    )
+
+    aff = (
+        log.of("SpanEquipmentAffixedToParent")
+        .select(
+            F.col("spanEquipmentId").alias("cable_id"),
+            "seq",
+            F.col("newUtilityHopList").alias("hops"),
+        )
+        .unionByName(
+            log.of("SpanEquipmentDetachedFromParent").select(
+                F.col("spanEquipmentId").alias("cable_id"),
+                "seq",
+                F.col("newUtilityHopList").alias("hops"),
+            )
+        )
+    )
+    # the equipment's interest id, from its latest placement before the event
+    aff = asof_join(
+        aff,
+        placed.select(F.col("id").alias("cable_id"), "seq", "interest_id"),
+        "cable_id",
+    ).filter(F.col("interest_id").isNotNull())
+
+    triggers = latest_by_key(t_place.unionByName(aff), "cable_id")
+
+    with_walk = asof_join(
+        triggers, _walk_versions(log), "interest_id", fact_seq="seq"
+    )
+    hops_norm = F.transform(
+        F.col("hops"),
+        lambda h: F.struct(
+            h["fromNodeId"].alias("from_node_id"), h["toNodeId"].alias("to_node_id")
+        ),
+    )
+    reduced = with_walk.select(
+        "cable_id",
+        subtract_hops(F.col("walk"), hops_norm).alias("elements"),
+    ).filter(F.col("elements").isNotNull())
+    return explode_with_seq(reduced, "cable_id", "elements", "route_network_element_id").withColumnRenamed(
+        "cable_id", "fiber_cable_id"
+    )
+
+
+def project_node_container(log: EventLog) -> DataFrame:
+    """node_container(id, route_node_id, spec_name, spec_category)."""
+    spec_v = log.of("NodeContainerSpecificationAdded").select(
+        F.col("specification.id").alias("spec_id"),
+        "seq",
+        F.col("specification.name").alias("spec_name"),
+        F.col("specification.category").alias("spec_category"),
+    )
+    placed = log.of("NodeContainerPlacedInRouteNetwork").select(
+        "seq",
+        F.col("container.id").alias("id"),
+        F.col("container.routeNodeId").alias("route_node_id"),
+        F.col("container.specificationId").alias("spec_id"),
+    )
+    placed = asof_join(placed, spec_v, "spec_id")
+    base = placed.select(
+        "id",
+        "seq",
+        touched(F.col("route_node_id")).alias("route_node_id"),
+        touched(F.col("spec_name")).alias("spec_name"),
+        touched(F.col("spec_category")).alias("spec_category"),
+    )
+
+    changed = asof_join(
+        log.of("NodeContainerSpecificationChanged").select(
+            F.col("nodeContainerId").alias("id"),
+            "seq",
+            F.col("newSpecificationId").alias("spec_id"),
+        ),
+        spec_v,
+        "spec_id",
+    ).select(
+        "id",
+        "seq",
+        touched(F.col("spec_name")).alias("spec_name"),
+        touched(F.col("spec_category")).alias("spec_category"),
+    )
+
+    removed = log.of("NodeContainerRemovedFromRouteNetwork").select(
+        F.col("nodeContainerId").alias("id"), "seq"
+    )
+    fields = {
+        "route_node_id": "string",
+        "spec_name": "string",
+        "spec_category": "string",
+    }
+    return fold_entity([base], [changed], "id", fields, removals=removed).drop(
+        "_created_seq"
+    )
+
+
+def project_span_equipment(log: EventLog) -> DataFrame:
+    """span_equipment(id, interest_id, outer_diameter, is_cable, name,
+    spec_name, access_address_id, unit_address_id)."""
+    return _span_state(log).select(
+        "id",
+        "interest_id",
+        "outer_diameter",
+        "is_cable",
+        "name",
+        "spec_name",
+        "access_address_id",
+        "unit_address_id",
+    )
+
+
+def project_service_termination(log: EventLog) -> DataFrame:
+    """service_termination(id, route_node_id, name, access_address_id,
+    unit_address_id)."""
+    spec_v = log.of("TerminalEquipmentSpecificationAdded").select(
+        F.col("specification.id").alias("spec_id"),
+        "seq",
+        F.col("specification.isCustomerTermination").alias("is_customer_termination"),
+    )
+    # container → route-node relation versions (placement sets, removal clears)
+    rel_set = log.of("NodeContainerPlacedInRouteNetwork").select(
+        F.col("container.id").alias("container_id"),
+        "seq",
+        F.col("container.routeNodeId").alias("route_node_id"),
+    )
+    rel_clear = log.of("NodeContainerRemovedFromRouteNetwork").select(
+        F.col("nodeContainerId").alias("container_id"),
+        "seq",
+        F.lit(None).cast("string").alias("route_node_id"),
+    )
+    rel_v = rel_set.unionByName(rel_clear)
+
+    placed = log.of("TerminalEquipmentPlacedInNodeContainer").select(
+        "seq",
+        F.col("equipment.id").alias("id"),
+        F.col("equipment.name").alias("name"),
+        F.col("equipment.specificationId").alias("spec_id"),
+        F.col("equipment.nodeContainerId").alias("container_id"),
+        F.col("equipment.addressInfo.accessAddressId").alias("access_address_id"),
+        F.col("equipment.addressInfo.unitAddressId").alias("unit_address_id"),
+    )
+    placed = asof_join(placed, spec_v, "spec_id")
+    placed = asof_join(placed, rel_v, "container_id")
+    # the reference's three give-up guards (ProjektorState.cs:531-541)
+    placed = placed.filter(
+        (F.col("is_customer_termination") == F.lit(True))
+        & F.col("route_node_id").isNotNull()
+    )
+    base = placed.select(
+        "id",
+        "seq",
+        touched(F.col("route_node_id")).alias("route_node_id"),
+        touched(F.col("name")).alias("name"),
+        touched(F.col("access_address_id")).alias("access_address_id"),
+        touched(F.col("unit_address_id")).alias("unit_address_id"),
+    )
+
+    renamed = log.of("TerminalEquipmentNamingInfoChanged").select(
+        F.col("terminalEquipmentId").alias("id"),
+        "seq",
+        touched(F.col("namingInfo.name")).alias("name"),
+    )
+    readdr = log.of("TerminalEquipmentAddressInfoChanged").select(
+        F.col("terminalEquipmentId").alias("id"),
+        "seq",
+        touched(F.col("addressInfo.accessAddressId")).alias("access_address_id"),
+        touched(F.col("addressInfo.unitAddressId")).alias("unit_address_id"),
+    )
+    removed = log.of("TerminalEquipmentRemoved").select(
+        F.col("terminalEquipmentId").alias("id"), "seq"
+    )
+    fields = {
+        "route_node_id": "string",
+        "name": "string",
+        "access_address_id": "string",
+        "unit_address_id": "string",
+    }
+    return fold_entity([base], [renamed, readdr], "id", fields, removals=removed).drop(
+        "_created_seq"
+    )
+
+
+def project_conduit_slack(log: EventLog) -> DataFrame:
+    """conduit_slack(id, route_node_id, number_of_ends).
+
+    Recompute over final state: an end qualifies when the equipment is a
+    customer conduit, the root segment end is unconnected, and the equipment
+    has no child span equipments (ProjektorState.cs:449-471); counts group by
+    the end's current node. id is deterministic (uuid5 of route_node_id) —
+    the reference uses Guid.NewGuid() (X6), excluded from hashing.
+    """
+    state = _span_state(log).join(_has_child_final(log), "id", "left").fillna(
+        {"has_child": False}
+    )
+    eligible = state.filter(
+        F.col("is_customer_conduit") & ~F.col("has_child")
+    )
+    from_ends = eligible.filter(~F.col("root_has_from_conn")).select(
+        F.col("from_node_id").alias("route_node_id")
+    )
+    to_ends = eligible.filter(~F.col("root_has_to_conn")).select(
+        F.col("to_node_id").alias("route_node_id")
+    )
+    counts = (
+        from_ends.unionAll(to_ends)
+        .groupBy("route_node_id")
+        .agg(F.count(F.lit(1)).cast("int").alias("number_of_ends"))
+    )
+    # RFC-4122 name-based id, deterministic per node
+    return counts.select(
+        F.expr(
+            "concat(substr(md5(route_node_id),1,8),'-',substr(md5(route_node_id),9,4),"
+            "'-',substr(md5(route_node_id),13,4),'-',substr(md5(route_node_id),17,4),"
+            "'-',substr(md5(route_node_id),21,12))"
+        ).alias("id"),
+        "route_node_id",
+        "number_of_ends",
+    )
+
+
+def project_work_task(log: EventLog) -> DataFrame:
+    """work_task(id, number, status)."""
+    created = log.of("WorkTaskCreated").select(
+        F.col("workTaskId").alias("id"),
+        "seq",
+        F.col("workTask.number").alias("number"),
+        F.col("workTask.status").alias("status"),
+    )
+    # null/empty status ⇒ creation skipped entirely (ProjektorState.cs:593)
+    created = created.filter(
+        F.col("status").isNotNull() & (F.col("status") != "")
+    ).select(
+        "id",
+        "seq",
+        touched(F.col("number")).alias("number"),
+        touched(F.col("status")).alias("status"),
+    )
+    changed = log.of("WorkTaskStatusChanged").select(
+        F.col("workTaskId").alias("id"),
+        "seq",
+        touched(F.col("status")).alias("status"),
+    )
+    fields = {"number": "string", "status": "string"}
+    return fold_entity([created], [changed], "id", fields).drop("_created_seq")
+
+
+def project_installation(log: EventLog) -> DataFrame:
+    """installation(id, installation_id, unit_address_id, status, location_remark)."""
+    created = log.of("InstallationCreated").select(
+        "id",
+        "seq",
+        touched(F.col("installationId")).alias("installation_id"),
+        touched(F.col("unitAddressId")).alias("unit_address_id"),
+        touched(F.col("status")).alias("status"),
+        touched(F.col("locationRemark")).alias("location_remark"),
+    )
+    addr = log.of("InstallationUnitAddressChanged").select(
+        "id", "seq", touched(F.col("unitAddressId")).alias("unit_address_id")
+    )
+    status = log.of("InstallationStatusChanged").select(
+        "id", "seq", touched(F.col("status")).alias("status")
+    )
+    remark = log.of("InstallationLocationRemarkChanged").select(
+        "id", "seq", touched(F.col("locationRemark")).alias("location_remark")
+    )
+    fields = {
+        "installation_id": "string",
+        "unit_address_id": "string",
+        "status": "string",
+        "location_remark": "string",
+    }
+    return fold_entity([created], [addr, status, remark], "id", fields).drop(
+        "_created_seq"
+    )
+
+
+PROJECTIONS = {
+    "rel_interest_to_route_element": project_rel_interest_to_route_element,
+    "rel_fiber_cable_to_route_element": project_rel_fiber_cable_to_route_element,
+    "node_container": project_node_container,
+    "span_equipment": project_span_equipment,
+    "service_termination": project_service_termination,
+    "conduit_slack": project_conduit_slack,
+    "work_task": project_work_task,
+    "installation": project_installation,
+}
+
+
+def project_all(log: EventLog) -> dict[str, DataFrame]:
+    return {name: fn(log) for name, fn in PROJECTIONS.items()}
