@@ -1,0 +1,873 @@
+"""Query catalog: the driver-contract surface (__spark_entry__.py).
+
+Each entry pairs a Spark implementation with an ANSI-SQL DuckDB oracle that
+must hash-match it (column names and value semantics aligned; doubles
+rounded to 4 dp on BOTH sides; counts cast to BIGINT on the DuckDB side
+because its integer SUM widens to HUGEINT).
+
+The catalog demonstrates every operator family from SURVEY §2 over the
+driver tables, plus the LLM-pipeline surface (functions/*), plus two
+queries that run the REAL projection engine over domain events synthesized
+deterministically from the events table (proj_work_task_sim,
+proj_installation_sim) — those oracles re-implement the fold semantics in
+pure SQL, so the engine's epoch/guard/null-write behavior is checked against
+an independent implementation on driver data.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, Window as W
+
+from open_ftth_relational_projector_spark.sources.tables import load_table
+from open_ftth_relational_projector_spark.events.reader import EventLog
+from open_ftth_relational_projector_spark.operators import asof_join, latest_by_key
+from open_ftth_relational_projector_spark.functions import dedup as D
+from open_ftth_relational_projector_spark.functions import similarity as S
+from open_ftth_relational_projector_spark.functions import text as TXT
+from open_ftth_relational_projector_spark.functions.multimodal import (
+    attach_binary,
+    extract_features,
+)
+from open_ftth_relational_projector_spark.projections.core import (
+    project_installation,
+    project_work_task,
+)
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+SPARK_QUERIES: dict[str, QueryFn] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        SPARK_QUERIES[name] = fn
+        if sql is not None:
+            ORACLE_SQL[name] = sql
+        return fn
+
+    return deco
+
+
+def _r4(col):
+    return F.round(col, 4)
+
+
+# ===========================================================================
+# 1. TPC-H-ish relational core
+# ===========================================================================
+
+
+@_q(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 4) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4) AS avg_price,
+           ROUND(AVG(l_discount), 4) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _r4(F.sum("l_quantity")).alias("sum_qty"),
+            _r4(F.sum("l_extendedprice")).alias("sum_base_price"),
+            _r4(F.sum(disc)).alias("sum_disc_price"),
+            _r4(F.sum(disc * (1 + F.col("l_tax")))).alias("sum_charge"),
+            _r4(F.avg("l_quantity")).alias("avg_qty"),
+            _r4(F.avg("l_extendedprice")).alias("avg_price"),
+            _r4(F.avg("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@_q(
+    "q3_order_revenue",
+    """
+    SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    HAVING SUM(l.l_extendedprice * (1 - l.l_discount)) > 100000
+    """,
+)
+def q3_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_r4(rev).alias("revenue"), rev.alias("_raw"))
+        .filter(F.col("_raw") > 100000)
+        .drop("_raw")
+    )
+
+
+@_q(
+    "q5_region_nation_revenue",
+    """
+    SELECT r.r_name AS region, n.n_name AS nation,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def q5_region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            _r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@_q(
+    "dim_join_customer_geo",
+    """
+    SELECT r.r_name AS region, n.n_name AS nation,
+           COUNT(*) AS n_customers, ROUND(AVG(c.c_acctbal), 4) AS avg_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def dim_join_customer_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            _r4(F.avg("c_acctbal")).alias("avg_acctbal"),
+        )
+    )
+
+
+@_q(
+    "anti_join_customers_without_orders",
+    """
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def anti_join_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@_q(
+    "semi_join_customers_with_urgent_orders",
+    """
+    SELECT c.c_custkey, c.c_mktsegment
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def semi_join_customers_with_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@_q(
+    "order_item_seq",
+    """
+    SELECT l_orderkey, l_partkey,
+           CAST(ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                ORDER BY l_linenumber, l_partkey) AS INT) AS seq_no
+    FROM lineitem
+    """,
+)
+def order_item_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/X1: array unroll with dense per-group sequence via posexplode."""
+    li = load_table(spark, sf_dir, "lineitem")
+    arr = li.groupBy("l_orderkey").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("l_linenumber", "l_partkey"))),
+            lambda s: s["l_partkey"],
+        ).alias("parts")
+    )
+    return arr.select(
+        "l_orderkey", F.posexplode("parts").alias("_pos", "l_partkey")
+    ).select(
+        "l_orderkey", "l_partkey", (F.col("_pos") + 1).cast("int").alias("seq_no")
+    )
+
+
+@_q(
+    "dedup_first_occurrence",
+    """
+    WITH firsts AS (
+      SELECT l_orderkey, l_partkey, MIN(l_linenumber) AS first_ln
+      FROM lineitem GROUP BY l_orderkey, l_partkey)
+    SELECT l_orderkey, l_partkey,
+           CAST(ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                ORDER BY first_ln, l_partkey) AS INT) AS seq_no
+    FROM firsts
+    """,
+)
+def dedup_first_occurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: order-preserving dedup via array_distinct on an ordered array."""
+    li = load_table(spark, sf_dir, "lineitem")
+    arr = li.groupBy("l_orderkey").agg(
+        F.array_distinct(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("l_linenumber", "l_partkey"))),
+                lambda s: s["l_partkey"],
+            )
+        ).alias("parts")
+    )
+    return arr.select(
+        "l_orderkey", F.posexplode("parts").alias("_pos", "l_partkey")
+    ).select(
+        "l_orderkey", "l_partkey", (F.col("_pos") + 1).cast("int").alias("seq_no")
+    )
+
+
+@_q(
+    "exists_nested_high_value_first_line",
+    """
+    SELECT o.o_orderkey, o.o_totalprice
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_linenumber = 1 AND l.l_extendedprice > 50000)
+    """,
+)
+def exists_nested_high_value_first_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: nested-array EXISTS via higher-order function over collected segments."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    nested = li.groupBy("l_orderkey").agg(
+        F.collect_list(F.struct("l_linenumber", "l_extendedprice")).alias("segs")
+    )
+    hit = nested.filter(
+        F.exists(
+            "segs",
+            lambda s: (s["l_linenumber"] == 1) & (s["l_extendedprice"] > 50000),
+        )
+    )
+    return o.join(hit, o.o_orderkey == hit.l_orderkey, "left_semi").select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+@_q(
+    "first_last_part_per_order",
+    """
+    SELECT l_orderkey,
+           ARG_MIN(l_partkey, l_linenumber * 10000000 + l_partkey) AS first_part,
+           ARG_MAX(l_partkey, l_linenumber * 10000000 + l_partkey) AS last_part
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def first_last_part_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8: First()/Last() of an ordered array via element_at(1)/(-1)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.element_at(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("l_linenumber", "l_partkey"))),
+                lambda s: s["l_partkey"],
+            ),
+            1,
+        ).alias("first_part"),
+        F.element_at(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("l_linenumber", "l_partkey"))),
+                lambda s: s["l_partkey"],
+            ),
+            -1,
+        ).alias("last_part"),
+    )
+
+
+@_q(
+    "top3_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, CAST(rnk AS INT) AS rnk
+    FROM (
+      SELECT o_custkey, o_orderkey,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders)
+    WHERE rnk <= 3
+    """,
+)
+def top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        o.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "rnk")
+    )
+
+
+@_q(
+    "rollup_lineitem_status",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS grp_id,
+           ROUND(SUM(l_quantity), 4) AS sum_qty, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_lineitem_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("int").alias("grp_id"),
+        _r4(F.sum("l_quantity")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    ).select("l_returnflag", "l_linestatus", "grp_id", "sum_qty", "n")
+
+
+@_q(
+    "pivot_event_counts",
+    """
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+           COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+           COUNT(*) FILTER (WHERE event_type = 'view') AS view
+    FROM events GROUP BY user_id
+    """,
+)
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+        .fillna(0, subset=kinds)
+    )
+
+
+# ===========================================================================
+# 2. event-stream semantics in batch (A2, as-of, epochs, sessions, JSON)
+# ===========================================================================
+
+
+@_q(
+    "lww_latest_event_per_user",
+    """
+    SELECT user_id,
+           ARG_MAX(event_type, event_id) AS event_type,
+           ROUND(ARG_MAX(value, event_id), 4) AS value,
+           MAX(event_id) AS seq
+    FROM events GROUP BY user_id
+    """,
+)
+def lww_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: dict[id] = state ≡ max_by over the sequence."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("event_id").alias("seq"), "event_type", "value"
+    )
+    out = latest_by_key(ev, "user_id", value_cols=["event_type", "value"])
+    return out.select("user_id", "event_type", _r4(F.col("value")).alias("value"), "seq")
+
+
+@_q(
+    "asof_purchase_prior_signup",
+    """
+    SELECT event_id, user_id,
+           ROUND(value, 4) AS purchase_value,
+           ROUND(prior_signup_value, 4) AS prior_signup_value
+    FROM (
+      SELECT event_id, user_id, value, event_type,
+             LAST_VALUE(CASE WHEN event_type = 'signup' THEN value END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_signup_value
+      FROM events)
+    WHERE event_type = 'purchase'
+    """,
+)
+def asof_purchase_prior_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase sees the latest strictly-earlier signup."""
+    ev = load_table(spark, sf_dir, "events")
+    versions = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("event_id").alias("seq"), F.col("value").alias("prior_signup_value")
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("seq"), F.col("value").alias("purchase_value")
+    )
+    out = asof_join(facts, versions, "user_id")
+    return out.select(
+        F.col("seq").alias("event_id"),
+        "user_id",
+        _r4(F.col("purchase_value")).alias("purchase_value"),
+        _r4(F.col("prior_signup_value")).alias("prior_signup_value"),
+    )
+
+
+@_q(
+    "json_props_stats",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+    FROM events GROUP BY k_bucket
+    """,
+)
+def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: JSON payload parsing with schema-on-read."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn(
+            "k_bucket", F.get_json_object("props", "$.k").cast("bigint") % 10
+        )
+        .groupBy("k_bucket")
+        .agg(F.count(F.lit(1)).alias("n"), _r4(F.sum("value")).alias("sum_value"))
+    )
+
+
+@_q(
+    "running_value_per_user",
+    """
+    SELECT event_id, user_id,
+           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value
+    FROM events
+    """,
+)
+def running_value_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return ev.select(
+        "event_id", "user_id", _r4(F.sum("value").over(w)).alias("running_value")
+    )
+
+
+@_q(
+    "sessionize_30min",
+    """
+    WITH t AS (
+      SELECT user_id, event_id,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec,
+             CAST(FLOOR(epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY event_id))) AS BIGINT) AS prev_sec
+      FROM events),
+    flags AS (
+      SELECT user_id,
+             CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800 THEN 1 ELSE 0 END AS new_session
+      FROM t)
+    SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+    FROM flags GROUP BY user_id
+    """,
+)
+def sessionize_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "sec", F.col("ts").cast("timestamp").cast("long")
+    )
+    w = W.partitionBy("user_id").orderBy("event_id")
+    flags = ev.withColumn("prev_sec", F.lag("sec").over(w)).withColumn(
+        "new_session",
+        F.when(
+            F.col("prev_sec").isNull() | (F.col("sec") - F.col("prev_sec") > 1800), 1
+        ).otherwise(0),
+    )
+    return flags.groupBy("user_id").agg(
+        F.sum("new_session").alias("n_sessions"), F.count(F.lit(1)).alias("n_events")
+    )
+
+
+# ===========================================================================
+# 3. the projection engine over synthesized domain events
+# ===========================================================================
+
+
+def _sim_work_task_log(spark: SparkSession, sf_dir: str) -> EventLog:
+    ev = load_table(spark, sf_dir, "events")
+    created = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("seq"),
+        F.col("user_id").cast("string").alias("workTaskId"),
+        F.struct(
+            F.concat(F.lit("N-"), F.col("user_id").cast("string")).alias("number"),
+            F.when(F.col("value") >= 10, F.lit("open")).alias("status"),
+        ).alias("workTask"),
+    )
+    changed = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("seq"),
+        F.col("user_id").cast("string").alias("workTaskId"),
+        F.concat(F.lit("spent-"), F.floor("value").cast("int").cast("string")).alias(
+            "status"
+        ),
+    )
+    return EventLog.from_typed(
+        spark, {"WorkTaskCreated": created, "WorkTaskStatusChanged": changed}
+    )
+
+
+@_q(
+    "proj_work_task_sim",
+    """
+    WITH created AS (
+      SELECT CAST(user_id AS VARCHAR) AS id, event_id AS seq,
+             'N-' || CAST(user_id AS VARCHAR) AS number,
+             CASE WHEN value >= 10 THEN 'open' END AS status
+      FROM events WHERE event_type = 'signup' AND value >= 10),
+    last_created AS (
+      SELECT id, ARG_MAX(number, seq) AS number, ARG_MAX(status, seq) AS status,
+             MAX(seq) AS cseq
+      FROM created GROUP BY id),
+    changed AS (
+      SELECT CAST(user_id AS VARCHAR) AS id, event_id AS seq,
+             'spent-' || CAST(CAST(FLOOR(value) AS INT) AS VARCHAR) AS status
+      FROM events WHERE event_type = 'purchase'),
+    late AS (
+      SELECT c.id, ARG_MAX(c.status, c.seq) AS status
+      FROM changed c JOIN last_created lc ON c.id = lc.id AND c.seq > lc.cseq
+      GROUP BY c.id)
+    SELECT lc.id, lc.number, COALESCE(late.status, lc.status) AS status
+    FROM last_created lc LEFT JOIN late ON lc.id = late.id
+    """,
+)
+def proj_work_task_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL work_task projection over synthesized domain events."""
+    return project_work_task(_sim_work_task_log(spark, sf_dir))
+
+
+def _sim_installation_log(spark: SparkSession, sf_dir: str) -> EventLog:
+    ev = load_table(spark, sf_dir, "events")
+    uid = F.col("user_id").cast("string")
+    fv = F.floor("value").cast("int").cast("string")
+    created = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("seq"),
+        uid.alias("id"),
+        F.concat(F.lit("I-"), uid).alias("installationId"),
+        F.when(F.col("value") >= 50, F.concat(F.lit("U-"), fv)).alias("unitAddressId"),
+        F.lit("NEW").alias("status"),
+        F.when(F.col("value") < 25, F.lit("low")).alias("locationRemark"),
+    )
+    status = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("seq"),
+        uid.alias("id"),
+        F.concat(F.lit("S-"), fv).alias("status"),
+    )
+    addr = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("seq"),
+        uid.alias("id"),
+        F.when(F.col("value") >= 50, F.concat(F.lit("U2-"), fv)).alias("unitAddressId"),
+    )
+    remark = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("seq"),
+        uid.alias("id"),
+        F.when(F.col("value") < 50, F.concat(F.lit("R-"), fv)).alias("locationRemark"),
+    )
+    return EventLog.from_typed(
+        spark,
+        {
+            "InstallationCreated": created,
+            "InstallationStatusChanged": status,
+            "InstallationUnitAddressChanged": addr,
+            "InstallationLocationRemarkChanged": remark,
+        },
+    )
+
+
+@_q(
+    "proj_installation_sim",
+    """
+    WITH created AS (
+      SELECT CAST(user_id AS VARCHAR) AS id, event_id AS seq,
+             'I-' || CAST(user_id AS VARCHAR) AS installation_id,
+             CASE WHEN value >= 50 THEN 'U-' || CAST(CAST(FLOOR(value) AS INT) AS VARCHAR) END AS unit_address_id,
+             'NEW' AS status,
+             CASE WHEN value < 25 THEN 'low' END AS location_remark
+      FROM events WHERE event_type = 'signup'),
+    last_created AS (
+      SELECT id, MAX(seq) AS cseq,
+             ARG_MAX(installation_id, seq) AS installation_id,
+             ARG_MAX(STRUCT_PACK(v := unit_address_id), seq)['v'] AS unit_address_id,
+             ARG_MAX(status, seq) AS status,
+             ARG_MAX(STRUCT_PACK(v := location_remark), seq)['v'] AS location_remark
+      FROM created GROUP BY id),
+    upd_status AS (
+      SELECT CAST(user_id AS VARCHAR) AS id, event_id AS seq,
+             'S-' || CAST(CAST(FLOOR(value) AS INT) AS VARCHAR) AS status
+      FROM events WHERE event_type = 'click'),
+    upd_addr AS (
+      SELECT CAST(user_id AS VARCHAR) AS id, event_id AS seq,
+             CASE WHEN value >= 50 THEN 'U2-' || CAST(CAST(FLOOR(value) AS INT) AS VARCHAR) END AS unit_address_id
+      FROM events WHERE event_type = 'view'),
+    upd_remark AS (
+      SELECT CAST(user_id AS VARCHAR) AS id, event_id AS seq,
+             CASE WHEN value < 50 THEN 'R-' || CAST(CAST(FLOOR(value) AS INT) AS VARCHAR) END AS location_remark
+      FROM events WHERE event_type = 'error'),
+    late_status AS (
+      SELECT u.id, ARG_MAX(u.status, u.seq) AS status
+      FROM upd_status u JOIN last_created lc ON u.id = lc.id AND u.seq > lc.cseq
+      GROUP BY u.id),
+    late_addr AS (
+      SELECT u.id, ARG_MAX(STRUCT_PACK(v := u.unit_address_id), u.seq) AS unit_address_id
+      FROM upd_addr u JOIN last_created lc ON u.id = lc.id AND u.seq > lc.cseq
+      GROUP BY u.id),
+    late_remark AS (
+      SELECT u.id, ARG_MAX(STRUCT_PACK(v := u.location_remark), u.seq) AS location_remark
+      FROM upd_remark u JOIN last_created lc ON u.id = lc.id AND u.seq > lc.cseq
+      GROUP BY u.id)
+    SELECT lc.id, lc.installation_id,
+           CASE WHEN la.id IS NOT NULL THEN la.unit_address_id['v'] ELSE lc.unit_address_id END AS unit_address_id,
+           COALESCE(ls.status, lc.status) AS status,
+           CASE WHEN lr.id IS NOT NULL THEN lr.location_remark['v'] ELSE lc.location_remark END AS location_remark
+    FROM last_created lc
+    LEFT JOIN late_status ls ON lc.id = ls.id
+    LEFT JOIN late_addr la ON lc.id = la.id
+    LEFT JOIN late_remark lr ON lc.id = lr.id
+    """,
+)
+def proj_installation_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL installation projection (null-writing updates included)."""
+    return project_installation(_sim_installation_log(spark, sf_dir))
+
+
+# ===========================================================================
+# 4. LLM-pipeline surface: text, dedup, similarity, multimodal
+# ===========================================================================
+
+
+@_q(
+    "text_stats",
+    """
+    SELECT doc_id,
+           LEN(string_split(text, ' ')) AS n_tokens,
+           LENGTH(text) AS n_chars_actual,
+           ROUND(LEN(LIST_FILTER(string_split(text, ' '), t -> t = 'the'))
+                 / CAST(LEN(string_split(text, ' ')) AS DOUBLE), 4) AS the_ratio
+    FROM documents
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = TXT.tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+        _r4(
+            F.size(F.filter(toks, lambda t: t == "the"))
+            / F.size(toks).cast("double")
+        ).alias("the_ratio"),
+    )
+
+
+@_q(
+    "lang_quality_stats",
+    """
+    WITH scored AS (
+      SELECT lang, LEN(string_split(text, ' ')) AS n_tokens, n_chars
+      FROM documents)
+    SELECT lang, COUNT(*) AS n_docs,
+           ROUND(AVG(n_tokens), 4) AS avg_tokens,
+           ROUND(AVG(n_chars), 4) AS avg_chars
+    FROM scored GROUP BY lang
+    """,
+)
+def lang_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", TXT.token_count(F.col("text")).alias("n_tokens"), "n_chars")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            _r4(F.avg("n_tokens")).alias("avg_tokens"),
+            _r4(F.avg("n_chars")).alias("avg_chars"),
+        )
+    )
+
+
+@_q(
+    "exact_dedup_groups",
+    """
+    SELECT md5(text) AS text_hash, COUNT(*) AS n_copies, MIN(doc_id) AS canonical_id
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def exact_dedup_groups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup_groups(load_table(spark, sf_dir, "documents"))
+
+
+@_q(
+    "doc_fingerprint_groups",
+    """
+    SELECT md5(TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g'))) AS fingerprint,
+           COUNT(*) AS n_docs, MIN(doc_id) AS canonical_id
+    FROM documents
+    GROUP BY fingerprint
+    """,
+)
+def doc_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(TXT.fingerprint(F.col("text")).alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("canonical_id"))
+    )
+
+
+@_q(
+    "ngram_jaccard_pairs",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             UNNEST(list_distinct(list_transform(
+               generate_series(1, GREATEST(LEN(t) - 2, 0)),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+      FROM toks),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT i.doc_a, i.doc_b,
+           ROUND(n_inter / CAST(sa.n + sb.n - n_inter AS DOUBLE), 4) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.doc_a = sa.doc_id
+    JOIN sizes sb ON i.doc_b = sb.doc_id
+    WHERE n_inter / CAST(sa.n + sb.n - n_inter AS DOUBLE) >= 0.05
+    """,
+)
+def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = D.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.05, n=3
+    )
+    return out.select("doc_a", "doc_b", _r4(F.col("jaccard")).alias("jaccard"))
+
+
+@_q("minhash_near_dups")  # no SQL oracle: xxhash64 seeds are Spark-specific
+def minhash_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = D.minhash_near_dups(
+        load_table(spark, sf_dir, "documents"), threshold=0.05
+    )
+    return out.select("doc_a", "doc_b", _r4(F.col("jaccard")).alias("jaccard"))
+
+
+@_q("simhash_fingerprints")  # no SQL oracle: xxhash64 is Spark-specific
+def simhash_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash64(load_table(spark, sf_dir, "documents"))
+
+
+@_q(
+    "embedding_norms_by_label",
+    """
+    SELECT label,
+           COUNT(*) AS n,
+           ROUND(AVG(sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))), 4) AS avg_l2
+    FROM embeddings GROUP BY label
+    """,
+)
+def embedding_norms_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        _r4(F.avg(S.l2_norm(S.as_double(F.col("embedding"))))).alias("avg_l2"),
+    )
+
+
+@_q(
+    "knn_bruteforce",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    scored AS (
+      SELECT q.query_id, c.neighbor_id,
+             list_sum(list_transform(generate_series(1, 64), i -> qv[i]::DOUBLE * cv[i]::DOUBLE))
+             / (sqrt(list_sum(list_transform(generate_series(1, 64), i -> qv[i]::DOUBLE * qv[i]::DOUBLE)))
+                * sqrt(list_sum(list_transform(generate_series(1, 64), i -> cv[i]::DOUBLE * cv[i]::DOUBLE)))) AS sim
+      FROM c, q WHERE c.neighbor_id != q.query_id)
+    SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk
+    FROM (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+      FROM scored)
+    WHERE rnk <= 5
+    """,
+)
+def knn_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    out = S.knn_bruteforce(emb, queries, k=5)
+    return out.withColumnRenamed("rank", "rnk")
+
+
+@_q("knn_lsh")  # no SQL oracle: approximate (bucketed) variant
+def knn_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return S.knn_lsh(emb, queries, k=5).withColumnRenamed("rank", "rnk")
+
+
+@_q(
+    "multimodal_features",
+    """
+    SELECT doc_id,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           sha256(text) AS sha256,
+           CAST(octet_length(CAST(text AS BLOB)) % 1920 + 1 AS INT) AS width,
+           CAST(octet_length(CAST(text AS BLOB)) % 1080 + 1 AS INT) AS height
+    FROM documents
+    """,
+)
+def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = attach_binary(load_table(spark, sf_dir, "documents"))
+    return extract_features(docs, fake=True)

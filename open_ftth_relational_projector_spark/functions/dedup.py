@@ -1,0 +1,215 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design:
+  * exact_dedup_groups — hash-groupBy, one shuffle on the content hash.
+  * ngram_jaccard_pairs — EXACT similarity join via shingle inverted index
+    (explode → co-occurrence join → count). Quadratic only within a shingle
+    bucket; used as the oracle for the approximate paths and fine up to
+    ~10^6 docs. At 100 TB use minhash_lsh_candidates first.
+  * minhash_lsh_candidates — MinHash signatures (xxhash64 with k seeds, all
+    JVM-side) banded into LSH buckets; candidate pairs only ever join inside
+    a (band, band-signature) bucket → linear shuffle, no all-pairs.
+  * simhash64 — 64-bit sign-sum fingerprint per doc; near-dups = small
+    Hamming distance, found by multi-probe on rotated prefixes (buckets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from open_ftth_relational_projector_spark.functions.text import tokens
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the single-space-tokenized text."""
+    toks = tokens(text)
+    cnt = F.size(toks)
+    # guard: Spark's sequence(1, x) DESCENDS when x < 1, so short texts need
+    # an explicit empty-array branch
+    idx = F.when(
+        cnt >= n, F.sequence(F.lit(1), cnt - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]
+        ),
+    )
+    return F.array_distinct(grams)
+
+
+def exact_dedup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Group identical texts: (text_hash, n_copies, canonical_id=min id)."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min(id_col).alias("canonical_id"),
+        )
+    )
+
+
+def _shingle_index(docs: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(F.col(text_col), n)).alias("shingle"),
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.2,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity join via inverted index.
+
+    Returns (doc_a, doc_b, jaccard) for doc_a < doc_b with J ≥ threshold.
+    """
+    idx = _shingle_index(docs, text_col, id_col, n)
+    sizes = idx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+
+    a = idx.alias("a")
+    b = idx.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter")
+            / (F.col("size_a") + F.col("size_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signature(shingle_arr: Column, num_hashes: int = 32) -> Column:
+    """MinHash signature: per seed, min xxhash64 over the shingle set.
+
+    xxhash64 is a JVM built-in — the whole signature is codegen'd, no UDF.
+    Pass a MATERIALIZED shingle array column (compute shingles once; the
+    32 per-seed passes then scan the array without re-deriving the grams).
+    """
+    mins = [
+        F.array_min(F.transform(shingle_arr, lambda s: F.xxhash64(s, F.lit(i))))
+        for i in range(num_hashes)
+    ]
+    return F.array(*mins)
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing ≥1 identical signature band.
+
+    rows_per_band = num_hashes // bands. Returns distinct (doc_a, doc_b).
+    Shuffle is keyed by (band_id, band_hash) — linear in corpus size; the
+    quadratic blow-up is confined to true near-dup buckets.
+    """
+    rows = num_hashes // bands
+    sig = docs.select(
+        F.col(id_col).alias("doc_id"),
+        shingles(F.col(text_col), n).alias("sh"),
+    ).select(
+        "doc_id", minhash_signature(F.col("sh"), num_hashes).alias("sig")
+    )
+    banded = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.hash(F.slice(F.col("sig"), i * rows + 1, rows))
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band_id", "band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, ["band_id", "band_hash"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_near_dups(
+    docs: DataFrame,
+    threshold: float = 0.2,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+) -> DataFrame:
+    """LSH candidates verified with exact Jaccard, computed per candidate
+    pair via array_intersect on the two shingle arrays — work is strictly
+    proportional to the candidate count (no shingle-index self-join)."""
+    cands = minhash_lsh_candidates(docs, num_hashes, bands, n)
+    sh = docs.select(
+        F.col("doc_id"), shingles(F.col("text"), n).alias("sh")
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    return (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn(
+            "jaccard",
+            inter
+            / (F.size("sh_a") + F.size("sh_b") - inter).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash64(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash per document, fully JVM-side: explode distinct tokens,
+    xxhash64 each, and for every bit accumulate +1/-1 in ONE groupBy pass
+    (64 conditional-sum aggregates, map-side combined); the fingerprint has
+    bit b set when its sum is positive. Returns (id_col, simhash long)."""
+    tok = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    sums = tok.groupBy(id_col).agg(*bit_aggs)
+    fp = None
+    for b in range(64):
+        term = F.when(
+            F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else fp.bitwiseOR(term)
+    return sums.select(F.col(id_col), fp.alias("simhash"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))

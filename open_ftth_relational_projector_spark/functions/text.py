@@ -1,0 +1,90 @@
+"""Text analysis for document pipelines: token stats, quality scoring,
+language-ID heuristic, fingerprinting.
+
+All pure column expressions (whole-stage codegen; no UDFs). Tokenization is
+single-space split so a SQL oracle can reproduce it bit-for-bit; swap in the
+regex tokenizer for messier corpora.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, functions as F
+
+#: tiny built-in stopword lists for the language heuristic
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to"],
+    "de": ["der", "die", "das", "und", "zu"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "la", "los", "y", "de"],
+}
+
+
+def tokens(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def _count_tokens_in(text: Column, words: list[str]) -> Column:
+    toks = tokens(text)
+    cond = lambda t: reduce(lambda a, w: a | (t == F.lit(w)), words, F.lit(False))
+    return F.size(F.filter(toks, cond))
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    return _count_tokens_in(text, STOPWORDS[lang]) / token_count(text)
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are not [a-z0-9 ] (lowercased view)."""
+    low = F.lower(text)
+    return (
+        F.length(F.regexp_replace(low, "[a-z0-9 ]", ""))
+        / F.length(low)
+    )
+
+
+def mean_token_len(text: Column) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return total / F.size(toks)
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: length band + stopword presence +
+    low punctuation. Deliberately simple and SQL-mirrorable."""
+    n = token_count(text)
+    len_ok = F.when((n >= 20) & (n <= 10000), F.lit(0.4)).otherwise(F.lit(0.0))
+    stop_ok = F.when(stopword_ratio(text, "en") > 0.01, F.lit(0.3)).otherwise(F.lit(0.0))
+    punct_ok = F.when(punct_ratio(text) < 0.1, F.lit(0.3)).otherwise(F.lit(0.0))
+    return len_ok + stop_ok + punct_ok
+
+
+def lang_guess(text: Column) -> Column:
+    """n-gram/stopword language heuristic: highest stopword hit count wins;
+    ties broken by fixed language order (en, de, fr, es), 'und' = unknown."""
+    counts = {lg: _count_tokens_in(text, ws) for lg, ws in STOPWORDS.items()}
+    best = None
+    for lg in ["en", "de", "fr", "es"]:
+        c = counts[lg]
+        if best is None:
+            best = F.when(c > 0, F.lit(lg)).otherwise(F.lit("und"))
+            best_count = c
+        else:
+            best = F.when(c > best_count, F.lit(lg)).otherwise(best)
+            best_count = F.greatest(best_count, c)
+    return best
+
+
+def fingerprint(text: Column) -> Column:
+    """Stable document fingerprint: md5 of whitespace-normalized lowercase."""
+    norm = F.trim(F.regexp_replace(F.lower(text), "\\s+", " "))
+    return F.md5(norm)

@@ -29,6 +29,10 @@ TABLES = [
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # runtime-settable; needed even when the caller owns the session
+        # (events.ts is parquet TIMESTAMP(NANOS))
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # nanos → micros (floor), matching DuckDB's ns→us truncation.

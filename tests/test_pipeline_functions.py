@@ -1,0 +1,192 @@
+"""Tests for the LLM-pipeline surface: text analysis, dedup, similarity,
+multimodal plumbing."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from open_ftth_relational_projector_spark.functions import dedup as D
+from open_ftth_relational_projector_spark.functions import similarity as S
+from open_ftth_relational_projector_spark.functions import text as TXT
+from open_ftth_relational_projector_spark.functions.multimodal import (
+    attach_binary,
+    decode_image,
+    extract_features,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the cat sat on the mat", "en"),
+        (2, "the cat sat on the mat", "en"),          # exact dup of 1
+        (3, "the cat sat on the red mat", "en"),      # near dup of 1
+        (4, "der hund und die katze und das haus", "de"),
+        (5, "completely different words entirely here now", "en"),
+        (6, "le chat et la souris et les maisons", "fr"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_token_count_and_stopword_ratio(docs):
+    out = {
+        r["doc_id"]: (r["n"], r["sr"])
+        for r in docs.select(
+            "doc_id",
+            TXT.token_count(F.col("text")).alias("n"),
+            TXT.stopword_ratio(F.col("text"), "en").alias("sr"),
+        ).collect()
+    }
+    assert out[1][0] == 6
+    assert abs(out[1][1] - 2 / 6) < 1e-9
+    assert out[5][1] == 0.0
+
+
+def test_lang_guess(docs):
+    out = {r["doc_id"]: r["lg"] for r in docs.select(
+        "doc_id", TXT.lang_guess(F.col("text")).alias("lg")).collect()}
+    assert out[1] == "en"
+    assert out[4] == "de"
+    assert out[6] == "fr"
+    assert out[5] == "und"
+
+
+def test_fingerprint_normalizes_whitespace(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "HELLO  WORLD ")],
+        "doc_id long, text string",
+    )
+    fps = [r["fp"] for r in df.select(TXT.fingerprint(F.col("text")).alias("fp")).collect()]
+    assert fps[0] == fps[1] == fps[2]
+
+
+def test_shingles(docs):
+    row = docs.filter("doc_id = 1").select(
+        D.shingles(F.col("text"), 3).alias("sh")
+    ).first()
+    assert row["sh"] == [
+        "the cat sat",
+        "cat sat on",
+        "sat on the",
+        "on the mat",
+    ]
+
+
+def test_shingles_short_text(spark):
+    df = spark.createDataFrame([(1, "one two")], "doc_id long, text string")
+    assert df.select(D.shingles(F.col("text"), 3).alias("sh")).first()["sh"] == []
+
+
+def test_exact_dedup(docs):
+    out = D.exact_dedup_groups(docs).collect()
+    dup_groups = [r for r in out if r["n_copies"] > 1]
+    assert len(dup_groups) == 1
+    assert dup_groups[0]["n_copies"] == 2
+    assert dup_groups[0]["canonical_id"] == 1
+
+
+def test_ngram_jaccard_exact_values(docs):
+    out = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.01, n=3).collect()
+    }
+    assert out[(1, 2)] == 1.0
+    # doc1: 4 shingles, doc3: 5 shingles, shared 3 → J = 3/(4+5-3) = 0.5
+    assert abs(out[(1, 3)] - 0.5) < 1e-9
+    assert (1, 5) not in out
+
+
+def test_minhash_candidates_find_exact_dups(docs):
+    cands = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.minhash_lsh_candidates(docs).collect()
+    }
+    assert (1, 2) in cands  # identical docs always collide on every band
+
+
+def test_minhash_near_dups_verified(docs):
+    out = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.minhash_near_dups(docs, threshold=0.2).collect()
+    }
+    assert out[(1, 2)] == 1.0
+    # precision: every surviving pair truly exceeds the threshold
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.0, n=3).collect()
+    }
+    for pair, j in out.items():
+        assert abs(exact[pair] - j) < 1e-9
+
+def test_simhash_similar_docs_close(docs):
+    out = {r["doc_id"]: r["simhash"] for r in D.simhash64(docs).collect()}
+    df = docs.sparkSession.createDataFrame(
+        [(out[1], out[2]), (out[1], out[3]), (out[1], out[5])], "a long, b long"
+    )
+    d12, d13, d15 = [
+        r["d"] for r in df.select(D.hamming64(F.col("a"), F.col("b")).alias("d")).collect()
+    ]
+    assert d12 == 0            # identical docs → identical simhash
+    assert d13 < d15           # near dup closer than unrelated
+
+
+def test_cosine_similarity(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [0.0, 1.0]), ([1.0, 1.0], [1.0, 0.0])],
+        "a array<double>, b array<double>",
+    )
+    sims = [r["s"] for r in df.select(S.cosine(F.col("a"), F.col("b")).alias("s")).collect()]
+    assert abs(sims[0] - 1.0) < 1e-12
+    assert abs(sims[1]) < 1e-12
+    assert abs(sims[2] - 1 / math.sqrt(2)) < 1e-12
+
+
+def test_knn_bruteforce_exact(spark):
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    q = df.filter("vec_id = 0")
+    out = [
+        (r["neighbor_id"], r["rank"])
+        for r in S.knn_bruteforce(df, q, k=3).orderBy("rank").collect()
+    ]
+    assert out == [(1, 1), (2, 2), (3, 3)]
+
+
+def test_knn_lsh_subset_of_bucket(spark):
+    import random
+
+    rng = random.Random(3)
+    vecs = [
+        (i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(100)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    q = df.filter("vec_id < 5")
+    exact = S.knn_bruteforce(df, q, k=3)
+    approx = S.knn_lsh(df, q, k=3, dim=8, n_planes=2)
+    # approximate results must be a subset of legal neighbors and well-formed
+    got = approx.collect()
+    assert len(got) > 0
+    assert all(r["rank"] >= 1 and r["query_id"] != r["neighbor_id"] for r in got)
+    assert exact.count() == 15
+
+
+def test_multimodal_stub_and_features(spark, docs):
+    with pytest.raises(NotImplementedError):
+        decode_image(b"xx", fake=False)
+    feats = {
+        r["doc_id"]: r
+        for r in extract_features(attach_binary(docs), fake=True).collect()
+    }
+    assert feats[1]["n_bytes"] == len("the cat sat on the mat".encode())
+    import hashlib
+
+    assert feats[1]["sha256"] == hashlib.sha256(b"the cat sat on the mat").hexdigest()
+    assert feats[1]["width"] == feats[1]["n_bytes"] % 1920 + 1
