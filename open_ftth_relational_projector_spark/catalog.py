@@ -678,6 +678,88 @@ def proj_installation_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return project_installation(_sim_installation_log(spark, sf_dir))
 
 
+@_q(
+    "stream_incremental_sim",
+    """
+    WITH created AS (
+      SELECT CAST(user_id AS VARCHAR) AS id, event_id AS seq,
+             'N-' || CAST(user_id AS VARCHAR) AS number,
+             CASE WHEN value >= 10 THEN 'open' END AS status
+      FROM events WHERE event_type = 'signup' AND value >= 10),
+    last_created AS (
+      SELECT id, ARG_MAX(number, seq) AS number, ARG_MAX(status, seq) AS status,
+             MAX(seq) AS cseq
+      FROM created GROUP BY id),
+    changed AS (
+      SELECT CAST(user_id AS VARCHAR) AS id, event_id AS seq,
+             'spent-' || CAST(CAST(FLOOR(value) AS INT) AS VARCHAR) AS status
+      FROM events WHERE event_type = 'purchase'),
+    late AS (
+      SELECT c.id, ARG_MAX(c.status, c.seq) AS status
+      FROM changed c JOIN last_created lc ON c.id = lc.id AND c.seq > lc.cseq
+      GROUP BY c.id)
+    SELECT lc.id, lc.number, COALESCE(late.status, lc.status) AS status
+    FROM last_created lc LEFT JOIN late ON lc.id = late.id
+    """,
+)
+def stream_incremental_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The work_task projection driven through the STREAMING path: events →
+    JSON envelopes → dehydrate(prefix) → incremental apply_batch(tail) →
+    relational sink; returns the sink table. Must hash-match the same oracle
+    as proj_work_task_sim — the batch/streaming duality (SURVEY §2.7 T2/T5)
+    under the driver's correctness gate.
+    """
+    from open_ftth_relational_projector_spark.events.reader import (
+        EventLog as _EL,
+    )
+    from open_ftth_relational_projector_spark.projections.core import (
+        project_work_task as _pwt,
+    )
+    from open_ftth_relational_projector_spark.sinks import DuckDBSink
+    from open_ftth_relational_projector_spark.streaming.runner import apply_batch
+
+    ev = load_table(spark, sf_dir, "events")
+    uid = F.col("user_id").cast("string")
+    created = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("seq"),
+        F.lit("WorkTaskCreated").alias("event_type"),
+        F.to_json(
+            F.struct(
+                uid.alias("workTaskId"),
+                F.struct(
+                    F.concat(F.lit("N-"), uid).alias("number"),
+                    F.when(F.col("value") >= 10, F.lit("open")).alias("status"),
+                ).alias("workTask"),
+            )
+        ).alias("payload"),
+    )
+    changed = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("seq"),
+        F.lit("WorkTaskStatusChanged").alias("event_type"),
+        F.to_json(
+            F.struct(
+                uid.alias("workTaskId"),
+                F.concat(
+                    F.lit("spent-"), F.floor("value").cast("int").cast("string")
+                ).alias("status"),
+            )
+        ).alias("payload"),
+    )
+    env = created.unionByName(changed)
+    max_seq = env.agg(F.max("seq")).collect()[0][0]
+    cut = max_seq // 2
+
+    sink = DuckDBSink()
+    sink.ensure_schema()
+    prefix = env.filter(F.col("seq") <= cut)
+    sink.overwrite("work_task", _pwt(_EL.from_envelopes(prefix)))
+    sink.set_meta("watermark", str(cut))
+    apply_batch(env, env.filter(F.col("seq") > cut), sink, batch_id=0)
+
+    out = sink.read_table("work_task")
+    return spark.createDataFrame(out, "id string, number string, status string")
+
+
 # ===========================================================================
 # 4. LLM-pipeline surface: text, dedup, similarity, multimodal
 # ===========================================================================

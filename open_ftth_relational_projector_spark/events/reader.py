@@ -55,6 +55,28 @@ class EventLog:
         # absent type → empty DataFrame with the right flattened schema
         return self._spark.createDataFrame([], _flat_schema(event_type))
 
+    def restricted(
+        self, filters: dict[str, tuple[str, DataFrame]]
+    ) -> "EventLog":
+        """Key-restricted view for incremental recompute.
+
+        ``filters[event_type] = (id_expr, ids_df)`` narrows that type's
+        stream to events whose ``id_expr`` is in ``ids_df.id`` (broadcast
+        semi-join — the id set is a micro-batch's touched keys, always
+        small). Unlisted types pass through whole, which is what keeps
+        dimension streams (spec registrations, container relations, walks)
+        visible to as-of joins during a per-key recompute.
+        """
+        typed = dict(self._typed)
+        for etype, (id_expr, ids_df) in filters.items():
+            src = self.of(etype)
+            typed[etype] = src.join(
+                F.broadcast(ids_df.select(F.col("id").alias("_rid"))),
+                F.col(id_expr) == F.col("_rid"),
+                "left_semi",
+            )
+        return EventLog(typed, self._spark)
+
     @property
     def spark(self) -> SparkSession:
         return self._spark

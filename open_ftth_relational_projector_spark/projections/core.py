@@ -184,14 +184,9 @@ def _span_state(log: EventLog) -> DataFrame:
     )
 
 
-def _has_child_final(log: EventLog) -> DataFrame:
-    """Final HasChildSpanEquipments per parent equipment id.
-
-    Timeline per parent: affix edges referencing its root segment set TRUE
-    (ProjektorState.cs:370-371); the FIRST detach of a child after an affix
-    edge sets FALSE for that edge's parent (the child's parent list is
-    cleared on detach, ProjektorState.cs:398-417). Last event wins.
-    """
+def _parent_edges(log: EventLog) -> DataFrame:
+    """Affix edges (child_id, seq, parent_id), parent resolved as of the
+    edge event via the root-segment registry (ProjektorState.cs:358, 122)."""
     placed = log.of("SpanEquipmentPlacedInRouteNetwork").select(
         "seq",
         F.col("equipment.id").alias("id"),
@@ -242,9 +237,20 @@ def _has_child_final(log: EventLog) -> DataFrame:
     )
     parent_versions = reg.unionByName(rm_root)
 
-    edges = asof_join(edges_raw, parent_versions, "root_segment_id").filter(
+    return asof_join(edges_raw, parent_versions, "root_segment_id").filter(
         F.col("parent_id").isNotNull()
     )
+
+
+def _has_child_final(log: EventLog) -> DataFrame:
+    """Final HasChildSpanEquipments per parent equipment id.
+
+    Timeline per parent: affix edges referencing its root segment set TRUE
+    (ProjektorState.cs:370-371); the FIRST detach of a child after an affix
+    edge sets FALSE for that edge's parent (the child's parent list is
+    cleared on detach, ProjektorState.cs:398-417). Last event wins.
+    """
+    edges = _parent_edges(log)
 
     detaches = log.of("SpanEquipmentDetachedFromParent").select(
         F.col("spanEquipmentId").alias("child_id"), F.col("seq").alias("detach_seq")
@@ -479,39 +485,66 @@ def project_service_termination(log: EventLog) -> DataFrame:
     )
 
 
-def project_conduit_slack(log: EventLog) -> DataFrame:
-    """conduit_slack(id, route_node_id, number_of_ends).
+NODE_UUID_EXPR = (
+    "concat(substr(md5(route_node_id),1,8),'-',substr(md5(route_node_id),9,4),"
+    "'-',substr(md5(route_node_id),13,4),'-',substr(md5(route_node_id),17,4),"
+    "'-',substr(md5(route_node_id),21,12))"
+)
 
-    Recompute over final state: an end qualifies when the equipment is a
-    customer conduit, the root segment end is unconnected, and the equipment
-    has no child span equipments (ProjektorState.cs:449-471); counts group by
-    the end's current node. id is deterministic (uuid5 of route_node_id) —
-    the reference uses Guid.NewGuid() (X6), excluded from hashing.
+
+def slack_ends(
+    log: EventLog,
+    state: DataFrame | None = None,
+    has_child: DataFrame | None = None,
+) -> DataFrame:
+    """Qualifying unconnected customer-conduit ends — the pre-aggregation of
+    conduit_slack (ProjektorState.cs:449-471): one row
+    (span_equipment_id, route_node_id, end_kind) per slack end. The
+    incremental path persists this set keyed by equipment so a micro-batch
+    can replace one equipment's ends and re-aggregate only touched nodes;
+    it passes a key-restricted ``state`` but an unrestricted ``has_child``
+    (a parent's flag depends on OTHER children's affix edges).
     """
-    state = _span_state(log).join(_has_child_final(log), "id", "left").fillna(
+    if state is None:
+        state = _span_state(log)
+    if has_child is None:
+        has_child = _has_child_final(log)
+    state = state.join(has_child, "id", "left").fillna(
         {"has_child": False}
     )
     eligible = state.filter(
         F.col("is_customer_conduit") & ~F.col("has_child")
     )
     from_ends = eligible.filter(~F.col("root_has_from_conn")).select(
-        F.col("from_node_id").alias("route_node_id")
+        F.col("id").alias("span_equipment_id"),
+        F.col("from_node_id").alias("route_node_id"),
+        F.lit("from").alias("end_kind"),
     )
     to_ends = eligible.filter(~F.col("root_has_to_conn")).select(
-        F.col("to_node_id").alias("route_node_id")
+        F.col("id").alias("span_equipment_id"),
+        F.col("to_node_id").alias("route_node_id"),
+        F.lit("to").alias("end_kind"),
     )
+    return from_ends.unionAll(to_ends)
+
+
+def project_conduit_slack(log: EventLog) -> DataFrame:
+    """conduit_slack(id, route_node_id, number_of_ends).
+
+    Recompute over final state: an end qualifies when the equipment is a
+    customer conduit, the root segment end is unconnected, and the equipment
+    has no child span equipments (ProjektorState.cs:449-471); counts group by
+    the end's current node. id is deterministic (md5-derived uuid of
+    route_node_id) — the reference uses Guid.NewGuid() (X6), excluded from
+    hashing.
+    """
     counts = (
-        from_ends.unionAll(to_ends)
+        slack_ends(log)
         .groupBy("route_node_id")
         .agg(F.count(F.lit(1)).cast("int").alias("number_of_ends"))
     )
-    # RFC-4122 name-based id, deterministic per node
     return counts.select(
-        F.expr(
-            "concat(substr(md5(route_node_id),1,8),'-',substr(md5(route_node_id),9,4),"
-            "'-',substr(md5(route_node_id),13,4),'-',substr(md5(route_node_id),17,4),"
-            "'-',substr(md5(route_node_id),21,12))"
-        ).alias("id"),
+        F.expr(NODE_UUID_EXPR).alias("id"),
         "route_node_id",
         "number_of_ends",
     )

@@ -1,0 +1,202 @@
+"""Dehydrate-then-catch-up orchestration (SURVEY §2.7 T1-T6).
+
+The reference's Worker (Worker.cs:22-48) replays all history with writes
+suppressed, snapshots every table (truncate + COPY), then polls every
+2000 ms applying per-event DML. Spark-first:
+
+* ``dehydrate`` — batch job: run all 8 projections over the full log, bulk
+  overwrite the sink, persist the slack-end pre-aggregation, record the
+  watermark (T2 bootstrap).
+* ``apply_batch`` — one micro-batch of incremental maintenance: affected-key
+  recompute (streaming/incremental.py) + keyed MERGE/DELETE, wrapped in a
+  sink transaction keyed by batch_id (T5: re-delivered batches are skipped,
+  and recompute-from-log is idempotent by construction — re-applying any
+  batch yields the same rows).
+* ``ProjectionStream`` — Structured Streaming wiring: file-source
+  ``readStream`` over an envelope directory, ``foreachBatch`` into
+  ``apply_batch``, default trigger processingTime=2s matching the
+  reference's poll loop (Worker.cs:47), ``availableNow`` for drain-and-stop
+  runs. Bronze accumulation is deduped on ``seq`` so a crash between bronze
+  append and sink commit re-applies cleanly.
+
+Batch-order independence: because every batch recomputes its touched keys
+from the ACCUMULATED log, the final sink state depends only on the set of
+applied events, not the batch boundaries — the equivalence tests exploit
+this by splitting one log at random points.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from open_ftth_relational_projector_spark.events.reader import EventLog
+from open_ftth_relational_projector_spark.events.schemas import ENVELOPE_SCHEMA
+from open_ftth_relational_projector_spark.projections import project_all
+from open_ftth_relational_projector_spark.projections.core import slack_ends
+from open_ftth_relational_projector_spark.sinks.ddl import SCHEMA
+from open_ftth_relational_projector_spark.streaming.incremental import (
+    GroupDelta,
+    TableDelta,
+    affected_ids,
+    compute_deltas,
+    md5_uuid,
+)
+
+
+def dehydrate(envelopes: DataFrame, sink) -> int:
+    """Full replay → bulk snapshot (T2 phase 1). Returns the watermark seq."""
+    sink.ensure_schema()
+    log = EventLog.from_envelopes(envelopes)
+    for name, df in project_all(log).items():
+        sink.overwrite(name, df)
+    sink.overwrite("_aux_slack_end", slack_ends(log))
+    row = envelopes.agg(F.max("seq")).collect()[0]
+    watermark = int(row[0]) if row[0] is not None else 0
+    sink.set_meta("watermark", str(watermark))
+    return watermark
+
+
+def apply_slack_delta(sink, delta: GroupDelta) -> None:
+    """Node-level re-aggregation of conduit_slack from the aux end set.
+
+    Replace touched equipments' end rows, then recount ONLY route nodes that
+    appear in the old or new end rows — the IVM form of the reference's
+    increment/decrement counters (ProjektorState.cs:473-512), including the
+    delete-at-zero behavior (:505-511).
+    """
+    eq = delta.group_keys
+    if not eq:
+        return
+    ph = ", ".join("?" for _ in eq)
+    old_nodes = set(
+        sink.fetch_df(
+            f'SELECT DISTINCT route_node_id FROM {SCHEMA}."_aux_slack_end" '
+            f"WHERE span_equipment_id IN ({ph})",
+            eq,
+        )["route_node_id"]
+    )
+    sink.replace_group("_aux_slack_end", eq, delta.rows)
+    new_nodes = set(delta.rows.column("route_node_id").to_pylist())
+    touched = sorted(old_nodes | new_nodes)
+    if not touched:
+        return
+    ph = ", ".join("?" for _ in touched)
+    counts = sink.fetch_df(
+        f'SELECT route_node_id, CAST(COUNT(*) AS INTEGER) AS number_of_ends '
+        f'FROM {SCHEMA}."_aux_slack_end" WHERE route_node_id IN ({ph}) '
+        f"GROUP BY route_node_id",
+        touched,
+    )
+    if len(counts):
+        counts["id"] = counts["route_node_id"].map(md5_uuid)
+        sink.merge("conduit_slack", counts)
+    zero = [n for n in touched if n not in set(counts["route_node_id"])]
+    sink.delete_keys("conduit_slack", "route_node_id", zero)
+
+
+def apply_batch(
+    full_envelopes: DataFrame,
+    batch_envelopes: DataFrame,
+    sink,
+    batch_id: int | None = None,
+) -> bool:
+    """Apply one micro-batch incrementally. Returns False if skipped
+    (already-applied batch_id — T5 exactly-once)."""
+    if batch_id is not None and sink.get_meta("applied_batch") == str(batch_id):
+        return False
+
+    batch_log = EventLog.from_envelopes(batch_envelopes)
+    ids = affected_ids(batch_log)
+    deltas = compute_deltas(EventLog.from_envelopes(full_envelopes), ids)
+
+    sink.begin()
+    try:
+        for table, delta in deltas.items():
+            if table == "_aux_slack_end":
+                apply_slack_delta(sink, delta)
+            elif isinstance(delta, GroupDelta):
+                sink.replace_group(table, delta.group_keys, delta.rows)
+            elif isinstance(delta, TableDelta):
+                sink.merge(table, delta.upserts)
+                sink.delete_keys(table, "id", delta.delete_keys)
+        if batch_id is not None:
+            sink.set_meta("applied_batch", str(batch_id))
+        row = batch_envelopes.agg(F.max("seq")).collect()[0]
+        if row[0] is not None:
+            prev = int(sink.get_meta("watermark") or 0)
+            sink.set_meta("watermark", str(max(prev, int(row[0]))))
+        sink.commit()
+    except Exception:
+        sink.rollback()
+        raise
+    return True
+
+
+class ProjectionStream:
+    """Structured-Streaming catch-up loop (T1: 2 s trigger = Worker.cs:47)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        events_dir: str,
+        sink,
+        bronze_dir: str,
+        checkpoint_dir: str,
+        fmt: str = "json",
+    ):
+        self.spark = spark
+        self.events_dir = events_dir
+        self.sink = sink
+        self.bronze_dir = bronze_dir
+        self.checkpoint_dir = checkpoint_dir
+        self.fmt = fmt
+        self.query = None
+
+    def _process(self, batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_df.write.mode("append").parquet(self.bronze_dir)
+        # seq-dedup guards the crash window between append and sink commit
+        full = self.spark.read.parquet(self.bronze_dir).dropDuplicates(["seq"])
+        batch = batch_df.dropDuplicates(["seq"])
+        apply_batch(full, batch, self.sink, batch_id=batch_id)
+
+    def start(self, available_now: bool = False, trigger_seconds: float = 2.0):
+        reader = self.spark.readStream.schema(ENVELOPE_SCHEMA)
+        if self.fmt == "json":
+            stream = reader.json(self.events_dir)
+        else:
+            stream = reader.parquet(self.events_dir)
+        writer = stream.writeStream.foreachBatch(self._process).option(
+            "checkpointLocation", self.checkpoint_dir
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        else:
+            writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+        self.query = writer.start()
+        return self.query
+
+    def healthy(self) -> bool:
+        """T6: the reference touches /tmp/healthy after dehydration
+        (Worker.cs:37); here health = an active, progressing query."""
+        return self.query is not None and self.query.isActive
+
+    def await_drained(self, timeout: int = 300) -> None:
+        assert self.query is not None
+        self.query.awaitTermination(timeout)
+
+
+def write_envelope_batch(
+    envelopes: DataFrame, events_dir: str, batch_no: int
+) -> str:
+    """Test/demo helper: land one micro-batch as a JSON file the file-source
+    stream will pick up (the 'new events arrived in the store' moment)."""
+    os.makedirs(events_dir, exist_ok=True)
+    path = os.path.join(events_dir, f"batch_{batch_no:05d}.json")
+    rows = envelopes.toJSON().collect()
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write("\n".join(rows))
+    return path

@@ -49,13 +49,15 @@ def rows_of_duck(rel):
     ), sorted(cols)
 
 
-def main(sf_dir: str) -> int:
+def main(sf_dir: str, only: list[str] | None = None) -> int:
     spark = get_spark(app_name="oracle-check", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs = entry_mod.queries()
+    if only:
+        qs = {n: f for n, f in qs.items() if n in only}
     osql = entry_mod.oracle_sql()
     failures = []
     for name, fn in qs.items():
@@ -100,4 +102,9 @@ def main(sf_dir: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"))
+    sys.exit(
+        main(
+            sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01",
+            sys.argv[2:] or None,
+        )
+    )

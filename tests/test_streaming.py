@@ -1,0 +1,144 @@
+"""Batch/streaming equivalence (SURVEY §5.4) + exactly-once semantics (T5).
+
+The invariant under test: for ANY split of one event log into dehydration
+prefix + incremental micro-batches, the sink's final 8 tables equal the
+all-batch fold. This pins the reference's bulk-vs-catch-up duality
+(RelationalDatabaseProjection.cs:27, 226-264, 460-495) without replicating
+its per-event DML.
+"""
+
+from __future__ import annotations
+
+import random
+import shutil
+import tempfile
+
+import pytest
+
+from open_ftth_relational_projector_spark.events.generator import (
+    generate,
+    to_envelope_rows,
+)
+from open_ftth_relational_projector_spark.events.reader import EventLog
+from open_ftth_relational_projector_spark.events.schemas import ENVELOPE_SCHEMA
+from open_ftth_relational_projector_spark.projections import project_all
+from open_ftth_relational_projector_spark.sinks import DuckDBSink
+from open_ftth_relational_projector_spark.sinks.ddl import PROJECTION_TABLES
+from open_ftth_relational_projector_spark.streaming.runner import (
+    ProjectionStream,
+    apply_batch,
+    dehydrate,
+    write_envelope_batch,
+)
+
+
+def _canon(pdf, cols):
+    return (
+        pdf[cols].astype(str).sort_values(cols).reset_index(drop=True)
+    )
+
+
+def _assert_sink_matches(sink, expected):
+    for name, exp in expected.items():
+        got = sink.read_table(name)
+        cols = list(exp.columns)
+        assert _canon(exp, cols).equals(_canon(got, cols)), (
+            f"{name}: batch fold ({len(exp)} rows) != streamed sink "
+            f"({len(got)} rows)"
+        )
+
+
+@pytest.fixture(scope="module")
+def envelopes(spark):
+    rows = to_envelope_rows(generate(seed=11, scale=4))
+    df = spark.createDataFrame(rows, ENVELOPE_SCHEMA).cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def expected_tables(envelopes):
+    tables = project_all(EventLog.from_envelopes(envelopes))
+    return {n: tables[n].toPandas() for n in PROJECTION_TABLES}
+
+
+def _stream_split(spark, envelopes, bounds, sink):
+    dehydrate(envelopes.filter(f"seq <= {bounds[0]}"), sink)
+    for i in range(len(bounds) - 1):
+        lo, hi = bounds[i], bounds[i + 1]
+        batch = envelopes.filter(f"seq > {lo} AND seq <= {hi}")
+        full = envelopes.filter(f"seq <= {hi}")
+        apply_batch(full, batch, sink, batch_id=i)
+
+
+def test_streaming_equivalence_random_split(spark, envelopes, expected_tables):
+    max_seq = envelopes.agg({"seq": "max"}).collect()[0][0]
+    rng = random.Random(42)
+    cuts = sorted(rng.sample(range(1, max_seq), 3))
+    bounds = [*cuts, max_seq]
+    sink = DuckDBSink()
+    _stream_split(spark, envelopes, bounds, sink)
+    _assert_sink_matches(sink, expected_tables)
+
+
+def test_streaming_equivalence_per_event_tail(spark, envelopes, expected_tables):
+    """Smallest batches: dehydrate all but the last 5 events, then apply
+    them one at a time — the reference's steady-state shape."""
+    max_seq = envelopes.agg({"seq": "max"}).collect()[0][0]
+    bounds = list(range(max_seq - 5, max_seq + 1))
+    sink = DuckDBSink()
+    _stream_split(spark, envelopes, bounds, sink)
+    _assert_sink_matches(sink, expected_tables)
+
+
+def test_dehydrate_only_equals_batch(spark, envelopes, expected_tables):
+    sink = DuckDBSink()
+    dehydrate(envelopes, sink)
+    _assert_sink_matches(sink, expected_tables)
+
+
+def test_batch_id_replay_skipped(spark, envelopes, expected_tables):
+    """T5: a re-delivered (batch_id, data) pair is a no-op, and a genuine
+    re-application of the same data is idempotent."""
+    max_seq = envelopes.agg({"seq": "max"}).collect()[0][0]
+    cut = max_seq // 2
+    sink = DuckDBSink()
+    dehydrate(envelopes.filter(f"seq <= {cut}"), sink)
+    batch = envelopes.filter(f"seq > {cut}")
+    assert apply_batch(envelopes, batch, sink, batch_id=0) is True
+    # same batch_id → skipped
+    assert apply_batch(envelopes, batch, sink, batch_id=0) is False
+    # different batch_id, same data → idempotent recompute
+    assert apply_batch(envelopes, batch, sink, batch_id=1) is True
+    _assert_sink_matches(sink, expected_tables)
+
+
+def test_structured_streaming_available_now(spark, envelopes, expected_tables):
+    """Real readStream → foreachBatch drain over a file source (S2/T1)."""
+    max_seq = envelopes.agg({"seq": "max"}).collect()[0][0]
+    cut = max_seq // 3
+    tmp = tempfile.mkdtemp(prefix="ofrp_stream_")
+    events_dir, bronze, cp = f"{tmp}/in", f"{tmp}/bronze", f"{tmp}/cp"
+    try:
+        sink = DuckDBSink()
+        prefix = envelopes.filter(f"seq <= {cut}")
+        dehydrate(prefix, sink)
+        prefix.write.mode("overwrite").parquet(bronze)
+
+        third = (max_seq - cut) // 2
+        write_envelope_batch(
+            envelopes.filter(f"seq > {cut} AND seq <= {cut + third}"),
+            events_dir,
+            0,
+        )
+        write_envelope_batch(
+            envelopes.filter(f"seq > {cut + third}"), events_dir, 1
+        )
+
+        stream = ProjectionStream(spark, events_dir, sink, bronze, cp)
+        q = stream.start(available_now=True)
+        assert stream.healthy() or q.isActive is False
+        q.awaitTermination(240)
+        _assert_sink_matches(sink, expected_tables)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
