@@ -51,7 +51,7 @@ def bench_domain_projection(spark) -> tuple[str, float]:
     t0 = time.perf_counter()
     raw = spark.createDataFrame(
         to_envelope_rows(generate(seed=42, scale=60)), ENVELOPE_SCHEMA
-    )
+    ).coalesce(8)
     tables = project_all(EventLog.from_envelopes(raw))
     for df in tables.values():
         df.count()

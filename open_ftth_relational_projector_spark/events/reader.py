@@ -55,6 +55,23 @@ class EventLog:
         # absent type → empty DataFrame with the right flattened schema
         return self._spark.createDataFrame([], _flat_schema(event_type))
 
+    def persisted(self, level: str = "MEMORY_AND_DISK") -> "EventLog":
+        """Materialize the typed per-type streams once.
+
+        Every projection re-reads several typed streams; without this each
+        consumer re-filters and re-parses the JSON envelopes. Locally this
+        is ``persist()``; at 100 TB the same role is played by writing the
+        typed bronze out as per-type parquet/Delta tables (columnar, typed,
+        partitioned by entity key) and reading those — one parse, N scans
+        with column pruning.
+        """
+        from pyspark.storagelevel import StorageLevel
+
+        lvl = getattr(StorageLevel, level)
+        return EventLog(
+            {t: df.persist(lvl) for t, df in self._typed.items()}, self._spark
+        )
+
     def restricted(
         self, filters: dict[str, tuple[str, DataFrame]]
     ) -> "EventLog":

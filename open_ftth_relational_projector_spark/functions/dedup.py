@@ -21,8 +21,16 @@ from open_ftth_relational_projector_spark.functions.text import tokens
 
 
 def shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of the single-space-tokenized text."""
-    toks = tokens(text)
+    """Distinct word n-gram shingles of the single-space-tokenized text.
+
+    Prefer ``add_shingles`` on a DataFrame: this single-expression form
+    re-evaluates the tokenizing split per element reference, which Catalyst
+    only avoids when the token array lives in its own projection.
+    """
+    return _grams_of(tokens(text), n)
+
+
+def _grams_of(toks: Column, n: int) -> Column:
     cnt = F.size(toks)
     # guard: Spark's sequence(1, x) DESCENDS when x < 1, so short texts need
     # an explicit empty-array branch
@@ -38,6 +46,21 @@ def shingles(text: Column, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
+def add_shingles(
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out: str = "sh",
+) -> DataFrame:
+    """(id, shingle-array) with the token array materialized in its OWN
+    projection so the split evaluates once per row — CollapseProject keeps
+    multi-referenced non-cheap expressions un-inlined, roughly halving the
+    shingle pass versus the naive single-expression form."""
+    toked = docs.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_toks"))
+    return toked.select("doc_id", _grams_of(F.col("_toks"), n).alias(out))
+
+
 def exact_dedup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Group identical texts: (text_hash, n_copies, canonical_id=min id)."""
     return (
@@ -51,9 +74,8 @@ def exact_dedup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "d
 
 
 def _shingle_index(docs: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(shingles(F.col(text_col), n)).alias("shingle"),
+    return add_shingles(docs, n, text_col, id_col).select(
+        "doc_id", F.explode("sh").alias("shingle")
     )
 
 
@@ -67,26 +89,48 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard similarity join via inverted index.
 
     Returns (doc_a, doc_b, jaccard) for doc_a < doc_b with J ≥ threshold.
-    """
-    idx = _shingle_index(docs, text_col, id_col, n)
-    sizes = idx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
 
-    a = idx.alias("a")
-    b = idx.alias("b")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    Plan shape (one tokenize pass, two shuffles, no self-join):
+    shingle arrays are computed ONCE with the doc's shingle count carried
+    alongside; the inverted index groups on a 64-bit shingle hash (long
+    shuffle keys, not strings) and each posting list expands to its
+    in-bucket pairs with higher-order array functions — work per shingle is
+    |postings|², confined to genuinely shared shingles. A pair's
+    intersection size is then a plain count. At 100 TB, cap/salt posting
+    lists of stop-shingles before the expansion (they dominate the square).
+    """
+    sh = add_shingles(docs, n, text_col, id_col).select(
+        "doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle")
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b"))
+
+    postings = sh.groupBy(F.xxhash64("shingle").alias("sh_hash")).agg(
+        F.array_sort(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ds")
+    )
+    pairs = postings.filter(F.size("ds") > 1).select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ds"),
+                    lambda a, i: F.transform(
+                        F.slice(
+                            F.col("ds"), i + F.lit(2), F.size("ds") - i - 1
+                        ),
+                        lambda b: F.struct(a.alias("a"), b.alias("b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    inter = pairs.groupBy(
+        F.col("p.a.doc_id").alias("doc_a"),
+        F.col("p.b.doc_id").alias("doc_b"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_inter"),
+        F.first("p.a.n_sh").alias("size_a"),
+        F.first("p.b.n_sh").alias("size_b"),
+    )
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.col("n_inter")
             / (F.col("size_a") + F.col("size_b") - F.col("n_inter")),
@@ -125,10 +169,7 @@ def minhash_lsh_candidates(
     quadratic blow-up is confined to true near-dup buckets.
     """
     rows = num_hashes // bands
-    sig = docs.select(
-        F.col(id_col).alias("doc_id"),
-        shingles(F.col(text_col), n).alias("sh"),
-    ).select(
+    sig = add_shingles(docs, n, text_col, id_col).select(
         "doc_id", minhash_signature(F.col("sh"), num_hashes).alias("sig")
     )
     banded = sig.select(
@@ -165,9 +206,7 @@ def minhash_near_dups(
     pair via array_intersect on the two shingle arrays — work is strictly
     proportional to the candidate count (no shingle-index self-join)."""
     cands = minhash_lsh_candidates(docs, num_hashes, bands, n)
-    sh = docs.select(
-        F.col("doc_id"), shingles(F.col("text"), n).alias("sh")
-    )
+    sh = add_shingles(docs, n)
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))

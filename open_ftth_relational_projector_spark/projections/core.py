@@ -399,10 +399,14 @@ def project_node_container(log: EventLog) -> DataFrame:
     )
 
 
-def project_span_equipment(log: EventLog) -> DataFrame:
+def project_span_equipment(
+    log: EventLog, state: DataFrame | None = None
+) -> DataFrame:
     """span_equipment(id, interest_id, outer_diameter, is_cable, name,
     spec_name, access_address_id, unit_address_id)."""
-    return _span_state(log).select(
+    if state is None:
+        state = _span_state(log)
+    return state.select(
         "id",
         "interest_id",
         "outer_diameter",
@@ -528,7 +532,9 @@ def slack_ends(
     return from_ends.unionAll(to_ends)
 
 
-def project_conduit_slack(log: EventLog) -> DataFrame:
+def project_conduit_slack(
+    log: EventLog, state: DataFrame | None = None
+) -> DataFrame:
     """conduit_slack(id, route_node_id, number_of_ends).
 
     Recompute over final state: an end qualifies when the equipment is a
@@ -539,7 +545,7 @@ def project_conduit_slack(log: EventLog) -> DataFrame:
     hashing.
     """
     counts = (
-        slack_ends(log)
+        slack_ends(log, state=state)
         .groupBy("route_node_id")
         .agg(F.count(F.lit(1)).cast("int").alias("number_of_ends"))
     )
@@ -618,5 +624,29 @@ PROJECTIONS = {
 }
 
 
-def project_all(log: EventLog) -> dict[str, DataFrame]:
-    return {name: fn(log) for name, fn in PROJECTIONS.items()}
+def project_all(
+    log: EventLog,
+    persist: bool = True,
+    state: DataFrame | None = None,
+) -> dict[str, DataFrame]:
+    """All 8 standing projections, sharing the expensive substreams.
+
+    With ``persist`` (the default for multi-table materialization), the
+    typed event streams and the folded span-equipment state are cached so
+    the 8 plans don't each re-parse the envelope JSON and re-fold the span
+    timeline — the local analogue of materializing typed bronze + a silver
+    state table at scale.
+    """
+    if persist:
+        log = log.persisted()
+    if state is None:
+        state = _span_state(log)
+        if persist:
+            state = state.persist()
+    out: dict[str, DataFrame] = {}
+    for name, fn in PROJECTIONS.items():
+        if name in ("span_equipment", "conduit_slack"):
+            out[name] = fn(log, state=state)
+        else:
+            out[name] = fn(log)
+    return out

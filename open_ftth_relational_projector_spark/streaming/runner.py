@@ -47,11 +47,14 @@ from open_ftth_relational_projector_spark.streaming.incremental import (
 
 def dehydrate(envelopes: DataFrame, sink) -> int:
     """Full replay → bulk snapshot (T2 phase 1). Returns the watermark seq."""
+    from open_ftth_relational_projector_spark.projections.core import _span_state
+
     sink.ensure_schema()
-    log = EventLog.from_envelopes(envelopes)
-    for name, df in project_all(log).items():
+    log = EventLog.from_envelopes(envelopes).persisted()
+    state = _span_state(log).persist()
+    for name, df in project_all(log, persist=False, state=state).items():
         sink.overwrite(name, df)
-    sink.overwrite("_aux_slack_end", slack_ends(log))
+    sink.overwrite("_aux_slack_end", slack_ends(log, state=state))
     row = envelopes.agg(F.max("seq")).collect()[0]
     watermark = int(row[0]) if row[0] is not None else 0
     sink.set_meta("watermark", str(watermark))
