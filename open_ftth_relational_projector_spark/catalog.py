@@ -906,6 +906,46 @@ def embedding_norms_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "embedding_near_dups",
+    """
+    WITH v AS (SELECT vec_id, embedding FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_sum(list_transform(generate_series(1, 64),
+                      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+             / (sqrt(list_sum(list_transform(generate_series(1, 64),
+                      i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
+                * sqrt(list_sum(list_transform(generate_series(1, 64),
+                      i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))) AS c
+      FROM v a JOIN v b ON a.vec_id < b.vec_id)
+    SELECT id_a, id_b, ROUND(c, 4) AS cosine FROM pairs WHERE c >= 0.45
+    """,
+)
+def embedding_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate dedup, exact all-pairs baseline.
+
+    The synthetic embeddings have no planted duplicates (max cosine ≈ 0.51),
+    so the threshold is set inside the tail of the similarity distribution
+    to exercise the operator end-to-end.
+    """
+    out = S.embedding_near_dups(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.45
+    )
+    return out.select("id_a", "id_b", _r4(F.col("cosine")).alias("cosine"))
+
+
+@_q("embedding_near_dups_lsh")  # no SQL oracle: recall<1 by design (scale path)
+def embedding_near_dups_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = S.embedding_near_dups(
+        load_table(spark, sf_dir, "embeddings"),
+        threshold=0.45,
+        bucketed=True,
+        n_planes=4,
+    )
+    return out.select("id_a", "id_b", _r4(F.col("cosine")).alias("cosine"))
+
+
+@_q(
     "knn_bruteforce",
     """
     WITH q AS (

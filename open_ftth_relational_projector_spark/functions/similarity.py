@@ -80,6 +80,44 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def embedding_near_dups(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    bucketed: bool = False,
+    dim: int = 64,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a < id_b, cosine ≥ τ).
+
+    bucketed=False — exact all-pairs baseline (the correctness oracle;
+    quadratic, fine to ~10^5 vectors). bucketed=True — the scale path:
+    candidates restricted to a shared random-hyperplane LSH bucket, shuffle
+    keyed on bucket id, quadratic work confined inside buckets; recall < 1
+    by construction (near-dups straddling a hyperplane are missed — raise
+    recall with fewer planes or multi-probe).
+    """
+    a = corpus.select(
+        F.col(id_col).alias("id_a"), as_double(F.col(vec_col)).alias("va")
+    )
+    b = corpus.select(
+        F.col(id_col).alias("id_b"), as_double(F.col(vec_col)).alias("vb")
+    )
+    if bucketed:
+        planes = _hyperplanes(dim, n_planes)
+        a = a.withColumn("bucket", lsh_bucket(F.col("va"), planes))
+        b = b.withColumn("bucket", lsh_bucket(F.col("vb"), planes))
+        pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    else:
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("cosine", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def knn_lsh(
     corpus: DataFrame,
     queries: DataFrame,

@@ -1,0 +1,74 @@
+"""Physical-plan regression tests — the scale properties, pinned.
+
+Row counts can't tell you a join flipped from broadcast to sort-merge or a
+filter stopped reaching the scan; these tests read the formatted physical
+plan and fail on structural regressions that would only hurt at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from open_ftth_relational_projector_spark.catalog import SPARK_QUERIES
+from open_ftth_relational_projector_spark.plans import checks as C
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def q(spark):
+    def _q(name):
+        return SPARK_QUERIES[name](spark, SF)
+
+    return _q
+
+
+def test_q1_filter_pushed_and_pruned(q):
+    df = q("q1_pricing_summary")
+    assert C.pushed_filters(df), "shipdate filter must reach the parquet scan"
+    # Q1 touches 7 of lineitem's 16 columns; the scan must not read more
+    (schema,) = C.scan_read_schemas(df)
+    assert schema.count(":") <= 7, f"scan reads too many columns: {schema}"
+    # single aggregation: partial + final around ONE exchange, plus AQE's
+    # final-result exchange at most
+    assert C.shuffle_count(df) <= 2
+
+
+def test_q3_dims_broadcast(q):
+    df = q("q3_order_revenue")
+    assert C.broadcast_join_count(df) >= 1, "orders-side join must broadcast"
+    assert C.sortmerge_join_count(df) == 0
+    C.assert_no_cartesian(df)
+
+
+def test_q5_all_dims_broadcast_no_smj(q):
+    df = q("q5_region_nation_revenue")
+    assert C.broadcast_join_count(df) >= 4, "region/nation/customer/supplier dims"
+    assert C.sortmerge_join_count(df) == 0
+    C.assert_no_cartesian(df)
+
+
+def test_knn_bruteforce_prunes_to_two_columns(q):
+    df = q("knn_bruteforce")
+    for schema in C.scan_read_schemas(df):
+        assert "label" not in schema, f"unused column read: {schema}"
+
+
+def test_codegen_present_on_scan_heavy_query(q):
+    assert C.wholestage_codegen_spans(q("text_stats")) >= 1
+
+
+def test_projection_no_cartesian(spark):
+    from open_ftth_relational_projector_spark.events.generator import (
+        generate,
+        to_envelope_rows,
+    )
+    from open_ftth_relational_projector_spark.events.reader import EventLog
+    from open_ftth_relational_projector_spark.events.schemas import ENVELOPE_SCHEMA
+    from open_ftth_relational_projector_spark.projections import project_all
+
+    raw = spark.createDataFrame(
+        to_envelope_rows(generate(seed=3, scale=2)), ENVELOPE_SCHEMA
+    )
+    for name, df in project_all(EventLog.from_envelopes(raw), persist=False).items():
+        C.assert_no_cartesian(df)
