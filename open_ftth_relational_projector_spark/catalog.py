@@ -760,6 +760,426 @@ def stream_incremental_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(out, "id string, number string, status string")
 
 
+@_q(
+    "proj_node_container_sim",
+    """
+    WITH ev AS (
+      SELECT event_id AS seq, CAST(user_id AS VARCHAR) AS u, event_type, value,
+             CAST(FLOOR(value) AS INT) AS fv
+      FROM events),
+    specs AS (
+      SELECT seq, 'SP-' || CAST(fv % 20 AS VARCHAR) AS spec_id,
+             'N-' || CAST(fv AS VARCHAR) AS name,
+             'C-' || CAST(fv % 5 AS VARCHAR) AS category
+      FROM ev WHERE event_type = 'view'),
+    placed AS (
+      SELECT seq, u AS id, 'RN-' || u AS route_node_id,
+             'SP-' || CAST(fv % 20 AS VARCHAR) AS spec_id
+      FROM ev WHERE event_type = 'signup'),
+    placed_spec AS (
+      SELECT p.id, p.seq, p.route_node_id, s.name AS spec_name,
+             s.category AS spec_category
+      FROM placed p ASOF LEFT JOIN specs s
+        ON p.spec_id = s.spec_id AND p.seq > s.seq),
+    last_created AS (
+      SELECT id, MAX(seq) AS cseq,
+             ARG_MAX(route_node_id, seq) AS route_node_id,
+             ARG_MAX(STRUCT_PACK(v := spec_name), seq)['v'] AS spec_name,
+             ARG_MAX(STRUCT_PACK(v := spec_category), seq)['v'] AS spec_category
+      FROM placed_spec GROUP BY id),
+    changed AS (
+      SELECT seq, u AS id, 'SP-' || CAST(fv % 20 AS VARCHAR) AS spec_id
+      FROM ev WHERE event_type = 'click' AND value >= 100),
+    changed_spec AS (
+      SELECT c.id, c.seq, s.name AS spec_name, s.category AS spec_category
+      FROM changed c ASOF LEFT JOIN specs s
+        ON c.spec_id = s.spec_id AND c.seq > s.seq),
+    late AS (
+      SELECT c.id,
+             ARG_MAX(STRUCT_PACK(v := c.spec_name), c.seq) AS sn,
+             ARG_MAX(STRUCT_PACK(v := c.spec_category), c.seq) AS sc
+      FROM changed_spec c JOIN last_created lc
+        ON c.id = lc.id AND c.seq > lc.cseq
+      GROUP BY c.id),
+    removed AS (
+      SELECT u AS id, MAX(seq) AS rseq
+      FROM ev WHERE event_type = 'error' AND value < 20 GROUP BY u)
+    SELECT lc.id, lc.route_node_id,
+           CASE WHEN late.id IS NOT NULL THEN late.sn['v'] ELSE lc.spec_name END AS spec_name,
+           CASE WHEN late.id IS NOT NULL THEN late.sc['v'] ELSE lc.spec_category END AS spec_category
+    FROM last_created lc
+    LEFT JOIN late ON lc.id = late.id
+    LEFT JOIN removed r ON lc.id = r.id
+    WHERE r.id IS NULL OR r.rseq < lc.cseq
+    """,
+)
+def proj_node_container_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL node_container projection (as-of spec joins J2, epoch fold,
+    removal) over domain events synthesized from the driver events table."""
+    from open_ftth_relational_projector_spark.projections.core import (
+        project_node_container,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    u = F.col("user_id").cast("string")
+    fv = F.floor("value").cast("int")
+    seq = F.col("event_id").alias("seq")
+    specs = ev.filter(F.col("event_type") == "view").select(
+        seq,
+        F.struct(
+            F.concat(F.lit("SP-"), (fv % 20).cast("string")).alias("id"),
+            F.concat(F.lit("N-"), fv.cast("string")).alias("name"),
+            F.concat(F.lit("C-"), (fv % 5).cast("string")).alias("category"),
+        ).alias("specification"),
+    )
+    placed = ev.filter(F.col("event_type") == "signup").select(
+        seq,
+        F.struct(
+            u.alias("id"),
+            F.concat(F.lit("RN-"), u).alias("routeNodeId"),
+            F.concat(F.lit("SP-"), (fv % 20).cast("string")).alias(
+                "specificationId"
+            ),
+        ).alias("container"),
+    )
+    changed = ev.filter(
+        (F.col("event_type") == "click") & (F.col("value") >= 100)
+    ).select(
+        seq,
+        u.alias("nodeContainerId"),
+        F.concat(F.lit("SP-"), (fv % 20).cast("string")).alias(
+            "newSpecificationId"
+        ),
+    )
+    removed = ev.filter(
+        (F.col("event_type") == "error") & (F.col("value") < 20)
+    ).select(seq, u.alias("nodeContainerId"))
+    log = EventLog.from_typed(
+        spark,
+        {
+            "NodeContainerSpecificationAdded": specs,
+            "NodeContainerPlacedInRouteNetwork": placed,
+            "NodeContainerSpecificationChanged": changed,
+            "NodeContainerRemovedFromRouteNetwork": removed,
+        },
+    )
+    return project_node_container(log)
+
+
+@_q(
+    "proj_rel_interest_sim",
+    """
+    WITH ev AS (
+      SELECT event_id AS seq, CAST(user_id AS VARCHAR) AS u, event_type, value,
+             CAST(FLOOR(value) AS INT) AS fv
+      FROM events),
+    walks AS (
+      SELECT seq, u AS interest_id,
+             ['E-' || CAST((fv * 1) % 25 AS VARCHAR),
+              'E-' || CAST((fv * 2) % 25 AS VARCHAR),
+              'E-' || CAST((fv * 3) % 25 AS VARCHAR),
+              'E-' || CAST((fv * 4) % 25 AS VARCHAR),
+              'E-' || CAST((fv * 5) % 25 AS VARCHAR)] AS walk
+      FROM ev WHERE event_type = 'signup'
+      UNION ALL
+      SELECT seq, u,
+             ['E-' || CAST((fv * 2) % 25 AS VARCHAR),
+              'E-' || CAST((fv * 3) % 25 AS VARCHAR),
+              'E-' || CAST((fv * 5) % 25 AS VARCHAR),
+              'E-' || CAST((fv * 7) % 25 AS VARCHAR)]
+      FROM ev WHERE event_type = 'view' AND value >= 30),
+    lastw AS (
+      SELECT interest_id, MAX(seq) AS seq, ARG_MAX(walk, seq) AS walk
+      FROM walks GROUP BY interest_id),
+    unreg AS (
+      SELECT u AS interest_id, MAX(seq) AS rseq
+      FROM ev WHERE event_type = 'error' AND value < 10 GROUP BY u),
+    live AS (
+      SELECT l.interest_id,
+             list_filter(l.walk, (x, i) -> list_position(l.walk, x) = i) AS walk
+      FROM lastw l LEFT JOIN unreg r ON l.interest_id = r.interest_id
+      WHERE r.interest_id IS NULL OR r.rseq < l.seq)
+    SELECT interest_id, walk[g.i] AS route_network_element_id,
+           CAST(g.i AS INT) AS seq_no
+    FROM live, UNNEST(generate_series(1, len(walk))) AS g(i)
+    """,
+)
+def proj_rel_interest_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL rel_interest_to_route_element projection (A3 order-preserving
+    dedup + W1/X1 posexplode seq_no + unregister) on synthesized walks."""
+    from open_ftth_relational_projector_spark.projections.core import (
+        project_rel_interest_to_route_element,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    u = F.col("user_id").cast("string")
+    fv = F.floor("value").cast("int")
+    seq = F.col("event_id").alias("seq")
+
+    def elem(mult: int):
+        return F.concat(F.lit("E-"), ((fv * mult) % 25).cast("string"))
+
+    reg = ev.filter(F.col("event_type") == "signup").select(
+        seq,
+        F.struct(
+            u.alias("id"),
+            F.array(elem(1), elem(2), elem(3), elem(4), elem(5)).alias(
+                "routeNetworkElementRefs"
+            ),
+        ).alias("interest"),
+    )
+    mod = ev.filter(
+        (F.col("event_type") == "view") & (F.col("value") >= 30)
+    ).select(
+        seq,
+        u.alias("interestId"),
+        F.array(elem(2), elem(3), elem(5), elem(7)).alias(
+            "routeNetworkElementIds"
+        ),
+    )
+    unreg = ev.filter(
+        (F.col("event_type") == "error") & (F.col("value") < 10)
+    ).select(seq, u.alias("interestId"))
+    log = EventLog.from_typed(
+        spark,
+        {
+            "WalkOfInterestRegistered": reg,
+            "WalkOfInterestRouteNetworkElementsModified": mod,
+            "InterestUnregistered": unreg,
+        },
+    )
+    return project_rel_interest_to_route_element(log)
+
+
+@_q(
+    "proj_service_termination_sim",
+    """
+    WITH ev AS (
+      SELECT event_id AS seq, CAST(user_id AS VARCHAR) AS u, event_type, value,
+             CAST(FLOOR(value) AS INT) AS fv
+      FROM events),
+    tspec AS (
+      SELECT seq, 'TS-' || CAST(fv % 10 AS VARCHAR) AS spec_id,
+             (fv % 2 = 0) AS is_cust
+      FROM ev WHERE event_type = 'view'),
+    ncrel AS (
+      SELECT seq, 'NC-' || u AS cid, 'RN-' || CAST(fv % 40 AS VARCHAR) AS rn
+      FROM ev WHERE event_type = 'signup'
+      UNION ALL
+      SELECT seq, 'NC-' || u, NULL
+      FROM ev WHERE event_type = 'error' AND value >= 400),
+    placed AS (
+      SELECT seq, u || '-' || CAST(seq % 2 AS VARCHAR) AS id,
+             'T-' || CAST(fv AS VARCHAR) AS name,
+             'TS-' || CAST(fv % 10 AS VARCHAR) AS spec_id, 'NC-' || u AS cid,
+             CASE WHEN fv >= 200 THEN 'AA-' || CAST(fv AS VARCHAR) END AS access_address_id,
+             CASE WHEN fv % 3 = 0 THEN 'UA-' || CAST(fv AS VARCHAR) END AS unit_address_id
+      FROM ev WHERE event_type = 'purchase'),
+    placed_q AS (
+      SELECT p.id, p.seq, p.name, p.access_address_id, p.unit_address_id,
+             r.rn AS route_node_id
+      FROM placed p
+      ASOF LEFT JOIN tspec s ON p.spec_id = s.spec_id AND p.seq > s.seq
+      ASOF LEFT JOIN ncrel r ON p.cid = r.cid AND p.seq > r.seq
+      WHERE s.is_cust AND r.rn IS NOT NULL),
+    last_created AS (
+      SELECT id, MAX(seq) AS cseq,
+             ARG_MAX(route_node_id, seq) AS route_node_id,
+             ARG_MAX(name, seq) AS name,
+             ARG_MAX(STRUCT_PACK(v := access_address_id), seq)['v'] AS access_address_id,
+             ARG_MAX(STRUCT_PACK(v := unit_address_id), seq)['v'] AS unit_address_id
+      FROM placed_q GROUP BY id),
+    renamed AS (
+      SELECT seq, u || '-0' AS id, 'TN-' || CAST(fv AS VARCHAR) AS name
+      FROM ev WHERE event_type = 'click' AND value < 50),
+    late_name AS (
+      SELECT c.id, ARG_MAX(c.name, c.seq) AS name
+      FROM renamed c JOIN last_created lc ON c.id = lc.id AND c.seq > lc.cseq
+      GROUP BY c.id),
+    readdr AS (
+      SELECT seq, u || '-1' AS id,
+             CASE WHEN fv % 2 = 0 THEN 'AB-' || CAST(fv AS VARCHAR) END AS access_address_id,
+             CAST(NULL AS VARCHAR) AS unit_address_id
+      FROM ev WHERE event_type = 'click' AND value >= 50 AND value < 100),
+    late_addr AS (
+      SELECT c.id,
+             ARG_MAX(STRUCT_PACK(v := c.access_address_id), c.seq) AS aa,
+             ARG_MAX(STRUCT_PACK(v := c.unit_address_id), c.seq) AS ua
+      FROM readdr c JOIN last_created lc ON c.id = lc.id AND c.seq > lc.cseq
+      GROUP BY c.id),
+    removed AS (
+      SELECT u || '-0' AS id, MAX(seq) AS rseq
+      FROM ev WHERE event_type = 'error' AND value < 15 GROUP BY u)
+    SELECT lc.id, lc.route_node_id,
+           COALESCE(ln.name, lc.name) AS name,
+           CASE WHEN la.id IS NOT NULL THEN la.aa['v'] ELSE lc.access_address_id END AS access_address_id,
+           CASE WHEN la.id IS NOT NULL THEN la.ua['v'] ELSE lc.unit_address_id END AS unit_address_id
+    FROM last_created lc
+    LEFT JOIN late_name ln ON lc.id = ln.id
+    LEFT JOIN late_addr la ON lc.id = la.id
+    LEFT JOIN removed r ON lc.id = r.id
+    WHERE r.id IS NULL OR r.rseq < lc.cseq
+    """,
+)
+def proj_service_termination_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL service_termination projection: J3 spec semi-join filter,
+    J4 container→route-node as-of relation (with removal tombstones),
+    P5 give-up guards, P7 nullable addresses, epoch fold + removal."""
+    from open_ftth_relational_projector_spark.projections.core import (
+        project_service_termination,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    u = F.col("user_id").cast("string")
+    fv = F.floor("value").cast("int")
+    seq = F.col("event_id").alias("seq")
+    tspec = ev.filter(F.col("event_type") == "view").select(
+        seq,
+        F.struct(
+            F.concat(F.lit("TS-"), (fv % 10).cast("string")).alias("id"),
+            (fv % 2 == 0).alias("isCustomerTermination"),
+        ).alias("specification"),
+    )
+    nc_placed = ev.filter(F.col("event_type") == "signup").select(
+        seq,
+        F.struct(
+            F.concat(F.lit("NC-"), u).alias("id"),
+            F.concat(F.lit("RN-"), (fv % 40).cast("string")).alias("routeNodeId"),
+            F.lit("SP-x").alias("specificationId"),
+        ).alias("container"),
+    )
+    nc_removed = ev.filter(
+        (F.col("event_type") == "error") & (F.col("value") >= 400)
+    ).select(seq, F.concat(F.lit("NC-"), u).alias("nodeContainerId"))
+    te_placed = ev.filter(F.col("event_type") == "purchase").select(
+        seq,
+        F.struct(
+            F.concat(u, F.lit("-"), (F.col("event_id") % 2).cast("string")).alias(
+                "id"
+            ),
+            F.concat(F.lit("T-"), fv.cast("string")).alias("name"),
+            F.concat(F.lit("TS-"), (fv % 10).cast("string")).alias(
+                "specificationId"
+            ),
+            F.concat(F.lit("NC-"), u).alias("nodeContainerId"),
+            F.struct(
+                F.when(
+                    fv >= 200, F.concat(F.lit("AA-"), fv.cast("string"))
+                ).alias("accessAddressId"),
+                F.when(
+                    fv % 3 == 0, F.concat(F.lit("UA-"), fv.cast("string"))
+                ).alias("unitAddressId"),
+            ).alias("addressInfo"),
+        ).alias("equipment"),
+    )
+    renamed = ev.filter(
+        (F.col("event_type") == "click") & (F.col("value") < 50)
+    ).select(
+        seq,
+        F.concat(u, F.lit("-0")).alias("terminalEquipmentId"),
+        F.struct(
+            F.concat(F.lit("TN-"), fv.cast("string")).alias("name")
+        ).alias("namingInfo"),
+    )
+    readdr = ev.filter(
+        (F.col("event_type") == "click")
+        & (F.col("value") >= 50)
+        & (F.col("value") < 100)
+    ).select(
+        seq,
+        F.concat(u, F.lit("-1")).alias("terminalEquipmentId"),
+        F.struct(
+            F.when(fv % 2 == 0, F.concat(F.lit("AB-"), fv.cast("string"))).alias(
+                "accessAddressId"
+            ),
+            F.lit(None).cast("string").alias("unitAddressId"),
+        ).alias("addressInfo"),
+    )
+    te_removed = ev.filter(
+        (F.col("event_type") == "error") & (F.col("value") < 15)
+    ).select(seq, F.concat(u, F.lit("-0")).alias("terminalEquipmentId"))
+    log = EventLog.from_typed(
+        spark,
+        {
+            "TerminalEquipmentSpecificationAdded": tspec,
+            "NodeContainerPlacedInRouteNetwork": nc_placed,
+            "NodeContainerRemovedFromRouteNetwork": nc_removed,
+            "TerminalEquipmentPlacedInNodeContainer": te_placed,
+            "TerminalEquipmentNamingInfoChanged": renamed,
+            "TerminalEquipmentAddressInfoChanged": readdr,
+            "TerminalEquipmentRemoved": te_removed,
+        },
+    )
+    return project_service_termination(log)
+
+
+@_q(
+    "walk_hop_subtract_sim",
+    """
+    WITH ev AS (
+      SELECT event_id AS seq, CAST(user_id AS VARCHAR) AS u, value,
+             CAST(FLOOR(value) AS INT) AS fv,
+             CAST(FLOOR(value / 7) AS INT) AS fv7
+      FROM events WHERE event_type = 'signup'),
+    latest AS (
+      SELECT u, ARG_MAX(fv, seq) AS fv, ARG_MAX(fv7, seq) AS fv7
+      FROM ev GROUP BY u),
+    hops AS (
+      SELECT u, fv % 5 AS i,
+             (fv % 5) + 1 + (fv7 % (5 - (fv % 5))) AS j
+      FROM latest),
+    elems AS (
+      SELECT h.u, g.k,
+             'W-' || h.u || '-' || CAST(g.k AS VARCHAR) AS element
+      FROM hops h, UNNEST(generate_series(0, 5)) AS g(k)
+      WHERE g.k < h.i OR g.k >= h.j)
+    SELECT u AS walk_id, element AS route_network_element_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY u ORDER BY k) AS INT) AS seq_no
+    FROM elems
+    """,
+)
+def walk_hop_subtract_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 walk ⊖ hop-interval subtraction (the one custom operator) under
+    the driver oracle gate: one hop per walk, hop = [walk[i], walk[j]) with
+    i < j, so the position arithmetic is SQL-expressible. Stack-discipline
+    multi-hop cases are pinned by tests/test_walk_hops.py."""
+    from open_ftth_relational_projector_spark.operators.explode_seq import (
+        explode_with_seq,
+    )
+    from open_ftth_relational_projector_spark.operators.walk_hops import (
+        subtract_hops,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    sig = ev.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").cast("string").alias("walk_id"),
+        F.col("event_id").alias("seq"),
+        F.floor("value").cast("int").alias("fv"),
+        F.floor(F.col("value") / 7).cast("int").alias("fv7"),
+    )
+    latest = latest_by_key(sig, "walk_id")
+    i = F.col("fv") % 5
+    j = i + 1 + (F.col("fv7") % (5 - i))
+    mk = lambda k: F.concat(  # noqa: E731
+        F.lit("W-"), F.col("walk_id"), F.lit("-"), k.cast("string")
+    )
+    hopped = latest.select(
+        "walk_id",
+        F.array(*[mk(F.lit(k)) for k in range(6)]).alias("walk"),
+        F.array(
+            F.struct(
+                mk(i).alias("from_node_id"), mk(j).alias("to_node_id")
+            )
+        ).alias("hops"),
+    )
+    reduced = hopped.select(
+        "walk_id", subtract_hops(F.col("walk"), F.col("hops")).alias("elements")
+    )
+    return explode_with_seq(
+        reduced, "walk_id", "elements", "route_network_element_id"
+    )
+
+
 # ===========================================================================
 # 4. LLM-pipeline surface: text, dedup, similarity, multimodal
 # ===========================================================================

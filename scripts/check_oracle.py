@@ -34,10 +34,19 @@ def norm(v):
     return v
 
 
+def _sort_key(t):
+    return tuple((v is None, str(type(v)), v if v is not None else "") for v in t)
+
+
 def rows_of_spark(df):
     return sorted(
-        tuple(norm(v) for v in row)
-        for row in (tuple(r[c] for c in sorted(df.columns)) for r in df.collect())
+        (
+            tuple(norm(v) for v in row)
+            for row in (
+                tuple(r[c] for c in sorted(df.columns)) for r in df.collect()
+            )
+        ),
+        key=_sort_key,
     )
 
 
@@ -45,7 +54,8 @@ def rows_of_duck(rel):
     cols = rel.columns
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     return sorted(
-        tuple(norm(row[i]) for i in order) for row in rel.fetchall()
+        (tuple(norm(row[i]) for i in order) for row in rel.fetchall()),
+        key=_sort_key,
     ), sorted(cols)
 
 
