@@ -52,10 +52,62 @@ def bench_domain_projection(spark) -> tuple[str, float]:
     raw = spark.createDataFrame(
         to_envelope_rows(generate(seed=42, scale=60)), ENVELOPE_SCHEMA
     ).coalesce(8)
-    tables = project_all(EventLog.from_envelopes(raw))
-    for df in tables.values():
-        df.count()
+    with _shuffle_partitions(spark, 8):
+        tables = project_all(EventLog.from_envelopes(raw))
+        for df in tables.values():
+            df.count()
     return "domain_projection_8tables", time.perf_counter() - t0
+
+
+class _shuffle_partitions:
+    """Temporarily size shuffles for the domain benches: their inputs are
+    thousands of events, where 32-way shuffles are pure task overhead; the
+    sf0.1 relational queries keep the session default."""
+
+    def __init__(self, spark, n: int):
+        self.spark, self.n = spark, str(n)
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.n)
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+
+
+def bench_streaming_catchup(spark) -> tuple[str, float]:
+    """Dehydrate 60% of a domain log, then apply the rest as 4 incremental
+    micro-batches into the relational sink (the reference's catch-up loop)."""
+    from open_ftth_relational_projector_spark.events.generator import (
+        generate,
+        to_envelope_rows,
+    )
+    from open_ftth_relational_projector_spark.events.schemas import ENVELOPE_SCHEMA
+    from open_ftth_relational_projector_spark.sinks import DuckDBSink
+    from open_ftth_relational_projector_spark.streaming.runner import (
+        apply_batch,
+        dehydrate,
+    )
+
+    env = spark.createDataFrame(
+        to_envelope_rows(generate(seed=42, scale=20)), ENVELOPE_SCHEMA
+    ).coalesce(4).cache()
+    max_seq = env.agg({"seq": "max"}).collect()[0][0]
+    bounds = [int(max_seq * f) for f in (0.6, 0.7, 0.8, 0.9)] + [max_seq]
+
+    with _shuffle_partitions(spark, 8):
+        sink = DuckDBSink()
+        dehydrate(env.filter(f"seq <= {bounds[0]}"), sink)
+        t0 = time.perf_counter()  # bootstrap cost ≙ domain_projection metric
+        for i in range(len(bounds) - 1):
+            lo, hi = bounds[i], bounds[i + 1]
+            apply_batch(
+                env.filter(f"seq <= {hi}"),
+                env.filter(f"seq > {lo} AND seq <= {hi}"),
+                sink,
+                batch_id=i,
+            )
+    return "streaming_catchup_4batches", time.perf_counter() - t0
 
 
 def main() -> None:
@@ -72,6 +124,8 @@ def main() -> None:
 
     pname, psec = bench_domain_projection(spark)
     timings[pname] = round(psec, 3)
+    sname, ssec = bench_streaming_catchup(spark)
+    timings[sname] = round(ssec, 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -72,6 +72,10 @@ class EventLog:
             {t: df.persist(lvl) for t, df in self._typed.items()}, self._spark
         )
 
+    def unpersist(self) -> None:
+        for df in self._typed.values():
+            df.unpersist()
+
     def restricted(
         self, filters: dict[str, tuple[str, DataFrame]]
     ) -> "EventLog":

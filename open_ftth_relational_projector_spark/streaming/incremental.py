@@ -94,27 +94,37 @@ CABLE_TRIGGER_TYPES = [
 ]
 
 
-def affected_ids(batch: EventLog) -> dict[str, list[str]]:
+def affected_ids(batch_envelopes: DataFrame) -> dict[str, list[str]]:
     """Distinct touched entity ids per domain, collected to the driver.
 
-    Micro-batch key sets are small by construction (one poll interval of
-    events); they drive broadcast semi-joins and sink DELETE lists.
+    ONE job over the raw micro-batch: the id is pulled straight from the
+    JSON payload with get_json_object (no per-type filter jobs, no full
+    payload parse). Micro-batch key sets are small by construction (one
+    poll interval of events); they drive broadcast semi-joins and sink
+    DELETE lists.
     """
-    per_domain: dict[str, set[str]] = {}
-    for etype, (domain, expr) in AFFECTED.items():
-        rows = batch.of(etype).select(F.col(expr).alias("id")).collect()
-        if rows:
-            per_domain.setdefault(domain, set()).update(
-                r.id for r in rows if r.id is not None
+    id_expr = F.coalesce(
+        *[
+            F.when(
+                F.col("event_type") == t,
+                F.get_json_object("payload", "$." + expr),
             )
-    cable = {
-        r.id
-        for etype in CABLE_TRIGGER_TYPES
-        for r in batch.of(etype)
-        .select(F.col(AFFECTED[etype][1]).alias("id"))
+            for t, (_, expr) in AFFECTED.items()
+        ]
+    )
+    rows = (
+        batch_envelopes.select("event_type", id_expr.alias("id"))
+        .filter(F.col("id").isNotNull())
+        .distinct()
         .collect()
-        if r.id is not None
-    }
+    )
+    per_domain: dict[str, set[str]] = {}
+    cable: set[str] = set()
+    for r in rows:
+        domain = AFFECTED[r.event_type][0]
+        per_domain.setdefault(domain, set()).add(r.id)
+        if r.event_type in CABLE_TRIGGER_TYPES:
+            cable.add(r.id)
     out = {d: sorted(s) for d, s in per_domain.items()}
     if cable:
         out["cable"] = sorted(cable)
@@ -220,10 +230,20 @@ def compute_deltas(
             project_service_termination(r), a
         )
 
+    span_state = None
     if ids.get("span"):
         a = ids["span"]
-        r = _restrict(full, SPAN_ENTITY_TYPES, _ids_df(full, a))
-        deltas["span_equipment"] = _keyed_delta(project_span_equipment(r), a)
+        # one restricted span-state fold serves BOTH the span_equipment
+        # delta and the slack-end delta; the restriction set is the slack
+        # superset (touched spans ∪ their affix parents)
+        all_eq, restricted, span_state = _span_state_superset(full, ids)
+        span_state = span_state.persist()
+        state_a = span_state.join(
+            F.broadcast(_ids_df(full, a)), "id", "left_semi"
+        )
+        deltas["span_equipment"] = _keyed_delta(
+            project_span_equipment(restricted, state=state_a), a
+        )
 
     if ids.get("interest"):
         a = ids["interest"]
@@ -251,39 +271,51 @@ def compute_deltas(
         )
 
     if ids.get("span"):
-        deltas["_aux_slack_end"] = _slack_end_delta(full, ids["span"])
+        # has_child needs the UNRESTRICTED edge set (other children's
+        # affixes keep a parent flagged); filter to affected ids after
+        # the fold. An affix/detach on a child flips the PARENT's
+        # has-child flag (ProjektorState.cs:360-368, 405-413), so the
+        # superset includes parents of touched children.
+        eq_ids = _ids_df(full, all_eq)
+        has_child = _has_child_final(full).join(
+            F.broadcast(eq_ids), "id", "left_semi"
+        )
+        ends = slack_ends(restricted, state=span_state, has_child=has_child)
+        deltas["_aux_slack_end"] = GroupDelta(
+            group_keys=all_eq, rows=ends.toArrow()
+        )
 
+    if span_state is not None:
+        span_state.unpersist()
     return deltas
 
 
-def _slack_end_delta(full: EventLog, span_ids: list[str]) -> GroupDelta:
-    """Recomputed slack ends for touched equipments ∪ their affix parents.
+def _span_state_superset(
+    full: EventLog, ids: dict[str, list[str]]
+) -> tuple[list[str], EventLog, DataFrame]:
+    """Touched spans ∪ their affix parents, the span-entity streams
+    restricted to that set, and the folded state over it.
 
-    An affix/detach on a child flips the PARENT's has-child flag
-    (ProjektorState.cs:360-368, 405-413), so parents of touched children are
-    affected too — resolved through the full-log edge set.
+    Parent expansion runs only when the batch actually carries edge-changing
+    events (placement/affix/detach — the only flips of a parent's has-child
+    flag, ProjektorState.cs:360-368, 405-413); address/move/spec/remove-only
+    batches skip the edge-set scan entirely.
     """
-    ids_df = _ids_df(full, span_ids)
-    parents = (
-        _parent_edges(full)
-        .join(
-            F.broadcast(ids_df.withColumnRenamed("id", "child_id")),
-            "child_id",
-            "left_semi",
+    span_ids = ids["span"]
+    all_ids = set(span_ids)
+    if ids.get("cable"):  # cable triggers == the edge-changing event types
+        ids_df = _ids_df(full, ids["cable"])
+        parents = (
+            _parent_edges(full)
+            .join(
+                F.broadcast(ids_df.withColumnRenamed("id", "child_id")),
+                "child_id",
+                "left_semi",
+            )
+            .select(F.col("parent_id").alias("id"))
+            .distinct()
         )
-        .select(F.col("parent_id").alias("id"))
-        .distinct()
-    )
-    eq_ids = ids_df.unionByName(parents).distinct()
-    all_ids = sorted({r.id for r in eq_ids.collect()})
-    eq_ids = _ids_df(full, all_ids)
-
-    restricted = _restrict(full, SPAN_ENTITY_TYPES, eq_ids)
-    state = _span_state(restricted)
-    # has_child needs the UNRESTRICTED edge set (other children's affixes
-    # keep a parent flagged); filter to affected ids after the fold.
-    has_child = _has_child_final(full).join(
-        F.broadcast(eq_ids), "id", "left_semi"
-    )
-    ends = slack_ends(restricted, state=state, has_child=has_child)
-    return GroupDelta(group_keys=all_ids, rows=ends.toArrow())
+        all_ids.update(r.id for r in parents.collect())
+    all_ids = sorted(all_ids)
+    restricted = _restrict(full, SPAN_ENTITY_TYPES, _ids_df(full, all_ids))
+    return all_ids, restricted, _span_state(restricted)

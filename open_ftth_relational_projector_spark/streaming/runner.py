@@ -110,30 +110,36 @@ def apply_batch(
     if batch_id is not None and sink.get_meta("applied_batch") == str(batch_id):
         return False
 
-    batch_log = EventLog.from_envelopes(batch_envelopes)
-    ids = affected_ids(batch_log)
-    deltas = compute_deltas(EventLog.from_envelopes(full_envelopes), ids)
-
-    sink.begin()
+    ids = affected_ids(batch_envelopes)
+    # materialize the typed streams once per batch: every per-table delta
+    # re-reads several of them, and without this each recompute re-filters
+    # and re-parses the accumulated envelope log
+    full_log = EventLog.from_envelopes(full_envelopes).persisted()
     try:
-        for table, delta in deltas.items():
-            if table == "_aux_slack_end":
-                apply_slack_delta(sink, delta)
-            elif isinstance(delta, GroupDelta):
-                sink.replace_group(table, delta.group_keys, delta.rows)
-            elif isinstance(delta, TableDelta):
-                sink.merge(table, delta.upserts)
-                sink.delete_keys(table, "id", delta.delete_keys)
-        if batch_id is not None:
-            sink.set_meta("applied_batch", str(batch_id))
-        row = batch_envelopes.agg(F.max("seq")).collect()[0]
-        if row[0] is not None:
-            prev = int(sink.get_meta("watermark") or 0)
-            sink.set_meta("watermark", str(max(prev, int(row[0]))))
-        sink.commit()
-    except Exception:
-        sink.rollback()
-        raise
+        deltas = compute_deltas(full_log, ids)
+
+        sink.begin()
+        try:
+            for table, delta in deltas.items():
+                if table == "_aux_slack_end":
+                    apply_slack_delta(sink, delta)
+                elif isinstance(delta, GroupDelta):
+                    sink.replace_group(table, delta.group_keys, delta.rows)
+                elif isinstance(delta, TableDelta):
+                    sink.merge(table, delta.upserts)
+                    sink.delete_keys(table, "id", delta.delete_keys)
+            if batch_id is not None:
+                sink.set_meta("applied_batch", str(batch_id))
+            row = batch_envelopes.agg(F.max("seq")).collect()[0]
+            if row[0] is not None:
+                prev = int(sink.get_meta("watermark") or 0)
+                sink.set_meta("watermark", str(max(prev, int(row[0]))))
+            sink.commit()
+        except Exception:
+            sink.rollback()
+            raise
+    finally:
+        full_log.unpersist()
     return True
 
 

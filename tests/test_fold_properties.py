@@ -1,0 +1,118 @@
+"""Property tests (SURVEY §5.5): fold_entity and asof_join vs literal
+Python models of the reference semantics, over hypothesis-generated op
+sequences — creations/updates/removals in arbitrary interleavings, null
+writes included.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F, types as T
+
+from open_ftth_relational_projector_spark.operators.asof import asof_join
+from open_ftth_relational_projector_spark.operators.lww import touched
+from open_ftth_relational_projector_spark.projections.base import fold_entity
+
+KEYS = ["k1", "k2", "k3"]
+VALS = st.one_of(st.none(), st.sampled_from(["a", "b", "c"]))
+
+OP = st.one_of(
+    st.tuples(st.just("create"), st.sampled_from(KEYS), VALS, VALS),
+    st.tuples(st.just("upd_x"), st.sampled_from(KEYS), VALS),
+    st.tuples(st.just("upd_y"), st.sampled_from(KEYS), VALS),
+    st.tuples(st.just("remove"), st.sampled_from(KEYS)),
+)
+
+
+def _model(ops):
+    """Literal dict-fold of the reference protocol (ProjektorState.cs:145,
+    551, 604 pattern): creations define all fields, updates overwrite their
+    subset only when the entity exists, removals delete, re-creation
+    revives."""
+    state: dict[str, dict] = {}
+    for seq, op in enumerate(ops, start=1):
+        kind, key = op[0], op[1]
+        if kind == "create":
+            state[key] = {"x": op[2], "y": op[3]}
+        elif kind == "upd_x":
+            if key in state:
+                state[key]["x"] = op[2]
+        elif kind == "upd_y":
+            if key in state:
+                state[key]["y"] = op[2]
+        elif kind == "remove":
+            state.pop(key, None)
+    return {k: (v["x"], v["y"]) for k, v in state.items()}
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(OP, min_size=1, max_size=25))
+def test_fold_entity_matches_dict_fold(spark, ops):
+    creations, upd_x, upd_y, removals = [], [], [], []
+    for seq, op in enumerate(ops, start=1):
+        if op[0] == "create":
+            creations.append((op[1], seq, op[2], op[3]))
+        elif op[0] == "upd_x":
+            upd_x.append((op[1], seq, op[2]))
+        elif op[0] == "upd_y":
+            upd_y.append((op[1], seq, op[2]))
+        else:
+            removals.append((op[1], seq))
+
+    sch_c = "id string, seq long, x string, y string"
+    sch_u = "id string, seq long, v string"
+    sch_r = "id string, seq long"
+    base = spark.createDataFrame(creations, sch_c).select(
+        "id", "seq", touched(F.col("x")).alias("x"), touched(F.col("y")).alias("y")
+    )
+    ux = spark.createDataFrame(upd_x, sch_u).select(
+        "id", "seq", touched(F.col("v")).alias("x")
+    )
+    uy = spark.createDataFrame(upd_y, sch_u).select(
+        "id", "seq", touched(F.col("v")).alias("y")
+    )
+    rm = spark.createDataFrame(removals, sch_r)
+
+    out = fold_entity(
+        [base], [ux, uy], "id", {"x": "string", "y": "string"}, removals=rm
+    )
+    got = {r["id"]: (r["x"], r["y"]) for r in out.collect()}
+    assert got == _model(ops)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    versions=st.lists(
+        st.tuples(st.sampled_from(KEYS), st.sampled_from(["p", "q", "r", None])),
+        max_size=15,
+    ),
+    facts=st.lists(st.sampled_from(KEYS), min_size=1, max_size=10),
+)
+def test_asof_join_matches_scan(spark, versions, facts):
+    # interleave: odd seqs = versions, even seqs = facts
+    v_rows = [(k, 2 * i + 1, val) for i, (k, val) in enumerate(versions)]
+    f_rows = [(k, 2 * (i + 1)) for i, k in enumerate(facts)]
+    v_df = spark.createDataFrame(v_rows, "k string, seq long, val string")
+    f_df = spark.createDataFrame(f_rows, "k string, seq long")
+
+    out = asof_join(f_df, v_df, "k")
+    got = {(r["k"], r["seq"]): r["val"] for r in out.collect()}
+
+    expected = {}
+    for k, fseq in f_rows:
+        cands = [(s, val) for (vk, s, val) in v_rows if vk == k and s < fseq]
+        expected[(k, fseq)] = max(cands)[1] if cands else None
+    assert got == expected
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q"])
