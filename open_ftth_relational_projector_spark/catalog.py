@@ -1114,6 +1114,374 @@ def proj_service_termination_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "proj_span_equipment_sim",
+    """
+    WITH ev AS (
+      SELECT event_id AS seq, CAST(user_id AS VARCHAR) AS u, event_type, value,
+             CAST(FLOOR(value) AS INT) AS fv
+      FROM events),
+    span_spec AS (
+      SELECT seq, 'SS-' || CAST(fv % 8 AS VARCHAR) AS spec_id,
+             CASE WHEN fv % 3 = 0 THEN 'N-Ø12-' || CAST(fv AS VARCHAR)
+                  ELSE 'N-' || CAST(fv AS VARCHAR) END AS spec_name,
+             'ST-' || CAST(fv % 6 AS VARCHAR) AS struct_spec_id
+      FROM ev WHERE event_type = 'view'),
+    struct_spec AS (
+      SELECT seq, 'ST-' || CAST(fv % 6 AS VARCHAR) AS struct_spec_id,
+             fv AS outer_diameter
+      FROM ev WHERE event_type = 'error' AND value < 100),
+    placed AS (
+      SELECT seq, u AS id, 'E-' || u AS name,
+             'SS-' || CAST(fv % 8 AS VARCHAR) AS spec_id,
+             'W-' || u AS interest_id, (fv % 2 = 1) AS is_cable,
+             CASE WHEN fv >= 250 THEN 'AA-' || CAST(fv AS VARCHAR) END AS access_address_id,
+             CASE WHEN fv % 5 = 0 THEN 'UA-' || CAST(fv AS VARCHAR) END AS unit_address_id
+      FROM ev WHERE event_type = 'signup'),
+    placed_spec AS (
+      SELECT p.*, s.spec_name, s.struct_spec_id
+      FROM placed p ASOF LEFT JOIN span_spec s
+        ON p.spec_id = s.spec_id AND p.seq > s.seq),
+    placed_full AS (
+      SELECT p.*, st.outer_diameter
+      FROM placed_spec p ASOF LEFT JOIN struct_spec st
+        ON p.struct_spec_id = st.struct_spec_id AND p.seq > st.seq),
+    last_created AS (
+      SELECT id, MAX(seq) AS cseq,
+             ARG_MAX(name, seq) AS name,
+             ARG_MAX(interest_id, seq) AS interest_id,
+             ARG_MAX(is_cable, seq) AS is_cable,
+             ARG_MAX(STRUCT_PACK(v := spec_name), seq)['v'] AS spec_name,
+             ARG_MAX(STRUCT_PACK(v := outer_diameter), seq)['v'] AS outer_diameter,
+             ARG_MAX(STRUCT_PACK(v := access_address_id), seq)['v'] AS access_address_id,
+             ARG_MAX(STRUCT_PACK(v := unit_address_id), seq)['v'] AS unit_address_id
+      FROM placed_full GROUP BY id),
+    spec_changed AS (
+      SELECT seq, u AS id, 'SS-' || CAST(fv % 8 AS VARCHAR) AS spec_id
+      FROM ev WHERE event_type = 'purchase' AND value >= 300),
+    changed_full AS (
+      SELECT c.id, c.seq, s.spec_name, st.outer_diameter
+      FROM spec_changed c
+      ASOF LEFT JOIN span_spec s ON c.spec_id = s.spec_id AND c.seq > s.seq
+      ASOF LEFT JOIN struct_spec st
+        ON s.struct_spec_id = st.struct_spec_id AND c.seq > st.seq),
+    late_spec AS (
+      SELECT c.id,
+             ARG_MAX(STRUCT_PACK(v := c.spec_name), c.seq) AS sn,
+             ARG_MAX(STRUCT_PACK(v := c.outer_diameter), c.seq) AS od
+      FROM changed_full c JOIN last_created lc
+        ON c.id = lc.id AND c.seq > lc.cseq
+      GROUP BY c.id),
+    readdr AS (
+      SELECT seq, u AS id,
+             CASE WHEN fv % 2 = 0 THEN 'AB-' || CAST(fv AS VARCHAR) END AS access_address_id,
+             CASE WHEN fv % 7 = 0 THEN 'UB-' || CAST(fv AS VARCHAR) END AS unit_address_id
+      FROM ev WHERE event_type = 'click' AND value >= 120),
+    late_addr AS (
+      SELECT c.id,
+             ARG_MAX(STRUCT_PACK(v := c.access_address_id), c.seq) AS aa,
+             ARG_MAX(STRUCT_PACK(v := c.unit_address_id), c.seq) AS ua
+      FROM readdr c JOIN last_created lc ON c.id = lc.id AND c.seq > lc.cseq
+      GROUP BY c.id),
+    removed AS (
+      SELECT u AS id, MAX(seq) AS rseq
+      FROM ev WHERE event_type = 'error' AND value >= 450 GROUP BY u)
+    SELECT lc.id, lc.interest_id,
+           CASE WHEN ls.id IS NOT NULL THEN ls.od['v'] ELSE lc.outer_diameter END AS outer_diameter,
+           lc.is_cable, lc.name,
+           CASE WHEN ls.id IS NOT NULL THEN ls.sn['v'] ELSE lc.spec_name END AS spec_name,
+           CASE WHEN la.id IS NOT NULL THEN la.aa['v'] ELSE lc.access_address_id END AS access_address_id,
+           CASE WHEN la.id IS NOT NULL THEN la.ua['v'] ELSE lc.unit_address_id END AS unit_address_id
+    FROM last_created lc
+    LEFT JOIN late_spec ls ON lc.id = ls.id
+    LEFT JOIN late_addr la ON lc.id = la.id
+    LEFT JOIN removed r ON lc.id = r.id
+    WHERE r.id IS NULL OR r.rseq < lc.cseq
+    """,
+)
+def proj_span_equipment_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL span_equipment projection: J1 chained as-of spec joins
+    (equipment spec → root-structure spec → outer diameter), P1 wide-payload
+    projection, P7 nullable addresses, A2 field-wise epoch fold, removal."""
+    from open_ftth_relational_projector_spark.projections.core import (
+        project_span_equipment,
+    )
+    from open_ftth_relational_projector_spark.operators.arrays import EMPTY_GUID
+
+    ev = load_table(spark, sf_dir, "events")
+    u = F.col("user_id").cast("string")
+    fv = F.floor("value").cast("int")
+    seq = F.col("event_id").alias("seq")
+    span_spec = ev.filter(F.col("event_type") == "view").select(
+        seq,
+        F.struct(
+            F.concat(F.lit("SS-"), (fv % 8).cast("string")).alias("id"),
+            F.when(
+                fv % 3 == 0, F.concat(F.lit("N-Ø12-"), fv.cast("string"))
+            )
+            .otherwise(F.concat(F.lit("N-"), fv.cast("string")))
+            .alias("name"),
+            (fv % 2 == 0).alias("isCable"),
+            F.struct(
+                F.concat(F.lit("ST-"), (fv % 6).cast("string")).alias(
+                    "spanStructureSpecificationId"
+                )
+            ).alias("rootTemplate"),
+        ).alias("specification"),
+    )
+    struct_spec = ev.filter(
+        (F.col("event_type") == "error") & (F.col("value") < 100)
+    ).select(
+        seq,
+        F.struct(
+            F.concat(F.lit("ST-"), (fv % 6).cast("string")).alias("id"),
+            fv.alias("outerDiameter"),
+        ).alias("specification"),
+    )
+    seg = F.struct(
+        F.concat(F.lit("SEG-"), u).alias("id"),
+        F.lit(0).alias("fromNodeOfInterestIndex"),
+        F.lit(2).alias("toNodeOfInterestIndex"),
+        F.when(fv % 4 == 0, F.concat(F.lit("T-"), fv.cast("string")))
+        .otherwise(F.lit(EMPTY_GUID))
+        .alias("fromTerminalId"),
+        F.when(fv % 4 == 1, F.concat(F.lit("T-"), fv.cast("string")))
+        .otherwise(F.lit(EMPTY_GUID))
+        .alias("toTerminalId"),
+    )
+    hop_t = (
+        "array<struct<fromNodeId:string,toNodeId:string,"
+        "parentAffixes:array<struct<spanSegmentId:string>>>>"
+    )
+    placed = ev.filter(F.col("event_type") == "signup").select(
+        seq,
+        F.struct(
+            u.alias("id"),
+            F.concat(F.lit("E-"), u).alias("name"),
+            F.concat(F.lit("SS-"), (fv % 8).cast("string")).alias(
+                "specificationId"
+            ),
+            F.concat(F.lit("W-"), u).alias("walkOfInterestId"),
+            F.array(
+                F.concat(F.lit("ND-"), (fv % 50).cast("string")),
+                F.concat(F.lit("ND-"), ((fv + 1) % 50).cast("string")),
+                F.concat(F.lit("ND-"), ((fv + 2) % 50).cast("string")),
+            ).alias("nodesOfInterestIds"),
+            (fv % 2 == 1).alias("isCable"),
+            F.array(F.struct(F.array(seg).alias("spanSegments"))).alias(
+                "spanStructures"
+            ),
+            F.lit(None).cast(hop_t).alias("utilityNetworkHops"),
+            F.struct(
+                F.when(
+                    fv >= 250, F.concat(F.lit("AA-"), fv.cast("string"))
+                ).alias("accessAddressId"),
+                F.when(
+                    fv % 5 == 0, F.concat(F.lit("UA-"), fv.cast("string"))
+                ).alias("unitAddressId"),
+            ).alias("addressInfo"),
+        ).alias("equipment"),
+    )
+    spec_changed = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("value") >= 300)
+    ).select(
+        seq,
+        u.alias("spanEquipmentId"),
+        F.concat(F.lit("SS-"), (fv % 8).cast("string")).alias(
+            "newSpecificationId"
+        ),
+    )
+    readdr = ev.filter(
+        (F.col("event_type") == "click") & (F.col("value") >= 120)
+    ).select(
+        seq,
+        u.alias("spanEquipmentId"),
+        F.struct(
+            F.when(fv % 2 == 0, F.concat(F.lit("AB-"), fv.cast("string"))).alias(
+                "accessAddressId"
+            ),
+            F.when(fv % 7 == 0, F.concat(F.lit("UB-"), fv.cast("string"))).alias(
+                "unitAddressId"
+            ),
+        ).alias("addressInfo"),
+    )
+    removed = ev.filter(
+        (F.col("event_type") == "error") & (F.col("value") >= 450)
+    ).select(seq, u.alias("spanEquipmentId"))
+    log = EventLog.from_typed(
+        spark,
+        {
+            "SpanEquipmentSpecificationAdded": span_spec,
+            "SpanStructureSpecificationAdded": struct_spec,
+            "SpanEquipmentPlacedInRouteNetwork": placed,
+            "SpanEquipmentSpecificationChanged": spec_changed,
+            "SpanEquipmentAddressInfoChanged": readdr,
+            "SpanEquipmentRemoved": removed,
+        },
+    )
+    return project_span_equipment(log)
+
+
+@_q(
+    "proj_conduit_slack_sim",
+    """
+    WITH ev AS (
+      SELECT event_id AS seq, CAST(user_id AS VARCHAR) AS u, event_type, value,
+             CAST(FLOOR(value) AS INT) AS fv
+      FROM events),
+    span_spec AS (
+      SELECT seq, 'SS-' || CAST(fv % 8 AS VARCHAR) AS spec_id,
+             CASE WHEN fv % 3 = 0 THEN 'N-Ø12-' || CAST(fv AS VARCHAR)
+                  ELSE 'N-' || CAST(fv AS VARCHAR) END AS spec_name
+      FROM ev WHERE event_type = 'view'),
+    placed AS (
+      SELECT seq, u AS id, 'SS-' || CAST(fv % 8 AS VARCHAR) AS spec_id,
+             'ND-' || CAST(fv % 50 AS VARCHAR) AS from_node,
+             'ND-' || CAST((fv + 2) % 50 AS VARCHAR) AS to_node,
+             (fv % 4 = 0) AS from_conn, (fv % 4 = 1) AS to_conn
+      FROM ev WHERE event_type = 'signup'),
+    placed_spec AS (
+      SELECT p.*,
+             COALESCE(CONTAINS(LOWER(s.spec_name), 'ø12'), FALSE) AS is_cc
+      FROM placed p ASOF LEFT JOIN span_spec s
+        ON p.spec_id = s.spec_id AND p.seq > s.seq),
+    last_created AS (
+      SELECT id, MAX(seq) AS cseq,
+             ARG_MAX(from_node, seq) AS from_node,
+             ARG_MAX(to_node, seq) AS to_node,
+             ARG_MAX(from_conn, seq) AS from_conn,
+             ARG_MAX(to_conn, seq) AS to_conn,
+             ARG_MAX(is_cc, seq) AS is_cc
+      FROM placed_spec GROUP BY id),
+    moved AS (
+      SELECT seq, u AS id,
+             'NM-' || CAST(fv % 50 AS VARCHAR) AS from_node,
+             'NM-' || CAST((fv + 3) % 50 AS VARCHAR) AS to_node
+      FROM ev WHERE event_type = 'click' AND value < 80),
+    late_moved AS (
+      SELECT m.id, ARG_MAX(m.from_node, m.seq) AS from_node,
+             ARG_MAX(m.to_node, m.seq) AS to_node
+      FROM moved m JOIN last_created lc ON m.id = lc.id AND m.seq > lc.cseq
+      GROUP BY m.id),
+    removed AS (
+      SELECT u AS id, MAX(seq) AS rseq
+      FROM ev WHERE event_type = 'error' AND value >= 450 GROUP BY u),
+    live AS (
+      SELECT lc.id, lc.from_conn, lc.to_conn,
+             COALESCE(lm.from_node, lc.from_node) AS from_node,
+             COALESCE(lm.to_node, lc.to_node) AS to_node
+      FROM last_created lc
+      LEFT JOIN late_moved lm ON lc.id = lm.id
+      LEFT JOIN removed r ON lc.id = r.id
+      WHERE (r.id IS NULL OR r.rseq < lc.cseq) AND lc.is_cc),
+    ends AS (
+      SELECT from_node AS route_node_id FROM live WHERE NOT from_conn
+      UNION ALL
+      SELECT to_node FROM live WHERE NOT to_conn),
+    counts AS (
+      SELECT route_node_id, CAST(COUNT(*) AS INT) AS number_of_ends
+      FROM ends GROUP BY route_node_id)
+    SELECT substr(md5(route_node_id),1,8) || '-' || substr(md5(route_node_id),9,4)
+           || '-' || substr(md5(route_node_id),13,4) || '-' || substr(md5(route_node_id),17,4)
+           || '-' || substr(md5(route_node_id),21,12) AS id,
+           route_node_id, number_of_ends
+    FROM counts
+    """,
+)
+def proj_conduit_slack_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL conduit_slack projection: P2 ø12 customer-conduit heuristic
+    (frozen at placement), P4 nested from/to connection scan, P8 first/last
+    node of interest (moved events re-point the ends), A1 count-per-node
+    with delete-at-zero, X6 deterministic md5-uuid replacement."""
+    from open_ftth_relational_projector_spark.projections.core import (
+        project_conduit_slack,
+    )
+    from open_ftth_relational_projector_spark.operators.arrays import EMPTY_GUID
+
+    ev = load_table(spark, sf_dir, "events")
+    u = F.col("user_id").cast("string")
+    fv = F.floor("value").cast("int")
+    seq = F.col("event_id").alias("seq")
+    span_spec = ev.filter(F.col("event_type") == "view").select(
+        seq,
+        F.struct(
+            F.concat(F.lit("SS-"), (fv % 8).cast("string")).alias("id"),
+            F.when(
+                fv % 3 == 0, F.concat(F.lit("N-Ø12-"), fv.cast("string"))
+            )
+            .otherwise(F.concat(F.lit("N-"), fv.cast("string")))
+            .alias("name"),
+            (fv % 2 == 0).alias("isCable"),
+            F.struct(
+                F.lit("ST-0").alias("spanStructureSpecificationId")
+            ).alias("rootTemplate"),
+        ).alias("specification"),
+    )
+    seg = F.struct(
+        F.concat(F.lit("SEG-"), u).alias("id"),
+        F.lit(0).alias("fromNodeOfInterestIndex"),
+        F.lit(2).alias("toNodeOfInterestIndex"),
+        F.when(fv % 4 == 0, F.concat(F.lit("T-"), fv.cast("string")))
+        .otherwise(F.lit(EMPTY_GUID))
+        .alias("fromTerminalId"),
+        F.when(fv % 4 == 1, F.concat(F.lit("T-"), fv.cast("string")))
+        .otherwise(F.lit(EMPTY_GUID))
+        .alias("toTerminalId"),
+    )
+    hop_t = (
+        "array<struct<fromNodeId:string,toNodeId:string,"
+        "parentAffixes:array<struct<spanSegmentId:string>>>>"
+    )
+    placed = ev.filter(F.col("event_type") == "signup").select(
+        seq,
+        F.struct(
+            u.alias("id"),
+            F.concat(F.lit("E-"), u).alias("name"),
+            F.concat(F.lit("SS-"), (fv % 8).cast("string")).alias(
+                "specificationId"
+            ),
+            F.concat(F.lit("W-"), u).alias("walkOfInterestId"),
+            F.array(
+                F.concat(F.lit("ND-"), (fv % 50).cast("string")),
+                F.concat(F.lit("ND-"), ((fv + 1) % 50).cast("string")),
+                F.concat(F.lit("ND-"), ((fv + 2) % 50).cast("string")),
+            ).alias("nodesOfInterestIds"),
+            (fv % 2 == 1).alias("isCable"),
+            F.array(F.struct(F.array(seg).alias("spanSegments"))).alias(
+                "spanStructures"
+            ),
+            F.lit(None).cast(hop_t).alias("utilityNetworkHops"),
+            F.struct(
+                F.lit(None).cast("string").alias("accessAddressId"),
+                F.lit(None).cast("string").alias("unitAddressId"),
+            ).alias("addressInfo"),
+        ).alias("equipment"),
+    )
+    moved = ev.filter(
+        (F.col("event_type") == "click") & (F.col("value") < 80)
+    ).select(
+        seq,
+        u.alias("spanEquipmentId"),
+        F.array(
+            F.concat(F.lit("NM-"), (fv % 50).cast("string")),
+            F.concat(F.lit("NM-"), ((fv + 3) % 50).cast("string")),
+        ).alias("nodesOfInterestIds"),
+    )
+    removed = ev.filter(
+        (F.col("event_type") == "error") & (F.col("value") >= 450)
+    ).select(seq, u.alias("spanEquipmentId"))
+    log = EventLog.from_typed(
+        spark,
+        {
+            "SpanEquipmentSpecificationAdded": span_spec,
+            "SpanEquipmentPlacedInRouteNetwork": placed,
+            "SpanEquipmentMoved": moved,
+            "SpanEquipmentRemoved": removed,
+        },
+    )
+    return project_conduit_slack(log)
+
+
+@_q(
     "walk_hop_subtract_sim",
     """
     WITH ev AS (
