@@ -114,6 +114,9 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark(app_name="bench")
+    # JVM/codegen warm-up so the first timed query isn't charged session
+    # startup; table data itself stays cold.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
