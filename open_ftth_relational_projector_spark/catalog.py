@@ -1548,6 +1548,115 @@ def walk_hop_subtract_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "walk_hop_multi_sim",
+    """
+    WITH RECURSIVE ev AS (
+      SELECT event_id AS seq, CAST(user_id AS VARCHAR) AS u, value,
+             CAST(FLOOR(value) AS INT) AS fv,
+             CAST(FLOOR(value / 7) AS INT) AS fv7,
+             CAST(FLOOR(value / 11) AS INT) AS fv11
+      FROM events WHERE event_type = 'signup'),
+    latest AS (
+      SELECT u, ARG_MAX(fv, seq) AS fv, ARG_MAX(fv7, seq) AS fv7,
+             ARG_MAX(fv11, seq) AS fv11
+      FROM ev GROUP BY u),
+    pos AS (
+      SELECT u, fv, fv % 3 AS a,
+             (fv % 3) + 1 + (fv7 % 2) AS b
+      FROM latest),
+    pos2 AS (
+      SELECT p.u, p.fv, l.fv11, p.a, p.b, p.b + (p.fv % 2) AS c
+      FROM pos p JOIN latest l ON p.u = l.u),
+    input AS (
+      SELECT u AS walk_id,
+             list_transform(generate_series(0, 7),
+                            k -> 'W-' || u || '-' || CAST(k AS VARCHAR)) AS walk,
+             [{'f': CASE WHEN fv % 5 = 0 THEN 'MISS'
+                         ELSE 'W-' || u || '-' || CAST(a AS VARCHAR) END,
+               't': 'W-' || u || '-' || CAST(b AS VARCHAR)},
+              {'f': 'W-' || u || '-' || CAST(c AS VARCHAR),
+               't': CASE WHEN fv % 7 = 0 THEN 'GONE'
+                         ELSE 'W-' || u || '-' || CAST(c + 1 + (fv11 % 2) AS VARCHAR) END}
+             ] AS hops
+      FROM pos2),
+    scan AS (
+      SELECT walk_id, walk, hops, 0 AS pos, 0 AS hop_idx,
+             CAST(NULL AS VARCHAR) AS skip_to, CAST([] AS VARCHAR[]) AS kept
+      FROM input
+      UNION ALL
+      SELECT walk_id, walk, hops, pos + 1,
+             hop_idx + CASE WHEN NOT in_skip AND starts THEN 1 ELSE 0 END,
+             CASE WHEN in_skip THEN skip_to
+                  WHEN starts THEN hops[hop_idx + 1]['t']
+                  ELSE NULL END,
+             CASE WHEN in_skip OR starts THEN kept ELSE list_append(kept, x) END
+      FROM (
+        SELECT *, walk[pos + 1] AS x,
+               (skip_to IS NOT NULL AND walk[pos + 1] != skip_to) AS in_skip,
+               (NOT (skip_to IS NOT NULL AND walk[pos + 1] != skip_to)
+                AND hop_idx < len(hops)
+                AND hops[hop_idx + 1]['f'] = walk[pos + 1]) AS starts
+        FROM scan WHERE pos < len(walk)) s),
+    final AS (
+      SELECT walk_id, kept FROM scan WHERE pos = len(walk))
+    SELECT walk_id, kept[g.i] AS route_network_element_id,
+           CAST(g.i AS INT) AS seq_no
+    FROM final, UNNEST(generate_series(1, len(kept))) AS g(i)
+    """,
+)
+def walk_hop_multi_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 multi-hop STACK semantics under the driver gate: two ordered hops
+    per walk, including blocked-stack (hop1.from absent ⇒ hop2 never
+    consumed), tail-drop (hop2.to absent ⇒ rest of walk skipped), and
+    to-element-starts-next-hop (c == b). The DuckDB oracle is a recursive
+    CTE transcription of the same stack machine — an independent
+    implementation, not shared code."""
+    from open_ftth_relational_projector_spark.operators.explode_seq import (
+        explode_with_seq,
+    )
+    from open_ftth_relational_projector_spark.operators.walk_hops import (
+        subtract_hops,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    sig = ev.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").cast("string").alias("walk_id"),
+        F.col("event_id").alias("seq"),
+        F.floor("value").cast("int").alias("fv"),
+        F.floor(F.col("value") / 7).cast("int").alias("fv7"),
+        F.floor(F.col("value") / 11).cast("int").alias("fv11"),
+    )
+    latest = latest_by_key(sig, "walk_id")
+    fv, fv7, fv11 = F.col("fv"), F.col("fv7"), F.col("fv11")
+    a = fv % 3
+    b = a + 1 + (fv7 % 2)
+    c = b + (fv % 2)
+    d = c + 1 + (fv11 % 2)
+    mk = lambda k: F.concat(  # noqa: E731
+        F.lit("W-"), F.col("walk_id"), F.lit("-"), k.cast("string")
+    )
+    hop1 = F.struct(
+        F.when(fv % 5 == 0, F.lit("MISS")).otherwise(mk(a)).alias("from_node_id"),
+        mk(b).alias("to_node_id"),
+    )
+    hop2 = F.struct(
+        mk(c).alias("from_node_id"),
+        F.when(fv % 7 == 0, F.lit("GONE")).otherwise(mk(d)).alias("to_node_id"),
+    )
+    hopped = latest.select(
+        "walk_id",
+        F.array(*[mk(F.lit(k)) for k in range(8)]).alias("walk"),
+        F.array(hop1, hop2).alias("hops"),
+    )
+    reduced = hopped.select(
+        "walk_id", subtract_hops(F.col("walk"), F.col("hops")).alias("elements")
+    )
+    return explode_with_seq(
+        reduced, "walk_id", "elements", "route_network_element_id"
+    )
+
+
 # ===========================================================================
 # 4. LLM-pipeline surface: text, dedup, similarity, multimodal
 # ===========================================================================
