@@ -101,3 +101,55 @@ def test_explode_with_seq(spark):
         for r in explode_with_seq(df, "id", "els", "el").collect()
     )
     assert out == [("i1", "a", 1), ("i1", "b", 2), ("i1", "c", 3), ("i2", "z", 1)]
+
+
+class TestSkewSalting:
+    """operators/skew.py: salted two-stage aggregation ≡ plain aggregation."""
+
+    def test_salted_count_equals_plain(self, spark):
+        from open_ftth_relational_projector_spark.operators.skew import salted_count
+
+        # one hot key (90%), several cold ones
+        rows = [("hot", i) for i in range(900)] + [
+            (f"cold{i % 7}", i) for i in range(100)
+        ]
+        df = spark.createDataFrame(rows, "k string, v int")
+        got = {r["k"]: r["cnt"] for r in salted_count(df, ["k"]).collect()}
+        exp = {r["k"]: r["cnt"] for r in df.groupBy("k").agg(
+            __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("cnt")
+        ).collect()}
+        assert got == exp
+
+    def test_salted_sum_equals_plain(self, spark):
+        from pyspark.sql import functions as F
+        from open_ftth_relational_projector_spark.operators.skew import salted_sum
+
+        rows = [("hot", i) for i in range(500)] + [("cold", i) for i in range(50)]
+        df = spark.createDataFrame(rows, "k string, v int")
+        got = {r["k"]: r["sum_v"] for r in salted_sum(df, ["k"], "v").collect()}
+        exp = {
+            r["k"]: r["s"]
+            for r in df.groupBy("k").agg(F.sum("v").alias("s")).collect()
+        }
+        assert got == exp
+
+    def test_salted_join_replication(self, spark):
+        from pyspark.sql import functions as F
+        from open_ftth_relational_projector_spark.operators.skew import (
+            replicate_for_salt,
+            with_salt,
+        )
+
+        facts = spark.createDataFrame(
+            [("hot", i) for i in range(200)] + [("cold", 1)], "k string, v int"
+        )
+        dim = spark.createDataFrame([("hot", "H"), ("cold", "C")], "k string, label string")
+        n = 8
+        salted = with_salt(facts, n).join(
+            replicate_for_salt(dim, n), ["k", "_salt"]
+        )
+        plain = facts.join(dim, "k")
+        assert salted.count() == plain.count()
+        got = {r["k"]: r["s"] for r in salted.groupBy("k").agg(F.sum("v").alias("s")).collect()}
+        exp = {r["k"]: r["s"] for r in plain.groupBy("k").agg(F.sum("v").alias("s")).collect()}
+        assert got == exp
