@@ -1,0 +1,86 @@
+"""State-in-Spark streaming fold via applyInPandasWithState (SURVEY §2.7 T4).
+
+The production path keeps state in the relational sink (foreachBatch IVM,
+streaming/runner.py) because the sink IS the product. This module is the
+other architecture the reference's fold maps to — keyed state inside
+Spark's state store — demonstrated on the work_task projection
+(ProjektorState.cs:588-613): per-key GroupState holds (number, status,
+alive), events fold in seq order, update-mode output emits the changed row
+per key per micro-batch.
+
+Scale: state is partitioned by entity key across executors (RocksDB-backed
+on a cluster), arbitrary key cardinality, no driver state — exactly the
+partitioning the reference's single dictionary could not do.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = "id string, number string, status string, seq long"
+STATE_SCHEMA = "number string, status string, seq long, alive boolean"
+
+
+def _fold_work_task(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    number, status, last_seq, alive = (
+        state.get if state.exists else (None, None, 0, False)
+    )
+    rows = pd.concat(list(pdfs)).sort_values("seq")
+    for r in rows.itertuples():
+        if r.event_type == "WorkTaskCreated":
+            # null/empty status ⇒ creation skipped (ProjektorState.cs:593)
+            if r.status is not None and r.status != "":
+                number, status, alive = r.number, r.status, True
+        elif r.event_type == "WorkTaskStatusChanged" and alive:
+            status = r.status
+        last_seq = max(last_seq, r.seq)
+    state.update((number, status, int(last_seq), alive))
+    if alive:
+        yield pd.DataFrame(
+            {
+                "id": [key[0]],
+                "number": [number],
+                "status": [status],
+                "seq": [int(last_seq)],
+            }
+        )
+
+
+def stateful_work_task(envelopes: DataFrame) -> DataFrame:
+    """Streaming work_task fold with Spark-managed keyed state.
+
+    Input: the envelope stream (seq, event_type, payload JSON). Output
+    (update mode): one row per touched work task per micro-batch carrying
+    its folded state.
+    """
+    ev = envelopes.filter(
+        F.col("event_type").isin("WorkTaskCreated", "WorkTaskStatusChanged")
+    ).select(
+        "seq",
+        "event_type",
+        F.get_json_object("payload", "$.workTaskId").alias("id"),
+        F.get_json_object("payload", "$.workTask.number").alias("number"),
+        F.coalesce(
+            F.get_json_object("payload", "$.workTask.status"),
+            F.get_json_object("payload", "$.status"),
+        ).alias("status"),
+    )
+    return ev.groupBy("id").applyInPandasWithState(
+        _fold_work_task,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def _noop(*_: Any) -> None:  # pragma: no cover - keeps linters quiet
+    return None

@@ -1,0 +1,69 @@
+"""applyInPandasWithState fold ≡ batch projection (T4 state-in-Spark path)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from open_ftth_relational_projector_spark.events.generator import (
+    generate,
+    to_envelope_rows,
+)
+from open_ftth_relational_projector_spark.events.reader import EventLog
+from open_ftth_relational_projector_spark.events.schemas import ENVELOPE_SCHEMA
+from open_ftth_relational_projector_spark.projections.core import project_work_task
+from open_ftth_relational_projector_spark.streaming.runner import (
+    write_envelope_batch,
+)
+from open_ftth_relational_projector_spark.streaming.stateful import (
+    stateful_work_task,
+)
+
+
+def test_stateful_work_task_matches_batch(spark):
+    env = spark.createDataFrame(
+        to_envelope_rows(generate(seed=13, scale=4)), ENVELOPE_SCHEMA
+    ).cache()
+    expected = {
+        r["id"]: (r["number"], r["status"])
+        for r in project_work_task(EventLog.from_envelopes(env)).collect()
+    }
+
+    tmp = tempfile.mkdtemp(prefix="ofrp_stateful_")
+    try:
+        max_seq = env.agg({"seq": "max"}).collect()[0][0]
+        cut = max_seq // 2
+        # two files → two micro-batches; state must carry across them
+        write_envelope_batch(env.filter(f"seq <= {cut}"), f"{tmp}/in", 0)
+        write_envelope_batch(env.filter(f"seq > {cut}"), f"{tmp}/in", 1)
+
+        stream = spark.readStream.schema(ENVELOPE_SCHEMA).option(
+            "maxFilesPerTrigger", "1"
+        ).json(f"{tmp}/in")
+        q = (
+            stateful_work_task(stream)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("wt_stateful")
+            .option("checkpointLocation", f"{tmp}/cp")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(240)
+
+        # update mode emits one row per touched key per batch; the final
+        # state per key is the row with the highest fold seq
+        out = spark.sql(
+            """
+            SELECT id, number, status FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY seq DESC) rn
+              FROM wt_stateful) WHERE rn = 1
+            """
+        )
+        got = {r["id"]: (r["number"], r["status"]) for r in out.collect()}
+        assert got == expected
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.catalog.dropTempView("wt_stateful")
