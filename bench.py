@@ -46,6 +46,9 @@ def bench_domain_projection(spark) -> tuple[str, float]:
     )
     from open_ftth_relational_projector_spark.events.reader import EventLog
     from open_ftth_relational_projector_spark.events.schemas import ENVELOPE_SCHEMA
+    from open_ftth_relational_projector_spark.plans.concurrency import (
+        materialize_counts,
+    )
     from open_ftth_relational_projector_spark.projections import project_all
 
     t0 = time.perf_counter()
@@ -54,8 +57,7 @@ def bench_domain_projection(spark) -> tuple[str, float]:
     ).coalesce(8)
     with _shuffle_partitions(spark, 8):
         tables = project_all(EventLog.from_envelopes(raw))
-        for df in tables.values():
-            df.count()
+        materialize_counts(tables)
     return "domain_projection_8tables", time.perf_counter() - t0
 
 

@@ -83,3 +83,53 @@ def asof_join(
         *fact_payload,
         *[F.col(f"_asof.{c}").alias(c) for c in version_cols],
     )
+
+
+def asof_join_broadcast(
+    facts: DataFrame,
+    versions: DataFrame,
+    key: str | Sequence[str],
+    fact_seq: str = "seq",
+    version_seq: str = "seq",
+    version_cols: Sequence[str] | None = None,
+    strict: bool = True,
+) -> DataFrame:
+    """As-of join against a BROADCAST-SIZED version stream — zero fact shuffle.
+
+    The union-window form (asof_join) shuffles the fact stream on the join
+    key. When the version side is a dimension REGISTRY (spec registrations:
+    thousands of rows however big the fact log gets — ProjektorState.cs:56,
+    122 style lookups), that shuffle is pure waste: pack each key's version
+    timeline into one sorted array row, broadcast the packed table, and
+    probe it per fact with an array scan. The fact side stays in whatever
+    partitioning it already had — no exchange, no window sort, and the
+    probe stays inside whole-stage codegen.
+
+    Do NOT use when versions scale with the data (per-entity relations,
+    per-equipment registries): one row per key must fit in a broadcast.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    if version_cols is None:
+        version_cols = [
+            c for c in versions.columns if c not in keys and c != version_seq
+        ]
+    packed = versions.groupBy(*keys).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col(version_seq).alias("_vseq"),
+                    F.struct(*[F.col(c) for c in version_cols]).alias("_vstate"),
+                )
+            )
+        ).alias("_vtl")
+    )
+    out = facts.join(F.broadcast(packed), keys, "left")
+    if strict:
+        cond = lambda v: v["_vseq"] < F.col(fact_seq)  # noqa: E731
+    else:
+        cond = lambda v: v["_vseq"] <= F.col(fact_seq)  # noqa: E731
+    hits = F.filter(F.col("_vtl"), cond)
+    pick = F.when(F.size(hits) > 0, F.element_at(hits, -1)["_vstate"])
+    return out.select(
+        *facts.columns, *[pick[c].alias(c) for c in version_cols]
+    )

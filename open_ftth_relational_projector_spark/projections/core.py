@@ -26,7 +26,10 @@ from pyspark.sql import DataFrame, functions as F
 
 from open_ftth_relational_projector_spark.events.reader import EventLog
 from open_ftth_relational_projector_spark.operators.arrays import EMPTY_GUID
-from open_ftth_relational_projector_spark.operators.asof import asof_join
+from open_ftth_relational_projector_spark.operators.asof import (
+    asof_join,
+    asof_join_broadcast,
+)
 from open_ftth_relational_projector_spark.operators.explode_seq import explode_with_seq
 from open_ftth_relational_projector_spark.operators.lww import latest_by_key, touched
 from open_ftth_relational_projector_spark.operators.walk_hops import subtract_hops
@@ -100,8 +103,10 @@ def _with_span_spec(log: EventLog, facts: DataFrame) -> DataFrame:
         "seq",
         F.col("specification.outerDiameter").alias("outer_diameter"),
     )
-    out = asof_join(facts, spec_v, "spec_id")
-    out = asof_join(out, struct_v, "struct_spec_id")
+    # spec registries are dimension streams (bounded however big the fact
+    # log gets), so both lookups are broadcast probes — no fact shuffle
+    out = asof_join_broadcast(facts, spec_v, "spec_id")
+    out = asof_join_broadcast(out, struct_v, "struct_spec_id")
     return out
 
 
@@ -362,7 +367,7 @@ def project_node_container(log: EventLog) -> DataFrame:
         F.col("container.routeNodeId").alias("route_node_id"),
         F.col("container.specificationId").alias("spec_id"),
     )
-    placed = asof_join(placed, spec_v, "spec_id")
+    placed = asof_join_broadcast(placed, spec_v, "spec_id")
     base = placed.select(
         "id",
         "seq",
@@ -371,7 +376,7 @@ def project_node_container(log: EventLog) -> DataFrame:
         touched(F.col("spec_category")).alias("spec_category"),
     )
 
-    changed = asof_join(
+    changed = asof_join_broadcast(
         log.of("NodeContainerSpecificationChanged").select(
             F.col("nodeContainerId").alias("id"),
             "seq",
@@ -448,7 +453,9 @@ def project_service_termination(log: EventLog) -> DataFrame:
         F.col("equipment.addressInfo.accessAddressId").alias("access_address_id"),
         F.col("equipment.addressInfo.unitAddressId").alias("unit_address_id"),
     )
-    placed = asof_join(placed, spec_v, "spec_id")
+    # terminal-equipment spec registry: dimension stream → broadcast probe;
+    # container→node relation scales with containers → keep the shuffle form
+    placed = asof_join_broadcast(placed, spec_v, "spec_id")
     placed = asof_join(placed, rel_v, "container_id")
     # the reference's three give-up guards (ProjektorState.cs:531-541)
     placed = placed.filter(

@@ -177,15 +177,22 @@ def compute_deltas(
     Returns per-table deltas; ``_aux_slack_end`` carries the slack-end
     pre-aggregation whose node-level re-aggregation happens sink-side
     (apply_slack_delta in runner.py).
+
+    Per-table deltas are independent Spark jobs over the shared cached log,
+    so the collect step (toArrow) fans out on a thread pool — a micro-batch
+    costs max(table job), not sum(table jobs). Plans are built serially
+    (cheap, driver-side); only the actions run concurrently.
     """
-    deltas: dict[str, TableDelta | GroupDelta] = {}
+    from open_ftth_relational_projector_spark.plans.concurrency import run_concurrent
+
+    thunks: dict[str, object] = {}
 
     if ids.get("work_task"):
         a = ids["work_task"]
         r = _restrict(
             full, ["WorkTaskCreated", "WorkTaskStatusChanged"], _ids_df(full, a)
         )
-        deltas["work_task"] = _keyed_delta(project_work_task(r), a)
+        thunks["work_task"] = lambda a=a, r=r: _keyed_delta(project_work_task(r), a)
 
     if ids.get("installation"):
         a = ids["installation"]
@@ -199,7 +206,9 @@ def compute_deltas(
             ],
             _ids_df(full, a),
         )
-        deltas["installation"] = _keyed_delta(project_installation(r), a)
+        thunks["installation"] = lambda a=a, r=r: _keyed_delta(
+            project_installation(r), a
+        )
 
     if ids.get("node_container"):
         a = ids["node_container"]
@@ -212,7 +221,9 @@ def compute_deltas(
             ],
             _ids_df(full, a),
         )
-        deltas["node_container"] = _keyed_delta(project_node_container(r), a)
+        thunks["node_container"] = lambda a=a, r=r: _keyed_delta(
+            project_node_container(r), a
+        )
 
     if ids.get("terminal"):
         a = ids["terminal"]
@@ -226,24 +237,48 @@ def compute_deltas(
             ],
             _ids_df(full, a),
         )
-        deltas["service_termination"] = _keyed_delta(
+        thunks["service_termination"] = lambda a=a, r=r: _keyed_delta(
             project_service_termination(r), a
         )
 
-    span_state = None
     if ids.get("span"):
         a = ids["span"]
         # one restricted span-state fold serves BOTH the span_equipment
         # delta and the slack-end delta; the restriction set is the slack
-        # superset (touched spans ∪ their affix parents)
+        # superset (touched spans ∪ their affix parents). Both outputs share
+        # the persisted state, so they live in ONE thunk (serial inside,
+        # concurrent with every other table) and unpersist after both.
         all_eq, restricted, span_state = _span_state_superset(full, ids)
         span_state = span_state.persist()
         state_a = span_state.join(
             F.broadcast(_ids_df(full, a)), "id", "left_semi"
         )
-        deltas["span_equipment"] = _keyed_delta(
-            project_span_equipment(restricted, state=state_a), a
+        span_df = project_span_equipment(restricted, state=state_a)
+        # has_child needs the UNRESTRICTED edge set (other children's
+        # affixes keep a parent flagged); filter to affected ids after
+        # the fold. An affix/detach on a child flips the PARENT's
+        # has-child flag (ProjektorState.cs:360-368, 405-413), so the
+        # superset includes parents of touched children.
+        eq_ids = _ids_df(full, all_eq)
+        has_child = _has_child_final(full).join(
+            F.broadcast(eq_ids), "id", "left_semi"
         )
+        ends_df = slack_ends(restricted, state=span_state, has_child=has_child)
+
+        def _span_group(
+            a=a, all_eq=all_eq, span_df=span_df, ends_df=ends_df, st=span_state
+        ):
+            try:
+                return {
+                    "span_equipment": _keyed_delta(span_df, a),
+                    "_aux_slack_end": GroupDelta(
+                        group_keys=all_eq, rows=ends_df.toArrow()
+                    ),
+                }
+            finally:
+                st.unpersist()
+
+        thunks["_span_group"] = _span_group
 
     if ids.get("interest"):
         a = ids["interest"]
@@ -256,37 +291,27 @@ def compute_deltas(
             ],
             _ids_df(full, a),
         )
-        deltas["rel_interest_to_route_element"] = GroupDelta(
-            group_keys=a,
-            rows=project_rel_interest_to_route_element(r).toArrow(),
+        df = project_rel_interest_to_route_element(r)
+        thunks["rel_interest_to_route_element"] = lambda a=a, df=df: GroupDelta(
+            group_keys=a, rows=df.toArrow()
         )
 
     if ids.get("cable"):
         a = ids["cable"]
         # restrict only the trigger streams; walks + specs stay whole (dims)
         r = _restrict(full, CABLE_TRIGGER_TYPES, _ids_df(full, a))
-        deltas["rel_fiber_cable_to_route_element"] = GroupDelta(
-            group_keys=a,
-            rows=project_rel_fiber_cable_to_route_element(r).toArrow(),
+        df = project_rel_fiber_cable_to_route_element(r)
+        thunks["rel_fiber_cable_to_route_element"] = lambda a=a, df=df: GroupDelta(
+            group_keys=a, rows=df.toArrow()
         )
 
-    if ids.get("span"):
-        # has_child needs the UNRESTRICTED edge set (other children's
-        # affixes keep a parent flagged); filter to affected ids after
-        # the fold. An affix/detach on a child flips the PARENT's
-        # has-child flag (ProjektorState.cs:360-368, 405-413), so the
-        # superset includes parents of touched children.
-        eq_ids = _ids_df(full, all_eq)
-        has_child = _has_child_final(full).join(
-            F.broadcast(eq_ids), "id", "left_semi"
-        )
-        ends = slack_ends(restricted, state=span_state, has_child=has_child)
-        deltas["_aux_slack_end"] = GroupDelta(
-            group_keys=all_eq, rows=ends.toArrow()
-        )
-
-    if span_state is not None:
-        span_state.unpersist()
+    results = run_concurrent(thunks)
+    deltas: dict[str, TableDelta | GroupDelta] = {}
+    for name, value in results.items():
+        if name == "_span_group":
+            deltas.update(value)
+        else:
+            deltas[name] = value
     return deltas
 
 

@@ -46,15 +46,34 @@ from open_ftth_relational_projector_spark.streaming.incremental import (
 
 
 def dehydrate(envelopes: DataFrame, sink) -> int:
-    """Full replay → bulk snapshot (T2 phase 1). Returns the watermark seq."""
+    """Full replay → bulk snapshot (T2 phase 1). Returns the watermark seq.
+
+    The Spark side (projection plans → Arrow) fans out concurrently — the
+    tables are independent jobs over shared cached substreams; only the
+    single-connection DuckDB inserts stay serial. On a cluster the insert
+    step is per-table Spark JDBC writes and the whole loop is concurrent.
+    """
     from open_ftth_relational_projector_spark.projections.core import _span_state
+    from open_ftth_relational_projector_spark.plans.concurrency import run_concurrent
+    from open_ftth_relational_projector_spark.sinks.duckdb_sink import _to_arrow
+    from open_ftth_relational_projector_spark.sinks.ddl import TABLE_COLUMNS
 
     sink.ensure_schema()
     log = EventLog.from_envelopes(envelopes).persisted()
     state = _span_state(log).persist()
-    for name, df in project_all(log, persist=False, state=state).items():
-        sink.overwrite(name, df)
-    sink.overwrite("_aux_slack_end", slack_ends(log, state=state))
+    state.count()  # prime the shared fold once, before the fan-out
+    tables = project_all(log, persist=False, state=state)
+    tables["_aux_slack_end"] = slack_ends(log, state=state)
+    arrow = run_concurrent(
+        {
+            name: (
+                lambda d=df, c=[col for col, _ in TABLE_COLUMNS[name]]: _to_arrow(d, c)
+            )
+            for name, df in tables.items()
+        }
+    )
+    for name in tables:
+        sink.overwrite(name, arrow[name])
     row = envelopes.agg(F.max("seq")).collect()[0]
     watermark = int(row[0]) if row[0] is not None else 0
     sink.set_meta("watermark", str(watermark))

@@ -153,3 +153,40 @@ class TestSkewSalting:
         got = {r["k"]: r["s"] for r in salted.groupBy("k").agg(F.sum("v").alias("s")).collect()}
         exp = {r["k"]: r["s"] for r in plain.groupBy("k").agg(F.sum("v").alias("s")).collect()}
         assert got == exp
+
+
+def test_asof_join_broadcast_matches_shuffle_form(spark):
+    from open_ftth_relational_projector_spark.operators.asof import (
+        asof_join_broadcast,
+    )
+
+    versions = spark.createDataFrame(
+        [("c1", 1, "n1"), ("c1", 5, "n2"), ("c1", 4, None), ("c2", 2, "m1")],
+        "key string, seq long, route string",
+    )
+    facts = spark.createDataFrame(
+        [
+            ("c1", 3, "f1"),
+            ("c1", 6, "f2"),
+            ("c1", 1, "f0"),
+            ("c1", 5, "f5"),
+            ("c2", 9, "f3"),
+            ("c3", 4, "f4"),
+        ],
+        "key string, seq long, fact string",
+    )
+    for strict in (True, False):
+        a = {
+            (r["fact"]): (r["route"])
+            for r in asof_join(facts, versions, "key", strict=strict).collect()
+        }
+        b = {
+            (r["fact"]): (r["route"])
+            for r in asof_join_broadcast(
+                facts, versions, "key", strict=strict
+            ).collect()
+        }
+        assert a == b, f"strict={strict}: {a} != {b}"
+    # no-shuffle claim: the fact side of the broadcast form has no Exchange
+    plan = asof_join_broadcast(facts, versions, "key")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan
