@@ -247,15 +247,19 @@ def _parent_edges(log: EventLog) -> DataFrame:
     )
 
 
-def _has_child_final(log: EventLog) -> DataFrame:
+def _has_child_final(log: EventLog, edges: DataFrame | None = None) -> DataFrame:
     """Final HasChildSpanEquipments per parent equipment id.
 
     Timeline per parent: affix edges referencing its root segment set TRUE
     (ProjektorState.cs:370-371); the FIRST detach of a child after an affix
     edge sets FALSE for that edge's parent (the child's parent list is
     cleared on detach, ProjektorState.cs:398-417). Last event wins.
+
+    ``edges`` lets a caller that already materialized _parent_edges (the
+    incremental path needs it twice per batch) share one computation.
     """
-    edges = _parent_edges(log)
+    if edges is None:
+        edges = _parent_edges(log)
 
     detaches = log.of("SpanEquipmentDetachedFromParent").select(
         F.col("spanEquipmentId").alias("child_id"), F.col("seq").alias("detach_seq")

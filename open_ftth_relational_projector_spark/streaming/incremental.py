@@ -242,41 +242,48 @@ def compute_deltas(
         )
 
     if ids.get("span"):
-        a = ids["span"]
         # one restricted span-state fold serves BOTH the span_equipment
         # delta and the slack-end delta; the restriction set is the slack
         # superset (touched spans ∪ their affix parents). Both outputs share
-        # the persisted state, so they live in ONE thunk (serial inside,
-        # concurrent with every other table) and unpersist after both.
-        all_eq, restricted, span_state = _span_state_superset(full, ids)
-        span_state = span_state.persist()
-        state_a = span_state.join(
-            F.broadcast(_ids_df(full, a)), "id", "left_semi"
-        )
-        span_df = project_span_equipment(restricted, state=state_a)
-        # has_child needs the UNRESTRICTED edge set (other children's
-        # affixes keep a parent flagged); filter to affected ids after
-        # the fold. An affix/detach on a child flips the PARENT's
-        # has-child flag (ProjektorState.cs:360-368, 405-413), so the
-        # superset includes parents of touched children.
-        eq_ids = _ids_df(full, all_eq)
-        has_child = _has_child_final(full).join(
-            F.broadcast(eq_ids), "id", "left_semi"
-        )
-        ends_df = slack_ends(restricted, state=span_state, has_child=has_child)
-
-        def _span_group(
-            a=a, all_eq=all_eq, span_df=span_df, ends_df=ends_df, st=span_state
-        ):
+        # the persisted state and the persisted affix-edge set, so they live
+        # in ONE thunk (serial inside, concurrent with every other table) —
+        # including the parent-expansion collect, which would otherwise
+        # serialize the whole fan-out behind a full _parent_edges job.
+        def _span_group(a=ids["span"], ids=ids):
+            edges = _parent_edges(full).persist()
             try:
-                return {
-                    "span_equipment": _keyed_delta(span_df, a),
-                    "_aux_slack_end": GroupDelta(
-                        group_keys=all_eq, rows=ends_df.toArrow()
-                    ),
-                }
+                all_eq, restricted, span_state = _span_state_superset(
+                    full, ids, edges=edges
+                )
+                span_state = span_state.persist()
+                try:
+                    state_a = span_state.join(
+                        F.broadcast(_ids_df(full, a)), "id", "left_semi"
+                    )
+                    span_df = project_span_equipment(restricted, state=state_a)
+                    # has_child needs the UNRESTRICTED edge set (other
+                    # children's affixes keep a parent flagged); filter to
+                    # affected ids after the fold. An affix/detach on a child
+                    # flips the PARENT's has-child flag (ProjektorState.cs:
+                    # 360-368, 405-413), so the superset includes parents of
+                    # touched children.
+                    eq_ids = _ids_df(full, all_eq)
+                    has_child = _has_child_final(full, edges=edges).join(
+                        F.broadcast(eq_ids), "id", "left_semi"
+                    )
+                    ends_df = slack_ends(
+                        restricted, state=span_state, has_child=has_child
+                    )
+                    return {
+                        "span_equipment": _keyed_delta(span_df, a),
+                        "_aux_slack_end": GroupDelta(
+                            group_keys=all_eq, rows=ends_df.toArrow()
+                        ),
+                    }
+                finally:
+                    span_state.unpersist()
             finally:
-                st.unpersist()
+                edges.unpersist()
 
         thunks["_span_group"] = _span_group
 
@@ -316,7 +323,7 @@ def compute_deltas(
 
 
 def _span_state_superset(
-    full: EventLog, ids: dict[str, list[str]]
+    full: EventLog, ids: dict[str, list[str]], edges: DataFrame | None = None
 ) -> tuple[list[str], EventLog, DataFrame]:
     """Touched spans ∪ their affix parents, the span-entity streams
     restricted to that set, and the folded state over it.
@@ -324,14 +331,15 @@ def _span_state_superset(
     Parent expansion runs only when the batch actually carries edge-changing
     events (placement/affix/detach — the only flips of a parent's has-child
     flag, ProjektorState.cs:360-368, 405-413); address/move/spec/remove-only
-    batches skip the edge-set scan entirely.
+    batches skip the edge-set scan entirely. Pass ``edges`` to reuse an
+    already-persisted _parent_edges set.
     """
     span_ids = ids["span"]
     all_ids = set(span_ids)
     if ids.get("cable"):  # cable triggers == the edge-changing event types
         ids_df = _ids_df(full, ids["cable"])
         parents = (
-            _parent_edges(full)
+            (_parent_edges(full) if edges is None else edges)
             .join(
                 F.broadcast(ids_df.withColumnRenamed("id", "child_id")),
                 "child_id",
