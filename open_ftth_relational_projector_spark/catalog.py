@@ -20,7 +20,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, Window as W
 
-from open_ftth_relational_projector_spark.sources.tables import load_table
+from open_ftth_relational_projector_spark.sources.tables import load_table, scattered
 from open_ftth_relational_projector_spark.events.reader import EventLog
 from open_ftth_relational_projector_spark.operators import asof_join, latest_by_key
 from open_ftth_relational_projector_spark.functions import dedup as D
@@ -1802,7 +1802,7 @@ def walk_hop_multi_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = scattered(load_table(spark, sf_dir, "documents"))
     toks = TXT.tokens(F.col("text"))
     return docs.select(
         "doc_id",
@@ -1861,7 +1861,7 @@ def exact_dedup_groups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def doc_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = scattered(load_table(spark, sf_dir, "documents"))
     return (
         docs.select(TXT.fingerprint(F.col("text")).alias("fingerprint"), "doc_id")
         .groupBy("fingerprint")
@@ -1895,7 +1895,7 @@ def doc_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = D.ngram_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), threshold=0.05, n=3
+        scattered(load_table(spark, sf_dir, "documents")), threshold=0.05, n=3
     )
     return out.select("doc_a", "doc_b", _r4(F.col("jaccard")).alias("jaccard"))
 
@@ -1903,14 +1903,14 @@ def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q("minhash_near_dups")  # no SQL oracle: xxhash64 seeds are Spark-specific
 def minhash_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = D.minhash_near_dups(
-        load_table(spark, sf_dir, "documents"), threshold=0.05
+        scattered(load_table(spark, sf_dir, "documents")), threshold=0.05
     )
     return out.select("doc_a", "doc_b", _r4(F.col("jaccard")).alias("jaccard"))
 
 
 @_q("simhash_fingerprints")  # no SQL oracle: xxhash64 is Spark-specific
 def simhash_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.simhash64(load_table(spark, sf_dir, "documents"))
+    return D.simhash64(scattered(load_table(spark, sf_dir, "documents")))
 
 
 @_q(
@@ -1954,7 +1954,7 @@ def embedding_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     to exercise the operator end-to-end.
     """
     out = S.embedding_near_dups(
-        load_table(spark, sf_dir, "embeddings"), threshold=0.45
+        scattered(load_table(spark, sf_dir, "embeddings")), threshold=0.45
     )
     return out.select("id_a", "id_b", _r4(F.col("cosine")).alias("cosine"))
 
@@ -1962,7 +1962,7 @@ def embedding_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q("embedding_near_dups_lsh")  # no SQL oracle: recall<1 by design (scale path)
 def embedding_near_dups_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = S.embedding_near_dups(
-        load_table(spark, sf_dir, "embeddings"),
+        scattered(load_table(spark, sf_dir, "embeddings")),
         threshold=0.45,
         bucketed=True,
         n_planes=4,
@@ -1991,7 +1991,7 @@ def embedding_near_dups_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def knn_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = scattered(load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") % 100 == 0)
     out = S.knn_bruteforce(emb, queries, k=5)
     return out.withColumnRenamed("rank", "rnk")
@@ -1999,7 +1999,7 @@ def knn_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q("knn_lsh")  # no SQL oracle: approximate (bucketed) variant
 def knn_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = scattered(load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") % 100 == 0)
     return S.knn_lsh(emb, queries, k=5).withColumnRenamed("rank", "rnk")
 
@@ -2016,5 +2016,5 @@ def knn_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = attach_binary(load_table(spark, sf_dir, "documents"))
+    docs = attach_binary(scattered(load_table(spark, sf_dir, "documents")))
     return extract_features(docs, fake=True)

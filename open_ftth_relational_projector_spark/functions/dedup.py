@@ -17,17 +17,17 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from open_ftth_relational_projector_spark.functions.text import tokens
+from open_ftth_relational_projector_spark.functions.text import let, tokens
 
 
 def shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of the single-space-tokenized text.
 
-    Prefer ``add_shingles`` on a DataFrame: this single-expression form
-    re-evaluates the tokenizing split per element reference, which Catalyst
-    only avoids when the token array lives in its own projection.
+    The token array is let-bound (functions.text.let), so the tokenizing
+    split evaluates once per row however the expression is referenced or
+    rewritten — safe to use inline, including under explode.
     """
-    return _grams_of(tokens(text), n)
+    return let(tokens(text), lambda toks: _grams_of(toks, n))
 
 
 def _grams_of(toks: Column, n: int) -> Column:
@@ -53,12 +53,11 @@ def add_shingles(
     id_col: str = "doc_id",
     out: str = "sh",
 ) -> DataFrame:
-    """(id, shingle-array) with the token array materialized in its OWN
-    projection so the split evaluates once per row — CollapseProject keeps
-    multi-referenced non-cheap expressions un-inlined, roughly halving the
-    shingle pass versus the naive single-expression form."""
-    toked = docs.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_toks"))
-    return toked.select("doc_id", _grams_of(F.col("_toks"), n).alias(out))
+    """(id, shingle-array); the split is let-bound inside the expression,
+    so downstream plan rewrites can't multiply its evaluation."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"), shingles(F.col(text_col), n).alias(out)
+    )
 
 
 def exact_dedup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -99,9 +98,17 @@ def ngram_jaccard_pairs(
     intersection size is then a plain count. At 100 TB, cap/salt posting
     lists of stop-shingles before the expansion (they dominate the square).
     """
-    sh = add_shingles(docs, n, text_col, id_col).select(
-        "doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle")
+    # one exploded struct keeps the shingle array single-referenced (one
+    # evaluation per row); n_sh rides along on every posting row
+    entries = let(
+        shingles(F.col(text_col), n),
+        lambda g: F.transform(
+            g, lambda s: F.struct(F.size(g).alias("n_sh"), s.alias("shingle"))
+        ),
     )
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(entries).alias("e")
+    ).select("doc_id", F.col("e.n_sh").alias("n_sh"), F.col("e.shingle").alias("shingle"))
 
     postings = sh.groupBy(F.xxhash64("shingle").alias("sh_hash")).agg(
         F.array_sort(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ds")

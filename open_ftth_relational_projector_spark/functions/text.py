@@ -21,6 +21,21 @@ STOPWORDS = {
 }
 
 
+def let(value: Column, body) -> Column:
+    """Single-evaluation binding: evaluate ``value`` once per row, then let
+    ``body`` (Column -> Column) reference it any number of times.
+
+    Catalyst's projection collapse — especially through Generate/explode
+    nodes — can inline an aliased expensive expression into EVERY reference,
+    re-evaluating it per reference and per array element inside higher-order
+    lambdas (a shingle explode was re-running the tokenizing split ~12× per
+    row). Routing the value through a one-element-array transform turns it
+    into a lambda variable, which the optimizer cannot substitute into the
+    body: exactly one evaluation per row, regardless of plan rewrites.
+    """
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def tokens(text: Column) -> Column:
     return F.split(text, " ")
 

@@ -54,8 +54,17 @@ def scan_read_schemas(df: DataFrame) -> list[str]:
 
 
 def wholestage_codegen_spans(df: DataFrame) -> int:
-    """Number of distinct WholeStageCodegen subtrees (wider = fewer breaks)."""
+    """Number of distinct WholeStageCodegen subtrees (wider = fewer breaks).
+
+    An AQE-wrapped plan prints no codegen ids until its final plan is
+    resolved, so if the first print is non-final, execute THIS DataFrame's
+    own QueryExecution (collect — count would plan a fresh one) and
+    re-print.
+    """
     plan = formatted_plan(df)
+    if "isFinalPlan=false" in plan:
+        df.collect()
+        plan = formatted_plan(df)
     ids = set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))
     ids |= set(re.findall(r"\[codegen id : (\d+)\]", plan))
     return len(ids)

@@ -48,6 +48,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def scattered(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Spread a narrow scan for compute-heavy per-row pipelines.
+
+    Shingling, signature hashing, and vector math cost far more per row than
+    the scan, so compute parallelism must not be capped by file layout (the
+    local testdata is one row group = one task; a small dimension table on a
+    cluster is the same trap). Round-robin repartition to the default
+    parallelism when the scan yields fewer partitions — a no-op for inputs
+    that are already wide, which is the normal case at scale.
+    """
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: list[str] | None = None
 ) -> dict[str, DataFrame]:
