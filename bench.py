@@ -38,7 +38,7 @@ BENCH_QUERIES = [
 ]
 
 
-def bench_domain_projection(spark) -> tuple[str, float]:
+def bench_domain_projection(spark, scale: int = 60) -> tuple[str, float]:
     """End-to-end domain event fold: generate → JSON envelopes → all 8 tables."""
     from open_ftth_relational_projector_spark.events.generator import (
         generate,
@@ -53,31 +53,35 @@ def bench_domain_projection(spark) -> tuple[str, float]:
 
     t0 = time.perf_counter()
     raw = spark.createDataFrame(
-        to_envelope_rows(generate(seed=42, scale=60)), ENVELOPE_SCHEMA
+        to_envelope_rows(generate(seed=42, scale=scale)), ENVELOPE_SCHEMA
     ).coalesce(8)
-    with _shuffle_partitions(spark, 8):
+    with _domain_conf(spark, 8):
         tables = project_all(EventLog.from_envelopes(raw))
         materialize_counts(tables)
     return "domain_projection_8tables", time.perf_counter() - t0
 
 
-class _shuffle_partitions:
-    """Temporarily size shuffles for the domain benches: their inputs are
-    thousands of events, where 32-way shuffles are pure task overhead; the
-    sf0.1 relational queries keep the session default."""
+class _domain_conf:
+    """Temporarily size the session for the domain benches: their inputs are
+    thousands of events, where 32-way shuffles are pure task overhead and
+    AQE's per-stage re-optimization adds latency with nothing to re-plan;
+    the sf0.1 relational queries keep the session defaults."""
 
     def __init__(self, spark, n: int):
         self.spark, self.n = spark, str(n)
 
     def __enter__(self):
         self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.prev_aqe = self.spark.conf.get("spark.sql.adaptive.enabled")
         self.spark.conf.set("spark.sql.shuffle.partitions", self.n)
+        self.spark.conf.set("spark.sql.adaptive.enabled", "false")
 
     def __exit__(self, *exc):
         self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+        self.spark.conf.set("spark.sql.adaptive.enabled", self.prev_aqe)
 
 
-def bench_streaming_catchup(spark) -> tuple[str, float]:
+def bench_streaming_catchup(spark, scale: int = 20) -> tuple[str, float]:
     """Dehydrate 60% of a domain log, then apply the rest as 4 incremental
     micro-batches into the relational sink (the reference's catch-up loop)."""
     from open_ftth_relational_projector_spark.events.generator import (
@@ -92,12 +96,12 @@ def bench_streaming_catchup(spark) -> tuple[str, float]:
     )
 
     env = spark.createDataFrame(
-        to_envelope_rows(generate(seed=42, scale=20)), ENVELOPE_SCHEMA
+        to_envelope_rows(generate(seed=42, scale=scale)), ENVELOPE_SCHEMA
     ).coalesce(4).cache()
     max_seq = env.agg({"seq": "max"}).collect()[0][0]
     bounds = [int(max_seq * f) for f in (0.6, 0.7, 0.8, 0.9)] + [max_seq]
 
-    with _shuffle_partitions(spark, 8):
+    with _domain_conf(spark, 8):
         sink = DuckDBSink()
         dehydrate(env.filter(f"seq <= {bounds[0]}"), sink)
         t0 = time.perf_counter()  # bootstrap cost ≙ domain_projection metric
@@ -117,8 +121,13 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark(app_name="bench")
     # JVM/codegen warm-up so the first timed query isn't charged session
-    # startup; table data itself stays cold.
+    # startup; table data itself stays cold. The tiny untimed domain passes
+    # JIT the fold/sink code paths the same way spark.range warms the
+    # scan/agg path — the timed runs then measure the engine, not first-use
+    # compilation.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    bench_domain_projection(spark, scale=2)
+    bench_streaming_catchup(spark, scale=2)
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
