@@ -189,27 +189,21 @@ def _span_state(log: EventLog) -> DataFrame:
     )
 
 
-def _parent_edges(log: EventLog) -> DataFrame:
-    """Affix edges (child_id, seq, parent_id), parent resolved as of the
-    edge event via the root-segment registry (ProjektorState.cs:358, 122)."""
+def _edge_events(log: EventLog) -> DataFrame:
+    """Unresolved affix edges (child_id, seq, root_segment_id): explicit
+    affix events plus placement-embedded hops (ProjektorState.cs:162-167)."""
     placed = log.of("SpanEquipmentPlacedInRouteNetwork").select(
         "seq",
         F.col("equipment.id").alias("id"),
         F.col("equipment.utilityNetworkHops").alias("hops"),
-        F.col("equipment.spanStructures")[0]["spanSegments"][0]["id"].alias(
-            "root_segment_id"
-        ),
     )
     affix = log.of("SpanEquipmentAffixedToParent").select(
         "seq",
         F.col("spanEquipmentId").alias("id"),
         F.col("newUtilityHopList").alias("hops"),
     )
-    # placement-embedded hops count as an affix (ProjektorState.cs:162-167)
-    emb = placed.filter(F.col("hops").isNotNull() & (F.size("hops") > 0)).select(
-        "seq", "id", "hops"
-    )
-    edges_raw = (
+    emb = placed.filter(F.col("hops").isNotNull() & (F.size("hops") > 0))
+    return (
         emb.unionByName(affix)
         .select(
             F.col("id").alias("child_id"),
@@ -225,8 +219,20 @@ def _parent_edges(log: EventLog) -> DataFrame:
         .select("child_id", "seq", F.col("affix.spanSegmentId").alias("root_segment_id"))
     )
 
-    # resolve parent as of the edge event: placements register the root
-    # segment, removals tombstone it (ProjektorState.cs:146, 285)
+
+def _parent_registry_versions(log: EventLog) -> DataFrame:
+    """Root-segment registry versions (root_segment_id, seq, parent_id):
+    placements register the root segment, removals tombstone it with a NULL
+    parent (ProjektorState.cs:146, 285). Append-only in seq — a batch only
+    ever ADDS versions, which is what makes the registry incrementally
+    maintainable as a sink aux table."""
+    placed = log.of("SpanEquipmentPlacedInRouteNetwork").select(
+        "seq",
+        F.col("equipment.id").alias("id"),
+        F.col("equipment.spanStructures")[0]["spanSegments"][0]["id"].alias(
+            "root_segment_id"
+        ),
+    )
     reg = placed.select("root_segment_id", "seq", F.col("id").alias("parent_id"))
     removed = log.of("SpanEquipmentRemoved").select(
         F.col("spanEquipmentId").alias("id"), "seq"
@@ -240,14 +246,28 @@ def _parent_edges(log: EventLog) -> DataFrame:
         .filter(F.col("root_segment_id").isNotNull())
         .select("root_segment_id", "seq", F.lit(None).cast("string").alias("parent_id"))
     )
-    parent_versions = reg.unionByName(rm_root)
+    return reg.unionByName(rm_root)
 
-    return asof_join(edges_raw, parent_versions, "root_segment_id").filter(
+
+def _resolve_edges(edge_events: DataFrame, registry: DataFrame) -> DataFrame:
+    """Resolve each edge's parent as of the edge event (frozen at edge time:
+    a later re-registration or removal never rewrites an existing edge)."""
+    return asof_join(edge_events, registry, "root_segment_id").filter(
         F.col("parent_id").isNotNull()
     )
 
 
-def _has_child_final(log: EventLog, edges: DataFrame | None = None) -> DataFrame:
+def _parent_edges(log: EventLog) -> DataFrame:
+    """Affix edges (child_id, seq, parent_id), parent resolved as of the
+    edge event via the root-segment registry (ProjektorState.cs:358, 122)."""
+    return _resolve_edges(_edge_events(log), _parent_registry_versions(log))
+
+
+def _has_child_final(
+    log: EventLog,
+    edges: DataFrame | None = None,
+    detaches: DataFrame | None = None,
+) -> DataFrame:
     """Final HasChildSpanEquipments per parent equipment id.
 
     Timeline per parent: affix edges referencing its root segment set TRUE
@@ -255,15 +275,20 @@ def _has_child_final(log: EventLog, edges: DataFrame | None = None) -> DataFrame
     edge sets FALSE for that edge's parent (the child's parent list is
     cleared on detach, ProjektorState.cs:398-417). Last event wins.
 
-    ``edges`` lets a caller that already materialized _parent_edges (the
-    incremental path needs it twice per batch) share one computation.
+    ``edges``/``detaches`` let the incremental path feed sink-maintained
+    (child_id, seq, parent_id) / (child_id, seq) sets instead of
+    recomputing them from the full log (both are append-only, so a batch
+    only inserts rows); batch callers that already materialized
+    _parent_edges share one computation the same way.
     """
     if edges is None:
         edges = _parent_edges(log)
 
-    detaches = log.of("SpanEquipmentDetachedFromParent").select(
-        F.col("spanEquipmentId").alias("child_id"), F.col("seq").alias("detach_seq")
-    )
+    if detaches is None:
+        detaches = log.of("SpanEquipmentDetachedFromParent").select(
+            F.col("spanEquipmentId").alias("child_id"), "seq"
+        )
+    detaches = detaches.select("child_id", F.col("seq").alias("detach_seq"))
     cancels = (
         edges.join(detaches, "child_id", "left")
         .filter(F.col("detach_seq") > F.col("seq"))
@@ -544,7 +569,9 @@ def slack_ends(
 
 
 def project_conduit_slack(
-    log: EventLog, state: DataFrame | None = None
+    log: EventLog,
+    state: DataFrame | None = None,
+    has_child: DataFrame | None = None,
 ) -> DataFrame:
     """conduit_slack(id, route_node_id, number_of_ends).
 
@@ -556,7 +583,7 @@ def project_conduit_slack(
     hashing.
     """
     counts = (
-        slack_ends(log, state=state)
+        slack_ends(log, state=state, has_child=has_child)
         .groupBy("route_node_id")
         .agg(F.count(F.lit(1)).cast("int").alias("number_of_ends"))
     )
@@ -639,12 +666,13 @@ def project_all(
     log: EventLog,
     persist: bool = True,
     state: DataFrame | None = None,
+    has_child: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """All 8 standing projections, sharing the expensive substreams.
 
     With ``persist`` (the default for multi-table materialization), the
-    typed event streams and the folded span-equipment state are cached so
-    the 8 plans don't each re-parse the envelope JSON and re-fold the span
+    envelope scan and the folded span-equipment state are cached and primed
+    so the 8 plans don't each re-read the source and re-fold the span
     timeline — the local analogue of materializing typed bronze + a silver
     state table at scale.
     """
@@ -653,10 +681,15 @@ def project_all(
     if state is None:
         state = _span_state(log)
         if persist:
+            # prime eagerly: concurrent first-touch from the table fan-out
+            # would compute the fold once per touching job
             state = state.persist()
+            state.count()
     out: dict[str, DataFrame] = {}
     for name, fn in PROJECTIONS.items():
-        if name in ("span_equipment", "conduit_slack"):
+        if name == "conduit_slack":
+            out[name] = fn(log, state=state, has_child=has_child)
+        elif name == "span_equipment":
             out[name] = fn(log, state=state)
         else:
             out[name] = fn(log)

@@ -84,6 +84,22 @@ TABLE_COLUMNS: dict[str, list[tuple[str, str]]] = {
         ("route_node_id", "VARCHAR(36)"),
         ("end_kind", "VARCHAR(4)"),  # 'from' | 'to'
     ],
+    # append-only event-derived sets for incremental has-child/slack
+    # maintenance: per-batch cost stays ∝ batch, not ∝ accumulated log.
+    "_aux_affix_edge": [
+        ("child_id", "VARCHAR(36)"),
+        ("seq", "BIGINT"),
+        ("parent_id", "VARCHAR(36)"),
+    ],
+    "_aux_root_segment": [
+        ("root_segment_id", "VARCHAR(36)"),
+        ("seq", "BIGINT"),
+        ("parent_id", "VARCHAR(36)"),  # NULL = tombstone (equipment removed)
+    ],
+    "_aux_detach": [
+        ("child_id", "VARCHAR(36)"),
+        ("seq", "BIGINT"),
+    ],
     "_projector_meta": [
         ("key", "VARCHAR(255)"),
         ("value", "VARCHAR(255)"),
@@ -131,6 +147,9 @@ SECONDARY_INDEXES: dict[str, list[str]] = {
     "service_termination": ["route_node_id"],
     "conduit_slack": ["route_node_id"],
     "_aux_slack_end": ["span_equipment_id", "route_node_id"],
+    "_aux_affix_edge": ["child_id", "parent_id"],
+    "_aux_root_segment": ["root_segment_id", "parent_id"],
+    "_aux_detach": ["child_id"],
 }
 
 

@@ -81,6 +81,10 @@ class DuckDBSink:
         self.con.execute(f'DELETE FROM {self.schema}."{table}"')
         return self._insert_df(table, df)
 
+    # -- append (aux event-derived sets: rows only ever accumulate) ---------
+    def append(self, table: str, df) -> int:
+        return self._insert_df(table, df)
+
     # -- S7: keyed upsert (PostgresWriter.cs:72-98 / :244-259 pattern) ------
     def merge(self, table: str, df) -> int:
         keys = TABLE_PRIMARY_KEYS[table]

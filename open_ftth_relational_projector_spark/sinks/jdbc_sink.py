@@ -103,6 +103,17 @@ class JdbcSink:
         )
         return stage
 
+    def append(self, table: str, df: DataFrame) -> None:
+        (
+            df.select(*self._cols(table))
+            .write.format("jdbc")
+            .option("url", self.url)
+            .option("dbtable", f'{self.schema}."{table}"')
+            .options(**self.props)
+            .mode("append")
+            .save()
+        )
+
     def merge(self, table: str, df: DataFrame) -> None:
         keys = TABLE_PRIMARY_KEYS[table]
         stage = self._stage(table, df)

@@ -94,41 +94,58 @@ CABLE_TRIGGER_TYPES = [
 ]
 
 
-def affected_ids(batch_envelopes: DataFrame) -> dict[str, list[str]]:
-    """Distinct touched entity ids per domain, collected to the driver.
+def collect_batch(batch_envelopes: DataFrame) -> list[tuple[int, str, dict]]:
+    """ONE job: pull the micro-batch to the driver as (seq, type, payload).
 
-    ONE job over the raw micro-batch: the id is pulled straight from the
-    JSON payload with get_json_object (no per-type filter jobs, no full
-    payload parse). Micro-batch key sets are small by construction (one
-    poll interval of events); they drive broadcast semi-joins and sink
-    DELETE lists.
+    A micro-batch is one poll interval of events — small by construction
+    (the reference applies it on a single thread). Everything per-batch and
+    ∝ batch (touched-key extraction, edge-delta resolution) then happens
+    driver-side with zero additional Spark jobs; only the neighborhood
+    recompute fans out to the cluster.
     """
-    id_expr = F.coalesce(
-        *[
-            F.when(
-                F.col("event_type") == t,
-                F.get_json_object("payload", "$." + expr),
-            )
-            for t, (_, expr) in AFFECTED.items()
-        ]
-    )
-    rows = (
-        batch_envelopes.select("event_type", id_expr.alias("id"))
-        .filter(F.col("id").isNotNull())
-        .distinct()
-        .collect()
-    )
+    import json
+
+    return [
+        (r.seq, r.event_type, json.loads(r.payload))
+        for r in batch_envelopes.select("seq", "event_type", "payload").collect()
+    ]
+
+
+def _payload_get(payload: dict, dotted: str):
+    cur = payload
+    for part in dotted.split("."):
+        if not isinstance(cur, dict) or cur is None:
+            return None
+        cur = cur.get(part)
+    return cur
+
+
+def affected_ids_from_rows(
+    parsed: list[tuple[int, str, dict]],
+) -> dict[str, list[str]]:
+    """Distinct touched entity ids per domain, from a collected batch."""
     per_domain: dict[str, set[str]] = {}
     cable: set[str] = set()
-    for r in rows:
-        domain = AFFECTED[r.event_type][0]
-        per_domain.setdefault(domain, set()).add(r.id)
-        if r.event_type in CABLE_TRIGGER_TYPES:
-            cable.add(r.id)
+    for _seq, etype, payload in parsed:
+        if etype not in AFFECTED:
+            continue
+        domain, id_path = AFFECTED[etype]
+        eid = _payload_get(payload, id_path)
+        if eid is None:
+            continue
+        per_domain.setdefault(domain, set()).add(eid)
+        if etype in CABLE_TRIGGER_TYPES:
+            cable.add(eid)
     out = {d: sorted(s) for d, s in per_domain.items()}
     if cable:
         out["cable"] = sorted(cable)
     return out
+
+
+def affected_ids(batch_envelopes: DataFrame) -> dict[str, list[str]]:
+    """Distinct touched entity ids per domain (one collect; see
+    collect_batch)."""
+    return affected_ids_from_rows(collect_batch(batch_envelopes))
 
 
 @dataclass
@@ -145,6 +162,208 @@ class GroupDelta:
 
     group_keys: list[str]
     rows: object  # pyarrow.Table
+
+
+EDGE_SCHEMA = "child_id string, seq long, parent_id string"
+REGISTRY_SCHEMA = "root_segment_id string, seq long, parent_id string"
+DETACH_SCHEMA = "child_id string, seq long"
+
+
+@dataclass
+class EdgeContext:
+    """Sink-maintained affix-edge neighborhood for one micro-batch.
+
+    The affix-edge set, the root-segment registry, and the detach set are
+    all APPEND-ONLY functions of the log (an edge's parent is frozen at
+    edge time; registry rows and detaches are events). Keeping them as sink
+    aux tables turns the per-batch has-child/slack recompute from
+    ∝ accumulated-log (_parent_edges over the whole history, every batch)
+    into ∝ batch-neighborhood: resolve only the batch's new edges, then
+    read back just the touched parents' edges and their children's
+    detaches. At 100 TB these aux sets live in the same store as the
+    output tables (or Delta), and a micro-batch touches O(batch) rows of
+    them through indexed lookups.
+    """
+
+    all_eq: list[str]  # touched spans ∪ their affix parents (fold keys)
+    edges_for_fold: DataFrame  # (child_id, seq, parent_id), parents ⊆ all_eq
+    detaches_for_fold: DataFrame  # (child_id, seq) for edge children
+    new_edges: object  # pyarrow appends for _aux_affix_edge
+    new_registry: object  # pyarrow appends for _aux_root_segment
+    new_detaches: object  # pyarrow appends for _aux_detach
+
+
+def _latest_before(versions: list[tuple[int, str | None]], seq: int):
+    """Rightmost (vseq, value) with vseq < seq, else None — the driver-side
+    twin of operators.asof.asof_join's strict semantics. ``versions`` must
+    be sorted by vseq (event seqs are globally unique)."""
+    from bisect import bisect_left
+
+    i = bisect_left(versions, seq, key=lambda v: v[0])
+    return versions[i - 1] if i > 0 else None
+
+
+# Batches above this row count skip the driver-side edge-delta path and fall
+# back to the distributed full recompute (a giant catch-up batch amortizes
+# it; a poll-interval micro-batch never gets near this).
+MAX_DRIVER_BATCH_ROWS = 200_000
+
+
+def build_edge_context(
+    full: EventLog,
+    parsed: list[tuple[int, str, dict]],
+    ids: dict[str, list[str]],
+    sink,
+) -> EdgeContext | None:
+    """Resolve the batch's edge/registry/detach deltas against the sink aux
+    tables and assemble the restricted fold inputs — driver-side, zero
+    Spark jobs (the batch is already collected; the sink lookups are
+    indexed ∝ batch-neighborhood).
+
+    Returns None when the batch touches no span-equipment entities or is
+    too large for driver-side handling (the caller then recomputes the
+    edge sets distributedly from the full log).
+    """
+    from open_ftth_relational_projector_spark.sinks.ddl import SCHEMA
+
+    span_ids = ids.get("span")
+    if not span_ids or len(parsed) > MAX_DRIVER_BATCH_ROWS:
+        return None
+    import pyarrow as pa
+
+    spark = full.spark
+    children = ids.get("cable", [])
+
+    # -- batch extraction (mirrors core._edge_events / _parent_registry) ---
+    placements: list[tuple[str, int, str]] = []  # (parent_id, seq, root_seg)
+    edge_events: list[tuple[str, int, str]] = []  # (child_id, seq, root_seg)
+    removals: list[tuple[str, int]] = []  # (pid, seq)
+    detaches: list[tuple[str, int]] = []  # (child_id, seq)
+    for seq, etype, payload in parsed:
+        if etype == "SpanEquipmentPlacedInRouteNetwork":
+            eq = payload.get("equipment") or {}
+            root = _payload_get(eq, "spanStructures")
+            root_seg = None
+            if root:
+                segs = (root[0] or {}).get("spanSegments")
+                if segs:
+                    root_seg = (segs[0] or {}).get("id")
+            if root_seg is not None:
+                placements.append((eq.get("id"), seq, root_seg))
+            for hop in eq.get("utilityNetworkHops") or []:
+                for affix in (hop or {}).get("parentAffixes") or []:
+                    edge_events.append((eq.get("id"), seq, affix.get("spanSegmentId")))
+        elif etype == "SpanEquipmentAffixedToParent":
+            cid = payload.get("spanEquipmentId")
+            for hop in payload.get("newUtilityHopList") or []:
+                for affix in (hop or {}).get("parentAffixes") or []:
+                    edge_events.append((cid, seq, affix.get("spanSegmentId")))
+        elif etype == "SpanEquipmentRemoved":
+            removals.append((payload.get("spanEquipmentId"), seq))
+        elif etype == "SpanEquipmentDetachedFromParent":
+            detaches.append((payload.get("spanEquipmentId"), seq))
+
+    def fetch(sql: str, params: list) -> list[tuple]:
+        return list(sink.fetch_df(sql, params).itertuples(index=False, name=None))
+
+    def in_clause(vals: list[str]) -> str:
+        return ", ".join("?" for _ in vals)
+
+    # -- registry deltas: placements register, removals tombstone ----------
+    new_registry: list[tuple[str, int, str | None]] = [
+        (root, seq, pid) for pid, seq, root in placements
+    ]
+    if removals:
+        rm_ids = sorted({pid for pid, _ in removals})
+        by_pid: dict[str, list[tuple[int, str]]] = {}
+        for root, vseq, pid in fetch(
+            f'SELECT root_segment_id, seq, parent_id FROM {SCHEMA}."_aux_root_segment" '
+            f"WHERE parent_id IN ({in_clause(rm_ids)})",
+            rm_ids,
+        ):
+            by_pid.setdefault(pid, []).append((vseq, root))
+        for pid, seq, root in placements:
+            by_pid.setdefault(pid, []).append((seq, root))
+        for versions in by_pid.values():
+            versions.sort()
+        for pid, seq in removals:
+            hit = _latest_before(by_pid.get(pid, []), seq)
+            if hit is not None:
+                new_registry.append((hit[1], seq, None))
+
+    # -- batch edges, resolved as of the edge event (frozen at edge time) --
+    new_edges: list[tuple[str, int, str]] = []
+    roots = sorted({root for _, _, root in edge_events if root is not None})
+    if roots:
+        by_root: dict[str, list[tuple[int, str | None]]] = {}
+        for root, vseq, pid in fetch(
+            f'SELECT root_segment_id, seq, parent_id FROM {SCHEMA}."_aux_root_segment" '
+            f"WHERE root_segment_id IN ({in_clause(roots)})",
+            roots,
+        ):
+            by_root.setdefault(root, []).append((vseq, pid))
+        for root, vseq, pid in new_registry:
+            by_root.setdefault(root, []).append((vseq, pid))
+        for versions in by_root.values():
+            versions.sort(key=lambda v: v[0])
+        for cid, seq, root in edge_events:
+            hit = _latest_before(by_root.get(root, []), seq) if root else None
+            if hit is not None and hit[1] is not None:
+                new_edges.append((cid, seq, hit[1]))
+
+    # -- parent expansion: prior edges of touched children + batch edges ---
+    parents: set[str] = {p for _, _, p in new_edges}
+    if children:
+        parents.update(
+            p
+            for (p,) in fetch(
+                f'SELECT DISTINCT parent_id FROM {SCHEMA}."_aux_affix_edge" '
+                f"WHERE child_id IN ({in_clause(children)})",
+                children,
+            )
+        )
+    all_eq = sorted(set(span_ids) | parents)
+
+    # -- fold inputs: every edge of every fold key, + their detaches -------
+    prior_edges = fetch(
+        f'SELECT child_id, seq, parent_id FROM {SCHEMA}."_aux_affix_edge" '
+        f"WHERE parent_id IN ({in_clause(all_eq)})",
+        all_eq,
+    )
+    fold_edges = prior_edges + new_edges
+    fold_children = sorted({c for c, _, _ in fold_edges})
+    fold_detaches = list(detaches)
+    if fold_children:
+        fold_detaches += fetch(
+            f'SELECT child_id, seq FROM {SCHEMA}."_aux_detach" '
+            f"WHERE child_id IN ({in_clause(fold_children)})",
+            fold_children,
+        )
+
+    def arrow(rows: list[tuple], names: list[str], types: list) -> pa.Table:
+        cols = list(zip(*rows)) if rows else [[] for _ in names]
+        return pa.table(
+            {n: pa.array(list(c), t) for n, c, t in zip(names, cols, types)}
+        )
+
+    return EdgeContext(
+        all_eq=all_eq,
+        edges_for_fold=spark.createDataFrame(fold_edges, EDGE_SCHEMA)
+        if fold_edges
+        else spark.createDataFrame([], EDGE_SCHEMA),
+        detaches_for_fold=spark.createDataFrame(fold_detaches, DETACH_SCHEMA)
+        if fold_detaches
+        else spark.createDataFrame([], DETACH_SCHEMA),
+        new_edges=arrow(
+            new_edges, ["child_id", "seq", "parent_id"], ["string", "int64", "string"]
+        ),
+        new_registry=arrow(
+            new_registry,
+            ["root_segment_id", "seq", "parent_id"],
+            ["string", "int64", "string"],
+        ),
+        new_detaches=arrow(detaches, ["child_id", "seq"], ["string", "int64"]),
+    )
 
 
 def _ids_df(log: EventLog, ids: list[str]) -> DataFrame:
@@ -170,7 +389,9 @@ def md5_uuid(value: str) -> str:
 
 
 def compute_deltas(
-    full: EventLog, ids: dict[str, list[str]]
+    full: EventLog,
+    ids: dict[str, list[str]],
+    edge_ctx: EdgeContext | None = None,
 ) -> dict[str, TableDelta | GroupDelta]:
     """Recompute every affected row set against the accumulated log.
 
@@ -245,45 +466,61 @@ def compute_deltas(
         # one restricted span-state fold serves BOTH the span_equipment
         # delta and the slack-end delta; the restriction set is the slack
         # superset (touched spans ∪ their affix parents). Both outputs share
-        # the persisted state and the persisted affix-edge set, so they live
-        # in ONE thunk (serial inside, concurrent with every other table) —
-        # including the parent-expansion collect, which would otherwise
-        # serialize the whole fan-out behind a full _parent_edges job.
+        # the persisted state, so they live in ONE thunk (serial inside,
+        # concurrent with every other table). With an EdgeContext the edge
+        # neighborhood comes from the sink aux tables (∝ batch); without
+        # one (no sink aux — e.g. a standalone delta computation) it falls
+        # back to recomputing _parent_edges from the full log.
         def _span_group(a=ids["span"], ids=ids):
-            edges = _parent_edges(full).persist()
-            try:
+            if edge_ctx is not None:
+                all_eq = edge_ctx.all_eq
+                restricted = _restrict(
+                    full, SPAN_ENTITY_TYPES, _ids_df(full, all_eq)
+                )
+                span_state = _span_state(restricted).persist()
+                edges = None
+                has_child_src = _has_child_final(
+                    full,
+                    edges=edge_ctx.edges_for_fold,
+                    detaches=edge_ctx.detaches_for_fold,
+                )
+            else:
+                edges = _parent_edges(full).persist()
                 all_eq, restricted, span_state = _span_state_superset(
                     full, ids, edges=edges
                 )
                 span_state = span_state.persist()
-                try:
-                    state_a = span_state.join(
-                        F.broadcast(_ids_df(full, a)), "id", "left_semi"
-                    )
-                    span_df = project_span_equipment(restricted, state=state_a)
-                    # has_child needs the UNRESTRICTED edge set (other
-                    # children's affixes keep a parent flagged); filter to
-                    # affected ids after the fold. An affix/detach on a child
-                    # flips the PARENT's has-child flag (ProjektorState.cs:
-                    # 360-368, 405-413), so the superset includes parents of
-                    # touched children.
-                    eq_ids = _ids_df(full, all_eq)
-                    has_child = _has_child_final(full, edges=edges).join(
-                        F.broadcast(eq_ids), "id", "left_semi"
-                    )
-                    ends_df = slack_ends(
-                        restricted, state=span_state, has_child=has_child
-                    )
-                    return {
-                        "span_equipment": _keyed_delta(span_df, a),
-                        "_aux_slack_end": GroupDelta(
-                            group_keys=all_eq, rows=ends_df.toArrow()
-                        ),
-                    }
-                finally:
-                    span_state.unpersist()
+                has_child_src = _has_child_final(full, edges=edges)
+            try:
+                state_a = span_state.join(
+                    F.broadcast(_ids_df(full, a)), "id", "left_semi"
+                )
+                span_df = project_span_equipment(restricted, state=state_a)
+                # has_child needs the UNRESTRICTED edge set (other
+                # children's affixes keep a parent flagged); filter to
+                # affected ids after the fold. An affix/detach on a child
+                # flips the PARENT's has-child flag (ProjektorState.cs:
+                # 360-368, 405-413), so the superset includes parents of
+                # touched children. (The EdgeContext fold input is already
+                # parent-restricted to all_eq; the semi-join is then a
+                # no-op kept for shape parity.)
+                eq_ids = _ids_df(full, all_eq)
+                has_child = has_child_src.join(
+                    F.broadcast(eq_ids), "id", "left_semi"
+                )
+                ends_df = slack_ends(
+                    restricted, state=span_state, has_child=has_child
+                )
+                return {
+                    "span_equipment": _keyed_delta(span_df, a),
+                    "_aux_slack_end": GroupDelta(
+                        group_keys=all_eq, rows=ends_df.toArrow()
+                    ),
+                }
             finally:
-                edges.unpersist()
+                span_state.unpersist()
+                if edges is not None:
+                    edges.unpersist()
 
         thunks["_span_group"] = _span_group
 

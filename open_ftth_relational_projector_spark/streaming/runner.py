@@ -39,7 +39,9 @@ from open_ftth_relational_projector_spark.sinks.ddl import SCHEMA
 from open_ftth_relational_projector_spark.streaming.incremental import (
     GroupDelta,
     TableDelta,
-    affected_ids,
+    affected_ids_from_rows,
+    build_edge_context,
+    collect_batch,
     compute_deltas,
     md5_uuid,
 )
@@ -53,7 +55,12 @@ def dehydrate(envelopes: DataFrame, sink) -> int:
     single-connection DuckDB inserts stay serial. On a cluster the insert
     step is per-table Spark JDBC writes and the whole loop is concurrent.
     """
-    from open_ftth_relational_projector_spark.projections.core import _span_state
+    from open_ftth_relational_projector_spark.projections.core import (
+        _has_child_final,
+        _parent_edges,
+        _parent_registry_versions,
+        _span_state,
+    )
     from open_ftth_relational_projector_spark.plans.concurrency import run_concurrent
     from open_ftth_relational_projector_spark.sinks.duckdb_sink import _to_arrow
     from open_ftth_relational_projector_spark.sinks.ddl import TABLE_COLUMNS
@@ -62,8 +69,17 @@ def dehydrate(envelopes: DataFrame, sink) -> int:
     log = EventLog.from_envelopes(envelopes).persisted()
     state = _span_state(log).persist()
     state.count()  # prime the shared fold once, before the fan-out
-    tables = project_all(log, persist=False, state=state)
-    tables["_aux_slack_end"] = slack_ends(log, state=state)
+    # one edge fold feeds conduit_slack, the slack-end aux set, AND the aux
+    # seed tables the incremental path maintains from then on
+    edges = _parent_edges(log).persist()
+    has_child = _has_child_final(log, edges=edges)
+    tables = project_all(log, persist=False, state=state, has_child=has_child)
+    tables["_aux_slack_end"] = slack_ends(log, state=state, has_child=has_child)
+    tables["_aux_affix_edge"] = edges.select("child_id", "seq", "parent_id")
+    tables["_aux_root_segment"] = _parent_registry_versions(log)
+    tables["_aux_detach"] = log.of("SpanEquipmentDetachedFromParent").select(
+        F.col("spanEquipmentId").alias("child_id"), "seq"
+    )
     arrow = run_concurrent(
         {
             name: (
@@ -129,16 +145,22 @@ def apply_batch(
     if batch_id is not None and sink.get_meta("applied_batch") == str(batch_id):
         return False
 
-    ids = affected_ids(batch_envelopes)
+    parsed = collect_batch(batch_envelopes)
+    ids = affected_ids_from_rows(parsed)
     # materialize the typed streams once per batch: every per-table delta
     # re-reads several of them, and without this each recompute re-filters
     # and re-parses the accumulated envelope log
     full_log = EventLog.from_envelopes(full_envelopes).persisted()
     try:
-        deltas = compute_deltas(full_log, ids)
+        edge_ctx = build_edge_context(full_log, parsed, ids, sink)
+        deltas = compute_deltas(full_log, ids, edge_ctx=edge_ctx)
 
         sink.begin()
         try:
+            if edge_ctx is not None:
+                sink.append("_aux_affix_edge", edge_ctx.new_edges)
+                sink.append("_aux_root_segment", edge_ctx.new_registry)
+                sink.append("_aux_detach", edge_ctx.new_detaches)
             for table, delta in deltas.items():
                 if table == "_aux_slack_end":
                     apply_slack_delta(sink, delta)

@@ -142,3 +142,59 @@ def test_structured_streaming_available_now(spark, envelopes, expected_tables):
         _assert_sink_matches(sink, expected_tables)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_latest_before_strict():
+    from open_ftth_relational_projector_spark.streaming.incremental import (
+        _latest_before,
+    )
+
+    versions = [(2, "a"), (5, None), (9, "b")]
+    assert _latest_before(versions, 1) is None
+    assert _latest_before(versions, 2) is None  # strict: vseq < seq
+    assert _latest_before(versions, 3) == (2, "a")
+    assert _latest_before(versions, 6) == (5, None)  # tombstone visible
+    assert _latest_before(versions, 100) == (9, "b")
+
+
+def test_edge_context_resolves_against_sink_registry(spark):
+    """A batch affix referencing a root segment REGISTERED IN AN EARLIER
+    BATCH must resolve through the sink aux registry, and an intervening
+    removal must tombstone it."""
+    from open_ftth_relational_projector_spark.events.reader import EventLog
+    from open_ftth_relational_projector_spark.streaming.incremental import (
+        build_edge_context,
+    )
+
+    sink = DuckDBSink()
+    sink.ensure_schema()
+    sink.append(
+        "_aux_root_segment",
+        __import__("pyarrow").table(
+            {
+                "root_segment_id": ["seg-p1", "seg-p2", "seg-p2"],
+                "seq": [1, 2, 6],
+                "parent_id": ["p1", "p2", None],  # p2 removed at seq 6
+            }
+        ),
+    )
+    parsed = [
+        (10, "SpanEquipmentAffixedToParent",
+         {"spanEquipmentId": "c1",
+          "newUtilityHopList": [{"parentAffixes": [{"spanSegmentId": "seg-p1"}]}]}),
+        (11, "SpanEquipmentAffixedToParent",
+         {"spanEquipmentId": "c2",
+          "newUtilityHopList": [{"parentAffixes": [{"spanSegmentId": "seg-p2"}]}]}),
+    ]
+    ids = {"span": ["c1", "c2"], "cable": ["c1", "c2"]}
+    full = EventLog.from_typed(spark, {})
+    ctx = build_edge_context(full, parsed, ids, sink)
+    resolved = sorted(
+        zip(
+            ctx.new_edges.column("child_id").to_pylist(),
+            ctx.new_edges.column("parent_id").to_pylist(),
+        )
+    )
+    # c1 -> p1 resolves; c2's parent was tombstoned before the affix
+    assert resolved == [("c1", "p1")]
+    assert set(ctx.all_eq) == {"c1", "c2", "p1"}
