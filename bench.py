@@ -126,6 +126,9 @@ def main() -> None:
     # scan/agg path — the timed runs then measure the engine, not first-use
     # compilation.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # spin up the reusable Python worker pool so the first pandas-UDF query
+    # isn't charged interpreter startup
+    spark.range(1_000).mapInPandas(lambda it: it, "id long").count()
     bench_domain_projection(spark, scale=2)
     bench_streaming_catchup(spark, scale=2)
 

@@ -370,8 +370,29 @@ def _ids_df(log: EventLog, ids: list[str]) -> DataFrame:
     return log.spark.createDataFrame([(i,) for i in ids], "id string")
 
 
-def _restrict(log: EventLog, types: list[str], ids_df: DataFrame) -> EventLog:
-    return log.restricted({t: (AFFECTED[t][1], ids_df) for t in types})
+# Above this many keys an IN-set literal filter stops being the cheap form
+# and the restriction goes through a broadcast semi-join instead.
+MAX_INLINE_IDS = 10_000
+
+
+def _restrict(log: EventLog, types: list[str], ids: list[str]) -> EventLog:
+    key: list | DataFrame = (
+        ids if len(ids) <= MAX_INLINE_IDS else _ids_df(log, ids)
+    )
+    return log.restricted({t: (AFFECTED[t][1], key) for t in types})
+
+
+def _keyed_to(df: DataFrame, ids: list[str], col: str = "id") -> DataFrame:
+    """Restrict a keyed frame to ``ids`` — IN-set filter for small sets."""
+    if len(ids) <= MAX_INLINE_IDS:
+        return df.filter(F.col(col).isin(ids))
+    return df.join(
+        F.broadcast(_ids_df_any(df, ids, col)), col, "left_semi"
+    )
+
+
+def _ids_df_any(df: DataFrame, ids: list[str], col: str) -> DataFrame:
+    return df.sparkSession.createDataFrame([(i,) for i in ids], f"{col} string")
 
 
 def _keyed_delta(result: DataFrame, affected: list[str], key: str = "id") -> TableDelta:
@@ -410,9 +431,7 @@ def compute_deltas(
 
     if ids.get("work_task"):
         a = ids["work_task"]
-        r = _restrict(
-            full, ["WorkTaskCreated", "WorkTaskStatusChanged"], _ids_df(full, a)
-        )
+        r = _restrict(full, ["WorkTaskCreated", "WorkTaskStatusChanged"], a)
         thunks["work_task"] = lambda a=a, r=r: _keyed_delta(project_work_task(r), a)
 
     if ids.get("installation"):
@@ -425,7 +444,7 @@ def compute_deltas(
                 "InstallationStatusChanged",
                 "InstallationLocationRemarkChanged",
             ],
-            _ids_df(full, a),
+            a,
         )
         thunks["installation"] = lambda a=a, r=r: _keyed_delta(
             project_installation(r), a
@@ -440,7 +459,7 @@ def compute_deltas(
                 "NodeContainerRemovedFromRouteNetwork",
                 "NodeContainerSpecificationChanged",
             ],
-            _ids_df(full, a),
+            a,
         )
         thunks["node_container"] = lambda a=a, r=r: _keyed_delta(
             project_node_container(r), a
@@ -456,7 +475,7 @@ def compute_deltas(
                 "TerminalEquipmentNamingInfoChanged",
                 "TerminalEquipmentAddressInfoChanged",
             ],
-            _ids_df(full, a),
+            a,
         )
         thunks["service_termination"] = lambda a=a, r=r: _keyed_delta(
             project_service_termination(r), a
@@ -474,9 +493,7 @@ def compute_deltas(
         def _span_group(a=ids["span"], ids=ids):
             if edge_ctx is not None:
                 all_eq = edge_ctx.all_eq
-                restricted = _restrict(
-                    full, SPAN_ENTITY_TYPES, _ids_df(full, all_eq)
-                )
+                restricted = _restrict(full, SPAN_ENTITY_TYPES, all_eq)
                 span_state = _span_state(restricted).persist()
                 edges = None
                 has_child_src = _has_child_final(
@@ -492,9 +509,7 @@ def compute_deltas(
                 span_state = span_state.persist()
                 has_child_src = _has_child_final(full, edges=edges)
             try:
-                state_a = span_state.join(
-                    F.broadcast(_ids_df(full, a)), "id", "left_semi"
-                )
+                state_a = _keyed_to(span_state, a)
                 span_df = project_span_equipment(restricted, state=state_a)
                 # has_child needs the UNRESTRICTED edge set (other
                 # children's affixes keep a parent flagged); filter to
@@ -504,10 +519,7 @@ def compute_deltas(
                 # touched children. (The EdgeContext fold input is already
                 # parent-restricted to all_eq; the semi-join is then a
                 # no-op kept for shape parity.)
-                eq_ids = _ids_df(full, all_eq)
-                has_child = has_child_src.join(
-                    F.broadcast(eq_ids), "id", "left_semi"
-                )
+                has_child = _keyed_to(has_child_src, all_eq)
                 ends_df = slack_ends(
                     restricted, state=span_state, has_child=has_child
                 )
@@ -533,7 +545,7 @@ def compute_deltas(
                 "WalkOfInterestRouteNetworkElementsModified",
                 "InterestUnregistered",
             ],
-            _ids_df(full, a),
+            a,
         )
         df = project_rel_interest_to_route_element(r)
         thunks["rel_interest_to_route_element"] = lambda a=a, df=df: GroupDelta(
@@ -543,7 +555,7 @@ def compute_deltas(
     if ids.get("cable"):
         a = ids["cable"]
         # restrict only the trigger streams; walks + specs stay whole (dims)
-        r = _restrict(full, CABLE_TRIGGER_TYPES, _ids_df(full, a))
+        r = _restrict(full, CABLE_TRIGGER_TYPES, a)
         df = project_rel_fiber_cable_to_route_element(r)
         thunks["rel_fiber_cable_to_route_element"] = lambda a=a, df=df: GroupDelta(
             group_keys=a, rows=df.toArrow()
@@ -587,5 +599,5 @@ def _span_state_superset(
         )
         all_ids.update(r.id for r in parents.collect())
     all_ids = sorted(all_ids)
-    restricted = _restrict(full, SPAN_ENTITY_TYPES, _ids_df(full, all_ids))
+    restricted = _restrict(full, SPAN_ENTITY_TYPES, all_ids)
     return all_ids, restricted, _span_state(restricted)
