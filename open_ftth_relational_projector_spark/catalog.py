@@ -1816,6 +1816,28 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "token_counts_bpe",
+    """
+    SELECT doc_id,
+           LEN(string_split(text, ' ')) AS ws_tokens,
+           LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))
+               AS subword_tokens
+    FROM documents
+    """,
+)
+def token_counts_bpe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs BPE-ish pre-tokenization token counts per document —
+    the token-budget accounting pass of an LLM-corpus pipeline. Both counts
+    are single-pass JVM expressions over the scan (no shuffle, no UDF)."""
+    docs = scattered(load_table(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        TXT.token_count(F.col("text")).alias("ws_tokens"),
+        TXT.subword_token_count(F.col("text")).alias("subword_tokens"),
+    )
+
+
+@_q(
     "lang_quality_stats",
     """
     WITH scored AS (

@@ -44,6 +44,20 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
+#: GPT-style BPE pre-tokenization classes: alphabetic runs, single digits,
+#: single non-alphanumeric marks; whitespace never tokenizes. Kept to a
+#: Java-regex/RE2-common subset so a DuckDB oracle runs the same pattern.
+SUBWORD_TOKEN_RE = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+
+
+def subword_token_count(text: Column) -> Column:
+    """BPE-ish token-count estimate: counts pre-tokenization pieces (the
+    units BPE merges start from), a stable upper bound on the merged BPE
+    count and the standard cheap budget heuristic for LLM corpora. Stays
+    JVM-side (regexp_extract_all + size) — no UDF in the hot path."""
+    return F.size(F.regexp_extract_all(text, F.lit(SUBWORD_TOKEN_RE), F.lit(0)))
+
+
 def _count_tokens_in(text: Column, words: list[str]) -> Column:
     toks = tokens(text)
     cond = lambda t: reduce(lambda a, w: a | (t == F.lit(w)), words, F.lit(False))

@@ -164,11 +164,6 @@ class GroupDelta:
     rows: object  # pyarrow.Table
 
 
-EDGE_SCHEMA = "child_id string, seq long, parent_id string"
-REGISTRY_SCHEMA = "root_segment_id string, seq long, parent_id string"
-DETACH_SCHEMA = "child_id string, seq long"
-
-
 @dataclass
 class EdgeContext:
     """Sink-maintained affix-edge neighborhood for one micro-batch.
@@ -186,11 +181,47 @@ class EdgeContext:
     """
 
     all_eq: list[str]  # touched spans ∪ their affix parents (fold keys)
-    edges_for_fold: DataFrame  # (child_id, seq, parent_id), parents ⊆ all_eq
-    detaches_for_fold: DataFrame  # (child_id, seq) for edge children
+    has_child_rows: list[tuple[str, bool]]  # folded flags, keys ⊆ all_eq
     new_edges: object  # pyarrow appends for _aux_affix_edge
     new_registry: object  # pyarrow appends for _aux_root_segment
     new_detaches: object  # pyarrow appends for _aux_detach
+
+
+def _fold_has_child(
+    edges: list[tuple[str, int, str]], detaches: list[tuple[str, int]]
+) -> list[tuple[str, bool]]:
+    """Driver-side twin of projections.core._has_child_final over a
+    neighborhood-sized edge/detach set (micro-batch scale — the data is
+    already on the driver; running it as Spark stages would cost more in
+    scheduling than the fold itself).
+
+    Timeline per parent: an edge at eseq sets TRUE; the FIRST detach of
+    that edge's child after eseq sets FALSE at that detach's seq; the
+    highest-seq entry wins (seqs are globally unique).
+    """
+    from bisect import bisect_right
+
+    det_by_child: dict[str, list[int]] = {}
+    for child, dseq in detaches:
+        det_by_child.setdefault(child, []).append(dseq)
+    for seqs in det_by_child.values():
+        seqs.sort()
+
+    best: dict[str, tuple[int, bool]] = {}
+
+    def visit(parent: str, seq: int, val: bool) -> None:
+        cur = best.get(parent)
+        if cur is None or seq > cur[0]:
+            best[parent] = (seq, val)
+
+    for child, eseq, parent in edges:
+        visit(parent, eseq, True)
+        ds = det_by_child.get(child)
+        if ds:
+            i = bisect_right(ds, eseq)
+            if i < len(ds):
+                visit(parent, ds[i], False)
+    return [(p, v) for p, (_, v) in best.items()]
 
 
 def _latest_before(versions: list[tuple[int, str | None]], seq: int):
@@ -348,12 +379,7 @@ def build_edge_context(
 
     return EdgeContext(
         all_eq=all_eq,
-        edges_for_fold=spark.createDataFrame(fold_edges, EDGE_SCHEMA)
-        if fold_edges
-        else spark.createDataFrame([], EDGE_SCHEMA),
-        detaches_for_fold=spark.createDataFrame(fold_detaches, DETACH_SCHEMA)
-        if fold_detaches
-        else spark.createDataFrame([], DETACH_SCHEMA),
+        has_child_rows=_fold_has_child(fold_edges, fold_detaches),
         new_edges=arrow(
             new_edges, ["child_id", "seq", "parent_id"], ["string", "int64", "string"]
         ),
@@ -496,10 +522,10 @@ def compute_deltas(
                 restricted = _restrict(full, SPAN_ENTITY_TYPES, all_eq)
                 span_state = _span_state(restricted).persist()
                 edges = None
-                has_child_src = _has_child_final(
-                    full,
-                    edges=edge_ctx.edges_for_fold,
-                    detaches=edge_ctx.detaches_for_fold,
+                has_child_src = full.spark.createDataFrame(
+                    edge_ctx.has_child_rows, "id string, has_child boolean"
+                ) if edge_ctx.has_child_rows else full.spark.createDataFrame(
+                    [], "id string, has_child boolean"
                 )
             else:
                 edges = _parent_edges(full).persist()
@@ -516,10 +542,14 @@ def compute_deltas(
                 # affected ids after the fold. An affix/detach on a child
                 # flips the PARENT's has-child flag (ProjektorState.cs:
                 # 360-368, 405-413), so the superset includes parents of
-                # touched children. (The EdgeContext fold input is already
-                # parent-restricted to all_eq; the semi-join is then a
-                # no-op kept for shape parity.)
-                has_child = _keyed_to(has_child_src, all_eq)
+                # touched children. The EdgeContext fold is already
+                # parent-restricted to all_eq; only the legacy full
+                # recompute needs the post-fold restriction.
+                has_child = (
+                    has_child_src
+                    if edge_ctx is not None
+                    else _keyed_to(has_child_src, all_eq)
+                )
                 ends_df = slack_ends(
                     restricted, state=span_state, has_child=has_child
                 )

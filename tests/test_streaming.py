@@ -198,3 +198,38 @@ def test_edge_context_resolves_against_sink_registry(spark):
     # c1 -> p1 resolves; c2's parent was tombstoned before the affix
     assert resolved == [("c1", "p1")]
     assert set(ctx.all_eq) == {"c1", "c2", "p1"}
+
+
+def test_fold_has_child_matches_spark_fold(spark):
+    """The driver-side has-child fold must agree with the Spark
+    _has_child_final over a full generated log's edge/detach sets."""
+    from open_ftth_relational_projector_spark.projections.core import (
+        _has_child_final,
+        _parent_edges,
+    )
+    from open_ftth_relational_projector_spark.streaming.incremental import (
+        _fold_has_child,
+    )
+    from pyspark.sql import functions as F
+
+    env = spark.createDataFrame(
+        to_envelope_rows(generate(seed=7, scale=15)), ENVELOPE_SCHEMA
+    )
+    log = EventLog.from_envelopes(env)
+    edges_df = _parent_edges(log)
+    edges = [
+        (r.child_id, r.seq, r.parent_id)
+        for r in edges_df.select("child_id", "seq", "parent_id").collect()
+    ]
+    detaches = [
+        (r.child_id, r.seq)
+        for r in log.of("SpanEquipmentDetachedFromParent")
+        .select(F.col("spanEquipmentId").alias("child_id"), "seq")
+        .collect()
+    ]
+    spark_rows = {
+        (r.id, r.has_child) for r in _has_child_final(log).collect()
+    }
+    driver_rows = set(_fold_has_child(edges, detaches))
+    assert driver_rows == spark_rows
+    assert len(driver_rows) > 0
