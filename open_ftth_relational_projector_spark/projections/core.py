@@ -312,16 +312,23 @@ def _has_child_final(
 
 
 def project_rel_interest_to_route_element(log: EventLog) -> DataFrame:
-    """rel_interest_to_route_element(interest_id, route_network_element_id, seq_no)."""
-    walks = latest_by_key(_walk_versions(log), "interest_id")
-    unreg = (
-        log.of("InterestUnregistered")
-        .groupBy(F.col("interestId").alias("interest_id"))
-        .agg(F.max("seq").alias("_rm_seq"))
+    """rel_interest_to_route_element(interest_id, route_network_element_id, seq_no).
+
+    An unregistration is just a tombstone VERSION of the walk timeline, so
+    live walks are one last-write-wins fold over walks ∪ tombstones — one
+    shuffle on interest_id, no join (a registered/unregistered join of two
+    interest-sized streams would sort-merge at scale for nothing).
+    """
+    walks = _walk_versions(log).withColumn("_dead", F.lit(False))
+    unreg = log.of("InterestUnregistered").select(
+        F.col("interestId").alias("interest_id"),
+        "seq",
+        F.lit(None).cast("array<string>").alias("walk"),
+        F.lit(True).alias("_dead"),
     )
     live = (
-        walks.join(unreg, "interest_id", "left")
-        .filter(F.col("_rm_seq").isNull() | (F.col("_rm_seq") < F.col("seq")))
+        latest_by_key(walks.unionByName(unreg), "interest_id")
+        .filter(~F.col("_dead"))
         .select("interest_id", "walk")
     )
     return explode_with_seq(live, "interest_id", "walk", "route_network_element_id")

@@ -72,3 +72,58 @@ def test_projection_no_cartesian(spark):
     )
     for name, df in project_all(EventLog.from_envelopes(raw), persist=False).items():
         C.assert_no_cartesian(df)
+
+
+@pytest.fixture(scope="module")
+def domain_log(spark):
+    from open_ftth_relational_projector_spark.events.generator import (
+        generate,
+        to_envelope_rows,
+    )
+    from open_ftth_relational_projector_spark.events.reader import EventLog
+    from open_ftth_relational_projector_spark.events.schemas import ENVELOPE_SCHEMA
+
+    raw = spark.createDataFrame(
+        to_envelope_rows(generate(seed=5, scale=5)), ENVELOPE_SCHEMA
+    )
+    return EventLog.from_envelopes(raw)
+
+
+def test_entity_folds_are_single_shuffle(domain_log):
+    """fold_entity rides creations/updates/removals on ONE exchange —
+    the property that makes the fold linear at 100 TB."""
+    from open_ftth_relational_projector_spark.projections.core import (
+        project_installation,
+        project_work_task,
+    )
+
+    for fn in (project_work_task, project_installation):
+        df = fn(domain_log)
+        assert C.shuffle_count(df) <= 2, fn.__name__
+        assert C.sortmerge_join_count(df) == 0, fn.__name__
+
+
+def test_spec_registry_lookups_broadcast(domain_log):
+    """Spec registries are bounded dimension streams: their as-of lookups
+    must stay broadcast probes (no fact-stream shuffle, no SMJ)."""
+    from open_ftth_relational_projector_spark.projections.core import (
+        project_node_container,
+        project_span_equipment,
+    )
+
+    for fn, n in ((project_span_equipment, 2), (project_node_container, 2)):
+        df = fn(domain_log)
+        assert C.broadcast_join_count(df) >= n, fn.__name__
+        assert C.sortmerge_join_count(df) == 0, fn.__name__
+
+
+def test_rel_interest_folds_without_join(domain_log):
+    """Unregistration is a tombstone version: live walks must be ONE
+    keyed fold, not a walks-vs-unregistrations sort-merge join."""
+    from open_ftth_relational_projector_spark.projections.core import (
+        project_rel_interest_to_route_element,
+    )
+
+    df = project_rel_interest_to_route_element(domain_log)
+    assert C.shuffle_count(df) <= 2
+    assert C.sortmerge_join_count(df) == 0
