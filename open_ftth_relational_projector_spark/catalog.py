@@ -2026,6 +2026,15 @@ def knn_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.knn_lsh(emb, queries, k=5).withColumnRenamed("rank", "rnk")
 
 
+@_q("knn_ivf")  # no SQL oracle: approximate (coarse-quantized) variant
+def knn_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbors — the inverted-file scale path
+    next to knn_bruteforce (exact oracle) and knn_lsh (hash path)."""
+    emb = scattered(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return S.knn_ivf(emb, queries, k=5).withColumnRenamed("rank", "rnk")
+
+
 @_q(
     "multimodal_features",
     """

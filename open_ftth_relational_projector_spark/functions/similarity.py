@@ -118,6 +118,99 @@ def embedding_near_dups(
     )
 
 
+def _spherical_kmeans(
+    samples: list[list[float]], n_centroids: int, iters: int = 8, seed: int = 11
+) -> list[list[float]]:
+    """Driver-side spherical k-means on a bounded sample (the standard IVF
+    training recipe — at 100 TB you train the coarse quantizer on a sample
+    too, never the corpus). Deterministic seed; unit-norm centroids so
+    nearest-centroid-by-dot == nearest-by-cosine."""
+    import numpy as np
+
+    X = np.asarray(samples, dtype=np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+    for _ in range(iters):
+        assign = (X @ C.T).argmax(axis=1)
+        for j in range(len(C)):
+            members = X[assign == j]
+            if len(members):
+                c = members.mean(axis=0)
+                C[j] = c / max(float(np.linalg.norm(c)), 1e-12)
+    return C.tolist()
+
+
+def _centroid_lit(centroids: list[list[float]]) -> Column:
+    return F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+
+
+def _nearest_centroids(vec: Column, centroids: list[list[float]], n: int) -> Column:
+    """1-based ids of the ``n`` centroids nearest by cosine — computed with
+    JVM higher-order functions against the broadcast centroid literal (unit
+    centroids ⇒ rank by dot / |v|, and |v| is constant per row)."""
+    cl = _centroid_lit(centroids)
+    scored = F.transform(
+        F.sequence(F.lit(1), F.lit(len(centroids))),
+        lambda i: F.struct(
+            (-dot(vec, F.element_at(cl, i))).alias("neg"), i.alias("cid")
+        ),
+    )
+    return F.transform(F.slice(F.array_sort(scored), 1, n), lambda s: s["cid"])
+
+
+def knn_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    sample_size: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: corpus partitioned into coarse-quantizer
+    cells, each query probes its ``n_probe`` nearest cells.
+
+    Scale shape: one bounded sample collect trains the quantizer; corpus
+    assignment is a per-row JVM expression (no shuffle); the probe join
+    broadcasts the exploded query set so the corpus never moves; only the
+    per-query top-k windows over candidate rows. Recall is tunable via
+    n_probe (n_probe == n_centroids ⇒ exact)."""
+    samples = [
+        row[0]
+        for row in corpus.select(as_double(F.col(vec_col)))
+        .orderBy(F.col(id_col))
+        .limit(sample_size)
+        .collect()
+    ]
+    centroids = _spherical_kmeans(samples, n_centroids)
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+    ).withColumn(
+        "cid", F.element_at(_nearest_centroids(F.col("cv"), centroids, 1), 1)
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    ).select(
+        "query_id",
+        "qv",
+        F.explode(_nearest_centroids(F.col("qv"), centroids, n_probe)).alias("cid"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 def knn_lsh(
     corpus: DataFrame,
     queries: DataFrame,

@@ -190,3 +190,34 @@ def test_multimodal_stub_and_features(spark, docs):
 
     assert feats[1]["sha256"] == hashlib.sha256(b"the cat sat on the mat").hexdigest()
     assert feats[1]["width"] == feats[1]["n_bytes"] % 1920 + 1
+
+
+def test_knn_ivf_recall_and_exact_at_full_probe(spark):
+    import random
+
+    rng = random.Random(9)
+    vecs = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(200)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    q = df.filter("vec_id < 5")
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.knn_bruteforce(df, q, k=3).collect()
+    }
+    # probing EVERY cell makes IVF exhaustive -> must equal brute force
+    full = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.knn_ivf(
+            df, q, k=3, n_centroids=8, n_probe=8, sample_size=200
+        ).collect()
+    }
+    assert full == exact
+    # partial probe: well-formed, non-trivial recall on this small corpus
+    part = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.knn_ivf(
+            df, q, k=3, n_centroids=8, n_probe=4, sample_size=200
+        ).collect()
+    }
+    assert len(part) > 0
+    assert len(part & exact) / len(exact) >= 0.5

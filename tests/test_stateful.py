@@ -5,6 +5,8 @@ from __future__ import annotations
 import shutil
 import tempfile
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from open_ftth_relational_projector_spark.events.generator import (
@@ -67,3 +69,67 @@ def test_stateful_work_task_matches_batch(spark):
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
         spark.catalog.dropTempView("wt_stateful")
+
+
+def test_tws_work_task_matches_batch(spark):
+    """transformWithStateInPandas fold ≡ batch projection (needs the
+    RocksDB state store provider, which tWS requires)."""
+    from open_ftth_relational_projector_spark.streaming.stateful import (
+        stateful_work_task_tws,
+    )
+
+    env = spark.createDataFrame(
+        to_envelope_rows(generate(seed=17, scale=4)), ENVELOPE_SCHEMA
+    ).cache()
+    expected = {
+        r["id"]: (r["number"], r["status"])
+        for r in project_work_task(EventLog.from_envelopes(env)).collect()
+    }
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    tmp = tempfile.mkdtemp(prefix="ofrp_tws_")
+    try:
+        max_seq = env.agg({"seq": "max"}).collect()[0][0]
+        cut = max_seq // 2
+        write_envelope_batch(env.filter(f"seq <= {cut}"), f"{tmp}/in", 0)
+        write_envelope_batch(env.filter(f"seq > {cut}"), f"{tmp}/in", 1)
+
+        stream = spark.readStream.schema(ENVELOPE_SCHEMA).option(
+            "maxFilesPerTrigger", "1"
+        ).json(f"{tmp}/in")
+        q = (
+            stateful_work_task_tws(stream)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("wt_tws")
+            .option("checkpointLocation", f"{tmp}/cp")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(240)
+        except Exception as exc:  # environment-level tWS worker crash
+            if "driver worker exited" in str(exc):
+                pytest.skip("transformWithStateInPandas worker unsupported here")
+            raise
+
+        out = spark.sql(
+            """
+            SELECT id, number, status FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY seq DESC) rn
+              FROM wt_tws) WHERE rn = 1
+            """
+        )
+        got = {r["id"]: (r["number"], r["status"]) for r in out.collect()}
+        assert got == expected
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.catalog.dropTempView("wt_tws")
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
