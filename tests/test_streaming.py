@@ -233,3 +233,23 @@ def test_fold_has_child_matches_spark_fold(spark):
     driver_rows = set(_fold_has_child(edges, detaches))
     assert driver_rows == spark_rows
     assert len(driver_rows) > 0
+
+
+def test_apply_batch_large_batch_fallback(spark, monkeypatch):
+    """Batches above MAX_DRIVER_BATCH_ROWS skip the driver-side edge path;
+    the distributed full-recompute fallback must produce the same tables."""
+    import open_ftth_relational_projector_spark.streaming.incremental as I
+
+    env = spark.createDataFrame(
+        to_envelope_rows(generate(seed=21, scale=6)), ENVELOPE_SCHEMA
+    ).cache()
+    tables = project_all(EventLog.from_envelopes(env))
+    expected = {n: tables[n].toPandas() for n in PROJECTION_TABLES}
+
+    max_seq = env.agg({"seq": "max"}).collect()[0][0]
+    cut = int(max_seq * 0.5)
+    monkeypatch.setattr(I, "MAX_DRIVER_BATCH_ROWS", 0)
+    sink = DuckDBSink()
+    dehydrate(env.filter(f"seq <= {cut}"), sink)
+    apply_batch(env, env.filter(f"seq > {cut}"), sink, batch_id=0)
+    _assert_sink_matches(sink, expected)
