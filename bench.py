@@ -112,6 +112,8 @@ def bench_streaming_catchup(spark, scale: int = 20) -> tuple[str, float]:
                 env.filter(f"seq > {lo} AND seq <= {hi}"),
                 sink,
                 batch_id=i,
+                # env itself is cached; re-filtering it beats re-caching
+                persist_full=False,
             )
     return "streaming_catchup_4batches", time.perf_counter() - t0
 

@@ -100,6 +100,34 @@ TABLE_COLUMNS: dict[str, list[tuple[str, str]]] = {
         ("child_id", "VARCHAR(36)"),
         ("seq", "BIGINT"),
     ],
+    # silver state + spec registries for the driver-side micro-batch replay:
+    # a poll-interval batch seeds from these and replays in seq order (the
+    # reference's own fold), writing back only touched rows.
+    "_aux_span_state": [
+        ("id", "VARCHAR(36)"),
+        ("name", "VARCHAR(255)"),
+        ("interest_id", "VARCHAR(36)"),
+        ("spec_name", "VARCHAR(255)"),
+        ("outer_diameter", "INTEGER"),
+        ("is_cable", "BOOLEAN"),
+        ("access_address_id", "VARCHAR(36)"),
+        ("unit_address_id", "VARCHAR(36)"),
+        ("from_node_id", "VARCHAR(36)"),
+        ("to_node_id", "VARCHAR(36)"),
+        ("is_customer_conduit", "BOOLEAN"),
+        ("root_segment_id", "VARCHAR(36)"),
+        ("root_has_from_conn", "BOOLEAN"),
+        ("root_has_to_conn", "BOOLEAN"),
+    ],
+    "_aux_span_spec": [
+        ("spec_id", "VARCHAR(36)"),
+        ("name", "VARCHAR(255)"),
+        ("struct_spec_id", "VARCHAR(36)"),
+    ],
+    "_aux_struct_spec": [
+        ("struct_spec_id", "VARCHAR(36)"),
+        ("outer_diameter", "INTEGER"),
+    ],
     "_projector_meta": [
         ("key", "VARCHAR(255)"),
         ("value", "VARCHAR(255)"),
@@ -115,6 +143,9 @@ TABLE_PRIMARY_KEYS: dict[str, list[str]] = {
     "work_task": ["id"],
     "installation": ["id"],
     "_projector_meta": ["key"],
+    "_aux_span_state": ["id"],
+    "_aux_span_spec": ["spec_id"],
+    "_aux_struct_spec": ["struct_spec_id"],
 }
 
 # group key for tables maintained by delete-group-then-reinsert (S8:
@@ -150,6 +181,7 @@ SECONDARY_INDEXES: dict[str, list[str]] = {
     "_aux_affix_edge": ["child_id", "parent_id"],
     "_aux_root_segment": ["root_segment_id", "parent_id"],
     "_aux_detach": ["child_id"],
+    "_aux_span_state": ["id"],
 }
 
 

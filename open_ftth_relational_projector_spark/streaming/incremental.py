@@ -185,6 +185,7 @@ class EdgeContext:
     new_edges: object  # pyarrow appends for _aux_affix_edge
     new_registry: object  # pyarrow appends for _aux_root_segment
     new_detaches: object  # pyarrow appends for _aux_detach
+    span_replay: object = None  # streaming.replay.SpanReplayResult
 
 
 def _fold_has_child(
@@ -377,9 +378,15 @@ def build_edge_context(
             {n: pa.array(list(c), t) for n, c, t in zip(names, cols, types)}
         )
 
+    has_child_rows = _fold_has_child(fold_edges, fold_detaches)
+
+    from open_ftth_relational_projector_spark.streaming.replay import (
+        replay_span_batch,
+    )
+
     return EdgeContext(
         all_eq=all_eq,
-        has_child_rows=_fold_has_child(fold_edges, fold_detaches),
+        has_child_rows=has_child_rows,
         new_edges=arrow(
             new_edges, ["child_id", "seq", "parent_id"], ["string", "int64", "string"]
         ),
@@ -389,6 +396,9 @@ def build_edge_context(
             ["string", "int64", "string"],
         ),
         new_detaches=arrow(detaches, ["child_id", "seq"], ["string", "int64"]),
+        span_replay=replay_span_batch(
+            parsed, span_ids, all_eq, dict(has_child_rows), sink
+        ),
     )
 
 
@@ -507,49 +517,37 @@ def compute_deltas(
             project_service_termination(r), a
         )
 
-    if ids.get("span"):
-        # one restricted span-state fold serves BOTH the span_equipment
-        # delta and the slack-end delta; the restriction set is the slack
-        # superset (touched spans ∪ their affix parents). Both outputs share
-        # the persisted state, so they live in ONE thunk (serial inside,
-        # concurrent with every other table). With an EdgeContext the edge
-        # neighborhood comes from the sink aux tables (∝ batch); without
-        # one (no sink aux — e.g. a standalone delta computation) it falls
-        # back to recomputing _parent_edges from the full log.
+    if ids.get("span") and edge_ctx is not None:
+        # driver-side state-seeded replay (streaming/replay.py) already
+        # produced both span deltas inside build_edge_context; nothing to
+        # fan out. The aux state writes ride the sink transaction in
+        # runner.apply_batch.
+        rr = edge_ctx.span_replay
+        thunks["_span_group"] = lambda rr=rr, all_eq=edge_ctx.all_eq: {
+            "span_equipment": TableDelta(
+                upserts=rr.span_upserts, delete_keys=rr.span_deletes
+            ),
+            "_aux_slack_end": GroupDelta(group_keys=all_eq, rows=rr.slack_rows),
+        }
+    elif ids.get("span"):
+        # distributed fallback: recompute the superset's state and the
+        # has-child fold from the full log (large catch-up batches).
         def _span_group(a=ids["span"], ids=ids):
-            if edge_ctx is not None:
-                all_eq = edge_ctx.all_eq
-                restricted = _restrict(full, SPAN_ENTITY_TYPES, all_eq)
-                span_state = _span_state(restricted).persist()
-                edges = None
-                has_child_src = full.spark.createDataFrame(
-                    edge_ctx.has_child_rows, "id string, has_child boolean"
-                ) if edge_ctx.has_child_rows else full.spark.createDataFrame(
-                    [], "id string, has_child boolean"
-                )
-            else:
-                edges = _parent_edges(full).persist()
-                all_eq, restricted, span_state = _span_state_superset(
-                    full, ids, edges=edges
-                )
-                span_state = span_state.persist()
-                has_child_src = _has_child_final(full, edges=edges)
+            edges = _parent_edges(full).persist()
+            all_eq, restricted, span_state = _span_state_superset(
+                full, ids, edges=edges
+            )
+            span_state = span_state.persist()
+            has_child_src = _has_child_final(full, edges=edges)
             try:
                 state_a = _keyed_to(span_state, a)
                 span_df = project_span_equipment(restricted, state=state_a)
                 # has_child needs the UNRESTRICTED edge set (other
                 # children's affixes keep a parent flagged); filter to
-                # affected ids after the fold. An affix/detach on a child
-                # flips the PARENT's has-child flag (ProjektorState.cs:
-                # 360-368, 405-413), so the superset includes parents of
-                # touched children. The EdgeContext fold is already
-                # parent-restricted to all_eq; only the legacy full
-                # recompute needs the post-fold restriction.
-                has_child = (
-                    has_child_src
-                    if edge_ctx is not None
-                    else _keyed_to(has_child_src, all_eq)
-                )
+                # affected ids after the fold (ProjektorState.cs:360-368,
+                # 405-413 — the superset includes parents of touched
+                # children).
+                has_child = _keyed_to(has_child_src, all_eq)
                 ends_df = slack_ends(
                     restricted, state=span_state, has_child=has_child
                 )
@@ -561,8 +559,7 @@ def compute_deltas(
                 }
             finally:
                 span_state.unpersist()
-                if edges is not None:
-                    edges.unpersist()
+                edges.unpersist()
 
         thunks["_span_group"] = _span_group
 

@@ -1,0 +1,320 @@
+"""Driver-side span-state replay for poll-interval micro-batches.
+
+The distributed incremental path (streaming/incremental.py) recomputes a
+touched key's state from its full event history. For a micro-batch that is
+small by construction (one poll interval — Worker.cs:40-48), the same
+result comes much cheaper from the reference's own fold shape: seed the
+touched entities' CURRENT state from the sink's silver table
+(``_aux_span_state``), replay the batch's events over it in seq order
+(exactly ProjektorState.cs's dict mutations — the semantics are pinned by
+events/oracle.py and the batch-split equivalence tests), and write back
+only the touched rows. Spec registries ride along as sink aux tables
+(``_aux_span_spec`` / ``_aux_struct_spec``) the same way.
+
+Scale shape: sink reads and writes are indexed and ∝ batch; the replay is
+O(batch events); nothing scans the log. Batches above the driver threshold
+fall back to the distributed recompute (incremental.MAX_DRIVER_BATCH_ROWS),
+which then reseeds these aux tables from the log.
+
+Faithfulness notes (mirroring projections/core.py, NOT events/oracle.py's
+stricter KeyError behavior):
+  * a missing spec at event time yields NULL spec fields (the Spark fold's
+    as-of LEFT join semantics);
+  * is_customer_conduit is frozen at placement (SpanEquipmentState.cs:53)
+    and NULL when the placement had no resolvable spec;
+  * updates to never-created or removed ids are dropped (the reference's
+    guarded ContainsKey no-ops, ProjektorState.cs:551).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from open_ftth_relational_projector_spark.sinks.ddl import SCHEMA, TABLE_COLUMNS
+
+STATE_COLS = [c for c, _ in TABLE_COLUMNS["_aux_span_state"]]
+PUBLIC_COLS = [c for c, _ in TABLE_COLUMNS["span_equipment"]]
+
+SPAN_EVENT_TYPES = {
+    "SpanEquipmentPlacedInRouteNetwork",
+    "SpanEquipmentMoved",
+    "SpanEquipmentMerged",
+    "SpanEquipmentRemoved",
+    "SpanEquipmentSpecificationChanged",
+    "SpanEquipmentAddressInfoChanged",
+    "SpanEquipmentSpecificationAdded",
+    "SpanStructureSpecificationAdded",
+}
+
+
+@dataclass
+class SpanReplayResult:
+    state_upserts: object  # pyarrow.Table in _aux_span_state column order
+    state_deletes: list[str]
+    span_upserts: object  # pyarrow.Table in span_equipment column order
+    span_deletes: list[str]
+    slack_rows: object  # pyarrow.Table in _aux_slack_end column order
+
+
+def fold_spec_registry(parsed) -> dict[str, object]:
+    """Per-batch fold of spec-add events → aux-registry arrow upserts.
+
+    Runs EVERY batch in apply_batch, independent of whether the batch
+    touches span entities: a spec registered in one poll interval must be
+    resolvable by placements in any later one (the registry is a dimension
+    stream, not a span delta). Last add per key wins within a batch.
+    """
+    span_rows: dict[str, dict] = {}
+    struct_rows: dict[str, dict] = {}
+    for _seq, etype, p in sorted(parsed, key=lambda e: e[0]):
+        if etype == "SpanEquipmentSpecificationAdded":
+            s = p["specification"]
+            span_rows[s["id"]] = {
+                "spec_id": s["id"],
+                "name": s.get("name"),
+                "struct_spec_id": (s.get("rootTemplate") or {}).get(
+                    "spanStructureSpecificationId"
+                ),
+            }
+        elif etype == "SpanStructureSpecificationAdded":
+            s = p["specification"]
+            struct_rows[s["id"]] = {
+                "struct_spec_id": s["id"],
+                "outer_diameter": s.get("outerDiameter"),
+            }
+    out: dict[str, object] = {}
+    if span_rows:
+        out["_aux_span_spec"] = _arrow(
+            list(span_rows.values()), ["spec_id", "name", "struct_spec_id"], {}
+        )
+    if struct_rows:
+        out["_aux_struct_spec"] = _arrow(
+            list(struct_rows.values()),
+            ["struct_spec_id", "outer_diameter"],
+            {"outer_diameter": "int32"},
+        )
+    return out
+
+
+def _any_conn(eq: dict, end: str) -> bool:
+    """SpanEquipmentState.cs:69-95 — any (from|to) root-level connection."""
+    from open_ftth_relational_projector_spark.operators.arrays import EMPTY_GUID
+
+    last = len(eq["nodesOfInterestIds"]) - 1
+    for st in eq.get("spanStructures") or []:
+        for seg in (st or {}).get("spanSegments") or []:
+            if end == "from":
+                if seg["fromNodeOfInterestIndex"] == 0 and seg["fromTerminalId"] != EMPTY_GUID:
+                    return True
+            else:
+                if seg["toNodeOfInterestIndex"] == last and seg["toTerminalId"] != EMPTY_GUID:
+                    return True
+    return False
+
+
+def _root_segment_id(eq: dict):
+    structs = eq.get("spanStructures")
+    if structs:
+        segs = (structs[0] or {}).get("spanSegments")
+        if segs:
+            return (segs[0] or {}).get("id")
+    return None
+
+
+def _arrow(rows: list[dict], cols: list[str], types: dict):
+    import pyarrow as pa
+
+    return pa.table(
+        {c: pa.array([r.get(c) for r in rows], types.get(c, "string")) for c in cols}
+    )
+
+
+_STATE_TYPES = {
+    "outer_diameter": "int32",
+    "is_cable": "bool",
+    "is_customer_conduit": "bool",
+    "root_has_from_conn": "bool",
+    "root_has_to_conn": "bool",
+}
+
+
+def replay_span_batch(
+    parsed: list[tuple[int, str, dict]],
+    span_ids: list[str],
+    all_eq: list[str],
+    has_child: dict[str, bool],
+    sink,
+) -> SpanReplayResult:
+    """Replay one collected batch's span/spec events over sink-seeded state.
+
+    ``span_ids`` — entities the batch touches (upsert/delete scope);
+    ``all_eq`` — span_ids ∪ their affix parents (slack-end recompute scope);
+    ``has_child`` — folded flags from the edge neighborhood (incremental
+    build_edge_context), keys ⊆ all_eq.
+    """
+    events = sorted(
+        (e for e in parsed if e[1] in SPAN_EVENT_TYPES), key=lambda e: e[0]
+    )
+
+    def fetch(sql, params):
+        # pandas renders SQL NULLs in numeric columns as NaN — map back to
+        # None so arrow int casts and boolean logic see real nulls
+        def clean(v):
+            return None if (isinstance(v, float) and v != v) else v
+
+        return [
+            tuple(clean(v) for v in row)
+            for row in sink.fetch_df(sql, params).itertuples(index=False, name=None)
+        ]
+
+    # -- seed state + registries (∝ batch, indexed) -------------------------
+    states: dict[str, dict] = {}
+    if all_eq:
+        ph = ", ".join("?" for _ in all_eq)
+        cols = ", ".join(f'"{c}"' for c in STATE_COLS)
+        for row in fetch(
+            f'SELECT {cols} FROM {SCHEMA}."_aux_span_state" WHERE id IN ({ph})',
+            all_eq,
+        ):
+            st = dict(zip(STATE_COLS, row))
+            states[st["id"]] = st
+
+    spec_ids = set()
+    for _seq, etype, p in events:
+        if etype == "SpanEquipmentPlacedInRouteNetwork":
+            spec_ids.add((p.get("equipment") or {}).get("specificationId"))
+        elif etype == "SpanEquipmentSpecificationChanged":
+            spec_ids.add(p.get("newSpecificationId"))
+    spec_ids.discard(None)
+
+    span_specs: dict[str, tuple] = {}  # spec_id -> (name, struct_spec_id)
+    if spec_ids:
+        ids = sorted(spec_ids)
+        ph = ", ".join("?" for _ in ids)
+        for sid, name, ssid in fetch(
+            f'SELECT spec_id, name, struct_spec_id FROM {SCHEMA}."_aux_span_spec" '
+            f"WHERE spec_id IN ({ph})",
+            ids,
+        ):
+            span_specs[sid] = (name, ssid)
+    # batch spec-adds are applied during the replay at their seq; struct
+    # specs referenced by either source are fetched after a first pass
+    batch_span_specs = {
+        (p.get("specification") or {}).get("id"): p["specification"]
+        for _s, t, p in events
+        if t == "SpanEquipmentSpecificationAdded"
+    }
+    struct_ids = {ssid for _n, ssid in span_specs.values() if ssid is not None}
+    for spec in batch_span_specs.values():
+        ssid = ((spec.get("rootTemplate") or {}).get("spanStructureSpecificationId"))
+        if ssid is not None:
+            struct_ids.add(ssid)
+    struct_specs: dict[str, int | None] = {}
+    if struct_ids:
+        ids = sorted(struct_ids)
+        ph = ", ".join("?" for _ in ids)
+        for ssid, od in fetch(
+            f'SELECT struct_spec_id, outer_diameter FROM {SCHEMA}."_aux_struct_spec" '
+            f"WHERE struct_spec_id IN ({ph})",
+            ids,
+        ):
+            struct_specs[ssid] = od
+
+    # -- ordered replay (the reference's fold, state-seeded) ----------------
+    def resolve_spec(spec_id):
+        """(spec_name, outer_diameter) as of NOW in the replay — NULLs when
+        unresolvable (Spark as-of LEFT join semantics)."""
+        hit = span_specs.get(spec_id)
+        if hit is None:
+            return None, None
+        name, ssid = hit
+        return name, struct_specs.get(ssid)
+
+    for seq, etype, p in events:
+        if etype == "SpanEquipmentSpecificationAdded":
+            s = p["specification"]
+            ssid = (s.get("rootTemplate") or {}).get("spanStructureSpecificationId")
+            span_specs[s["id"]] = (s.get("name"), ssid)
+        elif etype == "SpanStructureSpecificationAdded":
+            s = p["specification"]
+            struct_specs[s["id"]] = s.get("outerDiameter")
+        elif etype == "SpanEquipmentPlacedInRouteNetwork":
+            eq = p["equipment"]
+            addr = eq.get("addressInfo") or {}
+            spec_name, outer = resolve_spec(eq.get("specificationId"))
+            states[eq["id"]] = {
+                "id": eq["id"],
+                "name": eq.get("name"),
+                "interest_id": eq.get("walkOfInterestId"),
+                "spec_name": spec_name,
+                "outer_diameter": outer,
+                "is_cable": eq.get("isCable"),
+                "access_address_id": addr.get("accessAddressId"),
+                "unit_address_id": addr.get("unitAddressId"),
+                "from_node_id": eq["nodesOfInterestIds"][0],
+                "to_node_id": eq["nodesOfInterestIds"][-1],
+                "is_customer_conduit": (
+                    ("ø12" in spec_name.lower()) if spec_name is not None else None
+                ),
+                "root_segment_id": _root_segment_id(eq),
+                "root_has_from_conn": _any_conn(eq, "from"),
+                "root_has_to_conn": _any_conn(eq, "to"),
+            }
+        elif etype in ("SpanEquipmentMoved", "SpanEquipmentMerged"):
+            st = states.get(p.get("spanEquipmentId"))
+            if st is not None:
+                nodes = p["nodesOfInterestIds"]
+                st["from_node_id"] = nodes[0]
+                st["to_node_id"] = nodes[-1]
+        elif etype == "SpanEquipmentSpecificationChanged":
+            st = states.get(p.get("spanEquipmentId"))
+            if st is not None:
+                spec_name, outer = resolve_spec(p.get("newSpecificationId"))
+                st["spec_name"] = spec_name
+                st["outer_diameter"] = outer
+                # is_customer_conduit frozen at placement (reference quirk)
+        elif etype == "SpanEquipmentAddressInfoChanged":
+            st = states.get(p.get("spanEquipmentId"))
+            if st is not None:
+                addr = p.get("addressInfo") or {}
+                st["access_address_id"] = addr.get("accessAddressId")
+                st["unit_address_id"] = addr.get("unitAddressId")
+        elif etype == "SpanEquipmentRemoved":
+            states.pop(p.get("spanEquipmentId"), None)
+
+    # -- deltas --------------------------------------------------------------
+    touched_states = [states[i] for i in span_ids if i in states]
+    gone = [i for i in span_ids if i not in states]
+    slack_rows = []
+    for i in all_eq:
+        st = states.get(i)
+        if st is None or not st.get("is_customer_conduit") or has_child.get(i, False):
+            continue
+        if not st.get("root_has_from_conn"):
+            slack_rows.append(
+                {
+                    "span_equipment_id": i,
+                    "route_node_id": st.get("from_node_id"),
+                    "end_kind": "from",
+                }
+            )
+        if not st.get("root_has_to_conn"):
+            slack_rows.append(
+                {
+                    "span_equipment_id": i,
+                    "route_node_id": st.get("to_node_id"),
+                    "end_kind": "to",
+                }
+            )
+
+    return SpanReplayResult(
+        state_upserts=_arrow(touched_states, STATE_COLS, _STATE_TYPES),
+        state_deletes=gone,
+        span_upserts=_arrow(touched_states, PUBLIC_COLS, _STATE_TYPES),
+        span_deletes=gone,
+        slack_rows=_arrow(
+            slack_rows,
+            [c for c, _ in TABLE_COLUMNS["_aux_slack_end"]],
+            {},
+        ),
+    )

@@ -36,6 +36,7 @@ from open_ftth_relational_projector_spark.events.schemas import ENVELOPE_SCHEMA
 from open_ftth_relational_projector_spark.projections import project_all
 from open_ftth_relational_projector_spark.projections.core import slack_ends
 from open_ftth_relational_projector_spark.sinks.ddl import SCHEMA
+from open_ftth_relational_projector_spark.streaming.replay import fold_spec_registry
 from open_ftth_relational_projector_spark.streaming.incremental import (
     GroupDelta,
     TableDelta,
@@ -45,6 +46,58 @@ from open_ftth_relational_projector_spark.streaming.incremental import (
     compute_deltas,
     md5_uuid,
 )
+
+
+def aux_seed_frames(
+    log: EventLog, state: DataFrame | None = None, edges: DataFrame | None = None
+) -> dict[str, DataFrame]:
+    """Aux-table seed frames from an accumulated log: the append-only edge
+    sets plus the silver span state and spec registries the driver-side
+    micro-batch replay reads. Used at dehydration and when a too-large
+    batch takes the distributed fallback (which must leave the aux tables
+    consistent for the next driver-side batch)."""
+    from open_ftth_relational_projector_spark.operators.lww import latest_by_key
+    from open_ftth_relational_projector_spark.projections.core import (
+        _parent_edges,
+        _parent_registry_versions,
+        _span_state,
+    )
+    from open_ftth_relational_projector_spark.sinks.ddl import TABLE_COLUMNS
+    from open_ftth_relational_projector_spark.streaming.replay import STATE_COLS
+
+    if state is None:
+        state = _span_state(log)
+    if edges is None:
+        edges = _parent_edges(log)
+    span_spec = latest_by_key(
+        log.of("SpanEquipmentSpecificationAdded").select(
+            F.col("specification.id").alias("spec_id"),
+            "seq",
+            F.col("specification.name").alias("name"),
+            F.col("specification.rootTemplate.spanStructureSpecificationId").alias(
+                "struct_spec_id"
+            ),
+        ),
+        "spec_id",
+    ).select("spec_id", "name", "struct_spec_id")
+    struct_spec = latest_by_key(
+        log.of("SpanStructureSpecificationAdded").select(
+            F.col("specification.id").alias("struct_spec_id"),
+            "seq",
+            F.col("specification.outerDiameter").alias("outer_diameter"),
+        ),
+        "struct_spec_id",
+    ).select("struct_spec_id", "outer_diameter")
+    return {
+        "_aux_affix_edge": edges.select("child_id", "seq", "parent_id"),
+        "_aux_root_segment": _parent_registry_versions(log),
+        "_aux_detach": log.of("SpanEquipmentDetachedFromParent").select(
+            F.col("spanEquipmentId").alias("child_id"), "seq"
+        ),
+        "_aux_span_state": state.select(*STATE_COLS),
+        "_aux_span_spec": span_spec,
+        "_aux_struct_spec": struct_spec,
+    }
 
 
 def dehydrate(envelopes: DataFrame, sink) -> int:
@@ -58,7 +111,6 @@ def dehydrate(envelopes: DataFrame, sink) -> int:
     from open_ftth_relational_projector_spark.projections.core import (
         _has_child_final,
         _parent_edges,
-        _parent_registry_versions,
         _span_state,
     )
     from open_ftth_relational_projector_spark.plans.concurrency import run_concurrent
@@ -75,11 +127,7 @@ def dehydrate(envelopes: DataFrame, sink) -> int:
     has_child = _has_child_final(log, edges=edges)
     tables = project_all(log, persist=False, state=state, has_child=has_child)
     tables["_aux_slack_end"] = slack_ends(log, state=state, has_child=has_child)
-    tables["_aux_affix_edge"] = edges.select("child_id", "seq", "parent_id")
-    tables["_aux_root_segment"] = _parent_registry_versions(log)
-    tables["_aux_detach"] = log.of("SpanEquipmentDetachedFromParent").select(
-        F.col("spanEquipmentId").alias("child_id"), "seq"
-    )
+    tables.update(aux_seed_frames(log, state=state, edges=edges))
     arrow = run_concurrent(
         {
             name: (
@@ -139,9 +187,15 @@ def apply_batch(
     batch_envelopes: DataFrame,
     sink,
     batch_id: int | None = None,
+    persist_full: bool = True,
 ) -> bool:
     """Apply one micro-batch incrementally. Returns False if skipped
-    (already-applied batch_id — T5 exactly-once)."""
+    (already-applied batch_id — T5 exactly-once).
+
+    ``persist_full=False`` skips caching the accumulated log for callers
+    whose ``full_envelopes`` already derives from a cached/materialized
+    source (re-filtering a cached parent is cheaper than building another
+    cache of the same rows every batch)."""
     if batch_id is not None and sink.get_meta("applied_batch") == str(batch_id):
         return False
 
@@ -150,17 +204,34 @@ def apply_batch(
     # materialize the typed streams once per batch: every per-table delta
     # re-reads several of them, and without this each recompute re-filters
     # and re-parses the accumulated envelope log
-    full_log = EventLog.from_envelopes(full_envelopes).persisted()
+    full_log = EventLog.from_envelopes(full_envelopes)
+    if persist_full:
+        full_log = full_log.persisted()
     try:
         edge_ctx = build_edge_context(full_log, parsed, ids, sink)
         deltas = compute_deltas(full_log, ids, edge_ctx=edge_ctx)
 
         sink.begin()
         try:
+            # spec registries are dimension streams — fold them EVERY batch
+            # (a spec-only batch must still land in the aux registry for
+            # later batches' placements to resolve against)
+            for name, tbl in fold_spec_registry(parsed).items():
+                sink.merge(name, tbl)
             if edge_ctx is not None:
                 sink.append("_aux_affix_edge", edge_ctx.new_edges)
                 sink.append("_aux_root_segment", edge_ctx.new_registry)
                 sink.append("_aux_detach", edge_ctx.new_detaches)
+                rr = edge_ctx.span_replay
+                if rr is not None:
+                    sink.merge("_aux_span_state", rr.state_upserts)
+                    sink.delete_keys("_aux_span_state", "id", rr.state_deletes)
+            elif ids.get("span") or ids.get("cable"):
+                # distributed fallback: the batch was too large for the
+                # driver path, so the aux sets are reseeded wholesale from
+                # the accumulated log (the fallback is already ∝ log).
+                for name, df in aux_seed_frames(full_log).items():
+                    sink.overwrite(name, df)
             for table, delta in deltas.items():
                 if table == "_aux_slack_end":
                     apply_slack_delta(sink, delta)

@@ -200,6 +200,42 @@ def test_edge_context_resolves_against_sink_registry(spark):
     assert set(ctx.all_eq) == {"c1", "c2", "p1"}
 
 
+def test_spec_only_batch_feeds_later_placements(spark, envelopes, expected_tables):
+    """A batch containing ONLY spec-add events (no span entities) must still
+    land in the aux spec registry, so placements in LATER batches resolve
+    spec_name/outer_diameter — the regression behind the seed-42 split."""
+    from open_ftth_relational_projector_spark.streaming.replay import (
+        fold_spec_registry,
+    )
+
+    parsed = [
+        (2, "SpanStructureSpecificationAdded",
+         {"specification": {"id": "ss1", "outerDiameter": 40}}),
+        (3, "SpanEquipmentSpecificationAdded",
+         {"specification": {"id": "sp1", "name": "Conduit Ø40",
+                            "rootTemplate": {"spanStructureSpecificationId": "ss1"}}}),
+        # same key re-added later in the batch: last one wins
+        (4, "SpanEquipmentSpecificationAdded",
+         {"specification": {"id": "sp1", "name": "Conduit Ø40 v2",
+                            "rootTemplate": {"spanStructureSpecificationId": "ss1"}}}),
+    ]
+    out = fold_spec_registry(parsed)
+    assert out["_aux_span_spec"].to_pylist() == [
+        {"spec_id": "sp1", "name": "Conduit Ø40 v2", "struct_spec_id": "ss1"}
+    ]
+    assert out["_aux_struct_spec"].to_pylist() == [
+        {"struct_spec_id": "ss1", "outer_diameter": 40}
+    ]
+    assert fold_spec_registry([(1, "SpanEquipmentMoved", {})]) == {}
+
+    # end-to-end: batch boundaries straddling the generator's spec block
+    # (seqs 14-40 at scale=4/seed=11 are all spec adds)
+    sink = DuckDBSink()
+    max_seq = envelopes.agg({"seq": "max"}).collect()[0][0]
+    _stream_split(spark, envelopes, [10, 30, max_seq], sink)
+    _assert_sink_matches(sink, expected_tables)
+
+
 def test_fold_has_child_matches_spark_fold(spark):
     """The driver-side has-child fold must agree with the Spark
     _has_child_final over a full generated log's edge/detach sets."""
