@@ -48,6 +48,43 @@ def test_q5_all_dims_broadcast_no_smj(q):
     C.assert_no_cartesian(df)
 
 
+def test_q7_q9_dims_broadcast_single_fact_shuffle_join(q):
+    """Multi-dim fact queries: every dim lookup broadcasts; at most the
+    lineitem⋈orders fact join is a shuffle join."""
+    for name, dims in (("q7_nation_volume_shipping", 4), ("q9_product_type_profit", 3)):
+        df = q(name)
+        assert C.broadcast_join_count(df) >= dims, name
+        assert C.sortmerge_join_count(df) <= 1, name
+        C.assert_no_cartesian(df)
+
+
+def test_q16_exclusion_is_broadcast_anti_join(q):
+    df = q("q16_supplier_part_counts")
+    plan = C.formatted_plan(df)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert C.sortmerge_join_count(df) == 0
+
+
+def test_q19_part_predicates_push_into_broadcast_side(q):
+    df = q("q19_discounted_revenue")
+    pushed = " ".join(C.pushed_filters(df))
+    assert "p_brand" in pushed or "p_size" in pushed, (
+        "part pre-filter must reach the part scan"
+    )
+    assert C.broadcast_join_count(df) >= 1
+    assert C.sortmerge_join_count(df) == 0
+
+
+def test_q22_anti_join_and_scalar_broadcast(q):
+    """The 1-row global-average side may be a broadcast nested-loop cross
+    (that IS the scalar-subquery plan); the orders exclusion must be a
+    hash anti-join, not a sort-merge."""
+    df = q("q22_sales_opportunity")
+    plan = C.formatted_plan(df)
+    assert "LeftAnti" in plan
+    assert C.sortmerge_join_count(df) == 0
+
+
 def test_knn_bruteforce_prunes_to_two_columns(q):
     df = q("knn_bruteforce")
     for schema in C.scan_read_schemas(df):
