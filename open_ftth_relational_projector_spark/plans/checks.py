@@ -23,20 +23,22 @@ def formatted_plan(df: DataFrame) -> str:
 
 
 def shuffle_count(df: DataFrame) -> int:
-    """Number of Exchange (shuffle) operators in the physical plan.
+    """Number of distinct Exchange (shuffle) operators in the physical plan.
 
+    Counts the detail section's ``(n) Exchange`` headers so an operator
+    appearing in both the tree summary and the details isn't double-counted.
     AQE may later coalesce partitions but never removes a planned exchange;
     fewer planned exchanges = structurally less data movement at any scale.
     """
-    return len(re.findall(r"\bExchange\b(?! SinglePartition)", formatted_plan(df)))
+    return len(set(re.findall(r"\((\d+)\) Exchange\b", formatted_plan(df))))
 
 
 def broadcast_join_count(df: DataFrame) -> int:
-    return formatted_plan(df).count("BroadcastHashJoin")
+    return len(set(re.findall(r"\((\d+)\) BroadcastHashJoin\b", formatted_plan(df))))
 
 
 def sortmerge_join_count(df: DataFrame) -> int:
-    return formatted_plan(df).count("SortMergeJoin")
+    return len(set(re.findall(r"\((\d+)\) SortMergeJoin\b", formatted_plan(df))))
 
 
 def pushed_filters(df: DataFrame) -> list[str]:

@@ -1,0 +1,86 @@
+"""Bucketed layout tests: the write-once-shuffle-never property, pinned.
+
+A co-located join is THE scale lever for this engine's fact⋈fact joins —
+these tests prove (via the physical plan) that joins and aggregations on
+the bucket key run with zero Exchange operators, and that results equal
+the unbucketed plans'.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from open_ftth_relational_projector_spark.plans import checks as C
+from open_ftth_relational_projector_spark.sources.bucketing import (
+    bucket_spec,
+    write_bucketed,
+)
+from open_ftth_relational_projector_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def bucketed(spark):
+    db = "bucket_test"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    write_bucketed(
+        load_table(spark, SF, "lineitem"), f"{db}.lineitem_b", "l_orderkey", 8
+    )
+    write_bucketed(
+        load_table(spark, SF, "orders"), f"{db}.orders_b", "o_orderkey", 8
+    )
+    yield db
+    spark.sql(f"DROP DATABASE {db} CASCADE")
+
+
+def test_bucket_spec_readback(spark, bucketed):
+    assert bucket_spec(spark, f"{bucketed}.lineitem_b") == (["l_orderkey"], 8)
+    assert bucket_spec(spark, f"{bucketed}.orders_b") == (["o_orderkey"], 8)
+
+
+@pytest.fixture()
+def no_autobroadcast(spark):
+    """At test SF everything fits a broadcast, which would mask the bucket
+    property under test; at real scale the fact⋈fact sides don't broadcast,
+    so plan them the way the cluster would."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucketed_join_has_no_exchange(spark, bucketed, no_autobroadcast):
+    li = spark.table(f"{bucketed}.lineitem_b")
+    o = spark.table(f"{bucketed}.orders_b")
+    joined = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("o_orderpriority").agg(
+        F.sum("l_quantity").alias("qty")
+    )
+    # join on the bucket key rides the bucket partitioning with NO Exchange
+    # on either side; only the tiny 5-row priority agg shuffles
+    assert C.shuffle_count(joined) <= 1, C.formatted_plan(joined)
+    assert C.sortmerge_join_count(joined) == 1
+
+    plain_li = load_table(spark, SF, "lineitem")
+    plain_o = load_table(spark, SF, "orders")
+    plain = (
+        plain_li.join(plain_o, plain_li.l_orderkey == plain_o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    assert C.shuffle_count(plain) >= 3, "unbucketed baseline should shuffle both sides"
+    assert sorted(map(tuple, joined.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_bucketed_groupby_has_no_exchange(spark, bucketed):
+    li = spark.table(f"{bucketed}.lineitem_b")
+    agg = li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("qty"))
+    assert C.shuffle_count(agg) == 0, C.formatted_plan(agg)
+    plain = (
+        load_table(spark, SF, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    assert agg.count() == plain.count()
