@@ -1007,6 +1007,82 @@ def sessionize_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "tumbling_event_windows",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+           event_type, COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def tumbling_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """streaming/windows.tumbling_counts in batch mode — the same
+    expression the streaming path runs with a watermark (tested against
+    real late-data eviction in tests/test_streaming_windows.py)."""
+    from open_ftth_relational_projector_spark.streaming.windows import (
+        tumbling_counts,
+    )
+
+    return tumbling_counts(load_table(spark, sf_dir, "events"), "1 hour")
+
+
+@_q(
+    "sliding_event_windows",
+    """
+    SELECT time_bucket(INTERVAL '30 minutes', ts)
+             - to_minutes(30 * k.k) AS window_start,
+           time_bucket(INTERVAL '30 minutes', ts)
+             - to_minutes(30 * k.k) + INTERVAL '1 hour' AS window_end,
+           event_type, COUNT(*) AS n_events
+    FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) k
+    GROUP BY 1, 2, 3
+    """,
+)
+def sliding_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 minutes: each event lands in exactly
+    duration/slide = 2 windows (the oracle materializes both by bucket
+    arithmetic; Spark's window expression does the same expansion)."""
+    from open_ftth_relational_projector_spark.streaming.windows import (
+        sliding_counts,
+    )
+
+    return sliding_counts(
+        load_table(spark, sf_dir, "events"), "1 hour", "30 minutes"
+    )
+
+
+@_q(
+    "session_event_windows",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts - LAG(ts) OVER w > INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    numbered AS (
+      SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged)
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30 minutes' AS session_end,
+           COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+    FROM numbered GROUP BY user_id, sid
+    """,
+)
+def session_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window (gap-based) per user — the oracle derives the
+    same sessions via gaps-and-islands SQL; session_end = last event + gap
+    (Spark's session_window close semantics)."""
+    from open_ftth_relational_projector_spark.streaming.windows import (
+        session_windows,
+    )
+
+    return session_windows(load_table(spark, sf_dir, "events"), "30 minutes")
+
+
 # ===========================================================================
 # 3. the projection engine over synthesized domain events
 # ===========================================================================

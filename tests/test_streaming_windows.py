@@ -1,0 +1,119 @@
+"""Event-time windows under a REAL streaming run: append-mode emission,
+watermark advance across checkpointed restarts, and late-row eviction.
+
+The invariant: after both runs, the parquet sink equals the BATCH window
+aggregation over exactly the rows the watermark admitted — the late row
+is dropped even though a naive batch recompute would count it.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+from datetime import datetime, timedelta
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from open_ftth_relational_projector_spark.streaming.windows import tumbling_counts
+
+SCHEMA = (
+    "event_id long, ts timestamp_ntz, user_id long, event_type string, value double"
+)
+BASE = datetime(2024, 1, 1)
+
+
+def _rows(minutes_and_types):
+    return [
+        (i, BASE + timedelta(minutes=m), 1, t, 1.0)
+        for i, (m, t) in enumerate(minutes_and_types)
+    ]
+
+
+def _land(rows, src, name):
+    """Write one flat parquet file into the stream source dir (the file
+    source treats each new file as newly-arrived data)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(src, exist_ok=True)
+    cols = list(zip(*rows))
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(cols[0], "int64"),
+                "ts": pa.array(cols[1], pa.timestamp("us")),
+                "user_id": pa.array(cols[2], "int64"),
+                "event_type": pa.array(cols[3], "string"),
+                "value": pa.array(cols[4], "float64"),
+            }
+        ),
+        f"{src}/{name}.parquet",
+    )
+
+
+def _drain(spark, src, out, cp):
+    q = (
+        tumbling_counts(
+            spark.readStream.schema(SCHEMA).parquet(src),
+            window_duration="10 minutes",
+            watermark_delay="10 minutes",
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", cp)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+@pytest.mark.filterwarnings("ignore::ResourceWarning")
+def test_windowed_append_with_late_row_eviction(spark):
+    tmp = tempfile.mkdtemp(prefix="ofrp_win_")
+    src, out, cp = f"{tmp}/in", f"{tmp}/out", f"{tmp}/cp"
+    try:
+        # run 1: events at minutes 1..99 → watermark lands at 99-10=89min,
+        # so windows ending ≤ 80min are finalized and emitted
+        run1 = _rows([(m, "a") for m in range(1, 100)])
+        _land(run1, src, "batch1")
+        _drain(spark, src, out, cp)
+
+        # run 2 (same checkpoint): a LATE row at minute 5 — its window
+        # [0,10) was already emitted and evicted, so it must be dropped —
+        # plus on-time rows at 200/205min that advance the watermark to
+        # 195min, flushing every remaining run-1 window
+        run2 = _rows([(5, "late"), (200, "b"), (205, "b")])
+        _land(run2, src, "batch2")
+        _drain(spark, src, out, cp)
+
+        got = sorted(
+            map(tuple, spark.read.parquet(out).collect())
+        )
+
+        # expected: batch windows over the admitted rows only (no late row),
+        # restricted to windows the final watermark (195min) finalized
+        admitted = spark.createDataFrame(
+            [r for r in run1 + run2 if r[3] != "late"], SCHEMA
+        )
+        horizon = BASE + timedelta(minutes=195)
+        expected = sorted(
+            map(
+                tuple,
+                tumbling_counts(admitted, "10 minutes")
+                .filter(F.col("window_end") <= F.lit(horizon))
+                .collect(),
+            )
+        )
+        assert len(expected) == 10  # [0,10)...[90,100) for type a
+        assert got == expected
+        # and the late row really was dropped: window [0,10) counts only
+        # minutes 1..9 from run 1
+        first = [r for r in got if r[0] == BASE][0]
+        assert first[3] == 9
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
