@@ -2349,6 +2349,82 @@ def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_a", "doc_b", _r4(F.col("jaccard")).alias("jaccard"))
 
 
+@_q(
+    "dedup_clusters",
+    """
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             UNNEST(list_distinct(list_transform(
+               generate_series(1, GREATEST(LEN(t) - 2, 0)),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+      FROM toks),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    pairs AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i
+      JOIN sizes sa ON i.doc_a = sa.doc_id
+      JOIN sizes sb ON i.doc_b = sb.doc_id
+      WHERE n_inter / CAST(sa.n + sb.n - n_inter AS DOUBLE) >= 0.05),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs),
+    reach(src, node) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a)
+    SELECT src AS doc_id, MIN(node) AS component_id
+    FROM reach GROUP BY src
+    """,
+)
+def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIRS → dedup CLUSTERS: connected components by iterative
+    min-label propagation (functions/graph.py) over the exact n-gram
+    Jaccard pairs; the oracle derives the same components via a recursive
+    transitive-closure CTE. component_id = min doc_id of the cluster, i.e.
+    the canonical document a dedup pass would keep."""
+    from open_ftth_relational_projector_spark.functions.graph import (
+        connected_components,
+    )
+
+    pairs = D.ngram_jaccard_pairs(
+        scattered(load_table(spark, sf_dir, "documents")), threshold=0.05, n=3
+    )
+    return connected_components(pairs)
+
+
+@_q(
+    "train_test_split_stats",
+    """
+    SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666'
+                THEN 'train' ELSE 'test' END AS split,
+           COUNT(*) AS n_docs, ROUND(AVG(n_chars), 4) AS avg_chars
+    FROM documents GROUP BY 1
+    """,
+)
+def train_test_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic engine-portable 90/10 split (functions/sampling.py):
+    md5-bucket compared against a hex threshold as a STRING, so the DuckDB
+    oracle reproduces the assignment byte-for-byte. Per-row expression —
+    no shuffle, stable under repartitioning."""
+    from open_ftth_relational_projector_spark.functions.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        hash_split(docs, "doc_id", {"train": 0.9, "test": 0.1})
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            _r4(F.avg("n_chars")).alias("avg_chars"),
+        )
+    )
+
+
 @_q("minhash_near_dups")  # no SQL oracle: xxhash64 seeds are Spark-specific
 def minhash_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = D.minhash_near_dups(

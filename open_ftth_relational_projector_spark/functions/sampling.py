@@ -1,0 +1,65 @@
+"""Deterministic sampling/splitting for training-data pipelines.
+
+A train/test split at 100 TB must be (1) reproducible across runs and
+engines, (2) computable per-row with no shuffle, and (3) stable under
+repartitioning — which rules out ``rand()`` and ``df.sample``. The
+standing trick: hash a stable key to a uniform bucket and split on fixed
+thresholds. md5 is used (not xxhash/crc32) because every engine computes
+the identical digest, so the DuckDB oracle — or a downstream system doing
+the same split — agrees row-for-row.
+
+The first 8 hex chars of md5(key || salt) are compared AS STRINGS against
+hex thresholds: lowercase hex sorts lexicographically in numeric order, so
+the comparison is engine-portable without any hex→int conversion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+_HEX_SPAN = 16**8
+
+
+def split_bucket(key: Column, salt: str = "") -> Column:
+    """Stable 8-hex-char bucket of a key (uniform over [0, 16^8))."""
+    return F.substring(F.md5(F.concat(key.cast("string"), F.lit(salt))), 1, 8)
+
+
+def hash_split(
+    df: DataFrame,
+    key: str,
+    fractions: dict[str, float],
+    salt: str = "",
+    out: str = "split",
+) -> DataFrame:
+    """Assign each row a split label with the given fractions (must sum to
+    ~1). Per-row expression only — no shuffle, no state, reproducible for
+    a given (key, salt) everywhere."""
+    total = sum(fractions.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    bucket = split_bucket(F.col(key), salt)
+    cum = 0.0
+    expr = None
+    items = list(fractions.items())
+    for name, frac in items[:-1]:
+        cum += frac
+        threshold = format(int(cum * _HEX_SPAN), "08x")
+        cond = bucket < F.lit(threshold)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn(out, expr)
+
+
+def split_thresholds(fractions: dict[str, float]) -> dict[str, tuple[str, str]]:
+    """(lo, hi) hex-threshold strings per split — for writing the same
+    split in SQL (oracles, other engines)."""
+    out: dict[str, tuple[str, str]] = {}
+    cum = 0.0
+    for name, frac in fractions.items():
+        lo = format(int(cum * _HEX_SPAN), "08x")
+        cum += frac
+        hi = format(min(int(cum * _HEX_SPAN), _HEX_SPAN - 1), "08x")
+        out[name] = (lo, hi)
+    return out

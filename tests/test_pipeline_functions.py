@@ -221,3 +221,73 @@ def test_knn_ivf_recall_and_exact_at_full_probe(spark):
     }
     assert len(part) > 0
     assert len(part & exact) / len(exact) >= 0.5
+
+
+def test_connected_components_chain_triangle_pair(spark):
+    """Chain needs multiple propagation rounds; triangle and isolated pair
+    must each collapse to their min id; nodes absent from edges absent
+    from output."""
+    from open_ftth_relational_projector_spark.functions.graph import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        # chain 1-2-3-4-5 (diameter 4), triangle 10-11-12, pair 20-21
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        (r.doc_id, r.component_id)
+        for r in connected_components(edges).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1), (5, 1),
+        (10, 10), (11, 10), (12, 10),
+        (20, 20), (21, 20),
+    }
+
+
+def test_connected_components_raises_past_max_iter(spark):
+    from open_ftth_relational_projector_spark.functions.graph import (
+        connected_components,
+    )
+    import pytest as _pytest
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "doc_a long, doc_b long"
+    )
+    with _pytest.raises(RuntimeError, match="converge"):
+        connected_components(chain, max_iter=1)
+
+
+def test_hash_split_deterministic_and_proportional(spark):
+    from open_ftth_relational_projector_spark.functions.sampling import (
+        hash_split,
+        split_thresholds,
+    )
+
+    df = spark.range(0, 20_000).withColumnRenamed("id", "k")
+    out = hash_split(df, "k", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").count()
+              .withColumnRenamed("count", "n").collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / 20_000 - 0.8) < 0.02
+    assert abs(counts["val"] / 20_000 - 0.1) < 0.01
+    # repartitioning must not change a single assignment
+    again = hash_split(df.repartition(13), "k", {"train": 0.8, "val": 0.1, "test": 0.1})
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+    # thresholds round-trip for SQL consumers
+    th = split_thresholds({"train": 0.8, "val": 0.1, "test": 0.1})
+    assert th["train"][0] == "00000000" and th["test"][1] == "ffffffff"
+
+
+def test_hash_split_salt_changes_assignment(spark):
+    from open_ftth_relational_projector_spark.functions.sampling import hash_split
+
+    df = spark.range(0, 2_000).withColumnRenamed("id", "k")
+    a = dict(map(tuple, hash_split(df, "k", {"x": 0.5, "y": 0.5}).collect()))
+    b = dict(
+        map(tuple, hash_split(df, "k", {"x": 0.5, "y": 0.5}, salt="s1").collect())
+    )
+    flipped = sum(1 for k in a if a[k] != b[k])
+    assert 0.3 < flipped / 2_000 < 0.7
