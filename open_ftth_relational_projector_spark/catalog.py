@@ -2552,3 +2552,53 @@ def knn_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = attach_binary(scattered(load_table(spark, sf_dir, "documents")))
     return extract_features(docs, fake=True)
+
+
+@_q(
+    "multimodal_frames",
+    """
+    -- documents.text is pure ASCII, so VARCHAR substr == byte slicing
+    WITH f AS (
+      SELECT doc_id, text,
+             UNNEST(generate_series(
+               0, CAST(FLOOR((length(text) - 1) / 256.0) AS INT))) AS k
+      FROM documents WHERE length(text) > 0)
+    SELECT doc_id, CAST(k AS INTEGER) AS frame_idx,
+           sha256(substring(text, k * 256 + 1, 256)) AS frame_sha256,
+           CAST(LEAST(256, length(text) - k * 256) AS INTEGER) AS n_bytes
+    FROM f
+    """,
+)
+def multimodal_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling (functions/multimodal.sample_frames): each payload
+    explodes into fixed-size frames via 1→N mapInPandas; the oracle slices
+    the same blob with substring arithmetic."""
+    from open_ftth_relational_projector_spark.functions.multimodal import (
+        sample_frames,
+    )
+
+    docs = attach_binary(scattered(load_table(spark, sf_dir, "documents")))
+    return sample_frames(docs, frame_bytes=256)
+
+
+@_q(
+    "multimodal_resize",
+    """
+    SELECT doc_id,
+           CAST(octet_length(CAST(text AS BLOB)) % 1920 + 1 AS INTEGER) AS width,
+           CAST(octet_length(CAST(text AS BLOB)) % 1080 + 1 AS INTEGER) AS height,
+           224 AS target_w, 224 AS target_h,
+           sha256(text || '224x224') AS resized_sha256
+    FROM documents
+    """,
+)
+def multimodal_resize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stub resize (functions/multimodal.resize_images): deterministic
+    payload⊕geometry hash pins the full contract the real codec swap must
+    preserve."""
+    from open_ftth_relational_projector_spark.functions.multimodal import (
+        resize_images,
+    )
+
+    docs = attach_binary(scattered(load_table(spark, sf_dir, "documents")))
+    return resize_images(docs, 224, 224)

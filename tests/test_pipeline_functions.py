@@ -291,3 +291,29 @@ def test_hash_split_salt_changes_assignment(spark):
     )
     flipped = sum(1 for k in a if a[k] != b[k])
     assert 0.3 < flipped / 2_000 < 0.7
+
+
+def test_sample_frames_stride_and_expansion(spark):
+    """1→N expansion with overlapping stride: payload of 10 bytes, frame 4,
+    hop 3 → frames at offsets 0,3,6,9 with sizes 4,4,4,1."""
+    import hashlib
+
+    from open_ftth_relational_projector_spark.functions.multimodal import (
+        sample_frames,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"abcdefghij")), (2, bytearray(b""))],
+        "doc_id long, payload binary",
+    )
+    rows = sorted(
+        (r.doc_id, r.frame_idx, r.n_bytes, r.frame_sha256)
+        for r in sample_frames(df, frame_bytes=4, stride=3).collect()
+    )
+    payload = b"abcdefghij"
+    expected = sorted(
+        (1, k, len(payload[off : off + 4]),
+         hashlib.sha256(payload[off : off + 4]).hexdigest())
+        for k, off in enumerate(range(0, 10, 3))
+    )
+    assert rows == expected  # doc 2 (empty payload) contributes nothing
