@@ -2602,3 +2602,67 @@ def multimodal_resize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = attach_binary(scattered(load_table(spark, sf_dir, "documents")))
     return resize_images(docs, 224, 224)
+
+
+@_q(
+    "tfidf_top_terms",
+    """
+    WITH tok AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * ln(n.n_docs / CAST(df.df AS DOUBLE)) AS tf_idf
+      FROM tf JOIN df USING (term) CROSS JOIN n),
+    ranked AS (
+      SELECT doc_id, term, tf_idf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY tf_idf DESC, term ASC) AS rnk
+      FROM scored)
+    SELECT doc_id, term, CAST(rnk AS INTEGER) AS rnk,
+           ROUND(tf_idf, 4) AS tf_idf
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (functions/text.tf_idf_top_terms) —
+    deterministic tie-break on term text; term-keyed shuffles only."""
+    return TXT.tf_idf_top_terms(
+        scattered(load_table(spark, sf_dir, "documents")), k=3
+    )
+
+
+@_q(
+    "value_quantiles_by_type",
+    """
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.25), 4) AS p25,
+           ROUND(quantile_cont(value, 0.5), 4) AS p50,
+           ROUND(quantile_cont(value, 0.75), 4) AS p75,
+           ROUND(quantile_cont(value, 0.9), 4) AS p90,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def value_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per key (Spark `percentile` ==
+    DuckDB `quantile_cont`, both linear interpolation). At 100 TB swap for
+    `approx_percentile` (t-digest, mergeable partial agg) — same query
+    shape, bounded memory; the exact form stays as its oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    q = F.percentile("value", F.lit([0.25, 0.5, 0.75, 0.9]))
+    return (
+        ev.groupBy("event_type")
+        .agg(q.alias("qs"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "event_type",
+            _r4(F.element_at("qs", 1)).alias("p25"),
+            _r4(F.element_at("qs", 2)).alias("p50"),
+            _r4(F.element_at("qs", 3)).alias("p75"),
+            _r4(F.element_at("qs", 4)).alias("p90"),
+            "n",
+        )
+    )

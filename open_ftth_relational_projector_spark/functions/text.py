@@ -117,3 +117,42 @@ def fingerprint(text: Column) -> Column:
     """Stable document fingerprint: md5 of whitespace-normalized lowercase."""
     norm = F.trim(F.regexp_replace(F.lower(text), "\\s+", " "))
     return F.md5(norm)
+
+
+def tf_idf_top_terms(
+    docs, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+):
+    """Top-k TF-IDF terms per document.
+
+    tf = term count within the doc; idf = ln(N / df) with df = number of
+    docs containing the term. Plan shape: one explode → one (doc, term)
+    aggregation; df comes from the same aggregate (count over docs per
+    term) joined back — term-keyed shuffles only, no all-pairs anything.
+    Ties break on term text so the result is a deterministic set.
+    """
+    from pyspark.sql import Window, functions as F
+
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.countDistinct(id_col).alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tf_idf", F.col("tf") * F.log(F.col("n_docs") / F.col("df")))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf_idf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "doc_id",
+            "term",
+            F.col("rnk").cast("int").alias("rnk"),
+            F.round("tf_idf", 4).alias("tf_idf"),
+        )
+    )
