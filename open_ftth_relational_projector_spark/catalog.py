@@ -2666,3 +2666,136 @@ def value_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@_q(
+    "weekly_cohort_retention",
+    """
+    WITH firsts AS (
+      SELECT user_id, MIN(time_bucket(INTERVAL '7 days', ts)) AS cohort_week
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT e.user_id,
+             time_bucket(INTERVAL '7 days', e.ts) AS active_week
+      FROM events e)
+    SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.active_week) / 7 AS INTEGER)
+             AS week_offset,
+           COUNT(DISTINCT a.user_id) AS n_active
+    FROM firsts f JOIN activity a ON f.user_id = a.user_id
+    GROUP BY 1, 2
+    """,
+)
+def weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort/retention matrix: users bucketed by first-seen week, counted
+    per week-offset of later activity. Two aggregations + one join, all
+    keyed on user_id — the first-seen aggregate broadcasts (dimension-sized
+    at one row per user per shuffle partition)."""
+    ev = load_table(spark, sf_dir, "events")
+    # DuckDB's time_bucket anchors week intervals at 2000-01-03 (Monday),
+    # not the 1970 epoch (Thursday) — use the same origin
+    origin = 946_857_600  # 2000-01-03 00:00:00 UTC
+    week = F.timestamp_seconds(
+        ((F.col("ts").cast("timestamp").cast("long") - origin) / (7 * 86400))
+        .cast("long") * (7 * 86400) + origin
+    ).cast("timestamp_ntz")
+    bucketed = ev.select("user_id", week.alias("week"))
+    firsts = bucketed.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    activity = bucketed.distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (
+                F.datediff(F.col("week"), F.col("cohort_week")) / 7
+            ).cast("int").alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+
+
+@_q(
+    "signup_to_purchase_funnel",
+    """
+    WITH s AS (
+      SELECT user_id, MIN(ts) AS signup_ts FROM events
+      WHERE event_type = 'signup' GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS click_ts
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'click' AND e.ts > s.signup_ts
+      GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS purchase_ts
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+      GROUP BY e.user_id)
+    SELECT (SELECT COUNT(*) FROM s) AS n_signup,
+           (SELECT COUNT(*) FROM c) AS n_clicked_after,
+           (SELECT COUNT(*) FROM p) AS n_purchased_after
+    """,
+)
+def signup_to_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel signup → click → purchase: each stage keeps users
+    whose stage event strictly follows their previous stage's first event.
+    Implemented as per-user min-aggregations chained by broadcast joins;
+    event-order comparison, not mere existence."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def stage(etype, prev, prev_ts):
+        src = ev.filter(F.col("event_type") == etype)
+        if prev is not None:
+            src = src.join(F.broadcast(prev), "user_id").filter(
+                F.col("ts") > F.col(prev_ts)
+            )
+        return src.groupBy("user_id").agg(F.min("ts").alias(f"{etype}_ts"))
+
+    s = stage("signup", None, "")
+    c = stage("click", s, "signup_ts")
+    p = stage("purchase", c, "click_ts")
+    return (
+        s.agg(F.count(F.lit(1)).alias("n_signup"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_clicked_after")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchased_after")))
+    )
+
+
+@_q(
+    "clicks_within_signup_day",
+    """
+    WITH s AS (
+      SELECT user_id, ts AS start_ts, ts + INTERVAL '1 day' AS end_ts
+      FROM events WHERE event_type = 'signup'),
+    c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+    SELECT c.user_id, COUNT(*) AS n_clicks
+    FROM c JOIN s ON c.user_id = s.user_id
+               AND c.ts >= s.start_ts AND c.ts < s.end_ts
+    GROUP BY c.user_id
+    """,
+)
+def clicks_within_signup_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-containment join via operators/range_join.interval_join:
+    clicks falling inside any same-user [signup, +24h) window. Bucketized
+    equi-join on (user_id, 6h bucket) + exact containment filter — no
+    BroadcastNestedLoopJoin anywhere in the plan (pinned in test_plans)."""
+    from open_ftth_relational_projector_spark.operators.range_join import (
+        interval_join,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 1 DAY")).alias("end_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    joined = interval_join(
+        clicks,
+        signups,
+        fact_ts="ts",
+        start="start_ts",
+        end="end_ts",
+        bucket_seconds=21_600,
+        extra_keys=["user_id"],
+    )
+    return joined.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_clicks"))

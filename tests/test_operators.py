@@ -190,3 +190,47 @@ def test_asof_join_broadcast_matches_shuffle_form(spark):
     # no-shuffle claim: the fact side of the broadcast form has no Exchange
     plan = asof_join_broadcast(facts, versions, "key")._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastExchange" in plan
+
+
+def test_interval_join_boundaries_and_overlap(spark):
+    """Half-open [start, end): ts==start matches, ts==end does not;
+    overlapping windows multiply matches; extra_keys separate users."""
+    from datetime import datetime
+
+    from open_ftth_relational_projector_spark.operators.range_join import (
+        interval_join,
+    )
+
+    T = lambda s: datetime.fromisoformat(s)
+    facts = spark.createDataFrame(
+        [
+            (1, T("2024-01-01 00:00:00")),  # == start of w1
+            (1, T("2024-01-01 06:00:00")),  # inside w1 AND w2 (overlap)
+            (1, T("2024-01-01 12:00:00")),  # == end of w1 → only w2
+            (2, T("2024-01-01 06:00:00")),  # other user: no window
+        ],
+        "user_id long, ts timestamp_ntz",
+    )
+    ivals = spark.createDataFrame(
+        [
+            (1, T("2024-01-01 00:00:00"), T("2024-01-01 12:00:00")),  # w1
+            (1, T("2024-01-01 04:00:00"), T("2024-01-01 16:00:00")),  # w2
+        ],
+        "user_id long, start_ts timestamp_ntz, end_ts timestamp_ntz",
+    )
+    out = interval_join(
+        facts, ivals, "ts", "start_ts", "end_ts",
+        bucket_seconds=3600, extra_keys=["user_id"],
+    )
+    got = sorted((r.user_id, r.ts.hour, r.start_ts.hour) for r in out.collect())
+    assert got == [(1, 0, 0), (1, 6, 0), (1, 6, 4), (1, 12, 4)]
+
+    semi = interval_join(
+        facts, ivals, "ts", "start_ts", "end_ts",
+        bucket_seconds=3600, extra_keys=["user_id"], how="left_semi",
+    )
+    assert semi.count() == 3  # each contained fact once, user 2 dropped
+
+    from open_ftth_relational_projector_spark.plans import checks as C
+    plan = C.formatted_plan(out)
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
