@@ -234,3 +234,86 @@ def test_interval_join_boundaries_and_overlap(spark):
     from open_ftth_relational_projector_spark.plans import checks as C
     plan = C.formatted_plan(out)
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_interval_join_random_equivalence(spark):
+    """Randomized differential: bucketized interval_join == naive Python
+    containment scan, across bucket widths (incl. widths much smaller and
+    larger than the intervals)."""
+    import random
+    from datetime import datetime, timedelta
+
+    from open_ftth_relational_projector_spark.operators.range_join import (
+        interval_join,
+    )
+
+    rng = random.Random(77)
+    base = datetime(2024, 1, 1)
+    facts = [
+        (rng.randrange(4), base + timedelta(minutes=rng.randrange(0, 3000)))
+        for _ in range(300)
+    ]
+    ivals = []
+    for _ in range(40):
+        s = rng.randrange(0, 2800)
+        ivals.append(
+            (
+                rng.randrange(4),
+                base + timedelta(minutes=s),
+                base + timedelta(minutes=s + rng.randrange(1, 400)),
+            )
+        )
+    fdf = spark.createDataFrame(facts, "user_id long, ts timestamp_ntz")
+    idf = spark.createDataFrame(
+        ivals, "user_id long, start_ts timestamp_ntz, end_ts timestamp_ntz"
+    )
+    expected = sorted(
+        (fu, ft, s, e)
+        for fu, ft in facts
+        for iu, s, e in ivals
+        if fu == iu and s <= ft < e
+    )
+    for bucket in (60, 3600, 86_400):
+        got = sorted(
+            (r.user_id, r.ts, r.start_ts, r.end_ts)
+            for r in interval_join(
+                fdf, idf, "ts", "start_ts", "end_ts",
+                bucket_seconds=bucket, extra_keys=["user_id"],
+            ).collect()
+        )
+        assert got == expected, f"bucket={bucket}"
+
+
+def test_connected_components_random_equivalence(spark):
+    """Randomized differential: label propagation == union-find."""
+    import random
+
+    from open_ftth_relational_projector_spark.functions.graph import (
+        connected_components,
+    )
+
+    rng = random.Random(13)
+    edges = list({
+        tuple(sorted(rng.sample(range(60), 2))) for _ in range(70)
+    })
+
+    parent = list(range(60))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    in_graph = {n for e in edges for n in e}
+    expected = sorted(
+        (n, min(m for m in in_graph if find(m) == find(n))) for n in in_graph
+    )
+
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = sorted(
+        (r.doc_id, r.component_id) for r in connected_components(df).collect()
+    )
+    assert got == expected
