@@ -40,16 +40,14 @@ class EventLog:
 
     @classmethod
     def from_envelopes(cls, raw: DataFrame) -> "EventLog":
-        """raw: (seq long, event_type string, payload json-string)."""
-        spark = raw.sparkSession
-        typed = {}
-        for etype, schema in PAYLOAD_SCHEMAS.items():
-            typed[etype] = (
-                raw.filter(F.col("event_type") == etype)
-                .select("seq", F.from_json("payload", schema).alias("p"))
-                .select("seq", "p.*")
-            )
-        return cls(typed, spark, raw=raw)
+        """raw: (seq long, event_type string, payload json-string).
+
+        Typed streams are derived LAZILY on first ``of()`` access: a
+        micro-batch touches a handful of the 27 types, and building every
+        filter+parse plan upfront costs ~0.5 s of py4j round-trips per
+        batch for plans that are never executed.
+        """
+        return cls({}, raw.sparkSession, raw=raw)
 
     @classmethod
     def from_typed(cls, spark: SparkSession, typed: dict[str, DataFrame]) -> "EventLog":
@@ -58,6 +56,17 @@ class EventLog:
     def of(self, event_type: str) -> DataFrame:
         if event_type in self._typed:
             return self._typed[event_type]
+        if self._raw is not None and event_type in PAYLOAD_SCHEMAS:
+            df = (
+                self._raw.filter(F.col("event_type") == event_type)
+                .select(
+                    "seq",
+                    F.from_json("payload", PAYLOAD_SCHEMAS[event_type]).alias("p"),
+                )
+                .select("seq", "p.*")
+            )
+            self._typed[event_type] = df
+            return df
         # absent type → empty DataFrame with the right flattened schema
         return self._spark.createDataFrame([], _flat_schema(event_type))
 
@@ -117,7 +126,9 @@ class EventLog:
                     F.col(id_expr) == F.col("_rid"),
                     "left_semi",
                 )
-        return EventLog(typed, self._spark)
+        # keep the raw frame so unlisted types still lazily derive (they
+        # must pass through WHOLE — dimension streams feed as-of joins)
+        return EventLog(typed, self._spark, raw=self._raw)
 
     @property
     def spark(self) -> SparkSession:
