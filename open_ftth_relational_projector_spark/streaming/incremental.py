@@ -449,6 +449,7 @@ def compute_deltas(
     full: EventLog,
     ids: dict[str, list[str]],
     edge_ctx: EdgeContext | None = None,
+    skip: tuple[str, ...] = (),
 ) -> dict[str, TableDelta | GroupDelta]:
     """Recompute every affected row set against the accumulated log.
 
@@ -465,12 +466,12 @@ def compute_deltas(
 
     thunks: dict[str, object] = {}
 
-    if ids.get("work_task"):
+    if ids.get("work_task") and "work_task" not in skip:
         a = ids["work_task"]
         r = _restrict(full, ["WorkTaskCreated", "WorkTaskStatusChanged"], a)
         thunks["work_task"] = lambda a=a, r=r: _keyed_delta(project_work_task(r), a)
 
-    if ids.get("installation"):
+    if ids.get("installation") and "installation" not in skip:
         a = ids["installation"]
         r = _restrict(
             full,

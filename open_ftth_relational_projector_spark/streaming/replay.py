@@ -318,3 +318,113 @@ def replay_span_batch(
             {},
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Join-free LWW tables: replay straight against the sink's public rows
+# ---------------------------------------------------------------------------
+
+# per table: (creation event, update events, field assignments). Semantics
+# mirror projections/base.fold_entity exactly (pinned by the batch/streaming
+# equivalence tests): creations open an epoch, updates apply only to live
+# entities (the reference's guarded ContainsKey, ProjektorState.cs:597-613,
+# 626-668), update values overwrite unconditionally (nulls included).
+_LWW_SPECS = {
+    "work_task": {
+        "domain": "work_task",
+        "created": (
+            "WorkTaskCreated",
+            "workTaskId",
+            lambda p: {
+                "number": (p.get("workTask") or {}).get("number"),
+                "status": (p.get("workTask") or {}).get("status"),
+            },
+            # null/empty status ⇒ creation skipped (ProjektorState.cs:593)
+            lambda p: bool((p.get("workTask") or {}).get("status")),
+        ),
+        "updates": {
+            "WorkTaskStatusChanged": (
+                "workTaskId",
+                lambda p: {"status": p.get("status")},
+            ),
+        },
+    },
+    "installation": {
+        "domain": "installation",
+        "created": (
+            "InstallationCreated",
+            "id",
+            lambda p: {
+                "installation_id": p.get("installationId"),
+                "unit_address_id": p.get("unitAddressId"),
+                "status": p.get("status"),
+                "location_remark": p.get("locationRemark"),
+            },
+            lambda p: True,
+        ),
+        "updates": {
+            "InstallationUnitAddressChanged": (
+                "id",
+                lambda p: {"unit_address_id": p.get("unitAddressId")},
+            ),
+            "InstallationStatusChanged": (
+                "id",
+                lambda p: {"status": p.get("status")},
+            ),
+            "InstallationLocationRemarkChanged": (
+                "id",
+                lambda p: {"location_remark": p.get("locationRemark")},
+            ),
+        },
+    },
+}
+
+
+def replay_lww_tables(
+    parsed: list[tuple[int, str, dict]],
+    ids: dict[str, list[str]],
+    sink,
+) -> dict[str, tuple[object, list[str]]]:
+    """Driver-side replay of the join-free LWW tables for one micro-batch.
+
+    The sink's public table IS the full state for these tables — seed the
+    touched ids' rows (indexed, ∝ batch), apply the batch's events in seq
+    order, return (arrow upserts, delete keys) per table. Zero Spark jobs.
+    """
+    out: dict[str, tuple[object, list[str]]] = {}
+    for table, spec in _LWW_SPECS.items():
+        touched_ids = ids.get(spec["domain"])
+        if not touched_ids:
+            continue
+        cols = [c for c, _ in TABLE_COLUMNS[table]]
+        ctype, cid, cfields, cguard = spec["created"]
+        relevant = {ctype, *spec["updates"]}
+
+        states: dict[str, dict] = {}
+        ph = ", ".join("?" for _ in touched_ids)
+        col_sql = ", ".join(f'"{c}"' for c in cols)
+        for row in sink.fetch_df(
+            f'SELECT {col_sql} FROM {SCHEMA}."{table}" WHERE id IN ({ph})',
+            touched_ids,
+        ).itertuples(index=False, name=None):
+            st = dict(zip(cols, row))
+            states[st["id"]] = st
+
+        for _seq, etype, p in sorted(
+            (e for e in parsed if e[1] in relevant), key=lambda e: e[0]
+        ):
+            if etype == ctype:
+                if not cguard(p):
+                    continue
+                eid = p.get(cid)
+                states[eid] = {"id": eid, **cfields(p)}
+            else:
+                id_key, ufields = spec["updates"][etype]
+                st = states.get(p.get(id_key))
+                if st is not None:
+                    st.update(ufields(p))
+
+        rows = [states[i] for i in touched_ids if i in states]
+        gone = [i for i in touched_ids if i not in states]
+        out[table] = (_arrow(rows, cols, {}), gone)
+    return out

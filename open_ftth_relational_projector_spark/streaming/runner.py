@@ -209,7 +209,23 @@ def apply_batch(
         full_log = full_log.persisted()
     try:
         edge_ctx = build_edge_context(full_log, parsed, ids, sink)
-        deltas = compute_deltas(full_log, ids, edge_ctx=edge_ctx)
+        # join-free LWW tables replay straight against the sink's public
+        # rows (zero Spark jobs) whenever the batch is driver-sized
+        from open_ftth_relational_projector_spark.streaming.incremental import (
+            MAX_DRIVER_BATCH_ROWS,
+        )
+        from open_ftth_relational_projector_spark.streaming.replay import (
+            replay_lww_tables,
+        )
+
+        lww: dict[str, tuple[object, list[str]]] = {}
+        if len(parsed) <= MAX_DRIVER_BATCH_ROWS:
+            lww = replay_lww_tables(parsed, ids, sink)
+        deltas = compute_deltas(
+            full_log, ids, edge_ctx=edge_ctx, skip=tuple(lww)
+        )
+        for table, (upserts, gone) in lww.items():
+            deltas[table] = TableDelta(upserts=upserts, delete_keys=gone)
 
         sink.begin()
         try:
