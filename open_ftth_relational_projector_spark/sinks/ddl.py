@@ -123,10 +123,34 @@ TABLE_COLUMNS: dict[str, list[tuple[str, str]]] = {
         ("spec_id", "VARCHAR(36)"),
         ("name", "VARCHAR(255)"),
         ("struct_spec_id", "VARCHAR(36)"),
+        ("is_cable", "BOOLEAN"),
     ],
     "_aux_struct_spec": [
         ("struct_spec_id", "VARCHAR(36)"),
         ("outer_diameter", "INTEGER"),
+    ],
+    "_aux_nc_spec": [
+        ("spec_id", "VARCHAR(36)"),
+        ("name", "VARCHAR(255)"),
+        ("category", "VARCHAR(255)"),
+    ],
+    "_aux_term_spec": [
+        ("spec_id", "VARCHAR(36)"),
+        ("is_customer_termination", "BOOLEAN"),
+    ],
+    # latest walk version per interest (reg ∪ mod, stored deduped) — feeds
+    # the cable replay's as-of walk resolution
+    "_aux_walk": [
+        ("interest_id", "VARCHAR(36)"),
+        ("seq", "BIGINT"),
+        ("walk", "VARCHAR[]"),
+    ],
+    # latest placement per span equipment (survives removal — the cable
+    # projection's interest lookup is an as-of over placements)
+    "_aux_cable_placement": [
+        ("cable_id", "VARCHAR(36)"),
+        ("seq", "BIGINT"),
+        ("interest_id", "VARCHAR(36)"),
     ],
     "_projector_meta": [
         ("key", "VARCHAR(255)"),
@@ -146,6 +170,10 @@ TABLE_PRIMARY_KEYS: dict[str, list[str]] = {
     "_aux_span_state": ["id"],
     "_aux_span_spec": ["spec_id"],
     "_aux_struct_spec": ["struct_spec_id"],
+    "_aux_nc_spec": ["spec_id"],
+    "_aux_term_spec": ["spec_id"],
+    "_aux_walk": ["interest_id"],
+    "_aux_cable_placement": ["cable_id"],
 }
 
 # group key for tables maintained by delete-group-then-reinsert (S8:

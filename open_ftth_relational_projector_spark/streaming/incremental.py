@@ -487,7 +487,7 @@ def compute_deltas(
             project_installation(r), a
         )
 
-    if ids.get("node_container"):
+    if ids.get("node_container") and "node_container" not in skip:
         a = ids["node_container"]
         r = _restrict(
             full,
@@ -502,7 +502,7 @@ def compute_deltas(
             project_node_container(r), a
         )
 
-    if ids.get("terminal"):
+    if ids.get("terminal") and "service_termination" not in skip:
         a = ids["terminal"]
         r = _restrict(
             full,
@@ -564,7 +564,7 @@ def compute_deltas(
 
         thunks["_span_group"] = _span_group
 
-    if ids.get("interest"):
+    if ids.get("interest") and "rel_interest_to_route_element" not in skip:
         a = ids["interest"]
         r = _restrict(
             full,
@@ -580,7 +580,7 @@ def compute_deltas(
             group_keys=a, rows=df.toArrow()
         )
 
-    if ids.get("cable"):
+    if ids.get("cable") and "rel_fiber_cable_to_route_element" not in skip:
         a = ids["cable"]
         # restrict only the trigger streams; walks + specs stay whole (dims)
         r = _restrict(full, CABLE_TRIGGER_TYPES, a)

@@ -77,9 +77,10 @@ def aux_seed_frames(
             F.col("specification.rootTemplate.spanStructureSpecificationId").alias(
                 "struct_spec_id"
             ),
+            F.col("specification.isCable").alias("is_cable"),
         ),
         "spec_id",
-    ).select("spec_id", "name", "struct_spec_id")
+    ).select("spec_id", "name", "struct_spec_id", "is_cable")
     struct_spec = latest_by_key(
         log.of("SpanStructureSpecificationAdded").select(
             F.col("specification.id").alias("struct_spec_id"),
@@ -88,6 +89,38 @@ def aux_seed_frames(
         ),
         "struct_spec_id",
     ).select("struct_spec_id", "outer_diameter")
+    from open_ftth_relational_projector_spark.projections.core import _walk_versions
+
+    nc_spec = latest_by_key(
+        log.of("NodeContainerSpecificationAdded").select(
+            F.col("specification.id").alias("spec_id"),
+            "seq",
+            F.col("specification.name").alias("name"),
+            F.col("specification.category").alias("category"),
+        ),
+        "spec_id",
+    ).select("spec_id", "name", "category")
+    term_spec = latest_by_key(
+        log.of("TerminalEquipmentSpecificationAdded").select(
+            F.col("specification.id").alias("spec_id"),
+            "seq",
+            F.col("specification.isCustomerTermination").alias(
+                "is_customer_termination"
+            ),
+        ),
+        "spec_id",
+    ).select("spec_id", "is_customer_termination")
+    walk = latest_by_key(_walk_versions(log), "interest_id").select(
+        "interest_id", "seq", "walk"
+    )
+    cable_placement = latest_by_key(
+        log.of("SpanEquipmentPlacedInRouteNetwork").select(
+            F.col("equipment.id").alias("cable_id"),
+            "seq",
+            F.col("equipment.walkOfInterestId").alias("interest_id"),
+        ),
+        "cable_id",
+    ).select("cable_id", "seq", "interest_id")
     return {
         "_aux_affix_edge": edges.select("child_id", "seq", "parent_id"),
         "_aux_root_segment": _parent_registry_versions(log),
@@ -97,6 +130,10 @@ def aux_seed_frames(
         "_aux_span_state": state.select(*STATE_COLS),
         "_aux_span_spec": span_spec,
         "_aux_struct_spec": struct_spec,
+        "_aux_nc_spec": nc_spec,
+        "_aux_term_spec": term_spec,
+        "_aux_walk": walk,
+        "_aux_cable_placement": cable_placement,
     }
 
 
@@ -208,24 +245,45 @@ def apply_batch(
     if persist_full:
         full_log = full_log.persisted()
     try:
-        edge_ctx = build_edge_context(full_log, parsed, ids, sink)
-        # join-free LWW tables replay straight against the sink's public
-        # rows (zero Spark jobs) whenever the batch is driver-sized
         from open_ftth_relational_projector_spark.streaming.incremental import (
             MAX_DRIVER_BATCH_ROWS,
         )
         from open_ftth_relational_projector_spark.streaming.replay import (
             replay_lww_tables,
+            replay_rel_batch,
         )
 
-        lww: dict[str, tuple[object, list[str]]] = {}
-        if len(parsed) <= MAX_DRIVER_BATCH_ROWS:
-            lww = replay_lww_tables(parsed, ids, sink)
-        deltas = compute_deltas(
-            full_log, ids, edge_ctx=edge_ctx, skip=tuple(lww)
+        # The driver-side replays require sink state == fold(log ∖ batch).
+        # A re-delivered/overlapping batch (batch min seq ≤ watermark)
+        # violates that, so it takes the distributed recompute, which is
+        # idempotent by construction (pure function of the accumulated log).
+        prev_wm = int(sink.get_meta("watermark") or 0)
+        batch_min = min((s for s, _, _ in parsed), default=None)
+        overlap = batch_min is not None and batch_min <= prev_wm
+        driver_ok = not overlap and len(parsed) <= MAX_DRIVER_BATCH_ROWS
+
+        edge_ctx = (
+            build_edge_context(full_log, parsed, ids, sink) if not overlap else None
         )
-        for table, (upserts, gone) in lww.items():
-            deltas[table] = TableDelta(upserts=upserts, delete_keys=gone)
+        # join-free LWW tables replay straight against the sink's public
+        # rows (zero Spark jobs) whenever the batch is driver-sized
+        driver_deltas: dict[str, TableDelta | GroupDelta] = {}
+        if driver_ok:
+            for table, (up, gone) in replay_lww_tables(parsed, ids, sink).items():
+                driver_deltas[table] = TableDelta(upserts=up, delete_keys=gone)
+            for table, res in replay_rel_batch(parsed, ids, sink).items():
+                if res[0] == "keyed":
+                    driver_deltas[table] = TableDelta(
+                        upserts=res[1], delete_keys=res[2]
+                    )
+                else:
+                    driver_deltas[table] = GroupDelta(
+                        group_keys=res[1], rows=res[2]
+                    )
+        deltas = compute_deltas(
+            full_log, ids, edge_ctx=edge_ctx, skip=tuple(driver_deltas)
+        )
+        deltas.update(driver_deltas)
 
         sink.begin()
         try:

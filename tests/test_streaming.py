@@ -221,7 +221,8 @@ def test_spec_only_batch_feeds_later_placements(spark, envelopes, expected_table
     ]
     out = fold_spec_registry(parsed)
     assert out["_aux_span_spec"].to_pylist() == [
-        {"spec_id": "sp1", "name": "Conduit Ø40 v2", "struct_spec_id": "ss1"}
+        {"spec_id": "sp1", "name": "Conduit Ø40 v2", "struct_spec_id": "ss1",
+         "is_cable": None}
     ]
     assert out["_aux_struct_spec"].to_pylist() == [
         {"struct_spec_id": "ss1", "outer_diameter": 40}
