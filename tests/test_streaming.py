@@ -71,10 +71,13 @@ def _stream_split(spark, envelopes, bounds, sink):
         apply_batch(full, batch, sink, batch_id=i)
 
 
-def test_streaming_equivalence_random_split(spark, envelopes, expected_tables):
+@pytest.mark.parametrize("seed,n_cuts", [(42, 3), (7, 5), (1234, 2)])
+def test_streaming_equivalence_random_split(
+    spark, envelopes, expected_tables, seed, n_cuts
+):
     max_seq = envelopes.agg({"seq": "max"}).collect()[0][0]
-    rng = random.Random(42)
-    cuts = sorted(rng.sample(range(1, max_seq), 3))
+    rng = random.Random(seed)
+    cuts = sorted(rng.sample(range(1, max_seq), n_cuts))
     bounds = [*cuts, max_seq]
     sink = DuckDBSink()
     _stream_split(spark, envelopes, bounds, sink)
