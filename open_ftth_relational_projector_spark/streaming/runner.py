@@ -316,10 +316,11 @@ def apply_batch(
                     sink.delete_keys(table, "id", delta.delete_keys)
             if batch_id is not None:
                 sink.set_meta("applied_batch", str(batch_id))
-            row = batch_envelopes.agg(F.max("seq")).collect()[0]
-            if row[0] is not None:
+            # the batch is already collected — no extra Spark job for max
+            batch_max = max((s for s, _, _ in parsed), default=None)
+            if batch_max is not None:
                 prev = int(sink.get_meta("watermark") or 0)
-                sink.set_meta("watermark", str(max(prev, int(row[0]))))
+                sink.set_meta("watermark", str(max(prev, int(batch_max))))
             sink.commit()
         except Exception:
             sink.rollback()
