@@ -2799,3 +2799,53 @@ def clicks_within_signup_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         extra_keys=["user_id"],
     )
     return joined.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_clicks"))
+
+
+@_q(
+    "stratified_doc_sample",
+    """
+    WITH ranked AS (
+      SELECT lang, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+             ) AS rn
+      FROM documents)
+    SELECT lang, doc_id FROM ranked WHERE rn <= 20
+    """,
+)
+def stratified_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 20-per-language sample (functions/sampling.
+    stratified_sample): hash-ranked inside each group, reproducible across
+    engines and partitionings."""
+    from open_ftth_relational_projector_spark.functions.sampling import (
+        stratified_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("lang", "doc_id")
+    return stratified_sample(docs, "lang", 20, "doc_id")
+
+
+@_q(
+    "token_budget_chunks",
+    """
+    WITH t AS (
+      SELECT doc_id, LEN(string_split(text, ' ')) AS tok FROM documents),
+    c AS (
+      SELECT doc_id, tok,
+             SUM(tok) OVER (ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t)
+    SELECT CAST(FLOOR((cum - tok) / 2048.0) AS BIGINT) AS chunk_id,
+           COUNT(*) AS n_docs, SUM(tok) AS total_tokens
+    FROM c GROUP BY 1
+    """,
+)
+def token_budget_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing: contiguous 2048-token chunks over the
+    corpus (functions/sampling.token_budget_chunks)."""
+    from open_ftth_relational_projector_spark.functions.sampling import (
+        token_budget_chunks,
+    )
+
+    return token_budget_chunks(load_table(spark, sf_dir, "documents"), 2048)

@@ -63,3 +63,63 @@ def split_thresholds(fractions: dict[str, float]) -> dict[str, tuple[str, str]]:
         hi = format(min(int(cum * _HEX_SPAN), _HEX_SPAN - 1), "08x")
         out[name] = (lo, hi)
     return out
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_col: str,
+    n_per_group: int,
+    key: str,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic n-per-group sample: rank rows inside each group by
+    their stable hash bucket (ties broken by the key itself) and keep the
+    first n. Same rows come back on every run, every engine, any
+    partitioning — the property `df.sample` can't give. One shuffle on the
+    group column."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        split_bucket(F.col(key), salt), F.col(key)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_per_group)
+        .drop("_rn")
+    )
+
+
+def token_budget_chunks(
+    docs: DataFrame,
+    budget: int,
+    order_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Contiguous token-budget chunking for training-sequence packing.
+
+    Documents in ``order_col`` order are assigned to chunks by cumulative
+    whitespace-token count: chunk_id = floor((cumsum - tokens) / budget) —
+    the streaming approximation of bin packing (no per-bin remainder
+    state, so it is a pure window expression: deterministic, oracled, and
+    one shuffle at any scale; an exact first-fit packer would be a
+    sequential fold). Output: chunk_id, n_docs, total_tokens.
+    """
+    from pyspark.sql import Window
+
+    tokens = F.size(F.split(F.col(text_col), " "))
+    w = Window.orderBy(order_col).rowsBetween(Window.unboundedPreceding, 0)
+    chunked = docs.select(
+        F.col(order_col),
+        tokens.alias("_tok"),
+    ).withColumn("_cum", F.sum("_tok").over(w))
+    return (
+        chunked.withColumn(
+            "chunk_id",
+            F.floor((F.col("_cum") - F.col("_tok")) / F.lit(budget)).cast("long"),
+        )
+        .groupBy("chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_tok").alias("total_tokens"),
+        )
+    )
