@@ -2849,3 +2849,83 @@ def token_budget_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return token_budget_chunks(load_table(spark, sf_dir, "documents"), 2048)
+
+
+@_q(
+    "salted_event_counts",
+    """
+    SELECT event_type, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def salted_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe aggregation (operators/skew.py): 5 event types over 100k
+    rows is exactly the hot-key shape that stalls a single reducer at
+    100 TB — count/sum fold per (key, salt) first, then per key, so no
+    reducer sees more than 1/n_salts of a hot key. Result must equal the
+    plain GROUP BY (the oracle)."""
+    from open_ftth_relational_projector_spark.operators.skew import (
+        salted_aggregate,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return salted_aggregate(
+        ev,
+        ["event_type"],
+        partial={
+            "_n": F.count(F.lit(1)),
+            "_sv": F.sum("value"),
+        },
+        merge={
+            "n_events": F.sum("_n"),
+            "sum_value": _r4(F.sum("_sv")),
+        },
+    )
+
+
+@_q(
+    "lineitem_profile",
+    """
+    SELECT 'l_quantity' AS col, COUNT(*) AS n,
+           CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
+           CAST(COUNT(*) - COUNT(l_quantity) AS BIGINT) AS n_null,
+           ROUND(MIN(l_quantity), 4) AS min_v, ROUND(MAX(l_quantity), 4) AS max_v
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', COUNT(*),
+           CAST(COUNT(DISTINCT l_discount) AS BIGINT),
+           CAST(COUNT(*) - COUNT(l_discount) AS BIGINT),
+           ROUND(MIN(l_discount), 4), ROUND(MAX(l_discount), 4)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', COUNT(*),
+           CAST(COUNT(DISTINCT l_extendedprice) AS BIGINT),
+           CAST(COUNT(*) - COUNT(l_extendedprice) AS BIGINT),
+           ROUND(MIN(l_extendedprice), 4), ROUND(MAX(l_extendedprice), 4)
+    FROM lineitem
+    """,
+)
+def lineitem_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (n, distinct, nulls, min/max) for three numeric
+    lineitem columns in ONE scan: per-column aggregates computed side by
+    side, then unpivoted — the data-quality pass a pipeline runs before
+    training ingestion. (At 100 TB swap COUNT DISTINCT for
+    approx_count_distinct — same shape, mergeable sketch.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_discount", "l_extendedprice"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.count_distinct(F.col(c)).alias(f"{c}__nd"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nn"),
+            _r4(F.min(c)).alias(f"{c}__min"),
+            _r4(F.max(c)).alias(f"{c}__max"),
+        ]
+    wide = li.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__n, {c}__nd, {c}__nn, {c}__min, {c}__max" for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack}) AS (col, n, n_distinct, n_null, min_v, max_v)"
+    )
