@@ -683,21 +683,35 @@ def project_all(
     timeline — the local analogue of materializing typed bronze + a silver
     state table at scale.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     if persist:
         log = log.persisted()
+    prime = None
     if state is None:
         state = _span_state(log)
         if persist:
             # prime eagerly: concurrent first-touch from the table fan-out
-            # would compute the fold once per touching job
+            # would compute the fold once per touching job. The count runs
+            # in a background thread — plan BUILDING only references the
+            # state DataFrame, it doesn't need it materialized yet.
             state = state.persist()
-            state.count()
-    out: dict[str, DataFrame] = {}
-    for name, fn in PROJECTIONS.items():
+            pool0 = ThreadPoolExecutor(1)
+            prime = pool0.submit(state.count)
+
+    def build(name):
+        fn = PROJECTIONS[name]
         if name == "conduit_slack":
-            out[name] = fn(log, state=state, has_child=has_child)
-        elif name == "span_equipment":
-            out[name] = fn(log, state=state)
-        else:
-            out[name] = fn(log)
-    return out
+            return name, fn(log, state=state, has_child=has_child)
+        if name == "span_equipment":
+            return name, fn(log, state=state)
+        return name, fn(log)
+
+    # plan construction is driver-side py4j traffic — threads overlap the
+    # socket round-trips (each thread gets its own gateway connection)
+    with ThreadPoolExecutor(4) as pool:
+        out = dict(pool.map(build, PROJECTIONS))
+    if prime is not None:
+        prime.result()
+        pool0.shutdown()
+    return {name: out[name] for name in PROJECTIONS}
