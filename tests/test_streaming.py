@@ -293,3 +293,96 @@ def test_apply_batch_large_batch_fallback(spark, monkeypatch):
     dehydrate(env.filter(f"seq <= {cut}"), sink)
     apply_batch(env, env.filter(f"seq > {cut}"), sink, batch_id=0)
     _assert_sink_matches(sink, expected)
+
+
+def test_cable_nonretrigger_and_walk_version_resolution(spark):
+    """Hand-crafted adversarial sequence for the driver-side cable replay:
+
+    * batch 1 re-places the equipment with a NON-cable spec AND modifies
+      the walk — NOT a valid trigger, so the cable rows must stay at the
+      original placement's walk resolution (the distributed path would
+      rewrite identical rows; the replay must not delete them);
+    * batch 2 affixes the equipment — a real trigger — so the rows must
+      re-resolve against the MODIFIED walk.
+    Final state is checked against the full-log batch fold at each step.
+    """
+    import json
+
+    from open_ftth_relational_projector_spark.operators.arrays import EMPTY_GUID
+
+    def seg(root):
+        return [{"spanSegments": [{
+            "id": root, "fromNodeOfInterestIndex": 0,
+            "toNodeOfInterestIndex": 1,
+            "fromTerminalId": EMPTY_GUID, "toTerminalId": EMPTY_GUID,
+        }]}]
+
+    E, I, P = "eq-1", "int-1", "parent-1"
+    events = [
+        (1, "SpanStructureSpecificationAdded",
+         {"specification": {"id": "ss", "outerDiameter": 40}}),
+        (2, "SpanEquipmentSpecificationAdded",
+         {"specification": {"id": "cable-spec", "name": "Fiber", "isCable": True,
+                            "rootTemplate": {"spanStructureSpecificationId": "ss"}}}),
+        (3, "SpanEquipmentSpecificationAdded",
+         {"specification": {"id": "plain-spec", "name": "Conduit", "isCable": False,
+                            "rootTemplate": {"spanStructureSpecificationId": "ss"}}}),
+        (4, "WalkOfInterestRegistered",
+         {"interest": {"id": I, "routeNetworkElementRefs": ["n1", "n2", "n3"]}}),
+        (5, "WalkOfInterestRegistered",
+         {"interest": {"id": "int-p", "routeNetworkElementRefs": ["n1", "n9"]}}),
+        (6, "SpanEquipmentPlacedInRouteNetwork",
+         {"equipment": {"id": P, "name": "parent", "specificationId": "plain-spec",
+                        "walkOfInterestId": "int-p", "nodesOfInterestIds": ["n1", "n9"],
+                        "isCable": False, "spanStructures": seg("rs-p"),
+                        "utilityNetworkHops": None, "addressInfo": None}}),
+        (7, "SpanEquipmentPlacedInRouteNetwork",  # cable trigger @7
+         {"equipment": {"id": E, "name": "cable", "specificationId": "cable-spec",
+                        "walkOfInterestId": I, "nodesOfInterestIds": ["n1", "n3"],
+                        "isCable": True, "spanStructures": seg("rs-e"),
+                        "utilityNetworkHops": None, "addressInfo": None}}),
+        # --- batch 1: walk modified, then NON-cable re-placement (no trigger)
+        (8, "WalkOfInterestRouteNetworkElementsModified",
+         {"interestId": I, "routeNetworkElementIds": ["n4", "n5"]}),
+        (9, "SpanEquipmentPlacedInRouteNetwork",
+         {"equipment": {"id": E, "name": "cable2", "specificationId": "plain-spec",
+                        "walkOfInterestId": I, "nodesOfInterestIds": ["n4", "n5"],
+                        "isCable": False, "spanStructures": seg("rs-e"),
+                        "utilityNetworkHops": None, "addressInfo": None}}),
+        # --- batch 2: affix = real trigger → resolves the MODIFIED walk
+        (10, "SpanEquipmentAffixedToParent",
+         {"spanEquipmentId": E,
+          "newUtilityHopList": [{"fromNodeId": "zz", "toNodeId": "zz",
+                                 "parentAffixes": [{"spanSegmentId": "rs-p"}]}]}),
+    ]
+    rows = [(s, t, json.dumps(p)) for s, t, p in events]
+    env = spark.createDataFrame(rows, ENVELOPE_SCHEMA).cache()
+
+    def rel_rows(sink):
+        return sorted(
+            map(
+                tuple,
+                sink.fetch_df(
+                    'SELECT fiber_cable_id, route_network_element_id, seq_no '
+                    'FROM utility_network."rel_fiber_cable_to_route_element"'
+                ).itertuples(index=False, name=None),
+            )
+        )
+
+    sink = DuckDBSink()
+    dehydrate(env.filter("seq <= 7"), sink)
+    assert rel_rows(sink) == [(E, "n1", 1), (E, "n2", 2), (E, "n3", 3)]
+
+    apply_batch(env.filter("seq <= 9"), env.filter("seq IN (8, 9)"), sink, batch_id=0)
+    # non-trigger batch: rows still resolve the ORIGINAL placement's walk
+    assert rel_rows(sink) == [(E, "n1", 1), (E, "n2", 2), (E, "n3", 3)]
+
+    apply_batch(env.filter("seq <= 10"), env.filter("seq = 10"), sink, batch_id=1)
+    # affix trigger re-resolves against the modified walk
+    assert rel_rows(sink) == [(E, "n4", 1), (E, "n5", 2)]
+
+    # and the whole sink equals the batch fold of the full log
+    tables = project_all(EventLog.from_envelopes(env))
+    _assert_sink_matches(
+        sink, {n: tables[n].toPandas() for n in PROJECTION_TABLES}
+    )
