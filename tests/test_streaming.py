@@ -386,3 +386,58 @@ def test_cable_nonretrigger_and_walk_version_resolution(spark):
     _assert_sink_matches(
         sink, {n: tables[n].toPandas() for n in PROJECTION_TABLES}
     )
+
+
+def test_service_termination_giveup_guards_across_batches(spark):
+    """The three give-up guards under batch boundaries: a terminal placed
+    (a) after its container was removed in a PREVIOUS batch → dropped,
+    (b) before its spec exists (spec arrives later in the SAME batch) →
+    dropped (frozen-at-use as-of semantics: late specs don't resurrect),
+    (c) with everything resolvable → kept, with the container's node."""
+    import json
+
+    events = [
+        (1, "NodeContainerSpecificationAdded",
+         {"specification": {"id": "ncs", "name": "Cab", "category": "cab"}}),
+        (2, "TerminalEquipmentSpecificationAdded",
+         {"specification": {"id": "ts-ok", "isCustomerTermination": True}}),
+        (3, "NodeContainerPlacedInRouteNetwork",
+         {"container": {"id": "c1", "routeNodeId": "rn1", "specificationId": "ncs"}}),
+        (4, "NodeContainerPlacedInRouteNetwork",
+         {"container": {"id": "c2", "routeNodeId": "rn2", "specificationId": "ncs"}}),
+        # --- batch 1: c2 removed
+        (5, "NodeContainerRemovedFromRouteNetwork", {"nodeContainerId": "c2"}),
+        # --- batch 2: three placements exercising the guards
+        (6, "TerminalEquipmentPlacedInNodeContainer",  # (a) container gone
+         {"equipment": {"id": "t-a", "name": "A", "specificationId": "ts-ok",
+                        "nodeContainerId": "c2", "addressInfo": None}}),
+        (7, "TerminalEquipmentPlacedInNodeContainer",  # (b) spec not yet added
+         {"equipment": {"id": "t-b", "name": "B", "specificationId": "ts-late",
+                        "nodeContainerId": "c1", "addressInfo": None}}),
+        (8, "TerminalEquipmentSpecificationAdded",  # arrives AFTER t-b
+         {"specification": {"id": "ts-late", "isCustomerTermination": True}}),
+        (9, "TerminalEquipmentPlacedInNodeContainer",  # (c) all resolvable
+         {"equipment": {"id": "t-c", "name": "C", "specificationId": "ts-ok",
+                        "nodeContainerId": "c1",
+                        "addressInfo": {"accessAddressId": "aa",
+                                        "unitAddressId": None}}}),
+    ]
+    rows = [(s, t, json.dumps(p)) for s, t, p in events]
+    env = spark.createDataFrame(rows, ENVELOPE_SCHEMA).cache()
+
+    sink = DuckDBSink()
+    dehydrate(env.filter("seq <= 4"), sink)
+    apply_batch(env.filter("seq <= 5"), env.filter("seq = 5"), sink, batch_id=0)
+    apply_batch(env.filter("seq <= 9"), env.filter("seq > 5"), sink, batch_id=1)
+
+    got = sorted(
+        map(tuple, sink.fetch_df(
+            'SELECT id, route_node_id, name FROM utility_network."service_termination"'
+        ).itertuples(index=False, name=None))
+    )
+    assert got == [("t-c", "rn1", "C")]
+
+    tables = project_all(EventLog.from_envelopes(env))
+    _assert_sink_matches(
+        sink, {n: tables[n].toPandas() for n in PROJECTION_TABLES}
+    )
