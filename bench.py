@@ -37,6 +37,15 @@ BENCH_QUERIES = [
     "multimodal_features",
 ]
 
+# Tracked but NOT in the headline total: the frozen 18+2 headline set stays
+# fixed for cross-round comparability; these get their own timings so T7
+# (event-time windows) performance is visible round-over-round too.
+EXTRA_QUERIES = [
+    "tumbling_event_windows",
+    "sliding_event_windows",
+    "session_event_windows",
+]
+
 
 def bench_domain_projection(spark, scale: int = 60) -> tuple[str, float]:
     """End-to-end domain event fold: generate → JSON envelopes → all 8 tables."""
@@ -147,6 +156,14 @@ def main() -> None:
     timings[sname] = round(ssec, 3)
 
     total = round(sum(timings.values()), 3)
+
+    extra: dict[str, float] = {}
+    for name in EXTRA_QUERIES:
+        fn = SPARK_QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        extra[name] = round(time.perf_counter() - t0, 3)
+
     print(
         json.dumps(
             {
@@ -154,6 +171,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "extra_queries": extra,
                 "sf": sf,
             }
         )

@@ -220,10 +220,10 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_shipmode_priority",
     """
     SELECT l.l_linestatus,
-           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     WHERE l.l_shipdate >= TIMESTAMP '1995-01-01'
       AND l.l_shipdate < TIMESTAMP '1996-01-01'
@@ -2837,7 +2837,7 @@ def stratified_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                             ROWS UNBOUNDED PRECEDING) AS cum
       FROM t)
     SELECT CAST(FLOOR((cum - tok) / 2048.0) AS BIGINT) AS chunk_id,
-           COUNT(*) AS n_docs, SUM(tok) AS total_tokens
+           COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS total_tokens
     FROM c GROUP BY 1
     """,
 )
@@ -2929,3 +2929,55 @@ def lineitem_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.selectExpr(
         f"stack({len(cols)}, {stack}) AS (col, n, n_distinct, n_null, min_v, max_v)"
     )
+
+
+# ===========================================================================
+# Registration order for the driver window
+# ===========================================================================
+# The driver's CORRECTNESS gate records only the FIRST 50 queries() entries
+# per round. Round 1 covered the first 50 in file order, leaving the whole
+# similarity/ANN/multimodal/sampling tail unchecked. Front-load those 23
+# (plus q1, which entry() uses as the flagship) so round 2's window gives
+# every operator family a hard driver row; the 26 slots after them are
+# filled in original file order, and the remainder keeps its order too.
+_DRIVER_WINDOW_FRONT = [
+    "q1_pricing_summary",
+    "ngram_jaccard_pairs",
+    "dedup_clusters",
+    "train_test_split_stats",
+    "minhash_near_dups",
+    "simhash_fingerprints",
+    "embedding_norms_by_label",
+    "embedding_near_dups",
+    "embedding_near_dups_lsh",
+    "knn_bruteforce",
+    "knn_lsh",
+    "knn_ivf",
+    "multimodal_features",
+    "multimodal_frames",
+    "multimodal_resize",
+    "tfidf_top_terms",
+    "value_quantiles_by_type",
+    "weekly_cohort_retention",
+    "signup_to_purchase_funnel",
+    "clicks_within_signup_day",
+    "stratified_doc_sample",
+    "token_budget_chunks",
+    "salted_event_counts",
+    "lineitem_profile",
+]
+
+
+def _apply_driver_window_order() -> None:
+    assert all(n in SPARK_QUERIES for n in _DRIVER_WINDOW_FRONT), [
+        n for n in _DRIVER_WINDOW_FRONT if n not in SPARK_QUERIES
+    ]
+    rest = [n for n in SPARK_QUERIES if n not in _DRIVER_WINDOW_FRONT]
+    order = _DRIVER_WINDOW_FRONT + rest
+    for d in (SPARK_QUERIES, ORACLE_SQL):
+        reordered = {n: d[n] for n in order if n in d}
+        d.clear()
+        d.update(reordered)
+
+
+_apply_driver_window_order()

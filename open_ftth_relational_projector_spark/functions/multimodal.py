@@ -1,10 +1,15 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-Real decode libraries (PIL/librosa/av) are not in this container, so the
-decode step is STUBBED: ``decode_image`` raises NotImplementedError unless
-``fake=True``, in which case a deterministic fake feature extractor runs.
-Everything Spark-side — schema, Arrow batch shape, mapInPandas partitioning —
-is real and tested; swapping in a real decoder changes one function body.
+``decode_image`` really decodes (width, height) from PNG/GIF/BMP/JPEG
+headers with pure stdlib byte parsing — that is the whole feature
+contract (training pipelines filter/bucket on dims, never pixels).
+Pixel-level work (resampling, color) needs codec libraries not in this
+container; unrecognized formats raise NotImplementedError, and that is
+the permanent contract boundary, documented here and in README. The
+``fake=True`` path derives deterministic pseudo-dims from byte length so
+text-as-blob testdata exercises the pipeline with a SQL oracle.
+Everything Spark-side — schema, Arrow batch shape, mapInPandas
+partitioning — is real and tested; a pixel decoder changes one function.
 
 Design for 100 TB: binary payloads ride in parquet binary columns (or
 path+offset pointers for object-store blobs); feature extraction is
@@ -29,44 +34,114 @@ def attach_binary(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.withColumn("payload", F.to_binary(F.col(text_col), F.lit("utf-8")))
 
 
-def decode_image(payload: bytes, fake: bool = False) -> tuple[int, int]:
-    """STUB — image decoding needs PIL/opencv, not present in this image.
+def _png_dims(b: bytes) -> tuple[int, int] | None:
+    # signature + IHDR is mandatory and first: dims at bytes 16..24, BE u32
+    if len(b) >= 24 and b[:8] == b"\x89PNG\r\n\x1a\n" and b[12:16] == b"IHDR":
+        return int.from_bytes(b[16:20], "big"), int.from_bytes(b[20:24], "big")
+    return None
 
-    fake=True yields deterministic pseudo-dimensions derived from the bytes
-    so the pipeline shape can be tested end-to-end.
+
+def _gif_dims(b: bytes) -> tuple[int, int] | None:
+    if len(b) >= 10 and b[:6] in (b"GIF87a", b"GIF89a"):
+        return int.from_bytes(b[6:8], "little"), int.from_bytes(b[8:10], "little")
+    return None
+
+
+def _bmp_dims(b: bytes) -> tuple[int, int] | None:
+    # BITMAPINFOHEADER: signed LE i32 at 18/22 (height may be negative =
+    # top-down rows)
+    if len(b) >= 26 and b[:2] == b"BM":
+        w = int.from_bytes(b[18:22], "little", signed=True)
+        h = int.from_bytes(b[22:26], "little", signed=True)
+        return w, abs(h)
+    return None
+
+
+def _jpeg_dims(b: bytes) -> tuple[int, int] | None:
+    # walk the marker segments to the first SOFn (C0-CF except C4/C8/CC);
+    # dims are BE u16 at payload offset 3 (height first)
+    if len(b) < 4 or b[:2] != b"\xff\xd8":
+        return None
+    i = 2
+    while i + 4 <= len(b):
+        if b[i] != 0xFF:
+            return None
+        marker = b[i + 1]
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7:  # standalone markers
+            i += 2
+            continue
+        seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if i + 9 <= len(b):
+                h = int.from_bytes(b[i + 5 : i + 7], "big")
+                w = int.from_bytes(b[i + 7 : i + 9], "big")
+                return w, h
+            return None
+        i += 2 + seg_len
+    return None
+
+
+def decode_image(payload: bytes, fake: bool = False) -> tuple[int, int]:
+    """Decode (width, height) from an image payload.
+
+    fake=False: real header-level decode for PNG / GIF / BMP / JPEG —
+    pure stdlib byte parsing, which is all the feature contract needs
+    (downstream filters/buckets use dims, never pixels). Full pixel decode
+    (resampling, color) would need a codec library not present in this
+    environment, so unrecognized formats raise NotImplementedError — that
+    boundary is the permanent contract here.
+
+    fake=True: deterministic pseudo-dimensions derived from the byte
+    length, so text-as-blob testdata can exercise the pipeline shape
+    end-to-end with a SQL-expressible oracle.
     """
-    if not fake:
-        raise NotImplementedError(
-            "image decode requires a codec library not present in this environment"
-        )
-    return (len(payload) % 1920) + 1, (len(payload) % 1080) + 1
+    payload = bytes(payload)
+    if fake:
+        return (len(payload) % 1920) + 1, (len(payload) % 1080) + 1
+    for sniff in (_png_dims, _gif_dims, _bmp_dims, _jpeg_dims):
+        dims = sniff(payload)
+        if dims is not None:
+            return dims
+    raise NotImplementedError(
+        "unrecognized image format: only PNG/GIF/BMP/JPEG headers are "
+        "decodable without a codec library"
+    )
 
 
 def extract_features(docs_with_payload: DataFrame, fake: bool = True) -> DataFrame:
-    """mapInPandas feature extraction over the binary column.
+    """Feature extraction over the binary column, split by where each
+    feature is cheapest:
 
-    Arrow-batched: one pandas DataFrame per batch, vectorized hashing; the
-    fake 'decode' stands in for image/audio decoding.
+    - n_bytes / sha256 are pure byte arithmetic → JVM codegen (F.length /
+      F.sha2), computed BEFORE the Arrow crossing and passed through the
+      batch, so Python never hashes a blob;
+    - width/height need a decoder → mapInPandas (one pandas DataFrame per
+      Arrow batch; the payload crosses exactly once, for the decode).
+
+    Single pass, no join, no shuffle.
     """
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import hashlib
-
         for pdf in batches:
-            payloads = pdf["payload"]
-            dims = [decode_image(p, fake=fake) for p in payloads]
+            dims = [decode_image(p, fake=fake) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_bytes": payloads.map(len),
-                    "sha256": payloads.map(lambda b: hashlib.sha256(b).hexdigest()),
+                    "n_bytes": pdf["n_bytes"],
+                    "sha256": pdf["sha256"],
                     "width": [d[0] for d in dims],
                     "height": [d[1] for d in dims],
                 }
             )
 
-    return docs_with_payload.select("doc_id", "payload").mapInPandas(
-        op, FEATURE_SCHEMA
+    return (
+        docs_with_payload.select(
+            "doc_id",
+            "payload",
+            F.length("payload").cast("long").alias("n_bytes"),
+            F.sha2(F.col("payload"), 256).alias("sha256"),
+        )
+        .mapInPandas(op, FEATURE_SCHEMA)
     )
 
 
@@ -134,12 +209,15 @@ def resize_images(
     the deterministic fake hashes payload ⊕ target geometry so tests (and
     the DuckDB oracle) can pin the full input→output contract. Output
     keeps source + target dims — the metadata a training pipeline filters
-    and buckets on without touching blobs."""
+    and buckets on without touching blobs.
+
+    Same split as extract_features: the fake 'resized' hash is byte
+    arithmetic → JVM (F.sha2 over payload ⊕ tag, before the Arrow
+    crossing); only the decode-shaped dims run in Python."""
+
+    tag = f"{target_w}x{target_h}".encode()
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import hashlib
-
-        tag = f"{target_w}x{target_h}".encode()
         for pdf in batches:
             dims = [decode_image(p, fake=fake) for p in pdf["payload"]]
             yield pd.DataFrame(
@@ -149,13 +227,17 @@ def resize_images(
                     "height": [d[1] for d in dims],
                     "target_w": target_w,
                     "target_h": target_h,
-                    "resized_sha256": [
-                        hashlib.sha256(bytes(p) + tag).hexdigest()
-                        for p in pdf["payload"]
-                    ],
+                    "resized_sha256": pdf["resized_sha256"],
                 }
             )
 
-    return docs_with_payload.select("doc_id", "payload").mapInPandas(
-        op, RESIZE_SCHEMA
+    return (
+        docs_with_payload.select(
+            "doc_id",
+            "payload",
+            F.sha2(F.concat(F.col("payload"), F.lit(tag)), 256).alias(
+                "resized_sha256"
+            ),
+        )
+        .mapInPandas(op, RESIZE_SCHEMA)
     )

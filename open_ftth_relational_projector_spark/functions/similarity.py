@@ -223,7 +223,9 @@ def knn_lsh(
     """Approximate top-k: candidates restricted to the query's LSH bucket.
 
     Recall is tunable via n_planes (fewer planes → bigger buckets). The
-    shuffle key is the bucket id — linear scale-out, no all-pairs join.
+    query side is small (like knn_bruteforce/knn_ivf) → broadcast it, so
+    the corpus never shuffles for the probe; only the per-query top-k
+    window moves candidate rows.
     """
     planes = _hyperplanes(dim, n_planes)
     c = corpus.select(
@@ -234,7 +236,7 @@ def knn_lsh(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
     ).withColumn("bucket", lsh_bucket(F.col("qv"), planes))
     scored = (
-        c.join(q, "bucket")
+        c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
     )

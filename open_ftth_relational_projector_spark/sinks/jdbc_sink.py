@@ -53,18 +53,38 @@ class JdbcSink:
             "reWriteBatchedInserts": "true",
         }
         self.schema = SCHEMA
+        self._txn_conn = None  # open driver-side transaction, if any
 
     # -- driver-side statement execution (DDL + merge) ----------------------
-    def _execute(self, *statements: str) -> None:
+    def _connect(self):
         jvm = self.spark._jvm  # noqa: SLF001 - py4j bridge is the API here
-        conn = jvm.java.sql.DriverManager.getConnection(
+        return jvm.java.sql.DriverManager.getConnection(
             self.url, self.props["user"], self.props["password"]
         )
+
+    def _execute(self, *statements: str) -> None:
+        """Run a statement group. Inside begin()/commit() the group joins
+        the open transaction; standalone groups are themselves atomic
+        (autocommit off, commit-or-rollback) — unlike the reference's
+        per-statement autocommit (PostgresWriter.cs), a half-applied merge
+        can never be observed."""
+        if self._txn_conn is not None:
+            stmt = self._txn_conn.createStatement()
+            for sql in statements:
+                stmt.execute(sql)
+            stmt.close()
+            return
+        conn = self._connect()
         try:
+            conn.setAutoCommit(False)
             stmt = conn.createStatement()
             for sql in statements:
                 stmt.execute(sql)
             stmt.close()
+            conn.commit()
+        except Exception:
+            conn.rollback()
+            raise
         finally:
             conn.close()
 
@@ -169,12 +189,36 @@ class JdbcSink:
             f"VALUES ('{key}', '{value}')",
         )
 
-    # atomicity at the statement-group level; Postgres DDL+DML in one txn
-    def begin(self) -> None:  # pragma: no cover - driver-side txn control
-        pass
+    # -- micro-batch transaction control -------------------------------------
+    # apply_batch wraps each micro-batch in begin()/commit()-or-rollback();
+    # one driver-side connection holds the batch's merge/delete statements so
+    # the target tables change atomically per batch — the reference's
+    # per-statement autocommit (PostgresWriter.cs:72-112) cannot offer this.
+    # Executor-parallel stage-table writes intentionally run OUTSIDE the
+    # transaction (each partition has its own connection): on rollback a
+    # `_stage_*` table may survive, which is harmless — the next batch's
+    # stage overwrite replaces it and it never aliases a target table.
+    def begin(self) -> None:
+        if self._txn_conn is not None:
+            raise RuntimeError("transaction already open")
+        conn = self._connect()
+        conn.setAutoCommit(False)
+        self._txn_conn = conn
 
-    def commit(self) -> None:  # pragma: no cover
-        pass
+    def commit(self) -> None:
+        if self._txn_conn is None:
+            return
+        try:
+            self._txn_conn.commit()
+        finally:
+            self._txn_conn.close()
+            self._txn_conn = None
 
-    def rollback(self) -> None:  # pragma: no cover
-        pass
+    def rollback(self) -> None:
+        if self._txn_conn is None:
+            return
+        try:
+            self._txn_conn.rollback()
+        finally:
+            self._txn_conn.close()
+            self._txn_conn = None

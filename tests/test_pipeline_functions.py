@@ -178,6 +178,56 @@ def test_knn_lsh_subset_of_bucket(spark):
     assert exact.count() == 15
 
 
+def _png_bytes(w: int, h: int) -> bytes:
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # 8-bit grayscale
+    raw = b"".join(b"\x00" + b"\x7f" * w for _ in range(h))  # filter 0 rows
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_image_real_headers(spark):
+    import struct
+
+    assert decode_image(_png_bytes(3, 2)) == (3, 2)
+    gif = b"GIF89a" + struct.pack("<HH", 11, 7) + b"\x00" * 4
+    assert decode_image(gif) == (11, 7)
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 9, -5) + b"\x00" * 4
+    assert decode_image(bmp) == (9, 5)  # negative height = top-down rows
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 4) + b"\x00\x00"  # APP0
+        + b"\xff\xc0" + struct.pack(">H", 11)
+        + b"\x08" + struct.pack(">HH", 7, 13) + b"\x01\x00\x00\x00"  # SOF0
+        + b"\xff\xd9"
+    )
+    assert decode_image(jpeg) == (13, 7)
+    with pytest.raises(NotImplementedError):
+        decode_image(b"not an image", fake=False)
+    # end-to-end through the mapInPandas path with a REAL decode
+    df = spark.createDataFrame(
+        [(1, bytearray(_png_bytes(4, 6))), (2, bytearray(_png_bytes(2, 2)))],
+        "doc_id long, payload binary",
+    )
+    feats = {r["doc_id"]: r for r in extract_features(df, fake=False).collect()}
+    assert (feats[1]["width"], feats[1]["height"]) == (4, 6)
+    assert (feats[2]["width"], feats[2]["height"]) == (2, 2)
+
+
 def test_multimodal_stub_and_features(spark, docs):
     with pytest.raises(NotImplementedError):
         decode_image(b"xx", fake=False)

@@ -91,6 +91,15 @@ def test_knn_bruteforce_prunes_to_two_columns(q):
         assert "label" not in schema, f"unused column read: {schema}"
 
 
+def test_knn_lsh_broadcasts_query_side(q):
+    """The probe join must broadcast the small query side — same contract
+    as knn_bruteforce/knn_ivf; a sort-merge here shuffles the whole corpus
+    keyed on bucket for nothing."""
+    df = q("knn_lsh")
+    assert C.broadcast_join_count(df) >= 1, "query side must broadcast"
+    assert C.sortmerge_join_count(df) == 0
+
+
 def test_codegen_present_on_scan_heavy_query(q):
     assert C.wholestage_codegen_spans(q("text_stats")) >= 1
 

@@ -114,7 +114,15 @@ def test_tws_work_task_matches_batch(spark):
             q.awaitTermination(240)
         except Exception as exc:  # environment-level tWS worker crash
             if "driver worker exited" in str(exc):
-                pytest.skip("transformWithStateInPandas worker unsupported here")
+                # pinned cause (probed 2026-08-13): the tWS driver worker
+                # imports protobuf, absent in this container —
+                # STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE /
+                # ImportError: cannot import name 'descriptor' from
+                # 'google.protobuf'. Runs as-is where protobuf exists.
+                pytest.skip(
+                    "transformWithStateInPandas worker needs protobuf, "
+                    "not installed in this container"
+                )
             raise
 
         out = spark.sql(

@@ -116,6 +116,45 @@ def test_batch_id_replay_skipped(spark, envelopes, expected_tables):
     _assert_sink_matches(sink, expected_tables)
 
 
+def test_failed_apply_batch_leaves_sink_unchanged(
+    spark, envelopes, expected_tables
+):
+    """T5 atomicity: a sink failure mid-batch rolls the whole micro-batch
+    back — tables, aux state, and batch bookkeeping all revert, and the
+    same batch then re-applies cleanly. (The reference's per-statement
+    autocommit can strand a half-applied batch; PostgresWriter.cs:72-112.)"""
+    max_seq = envelopes.agg({"seq": "max"}).collect()[0][0]
+    cut = max_seq // 2
+    sink = DuckDBSink()
+    dehydrate(envelopes.filter(f"seq <= {cut}"), sink)
+    before = {n: sink.read_table(n) for n in PROJECTION_TABLES}
+    batch = envelopes.filter(f"seq > {cut}")
+
+    orig_set_meta = sink.set_meta
+
+    def failing_set_meta(key, value):
+        # fires inside the transaction, after every table mutation
+        if key == "applied_batch":
+            raise RuntimeError("sink failure mid-batch")
+        orig_set_meta(key, value)
+
+    sink.set_meta = failing_set_meta
+    with pytest.raises(RuntimeError, match="sink failure mid-batch"):
+        apply_batch(envelopes, batch, sink, batch_id=0)
+    sink.set_meta = orig_set_meta
+
+    assert sink.get_meta("applied_batch") is None
+    for name, exp in before.items():
+        got = sink.read_table(name)
+        cols = list(exp.columns)
+        assert _canon(exp, cols).equals(_canon(got, cols)), (
+            f"{name} changed by a failed batch"
+        )
+    # the same batch applies cleanly after the failure
+    assert apply_batch(envelopes, batch, sink, batch_id=0) is True
+    _assert_sink_matches(sink, expected_tables)
+
+
 def test_structured_streaming_available_now(spark, envelopes, expected_tables):
     """Real readStream → foreachBatch drain over a file source (S2/T1)."""
     max_seq = envelopes.agg({"seq": "max"}).collect()[0][0]
