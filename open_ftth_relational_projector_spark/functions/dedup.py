@@ -230,6 +230,80 @@ def minhash_near_dups(
     )
 
 
+def cross_doc_shingle_dup(
+    docs: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document duplication profile (the RefinedWeb/CCNet signal):
+    for each doc, the fraction of its distinct n-gram shingles that also
+    appear in at least one OTHER document.
+
+    Plan: explode distinct shingles → one groupBy(shingle) posting count →
+    join back keyed on the shingle → one per-doc aggregate. Inverted-index
+    shape, linear shuffles, no pair expansion at all — this is the filter
+    you run at 100 TB where even bucketed pair joins are too much. Shingle
+    strings are the join key here for oracle parity; at scale key on
+    xxhash64(shingle) (64-bit shuffle keys) exactly as ngram_jaccard_pairs
+    does.
+    """
+    sh = _shingle_index(docs, text_col, id_col, n)
+    counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(counts, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_shingles"),
+            F.sum(F.when(F.col("df") > 1, 1).otherwise(0))
+            .cast("int")
+            .alias("n_shared"),
+            F.round(
+                F.sum(F.when(F.col("df") > 1, 1).otherwise(0))
+                / F.count(F.lit(1)),
+                4,
+            ).alias("shared_frac"),
+        )
+    )
+
+
+def benchmark_decontamination(
+    docs: DataFrame,
+    every: int = 50,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Training-set decontamination against a held-out benchmark: flag
+    every training doc sharing any n-gram shingle with the eval set.
+
+    The eval set here is the deterministic slice doc_id % every == 0 (in a
+    real pipeline: the benchmark suites). Its distinct shingle set is
+    small relative to the corpus by construction, so it BROADCASTS — the
+    training corpus is scanned once, never shuffled for the probe; the
+    only shuffle is the per-doc overlap count. 8-grams are the standard
+    contamination unit (GPT-3/PaLM reports use 8-13).
+    """
+    is_eval = (F.col(id_col) % every) == 0
+    eval_sh = (
+        _shingle_index(docs.filter(is_eval), text_col, id_col, n)
+        .select("shingle")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    train_sh = _shingle_index(docs.filter(~is_eval), text_col, id_col, n)
+    return (
+        train_sh.join(F.broadcast(eval_sh), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("int").alias("n_overlap"))
+        .select(
+            "doc_id",
+            "n_overlap",
+            (F.col("n_overlap") > 0).alias("contaminated"),
+        )
+    )
+
+
 def simhash64(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

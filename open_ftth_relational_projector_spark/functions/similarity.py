@@ -246,3 +246,42 @@ def knn_lsh(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def label_centroid_stats(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label centroid cohesion: (label, n_vecs, avg cosine of members
+    to their label centroid) — the assignment-step/quality-audit primitive
+    for embedding clusters (cluster-balance checks, mislabeled-shard
+    detection before training).
+
+    Plan shape: posexplode to (label, pos, val) rows — linear in N·dim —
+    one tiny groupBy(label, pos) average builds the centroids (labels×dim
+    rows), which then BROADCAST back onto the exploded rows; per-vector
+    dot/norm reduce keyed by vec, then one per-label average. The corpus
+    never shuffles: explode → map-side-combined aggs + a broadcast join.
+    """
+    pe = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(label_col).alias("label"),
+        F.posexplode(as_double(F.col(vec_col))).alias("pos", "val"),
+    )
+    centroids = pe.groupBy("label", "pos").agg(F.avg("val").alias("cv"))
+    per_vec = (
+        pe.join(F.broadcast(centroids), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.col("val") * F.col("cv")).alias("dot_vc"),
+            F.sum(F.col("val") * F.col("val")).alias("vv"),
+            F.sum(F.col("cv") * F.col("cv")).alias("cc"),
+        )
+    )
+    cos = F.col("dot_vc") / (F.sqrt("vv") * F.sqrt("cc"))
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).cast("int").alias("n_vecs"),
+        F.round(F.avg(cos), 4).alias("avg_cos_to_centroid"),
+    )

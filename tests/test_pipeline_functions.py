@@ -367,3 +367,104 @@ def test_sample_frames_stride_and_expansion(spark):
         for k, off in enumerate(range(0, 10, 3))
     )
     assert rows == expected  # doc 2 (empty payload) contributes nothing
+
+
+# ---------------------------------------------------------------------------
+# corpus-quality signals (functions/quality.py + dedup cross-doc)
+# ---------------------------------------------------------------------------
+
+
+def test_repetition_stats_values(spark):
+    from open_ftth_relational_projector_spark.functions import quality as Q
+
+    rows = [
+        (1, "a b a b a b"),       # bigrams: ab ba ab ba ab -> 5 occ, 2 distinct
+        (2, "u v w x y"),         # 4 distinct bigrams, no repeats
+        (3, "solo"),              # <2 tokens -> no row
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in Q.repetition_stats(df).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["n_bigrams"] == 5
+    assert out[1]["dup_bigram_frac"] == round(1 - 2 / 5, 4)
+    assert out[1]["top_bigram_frac"] == round(3 / 5, 4)  # 'a b' x3
+    assert out[2]["dup_bigram_frac"] == 0.0
+    assert out[2]["top_bigram_frac"] == 0.25
+
+
+def test_token_entropy_values(spark):
+    from open_ftth_relational_projector_spark.functions import quality as Q
+
+    rows = [
+        (1, "x x x x"),        # zero entropy
+        (2, "a b c d"),        # uniform: ln(4)
+        (3, "a a b b"),        # ln(2)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in Q.token_entropy(df).collect()}
+    assert out[1]["entropy"] == 0.0
+    assert out[2]["entropy"] == round(math.log(4), 4)
+    assert out[3]["entropy"] == round(math.log(2), 4)
+    assert out[2]["n_tokens"] == 4
+
+
+def test_pii_scan_counts_and_redaction(spark):
+    from open_ftth_relational_projector_spark.functions import quality as Q
+
+    rows = [
+        (1, "mail me at bob7@host.org or sue@x.io thanks"),
+        (2, "call 555-1234 from 10.0.3.44 today"),
+        (3, "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in Q.pii_scan(df).collect()}
+    assert (out[1]["n_emails"], out[1]["n_phones"], out[1]["n_ips"]) == (2, 0, 0)
+    assert (out[2]["n_emails"], out[2]["n_phones"], out[2]["n_ips"]) == (0, 1, 1)
+    assert (out[3]["n_emails"], out[3]["n_phones"], out[3]["n_ips"]) == (0, 0, 0)
+    import hashlib
+
+    red = "call <PHONE> from <IP> today"
+    assert out[2]["redacted_md5"] == hashlib.md5(red.encode()).hexdigest()
+
+
+def test_cross_doc_shingle_dup_fractions(spark):
+    rows = [
+        (1, "a b c d e f"),    # shares shingle 'a b c d e' + 'b c d e f'? no:
+        (2, "a b c d e zz"),   # shares only 'a b c d e' with doc 1
+        (3, "p q r s t u"),    # no overlap
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in D.cross_doc_shingle_dup(df, n=5).collect()}
+    assert out[1]["n_shingles"] == 2 and out[1]["n_shared"] == 1
+    assert out[2]["n_shingles"] == 2 and out[2]["n_shared"] == 1
+    assert out[3]["n_shared"] == 0
+    assert out[1]["shared_frac"] == 0.5
+
+
+def test_benchmark_decontamination_flags(spark):
+    # doc 0 is the eval set (doc_id % 50 == 0); doc 51 copies 8 of its
+    # tokens verbatim, doc 52 shares nothing
+    eval_text = "one two three four five six seven eight nine ten"
+    rows = [
+        (0, eval_text),
+        (51, "zz " + " ".join(eval_text.split()[:8]) + " yy"),
+        (52, "totally disjoint words for the second training document x y"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in D.benchmark_decontamination(df).collect()}
+    assert set(out) == {51, 52}
+    assert out[51]["contaminated"] is True and out[51]["n_overlap"] == 1
+    assert out[52]["contaminated"] is False and out[52]["n_overlap"] == 0
+
+
+def test_label_centroid_stats_degenerate_and_spread(spark):
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [1.0, 0.0], 0),   # identical -> avg cos to centroid = 1
+        (3, [1.0, 0.0], 1),
+        (4, [0.0, 1.0], 1),   # orthogonal pair -> cos(v, mean) = cos 45deg
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r["label"]: r for r in S.label_centroid_stats(df).collect()}
+    assert out[0]["n_vecs"] == 2 and out[0]["avg_cos_to_centroid"] == 1.0
+    assert out[1]["avg_cos_to_centroid"] == round(math.cos(math.pi / 4), 4)
