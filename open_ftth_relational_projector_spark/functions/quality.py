@@ -3,14 +3,16 @@ token entropy, PII detection/redaction.
 
 These are the standard pre-training filters (Gopher/MassiveText repetition
 rules, entropy-style gibberish screens, PII scrubbing) re-expressed as pure
-Spark column expressions + keyed aggregations — whole-stage codegen, no
-Python in any hot path, every shuffle keyed by doc or by term.
+Spark column expressions — whole-stage codegen, no Python anywhere.
 
-Scale design:
-  * repetition_stats / token_entropy — explode n-grams/tokens, ONE
-    map-side-combined groupBy per level; work is linear in corpus tokens
-    and partitions by doc, so 1000 executors split 100 TB evenly.
-  * pii_scan — per-row regexp expressions only; no shuffle at all.
+Scale design: every signal here is a PER-DOCUMENT aggregate, so none of
+them shuffles at all. Instead of the textbook explode → groupBy(doc, gram)
+→ groupBy(doc) (two corpus-sized exchanges), each document's n-gram
+multiset is sorted row-locally (`array_sort`) and folded in one
+`F.aggregate` pass over the runs — O(len·log len) per row, zero Exchange
+in the plan, embarrassingly parallel over whatever partitioning the scan
+arrives with. On 100 TB that is the difference between a map-only job and
+shuffling ~4× the corpus. pii_scan is per-row regexp work, same shape.
 """
 
 from __future__ import annotations
@@ -39,6 +41,51 @@ def _bigrams_all(text: Column) -> Column:
     return let(tokens(text), grams)
 
 
+def _run_stats(sorted_arr: Column) -> Column:
+    """Fold a SORTED array into struct(n_distinct, max_run, sum_clnc):
+    distinct element count, longest equal-run length, and Σ c·ln(c) over
+    run lengths c — everything the repetition and entropy signals need,
+    in one O(len) codegen pass with no shuffle."""
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("n_distinct"),
+        F.lit(0).cast("long").alias("max_run"),
+        F.lit(0.0).alias("sum_clnc"),
+    )
+
+    def close_run(acc: Column) -> Column:
+        # contributions of the just-finished run (no-op when run == 0)
+        return (
+            F.greatest(acc["max_run"], acc["run"]).alias("max_run"),
+            (
+                acc["sum_clnc"]
+                + F.when(
+                    acc["run"] > 0, acc["run"] * F.log(acc["run"])
+                ).otherwise(F.lit(0.0))
+            ).alias("sum_clnc"),
+        )
+
+    def step(acc: Column, x: Column) -> Column:
+        same = acc["prev"].eqNullSafe(x)
+        max_run, sum_clnc = close_run(acc)
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.when(same, acc["n_distinct"])
+            .otherwise(acc["n_distinct"] + 1)
+            .alias("n_distinct"),
+            F.when(same, acc["max_run"]).otherwise(max_run).alias("max_run"),
+            F.when(same, acc["sum_clnc"]).otherwise(sum_clnc).alias("sum_clnc"),
+        )
+
+    def finish(acc: Column) -> Column:
+        max_run, sum_clnc = close_run(acc)
+        return F.struct(acc["n_distinct"], max_run, sum_clnc)
+
+    return F.aggregate(sorted_arr, zero, step, finish)
+
+
 def repetition_stats(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -50,23 +97,30 @@ def repetition_stats(
       * top_bigram_frac — fraction taken by the single most frequent
         bigram (MassiveText filters docs where this is large).
 
-    Two keyed aggregations — (doc, bigram) then doc — both map-side
-    combined; no joins, no windows. Docs with <2 tokens have no bigrams
+    Row-local: sort the doc's bigram multiset, fold the runs. Zero
+    Exchange in the plan (vs 2 for explode → groupBy → groupBy); the job
+    is map-only at any corpus size. Docs with <2 tokens have no bigrams
     and drop out (the oracle's GROUP BY drops them identically).
     """
-    occ = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(_bigrams_all(F.col(text_col))).alias("bigram"),
-    )
-    per_bigram = occ.groupBy("doc_id", "bigram").agg(
-        F.count(F.lit(1)).alias("c")
-    )
-    return per_bigram.groupBy("doc_id").agg(
-        F.sum("c").alias("n_bigrams"),
-        F.round(1.0 - F.count(F.lit(1)) / F.sum("c"), 4).alias(
-            "dup_bigram_frac"
-        ),
-        F.round(F.max("c") / F.sum("c"), 4).alias("top_bigram_frac"),
+    n = F.col("_n")
+    st = F.col("_st")
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            _bigrams_all(F.col(text_col)).alias("_big"),
+        )
+        .select(
+            "doc_id",
+            F.size("_big").alias("_n"),
+            _run_stats(F.array_sort("_big")).alias("_st"),
+        )
+        .filter(n >= 1)
+        .select(
+            "doc_id",
+            n.cast("long").alias("n_bigrams"),
+            F.round(1.0 - st["n_distinct"] / n, 4).alias("dup_bigram_frac"),
+            F.round(st["max_run"] / n, 4).alias("top_bigram_frac"),
+        )
     )
 
 
@@ -77,23 +131,27 @@ def token_entropy(
     cheap gibberish/boilerplate screen (near-zero entropy = one token
     repeated; high entropy = diverse vocabulary).
 
-    Uses H = ln(n) - (Σ c·ln c)/n so one (doc, token) count pass plus one
-    per-doc aggregate suffices — no second join to bring n alongside c.
+    H = ln(n) - (Σ c·ln c)/n with the c's read off equal-runs of the
+    row-locally sorted token array — one fold, no shuffle, map-only at
+    any scale.
     """
-    counts = (
+    n = F.col("_n")
+    st = F.col("_st")
+    return (
         docs.select(
             F.col(id_col).alias("doc_id"),
-            F.explode(tokens(F.col(text_col))).alias("tok"),
+            tokens(F.col(text_col)).alias("_tok"),
         )
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    n = F.sum("c")
-    return counts.groupBy("doc_id").agg(
-        n.cast("long").alias("n_tokens"),
-        F.round(F.log(n) - F.sum(F.col("c") * F.log("c")) / n, 4).alias(
-            "entropy"
-        ),
+        .select(
+            "doc_id",
+            F.size("_tok").alias("_n"),
+            _run_stats(F.array_sort("_tok")).alias("_st"),
+        )
+        .select(
+            "doc_id",
+            n.cast("long").alias("n_tokens"),
+            F.round(F.log(n) - st["sum_clnc"] / n, 4).alias("entropy"),
+        )
     )
 
 
