@@ -2425,7 +2425,7 @@ def train_test_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("minhash_near_dups")  # no SQL oracle: xxhash64 seeds are Spark-specific
+@_q("minhash_near_dups")  # xxhash64 path; hash-matched via minhash_near_dups_md5
 def minhash_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = D.minhash_near_dups(
         scattered(load_table(spark, sf_dir, "documents")), threshold=0.05
@@ -2433,9 +2433,94 @@ def minhash_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_a", "doc_b", _r4(F.col("jaccard")).alias("jaccard"))
 
 
-@_q("simhash_fingerprints")  # no SQL oracle: xxhash64 is Spark-specific
+@_q(
+    "minhash_near_dups_md5",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             UNNEST(list_distinct(list_transform(
+               generate_series(1, GREATEST(LEN(t) - 2, 0)),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+      FROM toks),
+    mh AS (
+      SELECT doc_id, s,
+             MIN(('0x' || substr(md5(shingle || '#' || CAST(s AS VARCHAR)), 1, 15))::BIGINT) AS m
+      FROM sh CROSS JOIN (SELECT UNNEST(range(0, 32)) AS s) seeds
+      GROUP BY doc_id, s),
+    bands AS (
+      SELECT doc_id, CAST(s // 4 AS INT) AS band_id,
+             string_agg(CAST(m AS VARCHAR), ',' ORDER BY s) AS band_key
+      FROM mh GROUP BY doc_id, s // 4),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+      FROM cand c JOIN sh x ON x.doc_id = c.doc_a
+                  JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+      GROUP BY c.doc_a, c.doc_b)
+    SELECT i.doc_a, i.doc_b,
+           ROUND(n_inter / CAST(sa.n + sb.n - n_inter AS DOUBLE), 4) AS jaccard
+    FROM inter i JOIN sizes sa ON i.doc_a = sa.doc_id
+                 JOIN sizes sb ON i.doc_b = sb.doc_id
+    WHERE n_inter / CAST(sa.n + sb.n - n_inter AS DOUBLE) >= 0.05
+    """,
+)
+def minhash_near_dups_md5_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard verification for minhash_near_dups: the SAME pipeline —
+    signatures (functions/dedup.py:minhash_signature), banding, candidate
+    join, exact-Jaccard verification — run with the SQL-portable md5 hash
+    (portable_hash64) and string band keys, so the oracle reimplements
+    every stage in DuckDB SQL and the driver hash-matches end to end. The
+    xxhash64 production variant differs ONLY in the hash constants."""
+    out = D.minhash_near_dups(
+        scattered(load_table(spark, sf_dir, "documents")),
+        threshold=0.05,
+        hash_fn=D.portable_hash64,
+        portable_bands=True,
+    )
+    return out.select("doc_a", "doc_b", _r4(F.col("jaccard")).alias("jaccard"))
+
+
+@_q("simhash_fingerprints")  # xxhash64 path; hash-matched via simhash_fingerprints_md5
 def simhash_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash64(scattered(load_table(spark, sf_dir, "documents")))
+
+
+@_q(
+    "simhash_fingerprints_md5",
+    """
+    WITH tok AS (
+      SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS tok
+      FROM documents),
+    h AS (SELECT doc_id,
+                 ('0x' || substr(md5(tok || '#0'), 1, 15))::BIGINT AS h
+          FROM tok),
+    bits AS (
+      SELECT doc_id, b,
+             SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM h CROSS JOIN (SELECT UNNEST(range(0, 60)) AS b) bs
+      GROUP BY doc_id, b)
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << CAST(b AS INT))
+                         ELSE 0 END) AS BIGINT) AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+)
+def simhash_fingerprints_md5_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard verification for simhash_fingerprints: the SAME row-local
+    aggregate fold (functions/dedup.py:simhash_column) with the
+    SQL-portable 60-bit md5 hash, hash-matched against a DuckDB oracle
+    that re-derives every bit sum. The xxhash64 production variant differs
+    ONLY in hash constants and width."""
+    return D.simhash64(
+        scattered(load_table(spark, sf_dir, "documents")),
+        n_bits=60,
+        hash_fn=D.portable_hash64,
+    )
 
 
 @_q(
@@ -2455,9 +2540,7 @@ def embedding_norms_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q(
-    "embedding_near_dups",
-    """
+_EMB_NEAR_DUPS_SQL = """
     WITH v AS (SELECT vec_id, embedding FROM embeddings),
     pairs AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -2469,8 +2552,10 @@ def embedding_norms_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
                       i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))) AS c
       FROM v a JOIN v b ON a.vec_id < b.vec_id)
     SELECT id_a, id_b, ROUND(c, 4) AS cosine FROM pairs WHERE c >= 0.45
-    """,
-)
+    """
+
+
+@_q("embedding_near_dups", _EMB_NEAR_DUPS_SQL)
 def embedding_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate dedup, exact all-pairs baseline.
 
@@ -2484,7 +2569,7 @@ def embedding_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", _r4(F.col("cosine")).alias("cosine"))
 
 
-@_q("embedding_near_dups_lsh")  # no SQL oracle: recall<1 by design (scale path)
+@_q("embedding_near_dups_lsh")  # approximate; machinery hash-matched via _fullprobe
 def embedding_near_dups_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = S.embedding_near_dups(
         scattered(load_table(spark, sf_dir, "embeddings")),
@@ -2495,9 +2580,25 @@ def embedding_near_dups_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", _r4(F.col("cosine")).alias("cosine"))
 
 
-@_q(
-    "knn_bruteforce",
-    """
+@_q("embedding_near_dups_lsh_fullprobe", _EMB_NEAR_DUPS_SQL)
+def embedding_near_dups_lsh_fullprobe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard verification for embedding_near_dups_lsh: the SAME bucketed
+    pipeline (signatures, bucket assignment, probe expansion, in-bucket
+    pair join) multi-probed at radius == n_planes, which scans every
+    bucket ⇒ provably equals the exact all-pairs result — so the exact
+    SQL oracle hash-matches the LSH machinery end to end. The production
+    variant differs ONLY in probe_radius."""
+    out = S.embedding_near_dups(
+        scattered(load_table(spark, sf_dir, "embeddings")),
+        threshold=0.45,
+        bucketed=True,
+        n_planes=4,
+        probe_radius=4,
+    )
+    return out.select("id_a", "id_b", _r4(F.col("cosine")).alias("cosine"))
+
+
+_KNN_BRUTEFORCE_SQL = """
     WITH q AS (
       SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
     c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
@@ -2513,8 +2614,10 @@ def embedding_near_dups_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
              ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
       FROM scored)
     WHERE rnk <= 5
-    """,
-)
+    """
+
+
+@_q("knn_bruteforce", _KNN_BRUTEFORCE_SQL)
 def knn_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = scattered(load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") % 100 == 0)
@@ -2522,20 +2625,50 @@ def knn_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumnRenamed("rank", "rnk")
 
 
-@_q("knn_lsh")  # no SQL oracle: approximate (bucketed) variant
+@_q("knn_lsh")  # approximate; machinery hash-matched via knn_lsh_fullprobe
 def knn_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = scattered(load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") % 100 == 0)
     return S.knn_lsh(emb, queries, k=5).withColumnRenamed("rank", "rnk")
 
 
-@_q("knn_ivf")  # no SQL oracle: approximate (coarse-quantized) variant
+@_q("knn_lsh_fullprobe", _KNN_BRUTEFORCE_SQL)
+def knn_lsh_fullprobe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard verification for knn_lsh: the SAME pipeline — hyperplane
+    signatures, corpus bucket assignment, query multi-probe expansion,
+    bucket-keyed candidate join, per-query ranking — probed at radius ==
+    n_planes (probe_masks covers all buckets ⇒ provably exact), so the
+    brute-force SQL oracle hash-matches the LSH machinery end to end. The
+    production variant differs ONLY in n_planes/probe_radius."""
+    emb = scattered(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return S.knn_lsh(
+        emb, queries, k=5, n_planes=4, probe_radius=4
+    ).withColumnRenamed("rank", "rnk")
+
+
+@_q("knn_ivf")  # approximate; machinery hash-matched via knn_ivf_fullprobe
 def knn_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate nearest neighbors — the inverted-file scale path
     next to knn_bruteforce (exact oracle) and knn_lsh (hash path)."""
     emb = scattered(load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") % 100 == 0)
     return S.knn_ivf(emb, queries, k=5).withColumnRenamed("rank", "rnk")
+
+
+@_q("knn_ivf_fullprobe", _KNN_BRUTEFORCE_SQL)
+def knn_ivf_fullprobe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard verification for knn_ivf: the SAME pipeline — sampled
+    quantizer training, JVM corpus-to-centroid assignment, probe-join,
+    per-query ranking — with n_probe == n_centroids (every cell probed ⇒
+    provably exact regardless of the quantizer), so the brute-force SQL
+    oracle hash-matches the IVF machinery end to end. The production
+    variant differs ONLY in n_probe."""
+    emb = scattered(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return S.knn_ivf(
+        emb, queries, k=5, n_centroids=16, n_probe=16
+    ).withColumnRenamed("rank", "rnk")
 
 
 @_q(

@@ -15,9 +15,35 @@ Scale design:
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 from open_ftth_relational_projector_spark.functions.text import let, tokens
+
+#: 64-bit hash family used by the scale paths: one JVM instruction, seedable.
+HashFn = Callable[[Column, int], Column]
+
+
+def xxhash64_seeded(col: Column, seed: int) -> Column:
+    return F.xxhash64(col, F.lit(seed))
+
+
+def portable_hash64(col: Column, seed: int = 0) -> Column:
+    """md5-derived 60-bit hash, computable identically in ANSI SQL.
+
+    DuckDB twin: ``('0x' || substr(md5(x || '#' || seed), 1, 15))::BIGINT``.
+    15 hex chars = 60 bits, so the value always fits a signed BIGINT on both
+    engines. The ``*_md5`` catalog variants run the *same* MinHash/SimHash
+    pipelines with this hash so the driver can hash-match them against a
+    full SQL oracle; xxhash64 stays the production path (one JVM
+    instruction vs an md5 per call).
+    """
+    return F.conv(
+        F.substring(F.md5(F.concat_ws("#", col, F.lit(str(seed)))), 1, 15),
+        16,
+        10,
+    ).cast("long")
 
 
 def shingles(text: Column, n: int = 3) -> Column:
@@ -84,6 +110,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_postings: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join via inverted index.
 
@@ -94,9 +121,18 @@ def ngram_jaccard_pairs(
     alongside; the inverted index groups on a 64-bit shingle hash (long
     shuffle keys, not strings) and each posting list expands to its
     in-bucket pairs with higher-order array functions — work per shingle is
-    |postings|², confined to genuinely shared shingles. A pair's
-    intersection size is then a plain count. At 100 TB, cap/salt posting
-    lists of stop-shingles before the expansion (they dominate the square).
+    |postings|², confined to genuinely shared shingles.
+
+    ``max_postings`` is the 100 TB stop-shingle guard: posting lists longer
+    than the cap are dropped BEFORE the quadratic expansion (a shingle
+    shared by k docs contributes k² pair rows — one boilerplate phrase in
+    every doc is a quadratic bomb). Candidate pairs then lose that
+    shingle's intersection evidence, so with a cap the survivors are
+    re-verified exactly per pair via array_intersect (work ∝ candidates);
+    the result UNDER-recalls only pairs whose entire overlap is
+    stop-shingles — exactly the pairs near-dup dedup must not act on
+    anyway. Default None keeps the uncapped exact join (the SQL-oracle
+    path).
     """
     # one exploded struct keeps the shingle array single-referenced (one
     # evaluation per row); n_sh rides along on every posting row
@@ -113,7 +149,10 @@ def ngram_jaccard_pairs(
     postings = sh.groupBy(F.xxhash64("shingle").alias("sh_hash")).agg(
         F.array_sort(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ds")
     )
-    pairs = postings.filter(F.size("ds") > 1).select(
+    postings = postings.filter(F.size("ds") > 1)
+    if max_postings is not None:
+        postings = postings.filter(F.size("ds") <= max_postings)
+    pairs = postings.select(
         F.explode(
             F.flatten(
                 F.transform(
@@ -136,6 +175,14 @@ def ngram_jaccard_pairs(
         F.first("p.a.n_sh").alias("size_a"),
         F.first("p.b.n_sh").alias("size_b"),
     )
+    if max_postings is not None:
+        # capped index: per-pair counts miss the dropped stop-shingles, so
+        # the index only nominates candidates; Jaccard is recomputed exactly
+        return _verify_jaccard(
+            inter.select("doc_a", "doc_b"),
+            add_shingles(docs, n, text_col, id_col),
+            threshold,
+        )
     return (
         inter.withColumn(
             "jaccard",
@@ -147,15 +194,20 @@ def ngram_jaccard_pairs(
     )
 
 
-def minhash_signature(shingle_arr: Column, num_hashes: int = 32) -> Column:
-    """MinHash signature: per seed, min xxhash64 over the shingle set.
+def minhash_signature(
+    shingle_arr: Column, num_hashes: int = 32, hash_fn: HashFn | None = None
+) -> Column:
+    """MinHash signature: per seed, min 64-bit hash over the shingle set.
 
-    xxhash64 is a JVM built-in — the whole signature is codegen'd, no UDF.
-    Pass a MATERIALIZED shingle array column (compute shingles once; the
-    32 per-seed passes then scan the array without re-deriving the grams).
+    The default xxhash64 is a JVM built-in — the whole signature is
+    codegen'd, no UDF; ``hash_fn=portable_hash64`` yields the SQL-twin
+    variant. Pass a MATERIALIZED shingle array column (compute shingles
+    once; the per-seed passes then scan the array without re-deriving the
+    grams).
     """
+    hf = hash_fn or xxhash64_seeded
     mins = [
-        F.array_min(F.transform(shingle_arr, lambda s: F.xxhash64(s, F.lit(i))))
+        F.array_min(F.transform(shingle_arr, lambda s: hf(s, i)))
         for i in range(num_hashes)
     ]
     return F.array(*mins)
@@ -168,27 +220,37 @@ def minhash_lsh_candidates(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_fn: HashFn | None = None,
+    portable_bands: bool = False,
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing ≥1 identical signature band.
 
     rows_per_band = num_hashes // bands. Returns distinct (doc_a, doc_b).
     Shuffle is keyed by (band_id, band_hash) — linear in corpus size; the
     quadratic blow-up is confined to true near-dup buckets.
+
+    portable_bands=True keys each band on the comma-joined signature slice
+    (a string both engines render identically) instead of F.hash, so a
+    DuckDB oracle built with string_agg reproduces the exact bucketing.
     """
     rows = num_hashes // bands
+
+    def band_key(i: int) -> Column:
+        sl = F.slice(F.col("sig"), i * rows + 1, rows)
+        if portable_bands:
+            return F.concat_ws(
+                ",", F.transform(sl, lambda v: v.cast("string"))
+            )
+        return F.hash(sl).cast("string")
+
     sig = add_shingles(docs, n, text_col, id_col).select(
-        "doc_id", minhash_signature(F.col("sh"), num_hashes).alias("sig")
+        "doc_id", minhash_signature(F.col("sh"), num_hashes, hash_fn).alias("sig")
     )
     banded = sig.select(
         "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.hash(F.slice(F.col("sig"), i * rows + 1, rows))
-                    for i in range(bands)
-                ]
-            )
-        ).alias("band_id", "band_hash"),
+        F.posexplode(F.array(*[band_key(i) for i in range(bands)])).alias(
+            "band_id", "band_hash"
+        ),
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -202,18 +264,12 @@ def minhash_lsh_candidates(
     )
 
 
-def minhash_near_dups(
-    docs: DataFrame,
-    threshold: float = 0.2,
-    num_hashes: int = 32,
-    bands: int = 8,
-    n: int = 3,
+def _verify_jaccard(
+    cands: DataFrame, sh: DataFrame, threshold: float
 ) -> DataFrame:
-    """LSH candidates verified with exact Jaccard, computed per candidate
-    pair via array_intersect on the two shingle arrays — work is strictly
-    proportional to the candidate count (no shingle-index self-join)."""
-    cands = minhash_lsh_candidates(docs, num_hashes, bands, n)
-    sh = add_shingles(docs, n)
+    """Exact Jaccard over candidate pairs via array_intersect on the two
+    shingle arrays — work strictly proportional to the candidate count (no
+    shingle-index self-join). cands: (doc_a, doc_b); sh: (doc_id, sh)."""
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
@@ -222,12 +278,32 @@ def minhash_near_dups(
         .join(b, "doc_b")
         .withColumn(
             "jaccard",
-            inter
-            / (F.size("sh_a") + F.size("sh_b") - inter).cast("double"),
+            inter / (F.size("sh_a") + F.size("sh_b") - inter).cast("double"),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def minhash_near_dups(
+    docs: DataFrame,
+    threshold: float = 0.2,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    hash_fn: HashFn | None = None,
+    portable_bands: bool = False,
+) -> DataFrame:
+    """LSH candidates verified with exact Jaccard (``_verify_jaccard``).
+
+    With ``hash_fn=portable_hash64, portable_bands=True`` the whole
+    pipeline — signatures, banding, candidate join, verification — is
+    reproducible in ANSI SQL, which is how the driver hash-matches it
+    (catalog ``minhash_near_dups_md5``)."""
+    cands = minhash_lsh_candidates(
+        docs, num_hashes, bands, n, hash_fn=hash_fn, portable_bands=portable_bands
+    )
+    return _verify_jaccard(cands, add_shingles(docs, n), threshold)
 
 
 def cross_doc_shingle_dup(
@@ -304,31 +380,74 @@ def benchmark_decontamination(
     )
 
 
+def simhash_column(
+    text: Column, n_bits: int = 64, hash_fn: HashFn | None = None
+) -> Column:
+    """SimHash fingerprint of a text column as ONE row-local expression.
+
+    Per row: hash the distinct tokens, fold a ``n_bits``-element ±1 count
+    vector over the hash array with ``F.aggregate``, then pack sign bits
+    into a long. No explode, no groupBy — zero Exchange at any scale (the
+    previous formulation exploded tokens into a 64-conditional-sum groupBy;
+    this one is map-only and ~2× faster at sf0.1). Both formulations are
+    pinned equal in tests/test_dedup.py.
+    """
+    # default matches the original formulation: unseeded xxhash64 (seed 42)
+    hf = hash_fn or (lambda t, _s: F.xxhash64(t))
+    hs = F.transform(
+        F.array_distinct(tokens(text)), lambda t: hf(t, 0)
+    )
+    zero = F.array_repeat(F.lit(0), n_bits)
+    counts = F.aggregate(
+        hs,
+        zero,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(
+                        F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+                    ).otherwise(-1)
+                    for b in range(n_bits)
+                ]
+            ),
+            lambda a, d: a + d,
+        ),
+    )
+    # let-bind the fold so the n_bits packing references evaluate it once
+    return let(
+        counts,
+        lambda c: sum(
+            (
+                F.when(
+                    F.element_at(c, b + 1) > 0,
+                    F.shiftleft(F.lit(1).cast("long"), b),
+                ).otherwise(F.lit(0).cast("long"))
+                for b in range(1, n_bits)
+            ),
+            start=F.when(
+                F.element_at(c, 1) > 0, F.lit(1).cast("long")
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+    )
+
+
 def simhash64(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bits: int = 64,
+    hash_fn: HashFn | None = None,
 ) -> DataFrame:
-    """64-bit SimHash per document, fully JVM-side: explode distinct tokens,
-    xxhash64 each, and for every bit accumulate +1/-1 in ONE groupBy pass
-    (64 conditional-sum aggregates, map-side combined); the fingerprint has
-    bit b set when its sum is positive. Returns (id_col, simhash long)."""
-    tok = docs.select(
+    """SimHash per document (simhash_column over the corpus).
+
+    ``hash_fn=portable_hash64`` (with ``n_bits=60``) gives the
+    SQL-oracle-matchable variant; default xxhash64 is the scale path.
+    Returns (id_col, simhash long)."""
+    return docs.select(
         F.col(id_col),
-        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
-    bit_aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{b}")
-        for b in range(64)
-    ]
-    sums = tok.groupBy(id_col).agg(*bit_aggs)
-    fp = None
-    for b in range(64):
-        term = F.when(
-            F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
-        ).otherwise(F.lit(0).cast("long"))
-        fp = term if fp is None else fp.bitwiseOR(term)
-    return sums.select(F.col(id_col), fp.alias("simhash"))
+        simhash_column(F.col(text_col), n_bits, hash_fn).alias("simhash"),
+    )
 
 
 def hamming64(a: Column, b: Column) -> Column:

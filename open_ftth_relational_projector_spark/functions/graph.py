@@ -13,10 +13,16 @@ shuffles keyed by node id — and the iteration count is the graph diameter,
 which for near-dup graphs is tiny (clusters are dense cliques-of-copies,
 diameter 1-2; the cap exists for adversarial chains). ``localCheckpoint``
 truncates the plan between rounds so lineage doesn't grow with iterations
-— the standard Spark iterative-algorithm guard. At 100 TB scale swap the
-loop body for the alternating large-star/small-star optimization
-(Kiveris et al., "Connected Components in MapReduce and Beyond") — same
-per-round join shape, provably fewer rounds on long chains.
+— the standard Spark iterative-algorithm guard.
+
+For adversarially long chains (diameter ≫ rounds) ``algorithm="star"``
+runs the alternating large-star/small-star formulation (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", 2014): the same
+join+aggregate round shape, but each round HALVES path lengths instead of
+shrinking them by one, so convergence is O(log d) — a 10k-node chain
+closes in ~15 rounds instead of 10k (pinned in tests). That is the 100 TB
+path; min-label stays the default because near-dup graphs have tiny
+diameters and label-prop does one shuffle per round instead of three.
 """
 
 from __future__ import annotations
@@ -31,14 +37,25 @@ def connected_components(
     max_iter: int = 25,
     out_node: str = "doc_id",
     out_label: str = "component_id",
+    algorithm: str = "label",
 ) -> DataFrame:
     """Components of the undirected graph given by (src, dst) pairs.
 
     Returns one row per node appearing in any edge: (out_node, out_label)
     where out_label = min node id of the node's component. Raises if the
-    propagation hasn't converged after ``max_iter`` rounds (diameter larger
-    than the cap — raise it, or switch to large-star/small-star).
+    propagation hasn't converged after ``max_iter`` rounds.
+
+    algorithm="label" — min-label propagation, one shuffle per round,
+    rounds = graph diameter (right for dense near-dup cliques).
+    algorithm="star" — alternating large-star/small-star (Kiveris et al.
+    2014), rounds = O(log diameter) (right for long chains / 100 TB).
     """
+    if algorithm == "star":
+        return _connected_components_star(
+            edges, src, dst, max_iter, out_node, out_label
+        )
+    if algorithm != "label":
+        raise ValueError(f"unknown algorithm: {algorithm!r}")
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )
@@ -74,4 +91,110 @@ def connected_components(
             )
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds"
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star round: every node u connects its LARGER neighbors to
+    m(u) = min(Γ(u) ∪ {u}). Emitted as (v, m) pairs; self-loops dropped."""
+    sym = edges.unionByName(
+        edges.select(F.col("u").alias("v"), F.col("v").alias("u"))
+    )
+    mins = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("minv"))
+        .select("u", F.least("minv", F.col("u")).alias("m"))
+    )
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star round: orient edges larger→smaller; every node u
+    re-links its (all smaller) neighbors and itself to m(u) = min(Γ(u))."""
+    g = (
+        edges.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    mins = g.groupBy("u").agg(F.min("v").alias("m"))
+    relinked = (
+        g.join(mins, "u")
+        .filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    own = mins.select("u", F.col("m").alias("v"))
+    return (
+        relinked.unionByName(own)
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _connected_components_star(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    max_iter: int,
+    out_node: str,
+    out_label: str,
+) -> DataFrame:
+    """Alternating large-star/small-star connected components (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC 2014).
+
+    Each round halves path lengths, so a diameter-d graph converges in
+    O(log d) rounds where min-label propagation needs d. Convergence =
+    edge-set fixpoint, detected via an order-insensitive checksum (count +
+    sum of pair hashes) instead of a full set comparison. At fixpoint the
+    edge set is a star forest: every edge is (node, component-min)."""
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def checksum(df: DataFrame) -> tuple:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal accumulator: a long sum of 64-bit hashes overflows ANSI
+            F.sum(F.xxhash64(F.col("u"), F.col("v")).cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    prev = None
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        cur = checksum(e)
+        if cur == prev:
+            # at fixpoint every node carries exactly one out-edge (to its
+            # component min); the groupBy is an identity safety net
+            stars = (
+                e.groupBy("u")
+                .agg(F.min("v").alias("label"))
+                .select(F.col("u").alias("node"), "label")
+            )
+            return (
+                nodes.join(stars, "node", "left")
+                .select(
+                    F.col("node").alias(out_node),
+                    F.coalesce(F.col("label"), F.col("node")).alias(out_label),
+                )
+            )
+        prev = cur
+    raise RuntimeError(
+        f"star connected_components did not converge in {max_iter} rounds"
     )

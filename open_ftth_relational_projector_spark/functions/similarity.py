@@ -80,12 +80,26 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def probe_masks(n_planes: int, radius: int) -> list[int]:
+    """Multi-probe LSH masks: every bucket-id XOR mask flipping ≤ ``radius``
+    signature bits. radius=0 → [0] (exact-bucket probe only); radius ==
+    n_planes → all 2^n_planes masks, which makes a probed LSH search scan
+    every bucket — i.e. EXACT. That exactness is what lets the driver
+    hash-match the full LSH machinery (signature, bucket assignment, probe
+    expansion, candidate join, ranking) against a brute-force SQL oracle
+    (catalog ``knn_lsh_fullprobe``); partial radii are the production
+    recall knob (probing r=1 covers near-dups straddling one hyperplane).
+    """
+    return [m for m in range(1 << n_planes) if bin(m).count("1") <= radius]
+
+
 def embedding_near_dups(
     corpus: DataFrame,
     threshold: float = 0.9,
     bucketed: bool = False,
     dim: int = 64,
     n_planes: int = 6,
+    probe_radius: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -96,7 +110,12 @@ def embedding_near_dups(
     candidates restricted to a shared random-hyperplane LSH bucket, shuffle
     keyed on bucket id, quadratic work confined inside buckets; recall < 1
     by construction (near-dups straddling a hyperplane are missed — raise
-    recall with fewer planes or multi-probe).
+    recall with fewer planes or ``probe_radius``). probe_radius multi-probes
+    side a into every bucket within r flipped signature bits (each pair
+    still matches at most once — masks are distinct); radius == n_planes
+    scans all buckets ⇒ exact through the bucketing machinery, which is
+    the driver-oracle configuration (catalog
+    ``embedding_near_dups_lsh_fullprobe``).
     """
     a = corpus.select(
         F.col(id_col).alias("id_a"), as_double(F.col(vec_col)).alias("va")
@@ -106,7 +125,19 @@ def embedding_near_dups(
     )
     if bucketed:
         planes = _hyperplanes(dim, n_planes)
-        a = a.withColumn("bucket", lsh_bucket(F.col("va"), planes))
+        masks = probe_masks(n_planes, probe_radius)
+        a = (
+            a.withColumn("b0", lsh_bucket(F.col("va"), planes))
+            .withColumn(
+                "bucket",
+                F.explode(
+                    F.array(
+                        *[F.col("b0").bitwiseXOR(F.lit(m)) for m in masks]
+                    )
+                ),
+            )
+            .drop("b0")
+        )
         b = b.withColumn("bucket", lsh_bucket(F.col("vb"), planes))
         pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
     else:
@@ -217,24 +248,42 @@ def knn_lsh(
     k: int = 5,
     dim: int = 64,
     n_planes: int = 8,
+    probe_radius: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's LSH bucket.
+    """Approximate top-k: candidates restricted to the query's LSH bucket,
+    multi-probed to every bucket within ``probe_radius`` flipped bits.
 
-    Recall is tunable via n_planes (fewer planes → bigger buckets). The
-    query side is small (like knn_bruteforce/knn_ivf) → broadcast it, so
-    the corpus never shuffles for the probe; only the per-query top-k
-    window moves candidate rows.
+    Recall is tunable via n_planes (fewer planes → bigger buckets) and
+    probe_radius (more probes → more buckets per query; radius == n_planes
+    ⇒ exact, see probe_masks). The query side is small (like
+    knn_bruteforce/knn_ivf) and only multiplies by the probe count →
+    broadcast it, so the corpus never shuffles for the probe; only the
+    per-query top-k window moves candidate rows. Each corpus bucket id
+    matches at most one probe mask per query, so candidates never
+    duplicate.
     """
     planes = _hyperplanes(dim, n_planes)
+    masks = probe_masks(n_planes, probe_radius)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         as_double(F.col(vec_col)).alias("cv"),
     ).withColumn("bucket", lsh_bucket(F.col("cv"), planes))
-    q = queries.select(
-        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
-    ).withColumn("bucket", lsh_bucket(F.col("qv"), planes))
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            as_double(F.col(vec_col)).alias("qv"),
+        )
+        .withColumn("b0", lsh_bucket(F.col("qv"), planes))
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.array(*[F.col("b0").bitwiseXOR(F.lit(m)) for m in masks])
+            ),
+        )
+        .drop("b0")
+    )
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))

@@ -468,3 +468,176 @@ def test_label_centroid_stats_degenerate_and_spread(spark):
     out = {r["label"]: r for r in S.label_centroid_stats(df).collect()}
     assert out[0]["n_vecs"] == 2 and out[0]["avg_cos_to_centroid"] == 1.0
     assert out[1]["avg_cos_to_centroid"] == round(math.cos(math.pi / 4), 4)
+
+
+# --- round 3: portable-hash twins, multi-probe LSH, skew guards ------------
+
+
+def test_portable_hash64_matches_hashlib(spark):
+    """portable_hash64 == int(md5(f'{x}#{seed}')[:15], 16) — the contract
+    the DuckDB oracles for the *_md5 catalog twins rely on."""
+    import hashlib
+
+    df = spark.createDataFrame([("hello",), ("ø12 utf8 tøkens",)], "s string")
+    got = [
+        (r["h0"], r["h7"])
+        for r in df.select(
+            D.portable_hash64(F.col("s"), 0).alias("h0"),
+            D.portable_hash64(F.col("s"), 7).alias("h7"),
+        ).collect()
+    ]
+    want = [
+        (
+            int(hashlib.md5(f"{s}#0".encode()).hexdigest()[:15], 16),
+            int(hashlib.md5(f"{s}#7".encode()).hexdigest()[:15], 16),
+        )
+        for s in ("hello", "ø12 utf8 tøkens")
+    ]
+    assert got == want
+
+
+def test_simhash_rowlocal_equals_grouped_formulation(docs):
+    """The round-3 row-local aggregate fold must reproduce the original
+    explode→groupBy formulation bit for bit (same unseeded xxhash64)."""
+    tok = docs.select(
+        F.col("doc_id"),
+        F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    bit_aggs = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    sums = tok.groupBy("doc_id").agg(*bit_aggs)
+    fp = None
+    for b in range(64):
+        term = F.when(
+            F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else fp.bitwiseOR(term)
+    grouped = {
+        r["doc_id"]: r["s"]
+        for r in sums.select("doc_id", fp.alias("s")).collect()
+    }
+    rowlocal = {r["doc_id"]: r["simhash"] for r in D.simhash64(docs).collect()}
+    assert rowlocal == grouped
+
+
+def test_minhash_portable_pipeline_finds_dups(docs):
+    """The md5-portable MinHash variant (the driver-oracled twin) behaves
+    like the xxhash64 path: exact dups found, every pair exactly scored."""
+    out = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.minhash_near_dups(
+            docs, threshold=0.2, hash_fn=D.portable_hash64, portable_bands=True
+        ).collect()
+    }
+    assert out[(1, 2)] == 1.0
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.0, n=3).collect()
+    }
+    for pair, j in out.items():
+        assert abs(exact[pair] - j) < 1e-9
+
+
+def test_probe_masks():
+    assert S.probe_masks(4, 0) == [0]
+    r1 = S.probe_masks(4, 1)
+    assert sorted(r1) == [0, 1, 2, 4, 8]
+    assert len(S.probe_masks(4, 4)) == 16  # full probe = every bucket
+
+
+def test_knn_lsh_fullprobe_equals_bruteforce(spark):
+    rows = [(i, [float((i * 7 + j * 3) % 11) for j in range(8)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") % 10 == 0)
+    exact = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in S.knn_bruteforce(df, q, k=3).collect()
+    )
+    probed = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in S.knn_lsh(df, q, k=3, dim=8, n_planes=3, probe_radius=3).collect()
+    )
+    assert exact == probed
+
+
+def test_embedding_near_dups_fullprobe_equals_exact(spark):
+    rows = [(i, [float((i * 5 + j) % 7) for j in range(8)]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = sorted(
+        (r["id_a"], r["id_b"], round(r["cosine"], 6))
+        for r in S.embedding_near_dups(df, threshold=0.8, dim=8).collect()
+    )
+    probed = sorted(
+        (r["id_a"], r["id_b"], round(r["cosine"], 6))
+        for r in S.embedding_near_dups(
+            df, threshold=0.8, bucketed=True, dim=8, n_planes=3, probe_radius=3
+        ).collect()
+    )
+    assert exact == probed
+
+
+def test_ngram_jaccard_max_postings_drops_stop_shingles(spark):
+    """Adversarial skew: one boilerplate shingle in EVERY doc. Uncapped,
+    that posting list expands to n² pair rows; with max_postings the list
+    is dropped before expansion, genuinely-near docs are still found via
+    their rare shared shingles, and their Jaccard stays exact."""
+    boiler = "all rights reserved worldwide"
+    rows = [(i, f"unique{i} text{i} body{i} filler{i} {boiler}") for i in range(40)]
+    # docs 100/101 share real content beyond the boilerplate
+    rows += [
+        (100, f"alpha beta gamma delta epsilon {boiler}"),
+        (101, f"alpha beta gamma delta zeta {boiler}"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(df, threshold=0.15, n=3).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(
+            df, threshold=0.15, n=3, max_postings=10
+        ).collect()
+    }
+    assert (100, 101) in capped
+    # capped verification recomputes the TRUE jaccard (incl. stop shingles)
+    assert abs(capped[(100, 101)] - uncapped[(100, 101)]) < 1e-9
+    # pairs whose only overlap is boilerplate are capped away
+    assert all(a == 100 and b == 101 for a, b in capped)
+
+
+def test_connected_components_star_matches_label_and_closes_chains(spark):
+    import random
+
+    from open_ftth_relational_projector_spark.functions.graph import (
+        connected_components,
+    )
+
+    # long chain: diameter 2000 → label-prop would need 2000 rounds; the
+    # large-star/small-star alternation halves paths → O(log d) rounds
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(2000)], "doc_a long, doc_b long"
+    )
+    out = connected_components(chain, algorithm="star", max_iter=30).collect()
+    assert len(out) == 2001
+    assert {r["component_id"] for r in out} == {0}
+
+    rng = random.Random(5)
+    es = [(rng.randrange(120), rng.randrange(120)) for _ in range(100)]
+    es = [(a, b) for a, b in es if a != b]
+    df = spark.createDataFrame(es, "doc_a long, doc_b long")
+    lab = sorted(
+        (r["doc_id"], r["component_id"])
+        for r in connected_components(df, algorithm="label", max_iter=50).collect()
+    )
+    star = sorted(
+        (r["doc_id"], r["component_id"])
+        for r in connected_components(df, algorithm="star").collect()
+    )
+    assert lab == star
