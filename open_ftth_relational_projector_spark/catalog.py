@@ -2212,6 +2212,204 @@ def walk_hop_multi_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "proj_rel_fiber_cable_sim",
+    """
+    WITH ev AS (
+      SELECT event_id AS eid, CAST(user_id AS VARCHAR) AS u, event_type, value,
+             CAST(FLOOR(value) AS INT) AS fv,
+             CAST(FLOOR(value / 7) AS INT) AS fv7
+      FROM events),
+    spec AS (
+      SELECT 2 * eid AS seq, 'SS-' || CAST(fv % 8 AS VARCHAR) AS spec_id,
+             (fv % 2 = 0) AS is_cable
+      FROM ev WHERE event_type = 'view'),
+    placed AS (
+      SELECT 2 * eid + 1 AS seq, u, 'SS-' || CAST(fv % 8 AS VARCHAR) AS spec_id
+      FROM ev WHERE event_type = 'signup'),
+    placed_spec AS (
+      SELECT p.seq, p.u, COALESCE(s.is_cable, FALSE) AS spec_is_cable
+      FROM placed p ASOF LEFT JOIN spec s
+        ON p.spec_id = s.spec_id AND p.seq > s.seq),
+    first_place AS (SELECT u, MIN(seq) AS pseq FROM placed GROUP BY u),
+    aff AS (
+      SELECT 2 * a.eid AS seq, a.u,
+             CASE WHEN a.fv % 5 = 0 THEN NULL ELSE a.fv % 4 END AS hop_i,
+             (a.fv % 4) + 1 + (a.fv7 % (5 - (a.fv % 4))) AS hop_j
+      FROM ev a JOIN first_place fp ON a.u = fp.u AND 2 * a.eid > fp.pseq
+      WHERE a.event_type = 'purchase' AND a.fv % 3 = 0),
+    det AS (
+      SELECT 2 * e.eid AS seq, e.u,
+             CAST(NULL AS INT) AS hop_i, CAST(NULL AS INT) AS hop_j
+      FROM ev e JOIN first_place fp ON e.u = fp.u AND 2 * e.eid > fp.pseq
+      WHERE e.event_type = 'error' AND e.fv % 5 = 1),
+    trig AS (
+      SELECT u, seq, hop_i, hop_j FROM aff
+      UNION ALL SELECT u, seq, hop_i, hop_j FROM det
+      UNION ALL SELECT u, seq, CAST(NULL AS INT), CAST(NULL AS INT)
+      FROM placed_spec WHERE spec_is_cable),
+    win AS (
+      SELECT u, seq AS tseq, hop_i, hop_j FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY u ORDER BY seq DESC) AS rn
+        FROM trig) WHERE rn = 1),
+    walks AS (
+      SELECT 2 * eid AS wseq, u, 6 AS wlen FROM ev WHERE event_type = 'signup'
+      UNION ALL
+      SELECT 2 * eid, u, 7 FROM ev WHERE event_type = 'click' AND value < 80),
+    wver AS (
+      SELECT u, hop_i, hop_j, wlen FROM (
+        SELECT win.u, win.hop_i, win.hop_j, w.wlen,
+               ROW_NUMBER() OVER (PARTITION BY win.u ORDER BY w.wseq DESC) AS rn
+        FROM win JOIN walks w ON w.u = win.u AND w.wseq < win.tseq)
+      WHERE rn = 1),
+    kept AS (
+      SELECT u, k FROM (
+        SELECT u, hop_i, hop_j, UNNEST(range(0, wlen)) AS k FROM wver)
+      WHERE hop_i IS NULL OR k < hop_i OR k >= hop_j)
+    SELECT u AS fiber_cable_id,
+           'W-' || u || '-' || CAST(k AS VARCHAR) AS route_network_element_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY u ORDER BY k) AS INT) AS seq_no
+    FROM kept
+    """,
+)
+def proj_rel_fiber_cable_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL rel_fiber_cable_to_route_element projection
+    (projections/core.py:project_rel_fiber_cable_to_route_element =
+    ProjektorState.cs:178-221) end to end under the driver gate — the last
+    of the 8 tables to get its own driver row. Exercises, composed: the
+    spec-says-cable trigger (spec flag, NOT the payload flag — the sim
+    sets them opposite), unconditional affix/detach triggers (even for
+    non-cables), latest-trigger-wins (J5), walk resolved as-of the trigger
+    (registered ∪ modified versions), X2 hop subtraction (hop [i, j) with
+    a MISS variant that never fires, detach = empty hop list = identity),
+    and W1 posexplode seq_no. The oracle re-derives the same fold with
+    ASOF/window SQL; walk contents are position-determined so subtraction
+    is expressible as a range predicate.
+    """
+    from open_ftth_relational_projector_spark.operators.arrays import EMPTY_GUID
+    from open_ftth_relational_projector_spark.projections.core import (
+        project_rel_fiber_cable_to_route_element,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    u = F.col("user_id").cast("string")
+    fv = F.floor("value").cast("int")
+    fv7 = F.floor(F.col("value") / 7).cast("int")
+    seq2 = (F.col("event_id") * 2).alias("seq")
+    mkw = lambda k: F.concat(  # noqa: E731
+        F.lit("W-"), u, F.lit("-"), k.cast("string")
+    )
+    hop_t = (
+        "array<struct<fromNodeId:string,toNodeId:string,"
+        "parentAffixes:array<struct<spanSegmentId:string>>>>"
+    )
+
+    span_spec = ev.filter(F.col("event_type") == "view").select(
+        seq2,
+        F.struct(
+            F.concat(F.lit("SS-"), (fv % 8).cast("string")).alias("id"),
+            F.concat(F.lit("N-"), fv.cast("string")).alias("name"),
+            (fv % 2 == 0).alias("isCable"),
+            F.struct(
+                F.concat(F.lit("ST-"), (fv % 6).cast("string")).alias(
+                    "spanStructureSpecificationId"
+                )
+            ).alias("rootTemplate"),
+        ).alias("specification"),
+    )
+    struct_spec = ev.filter(
+        (F.col("event_type") == "view") & (F.col("value") < 100)
+    ).select(
+        seq2,
+        F.struct(
+            F.concat(F.lit("ST-"), (fv % 6).cast("string")).alias("id"),
+            fv.alias("outerDiameter"),
+        ).alias("specification"),
+    )
+    walk_reg = ev.filter(F.col("event_type") == "signup").select(
+        seq2,
+        F.struct(
+            F.concat(F.lit("W-"), u).alias("id"),
+            F.array(*[mkw(F.lit(k)) for k in range(6)]).alias(
+                "routeNetworkElementRefs"
+            ),
+        ).alias("interest"),
+    )
+    seg = F.struct(
+        F.concat(F.lit("SEG-"), u).alias("id"),
+        F.lit(0).alias("fromNodeOfInterestIndex"),
+        F.lit(1).alias("toNodeOfInterestIndex"),
+        F.lit(EMPTY_GUID).alias("fromTerminalId"),
+        F.lit(EMPTY_GUID).alias("toTerminalId"),
+    )
+    placed = ev.filter(F.col("event_type") == "signup").select(
+        (F.col("event_id") * 2 + 1).alias("seq"),
+        F.struct(
+            u.alias("id"),
+            F.concat(F.lit("E-"), u).alias("name"),
+            F.concat(F.lit("SS-"), (fv % 8).cast("string")).alias(
+                "specificationId"
+            ),
+            F.concat(F.lit("W-"), u).alias("walkOfInterestId"),
+            F.array(mkw(F.lit(0)), mkw(F.lit(5))).alias("nodesOfInterestIds"),
+            # payload flag deliberately OPPOSITE of the spec flag: the
+            # projection must trust the spec (ProjektorState.cs:169)
+            (fv % 2 == 1).alias("isCable"),
+            F.array(F.struct(F.array(seg).alias("spanSegments"))).alias(
+                "spanStructures"
+            ),
+            F.lit(None).cast(hop_t).alias("utilityNetworkHops"),
+            F.struct(
+                F.lit(None).cast("string").alias("accessAddressId"),
+                F.lit(None).cast("string").alias("unitAddressId"),
+            ).alias("addressInfo"),
+        ).alias("equipment"),
+    )
+    walk_mod = ev.filter(
+        (F.col("event_type") == "click") & (F.col("value") < 80)
+    ).select(
+        seq2,
+        F.concat(F.lit("W-"), u).alias("interestId"),
+        F.array(*[mkw(F.lit(k)) for k in range(7)]).alias(
+            "routeNetworkElementIds"
+        ),
+    )
+    i_ = fv % 4
+    j_ = i_ + 1 + (fv7 % (5 - i_))
+    hop = F.struct(
+        F.when(fv % 5 == 0, F.lit("MISS")).otherwise(mkw(i_)).alias(
+            "fromNodeId"
+        ),
+        mkw(j_).alias("toNodeId"),
+        F.lit(None)
+        .cast("array<struct<spanSegmentId:string>>")
+        .alias("parentAffixes"),
+    )
+    affix = ev.filter(
+        (F.col("event_type") == "purchase") & (fv % 3 == 0)
+    ).select(seq2, u.alias("spanEquipmentId"), F.array(hop).alias("newUtilityHopList"))
+    detach = ev.filter(
+        (F.col("event_type") == "error") & (fv % 5 == 1)
+    ).select(
+        seq2,
+        u.alias("spanEquipmentId"),
+        F.array().cast(hop_t).alias("newUtilityHopList"),
+    )
+    log = EventLog.from_typed(
+        spark,
+        {
+            "SpanEquipmentSpecificationAdded": span_spec,
+            "SpanStructureSpecificationAdded": struct_spec,
+            "WalkOfInterestRegistered": walk_reg,
+            "WalkOfInterestRouteNetworkElementsModified": walk_mod,
+            "SpanEquipmentPlacedInRouteNetwork": placed,
+            "SpanEquipmentAffixedToParent": affix,
+            "SpanEquipmentDetachedFromParent": detach,
+        },
+    )
+    return project_rel_fiber_cable_to_route_element(log)
+
+
 # ===========================================================================
 # 4. LLM-pipeline surface: text, dedup, similarity, multimodal
 # ===========================================================================
