@@ -2,14 +2,18 @@
 
 ``decode_image`` really decodes (width, height) from PNG/GIF/BMP/JPEG
 headers with pure stdlib byte parsing — that is the whole feature
-contract (training pipelines filter/bucket on dims, never pixels).
-Pixel-level work (resampling, color) needs codec libraries not in this
-container; unrecognized formats raise NotImplementedError, and that is
-the permanent contract boundary, documented here and in README. The
-``fake=True`` path derives deterministic pseudo-dims from byte length so
-text-as-blob testdata exercises the pipeline with a SQL oracle.
-Everything Spark-side — schema, Arrow batch shape, mapInPandas
-partitioning — is real and tested; a pixel decoder changes one function.
+contract (training pipelines filter/bucket on dims, never pixels). For
+PNG, pixel-level work is ALSO real: ``decode_png_pixels`` inflates the
+IDAT stream with stdlib zlib and unfilters every row (filters 0-4 incl.
+Paeth), ``resize_nearest`` resamples, and ``encode_png`` re-encodes a
+valid PNG — so ``resize_images(fake=False)`` is a genuine
+decode→resample→re-encode pipeline for 8-bit gray/RGB/GA/RGBA PNGs.
+Other formats' pixel paths need codec libraries not in this container and
+raise NotImplementedError — that boundary is the documented contract
+(here and in README). The ``fake=True`` path derives deterministic
+pseudo-dims from byte length so text-as-blob testdata exercises the
+pipeline with a SQL oracle. Everything Spark-side — schema, Arrow batch
+shape, mapInPandas partitioning — is identical between the paths.
 
 Design for 100 TB: binary payloads ride in parquet binary columns (or
 path+offset pointers for object-store blobs); feature extraction is
@@ -20,6 +24,7 @@ the blob.
 
 from __future__ import annotations
 
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -106,6 +111,124 @@ def decode_image(payload: bytes, fake: bool = False) -> tuple[int, int]:
         "unrecognized image format: only PNG/GIF/BMP/JPEG headers are "
         "decodable without a codec library"
     )
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: PNG color type → samples per pixel (8-bit depth): gray, RGB, gray+alpha, RGBA
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_chunks(b: bytes):
+    i = 8
+    while i + 8 <= len(b):
+        ln = int.from_bytes(b[i : i + 4], "big")
+        typ = b[i + 4 : i + 8]
+        yield typ, b[i + 8 : i + 8 + ln]
+        i += 12 + ln  # length + type + data + crc
+        if typ == b"IEND":
+            break
+
+
+def decode_png_pixels(b: bytes) -> tuple[int, int, int, bytes]:
+    """Full PNG pixel decode with stdlib zlib: concatenate IDAT chunks,
+    inflate, and unfilter each scanline (filter types 0 None / 1 Sub /
+    2 Up / 3 Average / 4 Paeth, per the PNG spec §9). Supports 8-bit
+    depth, color types 0/2/4/6, no interlace — the overwhelmingly common
+    encoder output. Returns (width, height, color_type, raw pixel bytes,
+    row-major, ``_PNG_CHANNELS[color_type]`` bytes per pixel)."""
+    if b[:8] != _PNG_SIG:
+        raise NotImplementedError("not a PNG: pixel decode is PNG-only here")
+    width = height = ct = None
+    idat = bytearray()
+    for typ, data in _png_chunks(b):
+        if typ == b"IHDR":
+            width = int.from_bytes(data[0:4], "big")
+            height = int.from_bytes(data[4:8], "big")
+            depth, ct, interlace = data[8], data[9], data[12]
+            if depth != 8 or ct not in _PNG_CHANNELS or interlace:
+                raise NotImplementedError(
+                    f"unsupported PNG variant: depth={depth} color={ct} "
+                    f"interlace={interlace}"
+                )
+        elif typ == b"IDAT":
+            idat += data
+    raw = zlib.decompress(bytes(idat))
+    ch = _PNG_CHANNELS[ct]
+    stride = width * ch
+    out = bytearray()
+    prev = bytearray(stride)
+    pos = 0
+    for _ in range(height):
+        ftype = raw[pos]
+        pos += 1
+        row = bytearray(raw[pos : pos + stride])
+        pos += stride
+        if ftype == 1:  # Sub: + left
+            for x in range(ch, stride):
+                row[x] = (row[x] + row[x - ch]) & 0xFF
+        elif ftype == 2:  # Up: + above
+            for x in range(stride):
+                row[x] = (row[x] + prev[x]) & 0xFF
+        elif ftype == 3:  # Average: + floor((left + above) / 2)
+            for x in range(stride):
+                a = row[x - ch] if x >= ch else 0
+                row[x] = (row[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth predictor
+            for x in range(stride):
+                a = row[x - ch] if x >= ch else 0
+                c = prev[x - ch] if x >= ch else 0
+                up = prev[x]
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                row[x] = (row[x] + pred) & 0xFF
+        elif ftype != 0:
+            raise NotImplementedError(f"unknown PNG filter type {ftype}")
+        out += row
+        prev = row
+    return width, height, ct, bytes(out)
+
+
+def encode_png(pixels: bytes, width: int, height: int, color_type: int) -> bytes:
+    """Minimal valid PNG encoder: filter 0 on every scanline, one zlib
+    IDAT, correct CRCs. Deterministic (fixed compression level) so
+    resized-output hashes are stable."""
+    ch = _PNG_CHANNELS[color_type]
+    stride = width * ch
+    raw = b"".join(
+        b"\x00" + pixels[y * stride : (y + 1) * stride] for y in range(height)
+    )
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        crc = zlib.crc32(typ + data) & 0xFFFFFFFF
+        return len(data).to_bytes(4, "big") + typ + data + crc.to_bytes(4, "big")
+
+    ihdr = (
+        width.to_bytes(4, "big")
+        + height.to_bytes(4, "big")
+        + bytes([8, color_type, 0, 0, 0])
+    )
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def resize_nearest(
+    pixels: bytes, width: int, height: int, ch: int, tw: int, th: int
+) -> bytes:
+    """Nearest-neighbor resample: target pixel (tx, ty) samples source
+    (tx*width//tw, ty*height//th)."""
+    out = bytearray(tw * th * ch)
+    for ty in range(th):
+        srow = (ty * height // th) * width * ch
+        trow = ty * tw * ch
+        for tx in range(tw):
+            s = srow + (tx * width // tw) * ch
+            out[trow + tx * ch : trow + (tx + 1) * ch] = pixels[s : s + ch]
+    return bytes(out)
 
 
 def extract_features(docs_with_payload: DataFrame, fake: bool = True) -> DataFrame:
@@ -205,21 +328,29 @@ def resize_images(
     target_h: int = 224,
     fake: bool = True,
 ) -> DataFrame:
-    """STUB resize: a real implementation decodes, resamples, re-encodes;
-    the deterministic fake hashes payload ⊕ target geometry so tests (and
-    the DuckDB oracle) can pin the full input→output contract. Output
-    keeps source + target dims — the metadata a training pipeline filters
-    and buckets on without touching blobs.
+    """Image resize over the binary column.
 
-    Same split as extract_features: the fake 'resized' hash is byte
-    arithmetic → JVM (F.sha2 over payload ⊕ tag, before the Arrow
-    crossing); only the decode-shaped dims run in Python."""
+    fake=False — REAL for PNG payloads: decode_png_pixels (zlib inflate +
+    scanline unfilter) → resize_nearest → encode_png; resized_sha256 is
+    the hash of the re-encoded PNG bytes and width/height are the true
+    source dims. Non-PNG payloads raise NotImplementedError (codec libs
+    absent — the documented contract boundary).
+
+    fake=True — deterministic stand-in (pseudo-dims from byte length,
+    hash of payload ⊕ target geometry) so text-as-blob testdata can pin
+    the full input→output contract with a SQL oracle. Same schema, same
+    mapInPandas batch shape as the real path; the fake 'resized' hash is
+    byte arithmetic → computed JVM-side (F.sha2) before the Arrow
+    crossing, so Python never hashes a blob it didn't decode.
+
+    Output keeps source + target dims — the metadata a training pipeline
+    filters and buckets on without touching blobs."""
 
     tag = f"{target_w}x{target_h}".encode()
 
-    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def op_fake(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            dims = [decode_image(p, fake=fake) for p in pdf["payload"]]
+            dims = [decode_image(p, fake=True) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -231,13 +362,39 @@ def resize_images(
                 }
             )
 
-    return (
-        docs_with_payload.select(
+    def op_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            widths, heights, shas = [], [], []
+            for payload in pdf["payload"]:
+                w, h, ct, px = decode_png_pixels(bytes(payload))
+                resized = resize_nearest(
+                    px, w, h, _PNG_CHANNELS[ct], target_w, target_h
+                )
+                out = encode_png(resized, target_w, target_h, ct)
+                widths.append(w)
+                heights.append(h)
+                shas.append(hashlib.sha256(out).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": widths,
+                    "height": heights,
+                    "target_w": target_w,
+                    "target_h": target_h,
+                    "resized_sha256": shas,
+                }
+            )
+
+    if fake:
+        return docs_with_payload.select(
             "doc_id",
             "payload",
             F.sha2(F.concat(F.col("payload"), F.lit(tag)), 256).alias(
                 "resized_sha256"
             ),
-        )
-        .mapInPandas(op, RESIZE_SCHEMA)
+        ).mapInPandas(op_fake, RESIZE_SCHEMA)
+    return docs_with_payload.select("doc_id", "payload").mapInPandas(
+        op_real, RESIZE_SCHEMA
     )
