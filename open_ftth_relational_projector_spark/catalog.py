@@ -3440,44 +3440,69 @@ def label_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Registration order for the driver window
 # ===========================================================================
 # The driver's CORRECTNESS gate records only the FIRST 50 queries() entries
-# per round. Round 1 covered the first 50 in file order, leaving the whole
-# similarity/ANN/multimodal/sampling tail unchecked. Front-load those 23
-# (plus q1, which entry() uses as the flagship) plus the round-2 corpus-
-# quality family, so the window gives every operator family a hard driver
-# row; the slots after them are filled in original file order (queries that
-# slide out — dedup_first_occurrence … pivot_event_counts — already hold
-# green rows in CORRECTNESS_r01), and the remainder keeps its order too.
+# per round. The windows rotate so that across rounds every query holds a
+# recent green row. Round 3 leads with q1 (the entry() flagship), then the
+# six queries NEW this round (the fiber-cable projection sim and the five
+# hard-verification twins for the approximate dedup/ANN paths), then the 29
+# queries whose green rows are r1-only (regression cover: proj_*_sim,
+# walk-hop, windows, asof, text basics), then the five approximate
+# rows-only queries (recorded beside their now-oracled twins), with the
+# remaining slots spot-checking the biggest r2-green families.
 _DRIVER_WINDOW_FRONT = [
     "q1_pricing_summary",
-    "repetition_stats",
-    "token_entropy",
-    "pii_scan",
-    "cross_doc_shingle_dup",
-    "benchmark_decontamination",
-    "label_centroid_stats",
-    "ngram_jaccard_pairs",
-    "dedup_clusters",
-    "train_test_split_stats",
+    # -- new in round 3 --
+    "proj_rel_fiber_cable_sim",
+    "minhash_near_dups_md5",
+    "simhash_fingerprints_md5",
+    "embedding_near_dups_lsh_fullprobe",
+    "knn_lsh_fullprobe",
+    "knn_ivf_fullprobe",
+    # -- r1-only green rows: regression cover --
+    "dedup_first_occurrence",
+    "exists_nested_high_value_first_line",
+    "first_last_part_per_order",
+    "top3_orders_per_customer",
+    "rollup_lineitem_status",
+    "pivot_event_counts",
+    "lww_latest_event_per_user",
+    "asof_purchase_prior_signup",
+    "json_props_stats",
+    "running_value_per_user",
+    "sessionize_30min",
+    "tumbling_event_windows",
+    "sliding_event_windows",
+    "session_event_windows",
+    "proj_work_task_sim",
+    "proj_installation_sim",
+    "stream_incremental_sim",
+    "proj_node_container_sim",
+    "proj_rel_interest_sim",
+    "proj_service_termination_sim",
+    "proj_span_equipment_sim",
+    "proj_conduit_slack_sim",
+    "walk_hop_subtract_sim",
+    "walk_hop_multi_sim",
+    "text_stats",
+    "token_counts_bpe",
+    "lang_quality_stats",
+    "exact_dedup_groups",
+    "doc_fingerprint_groups",
+    # -- approximate paths (rows-only), beside their oracled twins --
     "minhash_near_dups",
     "simhash_fingerprints",
-    "embedding_norms_by_label",
-    "embedding_near_dups",
     "embedding_near_dups_lsh",
-    "knn_bruteforce",
     "knn_lsh",
     "knn_ivf",
+    # -- r2-green spot checks --
+    "ngram_jaccard_pairs",
+    "dedup_clusters",
+    "knn_bruteforce",
+    "embedding_near_dups",
     "multimodal_features",
     "multimodal_frames",
     "multimodal_resize",
     "tfidf_top_terms",
-    "value_quantiles_by_type",
-    "weekly_cohort_retention",
-    "signup_to_purchase_funnel",
-    "clicks_within_signup_day",
-    "stratified_doc_sample",
-    "token_budget_chunks",
-    "salted_event_counts",
-    "lineitem_profile",
+    "order_item_seq",
 ]
 
 
