@@ -173,3 +173,29 @@ def test_rel_interest_folds_without_join(domain_log):
     df = project_rel_interest_to_route_element(domain_log)
     assert C.shuffle_count(df) <= 2
     assert C.sortmerge_join_count(df) == 0
+
+
+def test_fullprobe_twins_broadcast_and_no_cartesian(q):
+    """The round-3 hard-verification twins must keep the production plan
+    shape: query side broadcast, no sort-merge, no cartesian — full-probe
+    multiplies the broadcast side by the mask count, never the corpus."""
+    for name in ("knn_lsh_fullprobe", "knn_ivf_fullprobe"):
+        df = q(name)
+        assert C.broadcast_join_count(df) >= 1, f"{name}: query side must broadcast"
+        assert C.sortmerge_join_count(df) == 0, name
+        C.assert_no_cartesian(df)
+    C.assert_no_cartesian(q("embedding_near_dups_lsh_fullprobe"))
+
+
+def test_simhash_fingerprints_is_mapside_only(q):
+    """The row-local simhash fold must stay map-only: no key shuffle and no
+    aggregation anywhere (the pre-round-3 formulation grouped exploded
+    tokens into a 64-sum hash aggregate). The only Exchange allowed is
+    scattered()'s deliberate round-robin compute spread."""
+    plan = C.formatted_plan(q("simhash_fingerprints"))
+    assert "hashpartitioning" not in plan, plan[:2000]
+    assert "HashAggregate" not in plan and "SortAggregate" not in plan
+
+
+def test_minhash_md5_twin_no_cartesian(q):
+    C.assert_no_cartesian(q("minhash_near_dups_md5"))
