@@ -2796,6 +2796,40 @@ def embedding_near_dups_lsh_fullprobe_q(spark: SparkSession, sf_dir: str) -> Dat
     return out.select("id_a", "id_b", _r4(F.col("cosine")).alias("cosine"))
 
 
+@_q(
+    "embedding_quantize_int8",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    s AS (SELECT vec_id, e,
+                 list_max(list_transform(e, x -> abs(x))) AS amax FROM v),
+    s2 AS (SELECT vec_id, e,
+                  CASE WHEN amax = 0 THEN 1.0 ELSE amax / 127.0 END AS scale
+           FROM s),
+    q AS (SELECT vec_id, e, scale,
+                 list_transform(e, x -> CAST(FLOOR(x / scale + 0.5) AS INT)) AS qv
+          FROM s2)
+    SELECT vec_id,
+           CAST(len(qv) AS INT) AS n_dims,
+           ROUND(scale, 4) AS scale,
+           CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS l1,
+           CAST(list_sum(list_transform(range(1, len(qv) + 1),
+                                        i -> qv[i] * i)) AS BIGINT) AS checksum,
+           ROUND(list_max(list_transform(range(1, len(qv) + 1),
+                                         i -> abs(qv[i] * scale - e[i]))), 4)
+             AS max_err
+    FROM q
+    """,
+)
+def embedding_quantize_int8_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization (similarity.quantize_int8_stats):
+    scale/L1/position-weighted checksum/max reconstruction error per
+    vector, all row-local JVM — the oracle recomputes the same explicit
+    half-up quantizer in SQL."""
+    return S.quantize_int8_stats(
+        scattered(load_table(spark, sf_dir, "embeddings"))
+    )
+
+
 _KNN_BRUTEFORCE_SQL = """
     WITH q AS (
       SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
@@ -2901,15 +2935,16 @@ def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def multimodal_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame sampling (functions/multimodal.sample_frames): each payload
-    explodes into fixed-size frames via 1→N mapInPandas; the oracle slices
-    the same blob with substring arithmetic."""
+    """Frame sampling: the JVM twin (sequence + binary substring + sha2,
+    whole-stage codegen) — byte-range frames never need Python. The
+    mapInPandas variant (sample_frames) carries the codec-shaped 1→N
+    batch contract and is differential-pinned equal in tests."""
     from open_ftth_relational_projector_spark.functions.multimodal import (
-        sample_frames,
+        sample_frames_jvm,
     )
 
     docs = attach_binary(scattered(load_table(spark, sf_dir, "documents")))
-    return sample_frames(docs, frame_bytes=256)
+    return sample_frames_jvm(docs, frame_bytes=256)
 
 
 @_q(
@@ -3501,7 +3536,7 @@ _DRIVER_WINDOW_FRONT = [
     "multimodal_features",
     "multimodal_frames",
     "multimodal_resize",
-    "tfidf_top_terms",
+    "embedding_quantize_int8",
     "order_item_seq",
 ]
 

@@ -316,6 +316,37 @@ def sample_frames(
     )
 
 
+def sample_frames_jvm(
+    docs_with_payload: DataFrame, frame_bytes: int = 1024, stride: int | None = None
+) -> DataFrame:
+    """JVM twin of sample_frames for byte-addressable frame extraction:
+    offsets via F.sequence, slices via F.substring on the binary column,
+    hashes via F.sha2 — whole-stage codegen, zero Arrow crossing, no
+    Python in the path. Identical output contract to sample_frames
+    (differential-pinned in tests); prefer this wherever frames are pure
+    byte ranges. The mapInPandas variant remains the shape a real codec
+    frame-extractor plugs into (decode-heavy, 1→N batches)."""
+    hop = stride or frame_bytes
+    n = F.length("payload")
+    idx = F.when(
+        n > 0, F.sequence(F.lit(0), F.floor((n - 1) / hop).cast("int"))
+    ).otherwise(F.array().cast("array<int>"))
+    off = F.col("frame_idx") * hop
+    return (
+        docs_with_payload.select(
+            "doc_id", "payload", F.explode(idx).alias("frame_idx")
+        )
+        .select(
+            "doc_id",
+            F.col("frame_idx").cast("int").alias("frame_idx"),
+            F.sha2(F.substring(F.col("payload"), off + 1, frame_bytes), 256).alias(
+                "frame_sha256"
+            ),
+            F.least(F.lit(frame_bytes), n - off).cast("int").alias("n_bytes"),
+        )
+    )
+
+
 RESIZE_SCHEMA = (
     "doc_id long, width int, height int, target_w int, target_h int, "
     "resized_sha256 string"

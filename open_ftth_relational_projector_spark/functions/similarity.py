@@ -297,6 +297,53 @@ def knn_lsh(
     )
 
 
+def quantize_int8_stats(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric int8 quantization of an embedding column — the standard
+    4× storage/bandwidth compression for ANN indexes and embedding shards.
+
+    Per vector: scale = max|v| / 127, q_i = floor(v_i / scale + 0.5)
+    (explicit half-up, identical across engines — no reliance on a
+    round() tie-break). Emitted per vector: dimension count, scale, L1
+    mass of the quantized code, a position-weighted checksum that pins
+    the full code array order-sensitively, and the max absolute
+    reconstruction error (≤ scale/2 by construction — asserted in tests).
+
+    All row-local JVM higher-order functions: map-only at any scale, and
+    scalar outputs so the DuckDB oracle hash-matches without array
+    comparison."""
+    v = as_double(F.col(vec_col))
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.when(amax == 0, F.lit(1.0)).otherwise(amax / F.lit(127.0))
+    q = F.transform(v, lambda x: F.floor(x / scale + F.lit(0.5)).cast("int"))
+    l1 = F.aggregate(
+        q, F.lit(0).cast("long"), lambda acc, x: acc + F.abs(x)
+    )
+    checksum = F.aggregate(
+        F.zip_with(
+            q,
+            F.sequence(F.lit(1), F.size(q)),
+            lambda x, i: x.cast("long") * i,
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    max_err = F.array_max(
+        F.zip_with(q, v, lambda qi, vi: F.abs(qi * scale - vi))
+    )
+    return corpus.select(
+        F.col(id_col),
+        F.size(v).cast("int").alias("n_dims"),
+        F.round(scale, 4).alias("scale"),
+        l1.alias("l1"),
+        checksum.alias("checksum"),
+        F.round(max_err, 4).alias("max_err"),
+    )
+
+
 def label_centroid_stats(
     corpus: DataFrame,
     id_col: str = "vec_id",

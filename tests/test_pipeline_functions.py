@@ -776,3 +776,106 @@ def test_resize_images_real_png_end_to_end(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|not a PNG"):
         resize_images(bad, fake=False).collect()
+
+
+def test_sample_frames_jvm_differential(spark):
+    """The JVM frame extractor (sequence + binary substring + sha2) must
+    equal the mapInPandas variant row for row — non-overlapping,
+    overlapping (hop < frame), short-tail, and empty payloads."""
+    from open_ftth_relational_projector_spark.functions.multimodal import (
+        sample_frames,
+        sample_frames_jvm,
+    )
+
+    rows = [
+        (1, bytearray(bytes(range(256)) * 5)),   # 1280 B: full + tail frames
+        (2, bytearray(b"tiny")),                  # single short frame
+        (3, bytearray(b"")),                      # empty: no frames
+        (4, bytearray(bytes(range(100)))),        # exactly < one frame
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    for kw in (
+        dict(frame_bytes=512),
+        dict(frame_bytes=512, stride=256),  # overlapping hop
+        dict(frame_bytes=64, stride=200),   # gaps between frames
+    ):
+        a = sorted(map(tuple, sample_frames(df, **kw).collect()))
+        b = sorted(map(tuple, sample_frames_jvm(df, **kw).collect()))
+        assert a == b, (kw, a[:2], b[:2])
+
+
+def test_quantize_int8_stats_properties(spark):
+    import math
+
+    rows = [
+        (1, [1.0, -2.0, 3.5, -127.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),        # zero vector: scale guard
+        (3, [0.003, -0.001, 0.002, 0.004]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in S.quantize_int8_stats(df).collect()}
+    # reconstruction error bounded by scale/2 (+ rounding of the report)
+    for vid, r in out.items():
+        assert r["n_dims"] == 4
+        assert r["max_err"] <= r["scale"] / 2 + 1e-4, (vid, r)
+    # hand-check vector 1: amax=127 → scale=1, q=[1,-2,4,-127]
+    r1 = out[1]
+    assert r1["scale"] == 1.0
+    assert r1["l1"] == 1 + 2 + 4 + 127
+    assert r1["checksum"] == 1 * 1 + (-2) * 2 + 4 * 3 + (-127) * 4
+    # zero vector: scale falls back to 1, all-zero code
+    r2 = out[2]
+    assert (r2["l1"], r2["checksum"], r2["max_err"]) == (0, 0, 0.0)
+
+
+def test_star_components_match_union_find_oracle(spark):
+    """Property test: star CC vs an independent python union-find oracle
+    over hypothesis-generated graphs (self-loops, parallel edges, multiple
+    components, isolated pairs)."""
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    from open_ftth_relational_projector_spark.functions.graph import (
+        connected_components,
+    )
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        edges=st.lists(
+            st.tuples(st.integers(0, 40), st.integers(0, 40)),
+            min_size=1,
+            max_size=60,
+        )
+    )
+    def run(edges):
+        real = [(a, b) for a, b in edges if a != b]
+        if not real:
+            return
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        def union(a, b):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+
+        for a, b in real:
+            union(a, b)
+        want = {n: find(n) for n in parent}
+        df = spark.createDataFrame(real, "doc_a long, doc_b long")
+        got = {
+            r["doc_id"]: r["component_id"]
+            for r in connected_components(df, algorithm="star").collect()
+        }
+        assert got == want
+
+    run()
