@@ -432,6 +432,38 @@ def simhash_column(
     )
 
 
+def _simhash_sql(text_col: str, n_bits: int, portable: bool) -> str:
+    """The simhash_column expression rendered as ONE Spark-SQL string.
+
+    Semantically identical to simhash_column (differential-pinned in
+    tests); exists because building the 64-wide expression through the
+    Column API costs thousands of py4j round trips (~1-5 s of driver time
+    per plan), while parsing one SQL string is a single call. The driver
+    bench runs each query once, so plan-construction time is real
+    latency."""
+    hash_of = (
+        "CAST(conv(substring(md5(concat_ws('#', t, '0')), 1, 15), 16, 10) AS BIGINT)"
+        if portable
+        else "xxhash64(t)"
+    )
+    bits = ", ".join(
+        f"CASE WHEN (shiftright(h, {b}) & 1) = 1 THEN 1 ELSE -1 END"
+        for b in range(n_bits)
+    )
+    pack = " + ".join(
+        f"CASE WHEN element_at(c, {b + 1}) > 0 "
+        f"THEN shiftleft(CAST(1 AS BIGINT), {b}) ELSE CAST(0 AS BIGINT) END"
+        for b in range(n_bits)
+    )
+    counts = (
+        f"aggregate(transform(array_distinct(split({text_col}, ' ')), "
+        f"t -> {hash_of}), array_repeat(0, {n_bits}), "
+        f"(acc, h) -> zip_with(acc, array({bits}), (a, d) -> a + d))"
+    )
+    # same single-evaluation let-binding trick as functions.text.let
+    return f"element_at(transform(array({counts}), c -> {pack}), 1)"
+
+
 def simhash64(
     docs: DataFrame,
     text_col: str = "text",
@@ -439,11 +471,20 @@ def simhash64(
     n_bits: int = 64,
     hash_fn: HashFn | None = None,
 ) -> DataFrame:
-    """SimHash per document (simhash_column over the corpus).
+    """SimHash per document — the row-local fold of simhash_column.
 
-    ``hash_fn=portable_hash64`` (with ``n_bits=60``) gives the
-    SQL-oracle-matchable variant; default xxhash64 is the scale path.
-    Returns (id_col, simhash long)."""
+    The two supported hash families go through a generated SQL string
+    (one py4j parse instead of thousands of Column-API round trips —
+    ~4 s less driver latency on a cold plan); a custom ``hash_fn``
+    falls back to the Column API. ``hash_fn=portable_hash64`` (with
+    ``n_bits=60``) is the SQL-oracle-matchable variant; default xxhash64
+    is the scale path. Returns (id_col, simhash long)."""
+    if hash_fn is None or hash_fn is portable_hash64:
+        return docs.selectExpr(
+            id_col,
+            _simhash_sql(text_col, n_bits, hash_fn is portable_hash64)
+            + " AS simhash",
+        )
     return docs.select(
         F.col(id_col),
         simhash_column(F.col(text_col), n_bits, hash_fn).alias("simhash"),
