@@ -213,6 +213,24 @@ def minhash_signature(
     return F.array(*mins)
 
 
+def _minhash_sig_sql(sh_col: str, num_hashes: int, portable: bool) -> str:
+    """minhash_signature rendered as ONE Spark-SQL string over an existing
+    shingle-array column — same py4j-latency rationale as _simhash_sql
+    (the 32-transform signature costs ~1 s of Column-API plan build)."""
+    if portable:
+        hash_of = (
+            "CAST(conv(substring(md5(concat_ws('#', s, '{i}')), 1, 15), 16, 10)"
+            " AS BIGINT)"
+        )
+    else:
+        hash_of = "xxhash64(s, {i})"
+    mins = ", ".join(
+        f"array_min(transform({sh_col}, s -> {hash_of.format(i=i)}))"
+        for i in range(num_hashes)
+    )
+    return f"array({mins})"
+
+
 def minhash_lsh_candidates(
     docs: DataFrame,
     num_hashes: int = 32,
@@ -243,9 +261,17 @@ def minhash_lsh_candidates(
             )
         return F.hash(sl).cast("string")
 
-    sig = add_shingles(docs, n, text_col, id_col).select(
-        "doc_id", minhash_signature(F.col("sh"), num_hashes, hash_fn).alias("sig")
-    )
+    if hash_fn is None or hash_fn is portable_hash64:
+        sig = add_shingles(docs, n, text_col, id_col).selectExpr(
+            "doc_id",
+            _minhash_sig_sql("sh", num_hashes, hash_fn is portable_hash64)
+            + " AS sig",
+        )
+    else:
+        sig = add_shingles(docs, n, text_col, id_col).select(
+            "doc_id",
+            minhash_signature(F.col("sh"), num_hashes, hash_fn).alias("sig"),
+        )
     banded = sig.select(
         "doc_id",
         F.posexplode(F.array(*[band_key(i) for i in range(bands)])).alias(
