@@ -2597,6 +2597,58 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "corpus_filter_report",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks, LOWER(text) AS low
+      FROM documents),
+    c AS (
+      SELECT doc_id,
+             LEN(toks) AS n,
+             LEN(list_filter(toks, x -> list_contains(['the','a','and','of','to'], x))) AS c_en,
+             LEN(list_filter(toks, x -> list_contains(['der','die','das','und','zu'], x))) AS c_de,
+             LEN(list_filter(toks, x -> list_contains(['le','la','et','les','des'], x))) AS c_fr,
+             LEN(list_filter(toks, x -> list_contains(['el','la','los','y','de'], x))) AS c_es,
+             LENGTH(regexp_replace(low, '[a-z0-9 ]', '', 'g'))
+               / CAST(LENGTH(low) AS DOUBLE) AS pr
+      FROM t),
+    s AS (
+      SELECT doc_id, n,
+             (CASE WHEN n BETWEEN 20 AND 10000 THEN 0.4::DOUBLE ELSE 0.0::DOUBLE END
+              + CASE WHEN c_en / CAST(n AS DOUBLE) > 0.01 THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END
+              + CASE WHEN pr < 0.1 THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END) AS quality,
+             CASE WHEN c_es > GREATEST(c_en, c_de, c_fr) THEN 'es'
+                  WHEN c_fr > GREATEST(c_en, c_de) THEN 'fr'
+                  WHEN c_de > c_en THEN 'de'
+                  WHEN c_en > 0 THEN 'en'
+                  ELSE 'und' END AS lang_guess
+      FROM c)
+    SELECT doc_id, CAST(n AS INTEGER) AS n_tokens,
+           ROUND(quality, 4) AS quality, lang_guess,
+           quality >= 0.7 AND lang_guess = 'en' AS keep
+    FROM s
+    """,
+)
+def corpus_filter_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality-filter verdict a C4/RefinedWeb-style pipeline executes
+    per document: composite quality score (length band + stopword presence
+    + punctuation ratio, text.quality_score), stopword-vote language guess
+    (text.lang_guess, ties resolved in fixed en/de/fr/es order), and the
+    resulting keep decision. Single-pass row-local JVM expressions; the
+    oracle re-derives score and vote in SQL."""
+    docs = scattered(load_table(spark, sf_dir, "documents"))
+    qual = TXT.quality_score(F.col("text"))
+    guessed = TXT.lang_guess(F.col("text"))
+    return docs.select(
+        "doc_id",
+        TXT.token_count(F.col("text")).alias("n_tokens"),
+        _r4(qual).alias("quality"),
+        guessed.alias("lang_guess"),
+        ((qual >= 0.7) & (guessed == F.lit("en"))).alias("keep"),
+    )
+
+
+@_q(
     "dedup_keep_list",
     """
     WITH RECURSIVE toks AS (
@@ -3599,8 +3651,8 @@ _DRIVER_WINDOW_FRONT = [
     # -- r2-green spot checks + new compositions --
     "ngram_jaccard_pairs",
     "dedup_keep_list",
+    "corpus_filter_report",
     "knn_bruteforce",
-    "embedding_near_dups",
     "multimodal_features",
     "multimodal_frames",
     "multimodal_resize",

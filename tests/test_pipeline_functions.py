@@ -901,3 +901,37 @@ def test_knn_recall_report_and_probe_radius_monotonicity(spark):
         means.append(sum(row["recall"] for row in rows_) / len(rows_))
     assert means[0] <= means[1] <= means[2]
     assert means[2] == 1.0  # radius == n_planes scans every bucket
+
+
+def test_corpus_filter_report_decisions(spark):
+    """The composed quality-filter verdict: quality bands, language vote
+    (incl. the fixed en>de>fr>es tie order), and the keep conjunction."""
+    rows = [
+        # 25 clean english tokens → len band + stopwords + low punct = 1.0
+        (1, ("the cat and the dog of the house went to " * 3).strip()),
+        (2, "short text"),                             # too short → ≤ 0.6
+        (3, ("der hund und die katze " * 6).strip()),  # german, long enough
+        (4, "!!! ??? ;;; ::: @@@ ###"),                # punctuation soup
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    import open_ftth_relational_projector_spark.catalog as C2
+
+    # reuse the catalog query body against an in-memory docs frame
+    from open_ftth_relational_projector_spark.functions import text as T
+
+    qual = T.quality_score(F.col("text"))
+    guessed = T.lang_guess(F.col("text"))
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            F.round(qual, 4).alias("quality"),
+            guessed.alias("lang_guess"),
+            ((qual >= 0.7) & (guessed == F.lit("en"))).alias("keep"),
+        ).collect()
+    }
+    assert out[1]["lang_guess"] == "en" and out[1]["keep"]
+    assert out[1]["quality"] == 1.0
+    assert not out[2]["keep"]                 # fails the length band
+    assert out[3]["lang_guess"] == "de" and not out[3]["keep"]
+    assert not out[4]["keep"]
