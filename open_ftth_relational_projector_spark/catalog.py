@@ -2842,6 +2842,48 @@ def simhash_fingerprints_md5_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "simhash_near_dups",
+    """
+    WITH tok AS (
+      SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS tok
+      FROM documents),
+    h AS (SELECT doc_id,
+                 ('0x' || substr(md5(tok || '#0'), 1, 15))::BIGINT AS h
+          FROM tok),
+    bits AS (
+      SELECT doc_id, b,
+             SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM h CROSS JOIN (SELECT UNNEST(range(0, 60)) AS b) bs
+      GROUP BY doc_id, b),
+    fp AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << CAST(b AS INT))
+                           ELSE 0 END) AS BIGINT) AS simhash
+      FROM bits GROUP BY doc_id)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def simhash_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via pigeonhole banding (dedup.simhash_near_dups)
+    — completes the SimHash family: fingerprints → banded candidate join →
+    Hamming verification. Runs the md5-portable 60-bit variant so the
+    oracle can recompute every fingerprint and do the (oracle-scale-only)
+    quadratic Hamming join in SQL; banding with max_hamming < bands is
+    provably full-recall, so the band-joined result equals the oracle's
+    all-pairs result."""
+    return D.simhash_near_dups(
+        scattered(load_table(spark, sf_dir, "documents")),
+        max_hamming=3,
+        n_bits=60,
+        bands=4,
+        hash_fn=D.portable_hash64,
+    )
+
+
+@_q(
     "embedding_norms_by_label",
     """
     SELECT label,
@@ -3652,8 +3694,8 @@ _DRIVER_WINDOW_FRONT = [
     "ngram_jaccard_pairs",
     "dedup_keep_list",
     "corpus_filter_report",
+    "simhash_near_dups",
     "knn_bruteforce",
-    "multimodal_features",
     "multimodal_frames",
     "multimodal_resize",
     "embedding_quantize_int8",

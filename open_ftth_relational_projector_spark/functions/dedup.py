@@ -519,3 +519,67 @@ def simhash64(
 
 def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_dups(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    n_bits: int = 64,
+    bands: int = 4,
+    hash_fn: HashFn | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash near-duplicate pairs: (doc_a < doc_b, hamming ≤ max_hamming).
+
+    Scale shape — pigeonhole banding, the SimHash analogue of MinHash-LSH:
+    the fingerprint splits into ``bands`` contiguous bit ranges; any pair
+    within Hamming distance d < bands must agree EXACTLY on at least one
+    band, so candidates join keyed on (band_id, band_bits) — one linear
+    shuffle, no all-pairs — and are verified with one bit_count per
+    candidate. Requires ``max_hamming < bands`` (asserted) for full
+    recall. The md5-portable hash family makes the entire pipeline
+    SQL-reproducible (catalog ``simhash_near_dups`` oracle does the
+    quadratic join DuckDB-side — affordable at oracle scale only)."""
+    if max_hamming >= bands:
+        raise ValueError(
+            f"pigeonhole recall needs max_hamming < bands "
+            f"(got {max_hamming} >= {bands})"
+        )
+    width = n_bits // bands
+    mask = (1 << width) - 1
+    fp = simhash64(docs, text_col, id_col, n_bits, hash_fn)
+    banded = fp.select(
+        F.col(id_col).alias("doc_id"),
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), i * width).bitwiseAND(
+                        F.lit(mask)
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band_id", "band_bits"),
+    )
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("fp_a"),
+        "band_id",
+        "band_bits",
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("fp_b"),
+        "band_id",
+        "band_bits",
+    )
+    return (
+        a.join(b, ["band_id", "band_bits"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming64(F.col("fp_a"), F.col("fp_b")).alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+        .withColumn("hamming", F.col("hamming").cast("int"))
+    )

@@ -935,3 +935,24 @@ def test_corpus_filter_report_decisions(spark):
     assert not out[2]["keep"]                 # fails the length band
     assert out[3]["lang_guess"] == "de" and not out[3]["keep"]
     assert not out[4]["keep"]
+
+
+def test_simhash_near_dups_banding_full_recall(spark, docs):
+    """Pigeonhole banding (max_hamming < bands) must equal the brute-force
+    Hamming join exactly, and exact duplicate texts pair at hamming 0."""
+    banded = sorted(
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in D.simhash_near_dups(docs, max_hamming=3, bands=4).collect()
+    )
+    fp = {r["doc_id"]: r["simhash"] for r in D.simhash64(docs).collect()}
+    ids = sorted(fp)
+    brute = sorted(
+        (a, b, bin((fp[a] ^ fp[b]) & ((1 << 64) - 1)).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin((fp[a] ^ fp[b]) & ((1 << 64) - 1)).count("1") <= 3
+    )
+    assert banded == brute
+    assert (1, 2, 0) in banded  # exact dup texts → identical fingerprints
+    with pytest.raises(ValueError, match="max_hamming < bands"):
+        D.simhash_near_dups(docs, max_hamming=4, bands=4)
