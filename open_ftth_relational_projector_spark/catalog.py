@@ -2717,6 +2717,117 @@ def dedup_keep_list_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "corpus_pipeline_stats",
+    """
+    WITH RECURSIVE t AS (
+      SELECT doc_id, text, string_split(text, ' ') AS toks, LOWER(text) AS low
+      FROM documents),
+    c AS (
+      SELECT doc_id, text, LEN(toks) AS n,
+             LEN(list_filter(toks, x -> list_contains(['the','a','and','of','to'], x))) AS c_en,
+             LEN(list_filter(toks, x -> list_contains(['der','die','das','und','zu'], x))) AS c_de,
+             LEN(list_filter(toks, x -> list_contains(['le','la','et','les','des'], x))) AS c_fr,
+             LEN(list_filter(toks, x -> list_contains(['el','la','los','y','de'], x))) AS c_es,
+             LENGTH(regexp_replace(low, '[a-z0-9 ]', '', 'g'))
+               / CAST(LENGTH(low) AS DOUBLE) AS pr
+      FROM t),
+    scored AS (
+      SELECT doc_id, text, n,
+             (CASE WHEN n BETWEEN 20 AND 10000 THEN 0.4::DOUBLE ELSE 0.0::DOUBLE END
+              + CASE WHEN c_en / CAST(n AS DOUBLE) > 0.01 THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END
+              + CASE WHEN pr < 0.1 THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END) AS quality,
+             CASE WHEN c_es > GREATEST(c_en, c_de, c_fr) THEN 'es'
+                  WHEN c_fr > GREATEST(c_en, c_de) THEN 'fr'
+                  WHEN c_de > c_en THEN 'de'
+                  WHEN c_en > 0 THEN 'en'
+                  ELSE 'und' END AS lang_guess
+      FROM c),
+    keepq AS (
+      SELECT doc_id, text, n FROM scored
+      WHERE quality >= 0.7 AND lang_guess = 'en'),
+    canon AS (SELECT MIN(doc_id) AS doc_id FROM keepq GROUP BY md5(text)),
+    surv AS (SELECT k.doc_id, k.text, k.n FROM keepq k JOIN canon USING (doc_id)),
+    stoks AS (SELECT doc_id, string_split(text, ' ') AS st FROM surv),
+    sh AS (
+      SELECT doc_id,
+             UNNEST(list_distinct(list_transform(
+               generate_series(1, GREATEST(LEN(st) - 2, 0)),
+               i -> st[i] || ' ' || st[i+1] || ' ' || st[i+2]))) AS shingle
+      FROM stoks),
+    sizes AS (SELECT doc_id, COUNT(*) AS ns FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    pairs AS (
+      SELECT i.doc_a, i.doc_b FROM inter i
+      JOIN sizes sa ON i.doc_a = sa.doc_id
+      JOIN sizes sb ON i.doc_b = sb.doc_id
+      WHERE n_inter / CAST(sa.ns + sb.ns - n_inter AS DOUBLE) >= 0.05),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs),
+    reach(src, node) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a),
+    comp AS (SELECT src AS doc_id, MIN(node) AS component_id
+             FROM reach GROUP BY src),
+    final AS (
+      SELECT s.doc_id, s.n FROM surv s LEFT JOIN comp c2 ON s.doc_id = c2.doc_id
+      WHERE COALESCE(c2.component_id, s.doc_id) = s.doc_id)
+    SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666'
+                THEN 'train' ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS ws_tokens
+    FROM final GROUP BY 1
+    """,
+)
+def corpus_pipeline_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE training-corpus pipeline as one composed dataflow — the
+    flagship LLM-pipeline query: quality/language filter (text.py) →
+    exact dedup keeping the canonical copy (md5 groupBy) → near-dup dedup
+    via exact n-gram Jaccard pairs + connected components (dedup.py,
+    graph.py) → deterministic md5-bucket train/test split (sampling.py) →
+    per-split doc and whitespace-token budget. Every stage is individually
+    driver-verified elsewhere; this row pins their composition. Plan
+    shape: row-local filters, one hash-dedup shuffle, the inverted-index
+    pair join, the iterative component join, then a map-side split — no
+    all-pairs anything, no driver state."""
+    from open_ftth_relational_projector_spark.functions.graph import (
+        connected_components,
+    )
+    from open_ftth_relational_projector_spark.functions.sampling import (
+        hash_split,
+    )
+
+    docs = scattered(load_table(spark, sf_dir, "documents"))
+    qual = TXT.quality_score(F.col("text"))
+    guessed = TXT.lang_guess(F.col("text"))
+    keepq = docs.filter((qual >= 0.7) & (guessed == F.lit("en")))
+    canon = keepq.groupBy(F.md5("text").alias("th")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    surv = keepq.join(canon.select("doc_id"), "doc_id", "semi")
+    pairs = D.ngram_jaccard_pairs(surv, threshold=0.05, n=3)
+    comp = connected_components(pairs)
+    final = (
+        surv.join(comp, "doc_id", "left")
+        .filter(
+            F.coalesce(F.col("component_id"), F.col("doc_id"))
+            == F.col("doc_id")
+        )
+        .select("doc_id", "text")
+    )
+    return hash_split(final, "doc_id", {"train": 0.9, "test": 0.1}).groupBy(
+        "split"
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(TXT.token_count(F.col("text")).cast("long")).alias("ws_tokens"),
+    )
+
+
+@_q(
     "train_test_split_stats",
     """
     SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666'
@@ -3699,7 +3810,7 @@ _DRIVER_WINDOW_FRONT = [
     "multimodal_frames",
     "multimodal_resize",
     "embedding_quantize_int8",
-    "order_item_seq",
+    "corpus_pipeline_stats",
 ]
 
 
