@@ -956,3 +956,48 @@ def test_simhash_near_dups_banding_full_recall(spark, docs):
     assert (1, 2, 0) in banded  # exact dup texts → identical fingerprints
     with pytest.raises(ValueError, match="max_hamming < bands"):
         D.simhash_near_dups(docs, max_hamming=4, bands=4)
+
+
+def test_portable_simhash_and_minhash_triangulate_pure_python(docs):
+    """Third-engine check: the md5-portable SimHash fingerprints and
+    MinHash signatures must match a from-scratch hashlib implementation —
+    independent of both Spark and the DuckDB oracles."""
+    import hashlib
+
+    def h64(s: str, seed: int) -> int:
+        return int(hashlib.md5(f"{s}#{seed}".encode()).hexdigest()[:15], 16)
+
+    rows = {r["doc_id"]: r["text"] for r in docs.collect()}
+
+    # simhash (60-bit)
+    got = {
+        r["doc_id"]: r["simhash"]
+        for r in D.simhash64(docs, n_bits=60, hash_fn=D.portable_hash64).collect()
+    }
+    for doc_id, text in rows.items():
+        counts = [0] * 60
+        for t in dict.fromkeys(text.split(" ")):
+            hv = h64(t, 0)
+            for b in range(60):
+                counts[b] += 1 if (hv >> b) & 1 else -1
+        want = sum(1 << b for b in range(60) if counts[b] > 0)
+        assert got[doc_id] == want, doc_id
+
+    # minhash signatures (32 seeds over 3-gram shingles)
+    sig = {
+        r["doc_id"]: r["sig"]
+        for r in D.add_shingles(docs)
+        .selectExpr("doc_id", D._minhash_sig_sql("sh", 32, True) + " AS sig")
+        .collect()
+    }
+    for doc_id, text in rows.items():
+        toks = text.split(" ")
+        grams = list(
+            dict.fromkeys(
+                " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+            )
+        )
+        want = [
+            min((h64(g, s) for g in grams), default=None) for s in range(32)
+        ]
+        assert sig[doc_id] == want, doc_id

@@ -199,3 +199,14 @@ def test_simhash_fingerprints_is_mapside_only(q):
 
 def test_minhash_md5_twin_no_cartesian(q):
     C.assert_no_cartesian(q("minhash_near_dups_md5"))
+
+
+def test_round3_compositions_cartesian_free(q):
+    for name in (
+        "dedup_keep_list",
+        "corpus_filter_report",
+        "corpus_pipeline_stats",
+        "simhash_near_dups",
+        "embedding_quantize_int8",
+    ):
+        C.assert_no_cartesian(q(name))
