@@ -216,6 +216,72 @@ def encode_png(pixels: bytes, width: int, height: int, color_type: int) -> bytes
     )
 
 
+def decode_bmp_pixels(b: bytes) -> tuple[int, int, bytes]:
+    """Real BMP pixel decode (24-bit uncompressed BI_RGB, the dominant BMP
+    variant) — BMP stores raw rows, so no codec library is involved at
+    all: parse the headers, honor 4-byte row padding and bottom-up row
+    order (negative height = top-down), and swizzle BGR→RGB. Returns
+    (width, height, RGB bytes, row-major top-down)."""
+    if b[:2] != b"BM" or len(b) < 54:
+        raise NotImplementedError("not a BMP")
+    off = int.from_bytes(b[10:14], "little")
+    hdr = int.from_bytes(b[14:18], "little")
+    w = int.from_bytes(b[18:22], "little", signed=True)
+    h = int.from_bytes(b[22:26], "little", signed=True)
+    bpp = int.from_bytes(b[28:30], "little")
+    comp = int.from_bytes(b[30:34], "little")
+    if hdr < 40 or bpp != 24 or comp != 0 or w <= 0 or h == 0:
+        raise NotImplementedError(
+            f"unsupported BMP variant: header={hdr} bpp={bpp} compression={comp}"
+        )
+    top_down = h < 0
+    height = abs(h)
+    stride = (w * 3 + 3) & ~3
+    out = bytearray(w * height * 3)
+    for row in range(height):
+        src = off + (row if top_down else height - 1 - row) * stride
+        line = b[src : src + w * 3]
+        for x in range(w):
+            o = (row * w + x) * 3
+            out[o] = line[x * 3 + 2]
+            out[o + 1] = line[x * 3 + 1]
+            out[o + 2] = line[x * 3]
+    return w, height, bytes(out)
+
+
+def encode_bmp(pixels: bytes, width: int, height: int) -> bytes:
+    """Minimal valid 24-bit BI_RGB BMP encoder (bottom-up rows, 4-byte row
+    padding) from RGB top-down pixel bytes. Deterministic."""
+    stride = (width * 3 + 3) & ~3
+    pad = b"\x00" * (stride - width * 3)
+    rows = []
+    for row in range(height - 1, -1, -1):
+        line = bytearray()
+        for x in range(width):
+            o = (row * width + x) * 3
+            line += bytes((pixels[o + 2], pixels[o + 1], pixels[o]))
+        rows.append(bytes(line) + pad)
+    px = b"".join(rows)
+    off = 14 + 40
+    fh = (
+        b"BM"
+        + (off + len(px)).to_bytes(4, "little")
+        + b"\x00" * 4
+        + off.to_bytes(4, "little")
+    )
+    ih = (
+        (40).to_bytes(4, "little")
+        + width.to_bytes(4, "little", signed=True)
+        + height.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(px).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    return fh + ih + px
+
+
 def resize_nearest(
     pixels: bytes, width: int, height: int, ch: int, tw: int, th: int
 ) -> bytes:
@@ -399,11 +465,22 @@ def resize_images(
         for pdf in batches:
             widths, heights, shas = [], [], []
             for payload in pdf["payload"]:
-                w, h, ct, px = decode_png_pixels(bytes(payload))
-                resized = resize_nearest(
-                    px, w, h, _PNG_CHANNELS[ct], target_w, target_h
-                )
-                out = encode_png(resized, target_w, target_h, ct)
+                raw = bytes(payload)
+                if raw[:8] == _PNG_SIG:
+                    w, h, ct, px = decode_png_pixels(raw)
+                    resized = resize_nearest(
+                        px, w, h, _PNG_CHANNELS[ct], target_w, target_h
+                    )
+                    out = encode_png(resized, target_w, target_h, ct)
+                elif raw[:2] == b"BM":
+                    w, h, px = decode_bmp_pixels(raw)
+                    resized = resize_nearest(px, w, h, 3, target_w, target_h)
+                    out = encode_bmp(resized, target_w, target_h)
+                else:
+                    raise NotImplementedError(
+                        "pixel resize implemented for PNG and 24-bit BMP; "
+                        "other formats need codec libraries absent here"
+                    )
                 widths.append(w)
                 heights.append(h)
                 shas.append(hashlib.sha256(out).hexdigest())

@@ -1001,3 +1001,50 @@ def test_portable_simhash_and_minhash_triangulate_pure_python(docs):
             min((h64(g, s) for g in grams), default=None) for s in range(32)
         ]
         assert sig[doc_id] == want, doc_id
+
+
+def test_bmp_pixel_roundtrip_and_resize(spark):
+    import hashlib
+
+    from open_ftth_relational_projector_spark.functions.multimodal import (
+        decode_bmp_pixels,
+        encode_bmp,
+        resize_images,
+        resize_nearest,
+    )
+
+    w, h = 5, 3
+    px = bytes((x * 41 + 9) % 256 for x in range(w * h * 3))
+    blob = encode_bmp(px, w, h)
+    assert decode_bmp_pixels(blob) == (w, h, px)
+
+    # top-down variant (negative height): same pixels, rows unflipped
+    off = 54
+    stride = (w * 3 + 3) & ~3
+    body = blob[off:]
+    rows = [body[i * stride : (i + 1) * stride] for i in range(h)]
+    td = bytearray(blob[:off] + b"".join(reversed(rows)))
+    td[22:26] = (-h).to_bytes(4, "little", signed=True)
+    assert decode_bmp_pixels(bytes(td)) == (w, h, px)
+
+    # Spark end-to-end through the real resize path, mixed PNG + BMP batch
+    from open_ftth_relational_projector_spark.functions.multimodal import (
+        encode_png,
+    )
+
+    png_px = bytes((x * 3) % 256 for x in range(4 * 4 * 3))
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(blob)),
+            (2, bytearray(encode_png(png_px, 4, 4, 2))),
+        ],
+        "doc_id long, payload binary",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in resize_images(df, target_w=2, target_h=2, fake=False).collect()
+    }
+    assert (out[1]["width"], out[1]["height"]) == (w, h)
+    expected_bmp = encode_bmp(resize_nearest(px, w, h, 3, 2, 2), 2, 2)
+    assert out[1]["resized_sha256"] == hashlib.sha256(expected_bmp).hexdigest()
+    assert (out[2]["width"], out[2]["height"]) == (4, 4)
