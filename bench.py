@@ -44,6 +44,10 @@ EXTRA_QUERIES = [
     "tumbling_event_windows",
     "sliding_event_windows",
     "session_event_windows",
+    # round-3 composed pipelines (tracked, non-headline)
+    "simhash_near_dups",
+    "corpus_pipeline_stats",
+    "dedup_keep_list",
 ]
 
 
