@@ -8,8 +8,10 @@ IDAT stream with stdlib zlib and unfilters every row (filters 0-4 incl.
 Paeth), ``resize_nearest`` resamples, and ``encode_png`` re-encodes a
 valid PNG — so ``resize_images(fake=False)`` is a genuine
 decode→resample→re-encode pipeline for 8-bit gray/RGB/GA/RGBA PNGs.
-Other formats' pixel paths need codec libraries not in this container and
-raise NotImplementedError — that boundary is the documented contract
+BMP (raw rows, ``decode_bmp_pixels``/``encode_bmp``) and GIF (stdlib LZW,
+``decode_gif_pixels``, normalized to PNG on resize) are real too — only
+JPEG's pixel path needs codec libraries absent from this container and
+raises NotImplementedError; that boundary is the documented contract
 (here and in README). The ``fake=True`` path derives deterministic
 pseudo-dims from byte length so text-as-blob testdata exercises the
 pipeline with a SQL oracle. Everything Spark-side — schema, Arrow batch
@@ -282,6 +284,111 @@ def encode_bmp(pixels: bytes, width: int, height: int) -> bytes:
     return fh + ih + px
 
 
+def _gif_lzw_decode(data: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW decompression (LSB-first bit packing, CLEAR/END
+    codes, code width growing to 12 bits) — pure stdlib."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    bitpos = 0
+    total_bits = len(data) * 8
+
+    def read_code(width: int) -> int:
+        nonlocal bitpos
+        v = 0
+        for i in range(width):
+            if (data[(bitpos + i) >> 3] >> ((bitpos + i) & 7)) & 1:
+                v |= 1 << i
+        bitpos += width
+        return v
+
+    width = min_code_size + 1
+    table = {i: bytes([i]) for i in range(clear)}
+    next_code = end + 1
+    prev: bytes | None = None
+    while bitpos + width <= total_bits:
+        code = read_code(width)
+        if code == clear:
+            table = {i: bytes([i]) for i in range(clear)}
+            next_code = end + 1
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]
+        else:
+            if code in table:
+                entry = table[code]
+            elif code == next_code:
+                entry = prev + prev[:1]
+            else:
+                raise NotImplementedError(f"corrupt GIF LZW stream: code {code}")
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        out += entry
+        prev = entry
+    return bytes(out)
+
+
+def decode_gif_pixels(b: bytes) -> tuple[int, int, bytes]:
+    """Real GIF pixel decode with stdlib-only LZW: logical screen + color
+    tables parsed, extensions skipped, the FIRST image frame decompressed
+    and palette-mapped to RGB. Non-interlaced frames only (interlace
+    raises — it is rare outside animation tooling). Returns (width,
+    height, RGB bytes, row-major)."""
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise NotImplementedError("not a GIF")
+    flags = b[10]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 3 * (2 << (flags & 0x07))
+        gct = b[pos : pos + n]
+        pos += n
+    while pos < len(b):
+        block = b[pos]
+        if block == 0x21:  # extension: label + length-prefixed sub-blocks
+            pos += 2
+            while b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            w = int.from_bytes(b[pos + 5 : pos + 7], "little")
+            h = int.from_bytes(b[pos + 7 : pos + 9], "little")
+            iflags = b[pos + 9]
+            pos += 10
+            palette = gct
+            if iflags & 0x80:
+                n = 3 * (2 << (iflags & 0x07))
+                palette = b[pos : pos + n]
+                pos += n
+            if iflags & 0x40:
+                raise NotImplementedError("interlaced GIF not supported")
+            if palette is None:
+                raise NotImplementedError("GIF frame without a color table")
+            min_code = b[pos]
+            pos += 1
+            lzw = bytearray()
+            while b[pos] != 0:
+                ln = b[pos]
+                lzw += b[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            idx = _gif_lzw_decode(bytes(lzw), min_code)[: w * h]
+            out = bytearray(w * h * 3)
+            for i, ci in enumerate(idx):
+                out[i * 3 : i * 3 + 3] = palette[ci * 3 : ci * 3 + 3]
+            return w, h, bytes(out)
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise NotImplementedError(f"unknown GIF block 0x{block:02x}")
+    raise NotImplementedError("GIF contains no image frame")
+
+
 def resize_nearest(
     pixels: bytes, width: int, height: int, ch: int, tw: int, th: int
 ) -> bytes:
@@ -476,10 +583,16 @@ def resize_images(
                     w, h, px = decode_bmp_pixels(raw)
                     resized = resize_nearest(px, w, h, 3, target_w, target_h)
                     out = encode_bmp(resized, target_w, target_h)
+                elif raw[:6] in (b"GIF87a", b"GIF89a"):
+                    # format normalization, as real pipelines do: GIF in,
+                    # PNG out (palette re-quantization is a codec concern)
+                    w, h, px = decode_gif_pixels(raw)
+                    resized = resize_nearest(px, w, h, 3, target_w, target_h)
+                    out = encode_png(resized, target_w, target_h, 2)
                 else:
                     raise NotImplementedError(
-                        "pixel resize implemented for PNG and 24-bit BMP; "
-                        "other formats need codec libraries absent here"
+                        "pixel resize implemented for PNG, 24-bit BMP, and "
+                        "GIF(->PNG); JPEG needs codec libraries absent here"
                     )
                 widths.append(w)
                 heights.append(h)

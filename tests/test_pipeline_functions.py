@@ -1048,3 +1048,101 @@ def test_bmp_pixel_roundtrip_and_resize(spark):
     expected_bmp = encode_bmp(resize_nearest(px, w, h, 3, 2, 2), 2, 2)
     assert out[1]["resized_sha256"] == hashlib.sha256(expected_bmp).hexdigest()
     assert (out[2]["width"], out[2]["height"]) == (4, 4)
+
+
+def _gif_lzw_encode(indices, min_code_size):
+    """Reference GIF-LZW ENCODER for tests: emits only literal codes (no
+    compression) but tracks the decoder's table growth so code widths stay
+    in sync — an independent inverse of _gif_lzw_decode."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    bits = []
+
+    def emit(code, width):
+        for i in range(width):
+            bits.append((code >> i) & 1)
+
+    width = min_code_size + 1
+    emit(clear, width)
+    next_code = end + 1
+    prev = False
+    for ci in indices:
+        emit(ci, width)
+        if prev:
+            next_code += 1  # decoder adds one entry per post-first code
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = True
+    emit(end, width)
+    out = bytearray()
+    for i in range(0, len(bits), 8):
+        byte = 0
+        for j, bit in enumerate(bits[i : i + 8]):
+            byte |= bit << j
+        out.append(byte)
+    return bytes(out)
+
+
+def _gif_bytes(w, h, palette, indices):
+    import struct
+
+    gct_bits = 1  # 4-entry table (2 << 1 == 4)
+    pal = bytearray()
+    for r, g, b in palette:
+        pal += bytes((r, g, b))
+    pal += b"\x00" * (3 * 4 - len(pal))
+    lzw = _gif_lzw_encode(indices, 2)
+    sub = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        sub += bytes([len(chunk)]) + chunk
+    sub += b"\x00"
+    return (
+        b"GIF89a"
+        + struct.pack("<HH", w, h)
+        + bytes([0x80 | gct_bits, 0, 0])
+        + bytes(pal)
+        + b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        + bytes([2])
+        + bytes(sub)
+        + b"\x3b"
+    )
+
+
+def test_gif_pixel_decode_and_resize_to_png(spark):
+    import hashlib
+
+    from open_ftth_relational_projector_spark.functions.multimodal import (
+        decode_gif_pixels,
+        decode_png_pixels,
+        encode_png,
+        resize_images,
+        resize_nearest,
+    )
+
+    palette = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (9, 9, 9)]
+    w, h = 4, 3
+    indices = [(x + y) % 4 for y in range(h) for x in range(w)]
+    blob = _gif_bytes(w, h, palette, indices)
+    gw, gh, px = decode_gif_pixels(blob)
+    assert (gw, gh) == (w, h)
+    want = b"".join(bytes(palette[i]) for i in indices)
+    assert px == want
+
+    # long enough to force LZW code-width growth in the decoder
+    w2, h2 = 16, 16
+    idx2 = [(x * 7 + y * 3) % 4 for y in range(h2) for x in range(w2)]
+    gw2, gh2, px2 = decode_gif_pixels(_gif_bytes(w2, h2, palette, idx2))
+    assert (gw2, gh2) == (w2, h2)
+    assert px2 == b"".join(bytes(palette[i]) for i in idx2)
+
+    # Spark end-to-end: GIF in, resized PNG hash out
+    df = spark.createDataFrame(
+        [(1, bytearray(blob))], "doc_id long, payload binary"
+    )
+    row = resize_images(df, target_w=2, target_h=2, fake=False).collect()[0]
+    assert (row["width"], row["height"]) == (w, h)
+    expected = encode_png(resize_nearest(want, w, h, 3, 2, 2), 2, 2, 2)
+    assert row["resized_sha256"] == hashlib.sha256(expected).hexdigest()
+    pw, ph, pct, _ = decode_png_pixels(expected)
+    assert (pw, ph, pct) == (2, 2, 2)
