@@ -2717,6 +2717,42 @@ def dedup_keep_list_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "weighted_doc_sample",
+    """
+    WITH u AS (
+      SELECT doc_id, n_chars,
+             (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'mix1'), 1, 13))::BIGINT + 1)
+               / CAST(16::HUGEINT ** 13 AS DOUBLE) AS unif
+      FROM documents WHERE n_chars > 0)
+    SELECT doc_id, n_chars,
+           ROUND(-ln(unif) / n_chars, 4) AS priority
+    FROM u
+    ORDER BY ROUND(-ln(unif) / n_chars, 4), doc_id
+    LIMIT 50
+    """,
+)
+def weighted_doc_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (sampling.weighted_sample, Efraimidis–Spirakis 2006) — the data-mixing
+    primitive: longer documents drawn proportionally more often, yet the
+    sample is exactly reproducible across runs, partitionings, and engines
+    because the uniforms derive from md5(doc_id‖salt). The oracle replays
+    the identical priorities in SQL."""
+    from open_ftth_relational_projector_spark.functions.sampling import (
+        weighted_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_sample(
+        docs.select("doc_id", "n_chars"),
+        F.col("n_chars"),
+        k=50,
+        key="doc_id",
+        salt="mix1",
+    )
+
+
+@_q(
     "corpus_pipeline_stats",
     """
     WITH RECURSIVE t AS (
@@ -3802,7 +3838,7 @@ _DRIVER_WINDOW_FRONT = [
     "knn_lsh",
     "knn_ivf",
     # -- r2-green spot checks + new compositions --
-    "ngram_jaccard_pairs",
+    "weighted_doc_sample",
     "dedup_keep_list",
     "corpus_filter_report",
     "simhash_near_dups",

@@ -123,3 +123,44 @@ def token_budget_chunks(
             F.sum("_tok").alias("total_tokens"),
         )
     )
+
+
+_HEX13_SPAN = 16**13  # 4.5e15 < 2^53: exact in a double
+
+
+def md5_uniform(key: Column, salt: str = "") -> Column:
+    """Deterministic uniform in (0, 1]: first 13 hex chars of md5(key‖salt)
+    scaled by 16^13 (exact in doubles). Same recipe as split_bucket —
+    engine-portable, repartition-stable, rand()-free."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(key.cast("string"), F.lit(salt))), 1, 13),
+        16,
+        10,
+    ).cast("long")
+    return (h + F.lit(1)).cast("double") / F.lit(float(_HEX13_SPAN))
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight: Column,
+    k: int,
+    key: str,
+    salt: str = "",
+) -> DataFrame:
+    """Weighted sampling without replacement, determinized — the
+    data-mixing primitive (sample higher-quality/longer docs more often).
+
+    Efraimidis–Spirakis (2006): draw u ~ U(0,1] per row, priority =
+    -ln(u) / w, keep the k smallest priorities — exactly a weighted sample
+    without replacement. u comes from md5_uniform(key, salt), so the
+    sample is reproducible across runs, partitionings, and engines (the
+    SQL oracle replays it bit-for-bit). One map-side expression + a top-k
+    (k ≪ N ⇒ a TakeOrdered, no full sort shuffle at scale). Rows with
+    weight ≤ 0 are excluded (their priority is undefined)."""
+    pri = -F.log(md5_uniform(F.col(key), salt)) / weight
+    return (
+        df.filter(weight > 0)
+        .withColumn("priority", F.round(pri, 4))
+        .orderBy(F.col("priority").asc(), F.col(key).asc())
+        .limit(k)
+    )

@@ -1146,3 +1146,35 @@ def test_gif_pixel_decode_and_resize_to_png(spark):
     assert row["resized_sha256"] == hashlib.sha256(expected).hexdigest()
     pw, ph, pct, _ = decode_png_pixels(expected)
     assert (pw, ph, pct) == (2, 2, 2)
+
+
+def test_weighted_sample_deterministic_and_weight_sensitive(spark):
+    from open_ftth_relational_projector_spark.functions.sampling import (
+        weighted_sample,
+    )
+
+    # 200 light rows (w=1) + 20 heavy rows (w=50): heavies should dominate
+    rows = [(i, 1) for i in range(200)] + [(1000 + i, 50) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, w int")
+    heavy_hits = 0
+    for salt in ("a", "b", "c"):
+        got = [
+            r["doc_id"]
+            for r in weighted_sample(df, F.col("w"), 20, "doc_id", salt).collect()
+        ]
+        assert len(got) == 20 and len(set(got)) == 20
+        # deterministic: same salt → identical sample
+        again = [
+            r["doc_id"]
+            for r in weighted_sample(df, F.col("w"), 20, "doc_id", salt).collect()
+        ]
+        assert got == again
+        heavy_hits += sum(1 for d in got if d >= 1000)
+    # heavies are 9% of rows but 83% of total weight; across 60 draws they
+    # must far exceed the unweighted expectation (~5.5)
+    assert heavy_hits > 25, heavy_hits
+    # zero/negative weights are excluded outright
+    z = spark.createDataFrame([(1, 0), (2, -3), (3, 5)], "doc_id long, w int")
+    assert [
+        r["doc_id"] for r in weighted_sample(z, F.col("w"), 10, "doc_id").collect()
+    ] == [3]
