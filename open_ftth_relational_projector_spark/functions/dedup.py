@@ -167,6 +167,17 @@ def ngram_jaccard_pairs(
             )
         ).alias("p")
     )
+    if max_postings is not None:
+        # capped index: per-pair counts would miss the dropped stop-
+        # shingles, so the index only NOMINATES candidates (plain distinct,
+        # no aggregation buffers); Jaccard is recomputed exactly per pair
+        cands = pairs.select(
+            F.col("p.a.doc_id").alias("doc_a"),
+            F.col("p.b.doc_id").alias("doc_b"),
+        ).distinct()
+        return _verify_jaccard(
+            cands, add_shingles(docs, n, text_col, id_col), threshold
+        )
     inter = pairs.groupBy(
         F.col("p.a.doc_id").alias("doc_a"),
         F.col("p.b.doc_id").alias("doc_b"),
@@ -175,14 +186,6 @@ def ngram_jaccard_pairs(
         F.first("p.a.n_sh").alias("size_a"),
         F.first("p.b.n_sh").alias("size_b"),
     )
-    if max_postings is not None:
-        # capped index: per-pair counts miss the dropped stop-shingles, so
-        # the index only nominates candidates; Jaccard is recomputed exactly
-        return _verify_jaccard(
-            inter.select("doc_a", "doc_b"),
-            add_shingles(docs, n, text_col, id_col),
-            threshold,
-        )
     return (
         inter.withColumn(
             "jaccard",
@@ -261,14 +264,19 @@ def minhash_lsh_candidates(
             )
         return F.hash(sl).cast("string")
 
+    # docs shorter than n tokens have no shingles: every signature slot is
+    # NULL, so ALL of them would share one band key and pair quadratically
+    # (k² candidates that the later NULL-Jaccard verify only discards).
+    # They cannot be near-duplicates of anything — drop them before banding.
+    sh = add_shingles(docs, n, text_col, id_col).filter(F.size("sh") > 0)
     if hash_fn is None or hash_fn is portable_hash64:
-        sig = add_shingles(docs, n, text_col, id_col).selectExpr(
+        sig = sh.selectExpr(
             "doc_id",
             _minhash_sig_sql("sh", num_hashes, hash_fn is portable_hash64)
             + " AS sig",
         )
     else:
-        sig = add_shingles(docs, n, text_col, id_col).select(
+        sig = sh.select(
             "doc_id",
             minhash_signature(F.col("sh"), num_hashes, hash_fn).alias("sig"),
         )

@@ -154,15 +154,18 @@ def _connected_components_star(
     edge-set fixpoint, detected via an order-insensitive checksum (count +
     sum of pair hashes) instead of a full set comparison. At fixpoint the
     edge set is a star forest: every edge is (node, component-min)."""
-    e = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .filter(F.col("u") != F.col("v"))
+    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # nodes derive from the UNFILTERED edges: a node whose only edge is a
+    # self-loop still "appears in an edge" and must get its own-label row
+    # (parity with the label-propagation algorithm)
+    nodes = (
+        raw.select(F.col("u").alias("node"))
+        .unionByName(raw.select(F.col("v").alias("node")))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    nodes = (
-        e.select(F.col("u").alias("node"))
-        .unionByName(e.select(F.col("v").alias("node")))
+    e = (
+        raw.filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint(eager=True)
     )

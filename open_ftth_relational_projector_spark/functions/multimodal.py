@@ -154,6 +154,8 @@ def decode_png_pixels(b: bytes) -> tuple[int, int, int, bytes]:
                 )
         elif typ == b"IDAT":
             idat += data
+    if width is None or ct is None:
+        raise NotImplementedError("corrupt PNG: missing IHDR chunk")
     raw = zlib.decompress(bytes(idat))
     ch = _PNG_CHANNELS[ct]
     stride = width * ch
@@ -378,8 +380,17 @@ def decode_gif_pixels(b: bytes) -> tuple[int, int, bytes]:
                 lzw += b[pos + 1 : pos + 1 + ln]
                 pos += 1 + ln
             idx = _gif_lzw_decode(bytes(lzw), min_code)[: w * h]
+            if len(idx) < w * h:
+                raise NotImplementedError(
+                    f"truncated GIF pixel data: {len(idx)} of {w * h} pixels"
+                )
+            n_colors = len(palette) // 3
             out = bytearray(w * h * 3)
             for i, ci in enumerate(idx):
+                if ci >= n_colors:
+                    raise NotImplementedError(
+                        f"GIF color index {ci} outside {n_colors}-entry palette"
+                    )
                 out[i * 3 : i * 3 + 3] = palette[ci * 3 : ci * 3 + 3]
             return w, h, bytes(out)
         elif block == 0x3B:  # trailer

@@ -1178,3 +1178,44 @@ def test_weighted_sample_deterministic_and_weight_sensitive(spark):
     assert [
         r["doc_id"] for r in weighted_sample(z, F.col("w"), 10, "doc_id").collect()
     ] == [3]
+
+
+def test_review_fixes_corrupt_inputs_and_degenerate_buckets(spark):
+    """Round-3 review fixes: corrupt image inputs hit the documented
+    NotImplementedError boundary; self-loop-only nodes survive star CC;
+    sub-n-token docs never enter the minhash bucket join."""
+    from open_ftth_relational_projector_spark.functions.graph import (
+        connected_components,
+    )
+    from open_ftth_relational_projector_spark.functions.multimodal import (
+        decode_gif_pixels,
+        decode_png_pixels,
+    )
+
+    # PNG with a signature but no IHDR
+    with pytest.raises(NotImplementedError, match="IHDR"):
+        decode_png_pixels(b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x00IEND" + b"\x00" * 4)
+
+    # GIF whose stream decodes short / indexes outside the palette
+    palette = [(1, 2, 3), (4, 5, 6), (7, 8, 9), (10, 11, 12)]
+    good = _gif_bytes(3, 3, palette, [0] * 9)
+    w, h, px = decode_gif_pixels(good)
+    assert (w, h) == (3, 3) and px == bytes((1, 2, 3)) * 9
+    truncated = _gif_bytes(3, 3, palette, [0] * 4)  # 4 of 9 pixels
+    with pytest.raises(NotImplementedError, match="truncated"):
+        decode_gif_pixels(truncated)
+
+    # star CC keeps self-loop-only nodes (parity with label propagation)
+    edges = spark.createDataFrame([(5, 5), (1, 2)], "doc_a long, doc_b long")
+    for algo in ("label", "star"):
+        got = sorted(
+            (r["doc_id"], r["component_id"])
+            for r in connected_components(edges, algorithm=algo).collect()
+        )
+        assert got == [(1, 1), (2, 1), (5, 5)], algo
+
+    # sub-n-token docs must produce zero minhash candidates, not k² pairs
+    shorts = spark.createDataFrame(
+        [(i, f"tok{i} only") for i in range(6)], "doc_id long, text string"
+    )
+    assert D.minhash_lsh_candidates(shorts).count() == 0
