@@ -638,6 +638,228 @@ def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q2_min_cost_supplier",
+    """
+    WITH offers AS (
+      SELECT p.p_partkey, p.p_name, s.s_name, l.l_extendedprice
+      FROM part p
+      JOIN lineitem l ON l.l_partkey = p.p_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      WHERE p.p_size = 15)
+    SELECT DISTINCT o.p_partkey, o.p_name, o.s_name,
+           ROUND(o.l_extendedprice, 4) AS min_price
+    FROM offers o
+    WHERE o.l_extendedprice = (
+      SELECT MIN(o2.l_extendedprice) FROM offers o2
+      WHERE o2.p_partkey = o.p_partkey)
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (partsupp absent from the driver tables, so the
+    min-cost relation is lineitem): the correlated MIN subquery decorrelates
+    to a partition-window minimum — one shuffle on p_partkey instead of a
+    per-row re-scan. Ties keep every (part, supplier) at the minimum, like
+    the correlated form; the equality compares a stored double against
+    itself (no arithmetic), so it is FP-exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    s = load_table(spark, sf_dir, "supplier")
+    w = W.partitionBy("p_partkey")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .withColumn("_min", F.min("l_extendedprice").over(w))
+        .filter(F.col("l_extendedprice") == F.col("_min"))
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            _r4(F.col("l_extendedprice")).alias("min_price"),
+        )
+        .distinct()
+    )
+
+
+@_q(
+    "q8_market_share",
+    """
+    WITH vol AS (
+      SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+      JOIN region r ON n1.n_regionkey = r.r_regionkey
+      JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+      WHERE r.r_name = 'EUROPE' AND p.p_type = 'ECONOMY')
+    SELECT o_year,
+           ROUND(SUM(CASE WHEN supp_nation = 'NATION_7' THEN volume
+                          ELSE 0 END) / SUM(volume), 4) AS mkt_share
+    FROM vol GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's revenue per order
+    year. Every dimension (part filter, supplier, customer, both nation
+    roles, region) broadcasts, so the only fact shuffles are
+    lineitem⋈orders and the final 7-group agg; the conditional numerator
+    rides the same aggregate (no second pass over the facts)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    n1 = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk"))
+    n2 = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(r), F.col("c_rk") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            _r4(
+                F.sum(F.when(F.col("supp_nation") == "NATION_7", vol).otherwise(0.0))
+                / F.sum(vol)
+            ).alias("mkt_share")
+        )
+    )
+
+
+@_q(
+    "q11_important_part_values",
+    """
+    WITH pv AS (
+      SELECT l_partkey, SUM(l_extendedprice * l_quantity) AS part_value
+      FROM lineitem GROUP BY l_partkey)
+    SELECT l_partkey, ROUND(part_value, 4) AS part_value
+    FROM pv
+    WHERE part_value > (SELECT SUM(part_value) * 0.0005 FROM pv)
+    """,
+)
+def q11_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-key value HAVING a scalar-subquery fraction of
+    the global total. The per-key aggregate is persisted — it is the TINY
+    side (one row per part key), and without it Spark plans two full fact
+    scans because the threshold branch and the filter branch don't share
+    subplans (no exchange reuse fires across the differing downstream
+    aggregates; verified empirically). With the persist the fact table is
+    scanned and shuffled exactly once (pinned in test_plans), and the global
+    total re-aggregates the cached relation and broadcasts as a 1-row cross
+    join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pv = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("part_value")
+    ).persist()
+    threshold = pv.agg((F.sum("part_value") * 0.0005).alias("_threshold"))
+    return (
+        pv.crossJoin(F.broadcast(threshold))
+        .filter(F.col("part_value") > F.col("_threshold"))
+        .select("l_partkey", _r4(F.col("part_value")).alias("part_value"))
+    )
+
+
+@_q(
+    "q20_part_promo_suppliers",
+    """
+    SELECT s.s_name, ROUND(s.s_acctbal, 4) AS s_acctbal
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+      SELECT l.l_suppkey FROM lineitem l
+      WHERE l.l_partkey IN (
+        SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+      GROUP BY l.l_suppkey
+      HAVING SUM(l.l_quantity) > 2000)
+    """,
+)
+def q20_part_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: a two-level nested-IN chain (supplier ← qualifying
+    lineitem volume ← part name family). Inner IN = broadcast semi-join
+    cutting lineitem before its groupBy; outer IN = semi-join of the small
+    qualifying-supplier set back onto supplier."""
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith("red"))
+        .select("p_partkey")
+    )
+    qualifying = (
+        li.join(
+            F.broadcast(p.withColumnRenamed("p_partkey", "l_partkey")),
+            "l_partkey",
+            "left_semi",
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("_qty"))
+        .filter(F.col("_qty") > 2000)
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+    )
+    return s.join(qualifying, "s_suppkey", "left_semi").select(
+        "s_name", _r4(F.col("s_acctbal")).alias("s_acctbal")
+    )
+
+
+@_q(
+    "q21_waiting_suppliers",
+    """
+    SELECT s.s_name, COUNT(DISTINCT l1.l_orderkey) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (the driver lineitem has no commit/receipt dates, so
+    the fault marker is l_returnflag='R'): suppliers solely at fault on a
+    multi-supplier finalized order. The oracle states the spec with
+    correlated EXISTS / NOT EXISTS; this plan decorrelates both into ONE
+    per-order aggregate — n_supp>1 ⟺ "another supplier exists", n_rsupp=1
+    (with l1 itself flagged) ⟺ "no OTHER flagged supplier exists" — so the
+    fact table is shuffled once on l_orderkey instead of twice per
+    correlated probe."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    ordstats = li.groupBy(F.col("l_orderkey").alias("_ok")).agg(
+        F.countDistinct("l_suppkey").alias("_n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("_n_rsupp"),
+    )
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(o.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"), "left_semi")
+        .join(ordstats, li.l_orderkey == F.col("_ok"))
+        .filter((F.col("_n_supp") > 1) & (F.col("_n_rsupp") == 1))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+    )
+
+
+@_q(
     "dim_join_customer_geo",
     """
     SELECT r.r_name AS region, n.n_name AS nation,

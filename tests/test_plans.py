@@ -210,3 +210,47 @@ def test_round3_compositions_cartesian_free(q):
         "embedding_quantize_int8",
     ):
         C.assert_no_cartesian(q(name))
+
+
+def test_q2_decorrelated_min_broadcasts_dims(q):
+    """The correlated-MIN rewrite: part/supplier dims broadcast onto the
+    fact scan; the window minimum is the only keyed shuffle."""
+    df = q("q2_min_cost_supplier")
+    assert C.broadcast_join_count(df) >= 2, "part and supplier must broadcast"
+    assert C.sortmerge_join_count(df) == 0
+    C.assert_no_cartesian(df)
+
+
+def test_q8_market_share_all_dims_broadcast(q):
+    """Seven-table market-share query: every dim lookup broadcasts; at most
+    the lineitem⋈orders fact join shuffles."""
+    df = q("q8_market_share")
+    assert C.broadcast_join_count(df) >= 5
+    assert C.sortmerge_join_count(df) <= 1
+    C.assert_no_cartesian(df)
+
+
+def test_q11_single_fact_shuffle_scalar_broadcast(q):
+    """The global-total threshold must re-aggregate the per-key aggregate
+    (never rescanning lineitem) and rejoin as a broadcast: exactly one scan
+    of the fact table in the whole plan."""
+    df = q("q11_important_part_values")
+    assert len(C.scan_read_schemas(df)) == 1, "lineitem must be scanned once"
+    assert C.sortmerge_join_count(df) == 0
+
+
+def test_q20_nested_in_chain_is_semi_joins(q):
+    df = q("q20_part_promo_suppliers")
+    plan = C.formatted_plan(df)
+    assert plan.count("LeftSemi") >= 2, "both IN levels must be semi-joins"
+    assert C.sortmerge_join_count(df) == 0
+    C.assert_no_cartesian(df)
+
+
+def test_q21_decorrelated_exists_single_order_shuffle(q):
+    """Both correlated EXISTS probes fold into one per-order aggregate:
+    supplier broadcasts, and the only keyed work on the fact table is on
+    l_orderkey (aggregate + rejoin) — never a per-probe re-shuffle."""
+    df = q("q21_waiting_suppliers")
+    assert C.broadcast_join_count(df) >= 1, "supplier must broadcast"
+    C.assert_no_cartesian(df)
