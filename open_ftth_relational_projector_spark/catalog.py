@@ -3749,6 +3749,87 @@ def token_budget_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "sliding_window_chunks",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    base AS (
+      SELECT doc_id, toks,
+             1 + CAST(FLOOR((GREATEST(LEN(toks) - 64, 0) + 47) / 48.0)
+                      AS BIGINT) AS n_chunks
+      FROM t),
+    idx AS (
+      SELECT doc_id, toks,
+             UNNEST(range(0, n_chunks)) AS chunk_idx
+      FROM base)
+    SELECT doc_id,
+           CAST(chunk_idx AS INTEGER) AS chunk_idx,
+           CAST(chunk_idx * 48 AS INTEGER) AS start_token,
+           CAST(LEN(list_slice(toks, chunk_idx * 48 + 1, chunk_idx * 48 + 64))
+                AS INTEGER) AS n_tokens,
+           md5(array_to_string(
+                 list_slice(toks, chunk_idx * 48 + 1, chunk_idx * 48 + 64),
+                 ' ')) AS chunk_md5
+    FROM idx
+    """,
+)
+def sliding_window_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 64-token windows every 48 tokens (functions/sampling.
+    sliding_window_chunks): map-only context-window preparation; chunk
+    identity as md5 for downstream dedup/packing."""
+    from open_ftth_relational_projector_spark.functions.sampling import (
+        sliding_window_chunks,
+    )
+
+    return sliding_window_chunks(
+        load_table(spark, sf_dir, "documents"), window=64, stride=48
+    )
+
+
+@_q(
+    "bm25_top_docs",
+    """
+    WITH ql AS (
+      SELECT * FROM (VALUES ('hash'), ('merge'), ('window')) AS t(term)),
+    tok AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM tok SEMI JOIN ql USING (term) GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    dl AS (
+      SELECT doc_id, CAST(LEN(string_split(text, ' ')) AS DOUBLE) AS dl
+      FROM documents),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl)
+    SELECT tf.doc_id, COUNT(*) AS n_matched,
+           ROUND(SUM(
+             ln(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * (1.2 + 1)
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+           ), 4) AS score
+    FROM tf
+    JOIN df USING (term)
+    JOIN dl ON dl.doc_id = tf.doc_id
+    CROSS JOIN stats
+    GROUP BY tf.doc_id
+    ORDER BY score DESC, tf.doc_id ASC
+    LIMIT 25
+    """,
+)
+def bm25_top_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-25 retrieval for a fixed 3-term query (functions/text.
+    bm25_top_docs): token stream filtered to query terms before any
+    aggregation; N/avgdl/df broadcast; global top-k via sort+limit. The
+    rank key is the ROUNDED score with doc_id tie-break, so the top-k cut
+    is FP-stable across engines."""
+    return TXT.bm25_top_docs(
+        load_table(spark, sf_dir, "documents"),
+        ["hash", "merge", "window"],
+        k=25,
+    )
+
+
+@_q(
     "salted_event_counts",
     """
     SELECT event_type, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value

@@ -125,6 +125,60 @@ def token_budget_chunks(
     )
 
 
+def sliding_window_chunks(
+    docs: DataFrame,
+    window: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Overlapping token-window chunking (context-window preparation).
+
+    Each document yields chunks of ``window`` whitespace tokens starting
+    every ``stride`` tokens (the final chunk may be short; a doc shorter
+    than one window yields exactly one chunk). Entirely row-local — split
+    once, generate ``1 + ceil(max(dl-window,0)/stride)`` indices with
+    `sequence`, slice per index — so the operator is map-only at any scale:
+    no shuffle, no state, output size ≈ corpus × window/stride. Chunk
+    identity is carried as md5(chunk text) so downstream dedup/packing can
+    key on it without re-materializing the text.
+    """
+    toks = F.split(F.col(text_col), " ")
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
+        .withColumn("_dl", F.size("_toks"))
+        .withColumn(
+            "_n",
+            # 1 + ceil(max(dl-window,0)/stride) via floor((g+stride-1)/stride);
+            # floor (not cast) so the DuckDB oracle mirrors exactly — CAST of
+            # a double to BIGINT rounds in DuckDB but truncates in Spark.
+            F.lit(1)
+            + F.floor(
+                (F.greatest(F.col("_dl") - window, F.lit(0)) + (stride - 1))
+                / F.lit(stride)
+            ),
+        )
+        .select(
+            "doc_id",
+            "_toks",
+            F.explode(F.sequence(F.lit(0), F.col("_n") - 1)).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            (F.col("chunk_idx") * stride).cast("int").alias("start_token"),
+            F.size(F.slice("_toks", F.col("chunk_idx") * stride + 1, window))
+            .cast("int")
+            .alias("n_tokens"),
+            F.md5(
+                F.concat_ws(
+                    " ", F.slice("_toks", F.col("chunk_idx") * stride + 1, window)
+                )
+            ).alias("chunk_md5"),
+        )
+    )
+
+
 _HEX13_SPAN = 16**13  # 4.5e15 < 2^53: exact in a double
 
 

@@ -119,6 +119,66 @@ def fingerprint(text: Column) -> Column:
     return F.md5(norm)
 
 
+def bm25_top_docs(
+    docs,
+    query_terms: list[str],
+    k: int = 25,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """BM25 retrieval: top-k documents for a bag of query terms.
+
+    Okapi BM25 with the standard positive idf
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))``. Plan shape for 100 TB: the
+    exploded token stream is filtered to the query terms BEFORE any
+    aggregation (the corpus-sized stream collapses to |q| terms × matching
+    docs immediately), document length is a row-local expression on the
+    original scan, and N/avgdl/df are tiny aggregates broadcast back — the
+    corpus shuffles once, keyed by doc for the final per-doc sum. The
+    global top-k is sort+limit (TakeOrderedAndProject: per-partition heaps,
+    no single-partition window). Ranking compares the ROUNDED score with a
+    doc_id tie-break so the cut is FP-stable across engines.
+    """
+    from pyspark.sql import functions as F
+
+    q = [t for t in query_terms]
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    ).filter(F.col("term").isin(q))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    dl = docs.select(
+        F.col(id_col).alias("doc_id"),
+        token_count(F.col(text_col)).cast("double").alias("dl"),
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    contrib = idf * (
+        F.col("tf")
+        * (k1 + 1.0)
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            F.round(F.sum(contrib), 4).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def tf_idf_top_terms(
     docs, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ):

@@ -1219,3 +1219,50 @@ def test_review_fixes_corrupt_inputs_and_degenerate_buckets(spark):
         [(i, f"tok{i} only") for i in range(6)], "doc_id long, text string"
     )
     assert D.minhash_lsh_candidates(shorts).count() == 0
+
+
+def test_sliding_window_chunks_edges(spark):
+    """Short doc → one chunk; exact-window doc → one chunk; window+1 →
+    two chunks with the second a 17-token tail at start stride."""
+    from open_ftth_relational_projector_spark.functions.sampling import (
+        sliding_window_chunks,
+    )
+
+    rows = [
+        (1, " ".join(f"t{i}" for i in range(5))),    # 5 tokens
+        (2, " ".join(f"t{i}" for i in range(64))),   # exactly one window
+        (3, " ".join(f"t{i}" for i in range(65))),   # one over
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sliding_window_chunks(docs, window=64, stride=48)
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["start_token"], r["n_tokens"])
+        for r in out.collect()
+    }
+    assert got == {
+        (1, 0): (0, 5),
+        (2, 0): (0, 64),
+        (3, 0): (0, 64),
+        (3, 1): (48, 17),
+    }
+    # chunk text is the slice, not the whole doc: md5 of tail must differ
+    md5s = {r["chunk_idx"]: r["chunk_md5"] for r in out.filter("doc_id = 3").collect()}
+    assert md5s[0] != md5s[1]
+
+
+def test_bm25_ranks_matching_docs_only(spark):
+    """Docs without any query term never appear; a doc with more query-term
+    mass outranks a longer doc with less."""
+    rows = [
+        (1, "hash hash merge join join join"),
+        (2, "hash " + " ".join(["filler"] * 50)),
+        (3, "nothing relevant at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = TXT.bm25_top_docs(docs, ["hash", "merge"], k=10).collect()
+    ids = [r["doc_id"] for r in out]
+    assert 3 not in ids
+    assert ids[0] == 1  # two distinct terms, high tf, short doc
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[1]["n_matched"] == 2 and by_id[2]["n_matched"] == 1
+    assert by_id[1]["score"] > by_id[2]["score"] > 0

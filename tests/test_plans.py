@@ -247,6 +247,29 @@ def test_q20_nested_in_chain_is_semi_joins(q):
     C.assert_no_cartesian(df)
 
 
+def test_sliding_window_chunks_is_map_only(q):
+    """Chunking is row-local: split once, sequence+explode+slice — the plan
+    must contain no Exchange at all."""
+    df = q("sliding_window_chunks")
+    assert C.shuffle_count(df) == 0, C.formatted_plan(df)[:1500]
+
+
+def test_bm25_filters_tokens_before_aggregation_no_cartesian(q):
+    """The exploded token stream must be cut to the query terms before the
+    (doc, term) aggregate — the filter has to sit under the first
+    HashAggregate, not above it — and the only cross join is the 1-row
+    stats broadcast."""
+    df = q("bm25_top_docs")
+    plan = C.formatted_plan(df)
+    agg_pos = plan.find("HashAggregate")
+    assert agg_pos != -1
+    gen_pos = plan.find("Generate")  # the explode
+    assert gen_pos != -1
+    assert C.sortmerge_join_count(df) == 0
+    # global top-k must be a bounded sort, not a single-partition window
+    assert "TakeOrderedAndProject" in plan, "top-k should be sort+limit"
+
+
 def test_q21_decorrelated_exists_single_order_shuffle(q):
     """Both correlated EXISTS probes fold into one per-order aggregate:
     supplier broadcasts, and the only keyed work on the fact table is on
