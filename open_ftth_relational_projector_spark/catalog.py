@@ -3066,7 +3066,11 @@ def corpus_pipeline_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     canon = keepq.groupBy(F.md5("text").alias("th")).agg(
         F.min("doc_id").alias("doc_id")
     )
-    surv = keepq.join(canon.select("doc_id"), "doc_id", "semi")
+    # surv feeds BOTH the pair-generation branch and the final keep join;
+    # without a persist Spark recomputes the quality filter + md5-dedup
+    # semi-join once per consumer (a real pipeline would checkpoint the
+    # filtered corpus to parquet here for exactly the same reason).
+    surv = keepq.join(canon.select("doc_id"), "doc_id", "semi").persist()
     pairs = D.ngram_jaccard_pairs(surv, threshold=0.05, n=3)
     comp = connected_components(pairs)
     final = (
@@ -4140,16 +4144,19 @@ _DRIVER_WINDOW_FRONT = [
     "embedding_near_dups_lsh",
     "knn_lsh",
     "knn_ivf",
-    # -- r2-green spot checks + new compositions --
+    # -- new compositions (first driver rows) --
     "weighted_doc_sample",
     "dedup_keep_list",
     "corpus_filter_report",
     "simhash_near_dups",
-    "knn_bruteforce",
-    "multimodal_frames",
-    "multimodal_resize",
     "embedding_quantize_int8",
     "corpus_pipeline_stats",
+    # -- late round-3 additions: first driver rows beat a third spot-check
+    # of r1∪r2-green families (knn_bruteforce / multimodal_* hold green
+    # rows in BOTH prior rounds and keep their local oracle gate) --
+    "q21_waiting_suppliers",
+    "bm25_top_docs",
+    "sliding_window_chunks",
 ]
 
 
