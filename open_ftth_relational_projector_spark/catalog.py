@@ -1256,6 +1256,108 @@ def running_value_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "event_deltas_range_frame",
+    """
+    WITH t AS (
+      SELECT event_id, user_id, value,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec
+      FROM events)
+    SELECT event_id, user_id,
+           ROUND(value - LAG(value, 1, 0.0)
+                 OVER (PARTITION BY user_id ORDER BY event_id), 4) AS delta_prev,
+           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY sec
+                 RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW), 4)
+             AS day_window_sum
+    FROM t
+    """,
+)
+def event_deltas_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag with default + a RANGE frame keyed on event-time seconds (the
+    trailing-24h running sum). Both windows share one partition-by-user
+    shuffle; the range frame is evaluated by a single ordered sweep per
+    key — no self-join-per-row, the shape that survives wide keys."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "sec", F.col("ts").cast("timestamp").cast("long")
+    )
+    w_row = W.partitionBy("user_id").orderBy("event_id")
+    w_range = (
+        W.partitionBy("user_id").orderBy("sec").rangeBetween(-86400, W.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        _r4(F.col("value") - F.lag("value", 1, 0.0).over(w_row)).alias("delta_prev"),
+        _r4(F.sum("value").over(w_range)).alias("day_window_sum"),
+    )
+
+
+@_q(
+    "doc_length_deciles",
+    """
+    SELECT lang, doc_id,
+           CAST(NTILE(10) OVER (PARTITION BY lang
+                ORDER BY n_chars, doc_id) AS INTEGER) AS decile
+    FROM documents
+    """,
+)
+def doc_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language length deciles (data-mixing strata). Deterministic:
+    the NTILE order breaks ties on doc_id so both engines cut identical
+    buckets."""
+    d = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return d.select(
+        "lang", "doc_id", F.ntile(10).over(w).cast("int").alias("decile")
+    )
+
+
+@_q(
+    "repeat_buyer_churn_setops",
+    """
+    SELECT user_id FROM (
+      SELECT DISTINCT user_id FROM events
+      WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-10 00:00:00'
+      INTERSECT
+      SELECT DISTINCT user_id FROM events
+      WHERE event_type = 'purchase'
+        AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+        AND ts < TIMESTAMP '2024-01-20 00:00:00')
+    EXCEPT
+    SELECT DISTINCT user_id FROM events
+    WHERE event_type = 'purchase'
+      AND ts >= TIMESTAMP '2024-01-20 00:00:00'
+    """,
+)
+def repeat_buyer_churn_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational set ops: buyers purchasing in both early windows
+    (INTERSECT) with no purchase in the final decade (EXCEPT). Spark
+    plans both as hash semi/anti joins on the distinct sets — no
+    sort-based set op, no cartesian."""
+    ev = load_table(spark, sf_dir, "events")
+    ts = F.col("ts")
+    h1 = (
+        ev.filter((F.col("event_type") == "purchase") & (ts < F.lit("2024-01-10").cast("timestamp_ntz")))
+        .select("user_id").distinct()
+    )
+    h2 = (
+        ev.filter(
+            (F.col("event_type") == "purchase")
+            & (ts >= F.lit("2024-01-10").cast("timestamp_ntz"))
+            & (ts < F.lit("2024-01-20").cast("timestamp_ntz"))
+        )
+        .select("user_id").distinct()
+    )
+    later = (
+        ev.filter(
+            (F.col("event_type") == "purchase")
+            & (ts >= F.lit("2024-01-20").cast("timestamp_ntz"))
+        )
+        .select("user_id").distinct()
+    )
+    return h1.intersect(h2).exceptAll(later)
+
+
+@_q(
     "sessionize_30min",
     """
     WITH t AS (
