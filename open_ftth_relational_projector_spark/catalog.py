@@ -4247,6 +4247,224 @@ def label_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.label_centroid_stats(scattered(load_table(spark, sf_dir, "embeddings")))
 
 
+# --- distributed clustering + SemDeDup + DSIR selection --------------------
+# Shared oracle CTE chain replaying kmeans_fit(k=4, iters=2) exactly:
+# deterministic init (first 4 ids), two Lloyd iterations with centroids
+# ROUNDED TO 6 DP after every M-step (the cross-engine determinism contract,
+# functions/clustering.py module doc), then a final assignment a3 against
+# the returned centroids c2 — mirroring kmeans_cluster_stats/semantic_dedup,
+# which re-assign with the fitted centroids.
+_KMEANS_CTES = """
+    WITH pe AS (
+      SELECT vec_id,
+             UNNEST(range(1, len(embedding) + 1)) AS pos,
+             UNNEST(CAST(embedding AS DOUBLE[])) AS val
+      FROM embeddings
+    ),
+    init AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cid, vec_id
+      FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)
+    ),
+    c0 AS (SELECT i.cid, pe.pos, ROUND(pe.val, 6) AS cv
+           FROM init i JOIN pe USING (vec_id)),
+    d1 AS (SELECT pe.vec_id, c.cid,
+                  SUM((pe.val - c.cv) * (pe.val - c.cv)) AS d2
+           FROM pe JOIN c0 c USING (pos) GROUP BY 1, 2),
+    a1 AS (SELECT vec_id, cid FROM (
+             SELECT vec_id, cid,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id
+                                       ORDER BY d2, cid) AS rn
+             FROM d1) WHERE rn = 1),
+    c1 AS (SELECT a1.cid, pe.pos, ROUND(AVG(pe.val), 6) AS cv
+           FROM a1 JOIN pe USING (vec_id) GROUP BY 1, 2),
+    d2t AS (SELECT pe.vec_id, c.cid,
+                   SUM((pe.val - c.cv) * (pe.val - c.cv)) AS d2
+            FROM pe JOIN c1 c USING (pos) GROUP BY 1, 2),
+    a2 AS (SELECT vec_id, cid FROM (
+             SELECT vec_id, cid,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id
+                                       ORDER BY d2, cid) AS rn
+             FROM d2t) WHERE rn = 1),
+    c2 AS (SELECT a2.cid, pe.pos, ROUND(AVG(pe.val), 6) AS cv
+           FROM a2 JOIN pe USING (vec_id) GROUP BY 1, 2),
+    d3 AS (SELECT pe.vec_id, c.cid,
+                  SUM((pe.val - c.cv) * (pe.val - c.cv)) AS d2
+           FROM pe JOIN c2 c USING (pos) GROUP BY 1, 2),
+    a3 AS (SELECT vec_id, cid, d2 FROM (
+             SELECT vec_id, cid, d2,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id
+                                       ORDER BY d2, cid) AS rn
+             FROM d3) WHERE rn = 1)
+"""
+
+
+@_q(
+    "kmeans_cluster_stats",
+    _KMEANS_CTES
+    + """
+    SELECT cid AS cluster_id,
+           CAST(COUNT(*) AS INTEGER) AS n_members,
+           MIN(vec_id) AS min_vec_id,
+           ROUND(AVG(SQRT(d2)), 4) AS avg_dist
+    FROM a3 GROUP BY cid
+    """,
+)
+def kmeans_cluster_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means (functions/clustering.kmeans_cluster_stats):
+    E-step is a map-only broadcast-literal expression, M-step a k×dim-group
+    aggregation — the oracle unrolls both iterations in SQL."""
+    from open_ftth_relational_projector_spark.functions.clustering import (
+        kmeans_cluster_stats,
+    )
+
+    return kmeans_cluster_stats(
+        scattered(load_table(spark, sf_dir, "embeddings")), k=4, iters=2
+    )
+
+
+@_q(
+    "semantic_dedup_verdicts",
+    _KMEANS_CTES
+    + """,
+    emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    sims AS (
+      SELECT y.vec_id, y.cid,
+             MAX(list_dot_product(ex.v, ey.v)
+                 / (SQRT(list_dot_product(ex.v, ex.v))
+                    * SQRT(list_dot_product(ey.v, ey.v)))) AS max_sim
+      FROM a3 x JOIN a3 y ON x.cid = y.cid AND x.vec_id < y.vec_id
+      JOIN emb ex ON ex.vec_id = x.vec_id
+      JOIN emb ey ON ey.vec_id = y.vec_id
+      GROUP BY y.vec_id, y.cid
+    )
+    SELECT a3.vec_id, a3.cid AS cluster_id,
+           ROUND(COALESCE(s.max_sim, -1.0), 4) AS max_intra_sim,
+           COALESCE(s.max_sim, -1.0) < 0.9 AS keep
+    FROM a3 LEFT JOIN sims s ON s.vec_id = a3.vec_id
+    """,
+)
+def semantic_dedup_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (arXiv:2303.09540): quadratic near-dup search confined to
+    k-means cells; keep-first-representative drop rule
+    (functions/clustering.semantic_dedup)."""
+    from open_ftth_relational_projector_spark.functions.clustering import (
+        semantic_dedup,
+    )
+
+    return semantic_dedup(
+        scattered(load_table(spark, sf_dir, "embeddings")),
+        threshold=0.9,
+        k=4,
+        iters=2,
+    )
+
+
+@_q(
+    "dsir_doc_weights",
+    """
+    WITH tok AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+                 FROM documents),
+    feats AS (
+      SELECT doc_id, lang, UNNEST(toks) AS f FROM tok
+      UNION ALL
+      SELECT doc_id, lang,
+             UNNEST([toks[i] || ' ' || toks[i + 1]
+                     FOR i IN range(1, len(toks))]) AS f
+      FROM tok
+    ),
+    fb AS (SELECT doc_id, lang,
+                  CAST(('0x' || substr(md5(f || '#0'), 1, 15)) AS BIGINT)
+                    % 256 AS b
+           FROM feats),
+    counts AS (SELECT b, COUNT(*) AS cr,
+                      SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+               FROM fb GROUP BY b),
+    lw AS (SELECT b,
+                  LN(CAST(ct + 1 AS DOUBLE))
+                  - LN(CAST((SELECT SUM(ct) FROM counts) + 256 AS DOUBLE))
+                  - LN(CAST(cr + 1 AS DOUBLE))
+                  + LN(CAST((SELECT SUM(cr) FROM counts) + 256 AS DOUBLE))
+                  AS w
+           FROM counts)
+    SELECT fb.doc_id, CAST(COUNT(*) AS INTEGER) AS n_feats,
+           ROUND(SUM(lw.w), 4) AS log_weight
+    FROM fb JOIN lw USING (b)
+    GROUP BY fb.doc_id
+    """,
+)
+def dsir_doc_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance-resampling weights (arXiv:2302.03169) under hashed
+    unigram+bigram features, md5-portable buckets
+    (functions/sampling.dsir_importance_weights)."""
+    from open_ftth_relational_projector_spark.functions.sampling import (
+        dsir_importance_weights,
+    )
+
+    return dsir_importance_weights(
+        scattered(load_table(spark, sf_dir, "documents")),
+        target_lang="en",
+        n_buckets=256,
+    )
+
+
+def _pagerank_iter_sql(i: int) -> str:
+    """One unrolled PageRank iteration: contribs keyed on dst, dangling
+    scalar, update with per-iteration ROUND(…, 10) — mirroring
+    functions/graph.pagerank's determinism contract."""
+    p = i - 1
+    return f"""
+    c{i} AS (SELECT e.dst, SUM(r.rank / deg.deg) AS c
+             FROM e JOIN deg USING (src)
+             JOIN r{p} r ON r.node = e.src
+             GROUP BY e.dst),
+    d{i} AS (SELECT COALESCE(SUM(rank), 0.0) AS dm FROM r{p}
+             WHERE node NOT IN (SELECT src FROM deg)),
+    r{i} AS (SELECT nodes.node,
+                    ROUND(CAST(0.15 AS DOUBLE) / nn.n
+                          + CAST(0.85 AS DOUBLE)
+                            * (COALESCE(c.c, 0.0) + d.dm / nn.n), 10) AS rank
+             FROM nodes CROSS JOIN nn CROSS JOIN d{i} d
+             LEFT JOIN c{i} c ON c.dst = nodes.node)"""
+
+
+_PAGERANK_SQL = (
+    """
+    WITH e AS (SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+               FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n
+           FROM (SELECT src AS node FROM e UNION SELECT dst FROM e)),
+    deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+    r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),"""
+    + ",".join(_pagerank_iter_sql(i) for i in (1, 2, 3))
+    + """
+    SELECT node, ROUND(rank, 6) AS rank FROM r3
+    """
+)
+
+
+@_q("pagerank_purchase_graph", _PAGERANK_SQL)
+def pagerank_purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, 3 power iterations, dangling redistribution)
+    over the directed customer→supplier purchase graph — the webgraph
+    authority-scoring shape used for corpus quality filtering
+    (functions/graph.pagerank); oracle unrolls the iterations in SQL."""
+    from open_ftth_relational_projector_spark.functions.graph import pagerank
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(
+            lineitem, orders["o_orderkey"] == lineitem["l_orderkey"]
+        )
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + F.lit(1000000)).alias("dst"),
+        )
+    )
+    return pagerank(edges, damping=0.85, iters=3)
+
+
 # ===========================================================================
 # Registration order for the driver window
 # ===========================================================================

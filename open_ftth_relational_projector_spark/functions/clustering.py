@@ -1,0 +1,221 @@
+"""Embedding clustering + cluster-confined semantic dedup.
+
+Two operators a training-data pipeline runs over an embedding shard:
+
+  * kmeans_lloyd — distributed Lloyd k-means. Assignment is a pure per-row
+    JVM expression against a BROADCAST centroid literal (k×dim doubles ride
+    inside the plan — no join, no shuffle for the E-step); the M-step is a
+    posexplode + groupBy(cid, pos) average whose output is k×dim rows — a
+    bounded collect regardless of corpus size (the same recipe knn_ivf uses
+    for its coarse quantizer, similarity.py:_spherical_kmeans, except here
+    the average itself is distributed so the sample IS the corpus).
+    Per-iteration cost at 100 TB: one map-only pass for assignment + one
+    map-side-combined aggregation keyed on (cid, pos) — k·dim groups, so
+    the shuffle payload is tiny no matter the row count.
+
+  * semantic_dedup — SemDeDup (Abbas et al. 2023, arXiv:2303.09540): the
+    quadratic near-duplicate search is confined to k-means cells, so the
+    pair join is keyed on cluster id and the work is Σ|cell|² instead of
+    N². Keep-rule: within a cluster, a vector is dropped iff a
+    lower-id vector in the SAME cluster has cosine ≥ threshold — the
+    deterministic "keep first representative" policy.
+
+Cross-engine determinism: centroids are rounded to 6 dp after every
+M-step on BOTH engines, so ulp-level float-sum ordering differences
+(Spark partial aggregation vs DuckDB's) cannot drift the next E-step;
+assignment ties break on lowest cluster id.
+
+Reference parity note: the reference engine has no clustering surface —
+these belong to the training-data-pipeline extension family
+(README "LLM-pipeline surface"), same tier as functions/dedup.py and
+functions/similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+from open_ftth_relational_projector_spark.functions.similarity import (
+    as_double,
+    cosine,
+)
+
+
+def _sq_dist(vec: Column, centroid: Column) -> Column:
+    """Squared L2 distance, left-to-right fold (deterministic per row)."""
+    return F.aggregate(
+        F.zip_with(vec, centroid, lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _centroid_lit(centroids: list[list[float]]) -> Column:
+    return F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+
+
+def assign_cluster(vec: Column, centroids: list[list[float]]) -> Column:
+    """1-based id of the nearest centroid by squared L2 (ties → lowest id).
+
+    Pure JVM expression over the broadcast centroid literal — no join, no
+    shuffle, map-only at any scale. argmin = array_position of the array
+    minimum (first occurrence ⇒ lowest-cid tie-break); exact equality is
+    safe because the min IS an element of the array. The distance array is
+    let-bound so plan rewrites (e.g. projection collapse through a
+    posexplode Generate, which also mangles lambda-struct field names —
+    why this is not an array_sort-of-structs) evaluate it once.
+    """
+    from open_ftth_relational_projector_spark.functions.text import let
+
+    cl = _centroid_lit(centroids)
+    dists = F.transform(
+        F.sequence(F.lit(1), F.lit(len(centroids))),
+        lambda i: _sq_dist(vec, F.element_at(cl, i)),
+    )
+    return let(
+        dists, lambda d: F.array_position(d, F.array_min(d)).cast("int")
+    )
+
+
+def kmeans_fit(
+    corpus: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Run ``iters`` Lloyd iterations; return the final centroids (rounded
+    to 6 dp — the cross-engine determinism contract, see module doc).
+
+    Init: the first ``k`` vectors by id (deterministic, sample-free).
+    Each iteration collects exactly k×dim doubles (the M-step output) —
+    bounded driver traffic regardless of corpus size.
+    """
+    init_rows = (
+        corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+        .orderBy(F.col(id_col))
+        .limit(k)
+        .collect()
+    )
+    centroids = [[round(float(x), 6) for x in r["v"]] for r in init_rows]
+    vecs = corpus.select(
+        F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v")
+    )
+    for _ in range(iters):
+        assigned = vecs.select(
+            assign_cluster(F.col("v"), centroids).alias("cid"),
+            F.posexplode(F.col("v")).alias("pos", "val"),
+        )
+        rows = (
+            assigned.groupBy("cid", "pos")
+            .agg(F.avg("val").alias("cv"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_cid.setdefault(r["cid"], {})[r["pos"]] = r["cv"]
+        centroids = [
+            [
+                round(float(by_cid[cid][p]), 6)
+                for p in range(len(centroids[cid - 1]))
+            ]
+            if cid in by_cid
+            else centroids[cid - 1]  # empty cell keeps its old centroid
+            for cid in range(1, k + 1)
+        ]
+    return centroids
+
+
+def kmeans_cluster_stats(
+    corpus: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd k-means summary: per cluster (cluster_id, n_members,
+    min_vec_id, avg distance to the final centroid)."""
+    centroids = kmeans_fit(corpus, k, iters, id_col, vec_col)
+    v = as_double(F.col(vec_col))
+    assigned = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        assign_cluster(v, centroids).alias("cluster_id"),
+        v.alias("v"),
+    )
+    cl = _centroid_lit(centroids)
+    dist = F.sqrt(_sq_dist(F.col("v"), F.element_at(cl, F.col("cluster_id"))))
+    return (
+        assigned.withColumn("dist", dist)
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_members"),
+            F.min("vec_id").alias("min_vec_id"),
+            F.round(F.avg("dist"), 4).alias("avg_dist"),
+        )
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    k: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup: per-vector keep/drop verdict with the quadratic search
+    confined to k-means cells.
+
+    Returns (vec_id, cluster_id, max_intra_sim, keep): a vector is dropped
+    iff some LOWER-id vector in its cluster has cosine ≥ threshold.
+    max_intra_sim is the max cosine to any lower-id cluster-mate (-1.0
+    when there is none — the cluster's first vector), rounded to 4 dp.
+
+    Plan shape: assignment is map-only (broadcast centroid literal); the
+    pair join is keyed on cluster_id, so shuffle volume is linear in N and
+    the quadratic factor is bounded by the largest cell — the SemDeDup
+    scaling argument. At 100 TB, raise k so cells stay bounded (the paper
+    uses k ≈ √N); cell sizes are observable from kmeans_cluster_stats.
+    """
+    centroids = kmeans_fit(corpus, k, iters, id_col, vec_col)
+    v = as_double(F.col(vec_col))
+    assigned = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        assign_cluster(v, centroids).alias("cluster_id"),
+        v.alias("v"),
+    )
+    a = assigned.select(
+        F.col("cluster_id"),
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("va"),
+    )
+    b = assigned.select(
+        F.col("cluster_id"),
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("vb"),
+    )
+    sims = (
+        a.join(b, "cluster_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "cluster_id",
+            F.col("id_b").alias("vec_id"),
+            cosine(F.col("va"), F.col("vb")).alias("sim"),
+        )
+        .groupBy("cluster_id", "vec_id")
+        .agg(F.max("sim").alias("max_sim"))
+    )
+    return (
+        assigned.select("vec_id", "cluster_id")
+        .join(sims, ["cluster_id", "vec_id"], "left")
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.round(F.coalesce(F.col("max_sim"), F.lit(-1.0)), 4).alias(
+                "max_intra_sim"
+            ),
+            (
+                F.coalesce(F.col("max_sim"), F.lit(-1.0)) < F.lit(threshold)
+            ).alias("keep"),
+        )
+    )

@@ -201,3 +201,80 @@ def _connected_components_star(
     raise RuntimeError(
         f"star connected_components did not converge in {max_iter} rounds"
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iters: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iter_dp: int = 10,
+    out_dp: int = 6,
+) -> DataFrame:
+    """PageRank over a directed edge list — the classic webgraph quality
+    signal for corpus curation (page authority as a pretraining-data
+    filter, à la Common Crawl URL-graph scoring).
+
+    Fixed ``iters`` power iterations with damping and full dangling-mass
+    redistribution: rank ← (1−d)/N + d·(Σ in-contribs + dangling/N).
+    Ranks are ROUNDED to ``iter_dp`` after every iteration — the same
+    cross-engine determinism contract as clustering.kmeans_fit: ulp-level
+    float-sum ordering differences between engines (or between Spark
+    partial-aggregation orders) cannot compound across iterations, so an
+    unrolled SQL oracle hash-matches.
+
+    Scale shape: each iteration is one join keyed on src (edges re-use one
+    partitioning across iterations — on a cluster, pre-partition/bucket
+    edges by src once) + one groupBy dst (map-side combined), both linear
+    in |E|; the dangling term is a scalar aggregate broadcast back.
+    ``localCheckpoint`` truncates lineage per iteration, the standard
+    iterative-DataFrame guard. The ONLY driver-side value is N (one count).
+    """
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = nodes.count()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = nodes.withColumn(
+        "rank", F.lit(1.0) / F.lit(float(n_nodes))
+    )
+    one_minus_d = 1.0 - damping
+    for _ in range(iters):
+        contrib = (
+            e.join(deg, "src")
+            .join(ranks.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("c"))
+        )
+        dangling = ranks.join(
+            deg, ranks["node"] == deg["src"], "left_anti"
+        ).agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        ranks = (
+            nodes.join(
+                contrib.withColumnRenamed("dst", "node"), "node", "left"
+            )
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                F.round(
+                    F.lit(one_minus_d) / F.lit(float(n_nodes))
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("c"), F.lit(0.0))
+                        + F.col("dm") / F.lit(float(n_nodes))
+                    ),
+                    iter_dp,
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", F.round("rank", out_dp).alias("rank"))

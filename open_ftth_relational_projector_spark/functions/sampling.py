@@ -218,3 +218,94 @@ def weighted_sample(
         .orderBy(F.col("priority").asc(), F.col(key).asc())
         .limit(k)
     )
+
+
+def dsir_importance_weights(
+    docs: DataFrame,
+    target_lang: str = "en",
+    n_buckets: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """DSIR data-selection weights (Xie et al. 2023, arXiv:2302.03169):
+    per-document log importance = log p_target(doc) − log p_raw(doc) under
+    hashed n-gram (unigram + bigram) bag-of-features models with add-1
+    smoothing.
+
+    The target distribution here is the ``target_lang`` slice of the same
+    corpus (in production it is the small high-quality target set — the
+    math is identical). Returns (doc_id, n_feats, log_weight): rank by
+    log_weight and keep the top slice to importance-resample the corpus
+    toward the target.
+
+    Scale shape: features hash to ``n_buckets`` cells with the md5-portable
+    hash (engine-reproducible, see portable_hash64); BOTH feature
+    distributions come out of ONE map-side-combined groupBy over the
+    exploded features (n_buckets groups — the shuffle payload is the
+    bucket table, not the corpus); the log-ratio table is n_buckets rows →
+    BROADCAST back onto the exploded features; the only corpus-sized
+    shuffle is the final per-doc sum, keyed on doc id. Nothing quadratic,
+    nothing driver-side.
+    """
+    from open_ftth_relational_projector_spark.functions.dedup import (
+        portable_hash64,
+    )
+    from open_ftth_relational_projector_spark.functions.text import let, tokens
+    from pyspark.sql import Window as W
+
+    def feats_of(text: Column) -> Column:
+        # unigrams ++ bigrams, WITH multiplicity (DSIR counts occurrences,
+        # unlike the dedup shingles which are distinct sets)
+        def body(toks: Column) -> Column:
+            cnt = F.size(toks)
+            idx = F.when(cnt >= 2, F.sequence(F.lit(1), cnt - 1)).otherwise(
+                F.array().cast("array<int>")
+            )
+            bigrams = F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+                ),
+            )
+            return F.concat(toks, bigrams)
+
+        return let(tokens(text), body)
+
+    fb = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(lang_col).alias("lang"),
+        F.explode(feats_of(F.col(text_col))).alias("f"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.pmod(portable_hash64(F.col("f"), 0), F.lit(n_buckets)).alias("b"),
+    )
+    counts = fb.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum(
+            F.when(F.col("lang") == target_lang, F.lit(1)).otherwise(F.lit(0))
+        ).alias("ct"),
+    )
+    everything = W.partitionBy()
+    lw = counts.select(
+        "b",
+        (
+            F.log((F.col("ct") + 1).cast("double"))
+            - F.log(
+                (F.sum("ct").over(everything) + n_buckets).cast("double")
+            )
+            - F.log((F.col("cr") + 1).cast("double"))
+            + F.log(
+                (F.sum("cr").over(everything) + n_buckets).cast("double")
+            )
+        ).alias("w"),
+    )
+    return (
+        fb.join(F.broadcast(lw), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_feats"),
+            F.round(F.sum("w"), 4).alias("log_weight"),
+        )
+    )

@@ -1266,3 +1266,89 @@ def test_bm25_ranks_matching_docs_only(spark):
     by_id = {r["doc_id"]: r for r in out}
     assert by_id[1]["n_matched"] == 2 and by_id[2]["n_matched"] == 1
     assert by_id[1]["score"] > by_id[2]["score"] > 0
+
+
+# --- clustering / SemDeDup / DSIR -----------------------------------------
+
+
+def test_assign_cluster_nearest_and_tie_lowest(spark):
+    from open_ftth_relational_projector_spark.functions.clustering import (
+        assign_cluster,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.1, 0.0]), (2, [5.0, 5.1]), (3, [0.5, 0.5])],
+        "vec_id long, embedding array<float>",
+    )
+    cents = [[0.0, 0.0], [5.0, 5.0], [1.0, 1.0]]
+    out = {
+        r["vec_id"]: r["cid"]
+        for r in df.select(
+            "vec_id",
+            assign_cluster(
+                F.col("embedding").cast("array<double>"), cents
+            ).alias("cid"),
+        ).collect()
+    }
+    assert out[1] == 1 and out[2] == 2
+    # (0.5, 0.5) is equidistant from (0,0) and (1,1) -> lowest cid wins
+    assert out[3] == 1
+
+
+def test_kmeans_separates_two_blobs(spark):
+    from open_ftth_relational_projector_spark.functions.clustering import (
+        kmeans_cluster_stats,
+    )
+
+    rows = [(i, [0.0 + i * 0.01, 0.0]) for i in range(1, 6)] + [
+        (i, [10.0 + i * 0.01, 10.0]) for i in range(6, 11)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    stats = {
+        r["cluster_id"]: (r["n_members"], r["min_vec_id"])
+        for r in kmeans_cluster_stats(df, k=2, iters=2).collect()
+    }
+    assert stats[1] == (5, 1)
+    assert stats[2] == (5, 6)
+
+
+def test_semantic_dedup_keep_first_representative(spark):
+    from open_ftth_relational_projector_spark.functions.clustering import (
+        semantic_dedup,
+    )
+
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.999, 0.01]),   # near-dup of 1, higher id -> dropped
+        (3, [0.0, 1.0]),      # other blob, unique -> kept
+        (4, [0.01, 0.999]),   # near-dup of 3 -> dropped
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r["vec_id"]: r["keep"]
+        for r in semantic_dedup(df, threshold=0.95, k=2, iters=2).collect()
+    }
+    assert out == {1: True, 2: False, 3: True, 4: False}
+
+
+def test_dsir_weights_favor_target_vocabulary(spark):
+    from open_ftth_relational_projector_spark.functions.sampling import (
+        dsir_importance_weights,
+    )
+
+    rows = (
+        [(i, "alpha beta gamma delta", "en") for i in range(1, 5)]
+        + [(i, "uno dos tres cuatro", "es") for i in range(5, 9)]
+        + [(9, "alpha beta gamma delta", "es")]  # es doc with en vocab
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {
+        r["doc_id"]: (r["n_feats"], r["log_weight"])
+        for r in dsir_importance_weights(df, target_lang="en").collect()
+    }
+    # 4 unigrams + 3 bigrams per doc
+    assert all(v[0] == 7 for v in out.values())
+    # target-vocabulary docs outrank off-target vocabulary, regardless of
+    # their own label (doc 9 scores like the en docs: DSIR scores CONTENT)
+    assert out[1][1] > out[5][1]
+    assert out[9][1] == out[1][1]
