@@ -1352,3 +1352,32 @@ def test_dsir_weights_favor_target_vocabulary(spark):
     # their own label (doc 9 scores like the en docs: DSIR scores CONTENT)
     assert out[1][1] > out[5][1]
     assert out[9][1] == out[1][1]
+
+
+def test_pagerank_star_graph_reference_values(spark):
+    from open_ftth_relational_projector_spark.functions.graph import pagerank
+
+    # 1 -> 3, 2 -> 3 (3 dangles): classic two-fans-into-a-hub shape.
+    edges = spark.createDataFrame(
+        [(1, 3), (2, 3)], "src long, dst long"
+    )
+    out = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges, damping=0.85, iters=3).collect()
+    }
+    # replay the fixed-point arithmetic in plain python (same rounding)
+    n = 3.0
+    r = {1: 1 / n, 2: 1 / n, 3: 1 / n}
+    for _ in range(3):
+        dm = r[3]  # node 3 has no out-edges
+        contrib3 = r[1] / 1 + r[2] / 1
+        base = 0.15 / n
+        r = {
+            1: round(base + 0.85 * (0.0 + dm / n), 10),
+            2: round(base + 0.85 * (0.0 + dm / n), 10),
+            3: round(base + 0.85 * (contrib3 + dm / n), 10),
+        }
+    expected = {k: round(v, 6) for k, v in r.items()}
+    assert out == expected
+    # ranks sum to ~1 (mass conserved through dangling redistribution)
+    assert abs(sum(out.values()) - 1.0) < 1e-4

@@ -277,3 +277,28 @@ def test_q21_decorrelated_exists_single_order_shuffle(q):
     df = q("q21_waiting_suppliers")
     assert C.broadcast_join_count(df) >= 1, "supplier must broadcast"
     C.assert_no_cartesian(df)
+
+
+def test_clustering_family_plans(q):
+    """kmeans/semdedup: assignment is a broadcast-literal expression (the
+    only joins are cluster-keyed or left-join of the verdicts); dsir: the
+    log-ratio table broadcasts; none of the family builds a cartesian."""
+    for name in (
+        "kmeans_cluster_stats",
+        "semantic_dedup_verdicts",
+        "dsir_doc_weights",
+    ):
+        C.assert_no_cartesian(q(name))
+    assert C.broadcast_join_count(q("dsir_doc_weights")) >= 1, (
+        "bucket log-ratio table must broadcast onto the exploded features"
+    )
+
+
+def test_pagerank_final_plan_is_checkpoint_scan(q):
+    """pagerank localCheckpoints per iteration (lineage guard), so the
+    returned plan must be a truncated checkpoint scan — NOT a 3-iteration
+    join tower (which would grow unboundedly with iters at scale)."""
+    df = q("pagerank_purchase_graph")
+    plan = C.formatted_plan(df)
+    assert "Scan ExistingRDD" in plan, plan[:500]
+    assert C.sortmerge_join_count(df) == 0
