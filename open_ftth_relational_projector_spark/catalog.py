@@ -4465,6 +4465,39 @@ def pagerank_purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, damping=0.85, iters=3)
 
 
+@_q(
+    "bigram_lm_doc_scores",
+    """
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks
+                 FROM documents),
+    uni AS (SELECT doc_id, UNNEST(toks) AS w FROM tok),
+    big AS (SELECT doc_id,
+                   UNNEST([toks[i] FOR i IN range(1, len(toks))]) AS w1,
+                   UNNEST([toks[i] || ' ' || toks[i + 1]
+                           FOR i IN range(1, len(toks))]) AS bg
+            FROM tok),
+    c2 AS (SELECT bg, COUNT(*) AS c12 FROM big GROUP BY bg),
+    c1 AS (SELECT w, COUNT(*) AS c1 FROM uni GROUP BY w),
+    v AS (SELECT COUNT(DISTINCT w) AS v FROM uni)
+    SELECT big.doc_id, CAST(COUNT(*) AS INTEGER) AS n_bigrams,
+           ROUND(AVG(LN((c2.c12 + 1.0) / (c1.c1 + v.v))), 4) AS avg_logprob
+    FROM big JOIN c2 USING (bg)
+    JOIN c1 ON c1.w = big.w1
+    CROSS JOIN v
+    GROUP BY big.doc_id
+    """,
+)
+def bigram_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram-LM log-probability per document — the
+    CCNet/KenLM perplexity-filter shape (functions/quality.bigram_lm_scores):
+    count tables keyed on the gram, corpus joins back on the same keys."""
+    from open_ftth_relational_projector_spark.functions.quality import (
+        bigram_lm_scores,
+    )
+
+    return bigram_lm_scores(scattered(load_table(spark, sf_dir, "documents")))
+
+
 # ===========================================================================
 # Registration order for the driver window
 # ===========================================================================

@@ -162,6 +162,7 @@ def semantic_dedup(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cell_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup: per-vector keep/drop verdict with the quadratic search
     confined to k-means cells.
@@ -176,6 +177,15 @@ def semantic_dedup(
     the quadratic factor is bounded by the largest cell — the SemDeDup
     scaling argument. At 100 TB, raise k so cells stay bounded (the paper
     uses k ≈ √N); cell sizes are observable from kmeans_cluster_stats.
+
+    ``max_cell_size`` is the quadratic-bomb guard for skewed clusterings
+    (one cell swallowing the corpus — e.g. a near-degenerate embedding
+    model): cells larger than the cap are salted into ⌈|cell|/cap⌉
+    md5-derived sub-cells and pairs are only compared within a sub-cell,
+    so per-task work is bounded by cap² no matter how skewed the
+    clustering. Cross-sub-cell near-dups are missed — a recall knob, the
+    same contract as LSH banding (dedup.minhash near-dups); leave None to
+    keep the exact-within-cell semantics (the oracle configuration).
     """
     centroids = kmeans_fit(corpus, k, iters, id_col, vec_col)
     v = as_double(F.col(vec_col))
@@ -184,30 +194,64 @@ def semantic_dedup(
         assign_cluster(v, centroids).alias("cluster_id"),
         v.alias("v"),
     )
+    # `cell` is the pair-join key: the cluster itself, or — under the
+    # max_cell_size guard — an md5-salted sub-cell of it. The emitted
+    # cluster_id column is always the real (int) cluster.
+    assigned = assigned.withColumn("cell", F.col("cluster_id").cast("string"))
+    if max_cell_size is not None:
+        # salt oversized cells: sub_cell = md5(vec_id) mod ceil(|cell|/cap);
+        # cell sizes come from one tiny aggregate (≤k rows) broadcast back
+        sizes = assigned.groupBy("cluster_id").agg(
+            F.count(F.lit(1)).alias("n_cell")
+        )
+        n_sub = F.greatest(
+            F.lit(1).cast("long"),
+            F.ceil(F.col("n_cell") / F.lit(max_cell_size)),
+        )
+        assigned = (
+            assigned.join(F.broadcast(sizes), "cluster_id")
+            .withColumn(
+                "cell",
+                F.concat_ws(
+                    "#",
+                    F.col("cell"),
+                    F.pmod(
+                        F.conv(
+                            F.substring(
+                                F.md5(F.col("vec_id").cast("string")), 1, 15
+                            ),
+                            16,
+                            10,
+                        ).cast("long"),
+                        n_sub,
+                    ),
+                ),
+            )
+            .drop("n_cell")
+        )
     a = assigned.select(
-        F.col("cluster_id"),
+        F.col("cell"),
         F.col("vec_id").alias("id_a"),
         F.col("v").alias("va"),
     )
     b = assigned.select(
-        F.col("cluster_id"),
+        F.col("cell"),
         F.col("vec_id").alias("id_b"),
         F.col("v").alias("vb"),
     )
     sims = (
-        a.join(b, "cluster_id")
+        a.join(b, "cell")
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
-            "cluster_id",
             F.col("id_b").alias("vec_id"),
             cosine(F.col("va"), F.col("vb")).alias("sim"),
         )
-        .groupBy("cluster_id", "vec_id")
+        .groupBy("vec_id")
         .agg(F.max("sim").alias("max_sim"))
     )
     return (
         assigned.select("vec_id", "cluster_id")
-        .join(sims, ["cluster_id", "vec_id"], "left")
+        .join(sims, "vec_id", "left")
         .select(
             "vec_id",
             "cluster_id",

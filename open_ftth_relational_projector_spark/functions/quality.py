@@ -221,3 +221,58 @@ def pii_scan(
         .alias("n_ips"),
         F.md5(redacted).alias("redacted_md5"),
     )
+
+
+def bigram_lm_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-trained bigram language-model score per document — the
+    CCNet/KenLM-style "perplexity filter": documents whose text the
+    corpus LM finds improbable are gibberish/outlier candidates.
+
+    Model: P(w2|w1) = (C(w1 w2) + 1) / (C(w1) + V), trained on the WHOLE
+    input corpus (C = occurrence counts, V = distinct-token vocabulary
+    size). Returned per doc: (doc_id, n_bigrams, avg_logprob) where
+    avg_logprob = mean ln P over the doc's bigrams (perplexity =
+    exp(−avg_logprob); kept in log space so the 4-dp rounding contract
+    is additive).
+
+    Scale shape — the sharded-n-gram-table recipe: bigram and unigram
+    count tables come from map-side-combined groupBys keyed on the gram;
+    the corpus joins back against them ON THE SAME KEYS (co-partitioned
+    shuffles, no broadcast of corpus-sized state); V is one scalar
+    aggregate broadcast via a 1-row cross join. Everything stays JVM-side.
+    """
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("text"),
+    )
+    uni = base.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("w")
+    )
+    big = base.select(
+        "doc_id",
+        F.explode(_bigrams_all(F.col("text"))).alias("bg"),
+    ).withColumn("w1", F.split(F.col("bg"), " ").getItem(0))
+    c2 = big.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = uni.agg(F.countDistinct("w").alias("v"))
+    return (
+        big.join(c2, "bg")
+        .join(c1, big["w1"] == c1["w"])
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "lp",
+            F.log(
+                (F.col("c12") + F.lit(1)).cast("double")
+                / (F.col("c1") + F.col("v")).cast("double")
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_bigrams"),
+            F.round(F.avg("lp"), 4).alias("avg_logprob"),
+        )
+    )

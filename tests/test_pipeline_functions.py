@@ -1381,3 +1381,56 @@ def test_pagerank_star_graph_reference_values(spark):
     assert out == expected
     # ranks sum to ~1 (mass conserved through dangling redistribution)
     assert abs(sum(out.values()) - 1.0) < 1e-4
+
+
+def test_semantic_dedup_cell_cap_bounds_quadratic_work(spark):
+    """Adversarial skew: every vector identical -> one k-means cell
+    swallows the corpus. With max_cell_size the cell salts into
+    ceil(60/10)=6 md5 sub-cells, so each sub-cell keeps its own first
+    representative (bounded work, reduced recall — the documented
+    contract); without the cap exactly one survivor remains."""
+    from open_ftth_relational_projector_spark.functions.clustering import (
+        semantic_dedup,
+    )
+
+    rows = [(i, [1.0, 0.0]) for i in range(1, 61)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = semantic_dedup(df, threshold=0.99, k=2, iters=1)
+    assert [r["vec_id"] for r in exact.filter("keep").collect()] == [1]
+    capped = semantic_dedup(
+        df, threshold=0.99, k=2, iters=1, max_cell_size=10
+    )
+    kept = sorted(r["vec_id"] for r in capped.filter("keep").collect())
+    assert 2 <= len(kept) <= 6
+    assert 1 in kept  # the global first representative always survives
+
+
+def test_bigram_lm_scores_rank_gibberish_lowest(spark):
+    from open_ftth_relational_projector_spark.functions.quality import (
+        bigram_lm_scores,
+    )
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat on the mat"),
+        (3, "the cat sat on the mat"),
+        (4, "zq xv qq zz xk vj"),  # bigrams seen nowhere else
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logprob"])
+        for r in bigram_lm_scores(df).collect()
+    }
+    assert all(v[0] == 5 for v in out.values())
+    assert out[1] == out[2] == out[3]
+    assert out[4][1] < out[1][1]  # the LM finds gibberish improbable
+    # hand-check one probability: C("the cat")=3, C("the")=6, V=11
+    import math
+
+    assert abs(out[1][1] - round(sum([
+        math.log((3 + 1) / (6 + 11)),   # the cat
+        math.log((3 + 1) / (3 + 11)),   # cat sat
+        math.log((3 + 1) / (3 + 11)),   # sat on
+        math.log((3 + 1) / (3 + 11)),   # on the
+        math.log((3 + 1) / (6 + 11)),   # the mat
+    ]) / 5, 4)) < 2e-4
