@@ -48,6 +48,13 @@ EXTRA_QUERIES = [
     "simhash_near_dups",
     "corpus_pipeline_stats",
     "dedup_keep_list",
+    # round-3 late additions: clustering / selection / graph family
+    "kmeans_cluster_stats",
+    "semantic_dedup_verdicts",
+    "dsir_doc_weights",
+    "bigram_lm_doc_scores",
+    "pagerank_purchase_graph",
+    "curation_decisions",
 ]
 
 

@@ -4671,6 +4671,116 @@ def curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- fixed-memory sketches, self-verified ----------------------------------
+
+
+@_q(
+    "cms_heavy_hitters",
+    """
+    WITH toks AS (SELECT UNNEST(string_split(text, ' ')) AS token
+                  FROM documents),
+    seeds AS (SELECT UNNEST([0, 1, 2, 3]) AS seed),
+    cells AS (
+      SELECT token, seed,
+             CAST(('0x' || substr(md5(token || '#' || seed), 1, 15))
+               AS BIGINT) % 128 AS bucket
+      FROM toks CROSS JOIN seeds),
+    sketch AS (SELECT seed, bucket, COUNT(*) AS cell_n
+               FROM cells GROUP BY 1, 2),
+    exact AS (SELECT token, COUNT(*) AS exact_n FROM toks GROUP BY 1),
+    topk AS (SELECT token, exact_n FROM exact
+             ORDER BY exact_n DESC, token ASC LIMIT 20),
+    probes AS (
+      SELECT t.token, t.exact_n, seed,
+             CAST(('0x' || substr(md5(t.token || '#' || seed), 1, 15))
+               AS BIGINT) % 128 AS bucket
+      FROM topk t CROSS JOIN seeds)
+    SELECT p.token, p.exact_n, MIN(sk.cell_n) AS cms_n,
+           MIN(sk.cell_n) >= p.exact_n AS overestimates
+    FROM probes p JOIN sketch sk USING (seed, bucket)
+    GROUP BY p.token, p.exact_n
+    """,
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch heavy hitters, self-verified: the d×w counter grid
+    is fixed-size mergeable state (the 100 TB replacement for the unbounded
+    token table); every run re-proves est ≥ exact on the top-20 tokens
+    (functions/sketches.count_min_heavy_hitters, md5-portable hashes)."""
+    from open_ftth_relational_projector_spark.functions.sketches import (
+        count_min_heavy_hitters,
+    )
+
+    return count_min_heavy_hitters(
+        scattered(load_table(spark, sf_dir, "documents")), d=4, w=128, k=20
+    )
+
+
+@_q(
+    "bloom_decontamination",
+    """
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks
+                 FROM documents),
+    allsh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               UNNEST([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+                       || toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5]
+                       || ' ' || toks[i+6] || ' ' || toks[i+7]
+                       FOR i IN range(1, len(toks) - 6)]) AS shingle
+        FROM tok)
+    ),
+    eval_sh AS (SELECT DISTINCT shingle FROM allsh WHERE doc_id % 50 = 0),
+    train AS (SELECT * FROM allsh WHERE doc_id % 50 <> 0),
+    seeds AS (SELECT UNNEST([0, 1, 2]) AS seed),
+    bloom AS (SELECT DISTINCT
+                CAST(('0x' || substr(md5(shingle || '#' || seed), 1, 15))
+                  AS BIGINT) % 16384 AS bit
+              FROM eval_sh CROSS JOIN seeds),
+    probe AS (SELECT t.doc_id, t.shingle, seed,
+                CAST(('0x' || substr(md5(t.shingle || '#' || seed), 1, 15))
+                  AS BIGINT) % 16384 AS bit
+              FROM train t CROSS JOIN seeds),
+    per_sh AS (
+      SELECT p.doc_id, p.shingle,
+             SUM(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END) = 3
+               AS bloom_pos
+      FROM probe p LEFT JOIN bloom b USING (bit)
+      GROUP BY p.doc_id, p.shingle),
+    th AS (
+      SELECT t.doc_id,
+             SUM(CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0 END) AS n_true
+      FROM train t LEFT JOIN eval_sh e USING (shingle)
+      GROUP BY t.doc_id)
+    SELECT p.doc_id,
+           CAST(COUNT(*) AS INTEGER) AS n_shingles,
+           CAST(SUM(CASE WHEN bloom_pos THEN 1 ELSE 0 END) AS INTEGER)
+             AS n_bloom_hits,
+           CAST(th.n_true AS INTEGER) AS n_true_hits,
+           SUM(CASE WHEN bloom_pos THEN 1 ELSE 0 END) >= th.n_true
+             AS no_false_negatives
+    FROM per_sh p JOIN th USING (doc_id)
+    GROUP BY p.doc_id, th.n_true
+    """,
+)
+def bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination probed through a FIXED-memory Bloom filter of the
+    eval shingles (broadcast bit set instead of the unbounded shingle
+    table); per train doc the bloom hit count sits beside the exact
+    overlap, re-proving no-false-negatives every run
+    (functions/sketches.bloom_probe_decontamination)."""
+    from open_ftth_relational_projector_spark.functions.sketches import (
+        bloom_probe_decontamination,
+    )
+
+    return bloom_probe_decontamination(
+        scattered(load_table(spark, sf_dir, "documents")),
+        eval_mod=50,
+        n_bits=16384,
+        n_hashes=3,
+        n_shingle=8,
+    )
+
+
 # ===========================================================================
 # Registration order for the driver window
 # ===========================================================================

@@ -1,0 +1,199 @@
+"""Fixed-memory streaming sketches with exact self-verification.
+
+Two sketch shapes a 100 TB pipeline leans on when exact state is too big:
+
+  * count_min_heavy_hitters — Count-Min sketch (Cormode & Muthukrishnan
+    2005): token frequencies folded into a d×w counter grid. The sketch is
+    FIXED SIZE (d·w counters) and mergeable — at scale it replaces the
+    unbounded token→count table; here it is built beside the exact counts
+    so every run re-validates the structural guarantee est ≥ exact (a
+    CMS never under-counts) on real data.
+
+  * bloom_probe_decontamination — benchmark decontamination through a
+    Bloom filter: eval-set shingles are folded into an n_bits bit set
+    (fixed memory, BROADCAST to the corpus probe) instead of broadcasting
+    the full shingle table. False positives possible (flagged docs may be
+    clean), false negatives impossible — verified per doc against the
+    exact overlap (functions/dedup.benchmark_decontamination's semantics).
+
+Both use the md5-portable hash (dedup.portable_hash64) so a DuckDB oracle
+replays the sketch bit-for-bit — the approximate path is hash-matched, not
+just smoke-tested.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from open_ftth_relational_projector_spark.functions.dedup import (
+    portable_hash64,
+    shingles,
+)
+from open_ftth_relational_projector_spark.functions.text import tokens
+
+
+def count_min_heavy_hitters(
+    docs: DataFrame,
+    d: int = 4,
+    w: int = 128,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` tokens by exact count, with their Count-Min estimate.
+
+    Returns (token, exact_n, cms_n, overestimates) ordered by the exact
+    count: cms_n = min over the d rows of the sketch counter the token
+    hashes into; overestimates = cms_n ≥ exact_n, the CMS no-undercount
+    invariant — structurally always TRUE, so the column is a live
+    self-check the oracle pins every round.
+
+    Scale shape: the sketch is ONE map-side-combined groupBy onto d·w
+    cells — fixed-size state regardless of corpus size (this is what
+    replaces the unbounded exact table at 100 TB). The exact counts here
+    are the verifier; the top-k join touches k·d rows, broadcast.
+    """
+    toks = docs.select(F.explode(tokens(F.col(text_col))).alias("token"))
+    seeds = list(range(d))
+    cells = toks.select(
+        "token",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("seed"),
+                        F.pmod(
+                            portable_hash64(F.col("token"), s), F.lit(w)
+                        ).alias("bucket"),
+                    )
+                    for s in seeds
+                ]
+            )
+        ).alias("sb"),
+    ).select("token", F.col("sb.seed").alias("seed"), F.col("sb.bucket").alias("bucket"))
+    sketch = cells.groupBy("seed", "bucket").agg(
+        F.count(F.lit(1)).alias("cell_n")
+    )
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_n"))
+    topk = exact.orderBy(
+        F.col("exact_n").desc(), F.col("token").asc()
+    ).limit(k)
+    probes = topk.select(
+        "token",
+        "exact_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("seed"),
+                        F.pmod(
+                            portable_hash64(F.col("token"), s), F.lit(w)
+                        ).alias("bucket"),
+                    )
+                    for s in seeds
+                ]
+            )
+        ).alias("sb"),
+    ).select(
+        "token", "exact_n",
+        F.col("sb.seed").alias("seed"), F.col("sb.bucket").alias("bucket"),
+    )
+    return (
+        F.broadcast(probes)
+        .join(sketch, ["seed", "bucket"])
+        .groupBy("token", "exact_n")
+        .agg(F.min("cell_n").alias("cms_n"))
+        .select(
+            "token",
+            "exact_n",
+            "cms_n",
+            (F.col("cms_n") >= F.col("exact_n")).alias("overestimates"),
+        )
+    )
+
+
+def bloom_probe_decontamination(
+    docs: DataFrame,
+    eval_mod: int = 50,
+    n_bits: int = 16384,
+    n_hashes: int = 3,
+    n_shingle: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination probed through a Bloom filter.
+
+    Eval set = docs with id % eval_mod == 0 (mirroring
+    dedup.benchmark_decontamination). Their distinct ``n_shingle``-gram
+    shingles fold into an ``n_bits`` Bloom bit set via ``n_hashes``
+    md5-portable hash functions. Every train doc's shingles probe the
+    filter; a shingle is bloom-positive iff ALL its bits are set.
+
+    Returns per train doc: (doc_id, n_shingles, n_bloom_hits, n_true_hits,
+    no_false_negatives) where n_true_hits is the exact eval overlap and
+    no_false_negatives = n_bloom_hits ≥ n_true_hits — the Bloom guarantee,
+    re-proved on data every run.
+
+    Scale shape: the bit set is ≤ n_bits rows — FIXED memory, broadcast —
+    where exact decontamination broadcasts the full eval shingle table
+    (unbounded). The probe is explode → broadcast-join → per-shingle
+    all-bits-present check → per-doc count: map-side except the final
+    doc-keyed aggregation.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(F.col(text_col), n_shingle)).alias("shingle"),
+    )
+    eval_sh = sh.filter(F.col("doc_id") % eval_mod == 0).select(
+        "shingle"
+    ).distinct()
+    train = sh.filter(F.col("doc_id") % eval_mod != 0)
+    seeds = list(range(n_hashes))
+
+    def bits_of(col):
+        return F.array(
+            *[F.pmod(portable_hash64(col, s), F.lit(n_bits)) for s in seeds]
+        )
+
+    bloom_bits = eval_sh.select(
+        F.explode(bits_of(F.col("shingle"))).alias("bit")
+    ).distinct()
+    probe = train.select(
+        "doc_id", "shingle", F.explode(bits_of(F.col("shingle"))).alias("bit")
+    )
+    per_shingle = (
+        probe.join(
+            F.broadcast(bloom_bits.withColumn("hit", F.lit(1))), "bit", "left"
+        )
+        .groupBy("doc_id", "shingle")
+        .agg(
+            (F.sum(F.coalesce(F.col("hit"), F.lit(0))) == n_hashes).alias(
+                "bloom_pos"
+            )
+        )
+    )
+    true_hits = (
+        train.join(
+            F.broadcast(eval_sh.withColumn("t", F.lit(1))), "shingle", "left"
+        )
+        .groupBy("doc_id")
+        .agg(F.sum(F.coalesce(F.col("t"), F.lit(0))).alias("n_true_hits"))
+    )
+    return (
+        per_shingle.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_shingles"),
+            F.sum(F.col("bloom_pos").cast("int")).cast("int").alias(
+                "n_bloom_hits"
+            ),
+        )
+        .join(true_hits, "doc_id")
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_bloom_hits",
+            F.col("n_true_hits").cast("int").alias("n_true_hits"),
+            (F.col("n_bloom_hits") >= F.col("n_true_hits")).alias(
+                "no_false_negatives"
+            ),
+        )
+    )

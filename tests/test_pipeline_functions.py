@@ -1434,3 +1434,47 @@ def test_bigram_lm_scores_rank_gibberish_lowest(spark):
         math.log((3 + 1) / (3 + 11)),   # on the
         math.log((3 + 1) / (6 + 11)),   # the mat
     ]) / 5, 4)) < 2e-4
+
+
+def test_cms_heavy_hitters_no_undercount_and_forced_collision(spark):
+    from open_ftth_relational_projector_spark.functions.sketches import (
+        count_min_heavy_hitters,
+    )
+
+    rows = [(1, " ".join(["common"] * 30 + ["rare" + str(i) for i in range(40)]))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # w=4 forces heavy bucket collisions -> estimates must still never
+    # undercount (the CMS invariant), and the top token is found exactly
+    out = {
+        r["token"]: r
+        for r in count_min_heavy_hitters(df, d=2, w=4, k=5).collect()
+    }
+    assert len(out) == 5
+    assert all(r["overestimates"] for r in out.values())
+    assert out["common"]["exact_n"] == 30
+    assert out["common"]["cms_n"] >= 30
+
+
+def test_bloom_decontamination_never_false_negative(spark):
+    from open_ftth_relational_projector_spark.functions.sketches import (
+        bloom_probe_decontamination,
+    )
+
+    shared = "a b c d e f g h i j"           # 3 distinct 8-gram shingles
+    rows = [
+        (0, shared),                          # eval doc (id % 5 == 0)
+        (1, shared),                          # fully contaminated
+        (2, "q r s t u v w x y z"),          # clean
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # tiny filter (64 bits) -> false positives likely, never negatives
+    out = {
+        r["doc_id"]: r
+        for r in bloom_probe_decontamination(
+            df, eval_mod=5, n_bits=64, n_hashes=3, n_shingle=8
+        ).collect()
+    }
+    assert set(out) == {1, 2}
+    assert out[1]["n_true_hits"] == 3 and out[1]["n_bloom_hits"] == 3
+    assert out[2]["n_true_hits"] == 0
+    assert all(r["no_false_negatives"] for r in out.values())
