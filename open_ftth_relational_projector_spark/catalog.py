@@ -4781,6 +4781,38 @@ def bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "embedding_outlier_stats",
+    """
+    WITH pe AS (
+      SELECT vec_id,
+             UNNEST(range(1, len(embedding) + 1)) AS pos,
+             UNNEST(CAST(embedding AS DOUBLE[])) AS val
+      FROM embeddings
+    ),
+    dims AS (
+      SELECT pos, AVG(val) AS mu,
+             SQRT(AVG(val * val) - AVG(val) * AVG(val)) AS sigma
+      FROM pe GROUP BY pos
+    ),
+    mz AS (
+      SELECT pe.vec_id, MAX(ABS(pe.val - d.mu) / d.sigma) AS m
+      FROM pe JOIN dims d USING (pos) GROUP BY pe.vec_id
+    )
+    SELECT vec_id, ROUND(m, 4) AS max_abs_z, m > 3.5 AS is_outlier
+    FROM mz
+    """,
+)
+def embedding_outlier_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-shard QA: per-vector max per-dimension |z| and outlier
+    flag (functions/similarity.embedding_outlier_stats) — corrupt-shard
+    screen before an ANN index build; dim stats broadcast, corpus never
+    shuffles."""
+    return S.embedding_outlier_stats(
+        scattered(load_table(spark, sf_dir, "embeddings")), z_threshold=3.5
+    )
+
+
 # ===========================================================================
 # Registration order for the driver window
 # ===========================================================================

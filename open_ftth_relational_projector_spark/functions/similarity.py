@@ -402,3 +402,42 @@ def label_centroid_stats(
         F.count(F.lit(1)).cast("int").alias("n_vecs"),
         F.round(F.avg(cos), 4).alias("avg_cos_to_centroid"),
     )
+
+
+def embedding_outlier_stats(
+    corpus: DataFrame,
+    z_threshold: float = 3.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-shard QA: flag vectors that are per-dimension outliers —
+    the standard screen for corrupt/degenerate embeddings (NaN bursts,
+    wrong-model shards, truncated writes) before an ANN index build.
+
+    Per dimension the corpus mean and population std come from ONE tiny
+    groupBy(pos) aggregate (dim rows, broadcast back); per vector the max
+    |z| across dimensions, with is_outlier = max|z| > z_threshold. std is
+    computed as sqrt(avg(x²) − avg(x)²) EXPLICITLY so an oracle using the
+    same formula matches (library stddevs differ in algorithm, not value
+    semantics). Plan: posexplode → dim-keyed aggregate (broadcast) →
+    vec-keyed reduce — the corpus never shuffles.
+    """
+    pe = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(as_double(F.col(vec_col))).alias("pos", "val"),
+    )
+    dims = pe.groupBy("pos").agg(
+        F.avg("val").alias("mu"),
+        F.sqrt(F.avg(F.col("val") * F.col("val")) - F.avg("val") * F.avg("val")).alias("sigma"),
+    )
+    z = F.abs(F.col("val") - F.col("mu")) / F.col("sigma")
+    return (
+        pe.join(F.broadcast(dims), "pos")
+        .groupBy("vec_id")
+        .agg(F.max(z).alias("_mz"))
+        .select(
+            "vec_id",
+            F.round(F.col("_mz"), 4).alias("max_abs_z"),
+            (F.col("_mz") > z_threshold).alias("is_outlier"),
+        )
+    )

@@ -1478,3 +1478,13 @@ def test_bloom_decontamination_never_false_negative(spark):
     assert out[1]["n_true_hits"] == 3 and out[1]["n_bloom_hits"] == 3
     assert out[2]["n_true_hits"] == 0
     assert all(r["no_false_negatives"] for r in out.values())
+
+
+def test_embedding_outlier_detects_planted_corruption(spark):
+    rows = [(i, [0.0, float(i % 3)]) for i in range(1, 30)] + [
+        (99, [1000.0, 1.0])  # corrupt shard member
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r["is_outlier"] for r in S.embedding_outlier_stats(df).collect()}
+    assert out[99] is True
+    assert sum(out.values()) == 1
