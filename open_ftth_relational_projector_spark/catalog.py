@@ -4813,6 +4813,93 @@ def embedding_outlier_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "hybrid_rrf_retrieval",
+    """
+    WITH ql AS (
+      SELECT * FROM (VALUES ('hash'), ('merge'), ('window')) AS t(term)),
+    tok AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM tok SEMI JOIN ql USING (term) GROUP BY doc_id, term),
+    idf AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    dl AS (
+      SELECT doc_id, CAST(LEN(string_split(text, ' ')) AS DOUBLE) AS dl
+      FROM documents),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+    bm AS (
+      SELECT tf.doc_id,
+             ROUND(SUM(
+               ln(1 + (stats.n_docs - idf.df + 0.5) / (idf.df + 0.5))
+               * tf.tf * (1.2 + 1)
+               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+             ), 4) AS score
+      FROM tf
+      JOIN idf USING (term)
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats
+      GROUP BY tf.doc_id),
+    trank AS (
+      SELECT doc_id, rnk AS rank_a FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk
+        FROM bm) WHERE rnk <= 25),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    c AS (SELECT vec_id AS doc_id, embedding AS cv FROM embeddings
+          WHERE vec_id <> 0),
+    scored AS (
+      SELECT c.doc_id,
+             list_sum(list_transform(generate_series(1, 64),
+               i -> qv[i]::DOUBLE * cv[i]::DOUBLE))
+             / (sqrt(list_sum(list_transform(generate_series(1, 64),
+                  i -> qv[i]::DOUBLE * qv[i]::DOUBLE)))
+                * sqrt(list_sum(list_transform(generate_series(1, 64),
+                    i -> cv[i]::DOUBLE * cv[i]::DOUBLE)))) AS sim
+      FROM c, q),
+    vrank AS (
+      SELECT doc_id, rnk AS rank_b FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS rnk
+        FROM scored) WHERE rnk <= 25)
+    SELECT doc_id,
+           CAST(rank_a AS INT) AS rank_a,
+           CAST(rank_b AS INT) AS rank_b,
+           ROUND(COALESCE(1.0 / (60 + rank_a), 0.0)
+                 + COALESCE(1.0 / (60 + rank_b), 0.0), 6) AS rrf_score
+    FROM trank FULL OUTER JOIN vrank USING (doc_id)
+    ORDER BY rrf_score DESC, doc_id ASC
+    LIMIT 15
+    """,
+)
+def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 top-25 (3-term query) fused with vector
+    top-25 (cosine to embedding 0) by reciprocal-rank fusion
+    (functions/similarity.rrf_fuse). Each leg reuses its verified
+    machinery; the fusion itself only ever joins k-sized lists."""
+    from pyspark.sql import Window as W2
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = scattered(load_table(spark, sf_dir, "embeddings"))
+    text = TXT.bm25_top_docs(docs, ["hash", "merge", "window"], k=25)
+    trank = text.select(
+        "doc_id",
+        F.row_number()
+        .over(W2.orderBy(F.col("score").desc(), F.col("doc_id")))
+        .alias("rank"),
+    )
+    vec = S.knn_bruteforce(
+        emb, emb.filter(F.col("vec_id") == 0), k=25
+    ).select(F.col("neighbor_id").alias("doc_id"), F.col("rank"))
+    fused = S.rrf_fuse(trank, vec, k_rrf=60, top=15)
+    return fused.select(
+        "doc_id",
+        F.col("rank_a").cast("int").alias("rank_a"),
+        F.col("rank_b").cast("int").alias("rank_b"),
+        "rrf_score",
+    )
+
+
 # ===========================================================================
 # Registration order for the driver window
 # ===========================================================================

@@ -441,3 +441,37 @@ def embedding_outlier_stats(
             (F.col("_mz") > z_threshold).alias("is_outlier"),
         )
     )
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    k_rrf: int = 60,
+    top: int = 15,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of two ranked lists —
+    the standard hybrid-retrieval combiner (BM25 ∪ vector ranks):
+    rrf(d) = Σ_lists 1/(k + rank_d), absent list contributes 0.
+
+    Inputs are (id_col, rank) frames (rank 1-based). Returns
+    (id_col, rank_a, rank_b, rrf_score) for the ``top`` fused ids,
+    deterministically ordered (score desc, id asc). The inputs are
+    already top-k lists, so every join here touches k-sized frames —
+    driver-scale work no matter the corpus behind the lists.
+    """
+    a = ranked_a.select(F.col(id_col), F.col("rank").alias("rank_a"))
+    b = ranked_b.select(F.col(id_col), F.col("rank").alias("rank_b"))
+    fused = a.join(b, id_col, "full_outer").select(
+        id_col,
+        "rank_a",
+        "rank_b",
+        F.round(
+            F.coalesce(1.0 / (F.lit(k_rrf) + F.col("rank_a")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(k_rrf) + F.col("rank_b")), F.lit(0.0)),
+            6,
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(
+        F.col("rrf_score").desc(), F.col(id_col).asc()
+    ).limit(top)

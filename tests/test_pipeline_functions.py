@@ -1488,3 +1488,14 @@ def test_embedding_outlier_detects_planted_corruption(spark):
     out = {r["vec_id"]: r["is_outlier"] for r in S.embedding_outlier_stats(df).collect()}
     assert out[99] is True
     assert sum(out.values()) == 1
+
+
+def test_rrf_fuse_prefers_doc_in_both_lists(spark):
+    a = spark.createDataFrame([(10, 1), (20, 2), (30, 3)], "doc_id long, rank int")
+    b = spark.createDataFrame([(20, 1), (40, 2)], "doc_id long, rank int")
+    out = S.rrf_fuse(a, b, k_rrf=60, top=10).collect()
+    assert out[0]["doc_id"] == 20  # present in both lists -> fused to top
+    assert abs(out[0]["rrf_score"] - round(1 / 62 + 1 / 61, 6)) < 1e-9
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[40]["rank_a"] is None and by_id[40]["rank_b"] == 2
+    assert len(out) == 4
