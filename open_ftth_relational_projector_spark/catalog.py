@@ -4900,6 +4900,68 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "incremental_dedup_report",
+    """
+    WITH newd AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+    oldd AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+    nsh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               UNNEST(list_transform(
+                 generate_series(1, GREATEST(LEN(t) - 2, 0)),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM newd))),
+    osh AS (
+      SELECT DISTINCT doc_id AS old_id, shingle FROM (
+        SELECT doc_id,
+               UNNEST(list_transform(
+                 generate_series(1, GREATEST(LEN(t) - 2, 0)),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM oldd))),
+    nsz AS (SELECT doc_id, COUNT(*) AS n_new FROM nsh GROUP BY doc_id),
+    osz AS (SELECT old_id, COUNT(*) AS n_old FROM osh GROUP BY old_id),
+    ij AS (
+      SELECT n.doc_id, o.old_id, COUNT(*) AS n_inter
+      FROM nsh n JOIN osh o USING (shingle)
+      GROUP BY n.doc_id, o.old_id),
+    scoredp AS (
+      SELECT ij.doc_id, ij.old_id,
+             ij.n_inter / CAST(nsz.n_new + osz.n_old - ij.n_inter AS DOUBLE)
+               AS jaccard
+      FROM ij JOIN nsz USING (doc_id) JOIN osz USING (old_id)),
+    best AS (
+      SELECT doc_id, old_id AS best_match, jaccard AS best_jaccard FROM (
+        SELECT doc_id, old_id, jaccard,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY jaccard DESC, old_id ASC) AS rn
+        FROM scoredp) WHERE rn = 1),
+    ex AS (
+      SELECT n.doc_id, MIN(o.doc_id) AS exact_dup_of
+      FROM newd n LEFT JOIN oldd o ON md5(n.text) = md5(o.text)
+      GROUP BY n.doc_id)
+    SELECT ex.doc_id, ex.exact_dup_of, best.best_match,
+           ROUND(COALESCE(best.best_jaccard, -1.0), 4) AS best_jaccard,
+           CASE WHEN ex.exact_dup_of IS NOT NULL THEN 'exact_dup'
+                WHEN COALESCE(best.best_jaccard, -1.0) >= 0.2
+                  THEN 'near_dup'
+                ELSE 'unique' END AS verdict
+    FROM ex LEFT JOIN best USING (doc_id)
+    """,
+)
+def incremental_dedup_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-only ingestion dedup (functions/dedup.incremental_dedup_report):
+    odd-id docs screened against the even-id standing corpus — exact hash
+    screen + new-against-old-only shingle inverted index, never old×old."""
+    docs = scattered(load_table(spark, sf_dir, "documents"))
+    return D.incremental_dedup_report(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        docs.filter(F.col("doc_id") % 2 == 0),
+        threshold=0.2,
+        n=3,
+    )
+
+
 # ===========================================================================
 # Registration order for the driver window
 # ===========================================================================

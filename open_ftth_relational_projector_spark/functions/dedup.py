@@ -591,3 +591,99 @@ def simhash_near_dups(
         .distinct()
         .withColumn("hamming", F.col("hamming").cast("int"))
     )
+
+
+def incremental_dedup_report(
+    new_docs: DataFrame,
+    existing_docs: DataFrame,
+    threshold: float = 0.2,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Append-only corpus ingestion dedup: each NEW document checked
+    against the EXISTING corpus only — the production shape (the standing
+    corpus is never re-deduplicated; a new shard is screened before
+    admission).
+
+    Returns one row per new doc: (doc_id, exact_dup_of, best_match,
+    best_jaccard, verdict) where exact_dup_of = min existing id with
+    identical text (null if none), best_match/best_jaccard = the highest
+    n-gram-Jaccard existing doc (null / -1.0 when no shingle co-occurs),
+    and verdict ∈ {'exact_dup','near_dup','unique'} (near_dup iff
+    best_jaccard ≥ threshold).
+
+    Scale shape: the exact screen is one hash-keyed left join (md5 of the
+    text — at scale the existing side is a hash index, not a scan). The
+    near-dup screen is the shingle inverted index joined NEW-against-OLD
+    only — candidate pairs are (new, old) co-occurrences, never old×old:
+    the quadratic term the full-corpus join pays on every run is paid
+    only across the new/old boundary. Jaccard is verified per candidate
+    pair exactly (intersection count / union by inclusion–exclusion).
+    """
+    new_sh = add_shingles(new_docs, n, text_col, id_col).select(
+        "doc_id", F.col("sh"), F.size("sh").alias("n_new")
+    )
+    old_sh = add_shingles(existing_docs, n, text_col, id_col).select(
+        F.col("doc_id").alias("old_id"),
+        F.col("sh").alias("old_sh"),
+        F.size("sh").alias("n_old"),
+    )
+    new_idx = new_sh.select(
+        "doc_id", "n_new", F.explode("sh").alias("shingle")
+    )
+    old_idx = old_sh.select(
+        "old_id", "n_old", F.explode("old_sh").alias("shingle")
+    )
+    inter = (
+        new_idx.join(old_idx, "shingle")
+        .groupBy("doc_id", "n_new", "old_id", "n_old")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    jac = F.col("n_inter") / (
+        F.col("n_new") + F.col("n_old") - F.col("n_inter")
+    ).cast("double")
+    best = (
+        inter.withColumn("jaccard", jac)
+        .groupBy("doc_id")
+        .agg(
+            F.max_by(
+                F.col("old_id"),
+                F.struct(
+                    F.col("jaccard").alias("j"),
+                    (-F.col("old_id")).alias("tie"),
+                ),
+            ).alias("best_match"),
+            F.max("jaccard").alias("best_jaccard"),
+        )
+    )
+    exact = (
+        new_docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.md5(F.col(text_col)).alias("h"),
+        )
+        .join(
+            existing_docs.select(
+                F.md5(F.col(text_col)).alias("h"),
+                F.col(id_col).alias("eid"),
+            ),
+            "h",
+            "left",
+        )
+        .groupBy("doc_id")
+        .agg(F.min("eid").alias("exact_dup_of"))
+    )
+    bj = F.coalesce(F.col("best_jaccard"), F.lit(-1.0))
+    return (
+        exact.join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            "exact_dup_of",
+            "best_match",
+            F.round(bj, 4).alias("best_jaccard"),
+            F.when(F.col("exact_dup_of").isNotNull(), "exact_dup")
+            .when(bj >= threshold, "near_dup")
+            .otherwise("unique")
+            .alias("verdict"),
+        )
+    )

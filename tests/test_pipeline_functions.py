@@ -1499,3 +1499,18 @@ def test_rrf_fuse_prefers_doc_in_both_lists(spark):
     by_id = {r["doc_id"]: r for r in out}
     assert by_id[40]["rank_a"] is None and by_id[40]["rank_b"] == 2
     assert len(out) == 4
+
+
+def test_incremental_dedup_verdicts(docs):
+    # existing corpus: docs 1 (cat/mat), 4 (german); new shard: 2 (exact
+    # dup of 1), 3 (near dup of 1), 5 (unique)
+    old = docs.filter("doc_id IN (1, 4)")
+    new = docs.filter("doc_id IN (2, 3, 5)")
+    out = {
+        r["doc_id"]: r
+        for r in D.incremental_dedup_report(new, old, threshold=0.2).collect()
+    }
+    assert out[2]["verdict"] == "exact_dup" and out[2]["exact_dup_of"] == 1
+    assert out[3]["verdict"] == "near_dup" and out[3]["best_match"] == 1
+    assert out[5]["verdict"] == "unique" and out[5]["best_match"] is None
+    assert out[5]["best_jaccard"] == -1.0
