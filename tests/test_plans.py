@@ -302,3 +302,30 @@ def test_pagerank_final_plan_is_checkpoint_scan(q):
     plan = C.formatted_plan(df)
     assert "Scan ExistingRDD" in plan, plan[:500]
     assert C.sortmerge_join_count(df) == 0
+
+
+def test_new_family_r3_late_cartesian_free(q):
+    """Late round-3 additions: no cartesian anywhere. Queries that carry a
+    1-row scalar (vocab size, percentile thresholds) legitimately plan it
+    as a broadcast nested-loop join — the standard scalar-subquery shape
+    (see test_q22) — so for those only a true CartesianProduct is banned
+    and the BNLJ count must not exceed the scalar count."""
+    for name in (
+        "cms_heavy_hitters",
+        "bloom_decontamination",
+        "incremental_dedup_report",
+        "embedding_outlier_stats",
+    ):
+        C.assert_no_cartesian(q(name))
+    for name, n_scalars in (
+        ("bigram_lm_doc_scores", 2),   # vocab size
+        # vocab + two percentile thresholds; reused scalar subtrees print
+        # once per reuse in the formatted plan, so the bound is loose
+        ("curation_decisions", 8),
+        # BM25 N/avgdl scalar + broadcast-query inequality kNN probe +
+        # the k-sized full-outer fusion (tiny both sides)
+        ("hybrid_rrf_retrieval", 4),
+    ):
+        plan = C.formatted_plan(q(name))
+        assert "CartesianProduct" not in plan, name
+        assert plan.count("BroadcastNestedLoopJoin") <= n_scalars, name
