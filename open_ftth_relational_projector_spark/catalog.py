@@ -4965,6 +4965,15 @@ def incremental_dedup_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 # Registration order for the driver window
 # ===========================================================================
+# ROUND-4 WINDOW PLAN (for the next session): lead with q1, then the 13
+# round-3-late queries that have never held a driver row —
+# kmeans_cluster_stats, semantic_dedup_verdicts, dsir_doc_weights,
+# pagerank_purchase_graph, bigram_lm_doc_scores, curation_decisions,
+# cms_heavy_hitters, bloom_decontamination, embedding_outlier_stats,
+# hybrid_rrf_retrieval, incremental_dedup_report (+ any newer) — then the
+# r2-green families whose last row is oldest. Keep every name in
+# _DRIVER_WINDOW_FRONT registered (the assert below enforces it).
+#
 # The driver's CORRECTNESS gate records only the FIRST 50 queries() entries
 # per round. The windows rotate so that across rounds every query holds a
 # recent green row. Round 3 leads with q1 (the entry() flagship), then the
