@@ -4962,6 +4962,51 @@ def incremental_dedup_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "knn_label_propagation",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv, label AS true_label
+      FROM embeddings WHERE vec_id % 20 = 0),
+    c AS (
+      SELECT vec_id AS neighbor_id, embedding AS cv, label AS nb_label
+      FROM embeddings WHERE vec_id % 20 <> 0),
+    scored AS (
+      SELECT q.query_id, q.true_label, c.neighbor_id, c.nb_label,
+             list_sum(list_transform(generate_series(1, 64),
+               i -> qv[i]::DOUBLE * cv[i]::DOUBLE))
+             / (sqrt(list_sum(list_transform(generate_series(1, 64),
+                  i -> qv[i]::DOUBLE * qv[i]::DOUBLE)))
+                * sqrt(list_sum(list_transform(generate_series(1, 64),
+                    i -> cv[i]::DOUBLE * cv[i]::DOUBLE)))) AS sim
+      FROM c, q),
+    topk AS (
+      SELECT query_id, true_label, nb_label FROM (
+        SELECT query_id, true_label, nb_label,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id) AS rnk
+        FROM scored) WHERE rnk <= 5),
+    votes AS (
+      SELECT query_id, true_label, nb_label, COUNT(*) AS vote_n
+      FROM topk GROUP BY 1, 2, 3)
+    SELECT query_id AS vec_id, nb_label AS predicted_label,
+           CAST(vote_n AS INT) AS vote_n, true_label,
+           nb_label = true_label AS agrees
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY vote_n DESC, nb_label ASC)
+                      AS r
+          FROM votes) WHERE r = 1
+    """,
+)
+def knn_label_propagation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weak supervision by k-NN majority vote with leave-out accuracy
+    riding along (functions/similarity.knn_label_propagation): every 20th
+    vector is held out and relabeled from its 5 nearest labeled
+    neighbors."""
+    emb = scattered(load_table(spark, sf_dir, "embeddings"))
+    return S.knn_label_propagation(emb, F.col("vec_id") % 20 == 0, k=5)
+
+
 # ===========================================================================
 # Registration order for the driver window
 # ===========================================================================

@@ -475,3 +475,63 @@ def rrf_fuse(
     return fused.orderBy(
         F.col("rrf_score").desc(), F.col(id_col).asc()
     ).limit(top)
+
+
+def knn_label_propagation(
+    corpus: DataFrame,
+    unlabeled_pred,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Weak supervision by nearest-neighbor vote: rows matching
+    ``unlabeled_pred`` (a Column predicate) get a predicted label = the
+    majority label among their k nearest LABELED neighbors by cosine.
+
+    Returns (vec_id, predicted_label, vote_n, true_label, agrees): since
+    the fixture labels are known, the held-out row's actual label rides
+    along and `agrees` measures leave-out accuracy — the observable that
+    turns this into a self-evaluating query (like the sketch invariants).
+
+    Ties break on the SMALLER label id (deterministic). Plan shape: the
+    unlabeled side is the small side → broadcast into the scored join
+    (same contract as knn_bruteforce); one window top-k; one vote
+    aggregate keyed by (query, label).
+    """
+    labeled = corpus.filter(~unlabeled_pred).select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(F.col(vec_col)).alias("cv"),
+        F.col(label_col).alias("nb_label"),
+    )
+    queries = corpus.filter(unlabeled_pred).select(
+        F.col(id_col).alias("query_id"),
+        as_double(F.col(vec_col)).alias("qv"),
+        F.col(label_col).alias("true_label"),
+    )
+    scored = labeled.join(F.broadcast(queries)).withColumn(
+        "sim", cosine(F.col("qv"), F.col("cv"))
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    topk = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+    votes = topk.groupBy("query_id", "true_label", "nb_label").agg(
+        F.count(F.lit(1)).alias("vote_n")
+    )
+    wv = W.partitionBy("query_id").orderBy(
+        F.col("vote_n").desc(), F.col("nb_label").asc()
+    )
+    return (
+        votes.withColumn("r", F.row_number().over(wv))
+        .filter(F.col("r") == 1)
+        .select(
+            F.col("query_id").alias("vec_id"),
+            F.col("nb_label").alias("predicted_label"),
+            F.col("vote_n").cast("int").alias("vote_n"),
+            "true_label",
+            (F.col("nb_label") == F.col("true_label")).alias("agrees"),
+        )
+    )

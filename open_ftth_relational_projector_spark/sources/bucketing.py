@@ -53,3 +53,25 @@ def bucket_spec(spark: SparkSession, table: str) -> tuple[list[str], int] | None
     if cols is None or n is None:
         return None
     return cols, n
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    cols: str | list[str],
+    mode: str = "overwrite",
+) -> None:
+    """Hive-style directory partitioning — the pruning half of the layout
+    story (bucketing co-locates joins; partitioning eliminates IO).
+
+    A scan with a predicate on a partition column never opens the other
+    directories: the plan shows the predicate under ``PartitionFilters``
+    (not PushedFilters — it prunes the file listing, before any reader
+    touches bytes). At 100 TB this is the difference between scanning a
+    lang=en/ subtree and scanning the corpus. Partition columns must be
+    low-cardinality (lang, source, date) — high-cardinality partitioning
+    (doc_id) creates a small-files catastrophe; that axis belongs to
+    bucketing instead.
+    """
+    cols_list = [cols] if isinstance(cols, str) else list(cols)
+    df.write.mode(mode).partitionBy(*cols_list).parquet(path)

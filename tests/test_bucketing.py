@@ -84,3 +84,30 @@ def test_bucketed_groupby_has_no_exchange(spark, bucketed):
         .agg(F.sum("l_quantity").alias("qty"))
     )
     assert agg.count() == plain.count()
+
+
+def test_partitioned_layout_prunes_directories(spark, tmp_path):
+    from open_ftth_relational_projector_spark.plans import checks as C
+    from open_ftth_relational_projector_spark.sources.bucketing import (
+        write_partitioned,
+    )
+    from open_ftth_relational_projector_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    path = str(tmp_path / "docs_by_lang")
+    write_partitioned(docs, path, "lang")
+
+    back = spark.read.parquet(path)
+    en = back.filter("lang = 'en'")
+    # the lang predicate must prune at the directory listing, not the reader
+    pf = " ".join(C.partition_filters(en))
+    assert "lang" in pf and "en" in pf, pf
+    assert not any("lang" in f for f in C.pushed_filters(en)), (
+        "partition predicate must not degrade to a row-level pushed filter"
+    )
+    # values survive the layout round-trip
+    expected = docs.filter("lang = 'en'").count()
+    assert en.count() == expected
+    # non-partition predicates still push down to the reader as usual
+    long_en = en.filter("n_chars > 200")
+    assert any("n_chars" in f for f in C.pushed_filters(long_en))

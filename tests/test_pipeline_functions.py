@@ -1514,3 +1514,23 @@ def test_incremental_dedup_verdicts(docs):
     assert out[3]["verdict"] == "near_dup" and out[3]["best_match"] == 1
     assert out[5]["verdict"] == "unique" and out[5]["best_match"] is None
     assert out[5]["best_jaccard"] == -1.0
+
+
+def test_knn_label_propagation_votes_majority(spark):
+    rows = [
+        (0, [1.0, 0.0], 7),    # held out; true label 7
+        (1, [0.99, 0.01], 7),
+        (2, [0.98, 0.02], 7),
+        (3, [0.97, 0.03], 3),
+        (4, [0.0, 1.0], 5),
+        (5, [0.01, 0.99], 5),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = S.knn_label_propagation(df, F.col("vec_id") == 0, k=3).collect()
+    assert len(out) == 1
+    r = out[0]
+    # 3 nearest labeled: 1(7), 2(7), 3(3) -> majority 7, agrees with truth
+    assert r["predicted_label"] == 7 and r["vote_n"] == 2
+    assert r["agrees"] is True
