@@ -5007,6 +5007,80 @@ def knn_label_propagation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.knn_label_propagation(emb, F.col("vec_id") % 20 == 0, k=5)
 
 
+@_q(
+    "temperature_mixture_sample",
+    """
+    WITH shares AS (SELECT source, COUNT(*) AS n_g FROM documents
+                    GROUP BY source),
+    raw AS (SELECT source,
+                   POW(n_g / CAST((SELECT SUM(n_g) FROM shares) AS DOUBLE),
+                       0.7 - 1.0) AS rr
+            FROM shares),
+    rates AS (SELECT source,
+                     ROUND(rr / (SELECT MAX(rr) FROM raw), 6) AS keep_rate
+              FROM raw)
+    SELECT d.doc_id, d.source, r.keep_rate,
+           (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || 'mix'), 1, 13))::BIGINT + 1)
+             / CAST(16::HUGEINT ** 13 AS DOUBLE) <= r.keep_rate AS sampled
+    FROM documents d JOIN rates r USING (source)
+    """,
+)
+def temperature_mixture_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source rebalancing (α=0.7 exponentiated sampling
+    — the multilingual mixing rule): rare sources up-sampled, dominant
+    ones down-sampled, deterministic md5-uniform verdicts
+    (functions/sampling.temperature_mixture_sample)."""
+    from open_ftth_relational_projector_spark.functions.sampling import (
+        temperature_mixture_sample,
+    )
+
+    return temperature_mixture_sample(
+        scattered(load_table(spark, sf_dir, "documents")),
+        alpha=0.7,
+        salt="mix",
+    )
+
+
+@_q(
+    "length_bucketed_batches",
+    """
+    WITH base AS (
+      SELECT doc_id, LEN(string_split(text, ' ')) AS n_tokens
+      FROM documents),
+    b AS (SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+                 CASE WHEN n_tokens < 64 THEN 0
+                      WHEN n_tokens < 128 THEN 1
+                      WHEN n_tokens < 256 THEN 2
+                      ELSE 3 END AS bucket
+          FROM base),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket
+                                       ORDER BY doc_id) AS rn
+          FROM b),
+    wb AS (SELECT doc_id, n_tokens, bucket,
+                  CAST(FLOOR((rn - 1) / 8) AS INT) AS batch_id
+           FROM r)
+    SELECT doc_id, n_tokens, bucket, batch_id,
+           CAST(MAX(n_tokens) OVER (PARTITION BY bucket, batch_id)
+                - n_tokens AS INT) AS pad_waste
+    FROM wb
+    """,
+)
+def length_bucketed_batches_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch assignment for padding efficiency
+    (functions/sampling.length_bucketed_batches): bucket by token count,
+    deterministic batch ids within buckets, per-doc pad waste vs the
+    batch max."""
+    from open_ftth_relational_projector_spark.functions.sampling import (
+        length_bucketed_batches,
+    )
+
+    return length_bucketed_batches(
+        scattered(load_table(spark, sf_dir, "documents")),
+        bucket_edges=[64, 128, 256],
+        batch_size=8,
+    )
+
+
 # ===========================================================================
 # Registration order for the driver window
 # ===========================================================================

@@ -309,3 +309,103 @@ def dsir_importance_weights(
             F.round(F.sum("w"), 4).alias("log_weight"),
         )
     )
+
+
+def temperature_mixture_sample(
+    docs: DataFrame,
+    alpha: float = 0.7,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Temperature-based mixture sampling across sources (the multilingual
+    /multi-source rebalancing rule, á la exponentiated sampling with
+    α < 1): a group with corpus share p is sampled at rate ∝ p^α / p —
+    up-sampling rare sources, down-sampling dominant ones — normalized so
+    the LARGEST group's rate is 1.0 (no group over-samples).
+
+    Per doc: (doc_id, group, keep_rate, sampled) with sampled decided by
+    the md5-uniform of (id, salt) — deterministic across runs, engines,
+    and partitionings (no rand()). Group shares come from one tiny
+    aggregate broadcast back; the verdict is map-side.
+    """
+    from pyspark.sql import Window as W
+
+    shares = docs.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_g"))
+    everything = W.partitionBy()
+    # rate_g ∝ p_g^(alpha-1); normalize by the max so rates ≤ 1
+    raw_rate = F.pow(
+        F.col("n_g") / F.sum("n_g").over(everything), F.lit(alpha - 1.0)
+    )
+    rates = shares.select(
+        group_col,
+        (raw_rate / F.max(raw_rate).over(everything)).alias("keep_rate"),
+    )
+    u = md5_uniform(F.col(id_col), salt)
+    # compare against the ROUNDED rate: pow/division may differ in the
+    # last ulp across engines, and the sampling verdict must not
+    rate6 = F.round(F.col("keep_rate"), 6)
+    return (
+        docs.select(id_col, group_col)
+        .join(F.broadcast(rates), group_col)
+        .select(
+            id_col,
+            group_col,
+            rate6.alias("keep_rate"),
+            (u <= rate6).alias("sampled"),
+        )
+    )
+
+
+def length_bucketed_batches(
+    docs: DataFrame,
+    bucket_edges: list[int] = (64, 128, 256),
+    batch_size: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Length-bucketed batch assignment — the padding-efficiency prep step
+    (docs batched with similar lengths waste the least pad tokens).
+
+    Buckets are [0,e1), [e1,e2), … by token count; within a bucket docs
+    order deterministically by id and every ``batch_size`` of them share a
+    batch_id. Returns (doc_id, n_tokens, bucket, batch_id, pad_waste)
+    where pad_waste = bucket's running max length − the doc's length
+    within its batch… kept simple: waste vs the batch max.
+
+    Scale shape: one window per bucket (rank) — the partitionBy(bucket)
+    sort is the only shuffle; batch ids derive arithmetically from the
+    rank, and the batch max comes from one more bucketed window pass.
+    """
+    from open_ftth_relational_projector_spark.functions.text import (
+        token_count,
+    )
+    from pyspark.sql import Window as W
+
+    edges = list(bucket_edges)
+    n = token_count(F.col(text_col))
+    bucket = F.lit(len(edges))
+    for i, e in enumerate(reversed(edges)):
+        bucket = F.when(n < e, F.lit(len(edges) - 1 - i)).otherwise(bucket)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        n.cast("int").alias("n_tokens"),
+        bucket.cast("int").alias("bucket"),
+    )
+    w = W.partitionBy("bucket").orderBy("doc_id")
+    # explicit floor: a bare double→int cast truncates in Spark but ROUNDS
+    # in DuckDB — floor-then-cast is the portable spelling
+    withbatch = base.withColumn(
+        "batch_id",
+        F.floor((F.row_number().over(w) - 1) / F.lit(batch_size)).cast("int"),
+    )
+    wb = W.partitionBy("bucket", "batch_id")
+    return withbatch.select(
+        "doc_id",
+        "n_tokens",
+        "bucket",
+        "batch_id",
+        (F.max("n_tokens").over(wb) - F.col("n_tokens"))
+        .cast("int")
+        .alias("pad_waste"),
+    )

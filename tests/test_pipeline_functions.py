@@ -1534,3 +1534,42 @@ def test_knn_label_propagation_votes_majority(spark):
     # 3 nearest labeled: 1(7), 2(7), 3(3) -> majority 7, agrees with truth
     assert r["predicted_label"] == 7 and r["vote_n"] == 2
     assert r["agrees"] is True
+
+
+def test_temperature_mixture_upsamples_rare_sources(spark):
+    from open_ftth_relational_projector_spark.functions.sampling import (
+        temperature_mixture_sample,
+    )
+
+    rows = [(i, "big") for i in range(90)] + [(i, "small") for i in range(90, 100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_mixture_sample(df, alpha=0.7).collect()
+    rates = {r["source"]: r["keep_rate"] for r in out}
+    # rare source keeps everything; dominant source is down-sampled
+    assert rates["small"] == 1.0
+    assert 0 < rates["big"] < 1.0
+    assert rates["big"] == round((0.9 ** -0.3) / (0.1 ** -0.3), 6)
+    # verdicts deterministic: same call, same sample
+    again = {r["doc_id"]: r["sampled"] for r in temperature_mixture_sample(df, alpha=0.7).collect()}
+    assert all(again[r["doc_id"]] == r["sampled"] for r in out)
+
+
+def test_length_bucketed_batches_bounds_and_waste(spark):
+    from open_ftth_relational_projector_spark.functions.sampling import (
+        length_bucketed_batches,
+    )
+
+    rows = [(i, " ".join(["w"] * n)) for i, n in enumerate(
+        [10, 12, 13, 100, 100, 101, 300, 301, 302]
+    )]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in length_bucketed_batches(
+        df, bucket_edges=[64, 128, 256], batch_size=2
+    ).collect()}
+    assert [out[i]["bucket"] for i in range(9)] == [0, 0, 0, 1, 1, 1, 3, 3, 3]
+    # batch ids: within bucket 0, docs 0,1 -> batch 0; doc 2 -> batch 1
+    assert out[0]["batch_id"] == 0 and out[1]["batch_id"] == 0
+    assert out[2]["batch_id"] == 1
+    # pad waste vs batch max: doc 0 (10 tokens) padded to 12
+    assert out[0]["pad_waste"] == 2 and out[1]["pad_waste"] == 0
+    assert out[2]["pad_waste"] == 0  # alone in its batch
