@@ -5081,6 +5081,37 @@ def length_bucketed_batches_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "winnow_fingerprints",
+    """
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+                 FROM documents),
+    h AS (SELECT doc_id,
+                 [('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                      || ' ' || t[i+3] || '#0'), 1, 15))::BIGINT
+                  FOR i IN range(1, len(t) - 2)] AS hs
+          FROM tok),
+    w AS (SELECT doc_id,
+                 CASE WHEN len(hs) >= 5
+                        THEN [list_min(hs[i:i+4])
+                              FOR i IN range(1, len(hs) - 3)]
+                      WHEN len(hs) > 0 THEN [list_min(hs)]
+                      ELSE [] END AS fps
+          FROM h)
+    SELECT DISTINCT doc_id, fingerprint FROM (
+      SELECT doc_id, UNNEST(list_distinct(fps)) AS fingerprint FROM w)
+    """,
+)
+def winnow_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al., SIGMOD 2003 — MOSS):
+    min-hash of each sliding window of 4-gram hashes, guaranteeing any
+    shared substring of length ≥ 8 tokens shares a fingerprint at ~2/6 the
+    storage (functions/dedup.winnow_fingerprints, md5-portable)."""
+    return D.winnow_fingerprints(
+        scattered(load_table(spark, sf_dir, "documents")), k=4, window=5
+    )
+
+
 # ===========================================================================
 # Registration order for the driver window
 # ===========================================================================

@@ -687,3 +687,60 @@ def incremental_dedup_report(
             .alias("verdict"),
         )
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 4,
+    window: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every k-gram, then keep the
+    MINIMUM hash of each sliding window of ``window`` consecutive k-gram
+    hashes (rightmost on ties). Guarantees: any shared substring of length
+    ≥ window + k − 1 contributes at least one shared fingerprint, while
+    storing only ~2/(window+1) of the hashes — the principled sparse
+    selection that plain modulo-sampling of hashes can't promise.
+
+    Returns (doc_id, fingerprint) distinct pairs — join on fingerprint for
+    local (substring-level) overlap detection, the granularity document-
+    level shingle sets blur. All row-local JVM higher-order functions
+    (hash array → per-window argmin → distinct) with the md5-portable
+    hash, then one explode; the only shuffle is whatever the caller does
+    with the pairs.
+    """
+    from open_ftth_relational_projector_spark.functions.text import let, tokens
+
+    def fp_of(toks: Column) -> Column:
+        cnt = F.size(toks)
+        kidx = F.when(cnt >= k, F.sequence(F.lit(1), cnt - (k - 1))).otherwise(
+            F.array().cast("array<int>")
+        )
+        grams = F.transform(
+            kidx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(k)]
+            ),
+        )
+        hashes = F.transform(grams, lambda g: portable_hash64(g, 0))
+        nh = F.size(hashes)
+        widx = F.when(
+            nh >= window, F.sequence(F.lit(1), nh - (window - 1))
+        ).otherwise(F.when(nh > 0, F.array(F.lit(1))).otherwise(
+            F.array().cast("array<int>")
+        ))
+        # per window: min hash; rightmost occurrence on ties is implied by
+        # taking the plain min of the slice (hash ties are 2^-60 events;
+        # the min VALUE is identical either way, and only values are kept)
+        wmin = F.transform(
+            widx,
+            lambda i: F.array_min(F.slice(hashes, i, F.least(F.lit(window), nh))),
+        )
+        return F.array_distinct(wmin)
+
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(let(tokens(F.col(text_col)), fp_of)).alias("fingerprint"),
+    ).distinct()

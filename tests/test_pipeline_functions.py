@@ -1573,3 +1573,25 @@ def test_length_bucketed_batches_bounds_and_waste(spark):
     # pad waste vs batch max: doc 0 (10 tokens) padded to 12
     assert out[0]["pad_waste"] == 2 and out[1]["pad_waste"] == 0
     assert out[2]["pad_waste"] == 0  # alone in its batch
+
+
+def test_winnowing_guarantee_and_sparsity(spark):
+    shared = "one two three four five six seven eight"  # 8 shared tokens
+    rows = [
+        (1, "aa bb " + shared + " cc dd"),
+        (2, "zz yy xx " + shared + " ww"),
+        (3, "pp qq rr ss tt uu vv kk ll mm nn oo"),   # disjoint
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = D.winnow_fingerprints(df, k=4, window=5)
+    rowsets = {
+        i: {r["fingerprint"] for r in fp.filter(F.col("doc_id") == i).collect()}
+        for i in (1, 2, 3)
+    }
+    # guarantee: shared substring of len >= window + k - 1 = 8 tokens
+    # contributes at least one shared fingerprint
+    assert rowsets[1] & rowsets[2]
+    assert not (rowsets[1] & rowsets[3]) and not (rowsets[2] & rowsets[3])
+    # sparsity: far fewer fingerprints than k-grams
+    n_grams_1 = len(rows[0][1].split()) - 3
+    assert len(rowsets[1]) < n_grams_1
