@@ -116,3 +116,58 @@ def test_asof_join_matches_scan(spark, versions, facts):
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+# --- sketch invariants over random corpora ---------------------------------
+
+WORDS = st.sampled_from(
+    ["alpha", "beta", "gamma", "delta", "echo", "foxtrot", "golf", "hotel"]
+)
+DOC = st.lists(WORDS, min_size=1, max_size=30).map(" ".join)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=st.lists(DOC, min_size=1, max_size=12))
+def test_cms_never_undercounts_on_random_corpora(spark, texts):
+    """The Count-Min structural guarantee holds on EVERY corpus, not just
+    the fixture: for the top-k tokens, estimate ≥ exact even with w=4
+    (heavy forced collisions)."""
+    from open_ftth_relational_projector_spark.functions.sketches import (
+        count_min_heavy_hitters,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    out = count_min_heavy_hitters(df, d=2, w=4, k=5).collect()
+    assert out, "at least one token must surface"
+    assert all(r["cms_n"] >= r["exact_n"] for r in out)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=st.lists(DOC, min_size=2, max_size=10))
+def test_bloom_decontamination_never_false_negative_randomized(spark, texts):
+    """Bloom guarantee on every corpus: bloom hits ≥ true hits per doc,
+    even with a 32-bit filter (false positives abound, negatives never).
+    Short docs (< n_shingle tokens) legitimately drop out of the report
+    on BOTH paths — the invariant applies to every emitted row."""
+    from open_ftth_relational_projector_spark.functions.sketches import (
+        bloom_probe_decontamination,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    out = bloom_probe_decontamination(
+        df, eval_mod=2, n_bits=32, n_hashes=2, n_shingle=3
+    ).collect()
+    assert all(r["n_bloom_hits"] >= r["n_true_hits"] for r in out)
+    assert all(r["no_false_negatives"] for r in out)
