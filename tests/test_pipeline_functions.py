@@ -1595,3 +1595,17 @@ def test_winnowing_guarantee_and_sparsity(spark):
     # sparsity: far fewer fingerprints than k-grams
     n_grams_1 = len(rows[0][1].split()) - 3
     assert len(rowsets[1]) < n_grams_1
+
+
+def test_pagerank_hot_hub_star_graph(spark):
+    """Adversarial skew: 2000 leaves all pointing at ONE hub. The dst-keyed
+    contribution aggregate is map-side combined, so the hot key reduces
+    partials, not raw edges; the run completes quickly and mass stays
+    conserved through the dangling hub."""
+    from open_ftth_relational_projector_spark.functions.graph import pagerank
+
+    edges = spark.range(1, 2001).selectExpr("id AS src", "0 AS dst")
+    out = {r["node"]: r["rank"] for r in pagerank(edges, iters=3).collect()}
+    assert len(out) == 2001
+    assert out[0] > max(v for k, v in out.items() if k != 0) * 50
+    assert abs(sum(out.values()) - 1.0) < 1e-3
