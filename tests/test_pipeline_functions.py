@@ -1609,3 +1609,56 @@ def test_pagerank_hot_hub_star_graph(spark):
     assert len(out) == 2001
     assert out[0] > max(v for k, v in out.items() if k != 0) * 50
     assert abs(sum(out.values()) - 1.0) < 1e-3
+
+
+# --- audio modality --------------------------------------------------------
+
+
+def test_wav_payloads_parse_with_stdlib_wave(spark):
+    """The synthesized payloads are REAL WAV files: python's stdlib `wave`
+    module (an independent RIFF parser) reads them back sample-for-sample."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from open_ftth_relational_projector_spark.functions.audio import (
+        _text_to_samples,
+        attach_wav,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "a b c")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: (r["text"], bytes(r["wav"])) for r in attach_wav(df).collect()}
+    for text, payload in rows.values():
+        with wave.open(io.BytesIO(payload)) as w:
+            assert (w.getnchannels(), w.getsampwidth(), w.getframerate()) == (1, 2, 8000)
+            frames = np.frombuffer(w.readframes(w.getnframes()), dtype="<i2")
+        assert np.array_equal(frames, _text_to_samples(text))
+
+
+def test_wav_features_hand_computed(spark):
+    from open_ftth_relational_projector_spark.functions.audio import (
+        attach_wav,
+        wav_features,
+        resample_wav,
+    )
+
+    # "a a" -> bytes [97, 32, 97] -> samples [8448, -8192, 8448]
+    df = spark.createDataFrame([(1, "a a")], "doc_id long, text string")
+    feats = wav_features(attach_wav(df)).collect()[0]
+    assert feats["n_frames"] == 3 and feats["sample_rate"] == 8000
+    assert feats["duration_ms"] == 0  # 3/8000 s
+    assert feats["peak"] == 8448
+    assert feats["zero_crossings"] == 2
+    import math
+
+    assert feats["rms"] == round(
+        math.sqrt((8448**2 + 8192**2 + 8448**2) / 3), 4
+    )
+    res = resample_wav(attach_wav(df), factor=2).collect()[0]
+    # kept samples: positions 0, 2 -> [8448, 8448]
+    assert (res["n_frames_in"], res["n_frames_out"]) == (3, 2)
+    assert res["sample_rate_out"] == 4000
+    assert res["rms_out"] == 8448.0
