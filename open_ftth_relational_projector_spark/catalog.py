@@ -5186,6 +5186,111 @@ def audio_wav_resample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resample_wav(attach_wav(docs), factor=2)
 
 
+@_q(
+    "scd2_user_value_history",
+    """
+    SELECT user_id,
+           ROUND(value, 4) AS value,
+           ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS valid_to,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             IS NULL AS is_current
+    FROM events
+    WHERE event_type = 'purchase'
+    """,
+)
+def scd2_user_value_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 view of the purchase stream: each
+    user's value as validity intervals [valid_from, valid_to) with the
+    open current row — the warehouse-history pattern the reference's
+    last-write-wins tables flatten away. One keyed window, no joins."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        _r4(F.col("value")).alias("value"),
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+@_q(
+    "expectations_audit",
+    """
+    WITH agg AS (
+      SELECT
+        SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS nn,
+        SUM(CASE WHEN l_quantity IS NULL
+                   OR l_quantity < 1 OR l_quantity > 25
+                 THEN 1 ELSE 0 END) AS rng,
+        SUM(CASE WHEN l_returnflag IS NULL
+                   OR l_returnflag NOT IN ('A', 'N', 'R')
+                 THEN 1 ELSE 0 END) AS av
+      FROM lineitem),
+    dup AS (
+      SELECT COALESCE(SUM(CASE WHEN n > 1 THEN n - 1 END), 0) AS d
+      FROM (SELECT l_orderkey, COUNT(*) AS n FROM lineitem
+            GROUP BY l_orderkey)),
+    orph AS (
+      SELECT COUNT(*) AS o FROM orders
+      WHERE o_custkey IS NOT NULL
+        AND o_custkey NOT IN (SELECT c_custkey FROM customer)),
+    rows_out AS (
+      SELECT 'lineitem' AS tbl, 'not_null' AS rule, 'l_orderkey' AS col,
+             CAST(nn AS BIGINT) AS n_violations FROM agg
+      UNION ALL
+      SELECT 'lineitem', 'accepted_range', 'l_quantity',
+             CAST(rng AS BIGINT) FROM agg
+      UNION ALL
+      SELECT 'lineitem', 'accepted_values', 'l_returnflag',
+             CAST(av AS BIGINT) FROM agg
+      UNION ALL
+      SELECT 'lineitem', 'unique', 'l_orderkey', CAST(d AS BIGINT) FROM dup
+      UNION ALL
+      SELECT 'orders', 'refers_to', 'o_custkey', CAST(o AS BIGINT) FROM orph)
+    SELECT tbl AS "table", rule, col AS "column", n_violations,
+           n_violations = 0 AS passed
+    FROM rows_out
+    """,
+)
+def expectations_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit (functions/expectations — the
+    dbt-test/Great-Expectations surface): all column rules fold into ONE
+    aggregation pass per table; uniqueness adds a keyed groupBy and the
+    foreign-key check a broadcast anti-join. The range rule is set to
+    [1, 25] so real violations flow through the report."""
+    from open_ftth_relational_projector_spark.functions.expectations import (
+        check_expectations,
+    )
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    li = check_expectations(
+        lineitem,
+        "lineitem",
+        [
+            {"rule": "not_null", "column": "l_orderkey"},
+            {"rule": "accepted_range", "column": "l_quantity", "lo": 1, "hi": 25},
+            {"rule": "accepted_values", "column": "l_returnflag",
+             "values": ["A", "N", "R"]},
+            {"rule": "unique", "column": "l_orderkey"},
+        ],
+    )
+    od = check_expectations(
+        orders,
+        "orders",
+        [{"rule": "refers_to", "column": "o_custkey", "ref": customer,
+          "ref_column": "c_custkey"}],
+    )
+    return li.unionByName(od)
+
+
 # ===========================================================================
 # Registration order for the driver window
 # ===========================================================================

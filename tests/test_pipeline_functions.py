@@ -1662,3 +1662,36 @@ def test_wav_features_hand_computed(spark):
     assert (res["n_frames_in"], res["n_frames_out"]) == (3, 2)
     assert res["sample_rate_out"] == 4000
     assert res["rms_out"] == 8448.0
+
+
+def test_expectations_engine_counts_planted_violations(spark):
+    from open_ftth_relational_projector_spark.functions.expectations import (
+        check_expectations,
+    )
+
+    facts = spark.createDataFrame(
+        [(1, 5, "A"), (1, 60, "A"), (2, None, "X"), (None, 10, "N")],
+        "k long, qty long, flag string",
+    )
+    dims = spark.createDataFrame([(1,)], "k long")
+    out = {
+        (r["rule"], r["column"]): (r["n_violations"], r["passed"])
+        for r in check_expectations(
+            facts,
+            "facts",
+            [
+                {"rule": "not_null", "column": "k"},
+                {"rule": "accepted_range", "column": "qty", "lo": 1, "hi": 50},
+                {"rule": "accepted_values", "column": "flag",
+                 "values": ["A", "N"]},
+                {"rule": "unique", "column": "k"},
+                {"rule": "refers_to", "column": "k", "ref": dims,
+                 "ref_column": "k"},
+            ],
+        ).collect()
+    }
+    assert out[("not_null", "k")] == (1, False)
+    assert out[("accepted_range", "qty")] == (2, False)  # 60 + null
+    assert out[("accepted_values", "flag")] == (1, False)
+    assert out[("unique", "k")] == (1, False)            # k=1 twice
+    assert out[("refers_to", "k")] == (1, False)         # k=2 orphaned
