@@ -5291,6 +5291,105 @@ def expectations_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.unionByName(od)
 
 
+@_q(
+    "snapshot_diff_orders",
+    """
+    WITH old_s AS (SELECT o_orderkey, o_totalprice, o_orderstatus
+                   FROM orders WHERE o_orderkey % 3 <> 0),
+    new_s AS (SELECT o_orderkey, o_totalprice, o_orderstatus
+              FROM orders WHERE o_orderkey % 5 <> 0)
+    SELECT change, CAST(COUNT(*) AS BIGINT) AS n_keys,
+           ROUND(COALESCE(SUM(delta), 0), 4) AS total_price_delta
+    FROM (
+      SELECT CASE WHEN o.o_orderkey IS NULL THEN 'inserted'
+                  WHEN n.o_orderkey IS NULL THEN 'deleted'
+                  WHEN o.o_totalprice = n.o_totalprice
+                       AND o.o_orderstatus = n.o_orderstatus
+                    THEN 'unchanged'
+                  ELSE 'changed' END AS change,
+             COALESCE(n.o_totalprice, 0) - COALESCE(o.o_totalprice, 0)
+               AS delta
+      FROM old_s o FULL OUTER JOIN new_s n USING (o_orderkey))
+    GROUP BY change
+    """,
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation — the table-diff a pipeline runs between
+    two corpus versions (old = keys % 3 ≠ 0, new = keys % 5 ≠ 0 of the
+    same table, giving all four change classes): one key-keyed full outer
+    join, per-class counts and value drift. At 100 TB both snapshots
+    bucket by the key so the diff join is co-located."""
+    o = load_table(spark, sf_dir, "orders")
+    old_s = o.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    new_s = o.filter(F.col("o_orderkey") % 5 != 0).select(
+        F.col("o_orderkey"),
+        F.col("o_totalprice").alias("n_price"),
+        F.col("o_orderstatus").alias("n_status"),
+    )
+    j = old_s.join(new_s, "o_orderkey", "full_outer")
+    change = (
+        F.when(F.col("o_totalprice").isNull(), "inserted")
+        .when(F.col("n_price").isNull(), "deleted")
+        .when(
+            (F.col("o_totalprice") == F.col("n_price"))
+            & (F.col("o_orderstatus") == F.col("n_status")),
+            "unchanged",
+        )
+        .otherwise("changed")
+    )
+    delta = F.coalesce(F.col("n_price"), F.lit(0)) - F.coalesce(
+        F.col("o_totalprice"), F.lit(0)
+    )
+    return (
+        j.select(change.alias("change"), delta.alias("delta"))
+        .groupBy("change")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            _r4(F.coalesce(F.sum("delta"), F.lit(0.0))).alias(
+                "total_price_delta"
+            ),
+        )
+    )
+
+
+@_q(
+    "price_histogram",
+    """
+    WITH b AS (
+      SELECT CAST(LEAST(FLOOR(o_totalprice / 25000.0), 19) AS INT)
+               AS bucket
+      FROM orders)
+    SELECT bucket,
+           bucket * 25000.0 AS lo,
+           (bucket + 1) * 25000.0 AS hi,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM b GROUP BY bucket
+    """,
+)
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order totals (fixed 25k buckets, top bucket
+    clamped): one map-side-combined aggregation over ≤20 groups — the
+    profiling primitive behind range-partition planning and skew
+    detection."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.floor(F.col("o_totalprice") / 25000.0), F.lit(19)
+    ).cast("int")
+    return (
+        o.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bucket",
+            (F.col("bucket") * 25000.0).alias("lo"),
+            ((F.col("bucket") + 1) * 25000.0).alias("hi"),
+            "n",
+        )
+    )
+
+
 # ===========================================================================
 # Registration order for the driver window
 # ===========================================================================
