@@ -5390,6 +5390,51 @@ def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "dedup_graph_triangles",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               UNNEST(list_transform(
+                 generate_series(1, GREATEST(LEN(t) - 2, 0)),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+        FROM toks)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS u, b.doc_id AS v, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    e AS (
+      SELECT i.u, i.v FROM inter i
+      JOIN sizes sa ON i.u = sa.doc_id
+      JOIN sizes sb ON i.v = sb.doc_id
+      WHERE n_inter / CAST(sa.n + sb.n - n_inter AS DOUBLE) >= 0.05),
+    paths AS (
+      SELECT a.u, a.v, b.v AS w FROM e a JOIN e b ON a.v = b.u),
+    tri AS (
+      SELECT 1 FROM paths p JOIN e ON p.u = e.u AND p.w = e.v)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM paths) AS n_paths,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM tri) AS n_triangles
+    """,
+)
+def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the near-dup graph (oriented-edge join,
+    functions/graph.triangle_count over ngram_jaccard_pairs ≥ 0.05):
+    clique-shaped duplicate clusters are triangle-dense, chains are not —
+    the density audit behind choosing the dedup clustering strategy."""
+    from open_ftth_relational_projector_spark.functions.graph import (
+        triangle_count,
+    )
+
+    docs = scattered(load_table(spark, sf_dir, "documents"))
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.05, n=3)
+    return triangle_count(pairs)
+
+
 # ===========================================================================
 # Registration order for the driver window
 # ===========================================================================

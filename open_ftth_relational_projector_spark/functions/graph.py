@@ -278,3 +278,52 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks.select("node", F.round("rank", out_dp).alias("rank"))
+
+
+def triangle_count(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Global triangle count via the oriented-edge join (the canonical
+    MapReduce formulation): orient every edge low→high, join paths
+    (u→v, v→w), close each path against the oriented edge set (u→w).
+    Orientation means every triangle is counted exactly ONCE (u<v<w) and
+    the path join fans out on min-degree endpoints — the trick that tames
+    skew on high-degree hubs (a hub's edges mostly point INTO it).
+
+    Returns a single row (n_edges, n_paths, n_triangles) — the density
+    audit for near-dup graphs (dense clique clusters ⇒ triangle-heavy;
+    chains ⇒ none).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    paths = (
+        e.alias("a")
+        .join(e.alias("b"), F.col("a.v") == F.col("b.u"))
+        .select(
+            F.col("a.u").alias("u"),
+            F.col("a.v").alias("v"),
+            F.col("b.v").alias("w"),
+        )
+    )
+    tri = paths.join(
+        e.select(F.col("u").alias("tu"), F.col("v").alias("tw")),
+        (F.col("u") == F.col("tu")) & (F.col("w") == F.col("tw")),
+    )
+    return (
+        e.agg(F.count(F.lit(1)).alias("n_edges"))
+        .crossJoin(paths.agg(F.count(F.lit(1)).alias("n_paths")))
+        .crossJoin(tri.agg(F.count(F.lit(1)).alias("n_triangles")))
+        .select(
+            F.col("n_edges").cast("long"),
+            F.col("n_paths").cast("long"),
+            F.col("n_triangles").cast("long"),
+        )
+    )

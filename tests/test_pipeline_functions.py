@@ -1695,3 +1695,26 @@ def test_expectations_engine_counts_planted_violations(spark):
     assert out[("accepted_values", "flag")] == (1, False)
     assert out[("unique", "k")] == (1, False)            # k=1 twice
     assert out[("refers_to", "k")] == (1, False)         # k=2 orphaned
+
+
+def test_triangle_count_known_graphs(spark):
+    from open_ftth_relational_projector_spark.functions.graph import (
+        triangle_count,
+    )
+
+    # triangle + pendant edge: exactly 1 triangle; chain: none
+    tri = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "doc_a long, doc_b long"
+    )
+    r = triangle_count(tri).collect()[0]
+    assert (r["n_edges"], r["n_triangles"]) == (4, 1)
+    chain = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "doc_a long, doc_b long"
+    )
+    assert triangle_count(chain).collect()[0]["n_triangles"] == 0
+    # K4: 4 triangles, each counted once despite 6 edges
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(1, 5) for b in range(a + 1, 5)],
+        "doc_a long, doc_b long",
+    )
+    assert triangle_count(k4).collect()[0]["n_triangles"] == 4
