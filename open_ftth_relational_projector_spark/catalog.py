@@ -5435,6 +5435,43 @@ def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(pairs)
 
 
+@_q(
+    "tfidf_cosine_pairs",
+    """
+    WITH tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+        FROM documents)
+      GROUP BY doc_id, term),
+    dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n
+           FROM documents),
+    w AS (SELECT tf.doc_id, tf.term,
+                 tf.tf * LN(nd.n / dft.df) AS w
+          FROM tf JOIN dft USING (term) CROSS JOIN nd),
+    norms AS (SELECT doc_id, SQRT(SUM(w * w)) AS norm FROM w GROUP BY doc_id),
+    dots AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, SUM(a.w * b.w) AS dot
+      FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT d.doc_a, d.doc_b,
+           ROUND(d.dot / (na.norm * nb.norm), 4) AS cosine
+    FROM dots d
+    JOIN norms na ON na.doc_id = d.doc_a
+    JOIN norms nb ON nb.doc_id = d.doc_b
+    WHERE d.dot / (na.norm * nb.norm) >= 0.75
+    """,
+)
+def tfidf_cosine_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine similarity join (functions/text.
+    tfidf_cosine_pairs): candidate pairs only via the term inverted
+    index, weighted dot products, precomputed norms — the weighted
+    counterpart to ngram_jaccard_pairs."""
+    return TXT.tfidf_cosine_pairs(
+        scattered(load_table(spark, sf_dir, "documents")), threshold=0.75
+    )
+
+
 # ===========================================================================
 # Registration order for the driver window
 # ===========================================================================

@@ -216,3 +216,65 @@ def tf_idf_top_terms(
             F.round("tf_idf", 4).alias("tf_idf"),
         )
     )
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sparse-vector similarity join: document pairs whose TF-IDF vectors
+    have cosine ≥ threshold — the weighted counterpart to the set-based
+    n-gram Jaccard join (dedup.ngram_jaccard_pairs) and the sparse
+    counterpart to the dense embedding join (similarity.
+    embedding_near_dups).
+
+    tf = term count in doc; idf = ln(N / df). Plan shape — the standard
+    sparse sim-join: per-doc weights and norms from gram-keyed and
+    doc-keyed aggregations; candidate pairs ONLY through the term
+    inverted index (docs sharing no term never pair); per-pair dot from
+    the weight products, normalized by precomputed norms. Work is
+    Σ df(t)² over shared terms — bounded by the posting lists, never
+    all-pairs; at 100 TB cap/drop stop-term posting lists exactly like
+    ngram_jaccard_pairs' max_postings guard.
+    """
+    tf = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens(F.col(text_col))).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = docs.select(F.col(id_col)).distinct().count()
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = tf.join(df_t, "term").select(
+        "doc_id",
+        "term",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("w"),
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm")
+    )
+    a = w.select(
+        F.col("doc_id").alias("doc_a"), "term", F.col("w").alias("wa")
+    )
+    b = w.select(
+        F.col("doc_id").alias("doc_b"), "term", F.col("w").alias("wb")
+    )
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("norm").alias("norm_a"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("norm").alias("norm_b"))
+    cos = F.col("dot") / (F.col("norm_a") * F.col("norm_b"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(cos >= threshold)
+        .select("doc_a", "doc_b", F.round(cos, 4).alias("cosine"))
+    )

@@ -1718,3 +1718,20 @@ def test_triangle_count_known_graphs(spark):
         "doc_a long, doc_b long",
     )
     assert triangle_count(k4).collect()[0]["n_triangles"] == 4
+
+
+def test_tfidf_cosine_pairs_weighted_similarity(spark):
+    rows = [
+        (1, "apple banana cherry date"),
+        (2, "apple banana cherry fig"),      # 3/4 terms shared with 1
+        (3, "wolf xylophone yacht zebra"),   # disjoint from 1 and 2
+        (4, "wolf xylophone yacht zebra"),   # identical to 3
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r["doc_a"], r["doc_b"]): r["cosine"]
+        for r in TXT.tfidf_cosine_pairs(df, threshold=0.1).collect()
+    }
+    assert out[(3, 4)] == 1.0            # identical docs -> cosine 1
+    assert (1, 2) in out and 0 < out[(1, 2)] < 1
+    assert not any({a, b} & {3, 4} and {a, b} & {1, 2} for a, b in out)
