@@ -5472,6 +5472,146 @@ def tfidf_cosine_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "time_weighted_user_value",
+    """
+    WITH iv AS (
+      SELECT user_id, value, ts AS valid_from,
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to
+      FROM events WHERE event_type = 'purchase')
+    SELECT user_id,
+           CAST(COUNT(*) AS INTEGER) AS n_intervals,
+           ROUND(SUM(value * (epoch_us(valid_to) - epoch_us(valid_from)))
+                 / SUM(epoch_us(valid_to) - epoch_us(valid_from)), 4)
+             AS tw_avg_value
+    FROM iv WHERE valid_to IS NOT NULL
+    GROUP BY user_id
+    HAVING SUM(epoch_us(valid_to) - epoch_us(valid_from)) > 0
+    """,
+)
+def time_weighted_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average over the SCD2 validity intervals (the correct
+    'average balance' semantics — each value weighted by how long it was
+    current, open intervals excluded): one keyed window + one keyed
+    aggregate, composing scd2_user_value_history."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    iv = ev.select(
+        "user_id",
+        "value",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    ).filter(F.col("valid_to").isNotNull())
+    # exact integer microseconds: unix_timestamp would TRUNCATE to seconds
+    # while DuckDB's epoch keeps the fraction — µs is exact on both engines
+    dur = (
+        F.unix_micros(F.col("valid_to").cast("timestamp"))
+        - F.unix_micros(F.col("valid_from").cast("timestamp"))
+    ).cast("double")
+    return (
+        iv.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_intervals"),
+            (F.sum(F.col("value") * dur) / F.sum(dur)).alias("_tw"),
+            F.sum(dur).alias("_d"),
+        )
+        .filter(F.col("_d") > 0)
+        .select("user_id", "n_intervals", _r4(F.col("_tw")).alias("tw_avg_value"))
+    )
+
+
+@_q(
+    "zorder_locality_audit",
+    """
+    WITH m AS (
+      SELECT o_orderkey,
+             o_custkey % 1024 AS ck,
+             CAST(FLOOR(date_diff('day', DATE '1992-01-01',
+                                  CAST(o_orderdate AS DATE)) / 7.0)
+               AS BIGINT) % 1024 AS wk
+      FROM orders),
+    z AS (
+      SELECT o_orderkey, ck, wk,
+             list_sum([(((ck >> b) & 1) << (2 * b))
+                       + (((wk >> b) & 1) << (2 * b + 1))
+                       FOR b IN range(0, 10)]) AS morton
+      FROM m),
+    chunks AS (
+      SELECT ck, wk, 'zorder' AS ordering,
+             CAST(FLOOR((ROW_NUMBER() OVER (ORDER BY morton, o_orderkey) - 1)
+                        / 150) AS INT) AS chunk
+      FROM z
+      UNION ALL
+      SELECT ck, wk, 'natural',
+             CAST(FLOOR((ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1)
+                        / 150) AS INT)
+      FROM z)
+    SELECT ordering, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           ROUND(AVG(ck_span), 4) AS avg_ck_span,
+           ROUND(AVG(wk_span), 4) AS avg_wk_span
+    FROM (
+      SELECT ordering, chunk, MAX(ck) - MIN(ck) AS ck_span,
+             MAX(wk) - MIN(wk) AS wk_span
+      FROM chunks GROUP BY ordering, chunk)
+    GROUP BY ordering
+    """,
+)
+def zorder_locality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout audit — the Delta/Iceberg OPTIMIZE ZORDER
+    primitive: interleave the bits of (custkey, order-week), sort by the
+    code, cut into 150-row chunks (stand-ins for row groups), and measure
+    per-chunk key spans. Narrow spans on BOTH dimensions are what make
+    min/max row-group pruning effective for predicates on EITHER key —
+    the property a single-column sort cannot give. Bit interleave is a
+    pure JVM expression; the chunking is one global sort (row-group
+    assignment is exactly the write-path sort at scale)."""
+    o = load_table(spark, sf_dir, "orders")
+    ck = F.col("o_custkey") % 1024
+    wk = (
+        F.floor(
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1992-01-01"))
+            / F.lit(7)
+        ).cast("long")
+        % 1024
+    )
+    morton = None
+    for b in range(10):
+        term = (
+            F.shiftleft((ck.cast("long") / F.lit(2**b)).cast("long") % 2, 2 * b)
+            + F.shiftleft((wk / F.lit(2**b)).cast("long") % 2, 2 * b + 1)
+        )
+        morton = term if morton is None else morton + term
+    z = o.select(
+        "o_orderkey", ck.alias("ck"), wk.alias("wk"), morton.alias("morton")
+    )
+    def chunked(order_cols, label):
+        wseq = W.orderBy(*order_cols)
+        return z.select(
+            "ck",
+            "wk",
+            F.lit(label).alias("ordering"),
+            F.floor((F.row_number().over(wseq) - 1) / F.lit(150))
+            .cast("int")
+            .alias("chunk"),
+        )
+
+    chunks = chunked(["morton", "o_orderkey"], "zorder").unionByName(
+        chunked(["o_orderkey"], "natural")
+    )
+    spans = chunks.groupBy("ordering", "chunk").agg(
+        (F.max("ck") - F.min("ck")).alias("ck_span"),
+        (F.max("wk") - F.min("wk")).alias("wk_span"),
+    )
+    return spans.groupBy("ordering").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        _r4(F.avg("ck_span")).alias("avg_ck_span"),
+        _r4(F.avg("wk_span")).alias("avg_wk_span"),
+    )
+
+
 # ===========================================================================
 # Registration order for the driver window
 # ===========================================================================
