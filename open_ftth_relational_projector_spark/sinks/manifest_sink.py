@@ -1,0 +1,92 @@
+"""Manifest-committed parquet sink: atomic publish over eventually-
+consistent storage — the minimal form of the lakehouse commit protocol
+(Delta/Iceberg's core idea: readers trust a MANIFEST, never a directory
+listing).
+
+Write path: data files land under ``data/`` with a unique version prefix;
+the commit is ONE atomic rename of ``_manifest.<version>.json.tmp`` →
+``_manifest.json`` listing exactly the files of that version. A writer
+that crashes after landing data files but BEFORE the manifest swap leaves
+orphans that no reader will ever see — torn writes are impossible by
+construction, which is the storage-layer half of effective exactly-once
+(the engine half is the idempotent MERGE in sinks/jdbc_sink.py, T5).
+
+Read path: parse ``_manifest.json``, read exactly those files. A
+concurrent writer can land any number of data files without affecting
+readers until its single rename.
+
+At 100 TB the same protocol holds — the manifest is small (file list +
+stats), the rename is the only operation that must be atomic, and object
+stores provide that via put-if-absent/rename semantics. Orphan files are
+reclaimed by a janitor comparing the listing against the manifest chain
+(``vacuum_orphans``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _manifest_path(path: str) -> str:
+    return os.path.join(path, "_manifest.json")
+
+
+def write_versioned(df: DataFrame, path: str, version: int) -> list[str]:
+    """Land the data files for ``version`` and atomically publish them.
+    Returns the committed file list."""
+    staging = os.path.join(path, "data", f"v{version}-{uuid.uuid4().hex[:8]}")
+    df.write.mode("overwrite").parquet(staging)
+    files = sorted(
+        os.path.join(staging, f)
+        for f in os.listdir(staging)
+        if f.endswith(".parquet")
+    )
+    tmp = _manifest_path(path) + f".v{version}.tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"version": version, "files": files}, fh)
+    os.replace(tmp, _manifest_path(path))  # the single atomic commit
+    return files
+
+
+def land_uncommitted(df: DataFrame, path: str, version: int) -> list[str]:
+    """Simulate a writer crash: data files land, the manifest swap never
+    happens. Readers must not observe these files."""
+    staging = os.path.join(path, "data", f"v{version}-crashed")
+    df.write.mode("overwrite").parquet(staging)
+    return sorted(
+        os.path.join(staging, f)
+        for f in os.listdir(staging)
+        if f.endswith(".parquet")
+    )
+
+
+def read_committed(spark: SparkSession, path: str) -> DataFrame:
+    """Read exactly the files the manifest names — never the directory."""
+    with open(_manifest_path(path)) as fh:
+        manifest = json.load(fh)
+    return spark.read.parquet(*manifest["files"])
+
+
+def committed_version(path: str) -> int:
+    with open(_manifest_path(path)) as fh:
+        return int(json.load(fh)["version"])
+
+
+def vacuum_orphans(path: str) -> list[str]:
+    """Delete data files not referenced by the current manifest; returns
+    the removed paths (the janitor half of the protocol)."""
+    with open(_manifest_path(path)) as fh:
+        keep = set(json.load(fh)["files"])
+    removed = []
+    data_root = os.path.join(path, "data")
+    for root, _dirs, files in os.walk(data_root):
+        for f in files:
+            p = os.path.join(root, f)
+            if f.endswith(".parquet") and p not in keep:
+                os.remove(p)
+                removed.append(p)
+    return sorted(removed)

@@ -111,3 +111,49 @@ def test_partitioned_layout_prunes_directories(spark, tmp_path):
     # non-partition predicates still push down to the reader as usual
     long_en = en.filter("n_chars > 200")
     assert any("n_chars" in f for f in C.pushed_filters(long_en))
+
+
+def test_manifest_sink_atomic_publish_and_vacuum(spark, tmp_path):
+    """The lakehouse commit protocol in miniature: readers see only
+    manifest-committed versions; a crashed writer's landed-but-uncommitted
+    files are invisible and vacuumable; the next successful commit swaps
+    the whole visible file set atomically."""
+    from open_ftth_relational_projector_spark.sinks import manifest_sink as M
+
+    path = str(tmp_path / "tbl")
+    v1 = spark.range(0, 100).withColumnRenamed("id", "k")
+    M.write_versioned(v1, path, version=1)
+    assert M.read_committed(spark, path).count() == 100
+    assert M.committed_version(path) == 1
+
+    # writer crash: v2 files land, manifest never swaps
+    v2 = spark.range(0, 250).withColumnRenamed("id", "k")
+    orphaned = M.land_uncommitted(v2, path, version=2)
+    assert orphaned  # files exist on disk...
+    assert M.read_committed(spark, path).count() == 100  # ...readers blind
+    assert M.committed_version(path) == 1
+
+    removed = M.vacuum_orphans(path)
+    assert set(removed) >= set(orphaned)
+    assert M.read_committed(spark, path).count() == 100
+
+    # retry succeeds: one rename flips readers to v2
+    M.write_versioned(v2, path, version=2)
+    assert M.read_committed(spark, path).count() == 250
+    assert M.committed_version(path) == 2
+
+
+def test_aqe_coalesces_post_shuffle_partitions(spark):
+    """AQE must be ON and actually re-planning: a small groupBy configured
+    with 32 shuffle partitions should read back a coalesced exchange, not
+    32 tiny reducers — the runtime re-plan the engine relies on at scale
+    for skew and small-partition collapse."""
+    df = (
+        spark.range(0, 1000)
+        .selectExpr("id % 7 AS k", "id AS v")
+        .groupBy("k")
+        .count()
+    )
+    df.collect()  # AQE finalizes the plan on execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "AQEShuffleRead" in plan and "coalesced" in plan, plan[:1500]
