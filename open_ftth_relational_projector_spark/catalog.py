@@ -5612,6 +5612,93 @@ def zorder_locality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "event_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events),
+    pairs AS (SELECT event_type AS prev_type, next_type
+              FROM seq WHERE next_type IS NOT NULL),
+    totals AS (SELECT prev_type, COUNT(*) AS n_from FROM pairs
+               GROUP BY prev_type)
+    SELECT p.prev_type, p.next_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(COUNT(*) / CAST(t.n_from AS DOUBLE), 4) AS p_transition
+    FROM pairs p JOIN totals t USING (prev_type)
+    GROUP BY p.prev_type, p.next_type, t.n_from
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of the event stream: per-user
+    consecutive event-type pairs (one keyed window), counts and row-
+    normalized transition probabilities — the behavioral-analytics
+    primitive behind next-action prediction and funnel anomaly checks."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("prev_type"),
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .filter(F.col("next_type").isNotNull())
+    )
+    counts = pairs.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = counts.groupBy("prev_type").agg(F.sum("n").alias("n_from"))
+    return (
+        counts.join(F.broadcast(totals), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            _r4(F.col("n") / F.col("n_from").cast("double")).alias(
+                "p_transition"
+            ),
+        )
+    )
+
+
+@_q(
+    "rolling_7d_active_users",
+    """
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+    days AS (SELECT DISTINCT day FROM du)
+    SELECT d.day,
+           CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau
+    FROM days d
+    JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+    GROUP BY d.day
+    """,
+)
+def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day (the WAU curve).
+    Distinct-over-sliding-window cannot ride an ordinary window frame, so
+    the standing shape is (day, user) pairs range-joined to the day
+    spine — pair volume is active-days × 7, linear in users; at 100 TB
+    swap the exact distinct for an HLL sketch merged across the frame."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    days = du.select("day").distinct()
+    return (
+        days.alias("d")
+        .join(
+            du.alias("u"),
+            F.col("u.day").between(
+                F.date_sub(F.col("d.day"), 6), F.col("d.day")
+            ),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.countDistinct("u.user_id").alias("wau"))
+    )
+
+
 # ===========================================================================
 # Registration order for the driver window
 # ===========================================================================
