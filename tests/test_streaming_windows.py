@@ -242,3 +242,54 @@ def test_curation_signals_stream_shard_by_shard(spark, tmp_path):
         streamed.exceptAll(batch).count() == 0
         and batch.exceptAll(streamed).count() == 0
     )
+
+
+def test_stream_stream_join_within_time_bound(spark, tmp_path):
+    """Stream-stream inner join with watermarks: click events join
+    purchase events of the same user within 10 minutes AFTER the click.
+    Both sides are real file streams; watermarks bound the join state so
+    it can evict (the property that makes stream-stream joins feasible at
+    scale). The drained result equals the equivalent batch range-join."""
+    import os
+
+    clicks_src = str(tmp_path / "clicks")
+    buys_src = str(tmp_path / "buys")
+    out = str(tmp_path / "out")
+    cp = str(tmp_path / "cp")
+    _land(_rows([(0, "click"), (30, "click")]), clicks_src, "c0")
+    _land(_rows([(5, "purchase"), (32, "purchase"), (55, "purchase")]),
+          buys_src, "b0")
+
+    clicks = (
+        spark.readStream.schema(SCHEMA).parquet(clicks_src)
+        .selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS click_ts")
+        .withWatermark("click_ts", "30 minutes")
+    )
+    buys = (
+        spark.readStream.schema(SCHEMA).parquet(buys_src)
+        .selectExpr("user_id AS b_user", "CAST(ts AS TIMESTAMP) AS buy_ts")
+        .withWatermark("buy_ts", "30 minutes")
+    )
+    joined = clicks.join(
+        buys,
+        F.expr(
+            "user_id = b_user AND "
+            "buy_ts >= click_ts AND buy_ts <= click_ts + INTERVAL 10 MINUTES"
+        ),
+    ).select("user_id", "click_ts", "buy_ts")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", cp)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    streamed = {
+        (r["click_ts"].minute, r["buy_ts"].minute)
+        for r in spark.read.parquet(out).collect()
+    }
+    # click@0 pairs with buy@5; click@30 with buy@32; buy@55 matches nothing
+    assert streamed == {(0, 5), (30, 32)}
