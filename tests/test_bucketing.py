@@ -157,3 +157,41 @@ def test_aqe_coalesces_post_shuffle_partitions(spark):
     df.collect()  # AQE finalizes the plan on execution
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "AQEShuffleRead" in plan and "coalesced" in plan, plan[:1500]
+
+
+def test_dynamic_partition_overwrite_backfills_one_day(spark, tmp_path):
+    """The backfill pattern: daily aggregates land partitioned by day;
+    when late data arrives for ONE day, dynamic partition overwrite
+    rewrites only that partition — untouched days keep their exact files
+    (verified by file listing), so a backfill never rewrites the table."""
+    import os
+
+    path = str(tmp_path / "daily")
+    base = spark.createDataFrame(
+        [("2024-01-01", 10), ("2024-01-02", 20), ("2024-01-03", 30)],
+        "day string, total long",
+    )
+    base.write.partitionBy("day").mode("overwrite").parquet(path)
+
+    def files_of(day):
+        d = os.path.join(path, f"day={day}")
+        return sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+
+    before_d1 = files_of("2024-01-01")
+    before_d3 = files_of("2024-01-03")
+
+    corrected = spark.createDataFrame(
+        [("2024-01-02", 25)], "day string, total long"
+    )
+    (
+        corrected.write.partitionBy("day")
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(path)
+    )
+
+    back = {str(r["day"]): r["total"] for r in spark.read.parquet(path).collect()}
+    assert back == {"2024-01-01": 10, "2024-01-02": 25, "2024-01-03": 30}
+    # untouched partitions keep their exact files
+    assert files_of("2024-01-01") == before_d1
+    assert files_of("2024-01-03") == before_d3
