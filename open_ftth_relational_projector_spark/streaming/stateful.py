@@ -143,3 +143,37 @@ def stateful_work_task_tws(envelopes: DataFrame) -> DataFrame:
 
 def _noop(*_: Any) -> None:  # pragma: no cover - keeps linters quiet
     return None
+
+
+def stateful_running_totals(
+    events: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Generic keyed running aggregate with Spark-managed state
+    (applyInPandasWithState): per key, the total and count of every value
+    ever seen — carried in the state store across micro-batches AND across
+    query restarts (state rehydrates from the checkpoint; pinned in
+    tests/test_stateful.py). The minimal template for custom stateful
+    operators beyond what windowed aggregations express."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fold(key, pdfs, state):
+        total, n = state.get if state.exists else (0.0, 0)
+        for pdf in pdfs:
+            total += float(pdf[value_col].sum())
+            n += int(len(pdf))
+        state.update((total, n))
+        yield pd.DataFrame(
+            {key_col: [key[0]], "total": [total], "n": [n]}
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        fold,
+        f"{key_col} long, total double, n long",
+        "total double, n long",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -141,3 +141,54 @@ def test_tws_work_task_matches_batch(spark):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_stateful_state_survives_query_restart(spark, tmp_path):
+    """applyInPandasWithState state must rehydrate from the checkpoint:
+    two SEPARATE query runs (not just two micro-batches) — the second
+    run's totals include the first run's rows."""
+    from open_ftth_relational_projector_spark.streaming.stateful import (
+        stateful_running_totals,
+    )
+
+    src, cp = str(tmp_path / "src"), str(tmp_path / "cp")
+
+    def land(rows):
+        spark.createDataFrame(
+            rows, "user_id long, value double"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "out")
+
+    def drain(run):
+        # memory sink refuses checkpoint recovery; foreachBatch supports it
+        def sink(batch_df, batch_id):
+            batch_df.withColumn("run", F.lit(run)).write.mode(
+                "append"
+            ).parquet(out)
+
+        q = (
+            stateful_running_totals(
+                spark.readStream.schema("user_id long, value double").parquet(src)
+            )
+            .writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            r["user_id"]: (r["total"], r["n"])
+            for r in spark.read.parquet(out).filter(F.col("run") == run).collect()
+        }
+
+    land([(1, 2.0), (1, 3.0), (2, 5.0)])
+    first = drain(1)
+    assert first == {1: (5.0, 2), 2: (5.0, 1)}
+
+    land([(1, 10.0), (3, 1.0)])
+    second = drain(2)  # fresh query, same checkpoint
+    assert second[1] == (15.0, 3)  # prior state restored, not recomputed
+    assert second[3] == (1.0, 1)
+    assert 2 not in second  # untouched key emits nothing in update mode
