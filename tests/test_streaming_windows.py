@@ -293,3 +293,61 @@ def test_stream_stream_join_within_time_bound(spark, tmp_path):
     }
     # click@0 pairs with buy@5; click@30 with buy@32; buy@55 matches nothing
     assert streamed == {(0, 5), (30, 32)}
+
+
+def test_stream_stream_left_outer_emits_unmatched_after_watermark(
+    spark, tmp_path
+):
+    """Left-outer stream-stream join: a click with no purchase inside its
+    10-minute bound must STILL emit (null buy side) — but only once the
+    watermark proves no match can arrive. Batch 2's far-future row
+    advances the watermark past every batch-1 click, forcing the
+    unmatched emission."""
+    clicks_src = str(tmp_path / "clicks")
+    buys_src = str(tmp_path / "buys")
+    out = str(tmp_path / "out")
+    cp = str(tmp_path / "cp")
+    _land(_rows([(0, "click"), (20, "click")]), clicks_src, "c0")
+    _land(_rows([(2, "purchase")]), buys_src, "b0")
+
+    def drain():
+        clicks = (
+            spark.readStream.schema(SCHEMA).parquet(clicks_src)
+            .selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS click_ts")
+            .withWatermark("click_ts", "5 minutes")
+        )
+        buys = (
+            spark.readStream.schema(SCHEMA).parquet(buys_src)
+            .selectExpr("user_id AS b_user", "CAST(ts AS TIMESTAMP) AS buy_ts")
+            .withWatermark("buy_ts", "5 minutes")
+        )
+        joined = clicks.join(
+            buys,
+            F.expr(
+                "user_id = b_user AND buy_ts >= click_ts "
+                "AND buy_ts <= click_ts + INTERVAL 10 MINUTES"
+            ),
+            "left_outer",
+        ).select("user_id", "click_ts", "buy_ts")
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            (r["click_ts"].minute, r["buy_ts"].minute if r["buy_ts"] else None)
+            for r in spark.read.parquet(out).collect()
+        }
+
+    first = drain()
+    assert (0, 2) in first  # the matched pair emits immediately
+    # batch 2: far-future rows push both watermarks past minute 30
+    _land(_rows([(240, "click")]), clicks_src, "c1")
+    _land(_rows([(240, "purchase")]), buys_src, "b1")
+    second = drain()
+    # the unmatched click@20 now emits with a null buy side
+    assert (20, None) in second
