@@ -5699,6 +5699,60 @@ def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "json_dlq_report",
+    """
+    WITH raw AS (
+      SELECT event_type,
+             '{"id": ' || event_id
+             || CASE WHEN event_id % 7 = 0 THEN ', "v" ' ELSE ', "v": ' END
+             || ROUND(value, 4) || '}' AS payload
+      FROM events),
+    parsed AS (
+      SELECT event_type,
+             CASE WHEN json_valid(payload) THEN 1 ELSE 0 END AS ok
+      FROM raw)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(ok) AS BIGINT) AS n_ok,
+           CAST(SUM(1 - ok) AS BIGINT) AS n_dlq
+    FROM parsed GROUP BY event_type
+    """,
+)
+def json_dlq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter-queue ingestion accounting: JSON payloads built from
+    the events table with every 7th record deterministically corrupted
+    (missing colon); the malformed ones must land in the DLQ
+    count, not crash the job and not silently vanish. Spark's PERMISSIVE
+    from_json yields a struct of null fields for corrupt rows (the router
+    predicate is a required field's nullness) while DuckDB classifies
+    with json_valid."""
+    ev = load_table(spark, sf_dir, "events")
+    payload = F.concat(
+        F.lit('{"id": '),
+        F.col("event_id").cast("string"),
+        # corruption: drop the colon after "v" — invalid for every parser
+        # (a missing closing brace is repaired by lenient Jackson readers)
+        F.when(F.col("event_id") % 7 == 0, F.lit(', "v" ')).otherwise(
+            F.lit(', "v": ')
+        ),
+        F.round("value", 4).cast("string"),
+        F.lit("}"),
+    )
+    parsed = ev.select(
+        "event_type",
+        F.from_json(payload, "id LONG, v DOUBLE").alias("j"),
+    )
+    # PERMISSIVE from_json yields a struct of NULL FIELDS (not a null
+    # struct) for corrupt records — route on a required field
+    ok = F.col("j.id").isNotNull().cast("int")
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(ok).alias("n_ok"),
+        F.sum(1 - ok).alias("n_dlq"),
+    )
+
+
 # ===========================================================================
 # Registration order for the driver window
 # ===========================================================================

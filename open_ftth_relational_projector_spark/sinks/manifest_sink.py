@@ -90,3 +90,25 @@ def vacuum_orphans(path: str) -> list[str]:
                 os.remove(p)
                 removed.append(p)
     return sorted(removed)
+
+
+def compact(
+    spark: SparkSession, path: str, target_files: int
+) -> tuple[int, int]:
+    """Small-files compaction: rewrite the committed data into
+    ``target_files`` parquet files and publish as the next version with
+    the same atomic manifest swap — readers flip between the pre- and
+    post-compaction file sets with no window where either is torn. The
+    replaced files become orphans for ``vacuum_orphans``.
+
+    Returns (n_files_before, n_files_after). At 100 TB this is the
+    maintenance job that keeps scan task counts sane after many small
+    incremental commits; target_files is chosen so one file ≈ one task's
+    worth (the same sizing rule as sources/bucketing.py).
+    """
+    with open(_manifest_path(path)) as fh:
+        manifest = json.load(fh)
+    before = len(manifest["files"])
+    df = spark.read.parquet(*manifest["files"]).coalesce(target_files)
+    files = write_versioned(df, path, manifest["version"] + 1)
+    return before, len(files)

@@ -195,3 +195,24 @@ def test_dynamic_partition_overwrite_backfills_one_day(spark, tmp_path):
     # untouched partitions keep their exact files
     assert files_of("2024-01-01") == before_d1
     assert files_of("2024-01-03") == before_d3
+
+
+def test_manifest_compaction_preserves_data_atomically(spark, tmp_path):
+    from open_ftth_relational_projector_spark.sinks import manifest_sink as M
+
+    path = str(tmp_path / "tbl")
+    # a fragmented commit: 16 small files
+    df = spark.range(0, 1000).repartition(16).withColumnRenamed("id", "k")
+    M.write_versioned(df, path, version=1)
+    assert M.read_committed(spark, path).count() == 1000
+
+    before, after = M.compact(spark, path, target_files=2)
+    assert before == 16 and after == 2
+    assert M.committed_version(path) == 2
+    back = M.read_committed(spark, path)
+    assert back.count() == 1000
+    assert back.agg({"k": "sum"}).collect()[0][0] == sum(range(1000))
+    # old fragments are now orphans and vacuumable
+    removed = M.vacuum_orphans(path)
+    assert len(removed) == 16
+    assert M.read_committed(spark, path).count() == 1000
