@@ -5753,6 +5753,50 @@ def json_dlq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "customer_er_candidates",
+    """
+    SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INT) AS name_dist,
+           a.c_mktsegment = b.c_mktsegment AS same_segment
+    FROM customer a JOIN customer b
+      ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 2
+    """,
+)
+def customer_er_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution candidate generation — blocking + pairwise fuzzy
+    match: pairs only form INSIDE a nation block (the record-linkage move
+    that avoids the all-pairs explosion; at 100 TB block on several
+    cheap keys and union), scored with edit distance (JVM levenshtein ==
+    DuckDB levenshtein) plus corroborating-attribute agreement."""
+    c = load_table(spark, sf_dir, "customer")
+    a = c.select(
+        F.col("c_custkey").alias("cust_a"),
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_name").alias("name_a"),
+        F.col("c_mktsegment").alias("seg_a"),
+    )
+    b = c.select(
+        F.col("c_custkey").alias("cust_b"),
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_name").alias("name_b"),
+        F.col("c_mktsegment").alias("seg_b"),
+    )
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    return (
+        a.join(b, "nk")
+        .filter(F.col("cust_a") < F.col("cust_b"))
+        .filter(dist <= 2)
+        .select(
+            "cust_a",
+            "cust_b",
+            dist.cast("int").alias("name_dist"),
+            (F.col("seg_a") == F.col("seg_b")).alias("same_segment"),
+        )
+    )
+
+
 # ===========================================================================
 # Registration order for the driver window
 # ===========================================================================

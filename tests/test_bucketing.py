@@ -216,3 +216,34 @@ def test_manifest_compaction_preserves_data_atomically(spark, tmp_path):
     removed = M.vacuum_orphans(path)
     assert len(removed) == 16
     assert M.read_committed(spark, path).count() == 1000
+
+
+def test_range_partitioned_export_is_globally_sorted(spark, tmp_path):
+    """Ordered export: repartitionByRange + sortWithinPartitions writes
+    files whose key ranges are disjoint and ordered (file N's max < file
+    N+1's min) — the layout downstream consumers need for merge-reads and
+    binary-searchable shards, with NO global single-partition sort."""
+    import os
+
+    path = str(tmp_path / "sorted_export")
+    df = spark.range(0, 10000).selectExpr("CAST(id * 2654435761 % 100000 AS LONG) AS k")
+    (
+        df.repartitionByRange(8, "k")
+        .sortWithinPartitions("k")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for f in sorted(os.listdir(path)):
+        if f.endswith(".parquet"):
+            t = pq.read_table(os.path.join(path, f), columns=["k"])
+            ks = t["k"].to_pylist()
+            assert ks == sorted(ks), f"{f} not internally sorted"
+            if ks:
+                ranges.append((min(ks), max(ks)))
+    ranges.sort()
+    assert len(ranges) >= 4
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, "file key ranges must be disjoint and ordered"
