@@ -5797,6 +5797,134 @@ def customer_er_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "point_in_time_features",
+    """
+    WITH tagged AS (
+      SELECT event_id, user_id, ts, event_type, value,
+             COUNT(CASE WHEN event_type = 'click' THEN 1 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS n_clicks_before,
+             SUM(CASE WHEN event_type = 'click' THEN value END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS click_value_before
+      FROM events)
+    SELECT event_id AS label_event_id, user_id, ts AS label_ts,
+           CAST(COALESCE(n_clicks_before, 0) AS BIGINT) AS n_clicks_before,
+           ROUND(COALESCE(click_value_before, 0.0), 4)
+             AS click_value_before
+    FROM tagged WHERE event_type = 'purchase'
+    """,
+)
+def point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct feature join — the feature-store leakage
+    guard: every purchase (label) row carries the user's click count and
+    click-value mass STRICTLY BEFORE the label timestamp (frame ends at
+    1 PRECEDING, so a click at the exact label row can't leak). One keyed
+    window over the unioned stream — no per-label point lookup, no future
+    data; the pattern training-set builders must use instead of a naive
+    feature join."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    is_click = F.col("event_type") == "click"
+    tagged = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.count(F.when(is_click, 1)).over(w).alias("n_clicks_before"),
+        F.sum(F.when(is_click, F.col("value"))).over(w).alias(
+            "click_value_before"
+        ),
+    )
+    return tagged.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("label_event_id"),
+        "user_id",
+        F.col("ts").alias("label_ts"),
+        F.coalesce(F.col("n_clicks_before"), F.lit(0))
+        .cast("long")
+        .alias("n_clicks_before"),
+        _r4(F.coalesce(F.col("click_value_before"), F.lit(0.0))).alias(
+            "click_value_before"
+        ),
+    )
+
+
+@_q(
+    "negative_samples_per_customer",
+    """
+    WITH bought AS (
+      SELECT DISTINCT o.o_custkey AS custkey, l.l_partkey AS partkey
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    custs AS (SELECT DISTINCT custkey FROM bought),
+    cand AS (
+      SELECT c.custkey, p.p_partkey AS partkey,
+             substr(md5(c.custkey || '#' || p.p_partkey || '#neg'), 1, 8)
+               AS u
+      FROM custs c CROSS JOIN part p),
+    unseen AS (
+      SELECT cand.custkey, cand.partkey, cand.u
+      FROM cand LEFT JOIN bought b
+        ON b.custkey = cand.custkey AND b.partkey = cand.partkey
+      WHERE b.custkey IS NULL)
+    SELECT custkey, partkey FROM (
+      SELECT custkey, partkey,
+             ROW_NUMBER() OVER (PARTITION BY custkey
+                                ORDER BY u, partkey) AS rn
+      FROM unseen) WHERE rn <= 3
+    """,
+)
+def negative_samples_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for recommender training: per
+    customer, 3 parts they never bought, chosen by md5-uniform order —
+    reproducible across runs/engines (no rand()). Candidates are the
+    customer×part grid minus the purchase set (anti-join); at 100 TB the
+    grid is never materialized — sample candidate parts per customer
+    first (md5-bucketed) and anti-join only the sampled slice."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    bought = (
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("l_partkey").alias("partkey"),
+        )
+        .distinct()
+    )
+    custs = bought.select("custkey").distinct()
+    cand = custs.crossJoin(
+        F.broadcast(part.select(F.col("p_partkey").alias("partkey")))
+    ).withColumn(
+        "u",
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "#",
+                    F.col("custkey"),
+                    F.col("partkey"),
+                    F.lit("neg"),
+                )
+            ),
+            1,
+            8,
+        ),
+    )
+    unseen = cand.join(bought, ["custkey", "partkey"], "left_anti")
+    w = W.partitionBy("custkey").orderBy("u", "partkey")
+    return (
+        unseen.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("custkey", "partkey")
+    )
+
+
 # ===========================================================================
 # Registration order for the driver window
 # ===========================================================================
