@@ -5925,6 +5925,58 @@ def negative_samples_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@_q(
+    "winsorized_value_stats",
+    """
+    WITH thr AS (
+      SELECT event_type,
+             percentile_cont(0.05) WITHIN GROUP (ORDER BY value) AS p05,
+             percentile_cont(0.95) WITHIN GROUP (ORDER BY value) AS p95
+      FROM events GROUP BY event_type)
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(e.value), 4) AS raw_mean,
+           ROUND(AVG(LEAST(GREATEST(e.value, t.p05), t.p95)), 4)
+             AS winsorized_mean,
+           CAST(SUM(CASE WHEN e.value < t.p05 OR e.value > t.p95
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_capped
+    FROM events e JOIN thr t USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization — outlier capping at the per-group p05/p95 before
+    statistics (the feature-prep step that keeps heavy tails from
+    dominating a mean): exact interpolating percentiles per key in one
+    pass (a tiny per-group table broadcast back), then clamp-and-average.
+    At 100 TB the exact percentile swaps for approx_percentile, same
+    shape."""
+    ev = load_table(spark, sf_dir, "events")
+    thr = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("p05"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+    )
+    clamped = F.least(
+        F.greatest(F.col("value"), F.col("p05")), F.col("p95")
+    )
+    return (
+        ev.join(F.broadcast(thr), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _r4(F.avg("value")).alias("raw_mean"),
+            _r4(F.avg(clamped)).alias("winsorized_mean"),
+            F.sum(
+                F.when(
+                    (F.col("value") < F.col("p05"))
+                    | (F.col("value") > F.col("p95")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_capped"),
+        )
+    )
+
+
 # ===========================================================================
 # Registration order for the driver window
 # ===========================================================================

@@ -247,3 +247,22 @@ def test_range_partitioned_export_is_globally_sorted(spark, tmp_path):
     assert len(ranges) >= 4
     for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
         assert hi1 < lo2, "file key ranges must be disjoint and ordered"
+
+
+def test_schema_evolution_merge_across_shards(spark, tmp_path):
+    """Ingestion must tolerate additive schema evolution: a later shard
+    adds a column; mergeSchema reads the union schema with nulls for the
+    old shard — and the default (no mergeSchema) keeps reading with one
+    shard's schema rather than failing."""
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, "a")], "doc_id long, text string"
+    ).write.mode("append").parquet(path)
+    spark.createDataFrame(
+        [(2, "b", "en")], "doc_id long, text string, lang string"
+    ).write.mode("append").parquet(path)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"doc_id", "text", "lang"}
+    by_id = {r["doc_id"]: r for r in merged.collect()}
+    assert by_id[1]["lang"] is None and by_id[2]["lang"] == "en"
