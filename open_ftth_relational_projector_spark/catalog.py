@@ -5977,6 +5977,55 @@ def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "pseudonymized_join_integrity",
+    """
+    WITH pc AS (
+      SELECT md5('tenant-salt#' || c_custkey) AS pid, c_nationkey
+      FROM customer),
+    po AS (
+      SELECT md5('tenant-salt#' || o_custkey) AS pid, o_totalprice
+      FROM orders)
+    SELECT pc.c_nationkey AS nationkey,
+           CAST(COUNT(DISTINCT pc.pid) AS BIGINT) AS n_customers,
+           CAST(COUNT(po.pid) AS BIGINT) AS n_orders,
+           ROUND(COALESCE(SUM(po.o_totalprice), 0), 4) AS total_price
+    FROM pc LEFT JOIN po USING (pid)
+    GROUP BY pc.c_nationkey
+    """,
+)
+def pseudonymized_join_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pseudonymization that PRESERVES JOINABILITY: customer
+    and order keys are independently tokenized with the same salted md5,
+    then joined on the pseudonym — per-nation order counts and totals come
+    out identical to joining raw keys, while no raw key crosses the
+    boundary. The privacy-pipeline pattern for sharing linked tables
+    without identifiers (salt rotation = re-keying the whole universe)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+
+    def pseudo(col):
+        return F.md5(F.concat(F.lit("tenant-salt#"), col.cast("string")))
+
+    pc = cust.select(
+        pseudo(F.col("c_custkey")).alias("pid"), "c_nationkey"
+    )
+    po = orders.select(
+        pseudo(F.col("o_custkey")).alias("pid"), "o_totalprice"
+    )
+    return (
+        pc.join(po, "pid", "left")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.countDistinct("pid").alias("n_customers"),
+            F.count("o_totalprice").alias("n_orders"),
+            _r4(F.coalesce(F.sum("o_totalprice"), F.lit(0.0))).alias(
+                "total_price"
+            ),
+        )
+    )
+
+
 # ===========================================================================
 # Registration order for the driver window
 # ===========================================================================

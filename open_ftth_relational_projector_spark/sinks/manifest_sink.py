@@ -48,6 +48,11 @@ def write_versioned(df: DataFrame, path: str, version: int) -> list[str]:
     tmp = _manifest_path(path) + f".v{version}.tmp"
     with open(tmp, "w") as fh:
         json.dump({"version": version, "files": files}, fh)
+    # archive the version manifest FIRST (time travel), then the atomic
+    # swap of the current pointer — a crash between the two leaves the
+    # archive ahead of the pointer, which is harmless (never the reverse)
+    with open(os.path.join(path, f"_manifest.v{version}.json"), "w") as fh:
+        json.dump({"version": version, "files": files}, fh)
     os.replace(tmp, _manifest_path(path))  # the single atomic commit
     return files
 
@@ -112,3 +117,14 @@ def compact(
     df = spark.read.parquet(*manifest["files"]).coalesce(target_files)
     files = write_versioned(df, path, manifest["version"] + 1)
     return before, len(files)
+
+
+def read_version(spark: SparkSession, path: str, version: int) -> DataFrame:
+    """Time travel: read a PRIOR committed version from its archived
+    manifest. Works as long as its files haven't been vacuumed — exactly
+    the Delta/Iceberg retention contract (vacuum_orphans keeps only the
+    CURRENT version; a retention-aware vacuum would keep the trailing N
+    manifests' files)."""
+    with open(os.path.join(path, f"_manifest.v{version}.json")) as fh:
+        manifest = json.load(fh)
+    return spark.read.parquet(*manifest["files"])

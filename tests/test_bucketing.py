@@ -266,3 +266,18 @@ def test_schema_evolution_merge_across_shards(spark, tmp_path):
     assert set(merged.columns) == {"doc_id", "text", "lang"}
     by_id = {r["doc_id"]: r for r in merged.collect()}
     assert by_id[1]["lang"] is None and by_id[2]["lang"] == "en"
+
+
+def test_manifest_time_travel_reads_prior_version(spark, tmp_path):
+    from open_ftth_relational_projector_spark.sinks import manifest_sink as M
+
+    path = str(tmp_path / "tt")
+    M.write_versioned(
+        spark.range(0, 10).withColumnRenamed("id", "k"), path, version=1
+    )
+    M.write_versioned(
+        spark.range(0, 99).withColumnRenamed("id", "k"), path, version=2
+    )
+    assert M.read_committed(spark, path).count() == 99
+    assert M.read_version(spark, path, 1).count() == 10  # time travel
+    assert M.read_version(spark, path, 2).count() == 99
