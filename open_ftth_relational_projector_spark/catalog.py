@@ -6026,6 +6026,128 @@ def pseudonymized_join_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "k_anonymity_audit",
+    """
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment, COUNT(*) AS group_size
+      FROM customer GROUP BY c_nationkey, c_mktsegment)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(MIN(group_size) AS BIGINT) AS min_group,
+           CAST(SUM(CASE WHEN group_size < 10 THEN group_size ELSE 0 END)
+             AS BIGINT) AS n_rows_below_k,
+           MIN(group_size) >= 10 AS k10_anonymous
+    FROM g
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier (nation, segment):
+    smallest equivalence class, rows in classes below k=10, and the
+    release verdict — the privacy gate run before publishing a
+    pseudonymized extract (pairs with pseudonymized_join_integrity)."""
+    c = load_table(spark, sf_dir, "customer")
+    g = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("group_size")
+    )
+    return g.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.min("group_size").alias("min_group"),
+        F.sum(
+            F.when(F.col("group_size") < 10, F.col("group_size")).otherwise(0)
+        ).alias("n_rows_below_k"),
+        (F.min("group_size") >= 10).alias("k10_anonymous"),
+    )
+
+
+@_q(
+    "rolling_zscore_anomalies",
+    """
+    WITH st AS (
+      SELECT event_id, user_id, ts, value,
+             AVG(value) OVER w AS mu,
+             COUNT(*) OVER w AS n,
+             AVG(value * value) OVER w AS m2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+    SELECT event_id, user_id,
+           ROUND((value - mu) / SQRT(m2 - mu * mu), 4) AS z
+    FROM st
+    WHERE n >= 10 AND m2 - mu * mu > 1e-12
+      AND ABS((value - mu) / SQRT(m2 - mu * mu)) > 3
+    """,
+)
+def rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-style anomaly flags: each event scored against ITS OWN
+    trailing window (20 prior events, self excluded — no leakage), flagged
+    when |z| > 3. Variance from the explicit E[x²]−E[x]² form so the
+    oracle matches formula-for-formula; the frame is a ROWS window — one
+    keyed sort, no self-join."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    mu = F.avg("value").over(w)
+    n = F.count(F.lit(1)).over(w)
+    m2 = F.avg(F.col("value") * F.col("value")).over(w)
+    var = m2 - mu * mu
+    z = (F.col("value") - mu) / F.sqrt(var)
+    return (
+        ev.select("event_id", "user_id", F.col("value"), mu.alias("mu"),
+                  n.alias("n"), var.alias("var"), z.alias("zraw"))
+        .filter(
+            (F.col("n") >= 10)
+            & (F.col("var") > 1e-12)
+            & (F.abs(F.col("zraw")) > 3)
+        )
+        .select("event_id", "user_id", _r4(F.col("zraw")).alias("z"))
+    )
+
+
+@_q(
+    "part_cooccurrence_top_pairs",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             COUNT(*) AS n_orders
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2)
+    SELECT part_a, part_b, CAST(n_orders AS BIGINT) AS n_orders
+    FROM pairs
+    ORDER BY n_orders DESC, part_a, part_b
+    LIMIT 25
+    """,
+)
+def part_cooccurrence_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs bought in the same order,
+    top-25 by support — the self-join keyed on the basket id, quadratic
+    ONLY within a basket (baskets are small; a hot basket is the skew to
+    cap, same contract as the shingle inverted index)."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("part_a")
+    )
+    b = li.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("part_b")
+    )
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(25)
+    )
+
+
 # ===========================================================================
 # Registration order for the driver window
 # ===========================================================================
