@@ -5362,8 +5362,8 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS bucket
       FROM orders)
     SELECT bucket,
-           bucket * 25000.0 AS lo,
-           (bucket + 1) * 25000.0 AS hi,
+           CAST(bucket * 25000.0 AS DOUBLE) AS lo,
+           CAST((bucket + 1) * 25000.0 AS DOUBLE) AS hi,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM b GROUP BY bucket
     """,
@@ -6151,14 +6151,18 @@ def part_cooccurrence_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 # Registration order for the driver window
 # ===========================================================================
-# ROUND-4 WINDOW PLAN (for the next session): lead with q1, then the 13
-# round-3-late queries that have never held a driver row —
-# kmeans_cluster_stats, semantic_dedup_verdicts, dsir_doc_weights,
-# pagerank_purchase_graph, bigram_lm_doc_scores, curation_decisions,
-# cms_heavy_hitters, bloom_decontamination, embedding_outlier_stats,
-# hybrid_rrf_retrieval, incremental_dedup_report (+ any newer) — then the
-# r2-green families whose last row is oldest. Keep every name in
-# _DRIVER_WINDOW_FRONT registered (the assert below enforces it).
+# ROUND-4 WINDOW PLAN (for the next session): lead with q1, then EVERY
+# query registered after the r3 window froze — none has held a driver row
+# yet. As of end-r3 that is the ~30 entries from kmeans_cluster_stats
+# through part_cooccurrence_top_pairs in source order (clustering/DSIR/
+# PageRank/bigram-LM/curation, sketches, audio, SCD2/time-weighted,
+# snapshot-diff/histogram/zorder, transitions/WAU, expectations, ER,
+# PIT-features/negative-samples, winsorize/k-anon/z-score/baskets,
+# DLQ/pseudonymization, hybrid RRF, incremental dedup, winnowing,
+# label propagation, triangles, mixture/length-bucket sampling). The
+# window holds 50: fill the remainder with the r2-green families whose
+# last green row is oldest. Keep every name in _DRIVER_WINDOW_FRONT
+# registered (the assert below enforces it).
 #
 # The driver's CORRECTNESS gate records only the FIRST 50 queries() entries
 # per round. The windows rotate so that across rounds every query holds a
