@@ -6148,6 +6148,118 @@ def part_cooccurrence_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "calendar_monthly_rollup",
+    """
+    WITH bounds AS (
+      SELECT CAST(MIN(ts) AS DATE) AS lo, CAST(MAX(ts) AS DATE) AS hi
+      FROM events),
+    spine AS (
+      SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+      FROM bounds),
+    cal AS (
+      SELECT day,
+             CAST(date_part('year', day) AS INT) AS year,
+             CAST(date_part('month', day) AS INT) AS month,
+             CAST(date_part('isodow', day) AS INT) AS iso_dow
+      FROM spine),
+    daily AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n,
+             SUM(value) AS v
+      FROM events GROUP BY 1)
+    SELECT cal.year, cal.month,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(CASE WHEN cal.iso_dow >= 6 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_weekend_days,
+           CAST(COALESCE(SUM(daily.n), 0) AS BIGINT) AS n_events,
+           ROUND(COALESCE(SUM(daily.v), 0), 4) AS total_value
+    FROM cal LEFT JOIN daily USING (day)
+    GROUP BY cal.year, cal.month
+    """,
+)
+def calendar_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conformed calendar dimension generated as a date SPINE (sequence
+    between the corpus bounds — days with no events still exist, the
+    property a GROUP BY over facts alone loses) joined to daily facts and
+    rolled up monthly with weekend accounting. Spine generation is one
+    F.sequence over a 2-row bound aggregate — no external table."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.col("ts").cast("date")).alias("lo"),
+        F.max(F.col("ts").cast("date")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))
+        ).alias("day")
+    )
+    cal = spine.select(
+        "day",
+        F.year("day").alias("year"),
+        F.month("day").alias("month"),
+        F.dayofweek("day").alias("_dow"),  # Sun=1..Sat=7
+    ).withColumn(
+        "iso_dow",
+        F.when(F.col("_dow") == 1, 7).otherwise(F.col("_dow") - 1),
+    )
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("v")
+    )
+    return (
+        cal.join(daily, "day", "left")
+        .groupBy("year", "month")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum(
+                F.when(F.col("iso_dow") >= 6, 1).otherwise(0)
+            ).alias("n_weekend_days"),
+            F.coalesce(F.sum("n"), F.lit(0)).alias("n_events"),
+            _r4(F.coalesce(F.sum("v"), F.lit(0.0))).alias("total_value"),
+        )
+    )
+
+
+@_q(
+    "user_activity_streaks",
+    """
+    WITH du AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    grp AS (
+      SELECT user_id, day,
+             day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                           ORDER BY day) AS INT) AS island
+      FROM du),
+    streaks AS (
+      SELECT user_id, COUNT(*) AS len FROM grp
+      GROUP BY user_id, island)
+    SELECT user_id,
+           CAST(MAX(len) AS BIGINT) AS longest_streak,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks
+    FROM streaks GROUP BY user_id
+    """,
+)
+def user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per-user longest run of CONSECUTIVE active days
+    (day minus per-user rank is constant within an island — the classic
+    trick turning consecutiveness into a grouping key; one keyed window +
+    two keyed aggregations, no self-join)."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    w = W.partitionBy("user_id").orderBy("day")
+    grp = du.withColumn(
+        "island", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    streaks = grp.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("len").alias("longest_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+    )
+
+
 # ===========================================================================
 # Registration order for the driver window
 # ===========================================================================
