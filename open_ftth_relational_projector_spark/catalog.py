@@ -6260,6 +6260,122 @@ def user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "lang_source_chisq",
+    """
+    WITH obs AS (
+      SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY 1, 2),
+    rows_m AS (SELECT lang, SUM(o) AS rt FROM obs GROUP BY lang),
+    cols_m AS (SELECT source, SUM(o) AS ct FROM obs GROUP BY source),
+    tot AS (SELECT SUM(o) AS n FROM obs),
+    ex AS (
+      SELECT o.lang, o.source, o.o,
+             r.rt * c.ct / CAST(t.n AS DOUBLE) AS e
+      FROM obs o JOIN rows_m r USING (lang) JOIN cols_m c USING (source)
+      CROSS JOIN tot t)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           ROUND(SUM((o - e) * (o - e) / e), 4) AS chi_square,
+           CAST((SELECT COUNT(*) FROM rows_m) - 1 AS BIGINT)
+             * ((SELECT COUNT(*) FROM cols_m) - 1) AS dof
+    FROM ex
+    """,
+)
+def lang_source_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence statistic for (lang × source) — the
+    profiling check for whether corpus slices are confounded (a source
+    that only speaks one language biases per-source sampling). Expected
+    counts from broadcast row/column marginals; the statistic folds in
+    one pass over the contingency cells."""
+    docs = load_table(spark, sf_dir, "documents")
+    obs = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    rows_m = obs.groupBy("lang").agg(F.sum("o").alias("rt"))
+    cols_m = obs.groupBy("source").agg(F.sum("o").alias("ct"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    ex = (
+        obs.join(F.broadcast(rows_m), "lang")
+        .join(F.broadcast(cols_m), "source")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "e", F.col("rt") * F.col("ct") / F.col("n").cast("double")
+        )
+    )
+    n_rows = rows_m.count()
+    n_cols = cols_m.count()
+    return ex.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        _r4(
+            F.sum(
+                (F.col("o") - F.col("e"))
+                * (F.col("o") - F.col("e"))
+                / F.col("e")
+            )
+        ).alias("chi_square"),
+        F.lit((n_rows - 1) * (n_cols - 1)).cast("long").alias("dof"),
+    )
+
+
+@_q(
+    "kwic_snippets",
+    """
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+                 FROM documents),
+    hits AS (
+      SELECT doc_id,
+             UNNEST([i FOR i IN range(1, len(t) + 1)
+                     IF t[i] = 'window']) AS pos,
+             t
+      FROM tok)
+    SELECT doc_id, CAST(pos AS INT) AS pos,
+           array_to_string(
+             t[GREATEST(pos - 3, 1):LEAST(pos + 3, len(t))], ' ')
+             AS snippet
+    FROM hits
+    """,
+)
+def kwic_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context extraction: every occurrence of the term with
+    ±3 tokens of context — the corpus-inspection tool behind filter-rule
+    debugging (is 'window' a UI word or an SQL word here?). Row-local
+    array ops (positions via filtered sequence, snippet via slice), one
+    explode — map-only at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    from open_ftth_relational_projector_spark.functions.text import let, tokens
+
+    def hits_of(toks):
+        idx = F.filter(
+            F.sequence(F.lit(1), F.size(toks)),
+            lambda i: F.element_at(toks, i) == F.lit("window"),
+        )
+        return F.transform(
+            idx,
+            lambda p: F.struct(
+                p.alias("pos"),
+                F.array_join(
+                    F.slice(
+                        toks,
+                        F.greatest(p - 3, F.lit(1)),
+                        F.least(p + 3, F.size(toks))
+                        - F.greatest(p - 3, F.lit(1))
+                        + 1,
+                    ),
+                    " ",
+                ).alias("snippet"),
+            ),
+        )
+
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(let(tokens(F.col("text")), hits_of)).alias("h"),
+        )
+        .select(
+            "doc_id",
+            F.col("h.pos").cast("int").alias("pos"),
+            F.col("h.snippet").alias("snippet"),
+        )
+    )
+
+
 # ===========================================================================
 # Registration order for the driver window
 # ===========================================================================
