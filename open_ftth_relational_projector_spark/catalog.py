@@ -6376,6 +6376,139 @@ def kwic_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "user_value_trend",
+    """
+    WITH px AS (
+      SELECT user_id,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS DOUBLE) / 86400000000.0
+               AS x,
+             value AS y
+      FROM events WHERE event_type = 'purchase'),
+    s AS (
+      SELECT user_id, COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM px GROUP BY user_id)
+    SELECT user_id, CAST(n AS BIGINT) AS n,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope
+    FROM s WHERE n >= 5 AND (n * sxx - sx * sx) > 1e-9
+    """,
+)
+def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS trend of purchase value over time (closed-form slope
+    from one grouped pass of the five sufficient statistics — time in
+    fractional days so the normal-equation denominator keeps precision).
+    The groupwise-regression shape: no per-key fitting loop, one
+    map-side-combined aggregation at any scale."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    x = (
+        F.unix_micros(F.col("ts").cast("timestamp")).cast("double")
+        / F.lit(86400000000.0)
+    )
+    px = ev.select("user_id", x.alias("x"), F.col("value").alias("y"))
+    s = px.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    denom = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / denom
+    return (
+        s.filter((F.col("n") >= 5) & (denom > 1e-9))
+        .select("user_id", F.col("n").cast("long").alias("n"),
+                _r4(slope).alias("slope"))
+    )
+
+
+@_q(
+    "ab_test_zscore",
+    """
+    WITH arms AS (
+      SELECT user_id,
+             CASE WHEN substr(md5(user_id || '#exp1'), 1, 1) < '8'
+                  THEN 'A' ELSE 'B' END AS arm,
+             MAX(CASE WHEN event_type = 'purchase' AND value > 150
+                      THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id),
+    agg AS (
+      SELECT arm, COUNT(*) AS n, SUM(converted) AS conv
+      FROM arms GROUP BY arm),
+    wide AS (
+      SELECT
+        MAX(CASE WHEN arm = 'A' THEN n END) AS na,
+        MAX(CASE WHEN arm = 'A' THEN conv END) AS ca,
+        MAX(CASE WHEN arm = 'B' THEN n END) AS nb,
+        MAX(CASE WHEN arm = 'B' THEN conv END) AS cb
+      FROM agg)
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(ca AS BIGINT) AS conv_a,
+           CAST(nb AS BIGINT) AS n_b, CAST(cb AS BIGINT) AS conv_b,
+           ROUND((ca / CAST(na AS DOUBLE)) - (cb / CAST(nb AS DOUBLE)), 4)
+             AS lift,
+           ROUND(((ca / CAST(na AS DOUBLE)) - (cb / CAST(nb AS DOUBLE)))
+                 / SQRT(((ca + cb) / CAST(na + nb AS DOUBLE))
+                        * (1 - (ca + cb) / CAST(na + nb AS DOUBLE))
+                        * (1.0 / na + 1.0 / nb)), 4) AS z
+    FROM wide
+    """,
+)
+def ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test over a deterministic md5 arm split (the same
+    engine-portable assignment as hash_split — an experiment framework
+    must reproduce its arms everywhere): per-arm conversion, lift, and the
+    pooled-variance z statistic — the experimentation readout, computed
+    from two grouped passes and a 2-row pivot."""
+    ev = load_table(spark, sf_dir, "events")
+    arm = F.when(
+        F.substring(
+            F.md5(F.concat(F.col("user_id").cast("string"), F.lit("#exp1"))),
+            1,
+            1,
+        )
+        < "8",
+        "A",
+    ).otherwise("B")
+    # conversion = any HIGH-VALUE purchase: every user purchases
+    # eventually, which would give pooled p = 1 and zero variance
+    arms = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 150),
+                1,
+            ).otherwise(0)
+        ).alias("converted")
+    ).withColumn("arm", arm)
+    agg = arms.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").alias("conv")
+    )
+    wide = agg.agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n"))).alias("na"),
+        F.max(F.when(F.col("arm") == "A", F.col("conv"))).alias("ca"),
+        F.max(F.when(F.col("arm") == "B", F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("arm") == "B", F.col("conv"))).alias("cb"),
+    )
+    pa = F.col("ca") / F.col("na").cast("double")
+    pb = F.col("cb") / F.col("nb").cast("double")
+    pp = (F.col("ca") + F.col("cb")) / (
+        F.col("na") + F.col("nb")
+    ).cast("double")
+    z = (pa - pb) / F.sqrt(
+        pp * (1 - pp) * (1.0 / F.col("na") + 1.0 / F.col("nb"))
+    )
+    return wide.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("ca").cast("long").alias("conv_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.col("cb").cast("long").alias("conv_b"),
+        _r4(pa - pb).alias("lift"),
+        _r4(z).alias("z"),
+    )
+
+
 # ===========================================================================
 # Registration order for the driver window
 # ===========================================================================
