@@ -6509,6 +6509,124 @@ def ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "top_user_journey_prefixes",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events),
+    j AS (
+      SELECT user_id,
+             string_agg(event_type, ' > ' ORDER BY rn) AS journey
+      FROM seq WHERE rn <= 3 GROUP BY user_id)
+    SELECT journey, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM j GROUP BY journey
+    ORDER BY n_users DESC, journey
+    LIMIT 15
+    """,
+)
+def top_user_journey_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top first-3-event journeys: each user's opening event-type sequence
+    folded to a path string, ranked by frequency — the onboarding-funnel
+    readout. One keyed window + ordered string_agg (ORDER BY inside the
+    aggregate keeps the path deterministic on both engines)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= 3)
+    j = (
+        seq.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rn", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                " > ",
+            ).alias("journey")
+        )
+    )
+    return (
+        j.groupBy("journey")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.col("n_users").desc(), "journey")
+        .limit(15)
+    )
+
+
+@_q(
+    "dedup_strategy_matrix",
+    """
+    WITH ex AS (
+      SELECT doc_id,
+             MIN(doc_id) OVER (PARTITION BY md5(text)) < doc_id AS exact_dup
+      FROM documents),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               UNNEST(list_transform(
+                 generate_series(1, GREATEST(LEN(t) - 2, 0)),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+        FROM toks)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS u, b.doc_id AS v, COUNT(*) AS ni
+      FROM sh a JOIN sh b ON a.shingle = b.shingle
+                          AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2),
+    jd AS (
+      SELECT DISTINCT i.u AS doc_id FROM inter i
+      JOIN sizes sa ON i.u = sa.doc_id
+      JOIN sizes sb ON i.v = sb.doc_id
+      WHERE i.ni / CAST(sa.n + sb.n - i.ni AS DOUBLE) >= 0.2
+        AND i.v < i.u)
+    SELECT d.doc_id,
+           ex.exact_dup,
+           jd.doc_id IS NOT NULL AS jaccard_dup,
+           ex.exact_dup = (jd.doc_id IS NOT NULL) AS strategies_agree
+    FROM documents d
+    JOIN ex USING (doc_id)
+    LEFT JOIN jd USING (doc_id)
+    """,
+)
+def dedup_strategy_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-strategy agreement matrix: per doc, the EXACT-hash verdict
+    beside the n-gram-Jaccard (τ=0.2) verdict and whether they agree —
+    the measurement that tells you what fuzzy matching adds over exact
+    (exact ⊂ jaccard: identical texts share all shingles). Drop rule in
+    both: a LOWER-id duplicate exists."""
+    docs = scattered(load_table(spark, sf_dir, "documents"))
+    wex = W.partitionBy(F.md5(F.col("text")))
+    ex = docs.select(
+        "doc_id",
+        (F.min("doc_id").over(wex) < F.col("doc_id")).alias("exact_dup"),
+    )
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.2, n=3)
+    jd = (
+        pairs.select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("is_jd", F.lit(True))
+    )
+    return (
+        ex.join(jd, "doc_id", "left")
+        .select(
+            "doc_id",
+            "exact_dup",
+            F.coalesce(F.col("is_jd"), F.lit(False)).alias("jaccard_dup"),
+            (
+                F.col("exact_dup")
+                == F.coalesce(F.col("is_jd"), F.lit(False))
+            ).alias("strategies_agree"),
+        )
+    )
+
+
 # ===========================================================================
 # Registration order for the driver window
 # ===========================================================================
