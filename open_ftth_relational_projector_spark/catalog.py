@@ -6627,6 +6627,43 @@ def dedup_strategy_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "jaccard_pairs_prefix_filtered",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             UNNEST(list_distinct(list_transform(
+               generate_series(1, GREATEST(LEN(t) - 2, 0)),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+      FROM toks),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT i.doc_a, i.doc_b,
+           ROUND(n_inter / CAST(sa.n + sb.n - n_inter AS DOUBLE), 4) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.doc_a = sa.doc_id
+    JOIN sizes sb ON i.doc_b = sb.doc_id
+    WHERE n_inter / CAST(sa.n + sb.n - n_inter AS DOUBLE) >= 0.05
+    """,
+)
+def jaccard_pairs_prefix_filtered_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AllPairs/PPJoin prefix-filtered EXACT similarity join
+    (functions/dedup.jaccard_pairs_prefix_filtered): the oracle is the
+    SAME full-inverted-index SQL as ngram_jaccard_pairs — prefix filtering
+    is lossless, only the candidate set shrinks."""
+    out = D.jaccard_pairs_prefix_filtered(
+        scattered(load_table(spark, sf_dir, "documents")),
+        threshold=0.05,
+        n=3,
+    )
+    return out.select("doc_a", "doc_b", _r4(F.col("jaccard")).alias("jaccard"))
+
+
 # ===========================================================================
 # Registration order for the driver window
 # ===========================================================================

@@ -744,3 +744,80 @@ def winnow_fingerprints(
         F.col(id_col).alias("doc_id"),
         F.explode(let(tokens(F.col(text_col)), fp_of)).alias("fingerprint"),
     ).distinct()
+
+
+def jaccard_pairs_prefix_filtered(
+    docs: DataFrame,
+    threshold: float = 0.05,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT Jaccard similarity join with AllPairs/PPJoin prefix filtering
+    (Bayardo et al., WWW 2007; Chaudhuri et al., ICDE 2006): provably the
+    same result set as ``ngram_jaccard_pairs`` with far fewer candidates.
+
+    Principle: order every doc's shingles by GLOBAL rarity (ascending
+    document frequency — one total order for the whole corpus). Two sets
+    with Jaccard ≥ t MUST share an element within each one's PREFIX of
+    length |x| − ⌈t·|x|⌉ + 1, so only prefix shingles enter the inverted
+    index — the frequent shingles (the longest posting lists, the
+    quadratic bombs) mostly sit OUTSIDE prefixes. Candidates are then
+    verified exactly against the full shingle sets.
+
+    This is the principled counterpart to the blunt ``max_postings`` cap
+    on ngram_jaccard_pairs: that one trades recall for boundedness; prefix
+    filtering keeps EXACTNESS and prunes because rarity-ordered prefixes
+    are where matching pairs must collide (pinned equal-result in tests).
+    """
+    sh = add_shingles(docs, n, text_col, id_col)
+    idx = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    df_t = idx.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    from pyspark.sql import Window as W
+
+    wdoc = W.partitionBy("doc_id").orderBy("df", "shingle")
+    sizes = idx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    prefix_len = (
+        F.col("n_sh")
+        - F.ceil(F.lit(threshold) * F.col("n_sh"))
+        + F.lit(1)
+    )
+    prefix = (
+        idx.join(df_t, "shingle")
+        .withColumn("pos", F.row_number().over(wdoc))
+        .join(F.broadcast(sizes), "doc_id")
+        .filter(F.col("pos") <= prefix_len)
+        .select("doc_id", "shingle")
+    )
+    cands = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    full = sh.select(
+        F.col("doc_id"), F.col("sh"), F.size("sh").alias("nsz")
+    )
+    fa = full.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh").alias("sha"),
+        F.col("nsz").alias("na"),
+    )
+    fb = full.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh").alias("shb"),
+        F.col("nsz").alias("nb"),
+    )
+    ni = F.size(F.array_intersect(F.col("sha"), F.col("shb")))
+    jac = ni / (F.col("na") + F.col("nb") - ni).cast("double")
+    return (
+        cands.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )

@@ -1735,3 +1735,45 @@ def test_tfidf_cosine_pairs_weighted_similarity(spark):
     assert out[(3, 4)] == 1.0            # identical docs -> cosine 1
     assert (1, 2) in out and 0 < out[(1, 2)] < 1
     assert not any({a, b} & {3, 4} and {a, b} & {1, 2} for a, b in out)
+
+
+def test_prefix_filtering_lossless_and_prunes(spark, docs):
+    """AllPairs prefix filtering must return EXACTLY the full inverted
+    index's result (losslessness), while indexing strictly fewer
+    (doc, shingle) postings — the pruning that pays for itself at scale."""
+    exact = {
+        (r["doc_a"], r["doc_b"], round(r["jaccard"], 6))
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.2, n=3).collect()
+    }
+    pf = {
+        (r["doc_a"], r["doc_b"], round(r["jaccard"], 6))
+        for r in D.jaccard_pairs_prefix_filtered(
+            docs, threshold=0.2, n=3
+        ).collect()
+    }
+    assert pf == exact and exact  # identical non-empty result sets
+    # the prefix index is strictly smaller than the full index
+    sh = D.add_shingles(docs, 3)
+    n_full = sh.select(F.explode("sh")).count()
+    # replicate the prefix construction to count indexed postings
+    idx = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    from pyspark.sql import Window as W
+
+    df_t = idx.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    sizes = idx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    n_prefix = (
+        idx.join(df_t, "shingle")
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                W.partitionBy("doc_id").orderBy("df", "shingle")
+            ),
+        )
+        .join(sizes, "doc_id")
+        .filter(
+            F.col("pos")
+            <= F.col("n_sh") - F.ceil(F.lit(0.2) * F.col("n_sh")) + 1
+        )
+        .count()
+    )
+    assert n_prefix < n_full
