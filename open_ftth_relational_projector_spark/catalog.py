@@ -6664,6 +6664,86 @@ def jaccard_pairs_prefix_filtered_q(spark: SparkSession, sf_dir: str) -> DataFra
     return out.select("doc_a", "doc_b", _r4(F.col("jaccard")).alias("jaccard"))
 
 
+def _pq_sub_ctes(j: int, lo: int, hi: int) -> str:
+    """The kmeans CTE chain (k=4, iters=2 — see _KMEANS_CTES) restricted
+    to subspace ``j`` = embedding positions [lo, hi]; suffixed so two
+    chains coexist in one statement."""
+    return f"""
+    pe{j} AS (
+      SELECT vec_id, pos, val FROM (
+        SELECT vec_id,
+               UNNEST(range(1, len(embedding) + 1)) AS pos,
+               UNNEST(CAST(embedding AS DOUBLE[])) AS val
+        FROM embeddings)
+      WHERE pos BETWEEN {lo} AND {hi}),
+    c0{j} AS (SELECT i.cid, p.pos, ROUND(p.val, 6) AS cv
+              FROM pqinit i JOIN pe{j} p USING (vec_id)),
+    d1{j} AS (SELECT p.vec_id, c.cid,
+                     SUM((p.val - c.cv) * (p.val - c.cv)) AS d2
+              FROM pe{j} p JOIN c0{j} c USING (pos) GROUP BY 1, 2),
+    a1{j} AS (SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY d2, cid) AS rn
+                FROM d1{j}) WHERE rn = 1),
+    c1{j} AS (SELECT a.cid, p.pos, ROUND(AVG(p.val), 6) AS cv
+              FROM a1{j} a JOIN pe{j} p USING (vec_id) GROUP BY 1, 2),
+    d2t{j} AS (SELECT p.vec_id, c.cid,
+                      SUM((p.val - c.cv) * (p.val - c.cv)) AS d2
+               FROM pe{j} p JOIN c1{j} c USING (pos) GROUP BY 1, 2),
+    a2{j} AS (SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY d2, cid) AS rn
+                FROM d2t{j}) WHERE rn = 1),
+    c2{j} AS (SELECT a.cid, p.pos, ROUND(AVG(p.val), 6) AS cv
+              FROM a2{j} a JOIN pe{j} p USING (vec_id) GROUP BY 1, 2),
+    d3{j} AS (SELECT p.vec_id, c.cid,
+                     SUM((p.val - c.cv) * (p.val - c.cv)) AS d2
+              FROM pe{j} p JOIN c2{j} c USING (pos) GROUP BY 1, 2),
+    a3{j} AS (SELECT vec_id, cid, d2 FROM (
+                SELECT vec_id, cid, d2,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY d2, cid) AS rn
+                FROM d3{j}) WHERE rn = 1)"""
+
+
+_PQ_SQL = (
+    """
+    WITH pqinit AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cid, vec_id
+      FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)),"""
+    + ",".join([_pq_sub_ctes(1, 1, 32), _pq_sub_ctes(2, 33, 64)])
+    + """
+    SELECT a.vec_id,
+           CAST(a.cid AS INT) AS code_1,
+           CAST(b.cid AS INT) AS code_2,
+           ROUND(SQRT(a.d2 + b.d2), 4) AS recon_err
+    FROM a31 a JOIN a32 b USING (vec_id)
+    """
+)
+
+
+@_q("pq_codes", _PQ_SQL)
+def pq_codes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (Jégou et al. 2011): two per-subspace k-means
+    codebooks (same fixed-point Lloyd contract as kmeans_cluster_stats),
+    per-vector code tuple + reconstruction error
+    (functions/clustering.pq_codes); the oracle unrolls BOTH codebook
+    trainings in one statement."""
+    from open_ftth_relational_projector_spark.functions.clustering import (
+        pq_codes,
+    )
+
+    return pq_codes(
+        scattered(load_table(spark, sf_dir, "embeddings")),
+        m=2,
+        k=4,
+        iters=2,
+        dim=64,
+    )
+
+
 # ===========================================================================
 # Registration order for the driver window
 # ===========================================================================

@@ -263,3 +263,53 @@ def semantic_dedup(
             ).alias("keep"),
         )
     )
+
+
+def pq_codes(
+    corpus: DataFrame,
+    m: int = 2,
+    k: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Product quantization (Jégou et al., TPAMI 2011 — the ANN-index
+    compression standard): the vector splits into ``m`` subspaces, each
+    quantized by its own k-means codebook; a vector's code is the m-tuple
+    of nearest-centroid ids and its storage drops from dim floats to
+    m·log2(k) bits.
+
+    Returns (vec_id, code_1..code_m, recon_err) with recon_err = the
+    total L2 error of the codebook reconstruction, rounded 4 dp — the
+    quality knob (raise k / m until recall holds).
+
+    Scale shape: each codebook trains with the same distributed Lloyd
+    recipe as kmeans_fit (per-subspace slices; k×subdim M-step collects);
+    code assignment is the map-only broadcast-literal expression per
+    subspace — one pass over the corpus emits all m codes.
+    """
+    sub_len = dim // m
+    codebooks = []
+    for j in range(m):
+        lo = j * sub_len + 1
+        sub = corpus.select(
+            F.col(id_col),
+            F.slice(as_double(F.col(vec_col)), lo, sub_len).alias(
+                "embedding"
+            ),
+        )
+        codebooks.append(kmeans_fit(sub, k, iters, id_col, "embedding"))
+    cols = [F.col(id_col).alias("vec_id")]
+    err_terms = []
+    for j, cents in enumerate(codebooks, start=1):
+        sub = F.slice(as_double(F.col(vec_col)), (j - 1) * sub_len + 1, sub_len)
+        code = assign_cluster(sub, cents)
+        cols.append(code.alias(f"code_{j}"))
+        cl = _centroid_lit(cents)
+        err_terms.append(_sq_dist(sub, F.element_at(cl, code)))
+    total = err_terms[0]
+    for t in err_terms[1:]:
+        total = total + t
+    cols.append(F.round(F.sqrt(total), 4).alias("recon_err"))
+    return corpus.select(*cols)

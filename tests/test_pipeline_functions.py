@@ -1777,3 +1777,26 @@ def test_prefix_filtering_lossless_and_prunes(spark, docs):
         .count()
     )
     assert n_prefix < n_full
+
+
+def test_pq_codes_structure_and_exact_centroids(spark):
+    from open_ftth_relational_projector_spark.functions.clustering import (
+        pq_codes,
+    )
+
+    # 4 distinct vectors in 4-dim, m=2 subspaces, k=4: every vector gets
+    # its own centroid per subspace after fitting -> exact reconstruction
+    rows = [
+        (1, [0.0, 0.0, 9.0, 9.0]),
+        (2, [5.0, 5.0, 0.0, 0.0]),
+        (3, [9.0, 0.0, 5.0, 5.0]),
+        (4, [0.0, 9.0, 1.0, 8.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in pq_codes(df, m=2, k=4, iters=2, dim=4).collect()}
+    assert len(out) == 4
+    for r in out.values():
+        assert 1 <= r["code_1"] <= 4 and 1 <= r["code_2"] <= 4
+        assert r["recon_err"] == 0.0  # k == N -> zero quantization error
+    # codes are distinct per subspace when every vector owns a centroid
+    assert len({r["code_1"] for r in out.values()}) == 4
