@@ -171,3 +171,73 @@ def test_bloom_decontamination_never_false_negative_randomized(spark, texts):
     ).collect()
     assert all(r["n_bloom_hits"] >= r["n_true_hits"] for r in out)
     assert all(r["no_false_negatives"] for r in out)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pre=st.lists(WORDS, min_size=0, max_size=6),
+    mid=st.lists(WORDS, min_size=8, max_size=12),
+    post=st.lists(WORDS, min_size=0, max_size=6),
+)
+def test_winnowing_guarantee_randomized(spark, pre, mid, post):
+    """Schleimer's guarantee on arbitrary docs: two documents sharing a
+    token run of length ≥ window + k − 1 (= 8 for k=4, w=5) always share
+    at least one winnowed fingerprint."""
+    from open_ftth_relational_projector_spark.functions.dedup import (
+        winnow_fingerprints,
+    )
+
+    shared = " ".join(mid)
+    d1 = " ".join(["x1"] * 3) + " " + shared + " " + " ".join(pre)
+    d2 = " ".join(post) + " " + shared + " " + " ".join(["z9"] * 2)
+    df = spark.createDataFrame(
+        [(1, d1), (2, d2)], "doc_id long, text string"
+    )
+    fp = winnow_fingerprints(df, k=4, window=5)
+    f1 = {r["fingerprint"] for r in fp.filter("doc_id = 1").collect()}
+    f2 = {r["fingerprint"] for r in fp.filter("doc_id = 2").collect()}
+    assert f1 & f2
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=st.lists(DOC, min_size=4, max_size=10))
+def test_incremental_dedup_consistent_with_full_join(spark, texts):
+    """The append-only screen must agree with the full-corpus exact join
+    restricted to new×old pairs: a new doc is an exact_dup iff an
+    identical old text exists; near-dup verdicts match the Jaccard pairs
+    crossing the boundary."""
+    from open_ftth_relational_projector_spark.functions.dedup import (
+        incremental_dedup_report,
+        ngram_jaccard_pairs,
+    )
+
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    old = df.filter("doc_id % 2 = 0")
+    new = df.filter("doc_id % 2 = 1")
+    rep = {
+        r["doc_id"]: r
+        for r in incremental_dedup_report(new, old, threshold=0.3).collect()
+    }
+    old_texts = {r["text"]: r["doc_id"] for r in sorted(old.collect(), key=lambda r: -r["doc_id"])}
+    cross = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(df, threshold=0.3, n=3).collect()
+        if (r["doc_a"] % 2) != (r["doc_b"] % 2)
+    }
+    for doc_id, r in rep.items():
+        text = texts[doc_id]
+        if text in old_texts:
+            assert r["verdict"] == "exact_dup"
+        elif any(doc_id in p for p in cross):
+            assert r["verdict"] in ("near_dup", "exact_dup")
+        else:
+            assert r["verdict"] == "unique"
