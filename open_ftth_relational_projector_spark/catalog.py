@@ -6744,6 +6744,54 @@ def pq_codes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQ_ADC_SQL = (
+    """
+    WITH pqinit AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cid, vec_id
+      FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)),"""
+    + ",".join([_pq_sub_ctes(1, 1, 32), _pq_sub_ctes(2, 33, 64)])
+    + """,
+    qd1 AS (
+      SELECT q.vec_id AS query_id, c.cid,
+             ROUND(SUM((q.val - c.cv) * (q.val - c.cv)), 6) AS d
+      FROM pe1 q JOIN c21 c USING (pos)
+      WHERE q.vec_id % 100 = 0 GROUP BY 1, 2),
+    qd2 AS (
+      SELECT q.vec_id AS query_id, c.cid,
+             ROUND(SUM((q.val - c.cv) * (q.val - c.cv)), 6) AS d
+      FROM pe2 q JOIN c22 c USING (pos)
+      WHERE q.vec_id % 100 = 0 GROUP BY 1, 2),
+    scored AS (
+      SELECT qd1.query_id, a.vec_id AS neighbor_id, qd1.d + qd2.d AS adist
+      FROM a31 a
+      JOIN a32 b ON a.vec_id = b.vec_id
+      JOIN qd1 ON qd1.cid = a.cid
+      JOIN qd2 ON qd2.query_id = qd1.query_id AND qd2.cid = b.cid
+      WHERE a.vec_id <> qd1.query_id)
+    SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk FROM (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adist, neighbor_id) AS rnk
+      FROM scored) WHERE rnk <= 5
+    """
+)
+
+
+@_q("pq_knn_adc", _PQ_ADC_SQL)
+def pq_knn_adc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance kNN over PQ codes (clustering.pq_knn_adc): the
+    corpus is represented only by centroid-id tuples; query→centroid
+    lookup tables (rounded 6 dp, the fixed-point contract) rank the
+    codes. The oracle unrolls both codebooks and replays the LUT ranking."""
+    from open_ftth_relational_projector_spark.functions.clustering import (
+        pq_knn_adc,
+    )
+
+    emb = scattered(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return pq_knn_adc(emb, queries, m=2, k=4, iters=2, knn_k=5, dim=64)
+
+
 # ===========================================================================
 # Registration order for the driver window
 # ===========================================================================

@@ -313,3 +313,81 @@ def pq_codes(
         total = total + t
     cols.append(F.round(F.sqrt(total), 4).alias("recon_err"))
     return corpus.select(*cols)
+
+
+def pq_knn_adc(
+    corpus: DataFrame,
+    queries: DataFrame,
+    m: int = 2,
+    k: int = 4,
+    iters: int = 2,
+    knn_k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate kNN by asymmetric distance computation over PQ codes
+    (Jégou et al. 2011): corpus vectors are represented ONLY by their
+    m-tuple of centroid ids; a query's distance to a doc is the sum of
+    its per-subspace distances to the doc's assigned centroids. The
+    corpus never rereads its floats at query time — the memory/IO model
+    that makes billion-scale ANN serving possible.
+
+    Per-subspace query→centroid distances are ROUNDED to 6 dp before
+    summing (the same cross-engine fixed-point contract as the codebook
+    training), so ranking is reproducible. Plan shape: codes are one
+    map-only pass; the query side broadcasts; ranking is the per-query
+    top-k window. Returns (query_id, neighbor_id, rnk).
+    """
+    sub_len = dim // m
+    codebooks = []
+    for j in range(m):
+        lo = j * sub_len + 1
+        sub = corpus.select(
+            F.col(id_col),
+            F.slice(as_double(F.col(vec_col)), lo, sub_len).alias(
+                "embedding"
+            ),
+        )
+        codebooks.append(kmeans_fit(sub, k, iters, id_col, "embedding"))
+
+    code_cols = [F.col(id_col).alias("neighbor_id")]
+    for j, cents in enumerate(codebooks, start=1):
+        sub = F.slice(as_double(F.col(vec_col)), (j - 1) * sub_len + 1, sub_len)
+        code_cols.append(assign_cluster(sub, cents).alias(f"code_{j}"))
+    coded = corpus.select(*code_cols)
+
+    def _lut(qsub: Column, cl: Column, n_cents: int) -> Column:
+        # per-subspace distance table as an array indexed by centroid id.
+        # NB: the lambda must take exactly ONE parameter — PySpark binds
+        # lambda variables by the function's arity, so default-arg capture
+        # would make this look like a 3-ary higher-order function.
+        return F.transform(
+            F.sequence(F.lit(1), F.lit(n_cents)),
+            lambda i: F.round(_sq_dist(qsub, F.element_at(cl, i)), 6),
+        )
+
+    q_cols = [F.col(id_col).alias("query_id")]
+    for j, cents in enumerate(codebooks, start=1):
+        qsub = F.slice(as_double(F.col(vec_col)), (j - 1) * sub_len + 1, sub_len)
+        q_cols.append(
+            _lut(qsub, _centroid_lit(cents), len(cents)).alias(f"lut_{j}")
+        )
+    q = queries.select(*q_cols)
+
+    dist = None
+    for j in range(1, m + 1):
+        term = F.element_at(F.col(f"lut_{j}"), F.col(f"code_{j}"))
+        dist = term if dist is None else dist + term
+    scored = (
+        coded.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("adist", dist)
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= knn_k)
+        .select("query_id", "neighbor_id", F.col("rnk").cast("int").alias("rnk"))
+    )

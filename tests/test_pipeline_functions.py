@@ -1800,3 +1800,30 @@ def test_pq_codes_structure_and_exact_centroids(spark):
         assert r["recon_err"] == 0.0  # k == N -> zero quantization error
     # codes are distinct per subspace when every vector owns a centroid
     assert len({r["code_1"] for r in out.values()}) == 4
+
+
+def test_pq_adc_recall_reasonable_vs_bruteforce(spark):
+    """ADC over PQ codes is approximate; with m=2 subspaces of 2 dims and
+    k=4 codebooks on separable blobs it must still recover the exact
+    nearest neighbor for each query (recall@1 = 1 on easy structure)."""
+    from open_ftth_relational_projector_spark.functions.clustering import (
+        pq_knn_adc,
+    )
+
+    rows = [
+        (0, [0.0, 0.0, 0.0, 0.0]),
+        (1, [0.1, 0.0, 0.0, 0.1]),     # nearest to 0
+        (2, [9.0, 9.0, 0.0, 0.0]),
+        (3, [9.1, 9.0, 0.0, 0.2]),     # nearest to 2
+        (4, [0.0, 9.0, 9.0, 0.0]),
+        (5, [0.0, 9.1, 9.1, 0.1]),     # nearest to 4
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = df.filter("vec_id IN (0, 2, 4)")
+    out = {
+        (r["query_id"], r["rnk"]): r["neighbor_id"]
+        for r in pq_knn_adc(
+            df, queries, m=2, k=6, iters=2, knn_k=1, dim=4
+        ).collect()
+    }
+    assert out[(0, 1)] == 1 and out[(2, 1)] == 3 and out[(4, 1)] == 5
