@@ -55,6 +55,10 @@ EXTRA_QUERIES = [
     "bigram_lm_doc_scores",
     "pagerank_purchase_graph",
     "curation_decisions",
+    # prefix filtering's pruning win is legible against the headline
+    # ngram_jaccard_pairs; ADC is the PQ serving path
+    "jaccard_pairs_prefix_filtered",
+    "pq_knn_adc",
 ]
 
 
