@@ -351,3 +351,64 @@ def test_stream_stream_left_outer_emits_unmatched_after_watermark(
     second = drain()
     # the unmatched click@20 now emits with a null buy side
     assert (20, None) in second
+
+
+def test_streaming_exact_dedup_across_batches(spark, tmp_path):
+    """Streaming ingestion dedup with PERSISTENT state: each micro-batch
+    anti-joins a seen-hashes table maintained in foreachBatch, so a doc
+    arriving in batch 2 that duplicates batch 1 text is rejected even
+    across separate query runs — the streaming form of
+    incremental_dedup_report's exact screen."""
+    import os
+
+    src = str(tmp_path / "src")
+    accepted = str(tmp_path / "accepted")
+    seen = str(tmp_path / "seen")
+    cp = str(tmp_path / "cp")
+    os.makedirs(src, exist_ok=True)
+    schema = "doc_id long, text string"
+
+    def land(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def sink(batch_df, batch_id):
+        batch_hashed = batch_df.withColumn("h", F.md5("text"))
+        if os.path.exists(seen):
+            known = spark.read.parquet(seen).select("h").distinct()
+            fresh = batch_hashed.join(known, "h", "left_anti")
+        else:
+            fresh = batch_hashed
+        # first occurrence within the batch wins too
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("h").orderBy("doc_id")
+        fresh = (
+            fresh.withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1")
+            .drop("rn")
+        )
+        fresh.select("doc_id", "text").write.mode("append").parquet(accepted)
+        fresh.select("h").write.mode("append").parquet(seen)
+
+    def drain():
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    land([(1, "alpha beta"), (2, "gamma delta"), (3, "alpha beta")])
+    drain()
+    first = sorted(r["doc_id"] for r in spark.read.parquet(accepted).collect())
+    assert first == [1, 2]  # in-batch dup of doc 1 rejected
+
+    land([(4, "alpha beta"), (5, "epsilon zeta")])
+    drain()  # separate query run, same state
+    second = sorted(r["doc_id"] for r in spark.read.parquet(accepted).collect())
+    assert second == [1, 2, 5]  # cross-batch dup rejected, new doc kept
