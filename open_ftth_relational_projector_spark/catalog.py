@@ -6849,6 +6849,63 @@ def fk_fanout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "table_content_fingerprints",
+    """
+    WITH nh AS (
+      SELECT ('0x' || substr(md5(n_nationkey || '|' || n_name || '|'
+                                 || n_regionkey), 1, 15))::BIGINT AS h
+      FROM nation),
+    rh AS (
+      SELECT ('0x' || substr(md5(r_regionkey || '|' || r_name), 1, 15))::BIGINT
+        AS h
+      FROM region)
+    SELECT 'nation' AS "table",
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(h % 1000000007) % 1000000007 AS BIGINT) AS content_sum
+    FROM nh
+    UNION ALL
+    SELECT 'region', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(h % 1000000007) % 1000000007 AS BIGINT)
+    FROM rh
+    """,
+)
+def table_content_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive table content fingerprint: each row hashes to a
+    portable md5-derived 60-bit value, summed into one DECIMAL per table —
+    the cross-system reconciliation primitive (compare against a warehouse
+    copy without moving rows; any single changed/missing/extra row moves
+    the sum). Dimension tables only here: integer/string columns
+    stringify identically on every engine, which float columns do not —
+    the documented contract."""
+    out = None
+    for name, cols in (
+        ("nation", ["n_nationkey", "n_name", "n_regionkey"]),
+        ("region", ["r_regionkey", "r_name"]),
+    ):
+        t = load_table(spark, sf_dir, name)
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in cols])),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        # modular sum keeps the fingerprint in BIGINT on every engine
+        # (a raw sum of 60-bit hashes overflows, and DECIMAL accumulators
+        # trip the driver's typed hasher — the q12 class)
+        agg = t.select((h % F.lit(1000000007)).alias("h")).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.sum("h") % F.lit(1000000007)).cast("long").alias("content_sum"),
+        ).select(
+            F.lit(name).alias("table"), "n_rows", "content_sum"
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out
+
+
 # ===========================================================================
 # Registration order for the driver window
 # ===========================================================================
