@@ -6906,6 +6906,76 @@ def table_content_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@_q(
+    "grouping_sets_revenue",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(l_extendedprice), 4) AS revenue
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (neither ROLLUP nor CUBE expresses this
+    combination: each single-column marginal plus the grand total, but NOT
+    the cross product): one Expand-node pass, identical GROUPING-bit
+    semantics on both engines. Completes the grouping-construct family
+    beside rollup_lineitem_status and cube_orders_status_priority."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag"], ["l_linestatus"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            _r4(F.sum("l_extendedprice")).alias("revenue"),
+        )
+    )
+
+
+@_q(
+    "null_safe_segment_join",
+    """
+    WITH l AS (
+      SELECT NULLIF(c_mktsegment, 'BUILDING') AS seg,
+             COUNT(*) AS n_customers
+      FROM customer GROUP BY 1),
+    r AS (
+      SELECT NULLIF(c_mktsegment, 'BUILDING') AS seg,
+             ROUND(AVG(c_acctbal), 4) AS avg_bal
+      FROM customer GROUP BY 1)
+    SELECT COALESCE(l.seg, '(null)') AS segment, l.n_customers, r.avg_bal
+    FROM l JOIN r ON l.seg IS NOT DISTINCT FROM r.seg
+    """,
+)
+def null_safe_segment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): the NULL
+    group — here the deliberately nulled-out BUILDING segment — must MATCH
+    itself across the two aggregates, which a plain equi-join silently
+    drops. The classic silent-data-loss trap in merge keys with nullable
+    columns."""
+    c = load_table(spark, sf_dir, "customer")
+    seg = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+    lhs = c.groupBy(seg.alias("seg")).agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    rhs = c.groupBy(seg.alias("seg")).agg(
+        _r4(F.avg("c_acctbal")).alias("avg_bal")
+    )
+    return lhs.join(
+        rhs, lhs["seg"].eqNullSafe(rhs["seg"])
+    ).select(
+        F.coalesce(lhs["seg"], F.lit("(null)")).alias("segment"),
+        "n_customers",
+        "avg_bal",
+    )
+
+
 # ===========================================================================
 # Registration order for the driver window
 # ===========================================================================
