@@ -6976,6 +6976,95 @@ def null_safe_segment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "revenue_share_of_region",
+    """
+    WITH nrev AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             SUM(o.o_totalprice) AS revenue
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2)
+    SELECT region, nation,
+           ROUND(revenue, 4) AS revenue,
+           ROUND(revenue / SUM(revenue) OVER (PARTITION BY region), 4)
+             AS share_of_region
+    FROM nrev
+    """,
+)
+def revenue_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-parent: each nation's revenue as a share of its region's
+    total via a partitioned window sum over the already-aggregated frame
+    (25 rows — the window never touches the fact table). Dims broadcast."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    nrev = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(F.sum("o_totalprice").alias("revenue"))
+    )
+    w = W.partitionBy("region")
+    return nrev.select(
+        "region",
+        "nation",
+        _r4(F.col("revenue")).alias("revenue"),
+        _r4(F.col("revenue") / F.sum("revenue").over(w)).alias(
+            "share_of_region"
+        ),
+    )
+
+
+@_q(
+    "forward_filled_values",
+    """
+    WITH gapped AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_id % 7 = 0 THEN NULL
+                  ELSE ROUND(value, 4) END AS v
+      FROM events)
+    SELECT event_id, user_id,
+           v AS raw_value,
+           LAST_VALUE(v IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS filled_value,
+           v IS NULL AS was_gap
+    FROM gapped
+    """,
+)
+def forward_filled_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward fill (last observation carried forward): every 7th reading
+    deterministically nulled, then imputed from the user's most recent
+    non-null value via LAST_VALUE ... IGNORE NULLS over an ordered frame —
+    the time-series gap-repair primitive; leading gaps legitimately stay
+    null. One keyed window, no self-join."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(
+        _r4(F.col("value"))
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    g = ev.select("event_id", "user_id", "ts", v.alias("v"))
+    return g.select(
+        "event_id",
+        "user_id",
+        F.col("v").alias("raw_value"),
+        F.last("v", ignorenulls=True).over(w).alias("filled_value"),
+        F.col("v").isNull().alias("was_gap"),
+    )
+
+
 # ===========================================================================
 # Registration order for the driver window
 # ===========================================================================
