@@ -4466,6 +4466,49 @@ def pagerank_purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "bfs_purchase_distances",
+    """
+    WITH RECURSIVE e AS (
+      SELECT DISTINCT o_custkey AS u, l_suppkey + 1000000 AS v
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    sym AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+    seed AS (SELECT DISTINCT c_custkey AS node FROM customer
+             WHERE c_mktsegment = 'AUTOMOBILE'
+               AND c_custkey IN (SELECT u FROM sym)),
+    walk(node, dist) AS (
+      SELECT node, 0 FROM seed
+      UNION
+      SELECT s.v, w.dist + 1 FROM walk w JOIN sym s ON s.u = w.node
+      WHERE w.dist < 4)
+    SELECT node, CAST(MIN(dist) AS INTEGER) AS dist FROM walk GROUP BY node
+    """,
+)
+def bfs_purchase_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distance from the AUTOMOBILE-segment seed set
+    over the undirected customer↔supplier purchase graph, capped at 4 hops
+    — the proximity-to-trusted-seed graph feature (functions/
+    graph.bfs_distances, frontier-based level-synchronous BFS); the oracle
+    derives the same minimum distances via a recursive CTE."""
+    from open_ftth_relational_projector_spark.functions.graph import bfs_distances
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + F.lit(1000000)).alias("dst"),
+        )
+    )
+    seeds = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "AUTOMOBILE")
+        .select(F.col("c_custkey").alias("node"))
+    )
+    return bfs_distances(edges, seeds, max_hops=4)
+
+
+@_q(
     "bigram_lm_doc_scores",
     """
     WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks

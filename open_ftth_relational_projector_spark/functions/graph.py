@@ -203,6 +203,65 @@ def _connected_components_star(
     )
 
 
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    source_col: str = "node",
+    max_hops: int = 6,
+    directed: bool = False,
+) -> DataFrame:
+    """Multi-source BFS hop distances: for every node reachable within
+    ``max_hops`` of ANY source node, the minimum hop count to the nearest
+    source. Returns (node, dist); sources present in the graph get dist 0.
+
+    The proximity-to-seed signal used in corpus curation (hops from a
+    trusted-domain seed set in a link graph, à la Common Crawl seed
+    expansion) and in fraud/abuse graph feature engineering.
+
+    Frontier-based level-synchronous BFS: each round joins ONLY the
+    frontier (nodes first reached last round) against the edge list and
+    anti-joins the visited set, so per-round work is O(edges touched by
+    the frontier), not O(|V|·rounds). Both per-round ops are shuffles
+    keyed on node id — on a cluster, pre-partition/bucket edges by ``src``
+    once and every round reuses that partitioning. ``localCheckpoint``
+    truncates lineage per round (the standard iterative-DataFrame guard);
+    the ONLY driver-side value per round is the frontier's emptiness check
+    (a LIMIT 1 count). Sources not appearing in any edge are dropped —
+    parity with the reachability semantics of a recursive-CTE oracle over
+    the edge list.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    if not directed:
+        e = e.unionByName(
+            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+        )
+    e = e.filter(F.col("u") != F.col("v")).distinct().localCheckpoint(eager=True)
+    frontier = (
+        sources.select(F.col(source_col).alias("node"))
+        .distinct()
+        .join(e.select(F.col("u").alias("node")).distinct(), "node", "left_semi")
+        .withColumn("dist", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    dist = frontier
+    for hop in range(1, max_hops + 1):
+        if frontier.limit(1).count() == 0:
+            break
+        reached = (
+            frontier.join(e, frontier["node"] == e["u"])
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(dist, "node", "left_anti")
+            .withColumn("dist", F.lit(hop))
+            .localCheckpoint(eager=True)
+        )
+        dist = dist.unionByName(reached).localCheckpoint(eager=True)
+        frontier = reached
+    return dist
+
+
 def pagerank(
     edges: DataFrame,
     damping: float = 0.85,

@@ -1827,3 +1827,28 @@ def test_pq_adc_recall_reasonable_vs_bruteforce(spark):
         ).collect()
     }
     assert out[(0, 1)] == 1 and out[(2, 1)] == 3 and out[(4, 1)] == 5
+
+
+def test_bfs_distances_chain_fork_unreachable(spark):
+    """Multi-source min distance on a chain with a fork: nearest source
+    wins; nodes beyond max_hops and disconnected islands are absent; a
+    seed not appearing in any edge is dropped (CTE-reachability parity);
+    directed mode only follows src→dst."""
+    from open_ftth_relational_projector_spark.functions.graph import bfs_distances
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (3, 30), (100, 101)],
+        "src long, dst long",
+    )
+    seeds = spark.createDataFrame([(1,), (5,), (999,)], "node long")
+    got = {(r.node, r.dist) for r in bfs_distances(edges, seeds, max_hops=2).collect()}
+    # dist(3) = min(2 from 1, 2 from 5) = 2; 30 is 3 hops from both seeds
+    # at max_hops=2 → 30 reachable only via 3 at hop 3 → absent; island absent
+    assert got == {(1, 0), (5, 0), (2, 1), (4, 1), (6, 1), (3, 2)}
+
+    # directed: edges only flow src→dst, so 5's predecessors unreachable
+    got_dir = {
+        (r.node, r.dist)
+        for r in bfs_distances(edges, seeds, max_hops=3, directed=True).collect()
+    }
+    assert got_dir == {(1, 0), (5, 0), (2, 1), (6, 1), (3, 2), (4, 3), (30, 3)}
