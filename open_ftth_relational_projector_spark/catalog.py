@@ -4718,6 +4718,59 @@ def curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "kmv_distinct_rollup",
+    """
+    WITH h AS (SELECT DISTINCT event_type, CAST(ts AS DATE) AS day,
+                      ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#7'), 1, 15))::BIGINT AS hv
+               FROM events),
+    cellk AS (SELECT event_type, hv FROM (
+                SELECT event_type, day, hv,
+                       ROW_NUMBER() OVER (PARTITION BY event_type, day ORDER BY hv) AS rn
+                FROM h) t WHERE rn <= 64),
+    merged AS (SELECT event_type, hv FROM (
+                 SELECT event_type, hv,
+                        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+                 FROM (SELECT DISTINCT event_type, hv FROM cellk) u) t
+               WHERE rn <= 64),
+    direct AS (SELECT event_type, hv FROM (
+                 SELECT event_type, hv,
+                        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+                 FROM (SELECT DISTINCT event_type, hv FROM h) u) t
+               WHERE rn <= 64),
+    ms AS (SELECT event_type, COUNT(*) AS kn, MAX(hv) AS hk, SUM(hv) AS hs
+           FROM merged GROUP BY event_type),
+    ds AS (SELECT event_type, COUNT(*) AS kn, MAX(hv) AS hk, SUM(hv) AS hs
+           FROM direct GROUP BY event_type),
+    ex AS (SELECT event_type, COUNT(DISTINCT user_id) AS n
+           FROM events GROUP BY event_type)
+    SELECT ms.event_type,
+           CAST(ex.n AS BIGINT) AS exact_distinct,
+           ROUND(CASE WHEN ms.kn < 64 THEN CAST(ms.kn AS DOUBLE)
+                      ELSE 63.0 / ((ms.hk + 0.5) / 1152921504606846976.0)
+                 END, 4) AS kmv_est,
+           (ms.kn = ds.kn AND ms.hk = ds.hk AND ms.hs = ds.hs) AS merge_lossless
+    FROM ms JOIN ds ON ms.event_type = ds.event_type
+    JOIN ex ON ms.event_type = ex.event_type
+    """,
+)
+def kmv_distinct_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable KMV distinct-user sketches per (event_type, day), merged
+    to event_type and compared to the exact COUNT DISTINCT — the
+    pre-aggregated sketch-table rollup for 100 TB distinct counting
+    (functions/sketches.kmv_distinct_rollup, k=64 md5-portable hashes);
+    the oracle replays sketch construction, merge, estimator, and the
+    merge-losslessness proof bit-for-bit in SQL."""
+    from open_ftth_relational_projector_spark.functions.sketches import (
+        kmv_distinct_rollup,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    return kmv_distinct_rollup(
+        ev, "event_type", "day", "user_id", k=64, seed=7, pre_reduce_salt=8
+    )
+
+
+@_q(
     "cms_heavy_hitters",
     """
     WITH toks AS (SELECT UNNEST(string_split(text, ' ')) AS token

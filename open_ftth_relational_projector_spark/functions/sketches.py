@@ -197,3 +197,111 @@ def bloom_probe_decontamination(
             ),
         )
     )
+
+
+def kmv_distinct_rollup(
+    df: DataFrame,
+    group_col: str,
+    sub_col: str,
+    value_col: str,
+    k: int = 64,
+    seed: int = 7,
+    pre_reduce_salt: int | None = None,
+) -> DataFrame:
+    """Mergeable k-minimum-values distinct-count sketches (Bar-Yossef et
+    al. 2002 / the KMV estimator): one k-min sketch per (group, sub)
+    cell, MERGED up to group level, estimate vs the exact distinct count.
+
+    This is the pre-aggregated-sketch-table shape a 100 TB warehouse uses
+    for COUNT DISTINCT rollups: daily sketches of ≤ k hashes each are
+    stored once, and any coarser rollup (month, whole group, ad-hoc unions)
+    re-aggregates the sketches WITHOUT touching raw data. The merge is
+    lossless by construction — the k smallest hashes of a union are each
+    the k smallest of their own cell — and the output carries a live
+    ``merge_lossless`` self-check column comparing the merged sketch to a
+    sketch built directly from raw values (count + max + sum equality),
+    the same always-TRUE-by-theorem pattern as count_min_heavy_hitters'
+    ``overestimates``.
+
+    Estimator: with h uniform on [0, 2^60), est = (k−1)/u_k where
+    u_k = (max kept hash + 0.5)/2^60; cells with fewer than k distinct
+    values report their exact count. md5-portable hash → a DuckDB oracle
+    replays the sketch (and the estimate) bit-for-bit.
+
+    Scale shape: per-cell k-min is a window over the DISTINCT (group,
+    sub, hash) rows — the sub granularity bounds each sort group; for
+    skewed cells ``pre_reduce_salt`` first takes k-mins per (cell, hash %
+    salt) so no single sort group exceeds ~|cell|/salt rows (k-min of
+    per-salt k-mins is exactly the cell k-min, same mergeability
+    argument). The group-level merge then sorts ≤ k·n_subs rows per
+    group. The direct-sketch verifier column is the only part that
+    windows raw cardinality at group grain — drop it in production.
+
+    Returns (group_col, exact_distinct BIGINT, kmv_est DOUBLE(4dp),
+    merge_lossless BOOLEAN).
+    """
+    from pyspark.sql import Window as W
+
+    hv = portable_hash64(F.col(value_col), seed)
+    h = (
+        df.select(
+            F.col(group_col).alias("g"), F.col(sub_col).alias("s"), hv.alias("hv")
+        )
+        .distinct()
+    )
+    if pre_reduce_salt:
+        wsalt = W.partitionBy("g", "s", F.col("hv") % pre_reduce_salt).orderBy("hv")
+        h = (
+            h.withColumn("rn", F.row_number().over(wsalt))
+            .filter(F.col("rn") <= k)
+            .drop("rn")
+        )
+    wcell = W.partitionBy("g", "s").orderBy("hv")
+    cellk = (
+        h.withColumn("rn", F.row_number().over(wcell))
+        .filter(F.col("rn") <= k)
+        .select("g", "hv")
+    )
+    wg = W.partitionBy("g").orderBy("hv")
+    merged = (
+        cellk.distinct()
+        .withColumn("rn", F.row_number().over(wg))
+        .filter(F.col("rn") <= k)
+    )
+    direct = (
+        df.select(F.col(group_col).alias("g"), hv.alias("hv"))
+        .distinct()
+        .withColumn("rn", F.row_number().over(wg))
+        .filter(F.col("rn") <= k)
+    )
+
+    def sketch_stats(sk: DataFrame) -> DataFrame:
+        return sk.groupBy("g").agg(
+            F.count(F.lit(1)).alias("kn"),
+            F.max("hv").alias("hk"),
+            F.sum(F.col("hv").cast("decimal(38,0)")).alias("hs"),
+        )
+
+    ms, ds = sketch_stats(merged), sketch_stats(direct)
+    exact = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.countDistinct(value_col).alias("exact_distinct")
+    )
+    u_k = (F.col("ms.hk").cast("double") + F.lit(0.5)) / F.lit(float(2**60))
+    est = F.when(
+        F.col("ms.kn") < k, F.col("ms.kn").cast("double")
+    ).otherwise(F.lit(float(k - 1)) / u_k)
+    return (
+        ms.alias("ms")
+        .join(ds.alias("ds"), "g")
+        .join(exact, "g")
+        .select(
+            F.col("g").alias(group_col),
+            F.col("exact_distinct").cast("long").alias("exact_distinct"),
+            F.round(est, 4).alias("kmv_est"),
+            (
+                (F.col("ms.kn") == F.col("ds.kn"))
+                & (F.col("ms.hk") == F.col("ds.hk"))
+                & (F.col("ms.hs") == F.col("ds.hs"))
+            ).alias("merge_lossless"),
+        )
+    )

@@ -1852,3 +1852,38 @@ def test_bfs_distances_chain_fork_unreachable(spark):
         for r in bfs_distances(edges, seeds, max_hops=3, directed=True).collect()
     }
     assert got_dir == {(1, 0), (5, 0), (2, 1), (6, 1), (3, 2), (4, 3), (30, 3)}
+
+
+def test_kmv_distinct_rollup_properties(spark):
+    """Small group reports exact count via the <k path; large group's
+    estimate lands within KMV's expected error envelope; merging per-sub
+    sketches is lossless vs a direct sketch; the salted pre-reduce changes
+    nothing."""
+    from open_ftth_relational_projector_spark.functions.sketches import (
+        kmv_distinct_rollup,
+    )
+
+    rows = [("A", d % 3, d % 10) for d in range(60)]  # 10 distinct values
+    rows += [("B", v % 5, v) for v in range(500)]     # 500 distinct values
+    df = spark.createDataFrame(rows, "g string, sub int, val int")
+    out = {
+        r["g"]: r
+        for r in kmv_distinct_rollup(df, "g", "sub", "val", k=32).collect()
+    }
+    assert out["A"]["exact_distinct"] == 10
+    assert out["A"]["kmv_est"] == 10.0
+    assert out["A"]["merge_lossless"]
+    assert out["B"]["exact_distinct"] == 500
+    assert out["B"]["merge_lossless"]
+    # k=32 → relative std error ~ 1/sqrt(k-2) ≈ 18%; allow 3 sigma
+    assert abs(out["B"]["kmv_est"] - 500) / 500 < 0.55
+
+    salted = {
+        r["g"]: r
+        for r in kmv_distinct_rollup(
+            df, "g", "sub", "val", k=32, pre_reduce_salt=4
+        ).collect()
+    }
+    assert {g: (r["kmv_est"], r["merge_lossless"]) for g, r in out.items()} == {
+        g: (r["kmv_est"], r["merge_lossless"]) for g, r in salted.items()
+    }
