@@ -860,6 +860,32 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "skyline_parts",
+    """
+    SELECT p.p_partkey, p.p_retailprice, p.p_size
+    FROM part p
+    WHERE p.p_retailprice IS NOT NULL AND p.p_size IS NOT NULL
+      AND NOT EXISTS (
+        SELECT 1 FROM part q
+        WHERE q.p_retailprice <= p.p_retailprice
+          AND q.p_size >= p.p_size
+          AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+    """,
+)
+def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier of parts (cheapest price vs largest size) — the
+    multi-criteria dominance shortlist (operators/skyline.skyline_2d,
+    hierarchical prefix-max sweep, no global single-partition window);
+    the oracle is the quadratic NOT EXISTS dominance definition."""
+    from open_ftth_relational_projector_spark.operators.skyline import skyline_2d
+
+    part = load_table(spark, sf_dir, "part")
+    return skyline_2d(part, "p_retailprice", "p_size").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+
+
+@_q(
     "cube_orders_status_priority",
     """
     SELECT o_orderstatus, o_orderpriority,

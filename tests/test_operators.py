@@ -317,3 +317,39 @@ def test_connected_components_random_equivalence(spark):
         (r.doc_id, r.component_id) for r in connected_components(df).collect()
     )
     assert got == expected
+
+
+def test_skyline_2d_matches_bruteforce(spark):
+    """Sweep skyline == quadratic dominance definition, including
+    duplicate points (both kept), same-axis ties (dominated side
+    dropped), and a degenerate all-equal-x corner."""
+    from open_ftth_relational_projector_spark.operators.skyline import skyline_2d
+
+    pts = [
+        (1, 10.0, 5), (2, 10.0, 5),       # duplicates: both on frontier
+        (3, 10.0, 4),                      # tied price, smaller size → out
+        (4, 12.0, 5),                      # tied size, higher price → out
+        (5, 8.0, 3), (6, 20.0, 9),
+        (7, 15.0, 9),                      # same size as 6, cheaper → 6 out
+        (8, 7.9, 1), (9, 30.0, 2),
+    ]
+    df = spark.createDataFrame(pts, "pid long, price double, size int")
+    got = {r.pid for r in skyline_2d(df, "price", "size").collect()}
+
+    def dominated(p, q):
+        return (
+            q[1] <= p[1] and q[2] >= p[2] and (q[1] < p[1] or q[2] > p[2])
+        )
+
+    brute = {
+        p[0] for p in pts if not any(dominated(p, q) for q in pts if q[0] != p[0])
+    }
+    assert got == brute and 6 not in got and {1, 2} <= got
+
+    same_x = spark.createDataFrame(
+        [(1, 5.0, 1), (2, 5.0, 9), (3, 5.0, 9)], "pid long, price double, size int"
+    )
+    assert {r.pid for r in skyline_2d(same_x, "price", "size").collect()} == {2, 3}
+
+    empty = df.filter("pid < 0")
+    assert skyline_2d(empty, "price", "size").count() == 0
