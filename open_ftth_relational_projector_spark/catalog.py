@@ -6229,6 +6229,43 @@ def rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "mad_outlier_stats",
+    """
+    WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+                 FROM events GROUP BY event_type),
+    mad AS (SELECT e.event_type,
+                   quantile_cont(ABS(e.value - m.med), 0.5) AS mad
+            FROM events e JOIN med m USING (event_type)
+            GROUP BY e.event_type),
+    scored AS (
+      SELECT e.event_type, m.med, d.mad,
+             0.6745 * (e.value - m.med) / d.mad AS z
+      FROM events e
+      JOIN med m USING (event_type) JOIN mad d USING (event_type)
+      WHERE d.mad > 1e-12)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(med), 4) AS med,
+           ROUND(MIN(mad), 4) AS mad,
+           CAST(SUM(CASE WHEN ABS(z) > 3.5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_anomalies
+    FROM scored GROUP BY event_type
+    """,
+)
+def mad_outlier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD modified-z outlier audit of event values per type
+    (functions/quality.robust_outlier_stats) — the robust complement to
+    rolling_zscore_anomalies' mean/stddev gate; oracle replays both
+    percentile passes and the 0.6745 scaling formula-for-formula."""
+    from open_ftth_relational_projector_spark.functions.quality import (
+        robust_outlier_stats,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return robust_outlier_stats(ev, "event_type", "value", z_thresh=3.5)
+
+
+@_q(
     "part_cooccurrence_top_pairs",
     """
     WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

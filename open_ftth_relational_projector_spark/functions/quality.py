@@ -276,3 +276,55 @@ def bigram_lm_scores(
             F.round(F.avg("lp"), 4).alias("avg_logprob"),
         )
     )
+
+
+def robust_outlier_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    z_thresh: float = 3.5,
+) -> DataFrame:
+    """Median/MAD robust outlier audit per group (Iglewicz-Hoaglin
+    modified z-score): z = 0.6745·(x − median)/MAD, flagged when
+    |z| > ``z_thresh``. The robust counterpart to mean/stddev z-scoring —
+    immune to the outliers it is hunting (a single 10^9 glitch inflates a
+    stddev gate into uselessness but moves a median not at all).
+
+    Two exact-percentile passes (median of values, then median of
+    absolute deviations), each one groupBy with the tiny per-group stats
+    broadcast back — the value stream is scanned twice, never self-joined.
+    Exact ``percentile`` is a per-group sort; at 100 TB swap in
+    ``approx_percentile`` (t-digest, map-side combinable) — the exact form
+    is kept here because the oracle replays it formula-for-formula.
+    Groups with MAD ≈ 0 (over half the values identical) are excluded:
+    every deviation would be infinitely many MADs out.
+
+    Returns (group_col, n BIGINT, med, mad, n_anomalies BIGINT).
+    """
+    med = df.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("_med")
+    )
+    mad = (
+        df.join(F.broadcast(med), group_col)
+        .groupBy(group_col)
+        .agg(
+            F.expr(f"percentile(abs({value_col} - _med), 0.5)").alias("_mad")
+        )
+    )
+    z = F.lit(0.6745) * (F.col(value_col) - F.col("_med")) / F.col("_mad")
+    return (
+        df.join(F.broadcast(med), group_col)
+        .join(F.broadcast(mad), group_col)
+        .filter(F.col("_mad") > 1e-12)
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.min("_med"), 4).alias("med"),
+            F.round(F.min("_mad"), 4).alias("mad"),
+            F.sum(
+                F.when(F.abs(z) > z_thresh, F.lit(1)).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("n_anomalies"),
+        )
+    )

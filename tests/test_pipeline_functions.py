@@ -1887,3 +1887,21 @@ def test_kmv_distinct_rollup_properties(spark):
     assert {g: (r["kmv_est"], r["merge_lossless"]) for g, r in out.items()} == {
         g: (r["kmv_est"], r["merge_lossless"]) for g, r in salted.items()
     }
+
+
+def test_robust_outlier_stats_mad(spark):
+    """Known outlier flagged; constant-dominated group (MAD=0) excluded;
+    median/MAD values exact."""
+    from open_ftth_relational_projector_spark.functions.quality import (
+        robust_outlier_stats,
+    )
+
+    rows = [("a", float(v)) for v in [8, 9, 10, 11, 12, 1000]]
+    rows += [("const", 5.0)] * 10 + [("const", 99.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r["g"]: r for r in robust_outlier_stats(df, "g", "v").collect()}
+    # group a: median 10.5, deviations [2.5,1.5,.5,.5,1.5,989.5] → MAD 1.5
+    assert out["a"]["med"] == 10.5 and out["a"]["mad"] == 1.5
+    assert out["a"]["n"] == 6 and out["a"]["n_anomalies"] == 1
+    # MAD of const group is 0 → excluded entirely
+    assert "const" not in out
