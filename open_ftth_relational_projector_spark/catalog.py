@@ -5920,6 +5920,42 @@ def customer_er_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "sorted_neighborhood_er",
+    """
+    WITH r AS (SELECT c_custkey, c_name,
+                      ROW_NUMBER() OVER (ORDER BY c_name, c_custkey) AS rn
+               FROM customer)
+    SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INT) AS name_dist
+    FROM r a JOIN r b ON b.rn BETWEEN a.rn + 1 AND a.rn + 2
+    WHERE levenshtein(a.c_name, b.c_name) <= 2
+    """,
+)
+def sorted_neighborhood_er(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood ER pass (operators/sorted_neighborhood):
+    customers ranked by name via the distributed global-rank primitive
+    (range partition + per-partition window + broadcast offsets — no
+    single-partition ORDER BY window), paired with their 2 successors,
+    kept at edit distance ≤ 2 — the complement to customer_er_candidates'
+    blocking pass for typos in the block key itself."""
+    from open_ftth_relational_projector_spark.operators.sorted_neighborhood import (
+        sorted_neighborhood_pairs,
+    )
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    pairs = sorted_neighborhood_pairs(c, ["c_name", "c_custkey"], window=2)
+    dist = F.levenshtein(F.col("c_name"), F.col("c_name_b"))
+    return (
+        pairs.filter(dist <= 2)
+        .select(
+            F.col("c_custkey").alias("cust_a"),
+            F.col("c_custkey_b").alias("cust_b"),
+            dist.cast("int").alias("name_dist"),
+        )
+    )
+
+
+@_q(
     "point_in_time_features",
     """
     WITH tagged AS (

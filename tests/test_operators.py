@@ -353,3 +353,33 @@ def test_skyline_2d_matches_bruteforce(spark):
 
     empty = df.filter("pid < 0")
     assert skyline_2d(empty, "price", "size").count() == 0
+
+
+def test_global_rank_and_sorted_neighborhood(spark):
+    """global_rank equals the single-partition ROW_NUMBER ordering across
+    many input partitions; neighborhood pairs are exactly the rank-window
+    adjacencies (n·w − w(w+1)/2 of them)."""
+    from open_ftth_relational_projector_spark.operators.sorted_neighborhood import (
+        global_rank,
+        sorted_neighborhood_pairs,
+    )
+
+    n = 500
+    vals = [((i * 193) % n, f"k{(i * 193) % n:05d}") for i in range(n)]
+    df = spark.createDataFrame(vals, "vid long, key string").repartition(16)
+    ranked = {
+        r["vid"]: r["_rank"]
+        for r in global_rank(df, ["key", "vid"]).collect()
+    }
+    assert ranked == {v: v + 1 for v in range(n)}
+
+    w = 3
+    pairs = {
+        (r["vid"], r["vid_b"])
+        for r in sorted_neighborhood_pairs(df, ["key", "vid"], window=w).collect()
+    }
+    brute = {
+        (a, b) for a in range(n) for b in range(a + 1, min(a + w, n - 1) + 1)
+    }
+    assert pairs == brute
+    assert len(pairs) == n * w - w * (w + 1) // 2
