@@ -7324,12 +7324,15 @@ _DRIVER_WINDOW_FRONT = [
     "lang_quality_stats",
     "exact_dedup_groups",
     "doc_fingerprint_groups",
-    # -- approximate paths (rows-only), beside their oracled twins --
-    "minhash_near_dups",
-    "simhash_fingerprints",
-    "embedding_near_dups_lsh",
-    "knn_lsh",
-    "knn_ivf",
+    # -- new this session, first driver rows (each fully oracled; they
+    # take the slots of the five rows-only approximate paths, whose hard
+    # evidence lives in the _md5/_fullprobe twins above and whose
+    # production paths execute every round in the bench headline set) --
+    "bfs_purchase_distances",
+    "kmv_distinct_rollup",
+    "skyline_parts",
+    "mad_outlier_stats",
+    "sorted_neighborhood_er",
     # -- new compositions (first driver rows) --
     "weighted_doc_sample",
     "dedup_keep_list",
