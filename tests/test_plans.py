@@ -329,3 +329,24 @@ def test_new_family_r3_late_cartesian_free(q):
         plan = C.formatted_plan(q(name))
         assert "CartesianProduct" not in plan, name
         assert plan.count("BroadcastNestedLoopJoin") <= n_scalars, name
+
+
+def test_session_additions_plan_shapes(q):
+    """New-family scale shapes: skyline joins broadcast (prefix table and
+    surviving-levels are tiny); sorted-neighborhood's offset join
+    broadcasts and the neighbor join is an equi-join (no range/theta
+    BroadcastNestedLoop); KMV and MAD stay cartesian-free."""
+    sky = q("skyline_parts")
+    assert C.broadcast_join_count(sky) >= 2, "prefix + surviving must broadcast"
+    C.assert_no_cartesian(sky)
+
+    snm = q("sorted_neighborhood_er")
+    assert C.broadcast_join_count(snm) >= 1, "partition offsets must broadcast"
+    C.assert_no_cartesian(snm)
+    assert "NestedLoop" not in C.formatted_plan(snm)
+
+    C.assert_no_cartesian(q("kmv_distinct_rollup"))
+
+    mad = q("mad_outlier_stats")
+    assert C.broadcast_join_count(mad) >= 2, "median/MAD stats must broadcast"
+    C.assert_no_cartesian(mad)
