@@ -4797,6 +4797,44 @@ def kmv_distinct_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "cms_join_size_estimate",
+    """
+    WITH ka AS (SELECT CAST(l_partkey AS VARCHAR) AS k FROM lineitem
+                WHERE l_partkey IS NOT NULL),
+    seeds AS (SELECT UNNEST([0, 1, 2, 3]) AS seed),
+    cells AS (SELECT seed,
+                     ('0x' || substr(md5(k || '#' || CAST(seed AS VARCHAR)), 1, 15))::BIGINT
+                       % 256 AS bucket
+              FROM ka CROSS JOIN seeds),
+    grid AS (SELECT seed, bucket, COUNT(*) AS c FROM cells GROUP BY 1, 2),
+    ipj AS (SELECT a.seed, SUM(a.c * b.c) AS ip
+            FROM grid a JOIN grid b USING (seed, bucket) GROUP BY a.seed),
+    ip AS (SELECT s.seed, COALESCE(ipj.ip, 0) AS ip
+           FROM seeds s LEFT JOIN ipj USING (seed)),
+    est AS (SELECT MIN(ip) AS cms_est FROM ip),
+    cnt AS (SELECT k, COUNT(*) AS n FROM ka GROUP BY k),
+    ex AS (SELECT COALESCE(SUM(n * n), 0) AS exact_size FROM cnt)
+    SELECT CAST(ex.exact_size AS BIGINT) AS exact_size,
+           CAST(est.cms_est AS BIGINT) AS cms_est,
+           est.cms_est >= ex.exact_size AS overestimates
+    FROM ex CROSS JOIN est
+    """,
+)
+def cms_join_size_estimate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality pre-flight for the skew-sensitive lineitem
+    self-join on l_partkey: CMS inner-product estimate vs the exact
+    Σ n(k)² size, with the never-underestimates guarantee as a live
+    column (functions/sketches.cms_join_size_estimate) — what a planner
+    consults before admitting a possibly-exploding join at 100 TB."""
+    from open_ftth_relational_projector_spark.functions.sketches import (
+        cms_join_size_estimate,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return cms_join_size_estimate(li, "l_partkey", li, "l_partkey", d=4, w=256)
+
+
+@_q(
     "cms_heavy_hitters",
     """
     WITH toks AS (SELECT UNNEST(string_split(text, ' ')) AS token

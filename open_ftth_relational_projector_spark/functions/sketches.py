@@ -305,3 +305,100 @@ def kmv_distinct_rollup(
             ).alias("merge_lossless"),
         )
     )
+
+
+def cms_join_size_estimate(
+    a: DataFrame,
+    a_key: str,
+    b: DataFrame,
+    b_key: str,
+    d: int = 4,
+    w: int = 256,
+) -> DataFrame:
+    """Equi-join cardinality pre-flight via Count-Min inner products
+    (AMS/CMS join-size estimation, Alon-Matias-Szegedy 1996 / Cormode &
+    Muthukrishnan 2005): |A ⋈ B| on a key is Σ_k nA(k)·nB(k); each side
+    folds into a d×w counter grid, the per-row grid inner products
+    estimate the sum, and min over the d rows is the estimate. A CMS
+    inner product never UNDER-estimates (colliding keys only add cross
+    terms), so the planner-facing guarantee — safe as an upper-bound
+    admission check before running a possibly-exploding join — is carried
+    as a live ``overestimates`` column verified against the exact size
+    every run, the same theorem-as-column pattern as
+    count_min_heavy_hitters.
+
+    The grids are 2·d·w counters from one map-side-combined groupBy per
+    side — fixed memory at any scale, and mergeable across partitions/
+    days like every sketch in this module. The exact verifier (per-key
+    count join) is the part to drop at 100 TB. md5-portable buckets → the
+    oracle replays grids, inner products, and the min bit-for-bit.
+
+    Returns one row: (exact_size BIGINT, cms_est BIGINT, overestimates
+    BOOLEAN).
+    """
+    seeds = F.array(*[F.lit(s) for s in range(d)])
+
+    def grid(df: DataFrame, key: str) -> DataFrame:
+        return (
+            df.select(F.col(key).cast("string").alias("k"))
+            .filter(F.col("k").isNotNull())
+            .withColumn("seed", F.explode(seeds))
+            .select(
+                "seed",
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat_ws("#", F.col("k"), F.col("seed"))),
+                            1,
+                            15,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % w
+                ).alias("bucket"),
+            )
+            .groupBy("seed", "bucket")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    ga, gb = grid(a, a_key), grid(b, b_key)
+    # per-seed inner products over shared buckets; a seed whose grids
+    # share NO bucket has inner product 0 and must still vote in the min,
+    # so the products re-join a full seed spine
+    per_seed = (
+        ga.alias("ga")
+        .join(gb.alias("gb"), ["seed", "bucket"])
+        .groupBy("seed")
+        .agg(F.sum(F.col("ga.c") * F.col("gb.c")).alias("ip"))
+    )
+    seed_spine = a.sparkSession.range(d).select(
+        F.col("id").cast("int").alias("seed")
+    )
+    est = (
+        seed_spine.join(per_seed, "seed", "left")
+        .agg(F.min(F.coalesce(F.col("ip"), F.lit(0))).alias("cms_est"))
+    )
+    ca = (
+        a.select(F.col(a_key).cast("string").alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("na"))
+    )
+    cb = (
+        b.select(F.col(b_key).cast("string").alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("nb"))
+    )
+    exact = ca.join(cb, "k").agg(
+        F.coalesce(F.sum(F.col("na") * F.col("nb")), F.lit(0)).alias("exact_size")
+    )
+    return (
+        exact.crossJoin(F.broadcast(est))
+        .select(
+            F.col("exact_size").cast("long"),
+            F.col("cms_est").cast("long"),
+            (F.col("cms_est") >= F.col("exact_size")).alias("overestimates"),
+        )
+    )

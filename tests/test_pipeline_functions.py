@@ -1905,3 +1905,30 @@ def test_robust_outlier_stats_mad(spark):
     assert out["a"]["n"] == 6 and out["a"]["n_anomalies"] == 1
     # MAD of const group is 0 → excluded entirely
     assert "const" not in out
+
+
+def test_cms_join_size_never_underestimates(spark):
+    """CMS inner-product join-size estimate ≥ exact size; with a wide
+    grid it is exact, with a tiny forced-collision grid strictly above;
+    disjoint key sets estimate ≥ exact 0."""
+    from open_ftth_relational_projector_spark.functions.sketches import (
+        cms_join_size_estimate,
+    )
+
+    a = spark.createDataFrame(
+        [(k,) for k in [1, 1, 1, 2, 3]], "k long"
+    )
+    b = spark.createDataFrame(
+        [(k,) for k in [1, 2, 2, 4]], "k long"
+    )
+    # exact: 3*1 (k=1) + 1*2 (k=2) = 5
+    wide = cms_join_size_estimate(a, "k", b, "k", d=4, w=512).first()
+    assert wide["exact_size"] == 5 and wide["overestimates"]
+
+    tiny = cms_join_size_estimate(a, "k", b, "k", d=2, w=2).first()
+    assert tiny["exact_size"] == 5
+    assert tiny["cms_est"] >= 5 and tiny["overestimates"]
+
+    c = spark.createDataFrame([(99,), (100,)], "k long")
+    disj = cms_join_size_estimate(a, "k", c, "k", d=4, w=512).first()
+    assert disj["exact_size"] == 0 and disj["overestimates"]
