@@ -860,6 +860,43 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "unpivot_lineitem_measures",
+    """
+    WITH m AS (
+      SELECT 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+      UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+      UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+      UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+    SELECT measure, CAST(COUNT(value) AS BIGINT) AS n,
+           ROUND(SUM(value), 4) AS sum_value,
+           ROUND(AVG(value), 4) AS avg_value
+    FROM m GROUP BY measure
+    """,
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long melt of the four lineitem measures (DataFrame.unpivot —
+    the inverse of pivot_event_counts) rolled up per measure. The melt is
+    a map-side Expand (4 output rows per input row, no shuffle); the only
+    exchange is the 4-group aggregate. Oracle spells the melt as the
+    equivalent UNION ALL."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.unpivot(
+            [],
+            ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+            "measure",
+            "value",
+        )
+        .groupBy("measure")
+        .agg(
+            F.count("value").cast("long").alias("n"),
+            _r4(F.sum("value")).alias("sum_value"),
+            _r4(F.avg("value")).alias("avg_value"),
+        )
+    )
+
+
+@_q(
     "skyline_parts",
     """
     SELECT p.p_partkey, p.p_retailprice, p.p_size
@@ -4467,6 +4504,50 @@ _PAGERANK_SQL = (
     SELECT node, ROUND(rank, 6) AS rank FROM r3
     """
 )
+
+
+def _kc_d2(a: str, b: str) -> str:
+    """Unrolled squared-L2 between list columns, (x−c)·(x−c) form and
+    per-pair ROUND(…, 6) — mirroring clustering.kcenter_select's
+    determinism contract."""
+    return (
+        f"ROUND(list_sum(list_transform(generate_series(1, 64), "
+        f"i -> ({a}[i]::DOUBLE - {b}[i]::DOUBLE) * ({a}[i]::DOUBLE - {b}[i]::DOUBLE))), 6)"
+    )
+
+
+_KCENTER_SQL = f"""
+    WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+    c1 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1),
+    m1 AS (SELECT e.vec_id, e.v, {_kc_d2('e.v', 'c1.v')} AS d
+           FROM e, c1 WHERE e.vec_id <> c1.vec_id),
+    c2 AS (SELECT vec_id, v, d FROM m1 ORDER BY d DESC, vec_id LIMIT 1),
+    m2 AS (SELECT m.vec_id, m.v, LEAST(m.d, {_kc_d2('m.v', 'c2.v')}) AS d
+           FROM m1 m, c2 WHERE m.vec_id <> c2.vec_id),
+    c3 AS (SELECT vec_id, v, d FROM m2 ORDER BY d DESC, vec_id LIMIT 1),
+    m3 AS (SELECT m.vec_id, m.v, LEAST(m.d, {_kc_d2('m.v', 'c3.v')}) AS d
+           FROM m2 m, c3 WHERE m.vec_id <> c3.vec_id),
+    c4 AS (SELECT vec_id, v, d FROM m3 ORDER BY d DESC, vec_id LIMIT 1)
+    SELECT 1 AS sel_order, vec_id, 0.0 AS dist FROM c1
+    UNION ALL SELECT 2, vec_id, ROUND(d, 4) FROM c2
+    UNION ALL SELECT 3, vec_id, ROUND(d, 4) FROM c3
+    UNION ALL SELECT 4, vec_id, ROUND(d, 4) FROM c4
+    """
+
+
+@_q("kcenter_coreset", _KCENTER_SQL)
+def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center (farthest-point) coreset selection over the
+    embeddings — the diversity-maximizing sampler for curation
+    (functions/clustering.kcenter_select, k=4); the oracle unrolls the
+    four greedy rounds with the same per-pair rounding and id
+    tie-breaks."""
+    from open_ftth_relational_projector_spark.functions.clustering import (
+        kcenter_select,
+    )
+
+    emb = scattered(load_table(spark, sf_dir, "embeddings"))
+    return kcenter_select(emb, k=4)
 
 
 @_q("pagerank_purchase_graph", _PAGERANK_SQL)

@@ -391,3 +391,70 @@ def pq_knn_adc(
         .filter(F.col("rnk") <= knn_k)
         .select("query_id", "neighbor_id", F.col("rnk").cast("int").alias("rnk"))
     )
+
+
+def kcenter_select(
+    emb: DataFrame,
+    k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iter_dp: int = 6,
+    out_dp: int = 4,
+) -> DataFrame:
+    """Greedy k-center selection (Gonzalez 1985 farthest-point traversal)
+    — the diversity-maximizing coreset picker for training-data curation:
+    each round selects the point FARTHEST from everything already chosen,
+    so k rounds give a 2-approximation of the optimal k-center cover and
+    a maximally-spread sample (the opposite bias to random sampling,
+    which over-picks dense regions).
+
+    Returns the k selected rows as (sel_order, id, dist): dist is the
+    point's min squared-L2 distance to the prior selections at the moment
+    it was chosen — the non-increasing coverage-radius sequence (dist of
+    selection i+1 bounds the distance of EVERY unselected point to its
+    nearest center after round i).
+
+    Determinism contract (same as kmeans_fit/pagerank): each pairwise
+    distance is a left-to-right fold rounded to ``iter_dp`` before the
+    min/argmax, ties broken by lowest id — an unrolled SQL oracle
+    hash-matches round for round. Start = lowest id.
+
+    Scale shape: each round is ONE full map-only scan scoring every row
+    against the ≤ k chosen vectors held as a broadcast literal, reduced
+    by a single ORDER BY ... LIMIT 1 (TakeOrderedAndProject — partial
+    top-1 per partition, no global sort materialized). Driver state is k
+    vectors — bounded by construction. k full scans total; for large k
+    switch to batched variants (gonzalez-with-buckets), same contract.
+    """
+    first = emb.orderBy(id_col).select(id_col, vec_col).first()
+    chosen: list[tuple[int, object, float, list[float]]] = [
+        (1, first[id_col], 0.0, [float(x) for x in first[vec_col]])
+    ]
+    for rnd in range(2, k + 1):
+        dists = [
+            F.round(
+                _sq_dist(
+                    as_double(F.col(vec_col)),
+                    F.array(*[F.lit(x) for x in vec]),
+                ),
+                iter_dp,
+            )
+            for _, _, _, vec in chosen
+        ]
+        dmin = dists[0] if len(dists) == 1 else F.least(*dists)
+        picked_ids = [c[1] for c in chosen]
+        row = (
+            emb.filter(~F.col(id_col).isin(picked_ids))
+            .select(F.col(id_col), F.col(vec_col), dmin.alias("d"))
+            .orderBy(F.desc("d"), F.asc(id_col))
+            .first()
+        )
+        chosen.append(
+            (rnd, row[id_col], float(row["d"]), [float(x) for x in row[vec_col]])
+        )
+    spark = emb.sparkSession
+    out = spark.createDataFrame(
+        [(o, i, d) for o, i, d, _ in chosen],
+        f"sel_order int, {id_col} long, dist double",
+    )
+    return out.select("sel_order", id_col, F.round("dist", out_dp).alias("dist"))

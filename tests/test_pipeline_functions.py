@@ -1932,3 +1932,24 @@ def test_cms_join_size_never_underestimates(spark):
     c = spark.createDataFrame([(99,), (100,)], "k long")
     disj = cms_join_size_estimate(a, "k", c, "k", d=4, w=512).first()
     assert disj["exact_size"] == 0 and disj["overestimates"]
+
+
+def test_kcenter_select_farthest_point(spark):
+    """On a line of 1-D points the greedy traversal picks the known
+    sequence: start = lowest id, then the far end, then the midpoint gap;
+    the coverage-radius sequence is non-increasing."""
+    from open_ftth_relational_projector_spark.functions.clustering import (
+        kcenter_select,
+    )
+
+    pts = [(0, [0.0]), (1, [1.0]), (2, [2.0]), (3, [10.0]), (4, [5.0])]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+    out = [
+        (r["sel_order"], r["vec_id"], r["dist"])
+        for r in kcenter_select(df, k=4).orderBy("sel_order").collect()
+    ]
+    # start 0 @0; farthest is 3 (d=100); then 4 (min(25, 25)=25);
+    # then 2 (min(4, 9, 64)=4) beats 1 (min(1,16,81)=1)
+    assert out == [(1, 0, 0.0), (2, 3, 100.0), (3, 4, 25.0), (4, 2, 4.0)]
+    dists = [d for _, _, d in out[1:]]
+    assert dists == sorted(dists, reverse=True)
