@@ -1278,6 +1278,69 @@ def asof_purchase_prior_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "asof_forward_error_recovery",
+    """
+    WITH e AS (SELECT event_id, user_id, event_type,
+                      epoch_us(ts)::BIGINT AS us
+               FROM events),
+    err AS (SELECT event_id, user_id, us FROM e WHERE event_type = 'error'),
+    cand AS (
+      SELECT r.event_id, n.event_id AS next_event_id,
+             n.event_type AS next_type, n.us AS nus,
+             ROW_NUMBER() OVER (PARTITION BY r.event_id ORDER BY n.us) AS rn
+      FROM err r JOIN e n
+        ON n.user_id = r.user_id AND n.event_type <> 'error'
+       AND n.us > r.us AND n.us <= r.us + 3600000000)
+    SELECT err.event_id, err.user_id, c.next_event_id, c.next_type,
+           CAST(c.nus - err.us AS BIGINT) AS gap_us
+    FROM err LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c
+      ON err.event_id = c.event_id
+    """,
+)
+def asof_forward_error_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of with tolerance (operators/asof.asof_join_directed):
+    each error event finds the user's first subsequent non-error event
+    within one hour — time-to-recovery attribution, the
+    pandas-merge_asof(direction='forward', tolerance=…) surface run as a
+    backward as-of over negated micros (single shuffle, no range join).
+    Unmatched/late recoveries stay as NULL rows (left semantics)."""
+    from open_ftth_relational_projector_spark.operators.asof import (
+        asof_join_directed,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    facts = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "us", "event_id"
+    )
+    versions = ev.filter(F.col("event_type") != "error").select(
+        "user_id",
+        "us",
+        F.col("event_id").alias("next_event_id"),
+        F.col("event_type").alias("next_type"),
+    )
+    out = asof_join_directed(
+        facts,
+        versions,
+        "user_id",
+        fact_seq="us",
+        version_seq="us",
+        version_cols=["next_event_id", "next_type"],
+        direction="forward",
+        strict=True,
+        tolerance=3_600_000_000,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "next_event_id",
+        "next_type",
+        (F.col("matched_seq") - F.col("us")).cast("long").alias("gap_us"),
+    )
+
+
+@_q(
     "json_props_stats",
     """
     SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,

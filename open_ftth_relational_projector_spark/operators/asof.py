@@ -133,3 +133,82 @@ def asof_join_broadcast(
     return out.select(
         *facts.columns, *[pick[c].alias(c) for c in version_cols]
     )
+
+
+def asof_join_directed(
+    facts: DataFrame,
+    versions: DataFrame,
+    key: str | Sequence[str],
+    fact_seq: str = "seq",
+    version_seq: str = "seq",
+    version_cols: Sequence[str] | None = None,
+    direction: str = "backward",
+    strict: bool = True,
+    tolerance: int | float | None = None,
+    fact_id: str | None = None,
+) -> DataFrame:
+    """Directional/tolerance as-of join — the full pandas-``merge_asof``
+    surface on top of the union-window technique:
+
+    * direction="backward" — latest version at-or-before the fact (the
+      base asof_join);
+    * direction="forward" — EARLIEST version at-or-after the fact, run
+      as a backward as-of over negated sequence numbers (one extra
+      column, same single-shuffle plan);
+    * direction="nearest" — closer of the two, ties to backward; needs
+      ``fact_id`` (a unique fact key) to align the two passes, and costs
+      two as-of shuffles plus one fact-keyed join.
+
+    ``tolerance`` (same units as the seq columns) nulls out matches
+    farther than the bound while KEEPING the fact row — left-join
+    semantics, exactly pandas' tolerance contract.
+
+    Every output gains ``matched_seq`` (the matched version's seq, null
+    when unmatched/out-of-tolerance) so callers can compute gaps without
+    re-deriving the match. Sequences must be numeric (negation is the
+    forward trick) and unique per (key, seq) on the version side for
+    deterministic tie-breaks — same precondition as asof_join.
+    """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction: {direction!r}")
+    keys = [key] if isinstance(key, str) else list(key)
+    if version_cols is None:
+        version_cols = [
+            c for c in versions.columns if c not in keys and c != version_seq
+        ]
+    vcols = [*version_cols, "matched_seq"]
+
+    def one_side(back: bool) -> DataFrame:
+        v2 = versions.withColumn("matched_seq", F.col(version_seq))
+        if back:
+            out = asof_join(facts, v2, keys, fact_seq, version_seq, vcols, strict)
+        else:
+            fn = facts.withColumn("_negseq", (-F.col(fact_seq)).alias("_negseq"))
+            vn = v2.withColumn("_negseq", -F.col(version_seq))
+            out = asof_join(
+                fn, vn, keys, "_negseq", "_negseq", vcols, strict
+            ).drop("_negseq")
+        if tolerance is not None:
+            ok = F.abs(F.col(fact_seq) - F.col("matched_seq")) <= tolerance
+            for c in vcols:
+                out = out.withColumn(c, F.when(ok, F.col(c)))
+        return out
+
+    if direction != "nearest":
+        return one_side(direction == "backward")
+
+    if fact_id is None:
+        raise ValueError("direction='nearest' requires fact_id")
+    bw, fw = one_side(True), one_side(False)
+    fsel = fw.select(
+        F.col(fact_id), *[F.col(c).alias(f"_f_{c}") for c in vcols]
+    )
+    gap_b = F.col(fact_seq) - F.col("matched_seq")
+    gap_f = F.col("_f_matched_seq") - F.col(fact_seq)
+    use_b = F.col("matched_seq").isNotNull() & (
+        F.col("_f_matched_seq").isNull() | (gap_b <= gap_f)
+    )
+    out = bw.join(fsel, fact_id)
+    for c in vcols:
+        out = out.withColumn(c, F.when(use_b, F.col(c)).otherwise(F.col(f"_f_{c}")))
+    return out.drop(*[f"_f_{c}" for c in vcols])

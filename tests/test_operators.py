@@ -383,3 +383,60 @@ def test_global_rank_and_sorted_neighborhood(spark):
     }
     assert pairs == brute
     assert len(pairs) == n * w - w * (w + 1) // 2
+
+
+def test_asof_join_directed_full_surface(spark):
+    """Forward finds the first at-or-after version; nearest picks the
+    closer side with ties to backward; tolerance nulls far matches but
+    keeps the fact row; matched_seq surfaces the matched version seq."""
+    from open_ftth_relational_projector_spark.operators.asof import (
+        asof_join_directed,
+    )
+
+    versions = spark.createDataFrame(
+        [(1, 10, "v10"), (1, 20, "v20"), (1, 40, "v40"), (2, 5, "w5")],
+        "k long, seq long, val string",
+    )
+    facts = spark.createDataFrame(
+        [(100, 1, 15), (101, 1, 30), (102, 1, 40), (103, 1, 3), (104, 2, 50)],
+        "fid long, k long, seq long",
+    )
+
+    def by_fid(df):
+        return {r["fid"]: (r["val"], r["matched_seq"]) for r in df.collect()}
+
+    fwd = by_fid(
+        asof_join_directed(
+            facts, versions, "k", direction="forward", strict=False
+        )
+    )
+    assert fwd[100] == ("v20", 20) and fwd[101] == ("v40", 40)
+    assert fwd[102] == ("v40", 40)            # non-strict: at-or-after
+    assert fwd[103] == ("v10", 10)
+    assert fwd[104] == (None, None)           # nothing after 50 for k=2
+
+    fwd_strict = by_fid(
+        asof_join_directed(facts, versions, "k", direction="forward", strict=True)
+    )
+    assert fwd_strict[102] == (None, None)    # strictly-after excludes 40
+
+    near = by_fid(
+        asof_join_directed(
+            facts, versions, "k",
+            direction="nearest", strict=False, fact_id="fid",
+        )
+    )
+    assert near[100] == ("v10", 10)           # tie 15-10 vs 20-15 → backward
+    assert near[101] == ("v20", 20)           # gap 10 both ways: tie → backward
+    assert near[103] == ("v10", 10)           # only forward exists
+    assert near[104] == ("w5", 5)             # only backward exists
+
+    tol = by_fid(
+        asof_join_directed(
+            facts, versions, "k",
+            direction="forward", strict=False, tolerance=5,
+        )
+    )
+    assert tol[100] == ("v20", 20)            # gap 5 ≤ 5
+    assert tol[101] == (None, None)           # gap 10 > 5, row kept
+    assert len(tol) == len(facts.collect())
