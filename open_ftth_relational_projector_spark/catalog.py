@@ -860,6 +860,57 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "merged_order_activity_periods",
+    """
+    WITH iv AS (SELECT o_custkey AS custkey,
+                       date_diff('day', DATE '1992-01-01',
+                                 CAST(o_orderdate AS DATE))::INT AS s
+                FROM orders),
+    iv2 AS (SELECT custkey, s, s + 30 AS e FROM iv),
+    m AS (SELECT custkey, s, e,
+                 MAX(e) OVER (PARTITION BY custkey ORDER BY s, e
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS pmax
+          FROM iv2),
+    fl AS (SELECT custkey, s, e,
+                  CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END AS f
+           FROM m),
+    isl AS (SELECT custkey, s, e,
+                   SUM(f) OVER (PARTITION BY custkey ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS gid
+            FROM fl)
+    SELECT custkey, CAST(MIN(s) AS INT) AS period_start_d,
+           CAST(MAX(e) AS INT) AS period_end_d
+    FROM isl GROUP BY custkey, gid
+    """,
+)
+def merged_order_activity_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval stitching (operators/range_join.merge_intervals): each
+    order opens a 30-day activity window; overlapping windows coalesce
+    into maximal per-customer activity periods — the interval-set union
+    (coverage/downtime spans) expressed as one keyed sweep; the oracle
+    replays the running-max island construction."""
+    from open_ftth_relational_projector_spark.operators.range_join import (
+        merge_intervals,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    iv = orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+        ).alias("s"),
+    ).withColumn("e", F.col("s") + 30)
+    out = merge_intervals(iv, ["custkey"], "s", "e")
+    return out.select(
+        "custkey",
+        F.col("s").cast("int").alias("period_start_d"),
+        F.col("e").cast("int").alias("period_end_d"),
+    )
+
+
+@_q(
     "unpivot_lineitem_measures",
     """
     WITH m AS (

@@ -15,7 +15,7 @@ here it's an explicit operator any plan can use.)
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window as W, functions as F
 
 
 def interval_join(
@@ -62,3 +62,38 @@ def interval_join(
     for k in keys:
         out = out.drop(i[k])
     return out
+
+
+def merge_intervals(
+    df: DataFrame,
+    key_cols: list[str],
+    start: str = "start",
+    end: str = "end",
+) -> DataFrame:
+    """Coalesce overlapping/touching half-open intervals per key into
+    maximal disjoint spans — interval stitching (coverage periods,
+    downtime windows, session spans from heterogeneous sources), the
+    interval-set union Spark has no operator for.
+
+    Sweep formulation: within each key, ordered by (start, end), an
+    interval OPENS a new span iff its start exceeds the running max of
+    all previous ends (touching spans merge); the running count of opens
+    is the span id, and min(start)/max(end) per span are its bounds.
+    Two window passes + one aggregation, all keyed on ``key_cols`` — a
+    single shuffle reused across the three steps, linear at any scale;
+    per-key sorts are the usual skew watch-point (cap/sample a hot key).
+
+    Returns key_cols + (start, end) of each merged span.
+    """
+    w = W.partitionBy(*key_cols).orderBy(start, end)
+    prev_max = F.max(end).over(w.rowsBetween(W.unboundedPreceding, -1))
+    opens = F.when(
+        prev_max.isNull() | (F.col(start) > prev_max), F.lit(1)
+    ).otherwise(F.lit(0))
+    span = F.sum(opens).over(w.rowsBetween(W.unboundedPreceding, 0))
+    return (
+        df.withColumn("_span", span)
+        .groupBy(*key_cols, "_span")
+        .agg(F.min(start).alias(start), F.max(end).alias(end))
+        .drop("_span")
+    )

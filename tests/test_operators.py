@@ -440,3 +440,30 @@ def test_asof_join_directed_full_surface(spark):
     assert tol[100] == ("v20", 20)            # gap 5 ≤ 5
     assert tol[101] == (None, None)           # gap 10 > 5, row kept
     assert len(tol) == len(facts.collect())
+
+
+def test_merge_intervals_stitching(spark):
+    """Overlapping and touching intervals coalesce; disjoint stay apart;
+    containment collapses; per-key isolation holds."""
+    from open_ftth_relational_projector_spark.operators.range_join import (
+        merge_intervals,
+    )
+
+    iv = spark.createDataFrame(
+        [
+            ("a", 0, 10), ("a", 5, 15),    # overlap → [0,15)
+            ("a", 15, 20),                 # touching → extends to [0,20)
+            ("a", 30, 40), ("a", 32, 35),  # containment → [30,40)
+            ("a", 50, 60),                 # disjoint
+            ("b", 0, 100), ("b", 200, 300),
+        ],
+        "k string, start long, end long",
+    )
+    got = {
+        (r["k"], r["start"], r["end"])
+        for r in merge_intervals(iv, ["k"], "start", "end").collect()
+    }
+    assert got == {
+        ("a", 0, 20), ("a", 30, 40), ("a", 50, 60),
+        ("b", 0, 100), ("b", 200, 300),
+    }
