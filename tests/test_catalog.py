@@ -58,3 +58,37 @@ def test_every_oracle_plans_in_duckdb(duck):
         except Exception as e:  # noqa: BLE001
             bad.append((name, str(e).splitlines()[0]))
     assert not bad, bad
+
+
+def test_oracle_sql_portable_subset_runs_in_spark_sql(spark):
+    """The raw-SQL surface: for dialect-portable catalog entries, running
+    the ORACLE string itself through spark.sql over registered temp views
+    must reproduce the DataFrame implementation row-for-row — one engine,
+    two front ends. (DuckDB-specific oracles — list lambdas, quantile_cont,
+    2-arg GROUPING — are exercised by scripts/check_oracle.py instead.)"""
+    from tests.conftest import rows_set
+
+    import __spark_entry__ as entry_mod
+    from open_ftth_relational_projector_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events"]:
+        load_table(spark, sf, t).createOrReplaceTempView(t)
+    qs, osql = entry_mod.queries(), entry_mod.oracle_sql()
+    portable = [
+        "q1_pricing_summary", "q3_order_revenue", "q4_order_priority",
+        "q5_region_nation_revenue", "q6_forecast_revenue",
+        "q10_returned_items", "q12_shipmode_priority",
+        "q13_customer_order_distribution", "q14_promo_effect",
+        "q19_discounted_revenue", "semi_join_customers_with_urgent_orders",
+        "anti_join_customers_without_orders", "rollup_lineitem_status",
+        "unpivot_lineitem_measures", "price_histogram",
+    ]
+    for name in portable:
+        via_sql = spark.sql(osql[name])
+        via_df = qs[name](spark, sf)
+        assert sorted(via_sql.columns) == sorted(via_df.columns), name
+        a = rows_set(via_sql.select(*sorted(via_sql.columns)))
+        b = rows_set(via_df.select(*sorted(via_df.columns)))
+        assert a == b, f"{name}: spark.sql != DataFrame result"
