@@ -412,3 +412,86 @@ def test_streaming_exact_dedup_across_batches(spark, tmp_path):
     drain()  # separate query run, same state
     second = sorted(r["doc_id"] for r in spark.read.parquet(accepted).collect())
     assert second == [1, 2, 5]  # cross-batch dup rejected, new doc kept
+
+
+def test_streaming_kmv_sketch_merge_equals_batch(spark):
+    """A KMV distinct-count sketch maintained as foreachBatch state —
+    merge(state, batch-sketch) truncated to k — must equal the sketch
+    built over all data at once, for EVERY split of the stream: the
+    mergeability theorem run live as bounded streaming state (≤ k hashes
+    per key, regardless of stream length)."""
+    from pyspark.sql import Window as W
+
+    from open_ftth_relational_projector_spark.functions.dedup import (
+        portable_hash64,
+    )
+
+    k = 16
+    tmp = tempfile.mkdtemp(prefix="ofrp_kmv_")
+    src, cp = f"{tmp}/in", f"{tmp}/cp"
+    state = {"df": None}  # per-key k-min hash sets, carried across batches
+
+    def apply_batch(batch_df, _bid):
+        w = W.partitionBy("event_type").orderBy("hv")
+        batch_sk = (
+            batch_df.select(
+                "event_type", portable_hash64(F.col("user_id"), 7).alias("hv")
+            ).distinct()
+        )
+        pool = (
+            batch_sk if state["df"] is None
+            else state["df"].unionByName(batch_sk).distinct()
+        )
+        state["df"] = (
+            pool.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .drop("rn")
+            .localCheckpoint(eager=True)
+        )
+
+    try:
+        rows = [
+            (i, BASE + timedelta(minutes=i), i % 37, "a" if i % 2 else "b", 1.0)
+            for i in range(120)
+        ]
+        for j, chunk in enumerate([rows[:50], rows[50:70], rows[70:]]):
+            _land(chunk, src, f"b{j}")
+            q = (
+                spark.readStream.schema(SCHEMA)
+                .parquet(src)
+                .writeStream.foreachBatch(apply_batch)
+                .option("checkpointLocation", cp)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        streamed = {
+            (r["event_type"], r["hv"]) for r in state["df"].collect()
+        }
+        w = W.partitionBy("event_type").orderBy("hv")
+        batch = {
+            (r["event_type"], r["hv"])
+            for r in (
+                spark.createDataFrame(rows, SCHEMA)
+                .select(
+                    "event_type",
+                    portable_hash64(F.col("user_id"), 7).alias("hv"),
+                )
+                .distinct()
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= k)
+                .collect()
+            )
+        }
+        assert streamed == batch
+        # bounded state: at most k hashes per key
+        sizes = {
+            r["event_type"]: r["n"]
+            for r in state["df"].groupBy("event_type").agg(
+                F.count(F.lit(1)).alias("n")
+            ).collect()
+        }
+        assert all(n <= k for n in sizes.values())
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
