@@ -7468,6 +7468,104 @@ def revenue_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM gapped
     """,
 )
+def _interp_sql() -> str:
+    return """
+    WITH gapped AS (
+      SELECT event_id, user_id, epoch_us(ts)::BIGINT AS us,
+             CASE WHEN event_id % 7 = 0 THEN NULL
+                  ELSE ROUND(value, 4) END AS v
+      FROM events),
+    ctx AS (
+      SELECT event_id, user_id, us, v,
+             LAST_VALUE(v IGNORE NULLS) OVER wp AS pv,
+             LAST_VALUE(us_v IGNORE NULLS) OVER wp AS pus,
+             FIRST_VALUE(v IGNORE NULLS) OVER wn AS nv,
+             FIRST_VALUE(us_v IGNORE NULLS) OVER wn AS nus
+      FROM (SELECT event_id, user_id, us,
+                   v, CASE WHEN v IS NOT NULL THEN us END AS us_v
+            FROM gapped) g
+      WINDOW wp AS (PARTITION BY user_id ORDER BY us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wn AS (PARTITION BY user_id ORDER BY us, event_id
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT event_id, user_id, v AS raw_value,
+           ROUND(CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN pv IS NOT NULL AND nv IS NOT NULL
+               THEN pv + (nv - pv) * ((us - pus) / CAST(nus - pus AS DOUBLE))
+             WHEN pv IS NOT NULL THEN pv
+             ELSE nv END, 4) AS filled_value,
+           CASE WHEN v IS NOT NULL THEN 'observed'
+                WHEN pv IS NOT NULL AND nv IS NOT NULL THEN 'interp'
+                WHEN pv IS NOT NULL THEN 'locf'
+                WHEN nv IS NOT NULL THEN 'nocb'
+                ELSE 'none' END AS fill_kind
+    FROM ctx
+    """
+
+
+# NOTE: the pus/nus columns must come from the same non-null rows as
+# pv/nv; LAST_VALUE(us IGNORE NULLS) over all rows would grab the
+# current row's us. The oracle therefore masks us to us_v first — see
+# the Spark twin below for the same guard.
+@_q("linear_interpolated_values", _interp_sql())
+def linear_interpolated_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over deterministic gaps (every 7th reading
+    nulled): interior gaps are filled proportionally in event time
+    between the neighboring observations, edges degrade to LOCF/NOCB,
+    all-null groups stay null — pandas' interpolate(limit_direction=
+    'both') semantics without extrapolation, as two keyed window passes
+    (no self-join); ``fill_kind`` labels the imputation used."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(
+        _r4(F.col("value"))
+    )
+    g = ev.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        v.alias("v"),
+    ).withColumn("us_v", F.when(F.col("v").isNotNull(), F.col("us")))
+    wp = (
+        W.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wn = (
+        W.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    pv = F.last("v", ignorenulls=True).over(wp)
+    pus = F.last("us_v", ignorenulls=True).over(wp)
+    nv = F.first("v", ignorenulls=True).over(wn)
+    nus = F.first("us_v", ignorenulls=True).over(wn)
+    both = pv.isNotNull() & nv.isNotNull()
+    interp = pv + (nv - pv) * (
+        (F.col("us") - pus) / (nus - pus).cast("double")
+    )
+    filled = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(both, interp)
+        .when(pv.isNotNull(), pv)
+        .otherwise(nv)
+    )
+    kind = (
+        F.when(F.col("v").isNotNull(), F.lit("observed"))
+        .when(both, F.lit("interp"))
+        .when(pv.isNotNull(), F.lit("locf"))
+        .when(nv.isNotNull(), F.lit("nocb"))
+        .otherwise(F.lit("none"))
+    )
+    return g.select(
+        "event_id",
+        "user_id",
+        F.col("v").alias("raw_value"),
+        _r4(filled).alias("filled_value"),
+        kind.alias("fill_kind"),
+    )
+
+
 def forward_filled_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forward fill (last observation carried forward): every 7th reading
     deterministically nulled, then imputed from the user's most recent
