@@ -3729,6 +3729,70 @@ def knn_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumnRenamed("rank", "rnk")
 
 
+_KNN_LABEL_NOISE_SQL = """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+      FROM embeddings WHERE vec_id % 50 = 0),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label AS nlabel
+          FROM embeddings),
+    scored AS (
+      SELECT q.query_id, q.qlabel, c.neighbor_id, c.nlabel,
+             list_sum(list_transform(generate_series(1, 64), i -> qv[i]::DOUBLE * cv[i]::DOUBLE))
+             / (sqrt(list_sum(list_transform(generate_series(1, 64), i -> qv[i]::DOUBLE * qv[i]::DOUBLE)))
+                * sqrt(list_sum(list_transform(generate_series(1, 64), i -> cv[i]::DOUBLE * cv[i]::DOUBLE)))) AS sim
+      FROM c, q WHERE c.neighbor_id != q.query_id),
+    top AS (
+      SELECT query_id, qlabel, nlabel FROM (
+        SELECT query_id, qlabel, nlabel,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id) AS rnk
+        FROM scored) t
+      WHERE rnk <= 5)
+    SELECT query_id AS vec_id, CAST(qlabel AS INT) AS label,
+           CAST(SUM(CASE WHEN nlabel <> qlabel THEN 1 ELSE 0 END) AS INT)
+             AS n_disagree,
+           SUM(CASE WHEN nlabel <> qlabel THEN 1 ELSE 0 END) >= 3 AS flagged
+    FROM top GROUP BY query_id, qlabel
+    """
+
+
+@_q("knn_label_noise", _KNN_LABEL_NOISE_SQL)
+def knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise audit à la confident learning: each probe point's
+    label vs its 5 exact nearest neighbors' labels; majority disagreement
+    flags a likely mislabel — the data-centric cleaning pass run before
+    training on a labeled corpus. Rides knn_bruteforce (broadcast
+    queries, corpus streams); the tiny (queries × k) neighbor table then
+    broadcasts against the label column twice."""
+    emb = scattered(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    nb = S.knn_bruteforce(emb, queries, k=5)
+    lbl = emb.select("vec_id", "label")
+    nlab = lbl.join(
+        F.broadcast(nb), lbl["vec_id"] == nb["neighbor_id"]
+    ).select("query_id", F.col("label").alias("nlabel"))
+    qlab = lbl.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel")
+    )
+    dis = F.sum(
+        F.when(F.col("nlabel") != F.col("qlabel"), F.lit(1)).otherwise(F.lit(0))
+    )
+    return (
+        nlab.join(F.broadcast(qlab), "query_id")
+        .groupBy("query_id", "qlabel")
+        .agg(
+            dis.cast("int").alias("n_disagree"),
+            (dis >= 3).alias("flagged"),
+        )
+        .select(
+            F.col("query_id").alias("vec_id"),
+            F.col("qlabel").cast("int").alias("label"),
+            "n_disagree",
+            "flagged",
+        )
+    )
+
+
 @_q("knn_lsh")  # approximate; machinery hash-matched via knn_lsh_fullprobe
 def knn_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = scattered(load_table(spark, sf_dir, "embeddings"))
