@@ -1392,6 +1392,64 @@ def asof_forward_error_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "attribution_last_touch",
+    """
+    WITH e AS (SELECT event_id, user_id, event_type,
+                      epoch_us(ts)::BIGINT AS us
+               FROM events),
+    pur AS (SELECT event_id, user_id, us FROM e WHERE event_type = 'purchase'),
+    cand AS (
+      SELECT p.event_id, c.event_id AS click_id, c.us AS cus,
+             ROW_NUMBER() OVER (PARTITION BY p.event_id ORDER BY c.us DESC) AS rn
+      FROM pur p JOIN e c
+        ON c.user_id = p.user_id AND c.event_type = 'click'
+       AND c.us < p.us AND c.us >= p.us - 604800000000)
+    SELECT pur.event_id, pur.user_id, c.click_id,
+           CAST(pur.us - c.cus AS BIGINT) AS touch_age_us,
+           c.click_id IS NOT NULL AS attributed
+    FROM pur LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c
+      ON pur.event_id = c.event_id
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the user's most
+    recent click within a 7-day lookback — asof_join_directed in
+    backward mode with tolerance (one shuffle, no range join);
+    out-of-window purchases stay as unattributed NULL rows."""
+    from open_ftth_relational_projector_spark.operators.asof import (
+        asof_join_directed,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "us", "event_id"
+    )
+    versions = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "us", F.col("event_id").alias("click_id")
+    )
+    out = asof_join_directed(
+        facts,
+        versions,
+        "user_id",
+        fact_seq="us",
+        version_seq="us",
+        version_cols=["click_id"],
+        direction="backward",
+        strict=True,
+        tolerance=604_800_000_000,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "click_id",
+        (F.col("us") - F.col("matched_seq")).cast("long").alias("touch_age_us"),
+        F.col("click_id").isNotNull().alias("attributed"),
+    )
+
+
+@_q(
     "json_props_stats",
     """
     SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,

@@ -350,3 +350,19 @@ def test_session_additions_plan_shapes(q):
     mad = q("mad_outlier_stats")
     assert C.broadcast_join_count(mad) >= 2, "median/MAD stats must broadcast"
     C.assert_no_cartesian(mad)
+
+    # cms_join_size_estimate is exempt: its only cross join is the 1×1
+    # scalar combine of (exact_size × cms_est), not a data-sized product
+    for name in (
+        "bfs_purchase_distances",
+        "asof_forward_error_recovery",
+        "attribution_last_touch",
+        "merged_order_activity_periods",
+        "linear_interpolated_values",
+        "knn_label_noise",
+        "unpivot_lineitem_measures",
+    ):
+        C.assert_no_cartesian(q(name))
+
+    noise = q("knn_label_noise")
+    assert C.broadcast_join_count(noise) >= 2, "neighbor/label joins broadcast"
