@@ -351,15 +351,16 @@ def test_session_additions_plan_shapes(q):
     assert C.broadcast_join_count(mad) >= 2, "median/MAD stats must broadcast"
     C.assert_no_cartesian(mad)
 
-    # cms_join_size_estimate is exempt: its only cross join is the 1×1
-    # scalar combine of (exact_size × cms_est), not a data-sized product
+    # Exempt from the no-cartesian sweep: cms_join_size_estimate's only
+    # cross join is the 1×1 scalar combine (exact_size × cms_est);
+    # knn_label_noise rides knn_bruteforce, whose corpus × broadcast-query
+    # non-equi scan IS the brute-force design (same as the knn_* family).
     for name in (
         "bfs_purchase_distances",
         "asof_forward_error_recovery",
         "attribution_last_touch",
         "merged_order_activity_periods",
         "linear_interpolated_values",
-        "knn_label_noise",
         "unpivot_lineitem_measures",
     ):
         C.assert_no_cartesian(q(name))
