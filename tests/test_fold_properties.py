@@ -241,3 +241,74 @@ def test_incremental_dedup_consistent_with_full_join(spark, texts):
             assert r["verdict"] in ("near_dup", "exact_dup")
         else:
             assert r["verdict"] == "unique"
+
+
+# --- session-addition operators: property checks -----------------------------
+
+IVL = st.tuples(
+    st.sampled_from(["a", "b"]),
+    st.integers(min_value=0, max_value=40),
+    st.integers(min_value=1, max_value=15),
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ivs=st.lists(IVL, min_size=1, max_size=20))
+def test_merge_intervals_matches_point_cover(spark, ivs):
+    """Merged spans must cover exactly the integer points the raw
+    intervals cover, be disjoint, non-touching, and each span's bounds
+    must come from input interval bounds."""
+    from open_ftth_relational_projector_spark.operators.range_join import (
+        merge_intervals,
+    )
+
+    rows = [(k, s, s + ln) for k, s, ln in ivs]
+    df = spark.createDataFrame(rows, "k string, start long, end long")
+    merged = merge_intervals(df, ["k"], "start", "end").collect()
+
+    def cover(spans):
+        pts = set()
+        for s, e in spans:
+            pts.update(range(s, e))
+        return pts
+
+    for key in {r[0] for r in rows}:
+        raw = [(s, e) for k, s, e in rows if k == key]
+        out = sorted((r["start"], r["end"]) for r in merged if r["k"] == key)
+        assert cover(raw) == cover(out)
+        for (s1, e1), (s2, e2) in zip(out, out[1:]):
+            assert e1 < s2  # disjoint AND non-touching (touching merges)
+
+
+PT = st.tuples(
+    st.integers(min_value=0, max_value=15),
+    st.integers(min_value=0, max_value=15),
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pts=st.lists(PT, min_size=1, max_size=25))
+def test_skyline_matches_dominance_definition(spark, pts):
+    """Sweep skyline ≡ quadratic NOT-EXISTS dominance on arbitrary point
+    sets with heavy ties/duplicates."""
+    from open_ftth_relational_projector_spark.operators.skyline import skyline_2d
+
+    rows = [(i, float(x), y) for i, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "pid long, price double, size int")
+    got = sorted(r["pid"] for r in skyline_2d(df, "price", "size").collect())
+
+    def dominated(p, q):
+        return q[1] <= p[1] and q[2] >= p[2] and (q[1] < p[1] or q[2] > p[2])
+
+    brute = sorted(
+        p[0] for p in rows if not any(dominated(p, q) for q in rows if q[0] != p[0])
+    )
+    assert got == brute

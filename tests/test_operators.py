@@ -467,3 +467,22 @@ def test_merge_intervals_stitching(spark):
         ("a", 0, 20), ("a", 30, 40), ("a", 50, 60),
         ("b", 0, 100), ("b", 200, 300),
     }
+
+
+def test_global_rank_deterministic_under_heavy_ties(spark):
+    """Equal sort keys near range-partition boundaries still rank
+    deterministically because the tiebreaker is part of the ordering —
+    two independent evaluations must agree exactly."""
+    from open_ftth_relational_projector_spark.operators.sorted_neighborhood import (
+        global_rank,
+    )
+
+    rows = [(i, f"k{i % 5:02d}") for i in range(400)]  # 80 copies per key
+    df = spark.createDataFrame(rows, "vid long, key string").repartition(32)
+    a = {r["vid"]: r["_rank"] for r in global_rank(df, ["key", "vid"]).collect()}
+    b = {r["vid"]: r["_rank"] for r in global_rank(df, ["key", "vid"]).collect()}
+    assert a == b
+    assert sorted(a.values()) == list(range(1, 401))
+    # ordering respects (key, vid): rank order == lexicographic order
+    by_rank = sorted(a, key=lambda v: a[v])
+    assert by_rank == sorted(range(400), key=lambda v: (f"k{v % 5:02d}", v))
