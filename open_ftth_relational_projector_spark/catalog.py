@@ -7590,6 +7590,31 @@ def revenue_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM gapped
     """,
 )
+def forward_filled_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward fill (last observation carried forward): every 7th reading
+    deterministically nulled, then imputed from the user's most recent
+    non-null value via LAST_VALUE ... IGNORE NULLS over an ordered frame —
+    the time-series gap-repair primitive; leading gaps legitimately stay
+    null. One keyed window, no self-join."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(
+        _r4(F.col("value"))
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    g = ev.select("event_id", "user_id", "ts", v.alias("v"))
+    return g.select(
+        "event_id",
+        "user_id",
+        F.col("v").alias("raw_value"),
+        F.last("v", ignorenulls=True).over(w).alias("filled_value"),
+        F.col("v").isNull().alias("was_gap"),
+    )
+
+
 def _interp_sql() -> str:
     return """
     WITH gapped AS (
@@ -7685,31 +7710,6 @@ def linear_interpolated_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("raw_value"),
         _r4(filled).alias("filled_value"),
         kind.alias("fill_kind"),
-    )
-
-
-def forward_filled_values(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Forward fill (last observation carried forward): every 7th reading
-    deterministically nulled, then imputed from the user's most recent
-    non-null value via LAST_VALUE ... IGNORE NULLS over an ordered frame —
-    the time-series gap-repair primitive; leading gaps legitimately stay
-    null. One keyed window, no self-join."""
-    ev = load_table(spark, sf_dir, "events")
-    v = F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(
-        _r4(F.col("value"))
-    )
-    w = (
-        W.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    g = ev.select("event_id", "user_id", "ts", v.alias("v"))
-    return g.select(
-        "event_id",
-        "user_id",
-        F.col("v").alias("raw_value"),
-        F.last("v", ignorenulls=True).over(w).alias("filled_value"),
-        F.col("v").isNull().alias("was_gap"),
     )
 
 
