@@ -92,3 +92,16 @@ def test_oracle_sql_portable_subset_runs_in_spark_sql(spark):
         a = rows_set(via_sql.select(*sorted(via_sql.columns)))
         b = rows_set(via_df.select(*sorted(via_df.columns)))
         assert a == b, f"{name}: spark.sql != DataFrame result"
+
+
+def test_every_catalog_entry_has_query_signature():
+    """Decorator-capture guard: every registered callable must accept
+    exactly (spark, sf_dir) — a mis-scoped @_q landing on a helper (the
+    forward_filled_values regression) fails here without Spark."""
+    import inspect
+
+    import __spark_entry__ as entry_mod
+
+    for name, fn in entry_mod.queries().items():
+        params = list(inspect.signature(fn).parameters)
+        assert len(params) == 2, f"{name}: bad signature {params} ({fn.__name__})"
