@@ -7346,6 +7346,68 @@ def pq_knn_adc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "fd_violation_profile",
+    """
+    WITH a AS (
+      SELECT 'custkey->orderpriority' AS fd,
+             o_custkey AS lhs, o_orderpriority AS rhs FROM orders),
+    b AS (
+      SELECT 'custkey->orderstatus', o_custkey, o_orderstatus FROM orders),
+    c AS (
+      SELECT 'orderkey->custkey', o_orderkey, CAST(o_custkey AS VARCHAR)
+      FROM orders),
+    u AS (SELECT * FROM a UNION ALL SELECT * FROM b UNION ALL SELECT * FROM c),
+    g AS (SELECT fd, lhs, COUNT(DISTINCT rhs) AS nd, COUNT(*) AS n
+          FROM u GROUP BY fd, lhs)
+    SELECT fd,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS violating_groups,
+           CAST(SUM(CASE WHEN nd > 1 THEN n ELSE 0 END) AS BIGINT)
+             AS rows_in_violation,
+           CAST(MAX(nd) AS BIGINT) AS max_distinct_rhs
+    FROM g GROUP BY fd
+    """,
+)
+def fd_violation_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery profile: candidate FDs X→Y scored
+    by groups where X maps to >1 distinct Y — the schema-inference/data-
+    profiling pass (does this column determine that one?) that feeds key
+    detection and normalization decisions. One groupBy per candidate over
+    a unioned long form, linear at any scale; 'orderkey->custkey' is the
+    planted TRUE dependency (0 violations expected), the others are
+    deliberately false."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def cand(name: str, lhs: str, rhs):
+        return orders.select(
+            F.lit(name).alias("fd"),
+            F.col(lhs).alias("lhs"),
+            rhs.alias("rhs"),
+        )
+
+    u = (
+        cand("custkey->orderpriority", "o_custkey", F.col("o_orderpriority"))
+        .unionByName(cand("custkey->orderstatus", "o_custkey", F.col("o_orderstatus")))
+        .unionByName(
+            cand("orderkey->custkey", "o_orderkey", F.col("o_custkey").cast("string"))
+        )
+    )
+    g = u.groupBy("fd", "lhs").agg(
+        F.countDistinct("rhs").alias("nd"), F.count(F.lit(1)).alias("n")
+    )
+    viol = F.when(F.col("nd") > 1, F.lit(1)).otherwise(F.lit(0))
+    return g.groupBy("fd").agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(viol).cast("long").alias("violating_groups"),
+        F.sum(F.when(F.col("nd") > 1, F.col("n")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("rows_in_violation"),
+        F.max("nd").cast("long").alias("max_distinct_rhs"),
+    )
+
+
+@_q(
     "fk_fanout_audit",
     """
     WITH fan AS (
