@@ -7346,6 +7346,55 @@ def pq_knn_adc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "benford_price_audit",
+    """
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM orders WHERE o_totalprice > 0),
+    c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+    t AS (SELECT SUM(n) AS total FROM c)
+    SELECT c.digit, CAST(c.n AS BIGINT) AS n,
+           ROUND(c.n / CAST(t.total AS DOUBLE), 4) AS observed_frac,
+           ROUND(LOG10(1.0 + 1.0 / c.digit), 4) AS benford_frac,
+           ROUND(ABS(c.n / CAST(t.total AS DOUBLE)
+                     - LOG10(1.0 + 1.0 / c.digit)), 4) AS abs_dev
+    FROM c CROSS JOIN t
+    """,
+)
+def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the
+    data-forensics screen for fabricated or truncated numeric columns.
+    First digit extracted via integer-string arithmetic (FLOOR·100 →
+    BIGINT → first char) so both engines agree bit-for-bit where
+    double→string formatting would not; observed digit shares vs
+    log10(1+1/d) expectation. One groupBy onto ≤9 cells + a broadcast
+    scalar total — map-side at any scale."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digit = (
+        F.substring(
+            F.floor(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    c = orders.select(digit).groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").alias("total"))
+    obs = F.col("n") / F.col("total").cast("double")
+    ben = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            F.col("n").cast("long").alias("n"),
+            _r4(obs).alias("observed_frac"),
+            _r4(ben).alias("benford_frac"),
+            _r4(F.abs(obs - ben)).alias("abs_dev"),
+        )
+    )
+
+
+@_q(
     "fd_violation_profile",
     """
     WITH a AS (
