@@ -7829,16 +7829,23 @@ def linear_interpolated_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 # ROUND-4 WINDOW PLAN (for the next session): lead with q1, then EVERY
 # query registered after the r3 window froze — none has held a driver row
-# yet. As of end-r3 that is the ~30 entries from kmeans_cluster_stats
+# yet. As of end-r3 that is (a) the ~30 entries from kmeans_cluster_stats
 # through part_cooccurrence_top_pairs in source order (clustering/DSIR/
 # PageRank/bigram-LM/curation, sketches, audio, SCD2/time-weighted,
 # snapshot-diff/histogram/zorder, transitions/WAU, expectations, ER,
 # PIT-features/negative-samples, winsorize/k-anon/z-score/baskets,
 # DLQ/pseudonymization, hybrid RRF, incremental dedup, winnowing,
-# label propagation, triangles, mixture/length-bucket sampling). The
-# window holds 50: fill the remainder with the r2-green families whose
-# last green row is oldest. Keep every name in _DRIVER_WINDOW_FRONT
-# registered (the assert below enforces it).
+# label propagation, triangles, mixture/length-bucket sampling), and
+# (b) the late-r3 additions that did NOT take a window slot this round:
+# cms_join_size_estimate, unpivot_lineitem_measures, kcenter_coreset,
+# asof_forward_error_recovery, attribution_last_touch,
+# merged_order_activity_periods, linear_interpolated_values,
+# knn_label_noise, fd_violation_profile, benford_price_audit (the five
+# late-r3 additions that DID take slots — bfs/kmv/skyline/mad/
+# sorted_neighborhood — will hold r3 rows). The window holds 50: fill
+# the remainder with the r2-green families whose last green row is
+# oldest. Keep every name in _DRIVER_WINDOW_FRONT registered (the
+# assert below enforces it).
 #
 # The driver's CORRECTNESS gate records only the FIRST 50 queries() entries
 # per round. The windows rotate so that across rounds every query holds a
