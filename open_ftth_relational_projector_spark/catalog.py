@@ -7346,6 +7346,32 @@ def pq_knn_adc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "exact_median_twopass",
+    """
+    SELECT CAST(COUNT(l_extendedprice) AS BIGINT) AS n,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS median
+    FROM lineitem
+    """,
+)
+def exact_median_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT median of the whole l_extendedprice column via the two-pass
+    histogram refinement (operators/median.exact_median_two_pass):
+    map-side 1024-bin histogram → driver locates the middle bins (O(bins)
+    state) → rank only those bins' rows. The technique that gets exact
+    order statistics on a column too big to sort as one group; the oracle
+    is DuckDB's quantile_cont."""
+    from open_ftth_relational_projector_spark.operators.median import (
+        exact_median_two_pass,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    n, med = exact_median_two_pass(li, "l_extendedprice")
+    return spark.createDataFrame(
+        [(n, round(med, 4))], "n long, median double"
+    )
+
+
+@_q(
     "benford_price_audit",
     """
     WITH d AS (

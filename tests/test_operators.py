@@ -486,3 +486,35 @@ def test_global_rank_deterministic_under_heavy_ties(spark):
     # ordering respects (key, vid): rank order == lexicographic order
     by_rank = sorted(a, key=lambda v: a[v])
     assert by_rank == sorted(range(400), key=lambda v: (f"k{v % 5:02d}", v))
+
+
+def test_exact_median_two_pass(spark):
+    """Matches the naive exact median for odd/even counts, duplicate-heavy
+    and constant columns; empty raises."""
+    import pytest as _pytest
+
+    from open_ftth_relational_projector_spark.operators.median import (
+        exact_median_two_pass,
+    )
+
+    def naive(vals):
+        s = sorted(vals)
+        m = len(s)
+        return (s[(m - 1) // 2] + s[m // 2]) / 2.0
+
+    cases = [
+        [1.0, 2.0, 3.0, 4.0, 5.0],                 # odd
+        [1.0, 2.0, 3.0, 4.0],                       # even, interpolated
+        [7.0] * 50,                                 # constant (lo == hi)
+        [1.0] * 30 + [2.0] * 30 + [100.0],          # duplicate-heavy
+        [float(x * x % 97) for x in range(1, 200)], # scattered
+    ]
+    for vals in cases:
+        df = spark.createDataFrame([(v,) for v in vals], "v double")
+        n, med = exact_median_two_pass(df, "v", n_buckets=16)
+        assert n == len(vals)
+        assert med == naive(vals), vals[:5]
+
+    empty = spark.createDataFrame([], "v double")
+    with _pytest.raises(ValueError):
+        exact_median_two_pass(empty, "v")
