@@ -7346,6 +7346,65 @@ def pq_knn_adc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "ewma_user_values",
+    """
+    WITH s AS (SELECT event_id, user_id, value,
+                      epoch_us(ts)::BIGINT AS us
+               FROM events),
+    arr AS (SELECT event_id, user_id,
+                   list(value) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+                     AS a
+            FROM s)
+    SELECT event_id, user_id,
+           ROUND(
+             list_sum(list_transform(a, (x, i) -> x * pow(0.7, len(a) - i)))
+             / list_sum(list_transform(a, (x, i) -> pow(0.7, len(a) - i))),
+             4) AS ewma
+    FROM arr
+    """,
+)
+def ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (α=0.3, pandas adjust=True
+    normalization) over each user's trailing 20 events — the recency-
+    weighted smoother. The recursion is unrolled as a JVM array fold over
+    the windowed value list (collect_list frame → F.transform weights →
+    aggregate), zero Python; the oracle runs the identical fold with
+    DuckDB list lambdas (its 1-based index mirrors the 0-based Spark
+    exponent)."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(-19, 0)
+    )
+    decay = F.lit(0.7)
+    arr = ev.withColumn("a", F.collect_list("value").over(w))
+    m = F.size(F.col("a"))
+    weighted = F.aggregate(
+        F.transform(
+            F.col("a"),
+            lambda x, i: x * F.pow(decay, (m - 1 - i).cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = F.aggregate(
+        F.transform(
+            F.col("a"),
+            lambda x, i: F.pow(decay, (m - 1 - i).cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return arr.select(
+        "event_id", "user_id", _r4(weighted / norm).alias("ewma")
+    )
+
+
+@_q(
     "exact_median_twopass",
     """
     SELECT CAST(COUNT(l_extendedprice) AS BIGINT) AS n,
