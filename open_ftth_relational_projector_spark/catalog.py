@@ -7346,6 +7346,65 @@ def pq_knn_adc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "cusum_changepoints",
+    """
+    WITH s AS (SELECT event_id, user_id, value,
+                      epoch_us(ts)::BIGINT AS us
+               FROM events),
+    mu AS (SELECT user_id, AVG(value) AS mu FROM s GROUP BY user_id),
+    c AS (SELECT s.event_id, s.user_id,
+                 ROUND(SUM(s.value - mu.mu)
+                         OVER (PARTITION BY s.user_id ORDER BY s.us, s.event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                       6) AS cusum
+          FROM s JOIN mu USING (user_id)),
+    r AS (SELECT user_id, event_id, cusum,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY ABS(cusum) DESC, event_id) AS rn
+          FROM c)
+    SELECT user_id, event_id AS changepoint_event,
+           ROUND(cusum, 4) AS peak_cusum
+    FROM r WHERE rn = 1
+    """,
+)
+def cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point location per user: running sum of deviations
+    from the user's own mean peaks (in absolute value) where the series'
+    level shifts — the classic drift/regime-change locator for metric
+    monitoring. Per-iteration ROUND(…, 6) before the argmax is the usual
+    cross-engine determinism contract; one keyed window + one broadcast
+    mean join, no self-join."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    mu = ev.groupBy("user_id").agg(F.avg("value").alias("mu"))
+    wrun = (
+        W.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    c = (
+        ev.join(F.broadcast(mu), "user_id")
+        .withColumn(
+            "cusum",
+            F.round(F.sum(F.col("value") - F.col("mu")).over(wrun), 6),
+        )
+    )
+    wpick = W.partitionBy("user_id").orderBy(
+        F.abs(F.col("cusum")).desc(), F.col("event_id")
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(wpick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("changepoint_event"),
+            _r4(F.col("cusum")).alias("peak_cusum"),
+        )
+    )
+
+
+@_q(
     "ewma_user_values",
     """
     WITH s AS (SELECT event_id, user_id, value,
