@@ -5114,6 +5114,59 @@ def kmv_distinct_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "kmv_segment_overlap",
+    """
+    WITH ha AS (SELECT DISTINCT
+                  ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#7'), 1, 15))::BIGINT AS hv
+                FROM events WHERE event_type = 'click'),
+    hb AS (SELECT DISTINCT
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#7'), 1, 15))::BIGINT AS hv
+           FROM events WHERE event_type = 'purchase'),
+    ak AS (SELECT hv FROM ha ORDER BY hv LIMIT 64),
+    bk AS (SELECT hv FROM hb ORDER BY hv LIMIT 64),
+    uk AS (SELECT hv FROM (SELECT hv FROM ak UNION SELECT hv FROM bk) u
+           ORDER BY hv LIMIT 64),
+    us AS (SELECT COUNT(*) AS kn, MAX(hv) AS hk FROM uk),
+    nb AS (SELECT COUNT(*) AS n_both FROM uk
+           WHERE hv IN (SELECT hv FROM ak) AND hv IN (SELECT hv FROM bk)),
+    exu AS (SELECT COUNT(DISTINCT user_id) AS exact_union FROM events
+            WHERE event_type IN ('click', 'purchase')),
+    exi AS (SELECT COUNT(*) AS exact_inter FROM
+            (SELECT DISTINCT user_id FROM events WHERE event_type = 'click') a
+            JOIN (SELECT DISTINCT user_id FROM events
+                  WHERE event_type = 'purchase') b USING (user_id)),
+    eu AS (SELECT kn,
+                  CASE WHEN kn < 64 THEN CAST(kn AS DOUBLE)
+                       ELSE 63.0 / ((hk + 0.5) / 1152921504606846976.0)
+                  END AS est_u
+           FROM us)
+    SELECT CAST(exu.exact_union AS BIGINT) AS exact_union,
+           ROUND(eu.est_u, 4) AS est_union,
+           CAST(exi.exact_inter AS BIGINT) AS exact_inter,
+           ROUND((nb.n_both / CAST(eu.kn AS DOUBLE)) * eu.est_u, 4)
+             AS est_inter,
+           ROUND(nb.n_both / CAST(eu.kn AS DOUBLE), 4) AS jaccard_est
+    FROM exu, exi, eu, nb
+    """,
+)
+def kmv_segment_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch-style SET OPERATIONS on KMV sketches: |click ∪
+    purchase|, Jaccard, and |click ∩ purchase| of distinct users
+    estimated purely from two 64-hash sketches, beside exact answers
+    (functions/sketches.kmv_segment_overlap); the oracle replays sketch
+    construction, union k-min, both-membership count, and every
+    estimator identity bit-for-bit."""
+    from open_ftth_relational_projector_spark.functions.sketches import (
+        kmv_segment_overlap,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return kmv_segment_overlap(
+        ev, "event_type", "click", "purchase", "user_id", k=64, seed=7
+    )
+
+
+@_q(
     "cms_join_size_estimate",
     """
     WITH ka AS (SELECT CAST(l_partkey AS VARCHAR) AS k FROM lineitem

@@ -402,3 +402,93 @@ def cms_join_size_estimate(
             (F.col("cms_est") >= F.col("exact_size")).alias("overestimates"),
         )
     )
+
+
+def kmv_segment_overlap(
+    df: DataFrame,
+    segment_col: str,
+    seg_a: str,
+    seg_b: str,
+    value_col: str,
+    k: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """Set operations on KMV sketches (the theta-sketch workload):
+    estimate |A∪B|, Jaccard, and |A∩B| of two segments' distinct-value
+    sets from their k-min sketches alone, beside the exact answers.
+
+    The union's k smallest hashes are found within the two sketches
+    (any union-k-min element coming from A necessarily ranks within A's
+    own k smallest), so union/Jaccard/intersection all come from 2k
+    stored hashes — no raw-data rescan. Estimators: D_union from the
+    union k-min (KMV), ρ = |U_k ∩ A_k ∩ B_k|/|U_k| (Jaccard), and
+    |A∩B| ≈ ρ·D_union — the standard sketch-composition identities.
+    md5-portable hashing → a SQL oracle replays every step bit-for-bit.
+
+    Returns one row: (exact_union, est_union, exact_inter, est_inter,
+    jaccard_est).
+    """
+    from pyspark.sql import Window as W
+
+    hv = portable_hash64(F.col(value_col), seed)
+
+    def sketch(seg: str) -> DataFrame:
+        return (
+            df.filter(F.col(segment_col) == seg)
+            .select(hv.alias("hv"))
+            .distinct()
+            .orderBy("hv")
+            .limit(k)
+        )
+
+    ak, bk = sketch(seg_a), sketch(seg_b)
+    uk = (
+        ak.unionByName(bk)
+        .distinct()
+        .orderBy("hv")
+        .limit(k)
+        .withColumn("_u", F.lit(1))
+    )
+    both = (
+        uk.join(ak, "hv", "left_semi")
+        .join(bk, "hv", "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    ustats = uk.agg(
+        F.count(F.lit(1)).alias("kn"), F.max("hv").alias("hk")
+    )
+    est_union = F.when(
+        F.col("kn") < k, F.col("kn").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1))
+        / ((F.col("hk").cast("double") + F.lit(0.5)) / F.lit(float(2**60)))
+    )
+    a_vals = df.filter(F.col(segment_col) == seg_a).select(
+        F.col(value_col).alias("v")
+    )
+    b_vals = df.filter(F.col(segment_col) == seg_b).select(
+        F.col(value_col).alias("v")
+    )
+    exact_union = a_vals.unionByName(b_vals).distinct().count()
+    exact_inter = (
+        a_vals.distinct().join(b_vals.distinct(), "v", "left_semi").count()
+    )
+    spark = df.sparkSession
+    ex = spark.createDataFrame(
+        [(exact_union, exact_inter)], "exact_union long, exact_inter long"
+    )
+    return (
+        ustats.crossJoin(both)
+        .crossJoin(F.broadcast(ex))
+        .select(
+            "exact_union",
+            F.round(est_union, 4).alias("est_union"),
+            "exact_inter",
+            F.round(
+                (F.col("n_both") / F.col("kn").cast("double")) * est_union, 4
+            ).alias("est_inter"),
+            F.round(F.col("n_both") / F.col("kn").cast("double"), 4).alias(
+                "jaccard_est"
+            ),
+        )
+    )

@@ -1953,3 +1953,25 @@ def test_kcenter_select_farthest_point(spark):
     assert out == [(1, 0, 0.0), (2, 3, 100.0), (3, 4, 25.0), (4, 2, 4.0)]
     dists = [d for _, _, d in out[1:]]
     assert dists == sorted(dists, reverse=True)
+
+
+def test_kmv_segment_overlap_identities(spark):
+    """With cardinalities under k everything is exact: union/intersection
+    estimates equal truth and jaccard is the true Jaccard; estimates stay
+    plausible when cardinalities exceed k."""
+    from open_ftth_relational_projector_spark.functions.sketches import (
+        kmv_segment_overlap,
+    )
+
+    rows = [("A", v) for v in range(20)] + [("B", v) for v in range(10, 25)]
+    df = spark.createDataFrame(rows, "seg string, uid int")
+    r = kmv_segment_overlap(df, "seg", "A", "B", "uid", k=64).first()
+    assert r["exact_union"] == 25 and r["est_union"] == 25.0
+    assert r["exact_inter"] == 10 and r["est_inter"] == 10.0
+    assert r["jaccard_est"] == round(10 / 25, 4)
+
+    big = [("A", v) for v in range(300)] + [("B", v) for v in range(150, 450)]
+    df2 = spark.createDataFrame(big, "seg string, uid int")
+    r2 = kmv_segment_overlap(df2, "seg", "A", "B", "uid", k=32).first()
+    assert r2["exact_union"] == 450 and r2["exact_inter"] == 150
+    assert 0 < r2["est_inter"] and abs(r2["est_union"] - 450) / 450 < 0.8
