@@ -7399,6 +7399,113 @@ def pq_knn_adc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "conversion_survival_curve",
+    """
+    WITH s AS (SELECT user_id, MIN(epoch_us(ts)) AS sus FROM events
+               WHERE event_type = 'signup' GROUP BY user_id),
+    p AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS pus
+          FROM events e JOIN s ON e.user_id = s.user_id
+          WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s.sus
+          GROUP BY e.user_id),
+    life AS (SELECT s.user_id,
+                    CAST(FLOOR((p.pus - s.sus) / 86400000000.0) AS INT)
+                      AS conv_day
+             FROM s LEFT JOIN p ON s.user_id = p.user_id),
+    days AS (SELECT UNNEST(generate_series(0, 13)) AS day),
+    km AS (
+      SELECT d.day,
+             (SELECT COUNT(*) FROM life
+              WHERE conv_day IS NULL OR conv_day >= d.day) AS n_at_risk,
+             (SELECT COUNT(*) FROM life WHERE conv_day = d.day) AS n_conv
+      FROM days d),
+    hz AS (SELECT day, n_at_risk, n_conv,
+                  CASE WHEN n_at_risk > 0
+                       THEN n_conv / CAST(n_at_risk AS DOUBLE)
+                       ELSE 0.0 END AS h
+           FROM km)
+    SELECT day, CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           CAST(n_conv AS BIGINT) AS n_conv,
+           ROUND(h, 4) AS hazard,
+           ROUND(CASE WHEN MAX(CASE WHEN h >= 1.0 THEN 1 ELSE 0 END)
+                        OVER w = 1
+                      THEN 0.0
+                      ELSE EXP(SUM(CASE WHEN h < 1.0 THEN LN(1.0 - h)
+                                        ELSE 0.0 END) OVER w)
+                 END, 4) AS survival
+    FROM hz
+    WINDOW w AS (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def conversion_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete Kaplan-Meier conversion curve: per day since first
+    signup, users still unconverted (at risk), conversions that day, the
+    hazard, and the KM survival product — the time-to-event view of the
+    signup→purchase funnel (censored users never leave the risk set).
+    The day spine is a 14-row literal; per-day counts come from one pass
+    over per-user lifetimes (a tiny table after the two min-aggregates);
+    the KM product is a running sum of logs over 14 rows."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("sus"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(s), "user_id")
+        .filter(F.col("us") > F.col("sus"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("pus"))
+    )
+    life = s.join(p, "user_id", "left").select(
+        "user_id",
+        F.floor((F.col("pus") - F.col("sus")) / F.lit(86_400_000_000.0))
+        .cast("int")
+        .alias("conv_day"),
+    )
+    days = spark.range(0, 14).select(F.col("id").cast("int").alias("day"))
+    joined = days.crossJoin(F.broadcast(life))
+    km = joined.groupBy("day").agg(
+        F.sum(
+            F.when(
+                F.col("conv_day").isNull() | (F.col("conv_day") >= F.col("day")),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        ).alias("n_at_risk"),
+        F.sum(
+            F.when(F.col("conv_day") == F.col("day"), F.lit(1)).otherwise(F.lit(0))
+        ).alias("n_conv"),
+    )
+    h = F.when(
+        F.col("n_at_risk") > 0,
+        F.col("n_conv") / F.col("n_at_risk").cast("double"),
+    ).otherwise(F.lit(0.0))
+    wkm = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    ln_term = F.when(
+        F.col("h") < 1.0, F.log(F.lit(1.0) - F.col("h"))
+    ).otherwise(F.lit(0.0))
+    hit_one = F.max(
+        F.when(F.col("h") >= 1.0, F.lit(1)).otherwise(F.lit(0))
+    ).over(wkm)
+    survival = F.when(hit_one == 1, F.lit(0.0)).otherwise(
+        F.exp(F.sum(ln_term).over(wkm))
+    )
+    return (
+        km.withColumn("h", h)
+        .select(
+            "day",
+            F.col("n_at_risk").cast("long").alias("n_at_risk"),
+            F.col("n_conv").cast("long").alias("n_conv"),
+            _r4(F.col("h")).alias("hazard"),
+            _r4(survival).alias("survival"),
+        )
+    )
+
+
+@_q(
     "cusum_changepoints",
     """
     WITH s AS (SELECT event_id, user_id, value,
