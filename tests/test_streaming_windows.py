@@ -495,3 +495,49 @@ def test_streaming_kmv_sketch_merge_equals_batch(spark):
         assert all(n <= k for n in sizes.values())
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_static_enrichment_equals_batch(spark):
+    """Stream-static join: a streaming fact enriched against a static
+    dimension (the broadcast-dim enrichment every streaming pipeline
+    does) must equal the batch join over the same landed files, including
+    rows with no dimension match (left join keeps them)."""
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], "user_id long, tier string"
+    )
+    tmp = tempfile.mkdtemp(prefix="ofrp_ss_")
+    src, out, cp = f"{tmp}/in", f"{tmp}/out", f"{tmp}/cp"
+    rows = [
+        (i, BASE + timedelta(minutes=i), i % 3, "e", float(i)) for i in range(30)
+    ]
+    try:
+        _land(rows[:15], src, "b1")
+        _land(rows[15:], src, "b2")
+        q = (
+            spark.readStream.schema(SCHEMA)
+            .parquet(src)
+            .join(F.broadcast(dim), "user_id", "left")
+            .select("event_id", "user_id", "tier")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(
+            (r["event_id"], r["user_id"], r["tier"])
+            for r in spark.read.parquet(out).collect()
+        )
+        batch = sorted(
+            (r["event_id"], r["user_id"], r["tier"])
+            for r in spark.createDataFrame(rows, SCHEMA)
+            .join(F.broadcast(dim), "user_id", "left")
+            .select("event_id", "user_id", "tier")
+            .collect()
+        )
+        assert got == batch
+        assert any(t is None for _, u, t in got if u == 0)  # unmatched kept
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
