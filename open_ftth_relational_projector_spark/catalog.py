@@ -6710,6 +6710,84 @@ def mad_outlier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "item_item_similarity",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT l_partkey, COUNT(*) AS n_orders FROM li GROUP BY l_partkey),
+    co AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS n_ab
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      GROUP BY 1, 2),
+    sim AS (
+      SELECT co.pa, co.pb,
+             ROUND(co.n_ab / SQRT(na.n_orders * CAST(nb.n_orders AS DOUBLE)), 4)
+               AS cosine
+      FROM co
+      JOIN n na ON co.pa = na.l_partkey
+      JOIN n nb ON co.pb = nb.l_partkey),
+    top AS (
+      SELECT pa, pb, cosine,
+             ROW_NUMBER() OVER (PARTITION BY pa
+                                ORDER BY cosine DESC, pb) AS rnk
+      FROM sim)
+    SELECT pa AS part_a, pb AS part_b, cosine, CAST(rnk AS INT) AS rnk
+    FROM top WHERE rnk <= 3
+    """,
+)
+def item_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative-filtering precompute: cosine similarity of
+    parts over the order-basket incidence (n_ab/√(n_a·n_b)), top-3
+    neighbors per part — the classic recommender neighborhood table. The
+    pair expansion is keyed on the basket id (quadratic only within a
+    basket, the same skew contract as part_cooccurrence_top_pairs); the
+    count vectors broadcast back onto the pair table."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    a = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    co = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa") != F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    sim = (
+        co.join(
+            F.broadcast(n.select(F.col("l_partkey").alias("pa"),
+                                 F.col("n_orders").alias("na"))), "pa"
+        )
+        .join(
+            F.broadcast(n.select(F.col("l_partkey").alias("pb"),
+                                 F.col("n_orders").alias("nb"))), "pb"
+        )
+        .select(
+            "pa",
+            "pb",
+            _r4(
+                F.col("n_ab")
+                / F.sqrt(F.col("na") * F.col("nb").cast("double"))
+            ).alias("cosine"),
+        )
+    )
+    wtop = W.partitionBy("pa").orderBy(F.col("cosine").desc(), F.col("pb"))
+    return (
+        sim.withColumn("rnk", F.row_number().over(wtop))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            F.col("pa").alias("part_a"),
+            F.col("pb").alias("part_b"),
+            "cosine",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
+@_q(
     "part_cooccurrence_top_pairs",
     """
     WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
