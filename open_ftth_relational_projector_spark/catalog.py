@@ -4786,6 +4786,67 @@ def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcenter_select(emb, k=4)
 
 
+def _wsp_relax(prev: str, out: str) -> str:
+    """One unrolled Bellman-Ford round: keep old costs, add relaxed
+    candidates ROUNDed to 6 dp, take the min per node — mirroring
+    graph.weighted_shortest_paths' determinism contract."""
+    return f"""
+    {out} AS (SELECT node, MIN(d) AS d FROM (
+        SELECT node, d FROM {prev}
+        UNION ALL
+        SELECT s.v AS node, ROUND(p.d + s.w, 6) AS d
+        FROM {prev} p JOIN sym s ON s.u = p.node) t
+      GROUP BY node)"""
+
+
+_WSP_SQL = (
+    """
+    WITH e0 AS (SELECT o_custkey AS u, l_suppkey + 1000000 AS v,
+                       ROUND(MIN(l_extendedprice) / 10000, 6) AS w
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+                GROUP BY 1, 2),
+    sym AS (SELECT u, v, w FROM e0 UNION ALL SELECT v, u, w FROM e0),
+    r0 AS (SELECT DISTINCT c_custkey AS node, 0.0::DOUBLE AS d
+           FROM customer
+           WHERE c_mktsegment = 'AUTOMOBILE'
+             AND c_custkey IN (SELECT u FROM sym)),"""
+    + ",".join(_wsp_relax(f"r{i}", f"r{i+1}") for i in range(3))
+    + """
+    SELECT node, d AS cost FROM r3
+    """
+)
+
+
+@_q("weighted_purchase_paths", _WSP_SQL)
+def weighted_purchase_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded Bellman-Ford cheapest paths from the AUTOMOBILE seed set
+    over the purchase graph, edge cost = cheapest item price/10⁴ on that
+    customer↔supplier edge, ≤ 3 hops (functions/
+    graph.weighted_shortest_paths) — the weighted companion to
+    bfs_purchase_distances; the oracle unrolls the three relaxation
+    rounds with identical per-round rounding."""
+    from open_ftth_relational_projector_spark.functions.graph import (
+        weighted_shortest_paths,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .groupBy(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + F.lit(1000000)).alias("dst"),
+        )
+        .agg(F.round(F.min("l_extendedprice") / 10000, 6).alias("w"))
+    )
+    seeds = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "AUTOMOBILE")
+        .select(F.col("c_custkey").alias("node"))
+    )
+    return weighted_shortest_paths(edges, seeds, max_hops=3)
+
+
 @_q("pagerank_purchase_graph", _PAGERANK_SQL)
 def pagerank_purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (damping 0.85, 3 power iterations, dangling redistribution)

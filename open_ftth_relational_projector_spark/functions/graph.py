@@ -386,3 +386,66 @@ def triangle_count(
             F.col("n_triangles").cast("long"),
         )
     )
+
+
+def weighted_shortest_paths(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    source_col: str = "node",
+    max_hops: int = 3,
+    directed: bool = False,
+    iter_dp: int = 6,
+) -> DataFrame:
+    """Cheapest-path cost from a source set under ≤ ``max_hops`` edges —
+    Bellman-Ford with a bounded round count, the weighted companion to
+    bfs_distances (hop counts ignore that one expensive edge can be worse
+    than three cheap ones).
+
+    Round h: dist ← min(dist, min over in-edges of dist(u) + w(u,v)) —
+    one join keyed on the edge source + one min-aggregation keyed on the
+    node, per round; edges reuse one partitioning across rounds (bucket
+    by ``src`` on a cluster). Candidate costs are ROUNDed to ``iter_dp``
+    every round — the standard cross-engine determinism contract
+    (pagerank/kmeans/kcenter) so an unrolled SQL oracle hash-matches.
+    Nodes unreachable within the hop budget are absent. Negative weights
+    are accepted (it is Bellman-Ford) but the hop bound, not convergence,
+    is the termination guarantee.
+
+    Returns (node, cost) with cost rounded to ``iter_dp``.
+    """
+    e = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v"), F.col(weight).alias("w")
+    )
+    if not directed:
+        e = e.unionByName(
+            edges.select(
+                F.col(dst).alias("u"), F.col(src).alias("v"),
+                F.col(weight).alias("w"),
+            )
+        )
+    e = e.localCheckpoint(eager=True)
+    dist = (
+        sources.select(F.col(source_col).alias("node"))
+        .distinct()
+        .join(e.select(F.col("u").alias("node")).distinct(), "node", "left_semi")
+        .withColumn("d", F.lit(0.0))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_hops):
+        relaxed = (
+            dist.join(e, dist["node"] == e["u"])
+            .select(
+                F.col("v").alias("node"),
+                F.round(F.col("d") + F.col("w"), iter_dp).alias("d"),
+            )
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint(eager=True)
+        )
+    return dist.select("node", F.col("d").alias("cost"))

@@ -1975,3 +1975,30 @@ def test_kmv_segment_overlap_identities(spark):
     r2 = kmv_segment_overlap(df2, "seg", "A", "B", "uid", k=32).first()
     assert r2["exact_union"] == 450 and r2["exact_inter"] == 150
     assert 0 < r2["est_inter"] and abs(r2["est_union"] - 450) / 450 < 0.8
+
+
+def test_weighted_shortest_paths_bellman_ford(spark):
+    """Cheap long path beats expensive short path; hop bound cuts off the
+    tail; directed mode respects orientation; unreachable absent."""
+    from open_ftth_relational_projector_spark.functions.graph import (
+        weighted_shortest_paths,
+    )
+
+    edges = spark.createDataFrame(
+        # 1→2 (10), 1→3 (1), 3→2 (1): cheapest 1→2 is 2 via 3
+        # 2→4 (1); island 9→10
+        [(1, 2, 10.0), (1, 3, 1.0), (3, 2, 1.0), (2, 4, 1.0), (9, 10, 1.0)],
+        "src long, dst long, w double",
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {
+        r["node"]: r["cost"]
+        for r in weighted_shortest_paths(edges, seeds, max_hops=3).collect()
+    }
+    assert got == {1: 0.0, 2: 2.0, 3: 1.0, 4: 3.0}
+
+    one_hop = {
+        r["node"]: r["cost"]
+        for r in weighted_shortest_paths(edges, seeds, max_hops=1).collect()
+    }
+    assert one_hop == {1: 0.0, 2: 10.0, 3: 1.0}
