@@ -6771,6 +6771,30 @@ def mad_outlier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "acctbal_distribution_ranks",
+    """
+    SELECT c_custkey, c_mktsegment,
+           ROUND(PERCENT_RANK() OVER w, 4) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 4) AS cume_dist
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def acctbal_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution position of every customer's balance within its
+    market segment: PERCENT_RANK ((rank−1)/(n−1)) and CUME_DIST — the
+    relative-standing analytics (plain keyed windows, one shuffle)."""
+    c = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        _r4(F.percent_rank().over(w)).alias("pct_rank"),
+        _r4(F.cume_dist().over(w)).alias("cume_dist"),
+    )
+
+
+@_q(
     "item_item_similarity",
     """
     WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
