@@ -6771,6 +6771,84 @@ def mad_outlier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "corpus_zipf_heaps",
+    """
+    WITH t AS (SELECT source, UNNEST(string_split(text, ' ')) AS tok
+               FROM documents),
+    agg AS (SELECT source, COUNT(*) AS n_tokens,
+                   COUNT(DISTINCT tok) AS n_vocab
+            FROM t GROUP BY source),
+    tf AS (SELECT source, tok, COUNT(*) AS f FROM t GROUP BY source, tok),
+    rk AS (SELECT source, tok, f,
+                  ROW_NUMBER() OVER (PARTITION BY source
+                                     ORDER BY f DESC, tok) AS r
+           FROM tf),
+    top AS (SELECT source, LN(CAST(r AS DOUBLE)) AS x,
+                   LN(CAST(f AS DOUBLE)) AS y
+            FROM rk WHERE r <= 50),
+    ols AS (SELECT source, COUNT(*) AS n, AVG(x) AS mx, AVG(y) AS my,
+                   SUM(x * y) AS sxy, SUM(x * x) AS sxx
+            FROM top GROUP BY source)
+    SELECT a.source,
+           CAST(a.n_tokens AS BIGINT) AS n_tokens,
+           CAST(a.n_vocab AS BIGINT) AS n_vocab,
+           ROUND(LN(CAST(a.n_vocab AS DOUBLE))
+                 / LN(CAST(a.n_tokens AS DOUBLE)), 4) AS heaps_beta,
+           ROUND((o.sxy - o.n * o.mx * o.my)
+                 / (o.sxx - o.n * o.mx * o.mx), 4) AS zipf_slope
+    FROM agg a JOIN ols o ON a.source = o.source
+    """,
+)
+def corpus_zipf_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-linguistics health diagnostics per source: Heaps' exponent
+    proxy (log vocab / log tokens — vocabulary growth; too low ⇒
+    boilerplate, too high ⇒ noise/gibberish) and the Zipf slope (OLS on
+    the log-log top-50 rank/frequency curve; natural text sits near −1).
+    Two keyed aggregations + a 50-row-per-source regression — the
+    corpus-level screen run before committing a crawl source to
+    training."""
+    from open_ftth_relational_projector_spark.functions.text import tokens
+
+    docs = scattered(load_table(spark, sf_dir, "documents"))
+    t = docs.select("source", F.explode(tokens(F.col("text"))).alias("tok"))
+    agg = t.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("tok").alias("n_vocab"),
+    )
+    tf = t.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("f"))
+    wrk = W.partitionBy("source").orderBy(F.col("f").desc(), F.col("tok"))
+    top = (
+        tf.withColumn("r", F.row_number().over(wrk))
+        .filter(F.col("r") <= 50)
+        .select(
+            "source",
+            F.log(F.col("r").cast("double")).alias("x"),
+            F.log(F.col("f").cast("double")).alias("y"),
+        )
+    )
+    ols = top.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("x").alias("mx"),
+        F.avg("y").alias("my"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("sxy") - F.col("n") * F.col("mx") * F.col("my")) / (
+        F.col("sxx") - F.col("n") * F.col("mx") * F.col("mx")
+    )
+    return agg.join(F.broadcast(ols), "source").select(
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_vocab").cast("long").alias("n_vocab"),
+        _r4(
+            F.log(F.col("n_vocab").cast("double"))
+            / F.log(F.col("n_tokens").cast("double"))
+        ).alias("heaps_beta"),
+        _r4(slope).alias("zipf_slope"),
+    )
+
+
+@_q(
     "acctbal_distribution_ranks",
     """
     SELECT c_custkey, c_mktsegment,
