@@ -59,6 +59,31 @@ EXTRA_QUERIES = [
     # ngram_jaccard_pairs; ADC is the PQ serving path
     "jaccard_pairs_prefix_filtered",
     "pq_knn_adc",
+    # r3 continuation-session families (tracked, non-headline)
+    "bfs_purchase_distances",
+    "weighted_purchase_paths",
+    "kmv_distinct_rollup",
+    "kmv_segment_overlap",
+    "cms_join_size_estimate",
+    "skyline_parts",
+    "sorted_neighborhood_er",
+    "merged_order_activity_periods",
+    "mad_outlier_stats",
+    "linear_interpolated_values",
+    "ewma_user_values",
+    "cusum_changepoints",
+    "conversion_survival_curve",
+    "attribution_last_touch",
+    "asof_forward_error_recovery",
+    "exact_median_twopass",
+    "item_item_similarity",
+    "knn_label_noise",
+    "kcenter_coreset",
+    "corpus_zipf_heaps",
+    "fd_violation_profile",
+    "benford_price_audit",
+    "unpivot_lineitem_measures",
+    "acctbal_distribution_ranks",
 ]
 
 
