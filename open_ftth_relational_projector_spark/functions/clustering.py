@@ -427,6 +427,8 @@ def kcenter_select(
     switch to batched variants (gonzalez-with-buckets), same contract.
     """
     first = emb.orderBy(id_col).select(id_col, vec_col).first()
+    if first is None:
+        raise ValueError("kcenter_select: empty input")
     chosen: list[tuple[int, object, float, list[float]]] = [
         (1, first[id_col], 0.0, [float(x) for x in first[vec_col]])
     ]

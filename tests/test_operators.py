@@ -518,3 +518,47 @@ def test_exact_median_two_pass(spark):
     empty = spark.createDataFrame([], "v double")
     with _pytest.raises(ValueError):
         exact_median_two_pass(empty, "v")
+
+
+def test_session_operators_empty_input_contracts(spark):
+    """Every new operator degrades cleanly on empty input: empty result
+    frames with the right columns, or a clear ValueError where a seed row
+    is structurally required."""
+    import pytest as _pytest
+
+    from open_ftth_relational_projector_spark.functions.clustering import (
+        kcenter_select,
+    )
+    from open_ftth_relational_projector_spark.functions.graph import (
+        bfs_distances,
+        weighted_shortest_paths,
+    )
+    from open_ftth_relational_projector_spark.functions.sketches import (
+        kmv_distinct_rollup,
+    )
+    from open_ftth_relational_projector_spark.operators.range_join import (
+        merge_intervals,
+    )
+    from open_ftth_relational_projector_spark.operators.sorted_neighborhood import (
+        sorted_neighborhood_pairs,
+    )
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    wedges = spark.createDataFrame([(1, 2, 1.0)], "src long, dst long, w double")
+    no_seeds = spark.createDataFrame([], "node long")
+    assert bfs_distances(edges, no_seeds).count() == 0
+    assert weighted_shortest_paths(wedges, no_seeds).count() == 0
+
+    empty_ev = spark.createDataFrame([], "g string, s int, v int")
+    assert kmv_distinct_rollup(empty_ev, "g", "s", "v").count() == 0
+
+    empty_iv = spark.createDataFrame([], "k string, start long, end long")
+    out = merge_intervals(empty_iv, ["k"], "start", "end")
+    assert out.count() == 0 and set(out.columns) == {"k", "start", "end"}
+
+    single = spark.createDataFrame([(1, "x")], "vid long, key string")
+    assert sorted_neighborhood_pairs(single, ["key", "vid"], window=2).count() == 0
+
+    empty_emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with _pytest.raises(ValueError):
+        kcenter_select(empty_emb, k=2)
