@@ -367,3 +367,23 @@ def test_session_additions_plan_shapes(q):
 
     noise = q("knn_label_noise")
     assert C.broadcast_join_count(noise) >= 2, "neighbor/label joins broadcast"
+
+
+def test_session_additions_second_batch_plans(q):
+    """Later continuation-session queries stay cartesian-free (the
+    conversion_survival_curve day-spine crossJoin and the knn-riding
+    queries are intentionally exempt); item-item's count vectors and
+    zipf's OLS table broadcast."""
+    for name in (
+        "weighted_purchase_paths",
+        "ewma_user_values",
+        "cusum_changepoints",
+        "item_item_similarity",
+        "corpus_zipf_heaps",
+        "acctbal_distribution_ranks",
+        "fd_violation_profile",
+    ):
+        C.assert_no_cartesian(q(name))
+
+    assert C.broadcast_join_count(q("item_item_similarity")) >= 2
+    assert C.broadcast_join_count(q("corpus_zipf_heaps")) >= 1
