@@ -6771,6 +6771,80 @@ def mad_outlier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "rfm_customer_segments",
+    """
+    WITH rfm AS (
+      SELECT o_custkey AS custkey,
+             date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                       DATE '1999-01-01') AS recency_d,
+             COUNT(*) AS frequency,
+             ROUND(SUM(o_totalprice), 4) AS monetary
+      FROM orders GROUP BY o_custkey),
+    scored AS (
+      SELECT custkey, recency_d, frequency, monetary,
+             NTILE(5) OVER (ORDER BY recency_d DESC, custkey) AS r_score,
+             NTILE(5) OVER (ORDER BY frequency, custkey) AS f_score,
+             NTILE(5) OVER (ORDER BY monetary, custkey) AS m_score
+      FROM rfm)
+    SELECT custkey, CAST(recency_d AS INT) AS recency_d,
+           CAST(frequency AS BIGINT) AS frequency, monetary,
+           CAST(r_score AS INT) AS r_score,
+           CAST(f_score AS INT) AS f_score,
+           CAST(m_score AS INT) AS m_score,
+           CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+                  THEN 'champion'
+                WHEN r_score >= 4 AND f_score <= 2 THEN 'new'
+                WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+                WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+                ELSE 'regular' END AS segment
+    FROM scored
+    """,
+)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per customer recency (days before the epoch
+    close), order frequency, and monetary total, each quintile-scored
+    (NTILE with id tie-breaks for cross-engine determinism) and rolled
+    into the standard champion/new/at-risk/hibernating labels — the
+    composite warehouse segmentation every CRM feed runs. One aggregate
+    + three global NTILE windows over the (small) per-customer rollup."""
+    orders = load_table(spark, sf_dir, "orders")
+    rfm = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.datediff(
+            F.lit("1999-01-01").cast("date"),
+            F.max(F.col("o_orderdate").cast("date")),
+        ).alias("recency_d"),
+        F.count(F.lit(1)).alias("frequency"),
+        _r4(F.sum("o_totalprice")).alias("monetary"),
+    )
+    r_s = F.ntile(5).over(W.orderBy(F.col("recency_d").desc(), F.col("custkey")))
+    f_s = F.ntile(5).over(W.orderBy("frequency", "custkey"))
+    m_s = F.ntile(5).over(W.orderBy("monetary", "custkey"))
+    scored = rfm.select(
+        "custkey",
+        F.col("recency_d").cast("int").alias("recency_d"),
+        F.col("frequency").cast("long").alias("frequency"),
+        "monetary",
+        r_s.cast("int").alias("r_score"),
+        f_s.cast("int").alias("f_score"),
+        m_s.cast("int").alias("m_score"),
+    )
+    seg = (
+        F.when(
+            (F.col("r_score") >= 4) & (F.col("f_score") >= 4) & (F.col("m_score") >= 4),
+            F.lit("champion"),
+        )
+        .when((F.col("r_score") >= 4) & (F.col("f_score") <= 2), F.lit("new"))
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 4), F.lit("at_risk"))
+        .when(
+            (F.col("r_score") <= 2) & (F.col("f_score") <= 2),
+            F.lit("hibernating"),
+        )
+        .otherwise(F.lit("regular"))
+    )
+    return scored.withColumn("segment", seg)
+
+
+@_q(
     "corpus_zipf_heaps",
     """
     WITH t AS (SELECT source, UNNEST(string_split(text, ' ')) AS tok
