@@ -5890,7 +5890,7 @@ def expectations_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_s AS (SELECT o_orderkey, o_totalprice, o_orderstatus
               FROM orders WHERE o_orderkey % 5 <> 0)
     SELECT change, CAST(COUNT(*) AS BIGINT) AS n_keys,
-           ROUND(COALESCE(SUM(delta), 0), 4) AS total_price_delta
+           ROUND(COALESCE(SUM(delta), 0), 2) AS total_price_delta
     FROM (
       SELECT CASE WHEN o.o_orderkey IS NULL THEN 'inserted'
                   WHEN n.o_orderkey IS NULL THEN 'deleted'
@@ -5938,7 +5938,10 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("change")
         .agg(
             F.count(F.lit(1)).alias("n_keys"),
-            _r4(F.coalesce(F.sum("delta"), F.lit(0.0))).alias(
+            # r2, not r4: the delta sum reaches ~1e10 at sf0.1, where
+            # double summation noise (~2e-6 absolute) crosses the 4-dp
+            # quantum between engines — caught by the sf0.1 sweep
+            F.round(F.coalesce(F.sum("delta"), F.lit(0.0)), 2).alias(
                 "total_price_delta"
             ),
         )
@@ -7826,7 +7829,8 @@ def conversion_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH s AS (SELECT event_id, user_id, value,
                       epoch_us(ts)::BIGINT AS us
                FROM events),
-    mu AS (SELECT user_id, AVG(value) AS mu FROM s GROUP BY user_id),
+    mu AS (SELECT user_id, ROUND(AVG(value), 2) AS mu FROM s
+           GROUP BY user_id),
     c AS (SELECT s.event_id, s.user_id,
                  ROUND(SUM(s.value - mu.mu)
                          OVER (PARTITION BY s.user_id ORDER BY s.us, s.event_id
@@ -7852,7 +7856,13 @@ def cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").withColumn(
         "us", F.unix_micros(F.col("ts").cast("timestamp"))
     )
-    mu = ev.groupBy("user_id").agg(F.avg("value").alias("mu"))
+    # mu quantized to 2 dp: the engines' AVG differs at ~1e-10 and the
+    # running sum amplifies it by k (row index) — at sf0.1 that is ~1e-5
+    # noise on every cusum, enough to cross ANY output quantum near a
+    # boundary. With an identical mu the running sums are bit-identical
+    # (both engines accumulate the ordered frame sequentially), so the
+    # target itself must carry the determinism, not the output rounding.
+    mu = ev.groupBy("user_id").agg(F.round(F.avg("value"), 2).alias("mu"))
     wrun = (
         W.partitionBy("user_id")
         .orderBy("us", "event_id")

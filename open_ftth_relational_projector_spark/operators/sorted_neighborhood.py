@@ -39,7 +39,17 @@ def global_rank(
     a total order (include a unique tiebreaker)."""
     cols = [F.col(c) for c in order_cols]
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
+    # MATERIALIZE the range partitioning: RangePartitioner samples with an
+    # rddId-dependent seed, so re-evaluating this plan can draw DIFFERENT
+    # boundaries — the offsets collected below would then disagree with
+    # the partitioning the final join sees, producing duplicate ranks
+    # (caught by the sf0.1 differential sweep; invisible at small scale
+    # where the sample is the whole input).
+    ranged = (
+        df.repartitionByRange(n, *cols)
+        .sortWithinPartitions(*cols)
+        .localCheckpoint(eager=True)
+    )
     with_pid = ranged.withColumn("_pid", F.spark_partition_id())
     sizes = {
         r["_pid"]: r["n"]
