@@ -281,3 +281,43 @@ def test_manifest_time_travel_reads_prior_version(spark, tmp_path):
     assert M.read_committed(spark, path).count() == 99
     assert M.read_version(spark, path, 1).count() == 10  # time travel
     assert M.read_version(spark, path, 2).count() == 99
+
+
+def test_rollup_reaggregation_from_partials(spark):
+    """The materialized-rollup contract: month-level stats derived from
+    stored DAY-level partials (sum/count/min/max, avg = sum/count) must
+    equal the direct month aggregation — the reaggregability property
+    that lets a warehouse serve coarse rollups without rescanning raw
+    data. Uses the real events table at sf0.001."""
+    from pyspark.sql import functions as F
+
+    from open_ftth_relational_projector_spark.sources.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        F.date_trunc("month", "ts").alias("month"),
+        F.to_date("ts").alias("day"),
+        "value",
+    )
+    day_partials = ev.groupBy("month", "day").agg(
+        F.sum("value").alias("s"),
+        F.count("value").alias("n"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+    )
+    from_partials = day_partials.groupBy("month").agg(
+        F.round(F.sum("s"), 4).alias("sum_v"),
+        F.sum("n").alias("n"),
+        F.min("mn").alias("min_v"),
+        F.max("mx").alias("max_v"),
+        F.round(F.sum("s") / F.sum("n"), 4).alias("avg_v"),
+    )
+    direct = ev.groupBy("month").agg(
+        F.round(F.sum("value"), 4).alias("sum_v"),
+        F.count("value").alias("n"),
+        F.min("value").alias("min_v"),
+        F.max("value").alias("max_v"),
+        F.round(F.sum("value") / F.count("value"), 4).alias("avg_v"),
+    )
+    a = sorted(map(tuple, from_partials.collect()))
+    b = sorted(map(tuple, direct.collect()))
+    assert a == b and len(a) > 0
