@@ -6774,6 +6774,137 @@ def mad_outlier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "attribution_linear_multitouch",
+    """
+    WITH e AS (SELECT event_id, user_id, event_type,
+                      epoch_us(ts)::BIGINT AS us
+               FROM events),
+    pur AS (SELECT event_id, user_id, us FROM e WHERE event_type = 'purchase'),
+    clk AS (SELECT event_id, user_id, us FROM e WHERE event_type = 'click'),
+    touch AS (
+      SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+             COUNT(*) OVER (PARTITION BY p.event_id) AS n_touches
+      FROM pur p JOIN clk c
+        ON c.user_id = p.user_id
+       AND c.us < p.us AND c.us >= p.us - 604800000000)
+    SELECT click_id, CAST(COUNT(*) AS BIGINT) AS n_conversions,
+           ROUND(SUM(1.0 / n_touches), 4) AS credit
+    FROM touch GROUP BY click_id
+    """,
+)
+def attribution_linear_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every click in a purchase's 7-day
+    lookback shares the conversion credit equally (1/n_touches) — the
+    fractional-credit complement to attribution_last_touch. The
+    touch join is keyed on user (pairs bounded per user-week); credit
+    normalization is one window keyed on the purchase."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("us").alias("pus")
+    )
+    clk = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("us").alias("cus")
+    )
+    touch = (
+        pur.join(clk, "user_id")
+        .filter(
+            (F.col("cus") < F.col("pus"))
+            & (F.col("cus") >= F.col("pus") - F.lit(604_800_000_000))
+        )
+        .withColumn(
+            "n_touches",
+            F.count(F.lit(1)).over(W.partitionBy("purchase_id")),
+        )
+    )
+    return touch.groupBy("click_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_conversions"),
+        _r4(F.sum(F.lit(1.0) / F.col("n_touches"))).alias("credit"),
+    )
+
+
+@_q(
+    "psi_value_drift",
+    """
+    WITH src AS (
+      SELECT CASE WHEN epoch_us(ts) % 2 = 0 THEN 'ref' ELSE 'cur' END AS half,
+             LEAST(GREATEST(CAST(FLOOR(value / 100.0) AS INT), 0), 9) AS bin
+      FROM events WHERE value IS NOT NULL),
+    c AS (SELECT half, bin, COUNT(*) AS n FROM src GROUP BY half, bin),
+    t AS (SELECT half, SUM(n) AS tot FROM c GROUP BY half),
+    bins AS (SELECT UNNEST(generate_series(0, 9)) AS bin),
+    p AS (SELECT b.bin,
+                 COALESCE(r.n, 0) / CAST(tr.tot AS DOUBLE) AS p_ref,
+                 COALESCE(u.n, 0) / CAST(tc.tot AS DOUBLE) AS p_cur
+          FROM bins b
+          LEFT JOIN (SELECT bin, n FROM c WHERE half = 'ref') r USING (bin)
+          LEFT JOIN (SELECT bin, n FROM c WHERE half = 'cur') u USING (bin)
+          CROSS JOIN (SELECT tot FROM t WHERE half = 'ref') tr
+          CROSS JOIN (SELECT tot FROM t WHERE half = 'cur') tc),
+    sm AS (SELECT bin, p_ref, p_cur,
+                  (GREATEST(p_cur, 0.0001) - GREATEST(p_ref, 0.0001))
+                    * LN(GREATEST(p_cur, 0.0001) / GREATEST(p_ref, 0.0001))
+                    AS term
+           FROM p)
+    SELECT bin, ROUND(p_ref, 4) AS p_ref, ROUND(p_cur, 4) AS p_cur,
+           ROUND(term, 6) AS psi_term,
+           ROUND(SUM(term) OVER (), 4) AS psi_total
+    FROM sm
+    """,
+)
+def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two slices of the event-value
+    distribution (even vs odd microsecond — a deterministic stand-in for
+    reference vs current snapshot): per-bin contribution and the total
+    PSI — the standard ML-ops drift gate (<0.1 stable, >0.25 retrain).
+    Zero-count bins floor at 1e-4 (the conventional PSI smoothing). Two
+    map-side histograms onto 10 fixed bins; everything after is
+    constant-size."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    half = F.when(
+        F.unix_micros(F.col("ts").cast("timestamp")) % 2 == 0, "ref"
+    ).otherwise("cur")
+    bin_ = F.least(
+        F.greatest(F.floor(F.col("value") / 100.0).cast("int"), F.lit(0)),
+        F.lit(9),
+    )
+    c = (
+        ev.select(half.alias("half"), bin_.alias("bin"))
+        .groupBy("half", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    t = c.groupBy("half").agg(F.sum("n").alias("tot"))
+    bins = spark.range(0, 10).select(F.col("id").cast("int").alias("bin"))
+    r = c.filter(F.col("half") == "ref").select("bin", F.col("n").alias("nr"))
+    u = c.filter(F.col("half") == "cur").select("bin", F.col("n").alias("nc"))
+    tr = t.filter(F.col("half") == "ref").select(F.col("tot").alias("tot_r"))
+    tc = t.filter(F.col("half") == "cur").select(F.col("tot").alias("tot_c"))
+    p = (
+        bins.join(F.broadcast(r), "bin", "left")
+        .join(F.broadcast(u), "bin", "left")
+        .crossJoin(F.broadcast(tr))
+        .crossJoin(F.broadcast(tc))
+        .select(
+            "bin",
+            (F.coalesce(F.col("nr"), F.lit(0)) / F.col("tot_r").cast("double")).alias("p_ref"),
+            (F.coalesce(F.col("nc"), F.lit(0)) / F.col("tot_c").cast("double")).alias("p_cur"),
+        )
+    )
+    pr = F.greatest(F.col("p_ref"), F.lit(0.0001))
+    pc = F.greatest(F.col("p_cur"), F.lit(0.0001))
+    term = (pc - pr) * F.log(pc / pr)
+    wall = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return p.withColumn("term", term).select(
+        "bin",
+        _r4(F.col("p_ref")).alias("p_ref"),
+        _r4(F.col("p_cur")).alias("p_cur"),
+        F.round(F.col("term"), 6).alias("psi_term"),
+        _r4(F.sum("term").over(wall)).alias("psi_total"),
+    )
+
+
+@_q(
     "rfm_customer_segments",
     """
     WITH rfm AS (
