@@ -4786,6 +4786,50 @@ def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcenter_select(emb, k=4)
 
 
+def _kcore_round(prev: str, out: str, k: int) -> str:
+    """One unrolled peel round: degrees from the surviving edge set,
+    drop nodes under k, keep edges whose BOTH endpoints survive."""
+    return f"""
+    {out} AS (
+      SELECT e.u, e.v FROM {prev} e
+      WHERE e.u IN (SELECT u FROM {prev} GROUP BY u HAVING COUNT(*) >= {k})
+        AND e.v IN (SELECT u FROM {prev} GROUP BY u HAVING COUNT(*) >= {k}))"""
+
+
+_KCORE_SQL = (
+    """
+    WITH raw AS (SELECT DISTINCT o_custkey AS u, l_suppkey + 1000000 AS v
+                 FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    e0 AS (SELECT u, v FROM raw UNION SELECT v, u FROM raw),"""
+    + ",".join(_kcore_round(f"e{i}", f"e{i+1}", 3) for i in range(4))
+    + """
+    SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS degree
+    FROM e4 GROUP BY u
+    """
+)
+
+
+@_q("kcore_purchase_graph", _KCORE_SQL)
+def kcore_purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the customer↔supplier purchase graph after 4 peel
+    rounds (functions/graph.kcore_peel) — the density filter that strips
+    weakly-attached fringe nodes in webgraph-style curation; the oracle
+    unrolls the same fixed peel rounds."""
+    from open_ftth_relational_projector_spark.functions.graph import kcore_peel
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + F.lit(1000000)).alias("dst"),
+        )
+        .distinct()
+    )
+    return kcore_peel(edges, k=3, rounds=4)
+
+
 def _wsp_relax(prev: str, out: str) -> str:
     """One unrolled Bellman-Ford round: keep old costs, add relaxed
     candidates ROUNDed to 6 dp, take the min per node — mirroring

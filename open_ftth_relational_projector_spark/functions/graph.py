@@ -449,3 +449,49 @@ def weighted_shortest_paths(
             .localCheckpoint(eager=True)
         )
     return dist.select("node", F.col("d").alias("cost"))
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int = 2,
+    rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """k-core peeling: iteratively drop nodes with degree < k (and their
+    edges) for a FIXED number of rounds — the density filter that strips
+    weakly-connected fringe (spam/link-farm pruning in webgraph curation,
+    noise-node removal before community detection).
+
+    A fixed ``rounds`` rather than peel-to-fixpoint keeps the result a
+    deterministic pure function both engines can replay (an unrolled SQL
+    oracle); on most graphs peeling converges in a few rounds — callers
+    wanting the true k-core raise ``rounds`` and check a further round
+    changes nothing. Each round is one degree aggregation + two
+    anti-joins, all keyed on node id; ``localCheckpoint`` truncates
+    lineage per round.
+
+    Returns surviving (node, degree) after the final round.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(
+            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("n"))
+        dead = deg.filter(F.col("n") < k).select("u")
+        e = (
+            e.join(dead, "u", "left_anti")
+            .join(dead.withColumnRenamed("u", "v"), "v", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        e.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .select(F.col("u").alias("node"), F.col("degree").cast("long"))
+    )

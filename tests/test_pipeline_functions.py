@@ -2002,3 +2002,21 @@ def test_weighted_shortest_paths_bellman_ford(spark):
         for r in weighted_shortest_paths(edges, seeds, max_hops=1).collect()
     }
     assert one_hop == {1: 0.0, 2: 10.0, 3: 1.0}
+
+
+def test_kcore_peel_cascading(spark):
+    """A triangle with a pendant chain: 2-core drops the chain (including
+    the cascade where removing a leaf exposes its parent), keeps the
+    triangle with degree 2 each; k=3 on a triangle empties it."""
+    from open_ftth_relational_projector_spark.functions.graph import kcore_peel
+
+    edges = spark.createDataFrame(
+        # triangle 1-2-3, chain 3-4-5
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)],
+        "src long, dst long",
+    )
+    core2 = {
+        (r["node"], r["degree"]) for r in kcore_peel(edges, k=2, rounds=3).collect()
+    }
+    assert core2 == {(1, 2), (2, 2), (3, 2)}
+    assert kcore_peel(edges, k=3, rounds=3).count() == 0
