@@ -6818,6 +6818,107 @@ def mad_outlier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "dow_seasonality_index",
+    """
+    WITH r AS (SELECT dayofweek(CAST(o_orderdate AS DATE)) + 1 AS dow,
+                      o_totalprice
+               FROM orders),
+    agg AS (SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   SUM(o_totalprice) AS rev
+            FROM r GROUP BY dow),
+    tot AS (SELECT SUM(rev) AS trev FROM agg)
+    SELECT dow AS dow, n_orders,
+           ROUND(rev, 2) AS revenue,
+           ROUND(rev / (tot.trev / 7.0), 4) AS seasonal_index
+    FROM agg CROSS JOIN tot
+    """,
+)
+def dow_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality: revenue per weekday vs the uniform 1/7
+    expectation (index 1.0 = no weekly cycle) — the baseline every
+    anomaly detector and forecast deseasonalizes against. dow uses
+    Spark's 1=Sunday..7 convention (DuckDB's 0-based dayofweek shifted
+    to match); revenue rounded to 2 dp (1e9-magnitude sums exceed 4-dp
+    double agreement, the snapshot_diff lesson)."""
+    orders = load_table(spark, sf_dir, "orders")
+    agg = orders.groupBy(
+        F.dayofweek(F.col("o_orderdate").cast("date")).alias("dow")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("o_totalprice").alias("rev"),
+    )
+    tot = agg.agg(F.sum("rev").alias("trev"))
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            "dow",
+            "n_orders",
+            F.round(F.col("rev"), 2).alias("revenue"),
+            _r4(F.col("rev") / (F.col("trev") / F.lit(7.0))).alias(
+                "seasonal_index"
+            ),
+        )
+    )
+
+
+@_q(
+    "peak_concurrent_sessions",
+    """
+    WITH iv AS (SELECT user_id, epoch_us(ts)::BIGINT AS s,
+                       epoch_us(ts)::BIGINT + 1800000000 AS e,
+                       event_id
+                FROM events),
+    pts AS (
+      SELECT s AS t, 1 AS d, event_id FROM iv
+      UNION ALL
+      SELECT e AS t, -1 AS d, event_id FROM iv),
+    sw AS (SELECT t, d,
+                  SUM(d) OVER (ORDER BY t, d DESC, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS load
+           FROM pts)
+    SELECT CAST(MAX(load) AS BIGINT) AS peak_concurrency,
+           CAST(MIN(t) AS BIGINT) AS first_peak_at
+    FROM sw WHERE load = (SELECT MAX(load) FROM sw)
+    """,
+)
+def peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency: every event opens a 30-minute session interval;
+    the classic +1/−1 boundary sweep (running sum over the ordered
+    boundary stream) finds the maximum simultaneous sessions and the
+    first instant it occurs — capacity planning's gauge-peak query.
+    Boundary order (t, starts-before-ends at the same t since starts sort
+    via d DESC, event_id tiebreak) pins half-open [s, e) touching
+    semantics deterministically. NOTE the global ORDER BY window: at
+    100 TB, pre-aggregate deltas per time bucket (one keyed groupBy) and
+    sweep the bucket series — same answer, bounded sort."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    starts = ev.select(
+        F.col("us").alias("t"), F.lit(1).alias("d"), "event_id"
+    )
+    ends = ev.select(
+        (F.col("us") + F.lit(1_800_000_000)).alias("t"),
+        F.lit(-1).alias("d"),
+        "event_id",
+    )
+    pts = starts.unionByName(ends)
+    wsw = W.orderBy(F.col("t"), F.col("d").desc(), F.col("event_id")).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    sw = pts.withColumn("load", F.sum("d").over(wsw))
+    peak = sw.agg(F.max("load").alias("mx"))
+    return (
+        sw.join(F.broadcast(peak), sw["load"] == peak["mx"])
+        .agg(
+            F.max("load").cast("long").alias("peak_concurrency"),
+            F.min("t").cast("long").alias("first_peak_at"),
+        )
+    )
+
+
+@_q(
     "attribution_linear_multitouch",
     """
     WITH e AS (SELECT event_id, user_id, event_type,
