@@ -84,6 +84,12 @@ EXTRA_QUERIES = [
     "benford_price_audit",
     "unpivot_lineitem_measures",
     "acctbal_distribution_ranks",
+    "rfm_customer_segments",
+    "psi_value_drift",
+    "attribution_linear_multitouch",
+    "kcore_purchase_graph",
+    "peak_concurrent_sessions",
+    "dow_seasonality_index",
 ]
 
 

@@ -8749,7 +8749,9 @@ def linear_interpolated_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 # kmv_segment_overlap, exact_median_twopass, ewma_user_values,
 # cusum_changepoints, conversion_survival_curve, weighted_purchase_paths,
 # item_item_similarity, acctbal_distribution_ranks, corpus_zipf_heaps,
-# rfm_customer_segments (the five
+# rfm_customer_segments, psi_value_drift, attribution_linear_multitouch,
+# kcore_purchase_graph, peak_concurrent_sessions, dow_seasonality_index
+# (the five
 # late-r3 additions that DID take slots — bfs/kmv/skyline/mad/
 # sorted_neighborhood — will hold r3 rows). The window holds 50: fill
 # the remainder with the r2-green families whose last green row is
