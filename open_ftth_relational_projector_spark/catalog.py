@@ -3165,6 +3165,44 @@ def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "containment_near_dups",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             UNNEST(list_distinct(list_transform(
+               generate_series(1, GREATEST(LEN(t) - 2, 0)),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+      FROM toks),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    d AS (
+      SELECT i.doc_a AS contained, i.doc_b AS container,
+             ROUND(i.n_inter / CAST(sa.n AS DOUBLE), 4) AS containment
+      FROM inter i JOIN sizes sa ON i.doc_a = sa.doc_id
+      UNION ALL
+      SELECT i.doc_b, i.doc_a, ROUND(i.n_inter / CAST(sb.n AS DOUBLE), 4)
+      FROM inter i JOIN sizes sb ON i.doc_b = sb.doc_id)
+    SELECT contained, container, containment
+    FROM d WHERE containment >= 0.2
+    """,
+)
+def containment_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment ≥ 0.2 over the corpus
+    (functions/dedup.containment_pairs) — the quote/subset detector that
+    catches a paragraph wholly copied into a longer document, which
+    Jaccard structurally under-scores; dedup policy drops the CONTAINED
+    side. Same inverted-index scale shape as ngram_jaccard_pairs."""
+    return D.containment_pairs(
+        scattered(load_table(spark, sf_dir, "documents")), threshold=0.2, n=3
+    )
+
+
+@_q(
     "dedup_clusters",
     """
     WITH RECURSIVE toks AS (

@@ -821,3 +821,89 @@ def jaccard_pairs_prefix_filtered(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Asymmetric containment join: C(A→B) = |shingles(A) ∩ shingles(B)|
+    / |shingles(A)| — the quote/subset detector Jaccard structurally
+    misses (a paragraph fully copied into a long document has high
+    containment but low Jaccard, because the union is dominated by the
+    container). The directional complement to ngram_jaccard_pairs for
+    dedup policy: drop the CONTAINED side, keep the container.
+
+    Same inverted-index shape as ngram_jaccard_pairs (one tokenize pass,
+    postings on 64-bit shingle hashes, in-bucket pair expansion — work ∝
+    genuinely shared shingles); each unordered candidate pair then emits
+    up to two directional rows.
+
+    Returns (contained, container, containment) with containment ≥
+    ``threshold``, containment rounded to 4 dp.
+    """
+    entries = let(
+        shingles(F.col(text_col), n),
+        lambda g: F.transform(
+            g, lambda s: F.struct(F.size(g).alias("n_sh"), s.alias("shingle"))
+        ),
+    )
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(entries).alias("e")
+    ).select(
+        "doc_id", F.col("e.n_sh").alias("n_sh"), F.col("e.shingle").alias("shingle")
+    )
+    postings = (
+        sh.groupBy(F.xxhash64("shingle").alias("sh_hash"))
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    pairs = postings.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ds"),
+                    lambda a, i: F.transform(
+                        F.slice(F.col("ds"), i + F.lit(2), F.size("ds") - i - 1),
+                        lambda b: F.struct(a.alias("a"), b.alias("b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    inter = (
+        pairs.groupBy(
+            F.col("p.a.doc_id").alias("doc_a"),
+            F.col("p.b.doc_id").alias("doc_b"),
+            F.col("p.a.n_sh").alias("n_a"),
+            F.col("p.b.n_sh").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    directed = inter.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("contained"),
+                    F.col("doc_b").alias("container"),
+                    (F.col("n_inter") / F.col("n_a").cast("double")).alias("c"),
+                ),
+                F.struct(
+                    F.col("doc_b").alias("contained"),
+                    F.col("doc_a").alias("container"),
+                    (F.col("n_inter") / F.col("n_b").cast("double")).alias("c"),
+                ),
+            )
+        ).alias("d")
+    )
+    return (
+        directed.select(
+            F.col("d.contained").alias("contained"),
+            F.col("d.container").alias("container"),
+            F.round(F.col("d.c"), 4).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )

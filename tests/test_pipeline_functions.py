@@ -2020,3 +2020,30 @@ def test_kcore_peel_cascading(spark):
     }
     assert core2 == {(1, 2), (2, 2), (3, 2)}
     assert kcore_peel(edges, k=3, rounds=3).count() == 0
+
+
+def test_containment_pairs_asymmetric(spark):
+    """A short doc fully quoted inside a long doc: containment of the
+    short side is 1.0 while Jaccard stays low; the reverse direction is
+    below threshold; unrelated docs are absent."""
+    from open_ftth_relational_projector_spark.functions.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog"
+    filler = " ".join(f"w{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, quote), (2, filler + " " + quote), (3, "completely different text here")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["contained"], r["container"]): r["containment"]
+        for r in containment_pairs(docs, threshold=0.5).collect()
+    }
+    assert got == {(1, 2): 1.0}
+    jac = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.01).collect()
+    }
+    assert jac[(1, 2)] < 0.2  # Jaccard misses what containment catches
