@@ -2047,3 +2047,50 @@ def test_containment_pairs_asymmetric(spark):
         for r in ngram_jaccard_pairs(docs, threshold=0.01).collect()
     }
     assert jac[(1, 2)] < 0.2  # Jaccard misses what containment catches
+
+
+def test_ewma_matches_pandas_adjust_true(spark):
+    """The catalog EWMA (α=0.3, trailing-20 window) equals pandas
+    ewm(alpha=0.3, adjust=True) exactly while the series is shorter than
+    the window — pinning the docstring's semantics claim against the
+    reference implementation."""
+    import pandas as pd
+
+    from datetime import datetime, timedelta
+
+    from open_ftth_relational_projector_spark.catalog import SPARK_QUERIES
+    import tempfile, shutil, os
+
+    vals = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0]
+    base = datetime(2024, 1, 1)
+    tmp = tempfile.mkdtemp(prefix="ofrp_ewma_")
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(f"{tmp}/d", exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(range(len(vals)), "int64"),
+                    "ts": pa.array(
+                        [base + timedelta(minutes=i) for i in range(len(vals))],
+                        pa.timestamp("ns"),
+                    ),
+                    "user_id": pa.array([1] * len(vals), "int64"),
+                    "event_type": pa.array(["e"] * len(vals)),
+                    "value": pa.array(vals, "float64"),
+                    "props": pa.array(["{}"] * len(vals)),
+                }
+            ),
+            f"{tmp}/d/events.parquet",
+        )
+        got = {
+            r["event_id"]: r["ewma"]
+            for r in SPARK_QUERIES["ewma_user_values"](spark, f"{tmp}/d").collect()
+        }
+        exp = pd.Series(vals).ewm(alpha=0.3, adjust=True).mean()
+        for i in range(len(vals)):
+            assert abs(got[i] - round(float(exp[i]), 4)) < 1e-9, i
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
