@@ -2094,3 +2094,62 @@ def test_ewma_matches_pandas_adjust_true(spark):
             assert abs(got[i] - round(float(exp[i]), 4)) < 1e-9, i
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_linear_interpolation_matches_pandas_index_method(spark):
+    """The catalog interpolation (event-time linear, LOCF/NOCB edges)
+    equals pandas interpolate(method='index', limit_direction='both') on
+    an UNEQUALLY-spaced series — proportional-in-time interior fill and
+    constant edge fill, pinned against the reference implementation."""
+    import os
+    import shutil
+    import tempfile
+    from datetime import datetime, timedelta
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from open_ftth_relational_projector_spark.catalog import SPARK_QUERIES
+
+    base = datetime(2024, 1, 1)
+    # event_ids chosen so ids 0,7,14 are the nulled gaps (id % 7 == 0);
+    # unequal spacing makes position-linear != time-linear
+    minutes = [0, 1, 5, 6, 7, 20, 21, 22, 60, 61, 62, 90, 91, 92, 300]
+    vals = [float(v) for v in [10, 20, 14, 8, 6, 40, 42, 44, 8, 6, 4, 70, 72, 74, 99]]
+    tmp = tempfile.mkdtemp(prefix="ofrp_li_")
+    try:
+        os.makedirs(f"{tmp}/d", exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(range(len(vals)), "int64"),
+                    "ts": pa.array(
+                        [base + timedelta(minutes=m) for m in minutes],
+                        pa.timestamp("ns"),
+                    ),
+                    "user_id": pa.array([1] * len(vals), "int64"),
+                    "event_type": pa.array(["e"] * len(vals)),
+                    "value": pa.array(vals, "float64"),
+                    "props": pa.array(["{}"] * len(vals)),
+                }
+            ),
+            f"{tmp}/d/events.parquet",
+        )
+        got = {
+            r["event_id"]: (r["filled_value"], r["fill_kind"])
+            for r in SPARK_QUERIES["linear_interpolated_values"](
+                spark, f"{tmp}/d"
+            ).collect()
+        }
+        s = pd.Series(
+            [round(v, 4) if i % 7 != 0 else None for i, v in enumerate(vals)],
+            index=pd.to_datetime([base + timedelta(minutes=m) for m in minutes]),
+        )
+        exp = s.interpolate(method="index", limit_direction="both")
+        for i in range(len(vals)):
+            assert abs(got[i][0] - round(float(exp.iloc[i]), 4)) < 1e-9, (i, got[i])
+        # id 0 leads (NOCB), id 7 is interior (linear), id 14 trails (LOCF)
+        assert got[0][1] == "nocb" and got[7][1] == "interp" and got[14][1] == "locf"
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
