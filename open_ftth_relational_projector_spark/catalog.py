@@ -8806,66 +8806,74 @@ def linear_interpolated_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rows-only queries (recorded beside their now-oracled twins), with the
 # remaining slots spot-checking the biggest r2-green families.
 _DRIVER_WINDOW_FRONT = [
+    # Round 4: the catalog holds 187 queries but the driver checks only the
+    # first 50 per round; r1∪r2∪r3 green rows cover 99, leaving 88 that have
+    # never held a driver row (all rest on local check_oracle.py sweeps at
+    # sf0.01 + sf0.1). Per the round-3 verdict, this round's window spends
+    # every slot except the q1 flagship on never-checked queries, leading
+    # with the families carrying the most logic (iterative graph, sketches,
+    # time-series, TPC-H joins, slowly-changing dimensions, dedup/ANN, text
+    # stats). Round 5 takes the remaining 39 plus regression spot-checks.
     "q1_pricing_summary",
-    # -- new in round 3 --
-    "proj_rel_fiber_cable_sim",
-    "minhash_near_dups_md5",
-    "simhash_fingerprints_md5",
-    "embedding_near_dups_lsh_fullprobe",
-    "knn_lsh_fullprobe",
-    "knn_ivf_fullprobe",
-    # -- r1-only green rows: regression cover --
-    "dedup_first_occurrence",
-    "exists_nested_high_value_first_line",
-    "first_last_part_per_order",
-    "top3_orders_per_customer",
-    "rollup_lineitem_status",
-    "pivot_event_counts",
-    "lww_latest_event_per_user",
-    "asof_purchase_prior_signup",
-    "json_props_stats",
-    "running_value_per_user",
-    "sessionize_30min",
-    "tumbling_event_windows",
-    "sliding_event_windows",
-    "session_event_windows",
-    "proj_work_task_sim",
-    "proj_installation_sim",
-    "stream_incremental_sim",
-    "proj_node_container_sim",
-    "proj_rel_interest_sim",
-    "proj_service_termination_sim",
-    "proj_span_equipment_sim",
-    "proj_conduit_slack_sim",
-    "walk_hop_subtract_sim",
-    "walk_hop_multi_sim",
-    "text_stats",
-    "token_counts_bpe",
-    "lang_quality_stats",
-    "exact_dedup_groups",
-    "doc_fingerprint_groups",
-    # -- new this session, first driver rows (each fully oracled; they
-    # take the slots of the five rows-only approximate paths, whose hard
-    # evidence lives in the _md5/_fullprobe twins above and whose
-    # production paths execute every round in the bench headline set) --
-    "bfs_purchase_distances",
-    "kmv_distinct_rollup",
-    "skyline_parts",
-    "mad_outlier_stats",
-    "sorted_neighborhood_er",
-    # -- new compositions (first driver rows) --
-    "weighted_doc_sample",
-    "dedup_keep_list",
-    "corpus_filter_report",
-    "simhash_near_dups",
-    "embedding_quantize_int8",
-    "corpus_pipeline_stats",
-    # -- late round-3 additions: first driver rows beat a third spot-check
-    # of r1∪r2-green families (knn_bruteforce / multimodal_* hold green
-    # rows in BOTH prior rounds and keep their local oracle gate) --
-    "q21_waiting_suppliers",
-    "bm25_top_docs",
-    "sliding_window_chunks",
+    # -- iterative graph --
+    "kcore_purchase_graph",
+    "weighted_purchase_paths",
+    "pagerank_purchase_graph",
+    "dedup_graph_triangles",
+    "knn_label_propagation",
+    # -- sketches --
+    "kmv_segment_overlap",
+    "cms_join_size_estimate",
+    "cms_heavy_hitters",
+    "bloom_decontamination",
+    "approx_distinct_users",
+    # -- time series --
+    "ewma_user_values",
+    "cusum_changepoints",
+    "linear_interpolated_values",
+    "forward_filled_values",
+    "conversion_survival_curve",
+    "rolling_zscore_anomalies",
+    "rolling_7d_active_users",
+    "time_weighted_user_value",
+    "user_activity_streaks",
+    # -- TPC-H joins never driver-checked --
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q11_important_part_values",
+    "q20_part_promo_suppliers",
+    # -- temporal / dimensional modeling --
+    "scd2_user_value_history",
+    "snapshot_diff_orders",
+    "point_in_time_features",
+    "merged_order_activity_periods",
+    "peak_concurrent_sessions",
+    # -- de-globalized this round: first driver rows post-fix --
+    "rfm_customer_segments",
+    "jaccard_pairs_prefix_filtered",
+    # -- dedup / ER / ANN --
+    "containment_near_dups",
+    "winnow_fingerprints",
+    "semantic_dedup_verdicts",
+    "customer_er_candidates",
+    "pq_codes",
+    "pq_knn_adc",
+    "incremental_dedup_report",
+    "dedup_strategy_matrix",
+    # -- clustering --
+    "kmeans_cluster_stats",
+    "kcenter_coreset",
+    # -- text / corpus analysis --
+    "tfidf_cosine_pairs",
+    "bigram_lm_doc_scores",
+    "corpus_zipf_heaps",
+    "lang_source_chisq",
+    # -- statistical audits --
+    "benford_price_audit",
+    "psi_value_drift",
+    "exact_median_twopass",
+    "winsorized_value_stats",
+    "ab_test_zscore",
 ]
 
 

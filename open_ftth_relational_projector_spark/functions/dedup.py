@@ -785,7 +785,11 @@ def jaccard_pairs_prefix_filtered(
     prefix = (
         idx.join(df_t, "shingle")
         .withColumn("pos", F.row_number().over(wdoc))
-        .join(F.broadcast(sizes), "doc_id")
+        # NOT broadcast: `sizes` is one row per DOCUMENT (corpus-scale, not
+        # dimension-scale) — broadcasting it OOMs executors at 100 TB. The
+        # plain equi-join reuses doc_id, the partitioning the window above
+        # already established, so no extra shuffle is introduced.
+        .join(sizes, "doc_id")
         .filter(F.col("pos") <= prefix_len)
         .select("doc_id", "shingle")
     )
