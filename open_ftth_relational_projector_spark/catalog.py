@@ -6922,35 +6922,46 @@ def dow_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Peak concurrency: every event opens a 30-minute session interval;
-    the classic +1/−1 boundary sweep (running sum over the ordered
-    boundary stream) finds the maximum simultaneous sessions and the
-    first instant it occurs — capacity planning's gauge-peak query.
-    Boundary order (t, starts-before-ends at the same t since starts sort
-    via d DESC, event_id tiebreak) pins half-open [s, e) touching
-    semantics deterministically. NOTE the global ORDER BY window: at
-    100 TB, pre-aggregate deltas per time bucket (one keyed groupBy) and
-    sweep the bucket series — same answer, bounded sort."""
+    the classic +1/−1 boundary sweep finds the maximum simultaneous
+    sessions and the first instant it occurs — capacity planning's
+    gauge-peak query. Boundary order processes starts BEFORE ends at the
+    same instant, so touching intervals count as overlapping
+    (closed-interval semantics — a session starting exactly when another
+    ends IS concurrent with it; the oracle sorts identically).
+
+    Scale shape: deltas are PRE-AGGREGATED per distinct timestamp (one
+    keyed groupBy — the bucketed rewrite the r3 verdict asked for), then
+    the running load is a hierarchical cumsum over the bucket series
+    (operators/hierarchical.py), not a single-task global window. The
+    within-timestamp peak is ``cum + n_ends``: starts-first ordering means
+    load at time t crests at cum_before + n_starts = cum_incl + n_ends —
+    identical to the point-level sweep at any parallelism."""
+    from .operators.hierarchical import hierarchical_cumsum
+
     ev = load_table(spark, sf_dir, "events").withColumn(
         "us", F.unix_micros(F.col("ts").cast("timestamp"))
     )
-    starts = ev.select(
-        F.col("us").alias("t"), F.lit(1).alias("d"), "event_id"
-    )
+    starts = ev.select(F.col("us").alias("t"), F.lit(1).alias("d"))
     ends = ev.select(
-        (F.col("us") + F.lit(1_800_000_000)).alias("t"),
-        F.lit(-1).alias("d"),
-        "event_id",
+        (F.col("us") + F.lit(1_800_000_000)).alias("t"), F.lit(-1).alias("d")
     )
-    pts = starts.unionByName(ends)
-    wsw = W.orderBy(F.col("t"), F.col("d").desc(), F.col("event_id")).rowsBetween(
-        W.unboundedPreceding, W.currentRow
-    )
-    sw = pts.withColumn("load", F.sum("d").over(wsw))
-    peak = sw.agg(F.max("load").alias("mx"))
-    return (
-        sw.join(F.broadcast(peak), sw["load"] == peak["mx"])
+    per_t = (
+        starts.unionByName(ends)
+        .groupBy("t")
         .agg(
-            F.max("load").cast("long").alias("peak_concurrency"),
+            F.sum(F.when(F.col("d") == 1, 1).otherwise(0)).alias("ns"),
+            F.sum(F.when(F.col("d") == -1, 1).otherwise(0)).alias("ne"),
+        )
+        .withColumn("delta", F.col("ns") - F.col("ne"))
+    )
+    sw = hierarchical_cumsum(per_t, [F.col("t")], "delta", "cum").withColumn(
+        "peak_t", F.col("cum") + F.col("ne")
+    )
+    peak = sw.agg(F.max("peak_t").alias("mx"))
+    return (
+        sw.join(F.broadcast(peak), sw["peak_t"] == peak["mx"])
+        .agg(
+            F.max("peak_t").cast("long").alias("peak_concurrency"),
             F.min("t").cast("long").alias("first_peak_at"),
         )
     )
@@ -7122,8 +7133,14 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     close), order frequency, and monetary total, each quintile-scored
     (NTILE with id tie-breaks for cross-engine determinism) and rolled
     into the standard champion/new/at-risk/hibernating labels — the
-    composite warehouse segmentation every CRM feed runs. One aggregate
-    + three global NTILE windows over the (small) per-customer rollup."""
+    composite warehouse segmentation every CRM feed runs. NTILE is
+    rank-based (position, not value), so the scale-safe form is an EXACT
+    global rank per metric via the hierarchical range-shard row_number
+    (operators/hierarchical.py — no single-task global window), then the
+    NTILE position formula over the driver-known row count: bit-identical
+    to ``NTILE(5) OVER (ORDER BY ...)`` with the same id tie-breaks."""
+    from .operators.hierarchical import hierarchical_row_number, ntile_from_rank
+
     orders = load_table(spark, sf_dir, "orders")
     rfm = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.datediff(
@@ -7133,17 +7150,24 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("frequency"),
         _r4(F.sum("o_totalprice")).alias("monetary"),
     )
-    r_s = F.ntile(5).over(W.orderBy(F.col("recency_d").desc(), F.col("custkey")))
-    f_s = F.ntile(5).over(W.orderBy("frequency", "custkey"))
-    m_s = F.ntile(5).over(W.orderBy("monetary", "custkey"))
-    scored = rfm.select(
+    ranked = hierarchical_row_number(
+        rfm, [F.col("recency_d").desc(), F.col("custkey")], "_r_rn"
+    )
+    ranked = hierarchical_row_number(
+        ranked, [F.col("frequency"), F.col("custkey")], "_f_rn"
+    )
+    ranked = hierarchical_row_number(
+        ranked, [F.col("monetary"), F.col("custkey")], "_m_rn"
+    )
+    n_cust = ranked.count()  # reads the final localCheckpoint — cheap
+    scored = ranked.select(
         "custkey",
         F.col("recency_d").cast("int").alias("recency_d"),
         F.col("frequency").cast("long").alias("frequency"),
         "monetary",
-        r_s.cast("int").alias("r_score"),
-        f_s.cast("int").alias("f_score"),
-        m_s.cast("int").alias("m_score"),
+        ntile_from_rank(F.col("_r_rn"), n_cust, 5).cast("int").alias("r_score"),
+        ntile_from_rank(F.col("_f_rn"), n_cust, 5).cast("int").alias("f_score"),
+        ntile_from_rank(F.col("_m_rn"), n_cust, 5).cast("int").alias("m_score"),
     )
     seg = (
         F.when(

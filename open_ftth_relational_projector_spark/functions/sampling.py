@@ -100,18 +100,25 @@ def token_budget_chunks(
     Documents in ``order_col`` order are assigned to chunks by cumulative
     whitespace-token count: chunk_id = floor((cumsum - tokens) / budget) —
     the streaming approximation of bin packing (no per-bin remainder
-    state, so it is a pure window expression: deterministic, oracled, and
-    one shuffle at any scale; an exact first-fit packer would be a
-    sequential fold). Output: chunk_id, n_docs, total_tokens.
+    state, so it is deterministic and oracled; an exact first-fit packer
+    would be a sequential fold). Output: chunk_id, n_docs, total_tokens.
+
+    The cumulative sum is hierarchical (operators/hierarchical.py), not a
+    single global window that would serialize the whole corpus through one
+    task: cumsum per range-shard + broadcast shard offsets. Chunk ids
+    depend only on the GLOBAL cumsum, which is invariant to where the
+    shard boundaries fall, so the result is identical to the
+    single-window form at any parallelism.
     """
-    from pyspark.sql import Window
+    from ..operators.hierarchical import hierarchical_cumsum
 
     tokens = F.size(F.split(F.col(text_col), " "))
-    w = Window.orderBy(order_col).rowsBetween(Window.unboundedPreceding, 0)
-    chunked = docs.select(
-        F.col(order_col),
-        tokens.alias("_tok"),
-    ).withColumn("_cum", F.sum("_tok").over(w))
+    chunked = hierarchical_cumsum(
+        docs.select(F.col(order_col), tokens.alias("_tok")),
+        [F.col(order_col)],
+        "_tok",
+        "_cum",
+    )
     return (
         chunked.withColumn(
             "chunk_id",

@@ -1,0 +1,110 @@
+"""Hierarchical (sharded) replacements for global-ORDER-BY windows.
+
+A window with ``ORDER BY`` and no ``PARTITION BY`` funnels every row
+through ONE task (Spark warns ``WindowExec: No Partition Defined``) — fine
+at sf0.01, a serial bottleneck at 100 TB. The classic distributed fix is a
+two-level prefix computation:
+
+1. ``repartitionByRange`` on the ordering key → shards are range-disjoint
+   and shard ids ascend with the key order;
+2. run the window WITHIN each shard (parallel, ordinary keyed window);
+3. collect only the per-shard totals (#shards rows — scalar-sized),
+   prefix-sum them on the driver, broadcast the offsets back.
+
+The result is bit-identical to the single-task global window at any
+parallelism, because global prefix state is invariant to where the shard
+boundaries fall. ``localCheckpoint`` pins the shard assignment so the
+totals job and the final join read the SAME range boundaries (each action
+would otherwise re-sample the range partitioner).
+
+Used by ``functions/sampling.token_budget_chunks`` (packing cumsum),
+``catalog.peak_concurrent_sessions`` (boundary-sweep cumsum) and
+``catalog.rfm_customer_segments`` (global NTILE via exact global rank) —
+the three global windows flagged by the round-3 verdict.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _n_shards(df: DataFrame) -> int:
+    return max(df.sparkSession.sparkContext.defaultParallelism, 1)
+
+
+def _offsets_df(df: DataFrame, totals: list, value_key: str) -> DataFrame:
+    """Driver-side prefix sum of per-shard totals → (_shard, _off) frame."""
+    offsets, running = [], 0
+    for r in sorted(totals, key=lambda r: r["_shard"]):
+        offsets.append((r["_shard"], running))
+        running += r[value_key] or 0
+    return df.sparkSession.createDataFrame(
+        offsets or [(0, 0)], "_shard int, _off long"
+    )
+
+
+def hierarchical_cumsum(
+    df: DataFrame,
+    order_cols: list[Column],
+    value_col: str,
+    out_col: str,
+) -> DataFrame:
+    """Inclusive running sum of ``value_col`` in ``order_cols`` order,
+    computed per range-shard with broadcast shard offsets. Equals
+    ``sum(value) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)`` exactly.
+    Ordering must be total (add a tiebreak column if needed) for a
+    deterministic result."""
+    sharded = df.repartitionByRange(_n_shards(df), *order_cols).withColumn(
+        "_shard", F.spark_partition_id()
+    )
+    w = (
+        Window.partitionBy("_shard")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = sharded.withColumn("_cum_local", F.sum(value_col).over(w)).localCheckpoint()
+    totals = local.groupBy("_shard").agg(F.sum(value_col).alias("_tot")).collect()
+    offs = _offsets_df(df, totals, "_tot")
+    return (
+        local.join(F.broadcast(offs), "_shard")
+        .withColumn(out_col, F.col("_cum_local") + F.col("_off"))
+        .drop("_shard", "_cum_local", "_off")
+    )
+
+
+def hierarchical_row_number(
+    df: DataFrame,
+    order_cols: list[Column],
+    out_col: str,
+) -> DataFrame:
+    """Exact global 1-based rank in ``order_cols`` order (must be a total
+    order), computed per range-shard with broadcast shard row-count
+    offsets. Equals ``row_number() OVER (ORDER BY ...)`` exactly."""
+    sharded = df.repartitionByRange(_n_shards(df), *order_cols).withColumn(
+        "_shard", F.spark_partition_id()
+    )
+    w = Window.partitionBy("_shard").orderBy(*order_cols)
+    local = sharded.withColumn(
+        "_rn_local", F.row_number().over(w)
+    ).localCheckpoint()
+    counts = local.groupBy("_shard").agg(F.count(F.lit(1)).alias("_n")).collect()
+    offs = _offsets_df(df, counts, "_n")
+    return (
+        local.join(F.broadcast(offs), "_shard")
+        .withColumn(out_col, (F.col("_rn_local") + F.col("_off")).cast("long"))
+        .drop("_shard", "_rn_local", "_off")
+    )
+
+
+def ntile_from_rank(rank: Column, n_rows: int, n_tiles: int) -> Column:
+    """NTILE(n_tiles) as a pure expression over an exact global ``rank``
+    (1-based, no ties) and the driver-known row count — the scale-safe
+    form of a global NTILE window. SQL NTILE semantics: the first
+    ``n_rows % n_tiles`` tiles hold ``ceil(n/t)`` rows, the rest
+    ``floor(n/t)``."""
+    q, rem = divmod(n_rows, n_tiles)
+    cut = rem * (q + 1)
+    big = F.floor((rank - 1) / F.lit(q + 1)) + 1
+    small = F.lit(rem) + F.floor((rank - F.lit(cut) - 1) / F.lit(max(q, 1))) + 1
+    return F.when(rank <= F.lit(cut), big).otherwise(small)
