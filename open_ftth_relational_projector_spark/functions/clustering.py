@@ -451,12 +451,25 @@ def kcenter_select(
             .orderBy(F.desc("d"), F.asc(id_col))
             .first()
         )
+        if row is None:
+            # fewer points than k: every row is already selected — return
+            # the full traversal found so far rather than raising on None
+            break
         chosen.append(
             (rnd, row[id_col], float(row["d"]), [float(x) for x in row[vec_col]])
         )
     spark = emb.sparkSession
+    from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
+
     out = spark.createDataFrame(
         [(o, i, d) for o, i, d, _ in chosen],
-        f"sel_order int, {id_col} long, dist double",
+        StructType(
+            [
+                StructField("sel_order", IntegerType(), False),
+                # id column keeps the INPUT's type — string/int ids work too
+                StructField(id_col, emb.schema[id_col].dataType, True),
+                StructField("dist", DoubleType(), True),
+            ]
+        ),
     )
     return out.select("sel_order", id_col, F.round("dist", out_dp).alias("dist"))

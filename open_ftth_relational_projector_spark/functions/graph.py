@@ -228,9 +228,10 @@ def bfs_distances(
     once and every round reuses that partitioning. ``localCheckpoint``
     truncates lineage per round (the standard iterative-DataFrame guard);
     the ONLY driver-side value per round is the frontier's emptiness check
-    (a LIMIT 1 count). Sources not appearing in any edge are dropped —
-    parity with the reachability semantics of a recursive-CTE oracle over
-    the edge list.
+    (a LIMIT 1 count). Sources not appearing in any edge — as EITHER
+    endpoint, so in directed mode a sink-only source still gets its dist-0
+    row — are dropped, parity with the reachability semantics of a
+    recursive-CTE oracle over the edge list.
     """
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     if not directed:
@@ -241,7 +242,13 @@ def bfs_distances(
     frontier = (
         sources.select(F.col(source_col).alias("node"))
         .distinct()
-        .join(e.select(F.col("u").alias("node")).distinct(), "node", "left_semi")
+        .join(
+            e.select(F.col("u").alias("node"))
+            .unionByName(e.select(F.col("v").alias("node")))
+            .distinct(),
+            "node",
+            "left_semi",
+        )
         .withColumn("dist", F.lit(0))
         .localCheckpoint(eager=True)
     )
@@ -430,7 +437,13 @@ def weighted_shortest_paths(
     dist = (
         sources.select(F.col(source_col).alias("node"))
         .distinct()
-        .join(e.select(F.col("u").alias("node")).distinct(), "node", "left_semi")
+        .join(
+            e.select(F.col("u").alias("node"))
+            .unionByName(e.select(F.col("v").alias("node")))
+            .distinct(),
+            "node",
+            "left_semi",
+        )
         .withColumn("d", F.lit(0.0))
         .localCheckpoint(eager=True)
     )

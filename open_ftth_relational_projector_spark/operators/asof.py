@@ -150,11 +150,13 @@ def asof_join_directed(
     """Directional/tolerance as-of join — the full pandas-``merge_asof``
     surface on top of the union-window technique:
 
-    * direction="backward" — latest version at-or-before the fact (the
-      base asof_join);
-    * direction="forward" — EARLIEST version at-or-after the fact, run
-      as a backward as-of over negated sequence numbers (one extra
-      column, same single-shuffle plan);
+    * direction="backward" — latest version at-or-before the fact with
+      ``strict=False``; the default ``strict=True`` excludes the
+      equal-seq version, i.e. strictly-before (the base asof_join);
+    * direction="forward" — EARLIEST version at-or-after the fact with
+      ``strict=False`` (strictly-after under the default
+      ``strict=True``), run as a backward as-of over negated sequence
+      numbers (one extra column, same single-shuffle plan);
     * direction="nearest" — closer of the two, ties to backward; needs
       ``fact_id`` (a unique fact key) to align the two passes, and costs
       two as-of shuffles plus one fact-keyed join.

@@ -562,3 +562,40 @@ def test_session_operators_empty_input_contracts(spark):
     empty_emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
     with _pytest.raises(ValueError):
         kcenter_select(empty_emb, k=2)
+
+
+def test_directed_bfs_keeps_sink_only_sources(spark):
+    """ADVICE r3: in directed mode a source appearing ONLY as an edge
+    destination must still get its dist-0 row (it's in the graph; it just
+    has no out-edges). Same for Bellman-Ford."""
+    from open_ftth_relational_projector_spark.functions.graph import (
+        bfs_distances,
+        weighted_shortest_paths,
+    )
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    seeds = spark.createDataFrame([(3,), (99,)], "node long")  # 3 is sink-only
+    got = {(r.node, r.dist) for r in bfs_distances(edges, seeds, directed=True).collect()}
+    assert got == {(3, 0)}  # 99 not in graph → dropped; 3 kept with no expansion
+
+    wedges = spark.createDataFrame([(1, 2, 1.0)], "src long, dst long, w double")
+    wseeds = spark.createDataFrame([(2,)], "node long")
+    wgot = {(r.node, r.cost) for r in weighted_shortest_paths(wedges, wseeds, directed=True).collect()}
+    assert wgot == {(2, 0.0)}
+
+
+def test_kcenter_select_n_lt_k_and_string_ids(spark):
+    """ADVICE r3: 1 <= n_rows < k returns the full traversal instead of
+    raising on a None .first(); the id column keeps the input's type."""
+    from open_ftth_relational_projector_spark.functions.clustering import (
+        kcenter_select,
+    )
+
+    emb = spark.createDataFrame(
+        [("a", [0.0, 0.0]), ("b", [3.0, 4.0])],
+        "vec_id string, embedding array<float>",
+    )
+    out = kcenter_select(emb, k=5, id_col="vec_id")
+    rows = sorted((r.sel_order, r.vec_id, r.dist) for r in out.collect())
+    assert rows == [(1, "a", 0.0), (2, "b", 25.0)]
+    assert dict(out.dtypes)["vec_id"] == "string"
