@@ -1,0 +1,896 @@
+"""Corpus statistics, recommendations, journeys, PQ serving, prefix-filtered joins.
+
+Split out of the single-file catalog (round-4 verdict #6); registration
+order preserved — see catalog/__init__.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, Window as W  # noqa: F401
+
+from open_ftth_relational_projector_spark.sources.tables import load_table, scattered  # noqa: F401
+from open_ftth_relational_projector_spark.events.reader import EventLog  # noqa: F401
+from open_ftth_relational_projector_spark.operators import asof_join, latest_by_key  # noqa: F401
+from open_ftth_relational_projector_spark.functions import dedup as D  # noqa: F401
+from open_ftth_relational_projector_spark.functions import similarity as S  # noqa: F401
+from open_ftth_relational_projector_spark.functions import text as TXT  # noqa: F401
+from open_ftth_relational_projector_spark.functions.multimodal import (  # noqa: F401
+    attach_binary,
+    extract_features,
+)
+from open_ftth_relational_projector_spark.projections.core import (  # noqa: F401
+    project_installation,
+    project_work_task,
+)
+
+from ._registry import _q, _r4  # noqa: F401
+
+@_q(
+    "corpus_zipf_heaps",
+    """
+    WITH t AS (SELECT source, UNNEST(string_split(text, ' ')) AS tok
+               FROM documents),
+    agg AS (SELECT source, COUNT(*) AS n_tokens,
+                   COUNT(DISTINCT tok) AS n_vocab
+            FROM t GROUP BY source),
+    tf AS (SELECT source, tok, COUNT(*) AS f FROM t GROUP BY source, tok),
+    rk AS (SELECT source, tok, f,
+                  ROW_NUMBER() OVER (PARTITION BY source
+                                     ORDER BY f DESC, tok) AS r
+           FROM tf),
+    top AS (SELECT source, LN(CAST(r AS DOUBLE)) AS x,
+                   LN(CAST(f AS DOUBLE)) AS y
+            FROM rk WHERE r <= 50),
+    ols AS (SELECT source, COUNT(*) AS n, AVG(x) AS mx, AVG(y) AS my,
+                   SUM(x * y) AS sxy, SUM(x * x) AS sxx
+            FROM top GROUP BY source)
+    SELECT a.source,
+           CAST(a.n_tokens AS BIGINT) AS n_tokens,
+           CAST(a.n_vocab AS BIGINT) AS n_vocab,
+           ROUND(LN(CAST(a.n_vocab AS DOUBLE))
+                 / LN(CAST(a.n_tokens AS DOUBLE)), 4) AS heaps_beta,
+           ROUND((o.sxy - o.n * o.mx * o.my)
+                 / (o.sxx - o.n * o.mx * o.mx), 4) AS zipf_slope
+    FROM agg a JOIN ols o ON a.source = o.source
+    """,
+)
+def corpus_zipf_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-linguistics health diagnostics per source: Heaps' exponent
+    proxy (log vocab / log tokens — vocabulary growth; too low ⇒
+    boilerplate, too high ⇒ noise/gibberish) and the Zipf slope (OLS on
+    the log-log top-50 rank/frequency curve; natural text sits near −1).
+    Two keyed aggregations + a 50-row-per-source regression — the
+    corpus-level screen run before committing a crawl source to
+    training."""
+    from open_ftth_relational_projector_spark.functions.text import tokens
+
+    docs = scattered(load_table(spark, sf_dir, "documents"))
+    t = docs.select("source", F.explode(tokens(F.col("text"))).alias("tok"))
+    agg = t.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("tok").alias("n_vocab"),
+    )
+    tf = t.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("f"))
+    wrk = W.partitionBy("source").orderBy(F.col("f").desc(), F.col("tok"))
+    top = (
+        tf.withColumn("r", F.row_number().over(wrk))
+        .filter(F.col("r") <= 50)
+        .select(
+            "source",
+            F.log(F.col("r").cast("double")).alias("x"),
+            F.log(F.col("f").cast("double")).alias("y"),
+        )
+    )
+    ols = top.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("x").alias("mx"),
+        F.avg("y").alias("my"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("sxy") - F.col("n") * F.col("mx") * F.col("my")) / (
+        F.col("sxx") - F.col("n") * F.col("mx") * F.col("mx")
+    )
+    return agg.join(F.broadcast(ols), "source").select(
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_vocab").cast("long").alias("n_vocab"),
+        _r4(
+            F.log(F.col("n_vocab").cast("double"))
+            / F.log(F.col("n_tokens").cast("double"))
+        ).alias("heaps_beta"),
+        _r4(slope).alias("zipf_slope"),
+    )
+
+
+@_q(
+    "acctbal_distribution_ranks",
+    """
+    SELECT c_custkey, c_mktsegment,
+           ROUND(PERCENT_RANK() OVER w, 4) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 4) AS cume_dist
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def acctbal_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution position of every customer's balance within its
+    market segment: PERCENT_RANK ((rank−1)/(n−1)) and CUME_DIST — the
+    relative-standing analytics (plain keyed windows, one shuffle)."""
+    c = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        _r4(F.percent_rank().over(w)).alias("pct_rank"),
+        _r4(F.cume_dist().over(w)).alias("cume_dist"),
+    )
+
+
+@_q(
+    "item_item_similarity",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT l_partkey, COUNT(*) AS n_orders FROM li GROUP BY l_partkey),
+    co AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS n_ab
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      GROUP BY 1, 2),
+    sim AS (
+      SELECT co.pa, co.pb,
+             ROUND(co.n_ab / SQRT(na.n_orders * CAST(nb.n_orders AS DOUBLE)), 4)
+               AS cosine
+      FROM co
+      JOIN n na ON co.pa = na.l_partkey
+      JOIN n nb ON co.pb = nb.l_partkey),
+    top AS (
+      SELECT pa, pb, cosine,
+             ROW_NUMBER() OVER (PARTITION BY pa
+                                ORDER BY cosine DESC, pb) AS rnk
+      FROM sim)
+    SELECT pa AS part_a, pb AS part_b, cosine, CAST(rnk AS INT) AS rnk
+    FROM top WHERE rnk <= 3
+    """,
+)
+def item_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative-filtering precompute: cosine similarity of
+    parts over the order-basket incidence (n_ab/√(n_a·n_b)), top-3
+    neighbors per part — the classic recommender neighborhood table. The
+    pair expansion is keyed on the basket id (quadratic only within a
+    basket, the same skew contract as part_cooccurrence_top_pairs); the
+    count vectors broadcast back onto the pair table."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    a = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    co = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa") != F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    sim = (
+        co.join(
+            F.broadcast(n.select(F.col("l_partkey").alias("pa"),
+                                 F.col("n_orders").alias("na"))), "pa"
+        )
+        .join(
+            F.broadcast(n.select(F.col("l_partkey").alias("pb"),
+                                 F.col("n_orders").alias("nb"))), "pb"
+        )
+        .select(
+            "pa",
+            "pb",
+            _r4(
+                F.col("n_ab")
+                / F.sqrt(F.col("na") * F.col("nb").cast("double"))
+            ).alias("cosine"),
+        )
+    )
+    wtop = W.partitionBy("pa").orderBy(F.col("cosine").desc(), F.col("pb"))
+    return (
+        sim.withColumn("rnk", F.row_number().over(wtop))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            F.col("pa").alias("part_a"),
+            F.col("pb").alias("part_b"),
+            "cosine",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
+@_q(
+    "part_cooccurrence_top_pairs",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             COUNT(*) AS n_orders
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2)
+    SELECT part_a, part_b, CAST(n_orders AS BIGINT) AS n_orders
+    FROM pairs
+    ORDER BY n_orders DESC, part_a, part_b
+    LIMIT 25
+    """,
+)
+def part_cooccurrence_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs bought in the same order,
+    top-25 by support — the self-join keyed on the basket id, quadratic
+    ONLY within a basket (baskets are small; a hot basket is the skew to
+    cap, same contract as the shingle inverted index)."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("part_a")
+    )
+    b = li.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("part_b")
+    )
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(25)
+    )
+
+
+@_q(
+    "calendar_monthly_rollup",
+    """
+    WITH bounds AS (
+      SELECT CAST(MIN(ts) AS DATE) AS lo, CAST(MAX(ts) AS DATE) AS hi
+      FROM events),
+    spine AS (
+      SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+      FROM bounds),
+    cal AS (
+      SELECT day,
+             CAST(date_part('year', day) AS INT) AS year,
+             CAST(date_part('month', day) AS INT) AS month,
+             CAST(date_part('isodow', day) AS INT) AS iso_dow
+      FROM spine),
+    daily AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n,
+             SUM(value) AS v
+      FROM events GROUP BY 1)
+    SELECT cal.year, cal.month,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(CASE WHEN cal.iso_dow >= 6 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_weekend_days,
+           CAST(COALESCE(SUM(daily.n), 0) AS BIGINT) AS n_events,
+           ROUND(COALESCE(SUM(daily.v), 0), 4) AS total_value
+    FROM cal LEFT JOIN daily USING (day)
+    GROUP BY cal.year, cal.month
+    """,
+)
+def calendar_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conformed calendar dimension generated as a date SPINE (sequence
+    between the corpus bounds — days with no events still exist, the
+    property a GROUP BY over facts alone loses) joined to daily facts and
+    rolled up monthly with weekend accounting. Spine generation is one
+    F.sequence over a 2-row bound aggregate — no external table."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.col("ts").cast("date")).alias("lo"),
+        F.max(F.col("ts").cast("date")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))
+        ).alias("day")
+    )
+    cal = spine.select(
+        "day",
+        F.year("day").alias("year"),
+        F.month("day").alias("month"),
+        F.dayofweek("day").alias("_dow"),  # Sun=1..Sat=7
+    ).withColumn(
+        "iso_dow",
+        F.when(F.col("_dow") == 1, 7).otherwise(F.col("_dow") - 1),
+    )
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("v")
+    )
+    return (
+        cal.join(daily, "day", "left")
+        .groupBy("year", "month")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum(
+                F.when(F.col("iso_dow") >= 6, 1).otherwise(0)
+            ).alias("n_weekend_days"),
+            F.coalesce(F.sum("n"), F.lit(0)).alias("n_events"),
+            _r4(F.coalesce(F.sum("v"), F.lit(0.0))).alias("total_value"),
+        )
+    )
+
+
+@_q(
+    "user_activity_streaks",
+    """
+    WITH du AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    grp AS (
+      SELECT user_id, day,
+             day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                           ORDER BY day) AS INT) AS island
+      FROM du),
+    streaks AS (
+      SELECT user_id, COUNT(*) AS len FROM grp
+      GROUP BY user_id, island)
+    SELECT user_id,
+           CAST(MAX(len) AS BIGINT) AS longest_streak,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks
+    FROM streaks GROUP BY user_id
+    """,
+)
+def user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per-user longest run of CONSECUTIVE active days
+    (day minus per-user rank is constant within an island — the classic
+    trick turning consecutiveness into a grouping key; one keyed window +
+    two keyed aggregations, no self-join)."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    w = W.partitionBy("user_id").orderBy("day")
+    grp = du.withColumn(
+        "island", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    streaks = grp.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("len").alias("longest_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+    )
+
+
+@_q(
+    "lang_source_chisq",
+    """
+    WITH obs AS (
+      SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY 1, 2),
+    rows_m AS (SELECT lang, SUM(o) AS rt FROM obs GROUP BY lang),
+    cols_m AS (SELECT source, SUM(o) AS ct FROM obs GROUP BY source),
+    tot AS (SELECT SUM(o) AS n FROM obs),
+    ex AS (
+      SELECT o.lang, o.source, o.o,
+             r.rt * c.ct / CAST(t.n AS DOUBLE) AS e
+      FROM obs o JOIN rows_m r USING (lang) JOIN cols_m c USING (source)
+      CROSS JOIN tot t)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           ROUND(SUM((o - e) * (o - e) / e), 4) AS chi_square,
+           CAST((SELECT COUNT(*) FROM rows_m) - 1 AS BIGINT)
+             * ((SELECT COUNT(*) FROM cols_m) - 1) AS dof
+    FROM ex
+    """,
+)
+def lang_source_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence statistic for (lang × source) — the
+    profiling check for whether corpus slices are confounded (a source
+    that only speaks one language biases per-source sampling). Expected
+    counts from broadcast row/column marginals; the statistic folds in
+    one pass over the contingency cells."""
+    docs = load_table(spark, sf_dir, "documents")
+    obs = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    rows_m = obs.groupBy("lang").agg(F.sum("o").alias("rt"))
+    cols_m = obs.groupBy("source").agg(F.sum("o").alias("ct"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    ex = (
+        obs.join(F.broadcast(rows_m), "lang")
+        .join(F.broadcast(cols_m), "source")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "e", F.col("rt") * F.col("ct") / F.col("n").cast("double")
+        )
+    )
+    n_rows = rows_m.count()
+    n_cols = cols_m.count()
+    return ex.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        _r4(
+            F.sum(
+                (F.col("o") - F.col("e"))
+                * (F.col("o") - F.col("e"))
+                / F.col("e")
+            )
+        ).alias("chi_square"),
+        F.lit((n_rows - 1) * (n_cols - 1)).cast("long").alias("dof"),
+    )
+
+
+@_q(
+    "kwic_snippets",
+    """
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+                 FROM documents),
+    hits AS (
+      SELECT doc_id,
+             UNNEST([i FOR i IN range(1, len(t) + 1)
+                     IF t[i] = 'window']) AS pos,
+             t
+      FROM tok)
+    SELECT doc_id, CAST(pos AS INT) AS pos,
+           array_to_string(
+             t[GREATEST(pos - 3, 1):LEAST(pos + 3, len(t))], ' ')
+             AS snippet
+    FROM hits
+    """,
+)
+def kwic_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context extraction: every occurrence of the term with
+    ±3 tokens of context — the corpus-inspection tool behind filter-rule
+    debugging (is 'window' a UI word or an SQL word here?). Row-local
+    array ops (positions via filtered sequence, snippet via slice), one
+    explode — map-only at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    from open_ftth_relational_projector_spark.functions.text import let, tokens
+
+    def hits_of(toks):
+        idx = F.filter(
+            F.sequence(F.lit(1), F.size(toks)),
+            lambda i: F.element_at(toks, i) == F.lit("window"),
+        )
+        return F.transform(
+            idx,
+            lambda p: F.struct(
+                p.alias("pos"),
+                F.array_join(
+                    F.slice(
+                        toks,
+                        F.greatest(p - 3, F.lit(1)),
+                        F.least(p + 3, F.size(toks))
+                        - F.greatest(p - 3, F.lit(1))
+                        + 1,
+                    ),
+                    " ",
+                ).alias("snippet"),
+            ),
+        )
+
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(let(tokens(F.col("text")), hits_of)).alias("h"),
+        )
+        .select(
+            "doc_id",
+            F.col("h.pos").cast("int").alias("pos"),
+            F.col("h.snippet").alias("snippet"),
+        )
+    )
+
+
+@_q(
+    "user_value_trend",
+    """
+    WITH px AS (
+      SELECT user_id,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS DOUBLE) / 86400000000.0
+               AS x,
+             value AS y
+      FROM events WHERE event_type = 'purchase'),
+    s AS (
+      SELECT user_id, COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM px GROUP BY user_id)
+    SELECT user_id, CAST(n AS BIGINT) AS n,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope
+    FROM s WHERE n >= 5 AND (n * sxx - sx * sx) > 1e-9
+    """,
+)
+def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS trend of purchase value over time (closed-form slope
+    from one grouped pass of the five sufficient statistics — time in
+    fractional days so the normal-equation denominator keeps precision).
+    The groupwise-regression shape: no per-key fitting loop, one
+    map-side-combined aggregation at any scale."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    x = (
+        F.unix_micros(F.col("ts").cast("timestamp")).cast("double")
+        / F.lit(86400000000.0)
+    )
+    px = ev.select("user_id", x.alias("x"), F.col("value").alias("y"))
+    s = px.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    denom = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / denom
+    return (
+        s.filter((F.col("n") >= 5) & (denom > 1e-9))
+        .select("user_id", F.col("n").cast("long").alias("n"),
+                _r4(slope).alias("slope"))
+    )
+
+
+@_q(
+    "ab_test_zscore",
+    """
+    WITH arms AS (
+      SELECT user_id,
+             CASE WHEN substr(md5(user_id || '#exp1'), 1, 1) < '8'
+                  THEN 'A' ELSE 'B' END AS arm,
+             MAX(CASE WHEN event_type = 'purchase' AND value > 150
+                      THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id),
+    agg AS (
+      SELECT arm, COUNT(*) AS n, SUM(converted) AS conv
+      FROM arms GROUP BY arm),
+    wide AS (
+      SELECT
+        MAX(CASE WHEN arm = 'A' THEN n END) AS na,
+        MAX(CASE WHEN arm = 'A' THEN conv END) AS ca,
+        MAX(CASE WHEN arm = 'B' THEN n END) AS nb,
+        MAX(CASE WHEN arm = 'B' THEN conv END) AS cb
+      FROM agg)
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(ca AS BIGINT) AS conv_a,
+           CAST(nb AS BIGINT) AS n_b, CAST(cb AS BIGINT) AS conv_b,
+           ROUND((ca / CAST(na AS DOUBLE)) - (cb / CAST(nb AS DOUBLE)), 4)
+             AS lift,
+           ROUND(((ca / CAST(na AS DOUBLE)) - (cb / CAST(nb AS DOUBLE)))
+                 / SQRT(((ca + cb) / CAST(na + nb AS DOUBLE))
+                        * (1 - (ca + cb) / CAST(na + nb AS DOUBLE))
+                        * (1.0 / na + 1.0 / nb)), 4) AS z
+    FROM wide
+    """,
+)
+def ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test over a deterministic md5 arm split (the same
+    engine-portable assignment as hash_split — an experiment framework
+    must reproduce its arms everywhere): per-arm conversion, lift, and the
+    pooled-variance z statistic — the experimentation readout, computed
+    from two grouped passes and a 2-row pivot."""
+    ev = load_table(spark, sf_dir, "events")
+    arm = F.when(
+        F.substring(
+            F.md5(F.concat(F.col("user_id").cast("string"), F.lit("#exp1"))),
+            1,
+            1,
+        )
+        < "8",
+        "A",
+    ).otherwise("B")
+    # conversion = any HIGH-VALUE purchase: every user purchases
+    # eventually, which would give pooled p = 1 and zero variance
+    arms = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 150),
+                1,
+            ).otherwise(0)
+        ).alias("converted")
+    ).withColumn("arm", arm)
+    agg = arms.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").alias("conv")
+    )
+    wide = agg.agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n"))).alias("na"),
+        F.max(F.when(F.col("arm") == "A", F.col("conv"))).alias("ca"),
+        F.max(F.when(F.col("arm") == "B", F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("arm") == "B", F.col("conv"))).alias("cb"),
+    )
+    pa = F.col("ca") / F.col("na").cast("double")
+    pb = F.col("cb") / F.col("nb").cast("double")
+    pp = (F.col("ca") + F.col("cb")) / (
+        F.col("na") + F.col("nb")
+    ).cast("double")
+    z = (pa - pb) / F.sqrt(
+        pp * (1 - pp) * (1.0 / F.col("na") + 1.0 / F.col("nb"))
+    )
+    return wide.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("ca").cast("long").alias("conv_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.col("cb").cast("long").alias("conv_b"),
+        _r4(pa - pb).alias("lift"),
+        _r4(z).alias("z"),
+    )
+
+
+@_q(
+    "top_user_journey_prefixes",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events),
+    j AS (
+      SELECT user_id,
+             string_agg(event_type, ' > ' ORDER BY rn) AS journey
+      FROM seq WHERE rn <= 3 GROUP BY user_id)
+    SELECT journey, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM j GROUP BY journey
+    ORDER BY n_users DESC, journey
+    LIMIT 15
+    """,
+)
+def top_user_journey_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top first-3-event journeys: each user's opening event-type sequence
+    folded to a path string, ranked by frequency — the onboarding-funnel
+    readout. One keyed window + ordered string_agg (ORDER BY inside the
+    aggregate keeps the path deterministic on both engines)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= 3)
+    j = (
+        seq.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rn", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                " > ",
+            ).alias("journey")
+        )
+    )
+    return (
+        j.groupBy("journey")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.col("n_users").desc(), "journey")
+        .limit(15)
+    )
+
+
+@_q(
+    "dedup_strategy_matrix",
+    """
+    WITH ex AS (
+      SELECT doc_id,
+             MIN(doc_id) OVER (PARTITION BY md5(text)) < doc_id AS exact_dup
+      FROM documents),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               UNNEST(list_transform(
+                 generate_series(1, GREATEST(LEN(t) - 2, 0)),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+        FROM toks)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS u, b.doc_id AS v, COUNT(*) AS ni
+      FROM sh a JOIN sh b ON a.shingle = b.shingle
+                          AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2),
+    jd AS (
+      SELECT DISTINCT i.u AS doc_id FROM inter i
+      JOIN sizes sa ON i.u = sa.doc_id
+      JOIN sizes sb ON i.v = sb.doc_id
+      WHERE i.ni / CAST(sa.n + sb.n - i.ni AS DOUBLE) >= 0.2
+        AND i.v < i.u)
+    SELECT d.doc_id,
+           ex.exact_dup,
+           jd.doc_id IS NOT NULL AS jaccard_dup,
+           ex.exact_dup = (jd.doc_id IS NOT NULL) AS strategies_agree
+    FROM documents d
+    JOIN ex USING (doc_id)
+    LEFT JOIN jd USING (doc_id)
+    """,
+)
+def dedup_strategy_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-strategy agreement matrix: per doc, the EXACT-hash verdict
+    beside the n-gram-Jaccard (τ=0.2) verdict and whether they agree —
+    the measurement that tells you what fuzzy matching adds over exact
+    (exact ⊂ jaccard: identical texts share all shingles). Drop rule in
+    both: a LOWER-id duplicate exists."""
+    docs = scattered(load_table(spark, sf_dir, "documents"))
+    wex = W.partitionBy(F.md5(F.col("text")))
+    ex = docs.select(
+        "doc_id",
+        (F.min("doc_id").over(wex) < F.col("doc_id")).alias("exact_dup"),
+    )
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.2, n=3)
+    jd = (
+        pairs.select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("is_jd", F.lit(True))
+    )
+    return (
+        ex.join(jd, "doc_id", "left")
+        .select(
+            "doc_id",
+            "exact_dup",
+            F.coalesce(F.col("is_jd"), F.lit(False)).alias("jaccard_dup"),
+            (
+                F.col("exact_dup")
+                == F.coalesce(F.col("is_jd"), F.lit(False))
+            ).alias("strategies_agree"),
+        )
+    )
+
+
+@_q(
+    "jaccard_pairs_prefix_filtered",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             UNNEST(list_distinct(list_transform(
+               generate_series(1, GREATEST(LEN(t) - 2, 0)),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+      FROM toks),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT i.doc_a, i.doc_b,
+           ROUND(n_inter / CAST(sa.n + sb.n - n_inter AS DOUBLE), 4) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.doc_a = sa.doc_id
+    JOIN sizes sb ON i.doc_b = sb.doc_id
+    WHERE n_inter / CAST(sa.n + sb.n - n_inter AS DOUBLE) >= 0.3
+    """,
+)
+def jaccard_pairs_prefix_filtered_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AllPairs/PPJoin prefix-filtered EXACT similarity join
+    (functions/dedup.jaccard_pairs_prefix_filtered): the oracle is the
+    SAME full-inverted-index SQL shape as ngram_jaccard_pairs (at τ=0.3)
+    — prefix filtering is lossless, only the candidate set shrinks."""
+    # threshold 0.3: prefix filtering is a HIGH-threshold technique —
+    # at t the prefix is ~(1−t) of the set, so t=0.05 degenerates to the
+    # full index plus overhead (measured: 9.2 s vs 2.5 s at sf0.1)
+    out = D.jaccard_pairs_prefix_filtered(
+        scattered(load_table(spark, sf_dir, "documents")),
+        threshold=0.3,
+        n=3,
+    )
+    return out.select("doc_a", "doc_b", _r4(F.col("jaccard")).alias("jaccard"))
+
+
+def _pq_sub_ctes(j: int, lo: int, hi: int) -> str:
+    """The kmeans CTE chain (k=4, iters=2 — see _KMEANS_CTES) restricted
+    to subspace ``j`` = embedding positions [lo, hi]; suffixed so two
+    chains coexist in one statement."""
+    return f"""
+    pe{j} AS (
+      SELECT vec_id, pos, val FROM (
+        SELECT vec_id,
+               UNNEST(range(1, len(embedding) + 1)) AS pos,
+               UNNEST(CAST(embedding AS DOUBLE[])) AS val
+        FROM embeddings)
+      WHERE pos BETWEEN {lo} AND {hi}),
+    c0{j} AS (SELECT i.cid, p.pos, ROUND(p.val, 6) AS cv
+              FROM pqinit i JOIN pe{j} p USING (vec_id)),
+    d1{j} AS (SELECT p.vec_id, c.cid,
+                     SUM((p.val - c.cv) * (p.val - c.cv)) AS d2
+              FROM pe{j} p JOIN c0{j} c USING (pos) GROUP BY 1, 2),
+    a1{j} AS (SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY d2, cid) AS rn
+                FROM d1{j}) WHERE rn = 1),
+    c1{j} AS (SELECT a.cid, p.pos, ROUND(AVG(p.val), 6) AS cv
+              FROM a1{j} a JOIN pe{j} p USING (vec_id) GROUP BY 1, 2),
+    d2t{j} AS (SELECT p.vec_id, c.cid,
+                      SUM((p.val - c.cv) * (p.val - c.cv)) AS d2
+               FROM pe{j} p JOIN c1{j} c USING (pos) GROUP BY 1, 2),
+    a2{j} AS (SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY d2, cid) AS rn
+                FROM d2t{j}) WHERE rn = 1),
+    c2{j} AS (SELECT a.cid, p.pos, ROUND(AVG(p.val), 6) AS cv
+              FROM a2{j} a JOIN pe{j} p USING (vec_id) GROUP BY 1, 2),
+    d3{j} AS (SELECT p.vec_id, c.cid,
+                     SUM((p.val - c.cv) * (p.val - c.cv)) AS d2
+              FROM pe{j} p JOIN c2{j} c USING (pos) GROUP BY 1, 2),
+    a3{j} AS (SELECT vec_id, cid, d2 FROM (
+                SELECT vec_id, cid, d2,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY d2, cid) AS rn
+                FROM d3{j}) WHERE rn = 1)"""
+
+
+_PQ_SQL = (
+    """
+    WITH pqinit AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cid, vec_id
+      FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)),"""
+    + ",".join([_pq_sub_ctes(1, 1, 32), _pq_sub_ctes(2, 33, 64)])
+    + """
+    SELECT a.vec_id,
+           CAST(a.cid AS INT) AS code_1,
+           CAST(b.cid AS INT) AS code_2,
+           ROUND(SQRT(a.d2 + b.d2), 4) AS recon_err
+    FROM a31 a JOIN a32 b USING (vec_id)
+    """
+)
+
+
+@_q("pq_codes", _PQ_SQL)
+def pq_codes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (Jégou et al. 2011): two per-subspace k-means
+    codebooks (same fixed-point Lloyd contract as kmeans_cluster_stats),
+    per-vector code tuple + reconstruction error
+    (functions/clustering.pq_codes); the oracle unrolls BOTH codebook
+    trainings in one statement."""
+    from open_ftth_relational_projector_spark.functions.clustering import (
+        pq_codes,
+    )
+
+    return pq_codes(
+        scattered(load_table(spark, sf_dir, "embeddings")),
+        m=2,
+        k=4,
+        iters=2,
+        dim=64,
+    )
+
+
+_PQ_ADC_SQL = (
+    """
+    WITH pqinit AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cid, vec_id
+      FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)),"""
+    + ",".join([_pq_sub_ctes(1, 1, 32), _pq_sub_ctes(2, 33, 64)])
+    + """,
+    qd1 AS (
+      SELECT q.vec_id AS query_id, c.cid,
+             ROUND(SUM((q.val - c.cv) * (q.val - c.cv)), 6) AS d
+      FROM pe1 q JOIN c21 c USING (pos)
+      WHERE q.vec_id % 100 = 0 GROUP BY 1, 2),
+    qd2 AS (
+      SELECT q.vec_id AS query_id, c.cid,
+             ROUND(SUM((q.val - c.cv) * (q.val - c.cv)), 6) AS d
+      FROM pe2 q JOIN c22 c USING (pos)
+      WHERE q.vec_id % 100 = 0 GROUP BY 1, 2),
+    scored AS (
+      SELECT qd1.query_id, a.vec_id AS neighbor_id, qd1.d + qd2.d AS adist
+      FROM a31 a
+      JOIN a32 b ON a.vec_id = b.vec_id
+      JOIN qd1 ON qd1.cid = a.cid
+      JOIN qd2 ON qd2.query_id = qd1.query_id AND qd2.cid = b.cid
+      WHERE a.vec_id <> qd1.query_id)
+    SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk FROM (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adist, neighbor_id) AS rnk
+      FROM scored) WHERE rnk <= 5
+    """
+)
+
+
+@_q("pq_knn_adc", _PQ_ADC_SQL)
+def pq_knn_adc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance kNN over PQ codes (clustering.pq_knn_adc): the
+    corpus is represented only by centroid-id tuples; query→centroid
+    lookup tables (rounded 6 dp, the fixed-point contract) rank the
+    codes. The oracle unrolls both codebooks and replays the LUT ranking."""
+    from open_ftth_relational_projector_spark.functions.clustering import (
+        pq_knn_adc,
+    )
+
+    emb = scattered(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return pq_knn_adc(emb, queries, m=2, k=4, iters=2, knn_k=5, dim=64)
+
+

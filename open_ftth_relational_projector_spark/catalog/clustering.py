@@ -1,0 +1,470 @@
+"""Distributed clustering + SemDeDup + DSIR selection.
+
+Split out of the single-file catalog (round-4 verdict #6); registration
+order preserved — see catalog/__init__.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, Window as W  # noqa: F401
+
+from open_ftth_relational_projector_spark.sources.tables import load_table, scattered  # noqa: F401
+from open_ftth_relational_projector_spark.events.reader import EventLog  # noqa: F401
+from open_ftth_relational_projector_spark.operators import asof_join, latest_by_key  # noqa: F401
+from open_ftth_relational_projector_spark.functions import dedup as D  # noqa: F401
+from open_ftth_relational_projector_spark.functions import similarity as S  # noqa: F401
+from open_ftth_relational_projector_spark.functions import text as TXT  # noqa: F401
+from open_ftth_relational_projector_spark.functions.multimodal import (  # noqa: F401
+    attach_binary,
+    extract_features,
+)
+from open_ftth_relational_projector_spark.projections.core import (  # noqa: F401
+    project_installation,
+    project_work_task,
+)
+
+from ._registry import _q, _r4  # noqa: F401
+
+# --- distributed clustering + SemDeDup + DSIR selection --------------------
+# Shared oracle CTE chain replaying kmeans_fit(k=4, iters=2) exactly:
+# deterministic init (first 4 ids), two Lloyd iterations with centroids
+# ROUNDED TO 6 DP after every M-step (the cross-engine determinism contract,
+# functions/clustering.py module doc), then a final assignment a3 against
+# the returned centroids c2 — mirroring kmeans_cluster_stats/semantic_dedup,
+# which re-assign with the fitted centroids.
+_KMEANS_CTES = """
+    WITH pe AS (
+      SELECT vec_id,
+             UNNEST(range(1, len(embedding) + 1)) AS pos,
+             UNNEST(CAST(embedding AS DOUBLE[])) AS val
+      FROM embeddings
+    ),
+    init AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cid, vec_id
+      FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)
+    ),
+    c0 AS (SELECT i.cid, pe.pos, ROUND(pe.val, 6) AS cv
+           FROM init i JOIN pe USING (vec_id)),
+    d1 AS (SELECT pe.vec_id, c.cid,
+                  SUM((pe.val - c.cv) * (pe.val - c.cv)) AS d2
+           FROM pe JOIN c0 c USING (pos) GROUP BY 1, 2),
+    a1 AS (SELECT vec_id, cid FROM (
+             SELECT vec_id, cid,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id
+                                       ORDER BY d2, cid) AS rn
+             FROM d1) WHERE rn = 1),
+    c1 AS (SELECT a1.cid, pe.pos, ROUND(AVG(pe.val), 6) AS cv
+           FROM a1 JOIN pe USING (vec_id) GROUP BY 1, 2),
+    d2t AS (SELECT pe.vec_id, c.cid,
+                   SUM((pe.val - c.cv) * (pe.val - c.cv)) AS d2
+            FROM pe JOIN c1 c USING (pos) GROUP BY 1, 2),
+    a2 AS (SELECT vec_id, cid FROM (
+             SELECT vec_id, cid,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id
+                                       ORDER BY d2, cid) AS rn
+             FROM d2t) WHERE rn = 1),
+    c2 AS (SELECT a2.cid, pe.pos, ROUND(AVG(pe.val), 6) AS cv
+           FROM a2 JOIN pe USING (vec_id) GROUP BY 1, 2),
+    d3 AS (SELECT pe.vec_id, c.cid,
+                  SUM((pe.val - c.cv) * (pe.val - c.cv)) AS d2
+           FROM pe JOIN c2 c USING (pos) GROUP BY 1, 2),
+    a3 AS (SELECT vec_id, cid, d2 FROM (
+             SELECT vec_id, cid, d2,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id
+                                       ORDER BY d2, cid) AS rn
+             FROM d3) WHERE rn = 1)
+"""
+
+
+@_q(
+    "kmeans_cluster_stats",
+    _KMEANS_CTES
+    + """
+    SELECT cid AS cluster_id,
+           CAST(COUNT(*) AS INTEGER) AS n_members,
+           MIN(vec_id) AS min_vec_id,
+           ROUND(AVG(SQRT(d2)), 4) AS avg_dist
+    FROM a3 GROUP BY cid
+    """,
+)
+def kmeans_cluster_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means (functions/clustering.kmeans_cluster_stats):
+    E-step is a map-only broadcast-literal expression, M-step a k×dim-group
+    aggregation — the oracle unrolls both iterations in SQL."""
+    from open_ftth_relational_projector_spark.functions.clustering import (
+        kmeans_cluster_stats,
+    )
+
+    return kmeans_cluster_stats(
+        scattered(load_table(spark, sf_dir, "embeddings")), k=4, iters=2
+    )
+
+
+@_q(
+    "semantic_dedup_verdicts",
+    _KMEANS_CTES
+    + """,
+    emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    sims AS (
+      SELECT y.vec_id, y.cid,
+             MAX(list_dot_product(ex.v, ey.v)
+                 / (SQRT(list_dot_product(ex.v, ex.v))
+                    * SQRT(list_dot_product(ey.v, ey.v)))) AS max_sim
+      FROM a3 x JOIN a3 y ON x.cid = y.cid AND x.vec_id < y.vec_id
+      JOIN emb ex ON ex.vec_id = x.vec_id
+      JOIN emb ey ON ey.vec_id = y.vec_id
+      GROUP BY y.vec_id, y.cid
+    )
+    SELECT a3.vec_id, a3.cid AS cluster_id,
+           ROUND(COALESCE(s.max_sim, -1.0), 4) AS max_intra_sim,
+           COALESCE(s.max_sim, -1.0) < 0.9 AS keep
+    FROM a3 LEFT JOIN sims s ON s.vec_id = a3.vec_id
+    """,
+)
+def semantic_dedup_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (arXiv:2303.09540): quadratic near-dup search confined to
+    k-means cells; keep-first-representative drop rule
+    (functions/clustering.semantic_dedup)."""
+    from open_ftth_relational_projector_spark.functions.clustering import (
+        semantic_dedup,
+    )
+
+    return semantic_dedup(
+        scattered(load_table(spark, sf_dir, "embeddings")),
+        threshold=0.9,
+        k=4,
+        iters=2,
+    )
+
+
+@_q(
+    "dsir_doc_weights",
+    """
+    WITH tok AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+                 FROM documents),
+    feats AS (
+      SELECT doc_id, lang, UNNEST(toks) AS f FROM tok
+      UNION ALL
+      SELECT doc_id, lang,
+             UNNEST([toks[i] || ' ' || toks[i + 1]
+                     FOR i IN range(1, len(toks))]) AS f
+      FROM tok
+    ),
+    fb AS (SELECT doc_id, lang,
+                  CAST(('0x' || substr(md5(f || '#0'), 1, 15)) AS BIGINT)
+                    % 256 AS b
+           FROM feats),
+    counts AS (SELECT b, COUNT(*) AS cr,
+                      SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+               FROM fb GROUP BY b),
+    lw AS (SELECT b,
+                  LN(CAST(ct + 1 AS DOUBLE))
+                  - LN(CAST((SELECT SUM(ct) FROM counts) + 256 AS DOUBLE))
+                  - LN(CAST(cr + 1 AS DOUBLE))
+                  + LN(CAST((SELECT SUM(cr) FROM counts) + 256 AS DOUBLE))
+                  AS w
+           FROM counts)
+    SELECT fb.doc_id, CAST(COUNT(*) AS INTEGER) AS n_feats,
+           ROUND(SUM(lw.w), 4) AS log_weight
+    FROM fb JOIN lw USING (b)
+    GROUP BY fb.doc_id
+    """,
+)
+def dsir_doc_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance-resampling weights (arXiv:2302.03169) under hashed
+    unigram+bigram features, md5-portable buckets
+    (functions/sampling.dsir_importance_weights)."""
+    from open_ftth_relational_projector_spark.functions.sampling import (
+        dsir_importance_weights,
+    )
+
+    return dsir_importance_weights(
+        scattered(load_table(spark, sf_dir, "documents")),
+        target_lang="en",
+        n_buckets=256,
+    )
+
+
+def _pagerank_iter_sql(i: int) -> str:
+    """One unrolled PageRank iteration: contribs keyed on dst, dangling
+    scalar, update with per-iteration ROUND(…, 10) — mirroring
+    functions/graph.pagerank's determinism contract."""
+    p = i - 1
+    return f"""
+    c{i} AS (SELECT e.dst, SUM(r.rank / deg.deg) AS c
+             FROM e JOIN deg USING (src)
+             JOIN r{p} r ON r.node = e.src
+             GROUP BY e.dst),
+    d{i} AS (SELECT COALESCE(SUM(rank), 0.0) AS dm FROM r{p}
+             WHERE node NOT IN (SELECT src FROM deg)),
+    r{i} AS (SELECT nodes.node,
+                    ROUND(CAST(0.15 AS DOUBLE) / nn.n
+                          + CAST(0.85 AS DOUBLE)
+                            * (COALESCE(c.c, 0.0) + d.dm / nn.n), 10) AS rank
+             FROM nodes CROSS JOIN nn CROSS JOIN d{i} d
+             LEFT JOIN c{i} c ON c.dst = nodes.node)"""
+
+
+_PAGERANK_SQL = (
+    """
+    WITH e AS (SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+               FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n
+           FROM (SELECT src AS node FROM e UNION SELECT dst FROM e)),
+    deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+    r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),"""
+    + ",".join(_pagerank_iter_sql(i) for i in (1, 2, 3))
+    + """
+    SELECT node, ROUND(rank, 6) AS rank FROM r3
+    """
+)
+
+
+def _kc_d2(a: str, b: str) -> str:
+    """Unrolled squared-L2 between list columns, (x−c)·(x−c) form and
+    per-pair ROUND(…, 6) — mirroring clustering.kcenter_select's
+    determinism contract."""
+    return (
+        f"ROUND(list_sum(list_transform(generate_series(1, 64), "
+        f"i -> ({a}[i]::DOUBLE - {b}[i]::DOUBLE) * ({a}[i]::DOUBLE - {b}[i]::DOUBLE))), 6)"
+    )
+
+
+_KCENTER_SQL = f"""
+    WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+    c1 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1),
+    m1 AS (SELECT e.vec_id, e.v, {_kc_d2('e.v', 'c1.v')} AS d
+           FROM e, c1 WHERE e.vec_id <> c1.vec_id),
+    c2 AS (SELECT vec_id, v, d FROM m1 ORDER BY d DESC, vec_id LIMIT 1),
+    m2 AS (SELECT m.vec_id, m.v, LEAST(m.d, {_kc_d2('m.v', 'c2.v')}) AS d
+           FROM m1 m, c2 WHERE m.vec_id <> c2.vec_id),
+    c3 AS (SELECT vec_id, v, d FROM m2 ORDER BY d DESC, vec_id LIMIT 1),
+    m3 AS (SELECT m.vec_id, m.v, LEAST(m.d, {_kc_d2('m.v', 'c3.v')}) AS d
+           FROM m2 m, c3 WHERE m.vec_id <> c3.vec_id),
+    c4 AS (SELECT vec_id, v, d FROM m3 ORDER BY d DESC, vec_id LIMIT 1)
+    SELECT 1 AS sel_order, vec_id, 0.0 AS dist FROM c1
+    UNION ALL SELECT 2, vec_id, ROUND(d, 4) FROM c2
+    UNION ALL SELECT 3, vec_id, ROUND(d, 4) FROM c3
+    UNION ALL SELECT 4, vec_id, ROUND(d, 4) FROM c4
+    """
+
+
+@_q("kcenter_coreset", _KCENTER_SQL)
+def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center (farthest-point) coreset selection over the
+    embeddings — the diversity-maximizing sampler for curation
+    (functions/clustering.kcenter_select, k=4); the oracle unrolls the
+    four greedy rounds with the same per-pair rounding and id
+    tie-breaks."""
+    from open_ftth_relational_projector_spark.functions.clustering import (
+        kcenter_select,
+    )
+
+    emb = scattered(load_table(spark, sf_dir, "embeddings"))
+    return kcenter_select(emb, k=4)
+
+
+def _kcore_round(prev: str, out: str, k: int) -> str:
+    """One unrolled peel round: degrees from the surviving edge set,
+    drop nodes under k, keep edges whose BOTH endpoints survive."""
+    return f"""
+    {out} AS (
+      SELECT e.u, e.v FROM {prev} e
+      WHERE e.u IN (SELECT u FROM {prev} GROUP BY u HAVING COUNT(*) >= {k})
+        AND e.v IN (SELECT u FROM {prev} GROUP BY u HAVING COUNT(*) >= {k}))"""
+
+
+_KCORE_SQL = (
+    """
+    WITH raw AS (SELECT DISTINCT o_custkey AS u, l_suppkey + 1000000 AS v
+                 FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    e0 AS (SELECT u, v FROM raw UNION SELECT v, u FROM raw),"""
+    + ",".join(_kcore_round(f"e{i}", f"e{i+1}", 3) for i in range(4))
+    + """
+    SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS degree
+    FROM e4 GROUP BY u
+    """
+)
+
+
+@_q("kcore_purchase_graph", _KCORE_SQL)
+def kcore_purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the customer↔supplier purchase graph after 4 peel
+    rounds (functions/graph.kcore_peel) — the density filter that strips
+    weakly-attached fringe nodes in webgraph-style curation; the oracle
+    unrolls the same fixed peel rounds."""
+    from open_ftth_relational_projector_spark.functions.graph import kcore_peel
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + F.lit(1000000)).alias("dst"),
+        )
+        .distinct()
+    )
+    return kcore_peel(edges, k=3, rounds=4)
+
+
+def _wsp_relax(prev: str, out: str) -> str:
+    """One unrolled Bellman-Ford round: keep old costs, add relaxed
+    candidates ROUNDed to 6 dp, take the min per node — mirroring
+    graph.weighted_shortest_paths' determinism contract."""
+    return f"""
+    {out} AS (SELECT node, MIN(d) AS d FROM (
+        SELECT node, d FROM {prev}
+        UNION ALL
+        SELECT s.v AS node, ROUND(p.d + s.w, 6) AS d
+        FROM {prev} p JOIN sym s ON s.u = p.node) t
+      GROUP BY node)"""
+
+
+_WSP_SQL = (
+    """
+    WITH e0 AS (SELECT o_custkey AS u, l_suppkey + 1000000 AS v,
+                       ROUND(MIN(l_extendedprice) / 10000, 6) AS w
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+                GROUP BY 1, 2),
+    sym AS (SELECT u, v, w FROM e0 UNION ALL SELECT v, u, w FROM e0),
+    r0 AS (SELECT DISTINCT c_custkey AS node, 0.0::DOUBLE AS d
+           FROM customer
+           WHERE c_mktsegment = 'AUTOMOBILE'
+             AND c_custkey IN (SELECT u FROM sym)),"""
+    + ",".join(_wsp_relax(f"r{i}", f"r{i+1}") for i in range(3))
+    + """
+    SELECT node, d AS cost FROM r3
+    """
+)
+
+
+@_q("weighted_purchase_paths", _WSP_SQL)
+def weighted_purchase_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded Bellman-Ford cheapest paths from the AUTOMOBILE seed set
+    over the purchase graph, edge cost = cheapest item price/10⁴ on that
+    customer↔supplier edge, ≤ 3 hops (functions/
+    graph.weighted_shortest_paths) — the weighted companion to
+    bfs_purchase_distances; the oracle unrolls the three relaxation
+    rounds with identical per-round rounding."""
+    from open_ftth_relational_projector_spark.functions.graph import (
+        weighted_shortest_paths,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .groupBy(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + F.lit(1000000)).alias("dst"),
+        )
+        .agg(F.round(F.min("l_extendedprice") / 10000, 6).alias("w"))
+    )
+    seeds = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "AUTOMOBILE")
+        .select(F.col("c_custkey").alias("node"))
+    )
+    return weighted_shortest_paths(edges, seeds, max_hops=3)
+
+
+@_q("pagerank_purchase_graph", _PAGERANK_SQL)
+def pagerank_purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, 3 power iterations, dangling redistribution)
+    over the directed customer→supplier purchase graph — the webgraph
+    authority-scoring shape used for corpus quality filtering
+    (functions/graph.pagerank); oracle unrolls the iterations in SQL."""
+    from open_ftth_relational_projector_spark.functions.graph import pagerank
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(
+            lineitem, orders["o_orderkey"] == lineitem["l_orderkey"]
+        )
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + F.lit(1000000)).alias("dst"),
+        )
+    )
+    return pagerank(edges, damping=0.85, iters=3)
+
+
+@_q(
+    "bfs_purchase_distances",
+    """
+    WITH RECURSIVE e AS (
+      SELECT DISTINCT o_custkey AS u, l_suppkey + 1000000 AS v
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    sym AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+    seed AS (SELECT DISTINCT c_custkey AS node FROM customer
+             WHERE c_mktsegment = 'AUTOMOBILE'
+               AND c_custkey IN (SELECT u FROM sym)),
+    walk(node, dist) AS (
+      SELECT node, 0 FROM seed
+      UNION
+      SELECT s.v, w.dist + 1 FROM walk w JOIN sym s ON s.u = w.node
+      WHERE w.dist < 4)
+    SELECT node, CAST(MIN(dist) AS INTEGER) AS dist FROM walk GROUP BY node
+    """,
+)
+def bfs_purchase_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distance from the AUTOMOBILE-segment seed set
+    over the undirected customer↔supplier purchase graph, capped at 4 hops
+    — the proximity-to-trusted-seed graph feature (functions/
+    graph.bfs_distances, frontier-based level-synchronous BFS); the oracle
+    derives the same minimum distances via a recursive CTE."""
+    from open_ftth_relational_projector_spark.functions.graph import bfs_distances
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + F.lit(1000000)).alias("dst"),
+        )
+    )
+    seeds = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "AUTOMOBILE")
+        .select(F.col("c_custkey").alias("node"))
+    )
+    return bfs_distances(edges, seeds, max_hops=4)
+
+
+@_q(
+    "bigram_lm_doc_scores",
+    """
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks
+                 FROM documents),
+    uni AS (SELECT doc_id, UNNEST(toks) AS w FROM tok),
+    big AS (SELECT doc_id,
+                   UNNEST([toks[i] FOR i IN range(1, len(toks))]) AS w1,
+                   UNNEST([toks[i] || ' ' || toks[i + 1]
+                           FOR i IN range(1, len(toks))]) AS bg
+            FROM tok),
+    c2 AS (SELECT bg, COUNT(*) AS c12 FROM big GROUP BY bg),
+    c1 AS (SELECT w, COUNT(*) AS c1 FROM uni GROUP BY w),
+    v AS (SELECT COUNT(DISTINCT w) AS v FROM uni)
+    SELECT big.doc_id, CAST(COUNT(*) AS INTEGER) AS n_bigrams,
+           ROUND(AVG(LN((c2.c12 + 1.0) / (c1.c1 + v.v))), 4) AS avg_logprob
+    FROM big JOIN c2 USING (bg)
+    JOIN c1 ON c1.w = big.w1
+    CROSS JOIN v
+    GROUP BY big.doc_id
+    """,
+)
+def bigram_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram-LM log-probability per document — the
+    CCNet/KenLM perplexity-filter shape (functions/quality.bigram_lm_scores):
+    count tables keyed on the gram, corpus joins back on the same keys."""
+    from open_ftth_relational_projector_spark.functions.quality import (
+        bigram_lm_scores,
+    )
+
+    return bigram_lm_scores(scattered(load_table(spark, sf_dir, "documents")))
+
+

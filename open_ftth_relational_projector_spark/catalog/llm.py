@@ -1,0 +1,1410 @@
+"""LLM-pipeline surface: text, dedup, similarity, multimodal.
+
+Split out of the single-file catalog (round-4 verdict #6); registration
+order preserved — see catalog/__init__.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, Window as W  # noqa: F401
+
+from open_ftth_relational_projector_spark.sources.tables import load_table, scattered  # noqa: F401
+from open_ftth_relational_projector_spark.events.reader import EventLog  # noqa: F401
+from open_ftth_relational_projector_spark.operators import asof_join, latest_by_key  # noqa: F401
+from open_ftth_relational_projector_spark.functions import dedup as D  # noqa: F401
+from open_ftth_relational_projector_spark.functions import similarity as S  # noqa: F401
+from open_ftth_relational_projector_spark.functions import text as TXT  # noqa: F401
+from open_ftth_relational_projector_spark.functions.multimodal import (  # noqa: F401
+    attach_binary,
+    extract_features,
+)
+from open_ftth_relational_projector_spark.projections.core import (  # noqa: F401
+    project_installation,
+    project_work_task,
+)
+
+from ._registry import _q, _r4  # noqa: F401
+
+
+# ===========================================================================
+# 4. LLM-pipeline surface: text, dedup, similarity, multimodal
+# ===========================================================================
+
+
+@_q(
+    "text_stats",
+    """
+    SELECT doc_id,
+           LEN(string_split(text, ' ')) AS n_tokens,
+           LENGTH(text) AS n_chars_actual,
+           ROUND(LEN(LIST_FILTER(string_split(text, ' '), t -> t = 'the'))
+                 / CAST(LEN(string_split(text, ' ')) AS DOUBLE), 4) AS the_ratio
+    FROM documents
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = scattered(load_table(spark, sf_dir, "documents"))
+    toks = TXT.tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+        _r4(
+            F.size(F.filter(toks, lambda t: t == "the"))
+            / F.size(toks).cast("double")
+        ).alias("the_ratio"),
+    )
+
+
+@_q(
+    "token_counts_bpe",
+    """
+    SELECT doc_id,
+           LEN(string_split(text, ' ')) AS ws_tokens,
+           LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))
+               AS subword_tokens
+    FROM documents
+    """,
+)
+def token_counts_bpe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs BPE-ish pre-tokenization token counts per document —
+    the token-budget accounting pass of an LLM-corpus pipeline. Both counts
+    are single-pass JVM expressions over the scan (no shuffle, no UDF)."""
+    docs = scattered(load_table(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        TXT.token_count(F.col("text")).alias("ws_tokens"),
+        TXT.subword_token_count(F.col("text")).alias("subword_tokens"),
+    )
+
+
+@_q(
+    "lang_quality_stats",
+    """
+    WITH scored AS (
+      SELECT lang, LEN(string_split(text, ' ')) AS n_tokens, n_chars
+      FROM documents)
+    SELECT lang, COUNT(*) AS n_docs,
+           ROUND(AVG(n_tokens), 4) AS avg_tokens,
+           ROUND(AVG(n_chars), 4) AS avg_chars
+    FROM scored GROUP BY lang
+    """,
+)
+def lang_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", TXT.token_count(F.col("text")).alias("n_tokens"), "n_chars")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            _r4(F.avg("n_tokens")).alias("avg_tokens"),
+            _r4(F.avg("n_chars")).alias("avg_chars"),
+        )
+    )
+
+
+@_q(
+    "exact_dedup_groups",
+    """
+    SELECT md5(text) AS text_hash, COUNT(*) AS n_copies, MIN(doc_id) AS canonical_id
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def exact_dedup_groups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup_groups(load_table(spark, sf_dir, "documents"))
+
+
+@_q(
+    "doc_fingerprint_groups",
+    """
+    SELECT md5(TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g'))) AS fingerprint,
+           COUNT(*) AS n_docs, MIN(doc_id) AS canonical_id
+    FROM documents
+    GROUP BY fingerprint
+    """,
+)
+def doc_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = scattered(load_table(spark, sf_dir, "documents"))
+    return (
+        docs.select(TXT.fingerprint(F.col("text")).alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("canonical_id"))
+    )
+
+
+@_q(
+    "ngram_jaccard_pairs",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             UNNEST(list_distinct(list_transform(
+               generate_series(1, GREATEST(LEN(t) - 2, 0)),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+      FROM toks),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT i.doc_a, i.doc_b,
+           ROUND(n_inter / CAST(sa.n + sb.n - n_inter AS DOUBLE), 4) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.doc_a = sa.doc_id
+    JOIN sizes sb ON i.doc_b = sb.doc_id
+    WHERE n_inter / CAST(sa.n + sb.n - n_inter AS DOUBLE) >= 0.05
+    """,
+)
+def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = D.ngram_jaccard_pairs(
+        scattered(load_table(spark, sf_dir, "documents")), threshold=0.05, n=3
+    )
+    return out.select("doc_a", "doc_b", _r4(F.col("jaccard")).alias("jaccard"))
+
+
+@_q(
+    "containment_near_dups",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             UNNEST(list_distinct(list_transform(
+               generate_series(1, GREATEST(LEN(t) - 2, 0)),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+      FROM toks),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    d AS (
+      SELECT i.doc_a AS contained, i.doc_b AS container,
+             ROUND(i.n_inter / CAST(sa.n AS DOUBLE), 4) AS containment
+      FROM inter i JOIN sizes sa ON i.doc_a = sa.doc_id
+      UNION ALL
+      SELECT i.doc_b, i.doc_a, ROUND(i.n_inter / CAST(sb.n AS DOUBLE), 4)
+      FROM inter i JOIN sizes sb ON i.doc_b = sb.doc_id)
+    SELECT contained, container, containment
+    FROM d WHERE containment >= 0.2
+    """,
+)
+def containment_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment ≥ 0.2 over the corpus
+    (functions/dedup.containment_pairs) — the quote/subset detector that
+    catches a paragraph wholly copied into a longer document, which
+    Jaccard structurally under-scores; dedup policy drops the CONTAINED
+    side. Same inverted-index scale shape as ngram_jaccard_pairs."""
+    return D.containment_pairs(
+        scattered(load_table(spark, sf_dir, "documents")), threshold=0.2, n=3
+    )
+
+
+@_q(
+    "dedup_clusters",
+    """
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             UNNEST(list_distinct(list_transform(
+               generate_series(1, GREATEST(LEN(t) - 2, 0)),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+      FROM toks),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    pairs AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i
+      JOIN sizes sa ON i.doc_a = sa.doc_id
+      JOIN sizes sb ON i.doc_b = sb.doc_id
+      WHERE n_inter / CAST(sa.n + sb.n - n_inter AS DOUBLE) >= 0.05),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs),
+    reach(src, node) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a)
+    SELECT src AS doc_id, MIN(node) AS component_id
+    FROM reach GROUP BY src
+    """,
+)
+def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIRS → dedup CLUSTERS: connected components by iterative
+    min-label propagation (functions/graph.py) over the exact n-gram
+    Jaccard pairs; the oracle derives the same components via a recursive
+    transitive-closure CTE. component_id = min doc_id of the cluster, i.e.
+    the canonical document a dedup pass would keep."""
+    from open_ftth_relational_projector_spark.functions.graph import (
+        connected_components,
+    )
+
+    pairs = D.ngram_jaccard_pairs(
+        scattered(load_table(spark, sf_dir, "documents")), threshold=0.05, n=3
+    )
+    return connected_components(pairs)
+
+
+@_q(
+    "corpus_filter_report",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks, LOWER(text) AS low
+      FROM documents),
+    c AS (
+      SELECT doc_id,
+             LEN(toks) AS n,
+             LEN(list_filter(toks, x -> list_contains(['the','a','and','of','to'], x))) AS c_en,
+             LEN(list_filter(toks, x -> list_contains(['der','die','das','und','zu'], x))) AS c_de,
+             LEN(list_filter(toks, x -> list_contains(['le','la','et','les','des'], x))) AS c_fr,
+             LEN(list_filter(toks, x -> list_contains(['el','la','los','y','de'], x))) AS c_es,
+             LENGTH(regexp_replace(low, '[a-z0-9 ]', '', 'g'))
+               / CAST(LENGTH(low) AS DOUBLE) AS pr
+      FROM t),
+    s AS (
+      SELECT doc_id, n,
+             (CASE WHEN n BETWEEN 20 AND 10000 THEN 0.4::DOUBLE ELSE 0.0::DOUBLE END
+              + CASE WHEN c_en / CAST(n AS DOUBLE) > 0.01 THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END
+              + CASE WHEN pr < 0.1 THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END) AS quality,
+             CASE WHEN c_es > GREATEST(c_en, c_de, c_fr) THEN 'es'
+                  WHEN c_fr > GREATEST(c_en, c_de) THEN 'fr'
+                  WHEN c_de > c_en THEN 'de'
+                  WHEN c_en > 0 THEN 'en'
+                  ELSE 'und' END AS lang_guess
+      FROM c)
+    SELECT doc_id, CAST(n AS INTEGER) AS n_tokens,
+           ROUND(quality, 4) AS quality, lang_guess,
+           quality >= 0.7 AND lang_guess = 'en' AS keep
+    FROM s
+    """,
+)
+def corpus_filter_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality-filter verdict a C4/RefinedWeb-style pipeline executes
+    per document: composite quality score (length band + stopword presence
+    + punctuation ratio, text.quality_score), stopword-vote language guess
+    (text.lang_guess, ties resolved in fixed en/de/fr/es order), and the
+    resulting keep decision. Single-pass row-local JVM expressions; the
+    oracle re-derives score and vote in SQL."""
+    docs = scattered(load_table(spark, sf_dir, "documents"))
+    qual = TXT.quality_score(F.col("text"))
+    guessed = TXT.lang_guess(F.col("text"))
+    return docs.select(
+        "doc_id",
+        TXT.token_count(F.col("text")).alias("n_tokens"),
+        _r4(qual).alias("quality"),
+        guessed.alias("lang_guess"),
+        ((qual >= 0.7) & (guessed == F.lit("en"))).alias("keep"),
+    )
+
+
+@_q(
+    "dedup_keep_list",
+    """
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             UNNEST(list_distinct(list_transform(
+               generate_series(1, GREATEST(LEN(t) - 2, 0)),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+      FROM toks),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    pairs AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i
+      JOIN sizes sa ON i.doc_a = sa.doc_id
+      JOIN sizes sb ON i.doc_b = sb.doc_id
+      WHERE n_inter / CAST(sa.n + sb.n - n_inter AS DOUBLE) >= 0.05),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs),
+    reach(src, node) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a),
+    comp AS (
+      SELECT src AS doc_id, MIN(node) AS component_id
+      FROM reach GROUP BY src)
+    SELECT d.doc_id,
+           COALESCE(c.component_id, d.doc_id) AS component_id,
+           COALESCE(c.component_id, d.doc_id) = d.doc_id AS keep
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    """,
+)
+def dedup_keep_list_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION a corpus pipeline actually executes: every doc
+    mapped to its near-dup component (exact n-gram Jaccard pairs →
+    connected components) with keep = is-the-canonical-member; singleton
+    docs keep themselves. Composes ngram_jaccard_pairs + graph.py over the
+    full corpus — the end-to-end keep/drop verdict, not just the pair or
+    cluster list."""
+    from open_ftth_relational_projector_spark.functions.graph import (
+        connected_components,
+    )
+
+    docs = scattered(load_table(spark, sf_dir, "documents"))
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.05, n=3)
+    comp = connected_components(pairs)
+    return (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component_id"), F.col("doc_id")).alias(
+                "component_id"
+            ),
+            (
+                F.coalesce(F.col("component_id"), F.col("doc_id"))
+                == F.col("doc_id")
+            ).alias("keep"),
+        )
+    )
+
+
+@_q(
+    "weighted_doc_sample",
+    """
+    WITH u AS (
+      SELECT doc_id, n_chars,
+             (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'mix1'), 1, 13))::BIGINT + 1)
+               / CAST(16::HUGEINT ** 13 AS DOUBLE) AS unif
+      FROM documents WHERE n_chars > 0)
+    SELECT doc_id, n_chars,
+           ROUND(-ln(unif) / n_chars, 4) AS priority
+    FROM u
+    ORDER BY ROUND(-ln(unif) / n_chars, 4), doc_id
+    LIMIT 50
+    """,
+)
+def weighted_doc_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (sampling.weighted_sample, Efraimidis–Spirakis 2006) — the data-mixing
+    primitive: longer documents drawn proportionally more often, yet the
+    sample is exactly reproducible across runs, partitionings, and engines
+    because the uniforms derive from md5(doc_id‖salt). The oracle replays
+    the identical priorities in SQL."""
+    from open_ftth_relational_projector_spark.functions.sampling import (
+        weighted_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_sample(
+        docs.select("doc_id", "n_chars"),
+        F.col("n_chars"),
+        k=50,
+        key="doc_id",
+        salt="mix1",
+    )
+
+
+@_q(
+    "corpus_pipeline_stats",
+    """
+    WITH RECURSIVE t AS (
+      SELECT doc_id, text, string_split(text, ' ') AS toks, LOWER(text) AS low
+      FROM documents),
+    c AS (
+      SELECT doc_id, text, LEN(toks) AS n,
+             LEN(list_filter(toks, x -> list_contains(['the','a','and','of','to'], x))) AS c_en,
+             LEN(list_filter(toks, x -> list_contains(['der','die','das','und','zu'], x))) AS c_de,
+             LEN(list_filter(toks, x -> list_contains(['le','la','et','les','des'], x))) AS c_fr,
+             LEN(list_filter(toks, x -> list_contains(['el','la','los','y','de'], x))) AS c_es,
+             LENGTH(regexp_replace(low, '[a-z0-9 ]', '', 'g'))
+               / CAST(LENGTH(low) AS DOUBLE) AS pr
+      FROM t),
+    scored AS (
+      SELECT doc_id, text, n,
+             (CASE WHEN n BETWEEN 20 AND 10000 THEN 0.4::DOUBLE ELSE 0.0::DOUBLE END
+              + CASE WHEN c_en / CAST(n AS DOUBLE) > 0.01 THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END
+              + CASE WHEN pr < 0.1 THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END) AS quality,
+             CASE WHEN c_es > GREATEST(c_en, c_de, c_fr) THEN 'es'
+                  WHEN c_fr > GREATEST(c_en, c_de) THEN 'fr'
+                  WHEN c_de > c_en THEN 'de'
+                  WHEN c_en > 0 THEN 'en'
+                  ELSE 'und' END AS lang_guess
+      FROM c),
+    keepq AS (
+      SELECT doc_id, text, n FROM scored
+      WHERE quality >= 0.7 AND lang_guess = 'en'),
+    canon AS (SELECT MIN(doc_id) AS doc_id FROM keepq GROUP BY md5(text)),
+    surv AS (SELECT k.doc_id, k.text, k.n FROM keepq k JOIN canon USING (doc_id)),
+    stoks AS (SELECT doc_id, string_split(text, ' ') AS st FROM surv),
+    sh AS (
+      SELECT doc_id,
+             UNNEST(list_distinct(list_transform(
+               generate_series(1, GREATEST(LEN(st) - 2, 0)),
+               i -> st[i] || ' ' || st[i+1] || ' ' || st[i+2]))) AS shingle
+      FROM stoks),
+    sizes AS (SELECT doc_id, COUNT(*) AS ns FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    pairs AS (
+      SELECT i.doc_a, i.doc_b FROM inter i
+      JOIN sizes sa ON i.doc_a = sa.doc_id
+      JOIN sizes sb ON i.doc_b = sb.doc_id
+      WHERE n_inter / CAST(sa.ns + sb.ns - n_inter AS DOUBLE) >= 0.05),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs),
+    reach(src, node) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a),
+    comp AS (SELECT src AS doc_id, MIN(node) AS component_id
+             FROM reach GROUP BY src),
+    final AS (
+      SELECT s.doc_id, s.n FROM surv s LEFT JOIN comp c2 ON s.doc_id = c2.doc_id
+      WHERE COALESCE(c2.component_id, s.doc_id) = s.doc_id)
+    SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666'
+                THEN 'train' ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS ws_tokens
+    FROM final GROUP BY 1
+    """,
+)
+def corpus_pipeline_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE training-corpus pipeline as one composed dataflow — the
+    flagship LLM-pipeline query: quality/language filter (text.py) →
+    exact dedup keeping the canonical copy (md5 groupBy) → near-dup dedup
+    via exact n-gram Jaccard pairs + connected components (dedup.py,
+    graph.py) → deterministic md5-bucket train/test split (sampling.py) →
+    per-split doc and whitespace-token budget. Every stage is individually
+    driver-verified elsewhere; this row pins their composition. Plan
+    shape: row-local filters, one hash-dedup shuffle, the inverted-index
+    pair join, the iterative component join, then a map-side split — no
+    all-pairs anything, no driver state."""
+    from open_ftth_relational_projector_spark.functions.graph import (
+        connected_components,
+    )
+    from open_ftth_relational_projector_spark.functions.sampling import (
+        hash_split,
+    )
+
+    docs = scattered(load_table(spark, sf_dir, "documents"))
+    qual = TXT.quality_score(F.col("text"))
+    guessed = TXT.lang_guess(F.col("text"))
+    keepq = docs.filter((qual >= 0.7) & (guessed == F.lit("en")))
+    canon = keepq.groupBy(F.md5("text").alias("th")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    # surv feeds BOTH the pair-generation branch and the final keep join;
+    # without a persist Spark recomputes the quality filter + md5-dedup
+    # semi-join once per consumer (a real pipeline would checkpoint the
+    # filtered corpus to parquet here for exactly the same reason).
+    surv = keepq.join(canon.select("doc_id"), "doc_id", "semi").persist()
+    pairs = D.ngram_jaccard_pairs(surv, threshold=0.05, n=3)
+    comp = connected_components(pairs)
+    final = (
+        surv.join(comp, "doc_id", "left")
+        .filter(
+            F.coalesce(F.col("component_id"), F.col("doc_id"))
+            == F.col("doc_id")
+        )
+        .select("doc_id", "text")
+    )
+    return hash_split(final, "doc_id", {"train": 0.9, "test": 0.1}).groupBy(
+        "split"
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(TXT.token_count(F.col("text")).cast("long")).alias("ws_tokens"),
+    )
+
+
+@_q(
+    "train_test_split_stats",
+    """
+    SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666'
+                THEN 'train' ELSE 'test' END AS split,
+           COUNT(*) AS n_docs, ROUND(AVG(n_chars), 4) AS avg_chars
+    FROM documents GROUP BY 1
+    """,
+)
+def train_test_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic engine-portable 90/10 split (functions/sampling.py):
+    md5-bucket compared against a hex threshold as a STRING, so the DuckDB
+    oracle reproduces the assignment byte-for-byte. Per-row expression —
+    no shuffle, stable under repartitioning."""
+    from open_ftth_relational_projector_spark.functions.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        hash_split(docs, "doc_id", {"train": 0.9, "test": 0.1})
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            _r4(F.avg("n_chars")).alias("avg_chars"),
+        )
+    )
+
+
+@_q("minhash_near_dups")  # xxhash64 path; hash-matched via minhash_near_dups_md5
+def minhash_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = D.minhash_near_dups(
+        scattered(load_table(spark, sf_dir, "documents")), threshold=0.05
+    )
+    return out.select("doc_a", "doc_b", _r4(F.col("jaccard")).alias("jaccard"))
+
+
+@_q(
+    "minhash_near_dups_md5",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             UNNEST(list_distinct(list_transform(
+               generate_series(1, GREATEST(LEN(t) - 2, 0)),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+      FROM toks),
+    mh AS (
+      SELECT doc_id, s,
+             MIN(('0x' || substr(md5(shingle || '#' || CAST(s AS VARCHAR)), 1, 15))::BIGINT) AS m
+      FROM sh CROSS JOIN (SELECT UNNEST(range(0, 32)) AS s) seeds
+      GROUP BY doc_id, s),
+    bands AS (
+      SELECT doc_id, CAST(s // 4 AS INT) AS band_id,
+             string_agg(CAST(m AS VARCHAR), ',' ORDER BY s) AS band_key
+      FROM mh GROUP BY doc_id, s // 4),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+      FROM cand c JOIN sh x ON x.doc_id = c.doc_a
+                  JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+      GROUP BY c.doc_a, c.doc_b)
+    SELECT i.doc_a, i.doc_b,
+           ROUND(n_inter / CAST(sa.n + sb.n - n_inter AS DOUBLE), 4) AS jaccard
+    FROM inter i JOIN sizes sa ON i.doc_a = sa.doc_id
+                 JOIN sizes sb ON i.doc_b = sb.doc_id
+    WHERE n_inter / CAST(sa.n + sb.n - n_inter AS DOUBLE) >= 0.05
+    """,
+)
+def minhash_near_dups_md5_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard verification for minhash_near_dups: the SAME pipeline —
+    signatures (functions/dedup.py:minhash_signature), banding, candidate
+    join, exact-Jaccard verification — run with the SQL-portable md5 hash
+    (portable_hash64) and string band keys, so the oracle reimplements
+    every stage in DuckDB SQL and the driver hash-matches end to end. The
+    xxhash64 production variant differs ONLY in the hash constants."""
+    out = D.minhash_near_dups(
+        scattered(load_table(spark, sf_dir, "documents")),
+        threshold=0.05,
+        hash_fn=D.portable_hash64,
+        portable_bands=True,
+    )
+    return out.select("doc_a", "doc_b", _r4(F.col("jaccard")).alias("jaccard"))
+
+
+@_q("simhash_fingerprints")  # xxhash64 path; hash-matched via simhash_fingerprints_md5
+def simhash_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash64(scattered(load_table(spark, sf_dir, "documents")))
+
+
+@_q(
+    "simhash_fingerprints_md5",
+    """
+    WITH tok AS (
+      SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS tok
+      FROM documents),
+    h AS (SELECT doc_id,
+                 ('0x' || substr(md5(tok || '#0'), 1, 15))::BIGINT AS h
+          FROM tok),
+    bits AS (
+      SELECT doc_id, b,
+             SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM h CROSS JOIN (SELECT UNNEST(range(0, 60)) AS b) bs
+      GROUP BY doc_id, b)
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << CAST(b AS INT))
+                         ELSE 0 END) AS BIGINT) AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+)
+def simhash_fingerprints_md5_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard verification for simhash_fingerprints: the SAME row-local
+    aggregate fold (functions/dedup.py:simhash_column) with the
+    SQL-portable 60-bit md5 hash, hash-matched against a DuckDB oracle
+    that re-derives every bit sum. The xxhash64 production variant differs
+    ONLY in hash constants and width."""
+    return D.simhash64(
+        scattered(load_table(spark, sf_dir, "documents")),
+        n_bits=60,
+        hash_fn=D.portable_hash64,
+    )
+
+
+@_q(
+    "simhash_near_dups",
+    """
+    WITH tok AS (
+      SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS tok
+      FROM documents),
+    h AS (SELECT doc_id,
+                 ('0x' || substr(md5(tok || '#0'), 1, 15))::BIGINT AS h
+          FROM tok),
+    bits AS (
+      SELECT doc_id, b,
+             SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM h CROSS JOIN (SELECT UNNEST(range(0, 60)) AS b) bs
+      GROUP BY doc_id, b),
+    fp AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << CAST(b AS INT))
+                           ELSE 0 END) AS BIGINT) AS simhash
+      FROM bits GROUP BY doc_id)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def simhash_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via pigeonhole banding (dedup.simhash_near_dups)
+    — completes the SimHash family: fingerprints → banded candidate join →
+    Hamming verification. Runs the md5-portable 60-bit variant so the
+    oracle can recompute every fingerprint and do the (oracle-scale-only)
+    quadratic Hamming join in SQL; banding with max_hamming < bands is
+    provably full-recall, so the band-joined result equals the oracle's
+    all-pairs result."""
+    return D.simhash_near_dups(
+        scattered(load_table(spark, sf_dir, "documents")),
+        max_hamming=3,
+        n_bits=60,
+        bands=4,
+        hash_fn=D.portable_hash64,
+    )
+
+
+@_q(
+    "embedding_norms_by_label",
+    """
+    SELECT label,
+           COUNT(*) AS n,
+           ROUND(AVG(sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))), 4) AS avg_l2
+    FROM embeddings GROUP BY label
+    """,
+)
+def embedding_norms_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        _r4(F.avg(S.l2_norm(S.as_double(F.col("embedding"))))).alias("avg_l2"),
+    )
+
+
+_EMB_NEAR_DUPS_SQL = """
+    WITH v AS (SELECT vec_id, embedding FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_sum(list_transform(generate_series(1, 64),
+                      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+             / (sqrt(list_sum(list_transform(generate_series(1, 64),
+                      i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
+                * sqrt(list_sum(list_transform(generate_series(1, 64),
+                      i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))) AS c
+      FROM v a JOIN v b ON a.vec_id < b.vec_id)
+    SELECT id_a, id_b, ROUND(c, 4) AS cosine FROM pairs WHERE c >= 0.45
+    """
+
+
+@_q("embedding_near_dups", _EMB_NEAR_DUPS_SQL)
+def embedding_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate dedup, exact all-pairs baseline.
+
+    The synthetic embeddings have no planted duplicates (max cosine ≈ 0.51),
+    so the threshold is set inside the tail of the similarity distribution
+    to exercise the operator end-to-end.
+    """
+    out = S.embedding_near_dups(
+        scattered(load_table(spark, sf_dir, "embeddings")), threshold=0.45
+    )
+    return out.select("id_a", "id_b", _r4(F.col("cosine")).alias("cosine"))
+
+
+@_q("embedding_near_dups_lsh")  # approximate; machinery hash-matched via _fullprobe
+def embedding_near_dups_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = S.embedding_near_dups(
+        scattered(load_table(spark, sf_dir, "embeddings")),
+        threshold=0.45,
+        bucketed=True,
+        n_planes=4,
+    )
+    return out.select("id_a", "id_b", _r4(F.col("cosine")).alias("cosine"))
+
+
+@_q("embedding_near_dups_lsh_fullprobe", _EMB_NEAR_DUPS_SQL)
+def embedding_near_dups_lsh_fullprobe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard verification for embedding_near_dups_lsh: the SAME bucketed
+    pipeline (signatures, bucket assignment, probe expansion, in-bucket
+    pair join) multi-probed at radius == n_planes, which scans every
+    bucket ⇒ provably equals the exact all-pairs result — so the exact
+    SQL oracle hash-matches the LSH machinery end to end. The production
+    variant differs ONLY in probe_radius."""
+    out = S.embedding_near_dups(
+        scattered(load_table(spark, sf_dir, "embeddings")),
+        threshold=0.45,
+        bucketed=True,
+        n_planes=4,
+        probe_radius=4,
+    )
+    return out.select("id_a", "id_b", _r4(F.col("cosine")).alias("cosine"))
+
+
+@_q(
+    "embedding_quantize_int8",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    s AS (SELECT vec_id, e,
+                 list_max(list_transform(e, x -> abs(x))) AS amax FROM v),
+    s2 AS (SELECT vec_id, e,
+                  CASE WHEN amax = 0 THEN 1.0 ELSE amax / 127.0 END AS scale
+           FROM s),
+    q AS (SELECT vec_id, e, scale,
+                 list_transform(e, x -> CAST(FLOOR(x / scale + 0.5) AS INT)) AS qv
+          FROM s2)
+    SELECT vec_id,
+           CAST(len(qv) AS INT) AS n_dims,
+           ROUND(scale, 4) AS scale,
+           CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS l1,
+           CAST(list_sum(list_transform(range(1, len(qv) + 1),
+                                        i -> qv[i] * i)) AS BIGINT) AS checksum,
+           ROUND(list_max(list_transform(range(1, len(qv) + 1),
+                                         i -> abs(qv[i] * scale - e[i]))), 4)
+             AS max_err
+    FROM q
+    """,
+)
+def embedding_quantize_int8_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization (similarity.quantize_int8_stats):
+    scale/L1/position-weighted checksum/max reconstruction error per
+    vector, all row-local JVM — the oracle recomputes the same explicit
+    half-up quantizer in SQL."""
+    return S.quantize_int8_stats(
+        scattered(load_table(spark, sf_dir, "embeddings"))
+    )
+
+
+_KNN_BRUTEFORCE_SQL = """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    scored AS (
+      SELECT q.query_id, c.neighbor_id,
+             list_sum(list_transform(generate_series(1, 64), i -> qv[i]::DOUBLE * cv[i]::DOUBLE))
+             / (sqrt(list_sum(list_transform(generate_series(1, 64), i -> qv[i]::DOUBLE * qv[i]::DOUBLE)))
+                * sqrt(list_sum(list_transform(generate_series(1, 64), i -> cv[i]::DOUBLE * cv[i]::DOUBLE)))) AS sim
+      FROM c, q WHERE c.neighbor_id != q.query_id)
+    SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk
+    FROM (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+      FROM scored)
+    WHERE rnk <= 5
+    """
+
+
+@_q("knn_bruteforce", _KNN_BRUTEFORCE_SQL)
+def knn_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = scattered(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    out = S.knn_bruteforce(emb, queries, k=5)
+    return out.withColumnRenamed("rank", "rnk")
+
+
+_KNN_LABEL_NOISE_SQL = """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+      FROM embeddings WHERE vec_id % 50 = 0),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label AS nlabel
+          FROM embeddings),
+    scored AS (
+      SELECT q.query_id, q.qlabel, c.neighbor_id, c.nlabel,
+             list_sum(list_transform(generate_series(1, 64), i -> qv[i]::DOUBLE * cv[i]::DOUBLE))
+             / (sqrt(list_sum(list_transform(generate_series(1, 64), i -> qv[i]::DOUBLE * qv[i]::DOUBLE)))
+                * sqrt(list_sum(list_transform(generate_series(1, 64), i -> cv[i]::DOUBLE * cv[i]::DOUBLE)))) AS sim
+      FROM c, q WHERE c.neighbor_id != q.query_id),
+    top AS (
+      SELECT query_id, qlabel, nlabel FROM (
+        SELECT query_id, qlabel, nlabel,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id) AS rnk
+        FROM scored) t
+      WHERE rnk <= 5)
+    SELECT query_id AS vec_id, CAST(qlabel AS INT) AS label,
+           CAST(SUM(CASE WHEN nlabel <> qlabel THEN 1 ELSE 0 END) AS INT)
+             AS n_disagree,
+           SUM(CASE WHEN nlabel <> qlabel THEN 1 ELSE 0 END) >= 3 AS flagged
+    FROM top GROUP BY query_id, qlabel
+    """
+
+
+@_q("knn_label_noise", _KNN_LABEL_NOISE_SQL)
+def knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise audit à la confident learning: each probe point's
+    label vs its 5 exact nearest neighbors' labels; majority disagreement
+    flags a likely mislabel — the data-centric cleaning pass run before
+    training on a labeled corpus. Rides knn_bruteforce (broadcast
+    queries, corpus streams); the tiny (queries × k) neighbor table then
+    broadcasts against the label column twice."""
+    emb = scattered(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    nb = S.knn_bruteforce(emb, queries, k=5)
+    lbl = emb.select("vec_id", "label")
+    nlab = lbl.join(
+        F.broadcast(nb), lbl["vec_id"] == nb["neighbor_id"]
+    ).select("query_id", F.col("label").alias("nlabel"))
+    qlab = lbl.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel")
+    )
+    dis = F.sum(
+        F.when(F.col("nlabel") != F.col("qlabel"), F.lit(1)).otherwise(F.lit(0))
+    )
+    return (
+        nlab.join(F.broadcast(qlab), "query_id")
+        .groupBy("query_id", "qlabel")
+        .agg(
+            dis.cast("int").alias("n_disagree"),
+            (dis >= 3).alias("flagged"),
+        )
+        .select(
+            F.col("query_id").alias("vec_id"),
+            F.col("qlabel").cast("int").alias("label"),
+            "n_disagree",
+            "flagged",
+        )
+    )
+
+
+@_q("knn_lsh")  # approximate; machinery hash-matched via knn_lsh_fullprobe
+def knn_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = scattered(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return S.knn_lsh(emb, queries, k=5).withColumnRenamed("rank", "rnk")
+
+
+@_q("knn_lsh_fullprobe", _KNN_BRUTEFORCE_SQL)
+def knn_lsh_fullprobe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard verification for knn_lsh: the SAME pipeline — hyperplane
+    signatures, corpus bucket assignment, query multi-probe expansion,
+    bucket-keyed candidate join, per-query ranking — probed at radius ==
+    n_planes (probe_masks covers all buckets ⇒ provably exact), so the
+    brute-force SQL oracle hash-matches the LSH machinery end to end. The
+    production variant differs ONLY in n_planes/probe_radius."""
+    emb = scattered(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return S.knn_lsh(
+        emb, queries, k=5, n_planes=4, probe_radius=4
+    ).withColumnRenamed("rank", "rnk")
+
+
+@_q("knn_ivf")  # approximate; machinery hash-matched via knn_ivf_fullprobe
+def knn_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbors — the inverted-file scale path
+    next to knn_bruteforce (exact oracle) and knn_lsh (hash path)."""
+    emb = scattered(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return S.knn_ivf(emb, queries, k=5).withColumnRenamed("rank", "rnk")
+
+
+@_q("knn_ivf_fullprobe", _KNN_BRUTEFORCE_SQL)
+def knn_ivf_fullprobe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard verification for knn_ivf: the SAME pipeline — sampled
+    quantizer training, JVM corpus-to-centroid assignment, probe-join,
+    per-query ranking — with n_probe == n_centroids (every cell probed ⇒
+    provably exact regardless of the quantizer), so the brute-force SQL
+    oracle hash-matches the IVF machinery end to end. The production
+    variant differs ONLY in n_probe."""
+    emb = scattered(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return S.knn_ivf(
+        emb, queries, k=5, n_centroids=16, n_probe=16
+    ).withColumnRenamed("rank", "rnk")
+
+
+@_q(
+    "multimodal_features",
+    """
+    SELECT doc_id,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           sha256(text) AS sha256,
+           CAST(octet_length(CAST(text AS BLOB)) % 1920 + 1 AS INT) AS width,
+           CAST(octet_length(CAST(text AS BLOB)) % 1080 + 1 AS INT) AS height
+    FROM documents
+    """,
+)
+def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = attach_binary(scattered(load_table(spark, sf_dir, "documents")))
+    return extract_features(docs, fake=True)
+
+
+@_q(
+    "multimodal_frames",
+    """
+    -- documents.text is pure ASCII, so VARCHAR substr == byte slicing
+    WITH f AS (
+      SELECT doc_id, text,
+             UNNEST(generate_series(
+               0, CAST(FLOOR((length(text) - 1) / 256.0) AS INT))) AS k
+      FROM documents WHERE length(text) > 0)
+    SELECT doc_id, CAST(k AS INTEGER) AS frame_idx,
+           sha256(substring(text, k * 256 + 1, 256)) AS frame_sha256,
+           CAST(LEAST(256, length(text) - k * 256) AS INTEGER) AS n_bytes
+    FROM f
+    """,
+)
+def multimodal_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: the JVM twin (sequence + binary substring + sha2,
+    whole-stage codegen) — byte-range frames never need Python. The
+    mapInPandas variant (sample_frames) carries the codec-shaped 1→N
+    batch contract and is differential-pinned equal in tests."""
+    from open_ftth_relational_projector_spark.functions.multimodal import (
+        sample_frames_jvm,
+    )
+
+    docs = attach_binary(scattered(load_table(spark, sf_dir, "documents")))
+    return sample_frames_jvm(docs, frame_bytes=256)
+
+
+@_q(
+    "multimodal_resize",
+    """
+    SELECT doc_id,
+           CAST(octet_length(CAST(text AS BLOB)) % 1920 + 1 AS INTEGER) AS width,
+           CAST(octet_length(CAST(text AS BLOB)) % 1080 + 1 AS INTEGER) AS height,
+           224 AS target_w, 224 AS target_h,
+           sha256(text || '224x224') AS resized_sha256
+    FROM documents
+    """,
+)
+def multimodal_resize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stub resize (functions/multimodal.resize_images): deterministic
+    payload⊕geometry hash pins the full contract the real codec swap must
+    preserve."""
+    from open_ftth_relational_projector_spark.functions.multimodal import (
+        resize_images,
+    )
+
+    docs = attach_binary(scattered(load_table(spark, sf_dir, "documents")))
+    return resize_images(docs, 224, 224)
+
+
+@_q(
+    "tfidf_top_terms",
+    """
+    WITH tok AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * ln(n.n_docs / CAST(df.df AS DOUBLE)) AS tf_idf
+      FROM tf JOIN df USING (term) CROSS JOIN n),
+    ranked AS (
+      SELECT doc_id, term, tf_idf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY tf_idf DESC, term ASC) AS rnk
+      FROM scored)
+    SELECT doc_id, term, CAST(rnk AS INTEGER) AS rnk,
+           ROUND(tf_idf, 4) AS tf_idf
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (functions/text.tf_idf_top_terms) —
+    deterministic tie-break on term text; term-keyed shuffles only."""
+    return TXT.tf_idf_top_terms(
+        scattered(load_table(spark, sf_dir, "documents")), k=3
+    )
+
+
+@_q(
+    "value_quantiles_by_type",
+    """
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.25), 4) AS p25,
+           ROUND(quantile_cont(value, 0.5), 4) AS p50,
+           ROUND(quantile_cont(value, 0.75), 4) AS p75,
+           ROUND(quantile_cont(value, 0.9), 4) AS p90,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def value_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per key (Spark `percentile` ==
+    DuckDB `quantile_cont`, both linear interpolation). At 100 TB swap for
+    `approx_percentile` (t-digest, mergeable partial agg) — same query
+    shape, bounded memory; the exact form stays as its oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    q = F.percentile("value", F.lit([0.25, 0.5, 0.75, 0.9]))
+    return (
+        ev.groupBy("event_type")
+        .agg(q.alias("qs"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "event_type",
+            _r4(F.element_at("qs", 1)).alias("p25"),
+            _r4(F.element_at("qs", 2)).alias("p50"),
+            _r4(F.element_at("qs", 3)).alias("p75"),
+            _r4(F.element_at("qs", 4)).alias("p90"),
+            "n",
+        )
+    )
+
+
+@_q(
+    "weekly_cohort_retention",
+    """
+    WITH firsts AS (
+      SELECT user_id, MIN(time_bucket(INTERVAL '7 days', ts)) AS cohort_week
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT e.user_id,
+             time_bucket(INTERVAL '7 days', e.ts) AS active_week
+      FROM events e)
+    SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.active_week) / 7 AS INTEGER)
+             AS week_offset,
+           COUNT(DISTINCT a.user_id) AS n_active
+    FROM firsts f JOIN activity a ON f.user_id = a.user_id
+    GROUP BY 1, 2
+    """,
+)
+def weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort/retention matrix: users bucketed by first-seen week, counted
+    per week-offset of later activity. Two aggregations + one join, all
+    keyed on user_id — the first-seen aggregate broadcasts (dimension-sized
+    at one row per user per shuffle partition)."""
+    ev = load_table(spark, sf_dir, "events")
+    # DuckDB's time_bucket anchors week intervals at 2000-01-03 (Monday),
+    # not the 1970 epoch (Thursday) — use the same origin
+    origin = 946_857_600  # 2000-01-03 00:00:00 UTC
+    week = F.timestamp_seconds(
+        ((F.col("ts").cast("timestamp").cast("long") - origin) / (7 * 86400))
+        .cast("long") * (7 * 86400) + origin
+    ).cast("timestamp_ntz")
+    bucketed = ev.select("user_id", week.alias("week"))
+    firsts = bucketed.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    activity = bucketed.distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (
+                F.datediff(F.col("week"), F.col("cohort_week")) / 7
+            ).cast("int").alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+
+
+@_q(
+    "signup_to_purchase_funnel",
+    """
+    WITH s AS (
+      SELECT user_id, MIN(ts) AS signup_ts FROM events
+      WHERE event_type = 'signup' GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS click_ts
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'click' AND e.ts > s.signup_ts
+      GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS purchase_ts
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+      GROUP BY e.user_id)
+    SELECT (SELECT COUNT(*) FROM s) AS n_signup,
+           (SELECT COUNT(*) FROM c) AS n_clicked_after,
+           (SELECT COUNT(*) FROM p) AS n_purchased_after
+    """,
+)
+def signup_to_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel signup → click → purchase: each stage keeps users
+    whose stage event strictly follows their previous stage's first event.
+    Implemented as per-user min-aggregations chained by broadcast joins;
+    event-order comparison, not mere existence."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def stage(etype, prev, prev_ts):
+        src = ev.filter(F.col("event_type") == etype)
+        if prev is not None:
+            src = src.join(F.broadcast(prev), "user_id").filter(
+                F.col("ts") > F.col(prev_ts)
+            )
+        return src.groupBy("user_id").agg(F.min("ts").alias(f"{etype}_ts"))
+
+    s = stage("signup", None, "")
+    c = stage("click", s, "signup_ts")
+    p = stage("purchase", c, "click_ts")
+    return (
+        s.agg(F.count(F.lit(1)).alias("n_signup"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_clicked_after")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchased_after")))
+    )
+
+
+@_q(
+    "clicks_within_signup_day",
+    """
+    WITH s AS (
+      SELECT user_id, ts AS start_ts, ts + INTERVAL '1 day' AS end_ts
+      FROM events WHERE event_type = 'signup'),
+    c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+    SELECT c.user_id, COUNT(*) AS n_clicks
+    FROM c JOIN s ON c.user_id = s.user_id
+               AND c.ts >= s.start_ts AND c.ts < s.end_ts
+    GROUP BY c.user_id
+    """,
+)
+def clicks_within_signup_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-containment join via operators/range_join.interval_join:
+    clicks falling inside any same-user [signup, +24h) window. Bucketized
+    equi-join on (user_id, 6h bucket) + exact containment filter — no
+    BroadcastNestedLoopJoin anywhere in the plan (pinned in test_plans)."""
+    from open_ftth_relational_projector_spark.operators.range_join import (
+        interval_join,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 1 DAY")).alias("end_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    joined = interval_join(
+        clicks,
+        signups,
+        fact_ts="ts",
+        start="start_ts",
+        end="end_ts",
+        bucket_seconds=21_600,
+        extra_keys=["user_id"],
+    )
+    return joined.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_clicks"))
+
+
+@_q(
+    "stratified_doc_sample",
+    """
+    WITH ranked AS (
+      SELECT lang, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+             ) AS rn
+      FROM documents)
+    SELECT lang, doc_id FROM ranked WHERE rn <= 20
+    """,
+)
+def stratified_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 20-per-language sample (functions/sampling.
+    stratified_sample): hash-ranked inside each group, reproducible across
+    engines and partitionings."""
+    from open_ftth_relational_projector_spark.functions.sampling import (
+        stratified_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("lang", "doc_id")
+    return stratified_sample(docs, "lang", 20, "doc_id")
+
+
+@_q(
+    "token_budget_chunks",
+    """
+    WITH t AS (
+      SELECT doc_id, LEN(string_split(text, ' ')) AS tok FROM documents),
+    c AS (
+      SELECT doc_id, tok,
+             SUM(tok) OVER (ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t)
+    SELECT CAST(FLOOR((cum - tok) / 2048.0) AS BIGINT) AS chunk_id,
+           COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS total_tokens
+    FROM c GROUP BY 1
+    """,
+)
+def token_budget_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing: contiguous 2048-token chunks over the
+    corpus (functions/sampling.token_budget_chunks)."""
+    from open_ftth_relational_projector_spark.functions.sampling import (
+        token_budget_chunks,
+    )
+
+    return token_budget_chunks(load_table(spark, sf_dir, "documents"), 2048)
+
+
+@_q(
+    "sliding_window_chunks",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    base AS (
+      SELECT doc_id, toks,
+             1 + CAST(FLOOR((GREATEST(LEN(toks) - 64, 0) + 47) / 48.0)
+                      AS BIGINT) AS n_chunks
+      FROM t),
+    idx AS (
+      SELECT doc_id, toks,
+             UNNEST(range(0, n_chunks)) AS chunk_idx
+      FROM base)
+    SELECT doc_id,
+           CAST(chunk_idx AS INTEGER) AS chunk_idx,
+           CAST(chunk_idx * 48 AS INTEGER) AS start_token,
+           CAST(LEN(list_slice(toks, chunk_idx * 48 + 1, chunk_idx * 48 + 64))
+                AS INTEGER) AS n_tokens,
+           md5(array_to_string(
+                 list_slice(toks, chunk_idx * 48 + 1, chunk_idx * 48 + 64),
+                 ' ')) AS chunk_md5
+    FROM idx
+    """,
+)
+def sliding_window_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 64-token windows every 48 tokens (functions/sampling.
+    sliding_window_chunks): map-only context-window preparation; chunk
+    identity as md5 for downstream dedup/packing."""
+    from open_ftth_relational_projector_spark.functions.sampling import (
+        sliding_window_chunks,
+    )
+
+    return sliding_window_chunks(
+        load_table(spark, sf_dir, "documents"), window=64, stride=48
+    )
+
+
+@_q(
+    "bm25_top_docs",
+    """
+    WITH ql AS (
+      SELECT * FROM (VALUES ('hash'), ('merge'), ('window')) AS t(term)),
+    tok AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM tok SEMI JOIN ql USING (term) GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    dl AS (
+      SELECT doc_id, CAST(LEN(string_split(text, ' ')) AS DOUBLE) AS dl
+      FROM documents),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl)
+    SELECT tf.doc_id, COUNT(*) AS n_matched,
+           ROUND(SUM(
+             ln(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * (1.2 + 1)
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+           ), 4) AS score
+    FROM tf
+    JOIN df USING (term)
+    JOIN dl ON dl.doc_id = tf.doc_id
+    CROSS JOIN stats
+    GROUP BY tf.doc_id
+    ORDER BY score DESC, tf.doc_id ASC
+    LIMIT 25
+    """,
+)
+def bm25_top_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-25 retrieval for a fixed 3-term query (functions/text.
+    bm25_top_docs): token stream filtered to query terms before any
+    aggregation; N/avgdl/df broadcast; global top-k via sort+limit. The
+    rank key is the ROUNDED score with doc_id tie-break, so the top-k cut
+    is FP-stable across engines."""
+    return TXT.bm25_top_docs(
+        load_table(spark, sf_dir, "documents"),
+        ["hash", "merge", "window"],
+        k=25,
+    )
+
+
+@_q(
+    "salted_event_counts",
+    """
+    SELECT event_type, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def salted_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe aggregation (operators/skew.py): 5 event types over 100k
+    rows is exactly the hot-key shape that stalls a single reducer at
+    100 TB — count/sum fold per (key, salt) first, then per key, so no
+    reducer sees more than 1/n_salts of a hot key. Result must equal the
+    plain GROUP BY (the oracle)."""
+    from open_ftth_relational_projector_spark.operators.skew import (
+        salted_aggregate,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return salted_aggregate(
+        ev,
+        ["event_type"],
+        partial={
+            "_n": F.count(F.lit(1)),
+            "_sv": F.sum("value"),
+        },
+        merge={
+            "n_events": F.sum("_n"),
+            "sum_value": _r4(F.sum("_sv")),
+        },
+    )
+
+
+@_q(
+    "lineitem_profile",
+    """
+    SELECT 'l_quantity' AS col, COUNT(*) AS n,
+           CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
+           CAST(COUNT(*) - COUNT(l_quantity) AS BIGINT) AS n_null,
+           ROUND(MIN(l_quantity), 4) AS min_v, ROUND(MAX(l_quantity), 4) AS max_v
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', COUNT(*),
+           CAST(COUNT(DISTINCT l_discount) AS BIGINT),
+           CAST(COUNT(*) - COUNT(l_discount) AS BIGINT),
+           ROUND(MIN(l_discount), 4), ROUND(MAX(l_discount), 4)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', COUNT(*),
+           CAST(COUNT(DISTINCT l_extendedprice) AS BIGINT),
+           CAST(COUNT(*) - COUNT(l_extendedprice) AS BIGINT),
+           ROUND(MIN(l_extendedprice), 4), ROUND(MAX(l_extendedprice), 4)
+    FROM lineitem
+    """,
+)
+def lineitem_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (n, distinct, nulls, min/max) for three numeric
+    lineitem columns in ONE scan: per-column aggregates computed side by
+    side, then unpivoted — the data-quality pass a pipeline runs before
+    training ingestion. (At 100 TB swap COUNT DISTINCT for
+    approx_count_distinct — same shape, mergeable sketch.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_discount", "l_extendedprice"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.count_distinct(F.col(c)).alias(f"{c}__nd"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nn"),
+            _r4(F.min(c)).alias(f"{c}__min"),
+            _r4(F.max(c)).alias(f"{c}__max"),
+        ]
+    wide = li.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__n, {c}__nd, {c}__nn, {c}__min, {c}__max" for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack}) AS (col, n, n_distinct, n_null, min_v, max_v)"
+    )
+

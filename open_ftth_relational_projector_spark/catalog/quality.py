@@ -1,0 +1,202 @@
+"""Corpus-quality / decontamination surface.
+
+Split out of the single-file catalog (round-4 verdict #6); registration
+order preserved — see catalog/__init__.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, Window as W  # noqa: F401
+
+from open_ftth_relational_projector_spark.sources.tables import load_table, scattered  # noqa: F401
+from open_ftth_relational_projector_spark.events.reader import EventLog  # noqa: F401
+from open_ftth_relational_projector_spark.operators import asof_join, latest_by_key  # noqa: F401
+from open_ftth_relational_projector_spark.functions import dedup as D  # noqa: F401
+from open_ftth_relational_projector_spark.functions import similarity as S  # noqa: F401
+from open_ftth_relational_projector_spark.functions import text as TXT  # noqa: F401
+from open_ftth_relational_projector_spark.functions.multimodal import (  # noqa: F401
+    attach_binary,
+    extract_features,
+)
+from open_ftth_relational_projector_spark.projections.core import (  # noqa: F401
+    project_installation,
+    project_work_task,
+)
+
+from ._registry import _q, _r4  # noqa: F401
+
+
+# ===========================================================================
+# 9. Corpus-quality / decontamination surface (functions/quality.py,
+#    dedup.py cross-doc, similarity.py centroid audit)
+# ===========================================================================
+
+
+@_q(
+    "repetition_stats",
+    """
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    big AS (
+      SELECT doc_id,
+             UNNEST([toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))])
+               AS bigram
+      FROM tok
+    ),
+    cnt AS (SELECT doc_id, bigram, COUNT(*) AS c FROM big GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_bigrams,
+           ROUND(1.0 - COUNT(*) / SUM(c), 4) AS dup_bigram_frac,
+           ROUND(MAX(c) / SUM(c), 4) AS top_bigram_frac
+    FROM cnt GROUP BY doc_id
+    """,
+)
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from open_ftth_relational_projector_spark.functions import quality as Q
+
+    return Q.repetition_stats(scattered(load_table(spark, sf_dir, "documents")))
+
+
+@_q(
+    "token_entropy",
+    """
+    WITH cnt AS (
+      SELECT doc_id, tok, COUNT(*) AS c
+      FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           ROUND(LN(SUM(c)) - SUM(c * LN(c)) / SUM(c), 4) AS entropy
+    FROM cnt GROUP BY doc_id
+    """,
+)
+def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from open_ftth_relational_projector_spark.functions import quality as Q
+
+    return Q.token_entropy(scattered(load_table(spark, sf_dir, "documents")))
+
+
+@_q(
+    "pii_scan",
+    r"""
+    WITH aug AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 7 = 0
+                     THEN ' contact user' || doc_id || '@example.com'
+                     ELSE '' END
+             || CASE WHEN doc_id % 11 = 0
+                     THEN ' call 555-' || (1000 + doc_id % 9000)
+                     ELSE '' END
+             || CASE WHEN doc_id % 13 = 0
+                     THEN ' host 10.0.' || (doc_id % 256) || '.' || (doc_id % 100)
+                     ELSE '' END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(LEN(regexp_extract_all(text, '[a-z0-9]+@[a-z0-9]+\.[a-z]+'))
+                AS INTEGER) AS n_emails,
+           CAST(LEN(regexp_extract_all(text, '\d{3}-\d{4}')) AS INTEGER)
+             AS n_phones,
+           CAST(LEN(regexp_extract_all(text, '\d+\.\d+\.\d+\.\d+')) AS INTEGER)
+             AS n_ips,
+           MD5(regexp_replace(
+                 regexp_replace(
+                   regexp_replace(text, '[a-z0-9]+@[a-z0-9]+\.[a-z]+',
+                                  '<EMAIL>', 'g'),
+                   '\d{3}-\d{4}', '<PHONE>', 'g'),
+                 '\d+\.\d+\.\d+\.\d+', '<IP>', 'g')) AS redacted_md5
+    FROM aug
+    """,
+)
+def pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from open_ftth_relational_projector_spark.functions import quality as Q
+
+    docs = scattered(load_table(spark, sf_dir, "documents"))
+    return Q.pii_scan(Q.with_synthetic_pii(docs))
+
+
+@_q(
+    "cross_doc_shingle_dup",
+    """
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               UNNEST([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+                       || toks[i+3] || ' ' || toks[i+4]
+                       FOR i IN range(1, len(toks) - 3)]) AS shingle
+        FROM tok)
+    ),
+    cnt AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1)
+    SELECT doc_id,
+           CAST(COUNT(*) AS INTEGER) AS n_shingles,
+           CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS INTEGER) AS n_shared,
+           ROUND(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) / COUNT(*), 4)
+             AS shared_frac
+    FROM sh JOIN cnt USING (shingle)
+    GROUP BY doc_id
+    """,
+)
+def cross_doc_shingle_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.cross_doc_shingle_dup(
+        scattered(load_table(spark, sf_dir, "documents"))
+    )
+
+
+@_q(
+    "benchmark_decontamination",
+    """
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    allsh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               UNNEST([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+                       || toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5]
+                       || ' ' || toks[i+6] || ' ' || toks[i+7]
+                       FOR i IN range(1, len(toks) - 6)]) AS shingle
+        FROM tok)
+    ),
+    eval_sh AS (SELECT DISTINCT shingle FROM allsh WHERE doc_id % 50 = 0)
+    SELECT t.doc_id,
+           CAST(SUM(CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                AS INTEGER) AS n_overlap,
+           SUM(CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0 END) > 0
+             AS contaminated
+    FROM (SELECT * FROM allsh WHERE doc_id % 50 <> 0) t
+    LEFT JOIN eval_sh e USING (shingle)
+    GROUP BY t.doc_id
+    """,
+)
+def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.benchmark_decontamination(
+        scattered(load_table(spark, sf_dir, "documents"))
+    )
+
+
+@_q(
+    "label_centroid_stats",
+    """
+    WITH pe AS (
+      SELECT vec_id, label,
+             UNNEST(range(1, len(embedding) + 1)) AS pos,
+             UNNEST(CAST(embedding AS DOUBLE[])) AS val
+      FROM embeddings
+    ),
+    cent AS (SELECT label, pos, AVG(val) AS cv FROM pe GROUP BY 1, 2),
+    per_vec AS (
+      SELECT pe.vec_id, pe.label,
+             SUM(val * cv) AS dot_vc, SUM(val * val) AS vv, SUM(cv * cv) AS cc
+      FROM pe JOIN cent USING (label, pos)
+      GROUP BY 1, 2
+    )
+    SELECT label,
+           CAST(COUNT(*) AS INTEGER) AS n_vecs,
+           ROUND(AVG(dot_vc / (SQRT(vv) * SQRT(cc))), 4) AS avg_cos_to_centroid
+    FROM per_vec GROUP BY label
+    """,
+)
+def label_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.label_centroid_stats(scattered(load_table(spark, sf_dir, "embeddings")))
+
+

@@ -1,15 +1,19 @@
 """Generate CATALOG.md: every registered query in registration (driver-
-window) order, grouped by the catalog's section banners, with its oracle
-status — the map from SURVEY §2 / extension families to concrete query
-names. Run: python scripts/gen_catalog_index.py
+window) order, grouped by the catalog package's family modules, with its
+oracle status — the map from SURVEY §2 / extension families to concrete
+query names. Run: python scripts/gen_catalog_index.py
 """
 
 from __future__ import annotations
 
+import ast
 import re
 import sys
+from pathlib import Path
 
 sys.path.insert(0, ".")
+
+PKG = Path("open_ftth_relational_projector_spark/catalog")
 
 
 def main() -> None:
@@ -18,37 +22,16 @@ def main() -> None:
     osql = entry_mod.oracle_sql()
     qs = list(entry_mod.queries())
 
-    # map each query name to the section banner above its registration
-    src = open("open_ftth_relational_projector_spark/catalog.py").read()
+    # map each query name to its family module (first docstring line)
     sections: dict[str, str] = {}
-    current = "header"
-    for line in src.splitlines():
-        m = re.match(r"#\s*=+\s*$", line)
-        if m:
+    for mod in PKG.glob("*.py"):
+        if mod.name.startswith("_"):
             continue
-        mh = re.match(r"#\s*\d+\.\s*(.+?)\s*$", line) or re.match(
-            r"#\s*---\s*(.+?)\s*-*\s*$", line
-        )
-        if mh:
-            current = mh.group(1).rstrip(" -")
-        mq = re.match(r'@_q\(\s*$', line) or re.match(r'@_q\("([a-z0-9_]+)"', line)
-        if mq and mq.groups() and mq.group(1):
-            sections[mq.group(1)] = current
-    # two-line @_q( form: associate on the following "name", line
-    pend = False
-    for line in src.splitlines():
-        mh = re.match(r"#\s*\d+\.\s*(.+?)\s*$", line) or re.match(
-            r"#\s*---\s*(.+?)\s*-*\s*$", line
-        )
-        if mh:
-            current = mh.group(1).rstrip(" -")
-        if pend:
-            mn = re.match(r'\s*"([a-z0-9_]+)"', line)
-            if mn:
-                sections.setdefault(mn.group(1), current)
-            pend = False
-        if re.match(r"@_q\(\s*$", line):
-            pend = True
+        src = mod.read_text()
+        tree = ast.parse(src)
+        label = (ast.get_docstring(tree) or mod.stem).splitlines()[0].rstrip(".")
+        for name in re.findall(r'@_q\(\s*"([a-z0-9_]+)"', src):
+            sections[name] = label
 
     out = [
         "# Catalog index",
@@ -58,13 +41,13 @@ def main() -> None:
         "run the same machinery). Order below = `queries()` registration "
         "order; the grading driver records the first 50 per round.",
         "",
-        "| # | query | oracle | section |",
+        "| # | query | oracle | family |",
         "|---|---|---|---|",
     ]
     for i, name in enumerate(qs, 1):
         mark = "sql" if name in osql else "rows-only"
-        out.append(f"| {i} | `{name}` | {mark} | {sections.get(name, '—')} |")
-    open("CATALOG.md", "w").write("\n".join(out) + "\n")
+        out.append(f"| {i} | `{name}` | {mark} | {sections.get(name, chr(8212))} |")
+    Path("CATALOG.md").write_text("\n".join(out) + "\n")
     print(f"CATALOG.md: {len(qs)} queries indexed")
 
 

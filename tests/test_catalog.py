@@ -105,3 +105,15 @@ def test_every_catalog_entry_has_query_signature():
     for name, fn in entry_mod.queries().items():
         params = list(inspect.signature(fn).parameters)
         assert len(params) == 2, f"{name}: bad signature {params} ({fn.__name__})"
+
+
+def test_catalog_split_preserves_registration_order():
+    """The catalog package (split from the single-file catalog in round 4)
+    must register the identical 187-name ordering — the driver window and
+    cross-round correctness rows key on it."""
+    import pathlib
+
+    want = (
+        pathlib.Path(__file__).parent / "data" / "catalog_order.txt"
+    ).read_text().split()
+    assert list(SPARK_QUERIES) == want
