@@ -8,11 +8,12 @@ IDAT stream with stdlib zlib and unfilters every row (filters 0-4 incl.
 Paeth), ``resize_nearest`` resamples, and ``encode_png`` re-encodes a
 valid PNG — so ``resize_images(fake=False)`` is a genuine
 decode→resample→re-encode pipeline for 8-bit gray/RGB/GA/RGBA PNGs.
-BMP (raw rows, ``decode_bmp_pixels``/``encode_bmp``) and GIF (stdlib LZW,
-``decode_gif_pixels``, normalized to PNG on resize) are real too — only
-JPEG's pixel path needs codec libraries absent from this container and
-raises NotImplementedError; that boundary is the documented contract
-(here and in README). The ``fake=True`` path derives deterministic
+BMP (raw rows, ``decode_bmp_pixels``/``encode_bmp``), GIF (stdlib LZW,
+``decode_gif_pixels``, normalized to PNG on resize), and baseline JPEG
+(stdlib Huffman + IDCT, ``functions/jpeg.py``, normalized to PNG on
+resize) are real too; progressive JPEG and other non-baseline variants
+raise NotImplementedError naming the unsupported feature — that boundary
+is the documented contract (here and in README). The ``fake=True`` path derives deterministic
 pseudo-dims from byte length so text-as-blob testdata exercises the
 pipeline with a SQL oracle. Everything Spark-side — schema, Arrow batch
 shape, mapInPandas partitioning — is identical between the paths.
@@ -545,11 +546,12 @@ def resize_images(
 ) -> DataFrame:
     """Image resize over the binary column.
 
-    fake=False — REAL for PNG payloads: decode_png_pixels (zlib inflate +
-    scanline unfilter) → resize_nearest → encode_png; resized_sha256 is
-    the hash of the re-encoded PNG bytes and width/height are the true
-    source dims. Non-PNG payloads raise NotImplementedError (codec libs
-    absent — the documented contract boundary).
+    fake=False — REAL for PNG, 24-bit BMP, GIF, and baseline JPEG
+    payloads: stdlib pixel decode (zlib inflate / LZW / Huffman+IDCT —
+    functions/jpeg.py) → resize_nearest → re-encode (PNG/BMP out);
+    resized_sha256 is the hash of the re-encoded bytes and width/height
+    are the true source dims. Progressive JPEG and exotic variants raise
+    NotImplementedError naming the unsupported feature.
 
     fake=True — deterministic stand-in (pseudo-dims from byte length,
     hash of payload ⊕ target geometry) so text-as-blob testdata can pin
@@ -580,6 +582,8 @@ def resize_images(
     def op_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
+        from .jpeg import decode_jpeg_pixels
+
         for pdf in batches:
             widths, heights, shas = [], [], []
             for payload in pdf["payload"]:
@@ -600,10 +604,16 @@ def resize_images(
                     w, h, px = decode_gif_pixels(raw)
                     resized = resize_nearest(px, w, h, 3, target_w, target_h)
                     out = encode_png(resized, target_w, target_h, 2)
+                elif raw[:2] == b"\xff\xd8":
+                    # format normalization: baseline JPEG in, PNG out
+                    # (functions/jpeg.py — stdlib Huffman+IDCT decoder)
+                    w, h, px = decode_jpeg_pixels(raw)
+                    resized = resize_nearest(px, w, h, 3, target_w, target_h)
+                    out = encode_png(resized, target_w, target_h, 2)
                 else:
                     raise NotImplementedError(
-                        "pixel resize implemented for PNG, 24-bit BMP, and "
-                        "GIF(->PNG); JPEG needs codec libraries absent here"
+                        "pixel resize implemented for PNG, 24-bit BMP, "
+                        "GIF(->PNG), and baseline JPEG(->PNG)"
                     )
                 widths.append(w)
                 heights.append(h)

@@ -1,0 +1,155 @@
+"""Baseline-JPEG decoder tests: analytic goldens + numpy differential.
+
+The encoder (tests/jpeg_golden.py) assembles spec-conformant files from
+explicit coefficient lists; the decoder must reproduce (a) analytically
+known pixel values for DC-only blocks (IDCT of a DC-only block is the
+constant DC/8 + 128), (b) a numpy-computed reference IDCT for AC
+patterns, (c) DC prediction across blocks, restart-marker resets, and
+4:2:0 chroma upsampling + YCbCr→RGB.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from jpeg_golden import encode_jpeg
+from open_ftth_relational_projector_spark.functions.jpeg import (
+    ZIGZAG,
+    decode_jpeg_pixels,
+)
+
+
+def _dc_block(dc: int) -> list[int]:
+    b = [0] * 64
+    b[0] = dc
+    return b
+
+
+def test_constant_gray_dc_only():
+    # q=16, quantized DC=4 → dequant 64 → IDCT constant 64/8=8 → 136
+    jp = encode_jpeg(8, 8, [[_dc_block(4)]], [(1, 1)])
+    w, h, px = decode_jpeg_pixels(jp)
+    assert (w, h) == (8, 8)
+    assert set(px) == {136}
+    assert len(px) == 8 * 8 * 3
+
+
+def test_dc_prediction_across_blocks():
+    jp = encode_jpeg(16, 8, [[_dc_block(4), _dc_block(10)]], [(1, 1)])
+    w, h, px = decode_jpeg_pixels(jp)
+    assert (w, h) == (16, 8)
+    a = np.frombuffer(px, np.uint8).reshape(8, 16, 3)
+    assert set(a[:, :8].flat) == {136}
+    assert set(a[:, 8:].flat) == {148}  # 2*10+128
+
+
+def _ref_idct(coef_natural: list[int], q: int = 16) -> np.ndarray:
+    """Independent float IDCT: T.81 A.3.3 with half-up rounding."""
+    S = np.array(coef_natural, float).reshape(8, 8) * q
+    C = np.array([1 / math.sqrt(2)] + [1.0] * 7)
+    x = np.arange(8)
+    cos = np.cos((2 * x[:, None] + 1) * x[None, :] * math.pi / 16)  # [x, u]
+    out = np.zeros((8, 8))
+    for yy in range(8):
+        for xx in range(8):
+            s = 0.0
+            for v in range(8):
+                for u in range(8):
+                    s += C[u] * C[v] * S[v, u] * cos[xx, u] * cos[yy, v]
+            out[yy, xx] = math.floor(s / 4 + 128 + 0.5)
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def test_ac_coefficients_match_numpy_reference():
+    rng = np.random.default_rng(7)
+    coef = [0] * 64
+    coef[0] = 3
+    coef[1] = -5  # (u=1, v=0)
+    coef[8] = 2  # (u=0, v=1)
+    coef[27] = 7  # mid-frequency
+    coef[63] = -2  # highest frequency — exercises long zero runs + ZRL
+    jp = encode_jpeg(8, 8, [[coef]], [(1, 1)])
+    w, h, px = decode_jpeg_pixels(jp)
+    got = np.frombuffer(px, np.uint8).reshape(8, 8, 3)[:, :, 0]
+    want = _ref_idct(coef)
+    np.testing.assert_array_equal(got, want)
+    # random dense block too
+    coef2 = [int(v) for v in rng.integers(-9, 10, 64)]
+    jp2 = encode_jpeg(8, 8, [[coef2]], [(1, 1)])
+    _, _, px2 = decode_jpeg_pixels(jp2)
+    got2 = np.frombuffer(px2, np.uint8).reshape(8, 8, 3)[:, :, 0]
+    np.testing.assert_array_equal(got2, _ref_idct(coef2))
+
+
+def test_restart_interval_resets_dc_prediction():
+    # restart_interval=1: each MCU encodes DC as diff from 0
+    jp = encode_jpeg(
+        16, 8, [[_dc_block(4), _dc_block(10)]], [(1, 1)], restart_interval=1
+    )
+    w, h, px = decode_jpeg_pixels(jp)
+    a = np.frombuffer(px, np.uint8).reshape(8, 16, 3)
+    assert set(a[:, :8].flat) == {136}
+    assert set(a[:, 8:].flat) == {148}
+
+
+def test_color_420_constant_and_upsampling():
+    # 16x16 4:2:0 — four Y blocks DC=4 (Y = 2*4+128 = 136), one Cb block
+    # DC=2 (Cb = 132), one Cr block DC=-3 (Cr = 122)
+    y_blocks = [_dc_block(4)] * 4
+    jp = encode_jpeg(
+        16,
+        16,
+        [y_blocks, [_dc_block(2)], [_dc_block(-3)]],
+        [(2, 2), (1, 1), (1, 1)],
+    )
+    w, h, px = decode_jpeg_pixels(jp)
+    assert (w, h) == (16, 16)
+    a = np.frombuffer(px, np.uint8).reshape(16, 16, 3)
+    import math as _m
+
+    r = _m.floor(136 + 1.402 * (122 - 128) + 0.5)
+    g = _m.floor(136 - 0.344136 * (132 - 128) - 0.714136 * (122 - 128) + 0.5)
+    b = _m.floor(136 + 1.772 * (132 - 128) + 0.5)
+    assert set(a[:, :, 0].flat) == {r}
+    assert set(a[:, :, 1].flat) == {g}
+    assert set(a[:, :, 2].flat) == {b}
+
+
+def test_non_baseline_features_raise():
+    jp = bytearray(encode_jpeg(8, 8, [[_dc_block(4)]], [(1, 1)]))
+    i = jp.find(b"\xff\xc0")
+    jp[i + 1] = 0xC2  # rewrite SOF0 → SOF2 (progressive)
+    with pytest.raises(NotImplementedError, match="non-baseline"):
+        decode_jpeg_pixels(bytes(jp))
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg_pixels(b"\x00\x01")
+
+
+def test_resize_images_real_handles_jpeg(spark):
+    """End-to-end through the Spark mapInPandas path: JPEG payload in,
+    PNG re-encode out, stable golden sha + true source dims."""
+    import hashlib
+
+    from open_ftth_relational_projector_spark.functions.jpeg import (
+        decode_jpeg_pixels as dec,
+    )
+    from open_ftth_relational_projector_spark.functions.multimodal import (
+        encode_png,
+        resize_images,
+        resize_nearest,
+    )
+
+    jp = encode_jpeg(16, 8, [[_dc_block(4), _dc_block(10)]], [(1, 1)])
+    df = spark.createDataFrame([(1, bytearray(jp))], "doc_id long, payload binary")
+    out = resize_images(df, target_w=4, target_h=4, fake=False).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert (row.width, row.height) == (16, 8)
+    w, h, px = dec(jp)
+    want = hashlib.sha256(
+        encode_png(resize_nearest(px, w, h, 3, 4, 4), 4, 4, 2)
+    ).hexdigest()
+    assert row.resized_sha256 == want
