@@ -176,7 +176,13 @@ def bench_streaming_catchup(spark, scale: int = 20) -> tuple[str, float]:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
-    spark = get_spark(app_name="bench")
+    # console progress bars write stage-fragment lines that can share a
+    # physical line with the final JSON when streams are merged — keep the
+    # bench's stdout strictly one-JSON-line parseable
+    spark = get_spark(
+        app_name="bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     # JVM/codegen warm-up so the first timed query isn't charged session
     # startup; table data itself stays cold. The tiny untimed domain passes
     # JIT the fold/sink code paths the same way spark.range warms the
