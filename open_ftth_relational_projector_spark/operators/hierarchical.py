@@ -49,13 +49,14 @@ def hierarchical_cumsum(
     order_cols: list[Column],
     value_col: str,
     out_col: str,
+    n_shards: int | None = None,
 ) -> DataFrame:
     """Inclusive running sum of ``value_col`` in ``order_cols`` order,
     computed per range-shard with broadcast shard offsets. Equals
     ``sum(value) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)`` exactly.
     Ordering must be total (add a tiebreak column if needed) for a
     deterministic result."""
-    sharded = df.repartitionByRange(_n_shards(df), *order_cols).withColumn(
+    sharded = df.repartitionByRange(n_shards or _n_shards(df), *order_cols).withColumn(
         "_shard", F.spark_partition_id()
     )
     w = (
@@ -77,11 +78,12 @@ def hierarchical_row_number(
     df: DataFrame,
     order_cols: list[Column],
     out_col: str,
+    n_shards: int | None = None,
 ) -> DataFrame:
     """Exact global 1-based rank in ``order_cols`` order (must be a total
     order), computed per range-shard with broadcast shard row-count
     offsets. Equals ``row_number() OVER (ORDER BY ...)`` exactly."""
-    sharded = df.repartitionByRange(_n_shards(df), *order_cols).withColumn(
+    sharded = df.repartitionByRange(n_shards or _n_shards(df), *order_cols).withColumn(
         "_shard", F.spark_partition_id()
     )
     w = Window.partitionBy("_shard").orderBy(*order_cols)

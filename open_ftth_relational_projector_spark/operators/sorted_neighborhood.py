@@ -25,7 +25,7 @@ consistently.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window as W, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 
 def global_rank(
@@ -37,37 +37,17 @@ def global_rank(
     """df + a 1-based dense global row number under ``order_cols``,
     computed without a single-partition window. ``order_cols`` must form
     a total order (include a unique tiebreaker)."""
-    cols = [F.col(c) for c in order_cols]
-    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    # MATERIALIZE the range partitioning: RangePartitioner samples with an
-    # rddId-dependent seed, so re-evaluating this plan can draw DIFFERENT
-    # boundaries — the offsets collected below would then disagree with
-    # the partitioning the final join sees, producing duplicate ranks
-    # (caught by the sf0.1 differential sweep; invisible at small scale
-    # where the sample is the whole input).
-    ranged = (
-        df.repartitionByRange(n, *cols)
-        .sortWithinPartitions(*cols)
-        .localCheckpoint(eager=True)
-    )
-    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
-    sizes = {
-        r["_pid"]: r["n"]
-        for r in with_pid.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    offsets, acc = {}, 0
-    for pid in sorted(sizes):
-        offsets[pid] = acc
-        acc += sizes[pid]
-    spark = df.sparkSession
-    off_df = spark.createDataFrame(
-        [(pid, off) for pid, off in offsets.items()], "_pid int, _off long"
-    )
-    w = W.partitionBy("_pid").orderBy(*cols)
-    return (
-        with_pid.join(F.broadcast(off_df), "_pid")
-        .withColumn(rank_col, F.row_number().over(w) + F.col("_off"))
-        .drop("_pid", "_off")
+    # Delegates to the shared range-shard + broadcast-offset primitive
+    # (operators/hierarchical.py), which localCheckpoints the sharded rank
+    # so the offsets job and the final join see the SAME range boundaries:
+    # RangePartitioner samples with an rddId-dependent seed, so
+    # re-evaluating the plan can draw DIFFERENT boundaries and produce
+    # duplicate ranks (caught by the sf0.1 differential sweep; invisible
+    # at small scale where the sample is the whole input).
+    from .hierarchical import hierarchical_row_number
+
+    return hierarchical_row_number(
+        df, [F.col(c) for c in order_cols], rank_col, n_shards=num_partitions
     )
 
 
