@@ -401,3 +401,25 @@ def test_prefix_filter_sizes_join_not_hinted_broadcast(q):
     assert "ResolvedHint" not in optimized, optimized
     analyzed = df._jdf.queryExecution().analyzed().toString()  # noqa: SLF001
     assert "ResolvedHint" not in analyzed, analyzed
+
+
+def test_deglobalized_windows_have_partitioned_specs_only(q):
+    """The three round-4 hierarchical rewrites must never regress to an
+    unpartitioned window: every windowspecdefinition in their optimized
+    plans carries at least one partition column (scripts/
+    audit_global_windows.py sweeps the whole catalog; this pins the three
+    in the suite). token_budget_chunks is covered via its catalog entry."""
+    import re
+
+    for name in (
+        "rfm_customer_segments",
+        "peak_concurrent_sessions",
+        "token_budget_chunks",
+    ):
+        df = q(name)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
+        for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+            first = m.group(1).split(",")[0].strip()
+            assert not re.search(r"(ASC|DESC) NULLS", first), (
+                f"{name} has an unpartitioned window: {m.group(1)[:90]}"
+            )
