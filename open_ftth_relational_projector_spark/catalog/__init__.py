@@ -39,41 +39,36 @@ from . import timeseries  # noqa: E402,F401
 # ===========================================================================
 # Registration order for the driver window
 # ===========================================================================
-# ROUND-4 WINDOW PLAN (for the next session): lead with q1, then EVERY
-# query registered after the r3 window froze — none has held a driver row
-# yet. As of end-r3 that is (a) the ~30 entries from kmeans_cluster_stats
-# through part_cooccurrence_top_pairs in source order (clustering/DSIR/
-# PageRank/bigram-LM/curation, sketches, audio, SCD2/time-weighted,
-# snapshot-diff/histogram/zorder, transitions/WAU, expectations, ER,
-# PIT-features/negative-samples, winsorize/k-anon/z-score/baskets,
-# DLQ/pseudonymization, hybrid RRF, incremental dedup, winnowing,
-# label propagation, triangles, mixture/length-bucket sampling), and
-# (b) the late-r3 additions that did NOT take a window slot this round:
-# cms_join_size_estimate, unpivot_lineitem_measures, kcenter_coreset,
-# asof_forward_error_recovery, attribution_last_touch,
-# merged_order_activity_periods, linear_interpolated_values,
-# knn_label_noise, fd_violation_profile, benford_price_audit,
-# kmv_segment_overlap, exact_median_twopass, ewma_user_values,
-# cusum_changepoints, conversion_survival_curve, weighted_purchase_paths,
-# item_item_similarity, acctbal_distribution_ranks, corpus_zipf_heaps,
-# rfm_customer_segments, psi_value_drift, attribution_linear_multitouch,
-# kcore_purchase_graph, peak_concurrent_sessions, dow_seasonality_index
-# (the five
-# late-r3 additions that DID take slots — bfs/kmv/skyline/mad/
-# sorted_neighborhood — will hold r3 rows). The window holds 50: fill
-# the remainder with the r2-green families whose last green row is
-# oldest. Keep every name in _DRIVER_WINDOW_FRONT registered (the
-# assert below enforces it).
+# ROUND-5 WINDOW PLAN (for the next session): assuming CORRECTNESS_r04
+# lands green, exactly 39 catalog queries will still lack a driver row.
+# Fill the r5 window with ALL of them (39 + q1 flagship = 40 slots),
+# then spend the remaining 10 slots on regression spot-checks of the
+# oldest green rows (r1-only families first: proj_*_sim, walk-hop,
+# windows, asof, text basics). The 39, in registration order:
+#   unpivot_lineitem_measures, cube_orders_status_priority,
+#   asof_forward_error_recovery, attribution_last_touch,
+#   event_deltas_range_frame, doc_length_deciles,
+#   repeat_buyer_churn_setops, knn_label_noise, dsir_doc_weights,
+#   curation_decisions, embedding_outlier_stats, hybrid_rrf_retrieval,
+#   temperature_mixture_sample, length_bucketed_batches,
+#   audio_wav_features, audio_wav_resample, expectations_audit,
+#   price_histogram, zorder_locality_audit, event_transition_matrix,
+#   json_dlq_report, negative_samples_per_customer,
+#   pseudonymized_join_integrity, k_anonymity_audit,
+#   dow_seasonality_index, attribution_linear_multitouch,
+#   acctbal_distribution_ranks, item_item_similarity,
+#   part_cooccurrence_top_pairs, calendar_monthly_rollup, kwic_snippets,
+#   user_value_trend, top_user_journey_prefixes, fd_violation_profile,
+#   fk_fanout_audit, table_content_fingerprints, grouping_sets_revenue,
+#   null_safe_segment_join, revenue_share_of_region
+# If any r4 row FAILED, put it at the front of the r5 window after the
+# fix. Keep every name in _DRIVER_WINDOW_FRONT registered (the assert
+# below enforces it) and re-pin tests/data/catalog_order.txt after any
+# reorder.
 #
-# The driver's CORRECTNESS gate records only the FIRST 50 queries() entries
-# per round. The windows rotate so that across rounds every query holds a
-# recent green row. Round 3 leads with q1 (the entry() flagship), then the
-# six queries NEW this round (the fiber-cable projection sim and the five
-# hard-verification twins for the approximate dedup/ANN paths), then the 29
-# queries whose green rows are r1-only (regression cover: proj_*_sim,
-# walk-hop, windows, asof, text basics), then the five approximate
-# rows-only queries (recorded beside their now-oracled twins), with the
-# remaining slots spot-checking the biggest r2-green families.
+# The driver's CORRECTNESS gate records only the FIRST 50 queries()
+# entries per round; windows rotate so every query eventually holds a
+# recent green row.
 _DRIVER_WINDOW_FRONT = [
     # Round 4: the catalog holds 187 queries but the driver checks only the
     # first 50 per round; r1∪r2∪r3 green rows cover 99, leaving 88 that have
