@@ -153,3 +153,82 @@ def test_resize_images_real_handles_jpeg(spark):
         encode_png(resize_nearest(px, w, h, 3, 4, 4), 4, 4, 2)
     ).hexdigest()
     assert row.resized_sha256 == want
+
+
+# --- property-based coverage (Spark-free, pure decode) ----------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYP = False
+
+if _HAVE_HYP:
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.lists(
+            st.lists(st.integers(-20, 20), min_size=64, max_size=64),
+            min_size=1,
+            max_size=4,
+        )
+    )
+    def test_any_gray_blocks_roundtrip_vs_reference(blocks):
+        """Arbitrary quantized coefficient blocks (1-4 blocks wide, 8 px
+        tall) survive encode→decode bit-exactly vs the numpy reference
+        IDCT — Huffman coding, run-lengths, ZRL, and DC prediction all
+        exercised by the random coefficient structure."""
+        n = len(blocks)
+        jp = encode_jpeg(8 * n, 8, [blocks], [(1, 1)])
+        w, h, px = decode_jpeg_pixels(jp)
+        assert (w, h) == (8 * n, 8)
+        a = np.frombuffer(px, np.uint8).reshape(8, 8 * n, 3)[:, :, 0]
+        for i, blk in enumerate(blocks):
+            np.testing.assert_array_equal(
+                a[:, 8 * i : 8 * (i + 1)], _ref_idct(blk)
+            )
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.integers(-30, 30),
+        st.integers(-30, 30),
+        st.integers(-30, 30),
+        st.sampled_from([(1, 1), (2, 1), (1, 2), (2, 2)]),
+    )
+    def test_color_constant_any_sampling(ydc, bdc, rdc, samp):
+        """Constant-color images under every legal luma sampling layout:
+        the decoded RGB must equal the JFIF matrix applied to the three
+        DC-only planes, for 4:4:4 / 4:2:2 / 4:4:0 / 4:2:0 alike."""
+        hs, vs = samp
+        y_blocks = [_dc_block(ydc)] * (hs * vs)
+        jp = encode_jpeg(
+            8 * hs,
+            8 * vs,
+            [y_blocks, [_dc_block(bdc)], [_dc_block(rdc)]],
+            [(hs, vs), (1, 1), (1, 1)],
+        )
+        w, h, px = decode_jpeg_pixels(jp)
+        assert (w, h) == (8 * hs, 8 * vs)
+        yv = max(0, min(255, 2 * ydc + 128))
+        bv = max(0, min(255, 2 * bdc + 128))
+        rv = max(0, min(255, 2 * rdc + 128))
+        want = (
+            math.floor(max(0.0, min(255.0, yv + 1.402 * (rv - 128))) + 0.5),
+            math.floor(
+                max(
+                    0.0,
+                    min(
+                        255.0,
+                        yv - 0.344136 * (bv - 128) - 0.714136 * (rv - 128),
+                    ),
+                )
+                + 0.5
+            ),
+            math.floor(max(0.0, min(255.0, yv + 1.772 * (bv - 128))) + 0.5),
+        )
+        a = np.frombuffer(px, np.uint8).reshape(h, w, 3)
+        assert set(a[:, :, 0].flat) == {want[0]}
+        assert set(a[:, :, 1].flat) == {want[1]}
+        assert set(a[:, :, 2].flat) == {want[2]}
