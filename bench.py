@@ -90,6 +90,9 @@ EXTRA_QUERIES = [
     "kcore_purchase_graph",
     "peak_concurrent_sessions",
     "dow_seasonality_index",
+    # r4: hierarchical-rewrite regression tracking (the third rewrite,
+    # rfm_customer_segments, is already tracked above)
+    "token_budget_chunks",
 ]
 
 
