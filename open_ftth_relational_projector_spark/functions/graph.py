@@ -480,11 +480,24 @@ def kcore_peel(
     deterministic pure function both engines can replay (an unrolled SQL
     oracle); on most graphs peeling converges in a few rounds — callers
     wanting the true k-core raise ``rounds`` and check a further round
-    changes nothing. Each round is one degree aggregation + two
-    anti-joins, all keyed on node id; ``localCheckpoint`` truncates
-    lineage per round.
+    changes nothing.
 
-    Returns surviving (node, degree) after the final round.
+    Peeling is DECREMENTAL (the r4 graph-scaling sweep showed the naive
+    recount-per-round shape growing 13.6× at 100× edges — the worst of
+    the graph family): degrees are aggregated ONCE, then each round
+    subtracts, from every still-alive node, its edge count into that
+    round's dead set. This is exact, not an approximation: a node dead in
+    round r was alive until r, so ALL its edges to currently-alive
+    neighbors are still present in the peeled graph — the per-edge
+    removal bookkeeping recomputation does is implied by node liveness.
+    Per-round work is one scan of the (checkpointed-once) edge list
+    joined against the dead set — typically broadcast-sized after round
+    1 — plus a |V|-sized degree update; no per-round |E| shuffle or |E|
+    checkpoint.
+
+    Returns surviving (node, degree) after the final round; nodes whose
+    degree reached 0 without being peeled are dropped (they have no
+    surviving edges), matching the recount semantics.
     """
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -495,16 +508,40 @@ def kcore_peel(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    deg = (
+        e.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
     for _ in range(rounds):
-        deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("n"))
         dead = deg.filter(F.col("n") < k).select("u")
-        e = (
-            e.join(dead, "u", "left_anti")
-            .join(dead.withColumnRenamed("u", "v"), "v", "left_anti")
+        # scalar count over the checkpointed |V|-sized degree table: a
+        # fixpoint reached early makes every remaining round a no-op —
+        # skip them (identical result; same driver-scalar pattern as the
+        # BFS frontier emptiness check). The count also sizes the join:
+        # a bounded dead set broadcasts; an unbounded one (adversarial
+        # first round) falls back to the keyed join.
+        n_dead = dead.count()
+        if n_dead == 0:
+            break
+        dead_v = dead.withColumnRenamed("u", "v")
+        if n_dead <= 1_000_000:
+            dead_v = F.broadcast(dead_v)
+        lost = (
+            e.join(dead_v, "v")
+            .groupBy("u")
+            .agg(F.count(F.lit(1)).alias("lost"))
+        )
+        deg = (
+            deg.join(dead, "u", "left_anti")
+            .join(lost, "u", "left")
+            .select(
+                "u",
+                (F.col("n") - F.coalesce(F.col("lost"), F.lit(0))).alias("n"),
+            )
             .localCheckpoint(eager=True)
         )
     return (
-        e.groupBy("u")
-        .agg(F.count(F.lit(1)).alias("degree"))
-        .select(F.col("u").alias("node"), F.col("degree").cast("long"))
+        deg.filter(F.col("n") > 0)
+        .select(F.col("u").alias("node"), F.col("n").cast("long").alias("degree"))
     )

@@ -2153,3 +2153,50 @@ def test_linear_interpolation_matches_pandas_index_method(spark):
         assert got[0][1] == "nocb" and got[7][1] == "interp" and got[14][1] == "locf"
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_kcore_decremental_equals_recount(spark):
+    """The r4 decremental peel must match a naive recount-per-round
+    reimplementation edge-for-edge on random graphs (including a graph
+    where peeling cascades for several rounds and one where a node's
+    degree hits 0 without being peeled)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from open_ftth_relational_projector_spark.functions.graph import kcore_peel
+
+    def recount(edges, k, rounds):
+        e = (
+            edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+            .unionByName(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        for _ in range(rounds):
+            deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("n"))
+            dead = deg.filter(F.col("n") < k).select("u")
+            e = e.join(dead, "u", "left_anti").join(
+                dead.withColumnRenamed("u", "v"), "v", "left_anti"
+            )
+        return {
+            (r["u"], r["n"])
+            for r in e.groupBy("u").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+
+    rng = random.Random(11)
+    for trial, (n_nodes, n_edges, k) in enumerate(
+        [(30, 60, 2), (40, 70, 3), (25, 30, 2)]
+    ):
+        pairs = {
+            (rng.randrange(n_nodes), rng.randrange(n_nodes)) for _ in range(n_edges)
+        }
+        edges = spark.createDataFrame(
+            [(a, b) for a, b in pairs if a != b], "src long, dst long"
+        )
+        got = {
+            (r["node"], r["degree"])
+            for r in kcore_peel(edges, k=k, rounds=4).collect()
+        }
+        want = recount(edges, k, 4)
+        assert got == want, f"trial {trial}: {got ^ want}"
