@@ -447,6 +447,26 @@ def weighted_shortest_paths(
         .withColumn("d", F.lit(0.0))
         .localCheckpoint(eager=True)
     )
+    # fixpoint detector: per-node d is monotone NON-INCREASING and the
+    # node set only grows, so the scalar pair (count, sum of d) is
+    # unchanged iff NO distance changed — and a round that changes nothing
+    # makes every later round a no-op (the relaxation is a deterministic
+    # function of dist). The sum is taken over EXACT integers (d is
+    # already rounded to iter_dp, so d·10^iter_dp is integral and < 2^53)
+    # because a float sum's partial-aggregation order could mask a real
+    # 1-ulp decrease at large counts. One cheap aggregate over the
+    # checkpointed state per round; identical result to running all
+    # max_hops rounds.
+    scale = 10**iter_dp
+
+    def _sig(df):
+        row = df.agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum(F.round(F.col("d") * scale).cast("long")).alias("s"),
+        ).collect()[0]
+        return row["c"], row["s"]
+
+    sig = _sig(dist)
     for _ in range(max_hops):
         relaxed = (
             dist.join(e, dist["node"] == e["u"])
@@ -461,6 +481,10 @@ def weighted_shortest_paths(
             .agg(F.min("d").alias("d"))
             .localCheckpoint(eager=True)
         )
+        new_sig = _sig(dist)
+        if new_sig == sig:
+            break
+        sig = new_sig
     return dist.select("node", F.col("d").alias("cost"))
 
 
