@@ -423,3 +423,43 @@ def test_deglobalized_windows_have_partitioned_specs_only(q):
             assert not re.search(r"(ASC|DESC) NULLS", first), (
                 f"{name} has an unpartitioned window: {m.group(1)[:90]}"
             )
+
+
+def test_r4_window_families_plan_shapes(q):
+    """Plan pins for the round-4 driver-window families: sketch and
+    temporal-modeling queries stay cartesian-free, and every time-series
+    window is partitioned (per-user/per-key), never global."""
+    import re
+
+    # kmv_segment_overlap / cms_join_size_estimate are intentionally
+    # excluded: they crossJoin broadcast SKETCH frames (fixed-size state,
+    # one row per segment/table — the bounded-scalar pattern), which
+    # plans as a BroadcastNestedLoopJoin by design.
+    for name in (
+        "cms_heavy_hitters",
+        "approx_distinct_users",
+        "scd2_user_value_history",
+        "snapshot_diff_orders",
+        "point_in_time_features",
+        "merged_order_activity_periods",
+        "user_activity_streaks",
+        "rolling_zscore_anomalies",
+        "time_weighted_user_value",
+    ):
+        C.assert_no_cartesian(q(name))
+
+    for name in (
+        "ewma_user_values",
+        "cusum_changepoints",
+        "forward_filled_values",
+        "linear_interpolated_values",
+        "rolling_7d_active_users",
+        "user_activity_streaks",
+        "rolling_zscore_anomalies",
+    ):
+        plan = q(name)._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
+        for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+            first = m.group(1).split(",")[0].strip()
+            assert not re.search(r"(ASC|DESC) NULLS", first), (
+                f"{name}: unpartitioned window [{m.group(1)[:80]}]"
+            )
