@@ -114,7 +114,7 @@ def kmeans_fit(
         by_cid: dict[int, dict[int, float]] = {}
         for r in rows:
             by_cid.setdefault(r["cid"], {})[r["pos"]] = r["cv"]
-        centroids = [
+        new_centroids = [
             [
                 round(float(by_cid[cid][p]), 6)
                 for p in range(len(centroids[cid - 1]))
@@ -123,6 +123,16 @@ def kmeans_fit(
             else centroids[cid - 1]  # empty cell keeps its old centroid
             for cid in range(1, k + 1)
         ]
+        converged = new_centroids == centroids
+        centroids = new_centroids
+        if converged:
+            # Lloyd is a deterministic function of the centroids (rounded
+            # to 6 dp before the next E-step), so an unchanged M-step makes
+            # every remaining iteration a no-op — the result is identical
+            # to running all `iters`, the contract the unrolled SQL oracle
+            # pins. Free to detect: the centroids are already on the
+            # driver.
+            break
     return centroids
 
 
