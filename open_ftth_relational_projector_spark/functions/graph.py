@@ -66,29 +66,35 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    # convergence detector: per-node labels are monotone NON-INCREASING
+    # (min-propagation) over a FIXED node set, so the exact integer sum of
+    # labels is unchanged iff no label changed — a scalar aggregate over
+    # the checkpointed state instead of the per-round |V| join-compare.
+    # decimal(38,0) accumulator: a long sum of web-scale node ids overflows
+    # ANSI arithmetic (same guard as the star variant's checksum).
+    def _label_sum(df: DataFrame):
+        return df.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    sig = _label_sum(labels)
     for _ in range(max_iter):
         neigh = (
             sym.join(labels, sym.b == labels.node)
             .select(F.col("a").alias("node"), "label")
         )
-        new_labels = (
+        labels = (
             labels.unionByName(neigh)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        new_sig = _label_sum(labels)
+        if new_sig == sig:
             return labels.select(
                 F.col("node").alias(out_node), F.col("label").alias(out_label)
             )
+        sig = new_sig
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds"
     )
