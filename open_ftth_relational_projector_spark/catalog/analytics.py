@@ -1,4 +1,4 @@
-"""Corpus statistics, recommendations, journeys, PQ serving, prefix-filtered joins.
+"""Corpus statistics, recommendations, journeys, A/B stats, PQ serving, prefix-filtered similarity joins.
 
 Split out of the single-file catalog (round-4 verdict #6); registration
 order preserved — see catalog/__init__.py.

@@ -1,4 +1,4 @@
-"""Distributed clustering + SemDeDup + DSIR selection.
+"""Clustering, selection, and iterative graph signals: k-means stats, SemDeDup, DSIR weights, k-center coreset, k-core, Bellman-Ford paths, PageRank, multi-source BFS, bigram-LM scores.
 
 Split out of the single-file catalog (round-4 verdict #6); registration
 order preserved — see catalog/__init__.py.

@@ -1,4 +1,4 @@
-"""Fixed-memory sketches, self-verified.
+"""Fixed-memory sketches and retrieval compositions: KMV, CMS, Bloom decontamination, embedding QA, hybrid RRF, incremental dedup, label propagation, mixture sampling, winnowing.
 
 Split out of the single-file catalog (round-4 verdict #6); registration
 order preserved — see catalog/__init__.py.

@@ -1,4 +1,4 @@
-"""Time-series, survival, changepoints, distribution audits, set reconciliation.
+"""Time-series repair and distribution audits: survival, CUSUM, EWMA, exact median, Benford/FD/FK audits, grouping sets, interpolation, set reconciliation.
 
 Split out of the single-file catalog (round-4 verdict #6); registration
 order preserved — see catalog/__init__.py.

@@ -1,4 +1,4 @@
-"""Warehouse modeling and audits: SCD2, snapshots, expectations, ER, windows.
+"""Warehouse modeling, audits, and behavioral windows: SCD2, expectations, snapshots, histograms, triangles, TF-IDF pairs, z-order audit, ER, PIT features, anonymization, rolling stats, RFM, concurrency peaks.
 
 Split out of the single-file catalog (round-4 verdict #6); registration
 order preserved — see catalog/__init__.py.
