@@ -791,7 +791,22 @@ def jaccard_pairs_prefix_filtered(
         # already established, so no extra shuffle is introduced.
         .join(sizes, "doc_id")
         .filter(F.col("pos") <= prefix_len)
-        .select("doc_id", "shingle")
+        .select("doc_id", "shingle", "pos", "n_sh")
+    )
+    # PPJoin positional filter (Xiao et al., WWW 2008), set-based and
+    # LOSSLESS: both docs' shingle lists are sorted by the SAME global
+    # (df, shingle) total order, so for a shared prefix shingle at
+    # positions (i, j) every other common shingle lies either before it
+    # in BOTH lists (≤ min(i,j)−1 of those) or after it in both
+    # (≤ min(na−i, nb−j)). overlap ≤ min(i,j) + min(na−i, nb−j), taking
+    # the tightest bound over all shared prefix shingles; a pair whose
+    # best-case Jaccard ub/(na+nb−ub) cannot reach the threshold is
+    # pruned BEFORE the exact verification join. The 1e-9 slack keeps the
+    # float boundary cases (verified exactly anyway) — J ≥ t implies
+    # bound ≥ t > t−ε, so no qualifying pair is ever dropped (pinned by
+    # the equal-result test vs ngram_jaccard_pairs).
+    ub = F.least(F.col("a.pos"), F.col("b.pos")) + F.least(
+        F.col("a.n_sh") - F.col("a.pos"), F.col("b.n_sh") - F.col("b.pos")
     )
     cands = (
         prefix.alias("a")
@@ -800,8 +815,22 @@ def jaccard_pairs_prefix_filtered(
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
+            ub.alias("ub"),
+            F.col("a.n_sh").alias("pna"),
+            F.col("b.n_sh").alias("pnb"),
         )
-        .distinct()
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.min("ub").alias("ub"),
+            F.max("pna").alias("pna"),
+            F.max("pnb").alias("pnb"),
+        )
+        .filter(
+            F.col("ub")
+            / (F.col("pna") + F.col("pnb") - F.col("ub")).cast("double")
+            >= F.lit(threshold - 1e-9)
+        )
+        .select("doc_a", "doc_b")
     )
     full = sh.select(
         F.col("doc_id"), F.col("sh"), F.size("sh").alias("nsz")
