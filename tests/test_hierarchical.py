@@ -64,3 +64,24 @@ def test_ntile_from_rank_matches_sql_ntile(spark):
             df.select("k", F.ntile(5).over(Window.orderBy("k")).alias("t"))
         )
         assert got == want, f"n={n}"
+
+
+def test_hierarchical_invariant_to_shard_count(spark):
+    """Results are identical at any parallelism: n_shards 1, 3, and 64
+    (more shards than rows included) all reproduce the global window."""
+    df = _data(spark, n=200, parts=7)
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    want = rows_set(df.withColumn("cum", F.sum("v").over(w)))
+    for n_shards in (1, 3, 64):
+        got = rows_set(
+            hierarchical_cumsum(df, [F.col("k")], "v", "cum", n_shards=n_shards)
+        )
+        assert got == want, f"n_shards={n_shards}"
+    want_rn = rows_set(
+        df.withColumn("rn", F.row_number().over(Window.orderBy("k")).cast("long"))
+    )
+    for n_shards in (1, 3, 64):
+        got = rows_set(
+            hierarchical_row_number(df, [F.col("k")], "rn", n_shards=n_shards)
+        )
+        assert got == want_rn, f"n_shards={n_shards}"
