@@ -177,3 +177,64 @@ def stateful_running_totals(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+DEDUP_OUTPUT_SCHEMA = "text_hash string, doc_id long, first_seen_seq long"
+DEDUP_STATE_SCHEMA = "first_doc long, first_seq long"
+
+
+def _dedup_fold(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        # content hash already admitted by an earlier micro-batch: every
+        # later copy is a duplicate — emit nothing, state unchanged
+        return
+    rows = pd.concat(list(pdfs)).sort_values(["seq", "doc_id"])
+    first = rows.iloc[0]
+    state.update((int(first.doc_id), int(first.seq)))
+    yield pd.DataFrame(
+        {
+            "text_hash": [key[0]],
+            "doc_id": [int(first.doc_id)],
+            "first_seen_seq": [int(first.seq)],
+        }
+    )
+
+
+def streaming_dedup_first(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Streaming exact dedup: admit each distinct content hash ONCE across
+    the whole stream — the "dedup the new crawl increment against
+    everything already ingested" operation a training-data pipeline runs
+    continuously, without re-scanning the historical corpus.
+
+    Keyed state = (first admitted doc, its seq) per content hash,
+    partitioned across executors by the hash (RocksDB-backed on a
+    cluster): the accumulated corpus lives in the state store, and each
+    micro-batch costs one keyed shuffle of ITS OWN rows. Within a batch
+    the earliest (seq, doc_id) copy wins — the same order-preserving
+    first-occurrence contract as the batch ``dedup_first_occurrence``;
+    across batches the state suppresses re-emission entirely (append
+    output: each hash appears at most once in the lifetime of the query).
+
+    Batch equivalence (pinned in tests/test_stateful.py): draining N
+    ordered files through this operator yields exactly the batch
+    first-occurrence result over their union.
+    """
+    keyed = docs.select(
+        F.md5(F.col(text_col)).alias("text_hash"),
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(seq_col).cast("long").alias("seq"),
+    )
+    return keyed.groupBy("text_hash").applyInPandasWithState(
+        _dedup_fold,
+        outputStructType=DEDUP_OUTPUT_SCHEMA,
+        stateStructType=DEDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

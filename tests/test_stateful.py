@@ -192,3 +192,67 @@ def test_stateful_state_survives_query_restart(spark, tmp_path):
     assert second[1] == (15.0, 3)  # prior state restored, not recomputed
     assert second[3] == (1.0, 1)
     assert 2 not in second  # untouched key emits nothing in update mode
+
+
+def test_streaming_dedup_first_matches_batch(spark):
+    """streaming_dedup_first over ordered micro-batches ≡ batch
+    first-occurrence dedup over their union: each content hash admitted
+    exactly once, earliest (seq, doc_id) wins, later-batch copies
+    suppressed by keyed state."""
+    import json
+    import os
+
+    from open_ftth_relational_projector_spark.streaming.stateful import (
+        streaming_dedup_first,
+    )
+
+    # texts repeat within AND across batches; seq is globally ordered so
+    # file order == arrival order
+    rows = [
+        (1, "alpha beta"), (2, "gamma"), (3, "alpha beta"),   # batch 0
+        (4, "delta"), (5, "gamma"), (6, "epsilon"),           # batch 1
+        (7, "alpha beta"), (8, "zeta"), (9, "delta"),         # batch 2
+    ]
+    tmp = tempfile.mkdtemp(prefix="ofrp_sdedup_")
+    try:
+        os.makedirs(f"{tmp}/in")
+        import time as _time
+
+        now = _time.time()
+        for b in range(3):
+            path = f"{tmp}/in/batch_{b:05d}.json"
+            with open(path, "w") as fh:
+                for seq, text in rows[b * 3 : b * 3 + 3]:
+                    fh.write(json.dumps({"doc_id": seq * 10, "seq": seq, "text": text}) + "\n")
+            # the file source orders same-mtime files arbitrarily; pin
+            # strictly increasing mtimes so trigger order == batch order
+            os.utime(path, (now + b, now + b))
+        stream = spark.readStream.schema(
+            "doc_id long, seq long, text string"
+        ).option("maxFilesPerTrigger", "1").json(f"{tmp}/in")
+        q = (
+            streaming_dedup_first(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("sdedup")
+            .option("checkpointLocation", f"{tmp}/cp")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(240)
+        got = {
+            (r["doc_id"], r["first_seen_seq"])
+            for r in spark.sql("SELECT * FROM sdedup").collect()
+        }
+        # batch oracle: first (seq, doc_id) per distinct text
+        first = {}
+        for seq, text in rows:
+            if text not in first:
+                first[text] = (seq * 10, seq)
+        assert got == set(first.values())
+        # each hash exactly once, ever
+        n = spark.sql("SELECT count(*) c FROM sdedup").collect()[0]["c"]
+        assert n == len(first)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.catalog.dropTempView("sdedup")
