@@ -234,6 +234,63 @@ def _minhash_sig_sql(sh_col: str, num_hashes: int, portable: bool) -> str:
     return f"array({mins})"
 
 
+def minhash_banded(
+    docs: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: HashFn | None = None,
+    portable_bands: bool = False,
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(doc_id, band_id, band_hash) LSH bucket rows — the shared banding
+    core of ``minhash_lsh_candidates`` (batch) and
+    ``streaming/stateful.streaming_lsh_candidates`` (keyed-state stream).
+    ``carry_cols`` ride through unchanged (e.g. a stream's seq column).
+    All pure built-in expressions, so the frame is streaming-safe."""
+    rows = num_hashes // bands
+
+    def band_key(i: int) -> Column:
+        sl = F.slice(F.col("sig"), i * rows + 1, rows)
+        if portable_bands:
+            return F.concat_ws(
+                ",", F.transform(sl, lambda v: v.cast("string"))
+            )
+        return F.hash(sl).cast("string")
+
+    # docs shorter than n tokens have no shingles: every signature slot is
+    # NULL, so ALL of them would share one band key and pair quadratically
+    # (k² candidates that the later NULL-Jaccard verify only discards).
+    # They cannot be near-duplicates of anything — drop them before banding.
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        shingles(F.col(text_col), n).alias("sh"),
+        *[F.col(c) for c in carry_cols],
+    ).filter(F.size("sh") > 0)
+    if hash_fn is None or hash_fn is portable_hash64:
+        sig = sh.selectExpr(
+            "doc_id",
+            _minhash_sig_sql("sh", num_hashes, hash_fn is portable_hash64)
+            + " AS sig",
+            *carry_cols,
+        )
+    else:
+        sig = sh.select(
+            "doc_id",
+            minhash_signature(F.col("sh"), num_hashes, hash_fn).alias("sig"),
+            *[F.col(c) for c in carry_cols],
+        )
+    return sig.select(
+        "doc_id",
+        *[F.col(c) for c in carry_cols],
+        F.posexplode(F.array(*[band_key(i) for i in range(bands)])).alias(
+            "band_id", "band_hash"
+        ),
+    )
+
+
 def minhash_lsh_candidates(
     docs: DataFrame,
     num_hashes: int = 32,
@@ -254,37 +311,8 @@ def minhash_lsh_candidates(
     (a string both engines render identically) instead of F.hash, so a
     DuckDB oracle built with string_agg reproduces the exact bucketing.
     """
-    rows = num_hashes // bands
-
-    def band_key(i: int) -> Column:
-        sl = F.slice(F.col("sig"), i * rows + 1, rows)
-        if portable_bands:
-            return F.concat_ws(
-                ",", F.transform(sl, lambda v: v.cast("string"))
-            )
-        return F.hash(sl).cast("string")
-
-    # docs shorter than n tokens have no shingles: every signature slot is
-    # NULL, so ALL of them would share one band key and pair quadratically
-    # (k² candidates that the later NULL-Jaccard verify only discards).
-    # They cannot be near-duplicates of anything — drop them before banding.
-    sh = add_shingles(docs, n, text_col, id_col).filter(F.size("sh") > 0)
-    if hash_fn is None or hash_fn is portable_hash64:
-        sig = sh.selectExpr(
-            "doc_id",
-            _minhash_sig_sql("sh", num_hashes, hash_fn is portable_hash64)
-            + " AS sig",
-        )
-    else:
-        sig = sh.select(
-            "doc_id",
-            minhash_signature(F.col("sh"), num_hashes, hash_fn).alias("sig"),
-        )
-    banded = sig.select(
-        "doc_id",
-        F.posexplode(F.array(*[band_key(i) for i in range(bands)])).alias(
-            "band_id", "band_hash"
-        ),
+    banded = minhash_banded(
+        docs, num_hashes, bands, n, text_col, id_col, hash_fn, portable_bands
     )
     a = banded.alias("a")
     b = banded.alias("b")

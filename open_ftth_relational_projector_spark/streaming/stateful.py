@@ -238,3 +238,90 @@ def streaming_dedup_first(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+LSH_OUTPUT_SCHEMA = "doc_a long, doc_b long, band_id int"
+LSH_STATE_SCHEMA = "members array<long>"
+
+
+def _lsh_bucket_fold(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    members: list[int] = list(state.get[0]) if state.exists else []
+    known = set(members)
+    max_bucket = 64  # see streaming_lsh_candidates docstring
+    out_a: list[int] = []
+    out_b: list[int] = []
+    band_id = None
+    rows = pd.concat(list(pdfs)).sort_values(["seq", "doc_id"])
+    for r in rows.itertuples():
+        d = int(r.doc_id)
+        band_id = int(r.band_id)
+        if d in known:
+            continue  # re-delivery: already admitted to this bucket
+        for m in members:
+            out_a.append(min(m, d))
+            out_b.append(max(m, d))
+        if len(members) < max_bucket:
+            members.append(d)
+            known.add(d)
+    state.update((members,))
+    if out_a:
+        yield pd.DataFrame(
+            {"doc_a": out_a, "doc_b": out_b, "band_id": [band_id] * len(out_a)}
+        )
+
+
+def streaming_lsh_candidates(
+    docs: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Streaming MinHash-LSH near-duplicate candidates: each arriving doc
+    is paired against every doc ALREADY ADMITTED to any of its signature
+    buckets — the approximate companion to ``streaming_dedup_first``
+    (near-dup the new crawl increment against the accumulated corpus,
+    state instead of re-scan).
+
+    Banding reuses the batch machinery verbatim
+    (``functions/dedup.minhash_banded``), so a drained stream's distinct
+    (doc_a, doc_b) equals the batch ``minhash_lsh_candidates`` over the
+    same union (pinned in tests). State per (band_id, band_hash) bucket =
+    the insertion-ordered member list, CAPPED at 64 ids — the streaming
+    form of the stop-shingle guard: a degenerate bucket (boilerplate
+    band shared by everything) stops admitting members after the cap, so
+    both state size and the per-arrival pair fan-out stay bounded; docs
+    beyond the cap still PAIR with the capped members (candidates lost
+    only among cap-overflow docs of one degenerate bucket — the pairs
+    near-dup dedup must not act on anyway, same rationale as
+    ``ngram_jaccard_pairs(max_postings=...)``).
+
+    A pair can surface once per shared band (same multiplicity as the
+    batch path before its distinct); consumers dedup per micro-batch.
+    Verification (exact Jaccard) runs downstream on the candidate stream
+    exactly as in the batch pipeline.
+    """
+    from open_ftth_relational_projector_spark.functions.dedup import (
+        minhash_banded,
+    )
+
+    banded = minhash_banded(
+        docs.withColumn("seq", F.col(seq_col).cast("long")),
+        num_hashes,
+        bands,
+        n,
+        text_col,
+        id_col,
+        carry_cols=("seq",),
+    )
+    return banded.groupBy("band_id", "band_hash").applyInPandasWithState(
+        _lsh_bucket_fold,
+        outputStructType=LSH_OUTPUT_SCHEMA,
+        stateStructType=LSH_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

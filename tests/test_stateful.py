@@ -256,3 +256,70 @@ def test_streaming_dedup_first_matches_batch(spark):
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
         spark.catalog.dropTempView("sdedup")
+
+
+def test_streaming_lsh_candidates_match_batch(spark):
+    """Drained streaming LSH candidates (distinct pairs) ≡ batch
+    minhash_lsh_candidates over the union of the micro-batches; pairs
+    only ever form against already-admitted bucket members, so splitting
+    the corpus across batches must not lose or invent any pair."""
+    import json
+    import os
+    import time as _time
+
+    from open_ftth_relational_projector_spark.functions.dedup import (
+        minhash_lsh_candidates,
+    )
+    from open_ftth_relational_projector_spark.streaming.stateful import (
+        streaming_lsh_candidates,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    variants = [
+        base,
+        base + " today",                      # near-dup of base
+        base.replace("quick", "swift"),       # near-dup of base
+        "completely different text about distributed query engines and state",
+        base,                                  # exact dup, later batch
+        "another unrelated document mentioning parquet files and shuffles",
+    ]
+    rows = [(i + 1, (i + 1) * 10, t) for i, t in enumerate(variants)]
+
+    tmp = tempfile.mkdtemp(prefix="ofrp_slsh_")
+    try:
+        os.makedirs(f"{tmp}/in")
+        now = _time.time()
+        for b in range(3):
+            path = f"{tmp}/in/batch_{b:05d}.json"
+            with open(path, "w") as fh:
+                for seq, doc_id, text in rows[b * 2 : b * 2 + 2]:
+                    fh.write(json.dumps({"doc_id": doc_id, "seq": seq, "text": text}) + "\n")
+            os.utime(path, (now + b, now + b))
+        stream = spark.readStream.schema(
+            "doc_id long, seq long, text string"
+        ).option("maxFilesPerTrigger", "1").json(f"{tmp}/in")
+        q = (
+            streaming_lsh_candidates(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("slsh")
+            .option("checkpointLocation", f"{tmp}/cp")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(240)
+        got = {
+            (r["doc_a"], r["doc_b"])
+            for r in spark.sql("SELECT DISTINCT doc_a, doc_b FROM slsh").collect()
+        }
+        batch_docs = spark.createDataFrame(
+            [(d, t) for _, d, t in rows], "doc_id long, text string"
+        )
+        want = {
+            (r["doc_a"], r["doc_b"])
+            for r in minhash_lsh_candidates(batch_docs).collect()
+        }
+        assert got == want and want, (got, want)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.catalog.dropTempView("slsh")
