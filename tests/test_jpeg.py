@@ -232,3 +232,18 @@ if _HAVE_HYP:
         assert set(a[:, :, 0].flat) == {want[0]}
         assert set(a[:, :, 1].flat) == {want[1]}
         assert set(a[:, :, 2].flat) == {want[2]}
+
+
+def test_header_sniffer_agrees_with_pixel_decoder():
+    """multimodal.decode_image's JPEG dimension sniffing must agree with
+    the full pixel decoder on encoder-built files (SOF0 parse parity)."""
+    from open_ftth_relational_projector_spark.functions.multimodal import (
+        decode_image,
+    )
+
+    for w_blocks, h_blocks in ((1, 1), (3, 1)):
+        blocks = [[_dc_block(4)] * (w_blocks * h_blocks)]
+        jp = encode_jpeg(8 * w_blocks, 8 * h_blocks, blocks, [(1, 1)])
+        assert decode_image(jp) == (8 * w_blocks, 8 * h_blocks)
+        w, h, _ = decode_jpeg_pixels(jp)
+        assert (w, h) == decode_image(jp)
