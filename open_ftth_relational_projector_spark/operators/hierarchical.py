@@ -53,7 +53,11 @@ def hierarchical_cumsum(
 ) -> DataFrame:
     """Inclusive running sum of ``value_col`` in ``order_cols`` order,
     computed per range-shard with broadcast shard offsets. Equals
-    ``sum(value) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)`` exactly.
+    ``sum(value) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)`` exactly
+    for integral/decimal values. For float/double the shard-offset
+    addition reassociates the sum, so results can differ from the global
+    window in final ulps — pre-scale to integers (the catalog callers all
+    sum longs) when bit-equality with a single-window oracle matters.
     Ordering must be total (add a tiebreak column if needed) for a
     deterministic result."""
     sharded = df.repartitionByRange(n_shards or _n_shards(df), *order_cols).withColumn(

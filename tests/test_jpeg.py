@@ -247,3 +247,10 @@ def test_header_sniffer_agrees_with_pixel_decoder():
         assert decode_image(jp) == (8 * w_blocks, 8 * h_blocks)
         w, h, _ = decode_jpeg_pixels(jp)
         assert (w, h) == decode_image(jp)
+
+
+def test_truncated_entropy_stream_raises():
+    jp = encode_jpeg(8, 8, [[_dc_block(4)]], [(1, 1)])
+    # cut inside the entropy-coded data (before EOI)
+    with pytest.raises(ValueError):
+        decode_jpeg_pixels(jp[: len(jp) - 4] )
