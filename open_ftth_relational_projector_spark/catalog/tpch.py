@@ -451,9 +451,14 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q15 shape: aggregate feeding a scalar-subquery max filter —
-    expressed as an unpartitioned window max over the (supplier-sized)
-    aggregate, which ties are returned from naturally."""
+    """TPC-H Q15 shape: aggregate feeding a scalar-subquery max filter.
+
+    The max is a SCALAR aggregate broadcast back onto the per-supplier
+    aggregate via crossJoin (the q11/q20 pattern) — NOT an unpartitioned
+    window, which would funnel the supplier-cardinality aggregate through a
+    single WindowExec task at scale. The per-supplier aggregate is persisted
+    so the fact table is scanned and shuffled once; ties on the max revenue
+    are all returned, matching the oracle's `= (SELECT MAX(...))`."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
@@ -461,8 +466,9 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     rev = li.groupBy("l_suppkey").agg(
         F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_rev")
-    )
-    top = rev.withColumn("_max", F.max("total_rev").over(W.partitionBy())).filter(
+    ).persist()
+    max_rev = rev.agg(F.max("total_rev").alias("_max"))
+    top = rev.crossJoin(F.broadcast(max_rev)).filter(
         F.col("total_rev") == F.col("_max")
     )
     return (

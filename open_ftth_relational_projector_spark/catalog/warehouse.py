@@ -11,6 +11,9 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, Window as W  # 
 from open_ftth_relational_projector_spark.sources.tables import load_table, scattered  # noqa: F401
 from open_ftth_relational_projector_spark.events.reader import EventLog  # noqa: F401
 from open_ftth_relational_projector_spark.operators import asof_join, latest_by_key  # noqa: F401
+from open_ftth_relational_projector_spark.operators.hierarchical import (  # noqa: F401
+    hierarchical_row_number,
+)
 from open_ftth_relational_projector_spark.functions import dedup as D  # noqa: F401
 from open_ftth_relational_projector_spark.functions import similarity as S  # noqa: F401
 from open_ftth_relational_projector_spark.functions import text as TXT  # noqa: F401
@@ -741,11 +744,21 @@ def point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT o.o_custkey AS custkey, l.l_partkey AS partkey
       FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
     custs AS (SELECT DISTINCT custkey FROM bought),
+    np AS (SELECT COUNT(*) AS n FROM part),
+    pidx AS (
+      SELECT p_partkey AS partkey,
+             ROW_NUMBER() OVER (ORDER BY p_partkey) AS pidx
+      FROM part),
+    draws AS (
+      SELECT c.custkey, t.i,
+             substr(md5(c.custkey || '#' || t.i || '#neg'), 1, 15) AS u
+      FROM custs c CROSS JOIN range(0, 24) t(i)),
     cand AS (
-      SELECT c.custkey, p.p_partkey AS partkey,
-             substr(md5(c.custkey || '#' || p.p_partkey || '#neg'), 1, 8)
-               AS u
-      FROM custs c CROSS JOIN part p),
+      SELECT d.custkey, p.partkey, MIN(d.u) AS u
+      FROM draws d
+      JOIN np ON TRUE
+      JOIN pidx p ON p.pidx = (('0x' || d.u)::BIGINT % np.n) + 1
+      GROUP BY d.custkey, p.partkey),
     unseen AS (
       SELECT cand.custkey, cand.partkey, cand.u
       FROM cand LEFT JOIN bought b
@@ -760,11 +773,20 @@ def point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def negative_samples_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic negative sampling for recommender training: per
-    customer, 3 parts they never bought, chosen by md5-uniform order —
-    reproducible across runs/engines (no rand()). Candidates are the
-    customer×part grid minus the purchase set (anti-join); at 100 TB the
-    grid is never materialized — sample candidate parts per customer
-    first (md5-bucketed) and anti-join only the sampled slice."""
+    customer, 3 parts they never bought — reproducible across runs and
+    engines (md5-derived draws, no rand()).
+
+    Scale-safe candidate generation (round-4 verdict #3): instead of
+    enumerating the |customers|x|parts| grid and ranking ALL unseen parts
+    per customer (O(|C|*|P|) work for O(|C|*k) output), each customer gets
+    24 deterministic hash draws (k=3 with 8x oversampling against bought
+    collisions), each draw mapping hash(custkey, i) mod |P| to a part via a
+    dense part index. Duplicate draws collapse keeping the smallest draw
+    hash; bought parts drop via anti-join; the first 3 survivors per
+    customer (by draw hash) are the samples. Total work is
+    O(|C|*k*c + |P|) and the per-customer window ranks <=24 rows. The part
+    index itself is built with hierarchical_row_number (no single-task
+    global window). The oracle applies the identical candidate rule."""
     orders = load_table(spark, sf_dir, "orders")
     lineitem = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
@@ -777,22 +799,31 @@ def negative_samples_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame
         .distinct()
     )
     custs = bought.select("custkey").distinct()
-    cand = custs.crossJoin(
-        F.broadcast(part.select(F.col("p_partkey").alias("partkey")))
+    n_parts = part.count()
+    part_idx = hierarchical_row_number(
+        part.select(F.col("p_partkey").alias("partkey")),
+        [F.col("partkey")],
+        "pidx",
+    )
+    n_draws = 24  # k=3 * oversample c=8
+    draws = custs.select(
+        "custkey",
+        F.explode(F.sequence(F.lit(0), F.lit(n_draws - 1))).alias("i"),
     ).withColumn(
         "u",
         F.substring(
-            F.md5(
-                F.concat_ws(
-                    "#",
-                    F.col("custkey"),
-                    F.col("partkey"),
-                    F.lit("neg"),
-                )
-            ),
+            F.md5(F.concat_ws("#", F.col("custkey"), F.col("i"), F.lit("neg"))),
             1,
-            8,
+            15,
         ),
+    ).withColumn(
+        "pidx",
+        F.conv(F.col("u"), 16, 10).cast("long") % F.lit(n_parts) + 1,
+    )
+    cand = (
+        draws.join(part_idx, "pidx")
+        .groupBy("custkey", "partkey")
+        .agg(F.min("u").alias("u"))
     )
     unseen = cand.join(bought, ["custkey", "partkey"], "left_anti")
     w = W.partitionBy("custkey").orderBy("u", "partkey")

@@ -32,6 +32,22 @@ EXEMPT = {
         "ranks the BM25 top-k list (k=25 rows) — bounded by construction "
         "before the window"
     ),
+    "dsir_doc_weights": (
+        "frame-only OVER () sums run over the n_buckets hashed-feature "
+        "sketch rows (fixed 10k), not the corpus — bounded by construction"
+    ),
+    "temperature_mixture_sample": (
+        "frame-only OVER () share/max run over one row per SOURCE (the "
+        "group-by output), bounded by group cardinality, not data size"
+    ),
+    "psi_value_drift": (
+        "frame-only OVER () psi_total sum runs over the fixed 10-bin "
+        "histogram spine (spark.range(0, 10)), not the events"
+    ),
+    "curation_decisions": (
+        "inherits dsir_importance_weights' frame-only OVER () over its "
+        "n_buckets=256 hashed-feature sketch rows — bounded by construction"
+    ),
 }
 
 
@@ -49,15 +65,28 @@ def main() -> None:
         for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
             spec = m.group(1)
             # partition columns precede the first Asc/Desc sort order token;
-            # a spec that STARTS with a sort order has no partition columns
+            # a spec that STARTS with a sort order has no partition columns,
+            # and one that starts with specifiedwindowframe(...) has neither
+            # partition NOR order (the frame-only `OVER ()` shape — still a
+            # single-task WindowExec; round-4 verdict blind spot).
             first = spec.split(",")[0].strip()
-            if re.search(r"(ASC NULLS FIRST|DESC NULLS LAST|ASC NULLS LAST|DESC NULLS FIRST)", first):
-                tag = "EXEMPT: " + EXEMPT[name] if name in EXEMPT else "GLOBAL-WINDOW"
+            ordered_global = re.search(
+                r"(ASC NULLS FIRST|DESC NULLS LAST|ASC NULLS LAST|DESC NULLS FIRST)",
+                first,
+            )
+            frame_only = first.startswith("specifiedwindowframe")
+            if ordered_global or frame_only:
+                kind = "GLOBAL-WINDOW" if ordered_global else "FRAME-ONLY-WINDOW"
+                tag = "EXEMPT: " + EXEMPT[name] if name in EXEMPT else kind
                 findings.append((name, f"{tag} [{spec[:90]}]"))
                 break
     for name, msg in findings:
         print(f"{name}: {msg}")
-    bad = [n for n, m in findings if m.startswith("GLOBAL-WINDOW") or m.startswith("PLAN-ERROR")]
+    bad = [
+        n
+        for n, m in findings
+        if m.startswith(("GLOBAL-WINDOW", "FRAME-ONLY-WINDOW", "PLAN-ERROR"))
+    ]
     print(f"\n{len(bad)} unexempted global-window/plan-error queries")
     sys.exit(1 if bad else 0)
 
