@@ -66,35 +66,67 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    # convergence detector: per-node labels are monotone NON-INCREASING
-    # (min-propagation) over a FIXED node set, so the exact integer sum of
-    # labels is unchanged iff no label changed — a scalar aggregate over
-    # the checkpointed state instead of the per-round |V| join-compare.
-    # decimal(38,0) accumulator: a long sum of web-scale node ids overflows
-    # ANSI arithmetic (same guard as the star variant's checksum).
+    # convergence detector, two forms by id type (round-4 advice: the
+    # scalar-sum form silently mis-detects on non-numeric ids — a string
+    # label cast to decimal is NULL under non-ANSI, so None==None read as
+    # "converged" after one round):
+    # - integral/decimal ids: per-node labels are monotone NON-INCREASING
+    #   (min-propagation) over a FIXED node set, so the exact integer sum
+    #   of labels is unchanged iff no label changed — one scalar aggregate
+    #   per round. decimal(38,0) accumulator: a long sum of web-scale node
+    #   ids overflows ANSI arithmetic (same guard as the star checksum).
+    # - any other id type (string GUIDs etc.): exact join-compare — count
+    #   of nodes whose label changed this round; type-agnostic, one extra
+    #   keyed join per round against the checkpointed previous state.
+    from pyspark.sql.types import (
+        ByteType,
+        DecimalType,
+        IntegerType,
+        LongType,
+        ShortType,
+    )
+
+    numeric_ids = isinstance(
+        labels.schema["label"].dataType,
+        (ByteType, ShortType, IntegerType, LongType, DecimalType),
+    )
+
     def _label_sum(df: DataFrame):
         return df.agg(
             F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
         ).collect()[0]["s"]
 
-    sig = _label_sum(labels)
+    sig = _label_sum(labels) if numeric_ids else None
     for _ in range(max_iter):
         neigh = (
             sym.join(labels, sym.b == labels.node)
             .select(F.col("a").alias("node"), "label")
         )
+        prev = labels
         labels = (
             labels.unionByName(neigh)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        new_sig = _label_sum(labels)
-        if new_sig == sig:
+        if numeric_ids:
+            new_sig = _label_sum(labels)
+            converged = new_sig == sig
+            sig = new_sig
+        else:
+            converged = (
+                labels.join(
+                    prev.select("node", F.col("label").alias("_prev")), "node"
+                )
+                .filter(F.col("label") != F.col("_prev"))
+                .limit(1)
+                .count()
+                == 0
+            )
+        if converged:
             return labels.select(
                 F.col("node").alias(out_node), F.col("label").alias(out_label)
             )
-        sig = new_sig
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds"
     )

@@ -76,6 +76,11 @@ class _BitReader:
 
     def read_bit(self) -> int:
         if self.nbits == 0:
+            # drop already-consumed high bits before refilling, keeping the
+            # accumulator bounded (~1 byte) — without this, `bits` grows by
+            # 8 bits per fill for the whole scan and every `bits << 8`
+            # copies an ever-larger bigint: O(scan_len^2) on real images
+            self.bits = 0
             self._fill()
         self.nbits -= 1
         return (self.bits >> self.nbits) & 1

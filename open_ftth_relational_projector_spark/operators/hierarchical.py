@@ -34,14 +34,31 @@ def _n_shards(df: DataFrame) -> int:
 
 
 def _offsets_df(df: DataFrame, totals: list, value_key: str) -> DataFrame:
-    """Driver-side prefix sum of per-shard totals → (_shard, _off) frame."""
+    """Driver-side prefix sum of per-shard totals → (_shard, _off) frame.
+
+    The offset column's type follows the totals: float/double shard totals
+    (Spark SUM over float/double returns Python float) build a double
+    offsets column — LongType would reject them at createDataFrame
+    verification (round-4 advice). Decimal totals also arrive as non-int
+    (decimal.Decimal) and take the double path only if any total is a
+    float; Decimal sums stay exact via the long/decimal addition below.
+    """
     offsets, running = [], 0
     for r in sorted(totals, key=lambda r: r["_shard"]):
         offsets.append((r["_shard"], running))
         running += r[value_key] or 0
-    return df.sparkSession.createDataFrame(
-        offsets or [(0, 0)], "_shard int, _off long"
-    )
+    from decimal import Decimal
+
+    if any(isinstance(o, float) for _, o in offsets):
+        offsets = [(s, float(o)) for s, o in offsets]
+        schema = "_shard int, _off double"
+    elif any(isinstance(o, Decimal) for _, o in offsets):
+        offsets = [(s, Decimal(o)) for s, o in offsets]
+        schema = "_shard int, _off decimal(38,18)"
+    else:
+        offsets = [(s, int(o)) for s, o in offsets]
+        schema = "_shard int, _off long"
+    return df.sparkSession.createDataFrame(offsets or [(0, 0)], schema)
 
 
 def hierarchical_cumsum(
@@ -54,10 +71,11 @@ def hierarchical_cumsum(
     """Inclusive running sum of ``value_col`` in ``order_cols`` order,
     computed per range-shard with broadcast shard offsets. Equals
     ``sum(value) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)`` exactly
-    for integral/decimal values. For float/double the shard-offset
-    addition reassociates the sum, so results can differ from the global
-    window in final ulps — pre-scale to integers (the catalog callers all
-    sum longs) when bit-equality with a single-window oracle matters.
+    for integral/decimal values (offsets carry the matching long/decimal
+    type). For float/double the shard-offset addition reassociates the
+    sum, so results can differ from the global window in final ulps —
+    pre-scale to integers (the catalog callers all sum longs) when
+    bit-equality with a single-window oracle matters.
     Ordering must be total (add a tiebreak column if needed) for a
     deterministic result."""
     sharded = df.repartitionByRange(n_shards or _n_shards(df), *order_cols).withColumn(

@@ -241,35 +241,54 @@ def streaming_dedup_first(
 
 
 LSH_OUTPUT_SCHEMA = "doc_a long, doc_b long, band_id int"
-LSH_STATE_SCHEMA = "members array<long>"
+LSH_STATE_SCHEMA = "members array<long>, overflow array<long>"
 
 
-def _lsh_bucket_fold(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    members: list[int] = list(state.get[0]) if state.exists else []
-    known = set(members)
-    max_bucket = 64  # see streaming_lsh_candidates docstring
-    out_a: list[int] = []
-    out_b: list[int] = []
-    band_id = None
-    rows = pd.concat(list(pdfs)).sort_values(["seq", "doc_id"])
-    for r in rows.itertuples():
-        d = int(r.doc_id)
-        band_id = int(r.band_id)
-        if d in known:
-            continue  # re-delivery: already admitted to this bucket
-        for m in members:
-            out_a.append(min(m, d))
-            out_b.append(max(m, d))
-        if len(members) < max_bucket:
-            members.append(d)
-            known.add(d)
-    state.update((members,))
-    if out_a:
-        yield pd.DataFrame(
-            {"doc_a": out_a, "doc_b": out_b, "band_id": [band_id] * len(out_a)}
-        )
+def _make_lsh_bucket_fold(max_bucket: int, max_overflow: int):
+    """Build the per-bucket fold with the caps closed over (GroupState
+    folds take no extra args). ``overflow`` records doc ids that arrived
+    after the member cap: they PAIRED with the capped members once, and
+    remembering them stops a later re-delivery from re-emitting all those
+    pairs (round-4 advice). The overflow memory is itself capped so a
+    degenerate bucket's state stays bounded; re-delivery of a doc beyond
+    BOTH caps (rare: >max_bucket+max_overflow distinct docs in one bucket
+    AND source-level redelivery of exactly those) re-emits its pairs —
+    consumers dedup per micro-batch regardless (see docstring)."""
+
+    def _fold(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            st = state.get
+            members: list[int] = list(st[0])
+            overflow: list[int] = list(st[1]) if st[1] is not None else []
+        else:
+            members, overflow = [], []
+        known = set(members) | set(overflow)
+        out_a: list[int] = []
+        out_b: list[int] = []
+        band_id = None
+        rows = pd.concat(list(pdfs)).sort_values(["seq", "doc_id"])
+        for r in rows.itertuples():
+            d = int(r.doc_id)
+            band_id = int(r.band_id)
+            if d in known:
+                continue  # re-delivery: already admitted/paired here
+            for m in members:
+                out_a.append(min(m, d))
+                out_b.append(max(m, d))
+            if len(members) < max_bucket:
+                members.append(d)
+            elif len(overflow) < max_overflow:
+                overflow.append(d)
+            known.add(d)  # within-batch dedup even past both caps
+        state.update((members, overflow))
+        if out_a:
+            yield pd.DataFrame(
+                {"doc_a": out_a, "doc_b": out_b, "band_id": [band_id] * len(out_a)}
+            )
+
+    return _fold
 
 
 def streaming_lsh_candidates(
@@ -280,6 +299,8 @@ def streaming_lsh_candidates(
     text_col: str = "text",
     id_col: str = "doc_id",
     seq_col: str = "seq",
+    max_bucket: int = 64,
+    max_overflow: int = 256,
 ) -> DataFrame:
     """Streaming MinHash-LSH near-duplicate candidates: each arriving doc
     is paired against every doc ALREADY ADMITTED to any of its signature
@@ -291,14 +312,16 @@ def streaming_lsh_candidates(
     (``functions/dedup.minhash_banded``), so a drained stream's distinct
     (doc_a, doc_b) equals the batch ``minhash_lsh_candidates`` over the
     same union (pinned in tests). State per (band_id, band_hash) bucket =
-    the insertion-ordered member list, CAPPED at 64 ids — the streaming
-    form of the stop-shingle guard: a degenerate bucket (boilerplate
-    band shared by everything) stops admitting members after the cap, so
-    both state size and the per-arrival pair fan-out stay bounded; docs
-    beyond the cap still PAIR with the capped members (candidates lost
-    only among cap-overflow docs of one degenerate bucket — the pairs
-    near-dup dedup must not act on anyway, same rationale as
-    ``ngram_jaccard_pairs(max_postings=...)``).
+    the insertion-ordered member list, CAPPED at ``max_bucket`` ids — the
+    streaming form of the stop-shingle guard: a degenerate bucket
+    (boilerplate band shared by everything) stops admitting members after
+    the cap, so both state size and the per-arrival pair fan-out stay
+    bounded; docs beyond the cap still PAIR with the capped members once
+    (candidates lost only among cap-overflow docs of one degenerate
+    bucket — the pairs near-dup dedup must not act on anyway, same
+    rationale as ``ngram_jaccard_pairs(max_postings=...)``), and are
+    remembered in a second, ``max_overflow``-capped id list so their
+    re-delivery in a later micro-batch does not re-emit the same pairs.
 
     A pair can surface once per shared band (same multiplicity as the
     batch path before its distinct); consumers dedup per micro-batch.
@@ -319,7 +342,7 @@ def streaming_lsh_candidates(
         carry_cols=("seq",),
     )
     return banded.groupBy("band_id", "band_hash").applyInPandasWithState(
-        _lsh_bucket_fold,
+        _make_lsh_bucket_fold(max_bucket, max_overflow),
         outputStructType=LSH_OUTPUT_SCHEMA,
         stateStructType=LSH_STATE_SCHEMA,
         outputMode="append",

@@ -85,3 +85,42 @@ def test_hierarchical_invariant_to_shard_count(spark):
             hierarchical_row_number(df, [F.col("k")], "rn", n_shards=n_shards)
         )
         assert got == want_rn, f"n_shards={n_shards}"
+
+
+def test_hierarchical_cumsum_double_values(spark):
+    """Float/double value columns must work (round-4 advice: the offsets
+    frame previously pinned `_off long`, so float shard totals crashed at
+    createDataFrame verification). Doubles compare at 1e-9 tolerance —
+    the shard-offset addition may reassociate the sum."""
+    rng = random.Random(7)
+    rows = [(i, rng.random() * 10) for i in rng.sample(range(5000), 400)]
+    df = spark.createDataFrame(rows, "k long, v double").repartition(5)
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    want = {r.k: r.cum for r in df.withColumn("cum", F.sum("v").over(w)).collect()}
+    got = {
+        r.k: r.cum
+        for r in hierarchical_cumsum(df, [F.col("k")], "v", "cum", n_shards=4).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, k
+
+
+def test_hierarchical_cumsum_decimal_values_exact(spark):
+    """Decimal value columns stay EXACT (offsets carry decimal type):
+    bit-equality with the global window, no reassociation error."""
+    from decimal import Decimal
+
+    rng = random.Random(11)
+    rows = [
+        (i, Decimal(rng.randint(0, 99999)) / 100)
+        for i in rng.sample(range(5000), 300)
+    ]
+    df = spark.createDataFrame(rows, "k long, v decimal(10,2)").repartition(5)
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    want = {r.k: r.cum for r in df.withColumn("cum", F.sum("v").over(w)).collect()}
+    got = {
+        r.k: r.cum
+        for r in hierarchical_cumsum(df, [F.col("k")], "v", "cum", n_shards=4).collect()
+    }
+    assert got == want

@@ -297,6 +297,30 @@ def test_connected_components_chain_triangle_pair(spark):
     }
 
 
+def test_connected_components_string_ids_join_compare(spark):
+    """String (GUID-style) node ids must converge correctly: the scalar
+    label-sum detector only applies to numeric ids (a string label cast to
+    decimal is NULL, so sums would read equal after one round); non-numeric
+    ids take the exact join-compare path (round-4 advice)."""
+    from open_ftth_relational_projector_spark.functions.graph import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        # chain a-b-c-d (needs >1 round), isolated pair x-y
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")],
+        "doc_a string, doc_b string",
+    )
+    got = {
+        (r.doc_id, r.component_id)
+        for r in connected_components(edges).collect()
+    }
+    assert got == {
+        ("a", "a"), ("b", "a"), ("c", "a"), ("d", "a"),
+        ("x", "x"), ("y", "x"),
+    }
+
+
 def test_connected_components_raises_past_max_iter(spark):
     from open_ftth_relational_projector_spark.functions.graph import (
         connected_components,

@@ -323,3 +323,66 @@ def test_streaming_lsh_candidates_match_batch(spark):
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
         spark.catalog.dropTempView("slsh")
+
+
+def test_lsh_bucket_fold_overflow_no_reemission():
+    """Round-4 advice: a doc arriving after the member cap pairs once with
+    the capped members, is remembered in the overflow list, and its
+    re-delivery in a later micro-batch emits NOTHING (previously it
+    re-fanned-out all max_bucket pairs every batch). Driven directly
+    against the fold with a fake GroupState — no stream needed."""
+    import pandas as pd
+
+    from open_ftth_relational_projector_spark.streaming.stateful import (
+        _make_lsh_bucket_fold,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    fold = _make_lsh_bucket_fold(max_bucket=2, max_overflow=4)
+    state = FakeState()
+
+    def batch(doc_ids, seqs):
+        return list(
+            fold(
+                ("b",),
+                iter(
+                    [
+                        pd.DataFrame(
+                            {
+                                "doc_id": doc_ids,
+                                "seq": seqs,
+                                "band_id": [0] * len(doc_ids),
+                            }
+                        )
+                    ]
+                ),
+                state,
+            )
+        )
+
+    # batch 1: members fill to cap (1, 2); doc 3 overflows but pairs
+    out = pd.concat(batch([1, 2, 3], [10, 11, 12]))
+    pairs = set(zip(out.doc_a, out.doc_b))
+    assert pairs == {(1, 2), (1, 3), (2, 3)}
+    assert list(state.get[0]) == [1, 2]  # members capped
+    assert list(state.get[1]) == [3]  # overflow remembered
+
+    # batch 2: re-delivery of overflow doc 3 → no re-emission
+    assert batch([3], [13]) == []
+
+    # batch 3: a NEW doc past the cap still pairs with members once
+    out3 = pd.concat(batch([4], [14]))
+    assert set(zip(out3.doc_a, out3.doc_b)) == {(1, 4), (2, 4)}
+    assert list(state.get[1]) == [3, 4]
