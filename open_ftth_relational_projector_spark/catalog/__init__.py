@@ -34,20 +34,22 @@ from . import audio  # noqa: E402,F401
 from . import warehouse  # noqa: E402,F401
 from . import analytics  # noqa: E402,F401
 from . import timeseries  # noqa: E402,F401
+from . import streaming_sims  # noqa: E402,F401
 
 
 # ===========================================================================
 # Registration order for the driver window
 # ===========================================================================
 # ROUND-6 WINDOW PLAN (for the next session): assuming CORRECTNESS_r05
-# lands green, EVERY catalog query will hold a driver-green row
-# (148 from r1-r4 + the 39 below + the regression picks = full union).
-# From r6 on, windows become pure regression rotation: q1 flagship +
-# the 49 queries whose most recent driver row is OLDEST (r2 first —
-# TPC-H q3..q22, multimodal_*, embedding_*, knn_*, cohort/funnel
-# family — then r3's proj_*_sim / windows / text basics), so every
-# query's latest green row stays at most ~3 rounds old. If any r5 row
-# FAILED, put it at the front of the r6 window after the fix. Keep
+# lands green, only the two r5-added streaming sims (stream_dedup_sim,
+# stream_lsh_sim — registered last) will lack a driver row; 187 of 189
+# will hold one. r6 window: q1 flagship + those two sims + 47
+# regression picks from the queries whose most recent driver row is
+# OLDEST (r2 first — TPC-H q3..q22, multimodal_*, embedding_*, knn_*,
+# cohort/funnel family — then r3's proj_*_sim / windows / text
+# basics), so every query's latest green row stays at most ~3 rounds
+# old. If any r5 row FAILED, put it at the front of the r6 window
+# after the fix. Keep
 # every name in _DRIVER_WINDOW_FRONT registered (the assert below
 # enforces it) and re-pin tests/data/catalog_order.txt +
 # CATALOG.md (scripts/gen_catalog_index.py) after any reorder.

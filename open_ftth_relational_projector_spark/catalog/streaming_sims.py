@@ -1,0 +1,174 @@
+"""Driver-checkable sims of the keyed-state streaming operators.
+
+`streaming/stateful.py`'s incremental dedup and LSH near-dup candidate
+operators (round-4 additions) were test-only; these entries drive them
+through a REAL Structured Streaming query (file source, 3 utime-ordered
+micro-batches, availableNow drain) on driver data so the driver's oracle
+gate can check the state machinery end to end — the same promotion
+`stream_incremental_sim` gave the relational streaming path (round-4
+verdict #7).
+
+Registered after every other family so existing registration order (and
+the r1-r4 correctness-row keying) is untouched.
+"""
+
+from __future__ import annotations
+
+import itertools
+import json
+import os
+import shutil
+import tempfile
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F  # noqa: F401
+
+from open_ftth_relational_projector_spark.sources.tables import load_table
+
+from ._registry import _q
+
+_CALL_SEQ = itertools.count()
+
+
+def _drain_stream_over_doc_batches(spark: SparkSession, sf_dir: str, op, name: str):
+    """Split the documents table into 3 doc_id-ranged micro-batches
+    (seq = doc_id), write them as utime-ordered json files (FileStreamSource
+    processes oldest-modTime first, so cross-batch arrival follows seq
+    order), drain `op(stream)` with availableNow into a memory sink, and
+    return the materialized rows + output schema.
+
+    Driver-side bounds: the documents table is collected once to write the
+    batch files — 500 rows at the driver-gate sf0.01, 5k at sf0.1 (the
+    bounded-sim class, same as stream_incremental_sim's watermark collect).
+    At production scale the stream IS the source; this sim exists to put
+    the state fold under the correctness gate, not to model ingest.
+    """
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    )
+    rows.sort(key=lambda r: r["doc_id"])
+    qname = f"{name}_{next(_CALL_SEQ)}"
+    tmp = tempfile.mkdtemp(prefix=f"ofrp_{name}_")
+    try:
+        os.makedirs(f"{tmp}/in")
+        now = time.time()
+        third = (len(rows) + 2) // 3
+        for b in range(3):
+            path = f"{tmp}/in/batch_{b:05d}.json"
+            with open(path, "w") as fh:
+                for r in rows[b * third : (b + 1) * third]:
+                    fh.write(
+                        json.dumps(
+                            {
+                                "doc_id": r["doc_id"],
+                                "seq": r["doc_id"],
+                                "text": r["text"],
+                            }
+                        )
+                        + "\n"
+                    )
+            os.utime(path, (now + b, now + b))
+        stream = (
+            spark.readStream.schema("doc_id long, seq long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .json(f"{tmp}/in")
+        )
+        q = (
+            op(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", f"{tmp}/cp")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        out = spark.table(qname)
+        schema = out.schema
+        collected = out.collect()
+        return collected, schema
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.catalog.dropTempView(qname)
+
+
+@_q(
+    "stream_dedup_sim",
+    """
+    SELECT md5(text) AS text_hash,
+           CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+           CAST(MIN(doc_id) AS BIGINT) AS first_seen_seq
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def stream_dedup_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """streaming_dedup_first driven through a real 3-micro-batch stream:
+    each distinct content hash is admitted exactly once across the whole
+    drained stream, earliest (seq, doc_id) copy winning. With seq = doc_id
+    and seq-ordered batch arrival, the union of the appended micro-batch
+    outputs must equal the batch first-occurrence result — which the
+    oracle states as MIN(doc_id) per md5(text)."""
+    from open_ftth_relational_projector_spark.streaming.stateful import (
+        streaming_dedup_first,
+    )
+
+    rows, schema = _drain_stream_over_doc_batches(
+        spark, sf_dir, streaming_dedup_first, "sdedup"
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+@_q(
+    "stream_lsh_sim",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             UNNEST(list_distinct(list_transform(
+               generate_series(1, GREATEST(LEN(t) - 2, 0)),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+      FROM toks),
+    mh AS (
+      SELECT doc_id, s,
+             MIN(('0x' || substr(md5(shingle || '#' || CAST(s AS VARCHAR)), 1, 15))::BIGINT) AS m
+      FROM sh CROSS JOIN (SELECT UNNEST(range(0, 32)) AS s) seeds
+      GROUP BY doc_id, s),
+    bands AS (
+      SELECT doc_id, CAST(s // 4 AS INT) AS band_id,
+             string_agg(CAST(m AS VARCHAR), ',' ORDER BY s) AS band_key
+      FROM mh GROUP BY doc_id, s // 4)
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+    """,
+)
+def stream_lsh_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """streaming_lsh_candidates (md5-portable banding, same twin hash as
+    minhash_near_dups_md5) drained over a real 3-micro-batch stream: the
+    DISTINCT (doc_a, doc_b) set must equal the batch banding's in-bucket
+    pairs — pairs only ever form against already-admitted bucket members,
+    so splitting the corpus across micro-batches must not lose or invent
+    any pair (arrival order is irrelevant to the distinct-pair set).
+    max_bucket is raised so the degenerate-bucket cap (pinned separately
+    in tests/test_stateful.py) never binds at driver scale and the oracle
+    stays the uncapped bucket join."""
+    from open_ftth_relational_projector_spark.functions.dedup import (
+        portable_hash64,
+    )
+    from open_ftth_relational_projector_spark.streaming.stateful import (
+        streaming_lsh_candidates,
+    )
+
+    def op(stream):
+        return streaming_lsh_candidates(
+            stream,
+            hash_fn=portable_hash64,
+            portable_bands=True,
+            max_bucket=4096,
+        )
+
+    rows, _ = _drain_stream_over_doc_batches(spark, sf_dir, op, "slshsim")
+    pairs = sorted({(r["doc_a"], r["doc_b"]) for r in rows})
+    return spark.createDataFrame(pairs or [], "doc_a long, doc_b long")

@@ -301,6 +301,8 @@ def streaming_lsh_candidates(
     seq_col: str = "seq",
     max_bucket: int = 64,
     max_overflow: int = 256,
+    hash_fn=None,
+    portable_bands: bool = False,
 ) -> DataFrame:
     """Streaming MinHash-LSH near-duplicate candidates: each arriving doc
     is paired against every doc ALREADY ADMITTED to any of its signature
@@ -339,6 +341,8 @@ def streaming_lsh_candidates(
         n,
         text_col,
         id_col,
+        hash_fn=hash_fn,
+        portable_bands=portable_bands,
         carry_cols=("seq",),
     )
     return banded.groupBy("band_id", "band_hash").applyInPandasWithState(

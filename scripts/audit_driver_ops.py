@@ -25,6 +25,10 @@ PKG = Path("open_ftth_relational_projector_spark")
 # file::function -> why the collect is bounded
 ALLOWLIST: dict[str, str] = {
     "catalog/projections.py::stream_incremental_sim": "scalar max(seq) batch bounds",
+    "catalog/streaming_sims.py::_drain_stream_over_doc_batches": (
+        "bounded sim: collects the documents dim once to write 3 stream "
+        "batch files (500 rows at sf0.01) + the drained memory-sink result"
+    ),
     "plans/checks.py::wholestage_codegen_spans": "test helper: forces AQE final plan",
     "streaming/incremental.py::_apply_incremental": "guarded by MAX_DRIVER_BATCH_ROWS with distributed fallback",
     "streaming/incremental.py::affected_keys": "scalar count guard",

@@ -2224,3 +2224,67 @@ def test_kcore_decremental_equals_recount(spark):
         }
         want = recount(edges, k, 4)
         assert got == want, f"trial {trial}: {got ^ want}"
+
+
+def test_minhash_xxhash_and_md5_twin_same_guarantees(docs):
+    """Round-4 verdict #5: pin the production minhash_near_dups (xxhash64)
+    against its md5-portable driver twin. Full pair-set equality is NOT a
+    theorem (a J=0.5 pair misses 8-band/4-row banding with p≈0.6, hash-
+    family-dependently), so the pinned contract is what minhash-LSH
+    actually guarantees, for BOTH variants identically:
+    - precision 1.0: every emitted pair carries the exact n-gram Jaccard
+      and truly meets the threshold;
+    - deterministic recall at J=1.0: identical docs collide on EVERY band
+      under any hash family, so both variants must emit exactly the same
+      exact-duplicate pairs."""
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.0, n=3).collect()
+    }
+    dup_pairs = {p for p, j in exact.items() if j == 1.0}
+    for kwargs in (
+        {},
+        {"hash_fn": D.portable_hash64, "portable_bands": True},
+    ):
+        out = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in D.minhash_near_dups(docs, threshold=0.2, **kwargs).collect()
+        }
+        for pair, j in out.items():
+            assert abs(exact[pair] - j) < 1e-9, (kwargs, pair)
+        assert dup_pairs <= set(out), (kwargs, dup_pairs - set(out))
+
+
+def test_minhash_catalog_production_twin_guarantees_sf0001(spark):
+    """Same pin at the catalog level on driver data: the rows-only
+    `minhash_near_dups` entry and its driver-green `minhash_near_dups_md5`
+    twin must both emit only exactly-scored true pairs (precision 1.0
+    against ngram_jaccard_pairs at threshold 0) and agree on every
+    exact-duplicate (J=1.0) pair at sf0.001."""
+    from open_ftth_relational_projector_spark.catalog import SPARK_QUERIES
+    from open_ftth_relational_projector_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        (r["doc_a"], r["doc_b"]): round(r["jaccard"], 4)
+        for r in D.ngram_jaccard_pairs(
+            load_table(spark, sf, "documents"), threshold=0.0, n=3
+        ).collect()
+    }
+    dup_pairs = {p for p, j in exact.items() if j == 1.0}
+    outs = {}
+    for name in ("minhash_near_dups", "minhash_near_dups_md5"):
+        out = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in SPARK_QUERIES[name](spark, sf).collect()
+        }
+        for pair, j in out.items():
+            assert exact[pair] == j, (name, pair)
+        assert dup_pairs <= set(out), (name, dup_pairs - set(out))
+        outs[name] = out
+    common = set(outs["minhash_near_dups"]) & set(outs["minhash_near_dups_md5"])
+    for pair in common:
+        assert (
+            outs["minhash_near_dups"][pair]
+            == outs["minhash_near_dups_md5"][pair]
+        )
