@@ -93,6 +93,12 @@ EXTRA_QUERIES = [
     # r4: hierarchical-rewrite regression tracking (the third rewrite,
     # rfm_customer_segments, is already tracked above)
     "token_budget_chunks",
+    # r5: keyed-state streaming sims (real availableNow micro-batch drains;
+    # cost is dominated by stream machinery constants, tracked for
+    # regression visibility) and the scale-safe negative-sampling rewrite
+    "stream_dedup_sim",
+    "stream_lsh_sim",
+    "negative_samples_per_customer",
 ]
 
 
