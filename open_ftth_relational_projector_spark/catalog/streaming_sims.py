@@ -84,7 +84,16 @@ def _drain_stream_over_doc_batches(spark: SparkSession, sf_dir: str, op, name: s
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(600)
+        try:
+            # a False return (timeout, no exception) would mean comparing a
+            # PARTIAL drain against the full-batch oracle — fail loudly
+            if not q.awaitTermination(600):
+                raise RuntimeError(
+                    f"{name}: availableNow drain did not finish in 600s"
+                )
+        finally:
+            if q.isActive:
+                q.stop()  # never rmtree under a still-running query
         out = spark.table(qname)
         schema = out.schema
         collected = out.collect()

@@ -773,8 +773,14 @@ def point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def negative_samples_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic negative sampling for recommender training: per
-    customer, 3 parts they never bought — reproducible across runs and
-    engines (md5-derived draws, no rand()).
+    customer, UP TO 3 parts they never bought — reproducible across runs
+    and engines (md5-derived draws, no rand()). Unlike the old grid form
+    (which ranked ALL unseen parts and returned exactly 3 whenever three
+    existed), the draw form can return fewer for a customer whose bought
+    set swallows most of a SMALL part catalog or whose 24 draws collide
+    modulo |P| — at TPC-H shapes (|P| >= 2000, ~tens bought) the
+    shortfall probability is negligible and every sf fixture emits
+    3/customer, but the contract is "at most 3".
 
     Scale-safe candidate generation (round-4 verdict #3): instead of
     enumerating the |customers|x|parts| grid and ranking ALL unseen parts

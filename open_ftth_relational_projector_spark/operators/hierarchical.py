@@ -53,8 +53,14 @@ def _offsets_df(df: DataFrame, totals: list, value_key: str) -> DataFrame:
         offsets = [(s, float(o)) for s, o in offsets]
         schema = "_shard int, _off double"
     elif any(isinstance(o, Decimal) for _, o in offsets):
+        # scale follows the actual totals (a fixed decimal(38,18) would
+        # reject >20-integer-digit sums and truncate scale>18 columns);
+        # precision stays at Spark's max 38 — offsets are SUMS of shard
+        # totals, so they can need more digits than the value column
         offsets = [(s, Decimal(o)) for s, o in offsets]
-        schema = "_shard int, _off decimal(38,18)"
+        scale = max(-o.as_tuple().exponent for _, o in offsets)
+        scale = max(0, min(scale, 37))
+        schema = f"_shard int, _off decimal(38,{scale})"
     else:
         offsets = [(s, int(o)) for s, o in offsets]
         schema = "_shard int, _off long"

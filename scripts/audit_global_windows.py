@@ -1,11 +1,11 @@
 """Audit every catalog query's optimized plan for single-task operators.
 
-Detects Window operators with an empty partition spec (`windowspecdefinition(
-<order>...)` with no partition columns — the `WindowExec: No Partition
-Defined` shape that serializes all rows through one task at scale) and
-global Sort operators that aren't part of a bounded top-k
-(TakeOrderedAndProject). Prints one line per finding so the list of
-global-window queries is explicit and reviewable rather than latent.
+Detects Window operators with an empty partition spec — both the ordered
+form (`windowspecdefinition(<order>...)`, the `WindowExec: No Partition
+Defined` shape) and the frame-only form (`OVER ()`, neither partition nor
+order — still a single-task WindowExec). Prints one line per finding so
+the list of global-window queries is explicit and reviewable rather than
+latent.
 
 Run: python scripts/audit_global_windows.py [sf_dir]
 """
@@ -20,34 +20,58 @@ sys.path.insert(0, ".")
 from open_ftth_relational_projector_spark.catalog import SPARK_QUERIES  # noqa: E402
 from open_ftth_relational_projector_spark.session import get_spark  # noqa: E402
 
-# Queries where a global ordered pass is the documented point of the
-# operator (diagnostics over a deliberately global layout), with why.
-EXEMPT = {
-    "zorder_locality_audit": "the audit MEASURES a global z-order layout",
+# Queries where a global pass is the documented point of the operator
+# (diagnostics over a deliberately global layout) or provably bounded by
+# construction. Each entry exempts ONLY the named window kinds — an
+# exemption argued for a bounded frame-only spec must not silence a future
+# ordered global window in the same query (the q15 defect class).
+# name -> (exempted kinds, why)
+EXEMPT: dict[str, tuple[frozenset[str], str]] = {
+    "zorder_locality_audit": (
+        frozenset({"GLOBAL-WINDOW"}),
+        "the audit MEASURES a global z-order layout",
+    ),
     "conversion_survival_curve": (
+        frozenset({"GLOBAL-WINDOW"}),
         "KM running product over the 14-row day spine — window cardinality "
-        "is fixed by the query (days), not the data"
+        "is fixed by the query (days), not the data",
     ),
     "hybrid_rrf_retrieval": (
+        frozenset({"GLOBAL-WINDOW"}),
         "ranks the BM25 top-k list (k=25 rows) — bounded by construction "
-        "before the window"
+        "before the window",
     ),
     "dsir_doc_weights": (
+        frozenset({"FRAME-ONLY-WINDOW"}),
         "frame-only OVER () sums run over the n_buckets hashed-feature "
-        "sketch rows (fixed 10k), not the corpus — bounded by construction"
+        "sketch rows (n_buckets=256 at this catalog entry), not the "
+        "corpus — bounded by construction",
     ),
     "temperature_mixture_sample": (
+        frozenset({"FRAME-ONLY-WINDOW"}),
         "frame-only OVER () share/max run over one row per SOURCE (the "
-        "group-by output), bounded by group cardinality, not data size"
+        "group-by output), bounded by group cardinality, not data size",
     ),
     "psi_value_drift": (
+        frozenset({"FRAME-ONLY-WINDOW"}),
         "frame-only OVER () psi_total sum runs over the fixed 10-bin "
-        "histogram spine (spark.range(0, 10)), not the events"
+        "histogram spine (spark.range(0, 10)), not the events",
     ),
     "curation_decisions": (
+        frozenset({"FRAME-ONLY-WINDOW"}),
         "inherits dsir_importance_weights' frame-only OVER () over its "
-        "n_buckets=256 hashed-feature sketch rows — bounded by construction"
+        "n_buckets=256 hashed-feature sketch rows — bounded by construction",
     ),
+}
+
+# Streaming-state sims materialize through an availableNow drain and
+# return a driver-built LocalRelation: their batch-visible plan carries no
+# window to audit, and building them costs two full stream drains per
+# sweep. Their correctness is gated by check_oracle/sweep_full_scale; the
+# state folds have no window operators by construction.
+SKIP = {
+    "stream_dedup_sim": "availableNow drain; result plan is a LocalRelation",
+    "stream_lsh_sim": "availableNow drain; result plan is a LocalRelation",
 }
 
 
@@ -56,12 +80,16 @@ def main() -> None:
     spark = get_spark(app_name="window-audit", shuffle_partitions=4)
     findings = []
     for name, fn in SPARK_QUERIES.items():
+        if name in SKIP:
+            findings.append((name, f"SKIP: {SKIP[name]}"))
+            continue
         try:
             df = fn(spark, sf_dir)
             plan = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
         except Exception as exc:  # noqa: BLE001
             findings.append((name, f"PLAN-ERROR {type(exc).__name__}: {exc}"))
             continue
+        worst = None  # an ordered global window outranks a frame-only one
         for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
             spec = m.group(1)
             # partition columns precede the first Asc/Desc sort order token;
@@ -75,11 +103,18 @@ def main() -> None:
                 first,
             )
             frame_only = first.startswith("specifiedwindowframe")
-            if ordered_global or frame_only:
-                kind = "GLOBAL-WINDOW" if ordered_global else "FRAME-ONLY-WINDOW"
-                tag = "EXEMPT: " + EXEMPT[name] if name in EXEMPT else kind
-                findings.append((name, f"{tag} [{spec[:90]}]"))
-                break
+            if not (ordered_global or frame_only):
+                continue
+            kind = "GLOBAL-WINDOW" if ordered_global else "FRAME-ONLY-WINDOW"
+            exempted = name in EXEMPT and kind in EXEMPT[name][0]
+            tag = f"EXEMPT[{kind}]: " + EXEMPT[name][1] if exempted else kind
+            entry = (name, f"{tag} [{spec[:90]}]")
+            if not exempted:
+                worst = entry
+                break  # an unexempted spec decides the query outright
+            worst = worst or entry
+        if worst:
+            findings.append(worst)
     for name, msg in findings:
         print(f"{name}: {msg}")
     bad = [

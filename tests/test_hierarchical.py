@@ -124,3 +124,22 @@ def test_hierarchical_cumsum_decimal_values_exact(spark):
         for r in hierarchical_cumsum(df, [F.col("k")], "v", "cum", n_shards=4).collect()
     }
     assert got == want
+
+
+def test_hierarchical_cumsum_wide_decimal_exact(spark):
+    """decimal(38,0) values whose running totals exceed 1e20 (and scale-0
+    columns generally) must stay exact — the offsets schema follows the
+    totals' actual scale instead of a fixed decimal(38,18), which could
+    not represent >20-integer-digit sums (round-5 review finding)."""
+    from decimal import Decimal
+
+    big = Decimal(10) ** 19  # each value 1e19; totals cross 1e20 fast
+    rows = [(i, big + i) for i in range(50)]
+    df = spark.createDataFrame(rows, "k long, v decimal(38,0)").repartition(4)
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    want = {r.k: r.cum for r in df.withColumn("cum", F.sum("v").over(w)).collect()}
+    got = {
+        r.k: r.cum
+        for r in hierarchical_cumsum(df, [F.col("k")], "v", "cum", n_shards=4).collect()
+    }
+    assert got == want

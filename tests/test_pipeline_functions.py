@@ -2265,8 +2265,13 @@ def test_minhash_catalog_production_twin_guarantees_sf0001(spark):
     from open_ftth_relational_projector_spark.sources.tables import load_table
 
     sf = "/root/testdata/sf0.001"
+    # raw (unrounded) exact scores: the catalog outputs apply Spark's
+    # HALF_UP F.round(·, 4) while Python round() is HALF_EVEN, so exact
+    # equality on pre-rounded values would flake on any 4th-decimal tie
+    # (e.g. J = 1/32 = 0.03125) — compare raw vs rounded at half-ulp
+    # tolerance instead
     exact = {
-        (r["doc_a"], r["doc_b"]): round(r["jaccard"], 4)
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
         for r in D.ngram_jaccard_pairs(
             load_table(spark, sf, "documents"), threshold=0.0, n=3
         ).collect()
@@ -2279,7 +2284,7 @@ def test_minhash_catalog_production_twin_guarantees_sf0001(spark):
             for r in SPARK_QUERIES[name](spark, sf).collect()
         }
         for pair, j in out.items():
-            assert exact[pair] == j, (name, pair)
+            assert abs(exact[pair] - j) <= 5.0001e-5, (name, pair)
         assert dup_pairs <= set(out), (name, dup_pairs - set(out))
         outs[name] = out
     common = set(outs["minhash_near_dups"]) & set(outs["minhash_near_dups_md5"])

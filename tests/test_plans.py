@@ -483,28 +483,21 @@ def test_q15_max_is_scalar_broadcast_not_global_window(q):
 def test_negative_samples_candidates_bounded(q, spark):
     """Round-5 rewrite (r4 verdict #3): candidate generation must be
     O(|C|*k*c) hash draws, never the |C|x|P| grid — pinned two ways:
-    (a) no part-side crossJoin in the plan (the only crossJoin-shaped rows
-    are the scalar offsets of hierarchical_row_number, none against part);
-    (b) empirical candidate count == |C| * 24 draws, far below |C|*|P|."""
-    from open_ftth_relational_projector_spark.sources.tables import load_table
-
+    (a) plan shape: the old grid planned custs x part as a
+        BroadcastNestedLoopJoin (crossJoin + broadcast hint); the rewrite
+        must have NO nest-loop join anywhere and must carry the
+        explode(sequence(0, 23)) draw generator;
+    (b) empirical: no customer emits more than 3 rows."""
     df = q("negative_samples_per_customer")
     plan = C.formatted_plan(df)
-    # the old shape planned part as a broadcast nest-loop against custs
-    assert "CartesianProduct" not in plan
-    orders = load_table(spark, SF, "orders")
-    lineitem = load_table(spark, SF, "lineitem")
-    n_custs = (
-        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
-        .select("o_custkey")
-        .distinct()
-        .count()
+    assert "BroadcastNestedLoopJoin" not in plan, (
+        "negative sampling regressed to the custs x part grid"
     )
-    n_parts = load_table(spark, SF, "part").count()
-    # per-customer draw budget is a CONSTANT (24), not |P| — the grid
-    # rewrite's whole point; at sf0.001 |P| is only 200 so the margin is
-    # small, but it grows unboundedly with scale factor
-    assert 24 < n_parts and n_custs * 24 < n_custs * n_parts
+    assert "CartesianProduct" not in plan
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
+    assert "explode" in optimized, (
+        "the constant 24-draw generator (explode over sequence) is gone"
+    )
     # every output customer has at most 3 rows
     out = df.groupBy("custkey").count().agg({"count": "max"}).collect()[0][0]
     assert out <= 3
