@@ -30,7 +30,13 @@ from ._registry import _q
 _CALL_SEQ = itertools.count()
 
 
-def _drain_stream_over_doc_batches(spark: SparkSession, sf_dir: str, op, name: str):
+def _drain_stream_over_doc_batches(
+    spark: SparkSession,
+    sf_dir: str,
+    op,
+    name: str,
+    shuffle_partitions: int | None = None,
+):
     """Split the documents table into 3 doc_id-ranged micro-batches
     (seq = doc_id), write them as utime-ordered json files (FileStreamSource
     processes oldest-modTime first, so cross-batch arrival follows seq
@@ -75,15 +81,28 @@ def _drain_stream_over_doc_batches(spark: SparkSession, sf_dir: str, op, name: s
             .option("maxFilesPerTrigger", "1")
             .json(f"{tmp}/in")
         )
-        q = (
-            op(stream)
-            .writeStream.outputMode("append")
-            .format("memory")
-            .queryName(qname)
-            .option("checkpointLocation", f"{tmp}/cp")
-            .trigger(availableNow=True)
-            .start()
-        )
+        # the state-store partition count is fixed at query START, so set
+        # it before .start() and restore after (same rationale as bench.py's
+        # _domain_conf). Callers whose per-batch work is trivial (dedup:
+        # md5 + first-wins) pass a small value — a 32-way keyed-state
+        # shuffle is pure task + python-worker overhead there (14s -> 5s
+        # measured at sf0.1); compute-heavy folds (LSH banding) keep the
+        # session parallelism (4-way measured SLOWER: 29s vs 22s).
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        if shuffle_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        try:
+            q = (
+                op(stream)
+                .writeStream.outputMode("append")
+                .format("memory")
+                .queryName(qname)
+                .option("checkpointLocation", f"{tmp}/cp")
+                .trigger(availableNow=True)
+                .start()
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         try:
             # a False return (timeout, no exception) would mean comparing a
             # PARTIAL drain against the full-batch oracle — fail loudly
@@ -124,7 +143,7 @@ def stream_dedup_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     rows, schema = _drain_stream_over_doc_batches(
-        spark, sf_dir, streaming_dedup_first, "sdedup"
+        spark, sf_dir, streaming_dedup_first, "sdedup", shuffle_partitions=4
     )
     return spark.createDataFrame(rows, schema)
 
@@ -142,7 +161,7 @@ def stream_dedup_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     mh AS (
       SELECT doc_id, s,
              MIN(('0x' || substr(md5(shingle || '#' || CAST(s AS VARCHAR)), 1, 15))::BIGINT) AS m
-      FROM sh CROSS JOIN (SELECT UNNEST(range(0, 32)) AS s) seeds
+      FROM sh CROSS JOIN (SELECT UNNEST(range(0, 16)) AS s) seeds
       GROUP BY doc_id, s),
     bands AS (
       SELECT doc_id, CAST(s // 4 AS INT) AS band_id,
@@ -171,8 +190,13 @@ def stream_lsh_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def op(stream):
+        # 16 hashes / 4 bands (4 rows per band, same rows-per-band as the
+        # batch default): half the per-batch signature cost of the 32-hash
+        # default — this sim gates state-machinery correctness, not recall
         return streaming_lsh_candidates(
             stream,
+            num_hashes=16,
+            bands=4,
             hash_fn=portable_hash64,
             portable_bands=True,
             max_bucket=4096,
