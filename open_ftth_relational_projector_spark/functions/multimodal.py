@@ -9,11 +9,12 @@ Paeth), ``resize_nearest`` resamples, and ``encode_png`` re-encodes a
 valid PNG — so ``resize_images(fake=False)`` is a genuine
 decode→resample→re-encode pipeline for 8-bit gray/RGB/GA/RGBA PNGs.
 BMP (raw rows, ``decode_bmp_pixels``/``encode_bmp``), GIF (stdlib LZW,
-``decode_gif_pixels``, normalized to PNG on resize), and baseline JPEG
-(stdlib Huffman + IDCT, ``functions/jpeg.py``, normalized to PNG on
-resize) are real too; progressive JPEG and other non-baseline variants
-raise NotImplementedError naming the unsupported feature — that boundary
-is the documented contract (here and in README). The ``fake=True`` path derives deterministic
+``decode_gif_pixels``, normalized to PNG on resize), and JPEG — baseline
+AND progressive/SOF2 since round 5 (stdlib Huffman + IDCT,
+``functions/jpeg.py``, normalized to PNG on resize) — are real too;
+arithmetic/lossless/hierarchical JPEG raises NotImplementedError naming
+the unsupported feature — that boundary is the documented contract
+(here and in README). The ``fake=True`` path derives deterministic
 pseudo-dims from byte length so text-as-blob testdata exercises the
 pipeline with a SQL oracle. Everything Spark-side — schema, Arrow batch
 shape, mapInPandas partitioning — is identical between the paths.

@@ -119,10 +119,12 @@ def test_color_420_constant_and_upsampling():
 
 
 def test_non_baseline_features_raise():
+    # progressive (SOF2) is SUPPORTED since round 5; the remaining
+    # boundaries are arithmetic/lossless/hierarchical coding
     jp = bytearray(encode_jpeg(8, 8, [[_dc_block(4)]], [(1, 1)]))
     i = jp.find(b"\xff\xc0")
-    jp[i + 1] = 0xC2  # rewrite SOF0 → SOF2 (progressive)
-    with pytest.raises(NotImplementedError, match="non-baseline"):
+    jp[i + 1] = 0xC9  # rewrite SOF0 → SOF9 (arithmetic sequential)
+    with pytest.raises(NotImplementedError, match="arithmetic"):
         decode_jpeg_pixels(bytes(jp))
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg_pixels(b"\x00\x01")
@@ -254,3 +256,210 @@ def test_truncated_entropy_stream_raises():
     # cut inside the entropy-coded data (before EOI)
     with pytest.raises(ValueError):
         decode_jpeg_pixels(jp[: len(jp) - 4] )
+
+
+# --------------------------------------------------------------------------
+# Progressive (SOF2) — differential vs the baseline path on identical
+# coefficients: both encoders serialize the SAME quantized blocks, so the
+# decoded pixels must be bit-identical however the scans are split.
+# --------------------------------------------------------------------------
+
+from jpeg_golden import encode_progressive_jpeg  # noqa: E402
+
+
+def _rand_blocks(rng, n, lo=-9, hi=10, dc_hi=40):
+    out = []
+    for _ in range(n):
+        b = [int(v) for v in rng.integers(lo, hi, 64)]
+        b[0] = int(rng.integers(-dc_hi, dc_hi))
+        out.append(b)
+    return out
+
+
+def _mcu_order(blocks, bwb, bhb, hs, vs):
+    """Reorder a raster block grid into baseline-encoder MCU traversal."""
+    out = []
+    for my in range(bhb // vs):
+        for mx in range(bwb // hs):
+            for by in range(vs):
+                for bx in range(hs):
+                    out.append(blocks[(my * vs + by) * bwb + (mx * hs + bx)])
+    return out
+
+
+def test_progressive_spectral_selection_equals_baseline():
+    rng = np.random.default_rng(11)
+    blocks = _rand_blocks(rng, 4)  # 32x16 gray, 4 blocks (raster 4x1... 2x2)
+    base = encode_jpeg(16, 16, [blocks], [(1, 1)])
+    prog = encode_progressive_jpeg(
+        16,
+        16,
+        [blocks],
+        [(1, 1)],
+        scans=[
+            ([0], 0, 0, 0, 0),  # DC first
+            ([0], 1, 5, 0, 0),  # low AC band
+            ([0], 6, 63, 0, 0),  # rest
+        ],
+    )
+    assert decode_jpeg_pixels(prog) == decode_jpeg_pixels(base)
+
+
+def test_progressive_successive_approximation_equals_baseline():
+    """DC + AC successive approximation (Al=1 first pass, refinement to
+    Al=0): exercises newly-significant ±1 coefficients, correction bits
+    on already-significant ones, and odd/even DC values."""
+    rng = np.random.default_rng(23)
+    blocks = _rand_blocks(rng, 4, lo=-3, hi=4)  # small values: many ±1
+    # make sure specific shapes exist: odd DC, even DC, a lone |1| high-freq
+    blocks[0][0] = 7
+    blocks[1][0] = -6
+    blocks[2][63] = 1
+    blocks[3][63] = -1
+    base = encode_jpeg(16, 16, [blocks], [(1, 1)])
+    prog = encode_progressive_jpeg(
+        16,
+        16,
+        [blocks],
+        [(1, 1)],
+        scans=[
+            ([0], 0, 0, 0, 1),  # DC at reduced precision
+            ([0], 1, 63, 0, 1),  # AC at reduced precision
+            ([0], 0, 0, 1, 0),  # DC refinement
+            ([0], 1, 63, 1, 0),  # AC refinement
+        ],
+    )
+    assert decode_jpeg_pixels(prog) == decode_jpeg_pixels(base)
+
+
+def test_progressive_sparse_blocks_eob_runs():
+    """Mostly-empty AC bands across many blocks: EOB runs > 1 (EOBn codes
+    with appended run-length bits) and, in the refinement scan, EOB runs
+    carrying buffered correction bits."""
+    blocks = [[0] * 64 for _ in range(8)]  # 64x8 gray, 8 blocks in a row
+    for i, b in enumerate(blocks):
+        b[0] = 3 * i - 10
+    blocks[0][5] = 2   # AC only in first and last blocks: 6-block EOB run
+    blocks[7][40] = -3
+    blocks[3][63] = 1  # invisible at Al=1, newly significant on refine
+    base = encode_jpeg(64, 8, [blocks], [(1, 1)])
+    for scans in (
+        [([0], 0, 0, 0, 0), ([0], 1, 63, 0, 0)],  # spectral only
+        [
+            ([0], 0, 0, 0, 1),
+            ([0], 1, 63, 0, 1),
+            ([0], 0, 0, 1, 0),
+            ([0], 1, 63, 1, 0),
+        ],  # with refinement
+    ):
+        prog = encode_progressive_jpeg(64, 8, [blocks], [(1, 1)], scans=scans)
+        assert decode_jpeg_pixels(prog) == decode_jpeg_pixels(base), scans
+
+
+def test_progressive_color_420_interleaved_dc():
+    """3-component 4:2:0: the DC scan interleaves all components in MCU
+    order; AC scans are per-component over the unpadded block grid."""
+    rng = np.random.default_rng(31)
+    # 32x16 image, 2x2 luma sampling: luma grid 4x2 raster, chroma 2x1
+    luma = _rand_blocks(rng, 8, lo=-4, hi=5)
+    cb = _rand_blocks(rng, 2, lo=-3, hi=4)
+    cr = _rand_blocks(rng, 2, lo=-3, hi=4)
+    samp = [(2, 2), (1, 1), (1, 1)]
+    base = encode_jpeg(
+        32,
+        16,
+        [_mcu_order(luma, 4, 2, 2, 2), cb, cr],
+        samp,
+    )
+    prog = encode_progressive_jpeg(
+        32,
+        16,
+        [luma, cb, cr],
+        samp,
+        scans=[
+            ([0, 1, 2], 0, 0, 0, 0),  # interleaved DC
+            ([0], 1, 63, 0, 0),
+            ([1], 1, 63, 0, 0),
+            ([2], 1, 63, 0, 0),
+        ],
+    )
+    assert decode_jpeg_pixels(prog) == decode_jpeg_pixels(base)
+
+
+def test_progressive_restart_in_dc_scan():
+    rng = np.random.default_rng(41)
+    blocks = _rand_blocks(rng, 4)
+    base = encode_jpeg(32, 8, [blocks], [(1, 1)])  # 4 MCUs in a row
+    prog = encode_progressive_jpeg(
+        32,
+        8,
+        [blocks],
+        [(1, 1)],
+        scans=[([0], 0, 0, 0, 0), ([0], 1, 63, 0, 0)],
+        restart_interval=2,
+    )
+    assert decode_jpeg_pixels(prog) == decode_jpeg_pixels(base)
+
+
+def test_progressive_truncated_raises():
+    blocks = [[0] * 64 for _ in range(2)]
+    blocks[0][0] = 9
+    blocks[1][27] = 5
+    prog = encode_progressive_jpeg(
+        16, 8, [blocks], [(1, 1)],
+        scans=[([0], 0, 0, 0, 0), ([0], 1, 63, 0, 0)],
+    )
+    with pytest.raises(ValueError):
+        decode_jpeg_pixels(prog[: len(prog) - 6])
+
+
+def test_progressive_multilevel_refinement_random():
+    """Three-level successive approximation (Al=2 first, two refinement
+    passes) on random blocks, gray and 4:2:2 color: decoded pixels must
+    equal the baseline encoding of the same coefficients at every seed."""
+    for seed in (3, 17, 59, 101):
+        rng = np.random.default_rng(seed)
+        blocks = _rand_blocks(rng, 4, lo=-12, hi=13)
+        base = encode_jpeg(16, 16, [blocks], [(1, 1)])
+        prog = encode_progressive_jpeg(
+            16,
+            16,
+            [blocks],
+            [(1, 1)],
+            scans=[
+                ([0], 0, 0, 0, 2),
+                ([0], 1, 20, 0, 2),
+                ([0], 21, 63, 0, 2),
+                ([0], 0, 0, 1, 1),
+                ([0], 1, 20, 1, 1),
+                ([0], 21, 63, 1, 1),
+                ([0], 0, 0, 1, 0),
+                ([0], 1, 20, 1, 0),
+                ([0], 21, 63, 1, 0),
+            ],
+        )
+        assert decode_jpeg_pixels(prog) == decode_jpeg_pixels(base), seed
+
+    rng = np.random.default_rng(77)
+    luma = _rand_blocks(rng, 4, lo=-6, hi=7)  # 4:2:2 — 16x16, luma 2x2... 2x1
+    cb = _rand_blocks(rng, 2, lo=-4, hi=5)
+    cr = _rand_blocks(rng, 2, lo=-4, hi=5)
+    samp = [(2, 1), (1, 1), (1, 1)]
+    base = encode_jpeg(32, 8, [_mcu_order(luma, 4, 1, 2, 1), cb, cr], samp)
+    prog = encode_progressive_jpeg(
+        32,
+        8,
+        [luma, cb, cr],
+        samp,
+        scans=[
+            ([0, 1, 2], 0, 0, 0, 1),
+            ([0], 1, 63, 0, 1),
+            ([1], 1, 63, 0, 1),
+            ([2], 1, 63, 0, 1),
+            ([0, 1, 2], 0, 0, 1, 0),
+            ([0], 1, 63, 1, 0),
+            ([1], 1, 63, 1, 0),
+            ([2], 1, 63, 1, 0),
+        ],
+    )
+    assert decode_jpeg_pixels(prog) == decode_jpeg_pixels(base)
