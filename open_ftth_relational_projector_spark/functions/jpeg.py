@@ -411,17 +411,22 @@ def decode_jpeg_pixels(b: bytes) -> tuple[int, int, bytes]:
     if seen_scans == 0:
         raise ValueError("jpeg: missing SOS/SOF")
 
-    # dequantize + IDCT once, after every scan has contributed
+    # dequantize + IDCT once, after every scan has contributed. The
+    # coefficient store costs ~8B/slot more than the old stream-to-pixels
+    # baseline path (it must persist between scans of a progressive file);
+    # each block is freed as soon as its pixels land to cap the peak.
     planes = []
     for ci, c in enumerate(comps):
         q = qt[c["tq"]]
         bw, bh = c["bwb"] * 8, c["bhb"] * 8
         plane = bytearray(bw * bh)
-        for bi, blk in enumerate(blocks[ci]):
+        comp_blocks = blocks[ci]
+        for bi, blk in enumerate(comp_blocks):
             coef = [0.0] * 64
             for k in range(64):
                 if blk[k]:
                     coef[ZIGZAG[k]] = blk[k] * q[k]
+            comp_blocks[bi] = None
             px = _idct_block(coef)
             oy = (bi // c["bwb"]) * 8
             ox = (bi % c["bwb"]) * 8
