@@ -463,3 +463,37 @@ def test_progressive_multilevel_refinement_random():
         ],
     )
     assert decode_jpeg_pixels(prog) == decode_jpeg_pixels(base)
+
+
+if _HAVE_HYP:
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.lists(
+            st.lists(st.integers(-20, 20), min_size=64, max_size=64),
+            min_size=1,
+            max_size=6,
+        ),
+        st.integers(1, 62),
+        st.integers(0, 2),
+    )
+    def test_progressive_any_blocks_any_scan_split(blocks, split, al):
+        """Arbitrary blocks under an arbitrary spectral split point and
+        successive-approximation depth must decode bit-identically to the
+        baseline encoding of the same coefficients: the scan script
+        carries the DC scan, two AC bands split at `split`, and — for
+        al > 0 — a full refinement ladder down to Al=0."""
+        n = len(blocks)
+        scans = [([0], 0, 0, 0, al)]
+        scans += [([0], 1, split, 0, al), ([0], split + 1, 63, 0, al)]
+        for level in range(al, 0, -1):
+            scans += [
+                ([0], 0, 0, level, level - 1),
+                ([0], 1, split, level, level - 1),
+                ([0], split + 1, 63, level, level - 1),
+            ]
+        base = encode_jpeg(8 * n, 8, [blocks], [(1, 1)])
+        prog = encode_progressive_jpeg(
+            8 * n, 8, [blocks], [(1, 1)], scans=scans
+        )
+        assert decode_jpeg_pixels(prog) == decode_jpeg_pixels(base)
