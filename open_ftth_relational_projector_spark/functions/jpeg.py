@@ -175,17 +175,6 @@ def _idct_block(coef: list[float]) -> list[int]:
     return out
 
 
-class _Scan:
-    """One SOS: participating components + spectral/approximation window."""
-
-    __slots__ = ("comps", "ss", "se", "ah", "al", "data_pos")
-
-    def __init__(self, comps, ss, se, ah, al, data_pos):
-        self.comps = comps
-        self.ss, self.se, self.ah, self.al = ss, se, ah, al
-        self.data_pos = data_pos
-
-
 def _decode_dc_scan_block(r, c, blk, pred, ci, al, huff_dc):
     t = _huff_decode(r, huff_dc[c["td"]])
     pred[ci] += _extend(r.receive(t), t)
@@ -313,6 +302,9 @@ def decode_jpeg_pixels(b: bytes) -> tuple[int, int, bytes]:
         if b[i] != 0xFF:
             raise ValueError("jpeg: bad marker alignment")
         marker = b[i + 1]
+        if marker == 0xFF:  # optional fill byte before a marker (B.1.1.2)
+            i += 1
+            continue
         if marker in (0xD8,) or 0xD0 <= marker <= 0xD7:
             i += 2
             continue
@@ -361,8 +353,17 @@ def decode_jpeg_pixels(b: bytes) -> tuple[int, int, bytes]:
                 # component's own sample dimensions)
                 c["cw"] = (-(-(w * c["h"]) // hmax) + 7) // 8
                 c["ch"] = (-(-(h * c["v"]) // vmax) + 7) // 8
+                c["bw"] = c["bwb"] * 8
+                c["plane"] = bytearray(c["bwb"] * 8 * c["bhb"] * 8)
+                # the cross-scan coefficient store exists ONLY for
+                # progressive files; baseline scans stream each block's
+                # pixels into the plane as soon as it is decoded (one
+                # 64-slot scratch at a time — the memory profile real
+                # camera-sized baseline images need)
                 blocks.append(
                     [[0] * 64 for _ in range(c["bwb"] * c["bhb"])]
+                    if progressive
+                    else []
                 )
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
@@ -403,6 +404,7 @@ def decode_jpeg_pixels(b: bytes) -> tuple[int, int, bytes]:
                 mcux,
                 mcuy,
                 progressive,
+                qt,
             )
             seen_scans += 1
             i = end
@@ -411,30 +413,28 @@ def decode_jpeg_pixels(b: bytes) -> tuple[int, int, bytes]:
     if seen_scans == 0:
         raise ValueError("jpeg: missing SOS/SOF")
 
-    # dequantize + IDCT once, after every scan has contributed. The
-    # coefficient store costs ~8B/slot more than the old stream-to-pixels
-    # baseline path (it must persist between scans of a progressive file);
-    # each block is freed as soon as its pixels land to cap the peak.
-    planes = []
-    for ci, c in enumerate(comps):
-        q = qt[c["tq"]]
-        bw, bh = c["bwb"] * 8, c["bhb"] * 8
-        plane = bytearray(bw * bh)
-        comp_blocks = blocks[ci]
-        for bi, blk in enumerate(comp_blocks):
-            coef = [0.0] * 64
-            for k in range(64):
-                if blk[k]:
-                    coef[ZIGZAG[k]] = blk[k] * q[k]
-            comp_blocks[bi] = None
-            px = _idct_block(coef)
-            oy = (bi // c["bwb"]) * 8
-            ox = (bi % c["bwb"]) * 8
-            for yy in range(8):
-                row = (oy + yy) * bw + ox
-                plane[row : row + 8] = bytes(px[yy * 8 : yy * 8 + 8])
-        c["bw"] = bw
-        planes.append(plane)
+    if progressive:
+        # dequantize + IDCT once, after every scan has contributed; each
+        # block is freed as soon as its pixels land to cap the peak
+        # (baseline files streamed pixels during the scan and skip this)
+        for ci, c in enumerate(comps):
+            q = qt[c["tq"]]
+            bw = c["bw"]
+            plane = c["plane"]
+            comp_blocks = blocks[ci]
+            for bi, blk in enumerate(comp_blocks):
+                coef = [0.0] * 64
+                for k in range(64):
+                    if blk[k]:
+                        coef[ZIGZAG[k]] = blk[k] * q[k]
+                comp_blocks[bi] = None
+                px = _idct_block(coef)
+                oy = (bi // c["bwb"]) * 8
+                ox = (bi % c["bwb"]) * 8
+                for yy in range(8):
+                    row = (oy + yy) * bw + ox
+                    plane[row : row + 8] = bytes(px[yy * 8 : yy * 8 + 8])
+    planes = [c["plane"] for c in comps]
 
     out = bytearray(w * h * 3)
     if len(comps) == 1:
@@ -463,6 +463,24 @@ def decode_jpeg_pixels(b: bytes) -> tuple[int, int, bytes]:
     return w, h, bytes(out)
 
 
+def _emit_baseline_block(c, blk, bi, qt):
+    """Dequantize + IDCT one freshly decoded baseline block straight into
+    the component plane (streaming — no cross-scan store needed)."""
+    q = qt[c["tq"]]
+    coef = [0.0] * 64
+    for k in range(64):
+        if blk[k]:
+            coef[ZIGZAG[k]] = blk[k] * q[k]
+    px = _idct_block(coef)
+    bw = c["bw"]
+    plane = c["plane"]
+    oy = (bi // c["bwb"]) * 8
+    ox = (bi % c["bwb"]) * 8
+    for yy in range(8):
+        row = (oy + yy) * bw + ox
+        plane[row : row + 8] = bytes(px[yy * 8 : yy * 8 + 8])
+
+
 def _run_scan(
     b,
     data_pos,
@@ -478,17 +496,22 @@ def _run_scan(
     mcux,
     mcuy,
     progressive,
+    qt,
 ):
-    """Decode one entropy-coded scan into the coefficient store; returns
-    the byte offset of the next marker after the scan data."""
+    """Decode one entropy-coded scan (into the coefficient store for
+    progressive files, streaming pixels for baseline); returns the byte
+    offset of the next marker after the scan data."""
     r = _BitReader(b, data_pos)
     pred = [0] * len(blocks)
     eobrun = 0
     unit = 0  # restart counting: MCUs (interleaved) or blocks (single)
-    if len(scan_comps) > 1 or (not progressive):
-        # interleaved MCU order (baseline always; progressive DC scans may
-        # interleave). Non-interleaved baseline single-component scans also
-        # take this path when nc == 1 (grids coincide for 1 component).
+    if len(scan_comps) > 1:
+        # interleaved MCU order: every baseline multi-component scan, and
+        # progressive DC scans (T.81 G.1.1.1 allows interleaving ONLY when
+        # Ss == 0 — an interleaved AC scan is malformed and must not be
+        # skipped silently)
+        if progressive and ss != 0:
+            raise ValueError("jpeg: interleaved progressive AC scan")
         for my in range(mcuy):
             for mx in range(mcux):
                 if restart_interval and unit and unit % restart_interval == 0:
@@ -499,20 +522,23 @@ def _run_scan(
                     for by in range(c["v"]):
                         for bx in range(c["h"]):
                             bi = (my * c["v"] + by) * c["bwb"] + (mx * c["h"] + bx)
-                            blk = blocks[ci][bi]
-                            if ss == 0:
-                                if ah == 0:
-                                    _decode_dc_scan_block(
-                                        r, c, blk, pred, ci, al, huff_dc
-                                    )
-                                elif r.read_bit():
-                                    blk[0] |= 1 << al
-                            if se > 0 and not progressive:
-                                _decode_baseline_ac(r, c, blk, se, huff_ac)
+                            blk = blocks[ci][bi] if progressive else [0] * 64
+                            if ah == 0:
+                                _decode_dc_scan_block(
+                                    r, c, blk, pred, ci, al, huff_dc
+                                )
+                            elif r.read_bit():
+                                blk[0] |= 1 << al
+                            if not progressive:
+                                if se > 0:
+                                    _decode_baseline_ac(r, c, blk, se, huff_ac)
+                                _emit_baseline_block(c, blk, bi, qt)
                 unit += 1
     else:
-        # single-component progressive scan: raster over the component's
-        # own (unpadded) block grid (T.81 A.2.2)
+        # single-component scan: raster over the component's own
+        # (unpadded) block grid (T.81 A.2.2) — the legal non-interleaved
+        # form for BOTH progressive bands and sequential per-component
+        # scans (e.g. a baseline 4:2:0 file with one SOS per component)
         ci, c = scan_comps[0]
         for by in range(c["ch"]):
             for bx in range(c["cw"]):
@@ -520,12 +546,17 @@ def _run_scan(
                     r.restart()
                     pred = [0] * len(blocks)
                     eobrun = 0
-                blk = blocks[ci][by * c["bwb"] + bx]
+                bi = by * c["bwb"] + bx
+                blk = blocks[ci][bi] if progressive else [0] * 64
                 if ss == 0:
                     if ah == 0:
                         _decode_dc_scan_block(r, c, blk, pred, ci, al, huff_dc)
                     elif r.read_bit():
                         blk[0] |= 1 << al
+                    if not progressive:
+                        if se > 0:
+                            _decode_baseline_ac(r, c, blk, se, huff_ac)
+                        _emit_baseline_block(c, blk, bi, qt)
                 elif ah == 0:
                     eobrun = _decode_ac_first(
                         r, c, blk, ss, se, al, huff_ac, eobrun

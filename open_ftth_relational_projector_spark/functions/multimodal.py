@@ -547,12 +547,12 @@ def resize_images(
 ) -> DataFrame:
     """Image resize over the binary column.
 
-    fake=False — REAL for PNG, 24-bit BMP, GIF, and baseline JPEG
-    payloads: stdlib pixel decode (zlib inflate / LZW / Huffman+IDCT —
-    functions/jpeg.py) → resize_nearest → re-encode (PNG/BMP out);
-    resized_sha256 is the hash of the re-encoded bytes and width/height
-    are the true source dims. Progressive JPEG and exotic variants raise
-    NotImplementedError naming the unsupported feature.
+    fake=False — REAL for PNG, 24-bit BMP, GIF, and JPEG (baseline AND
+    progressive/SOF2) payloads: stdlib pixel decode (zlib inflate / LZW /
+    Huffman+IDCT — functions/jpeg.py) → resize_nearest → re-encode
+    (PNG/BMP out); resized_sha256 is the hash of the re-encoded bytes and
+    width/height are the true source dims. Arithmetic/lossless JPEG and
+    exotic variants raise NotImplementedError naming the feature.
 
     fake=True — deterministic stand-in (pseudo-dims from byte length,
     hash of payload ⊕ target geometry) so text-as-blob testdata can pin
@@ -606,15 +606,15 @@ def resize_images(
                     resized = resize_nearest(px, w, h, 3, target_w, target_h)
                     out = encode_png(resized, target_w, target_h, 2)
                 elif raw[:2] == b"\xff\xd8":
-                    # format normalization: baseline JPEG in, PNG out
-                    # (functions/jpeg.py — stdlib Huffman+IDCT decoder)
+                    # format normalization: JPEG (baseline or progressive)
+                    # in, PNG out (functions/jpeg.py — stdlib decoder)
                     w, h, px = decode_jpeg_pixels(raw)
                     resized = resize_nearest(px, w, h, 3, target_w, target_h)
                     out = encode_png(resized, target_w, target_h, 2)
                 else:
                     raise NotImplementedError(
                         "pixel resize implemented for PNG, 24-bit BMP, "
-                        "GIF(->PNG), and baseline JPEG(->PNG)"
+                        "GIF(->PNG), and JPEG incl. progressive (->PNG)"
                     )
                 widths.append(w)
                 heights.append(h)

@@ -445,3 +445,78 @@ def encode_progressive_jpeg(
                     restart_interval,
                 )
     return bytes(seg) + b"\xff\xd9"
+
+
+def encode_jpeg_noninterleaved(
+    width: int,
+    height: int,
+    blocks_per_comp: list[list[list[int]]],
+    sampling: list[tuple[int, int]],
+    quant: list[int] | None = None,
+) -> bytes:
+    """Baseline SOF0 file with ONE SOS PER COMPONENT (T.81-legal
+    sequential non-interleaved form): each scan codes its component's
+    unpadded cw x ch block grid in raster order with an independent DC
+    predictor. Blocks are given in MCU-PADDED RASTER order per component
+    (the decoder-store layout); padded blocks are skipped."""
+    q = quant or [16] * 64
+    nc = len(blocks_per_comp)
+    hmax = max(h for h, _ in sampling)
+    vmax = max(v for _, v in sampling)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+
+    seg = bytearray(b"\xff\xd8")
+    seg += b"\xff\xdb" + (2 + 1 + 64).to_bytes(2, "big") + bytes([0])
+    seg += bytes(q[ZIGZAG[k]] for k in range(64))
+    sof = bytearray([8]) + height.to_bytes(2, "big") + width.to_bytes(2, "big")
+    sof.append(nc)
+    for c in range(nc):
+        hs, vs = sampling[c]
+        sof += bytes([c + 1, (hs << 4) | vs, 0])
+    seg += b"\xff\xc0" + (2 + len(sof)).to_bytes(2, "big") + sof
+    for cls, bits, vals in ((0, DC_BITS, DC_VALS), (1, AC_BITS, AC_VALS)):
+        dht = bytes([cls << 4]) + bytes(bits) + vals
+        seg += b"\xff\xc4" + (2 + len(dht)).to_bytes(2, "big") + dht
+
+    dc_codes = _inv(_build_huffman(DC_BITS, DC_VALS))
+    ac_codes = _inv(_build_huffman(AC_BITS, AC_VALS))
+
+    for c in range(nc):
+        hs, vs = sampling[c]
+        bwb = mcux * hs
+        cw = (-(-(width * hs) // hmax) + 7) // 8
+        ch = (-(-(height * vs) // vmax) + 7) // 8
+        sos = bytearray([1, c + 1, 0x00]) + b"\x00\x3f\x00"
+        seg += b"\xff\xda" + (2 + len(sos)).to_bytes(2, "big") + sos
+        w = _BitWriter()
+        pred = 0
+        for by in range(ch):
+            for bx in range(cw):
+                coef = blocks_per_comp[c][by * bwb + bx]
+                diff = coef[0] - pred
+                pred = coef[0]
+                t = _category(diff)
+                ln, code = dc_codes[t]
+                w.put(code, ln)
+                if t:
+                    w.put(_magnitude_bits(diff, t), t)
+                run = 0
+                for k in range(1, 64):
+                    v = coef[ZIGZAG[k]]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        ln, code = ac_codes[0xF0]
+                        w.put(code, ln)
+                        run -= 16
+                    s = _category(v)
+                    ln, code = ac_codes[(run << 4) | s]
+                    w.put(code, ln)
+                    w.put(_magnitude_bits(v, s), s)
+                    run = 0
+                if run:
+                    ln, code = ac_codes[0x00]
+                    w.put(code, ln)
+        seg += w.flush()
+    return bytes(seg) + b"\xff\xd9"

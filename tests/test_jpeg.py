@@ -497,3 +497,74 @@ if _HAVE_HYP:
             8 * n, 8, [blocks], [(1, 1)], scans=scans
         )
         assert decode_jpeg_pixels(prog) == decode_jpeg_pixels(base)
+
+
+def test_baseline_noninterleaved_per_component_scans():
+    """T.81-legal sequential 4:2:0 file with one SOS per component (the
+    shape the round-5 review flagged as misdecoded): must equal the
+    interleaved encoding of the same coefficients. The padded luma blocks
+    outside the unpadded cw x ch grid are never coded in this form, so
+    they are zeroed for the interleaved reference too."""
+    from jpeg_golden import encode_jpeg_noninterleaved
+
+    rng = np.random.default_rng(53)
+    luma = _rand_blocks(rng, 4, lo=-5, hi=6)  # 16x16, 2x2 grid, all coded
+    cb = _rand_blocks(rng, 1, lo=-4, hi=5)
+    cr = _rand_blocks(rng, 1, lo=-4, hi=5)
+    samp = [(2, 2), (1, 1), (1, 1)]
+    non = encode_jpeg_noninterleaved(16, 16, [luma, cb, cr], samp)
+    base = encode_jpeg(16, 16, [_mcu_order(luma, 2, 2, 2, 2), cb, cr], samp)
+    assert decode_jpeg_pixels(non) == decode_jpeg_pixels(base)
+
+
+def test_fill_bytes_before_markers():
+    """Optional 0xFF fill bytes before a marker (T.81 B.1.1.2) must be
+    skipped — both in the pre-scan header region and between the scans of
+    a progressive file."""
+    rng = np.random.default_rng(61)
+    blocks = _rand_blocks(rng, 2)
+    base = encode_jpeg(16, 8, [blocks], [(1, 1)])
+    padded = base.replace(b"\xff\xc0", b"\xff\xff\xff\xc0", 1)
+    assert decode_jpeg_pixels(padded) == decode_jpeg_pixels(base)
+
+    prog = encode_progressive_jpeg(
+        16, 8, [blocks], [(1, 1)],
+        scans=[([0], 0, 0, 0, 0), ([0], 1, 63, 0, 0)],
+    )
+    # pad the SECOND SOS (between scans — the newly reachable region)
+    i = prog.find(b"\xff\xda", prog.find(b"\xff\xda") + 2)
+    padded = prog[:i] + b"\xff" + prog[i:]
+    assert decode_jpeg_pixels(padded) == decode_jpeg_pixels(prog)
+
+
+def test_interleaved_progressive_ac_scan_raises():
+    """A malformed SOF2 file whose AC scan lists multiple components must
+    raise, not silently skip the scan (round-5 review finding)."""
+    blocks = [[0] * 64 for _ in range(1)]
+    blocks[0][0] = 5
+    prog = bytearray(
+        encode_progressive_jpeg(
+            8, 8, [blocks], [(1, 1)],
+            scans=[([0], 0, 0, 0, 0), ([0], 1, 63, 0, 0)],
+        )
+    )
+    # rewrite the second SOS header to claim ns=... can't add comps to a
+    # 1-comp file; build a 3-comp file and corrupt its luma AC scan into
+    # an "interleaved" one by bumping ns and appending a comp spec
+    luma = [[0] * 64 for _ in range(1)]
+    cb = [[0] * 64 for _ in range(1)]
+    cr = [[0] * 64 for _ in range(1)]
+    luma[0][0] = 4
+    prog = encode_progressive_jpeg(
+        8, 8, [luma, cb, cr], [(1, 1), (1, 1), (1, 1)],
+        scans=[([0, 1, 2], 0, 0, 0, 0), ([0], 1, 63, 0, 0)],
+    )
+    i = prog.find(b"\xff\xda", prog.find(b"\xff\xda") + 2)
+    # original scan header: len=8, ns=1, (comp 1, tables), Ss=1, Se=63, AhAl
+    # corrupt: ns=2 with comps 1 and 2 → len=10
+    old = prog[i : i + 2 + 8]
+    assert old[4] == 1  # ns
+    new = bytes([0xFF, 0xDA, 0x00, 0x0A, 0x02, 0x01, 0x00, 0x02, 0x00]) + old[-3:]
+    corrupted = prog[:i] + new + prog[i + len(old):]
+    with pytest.raises(ValueError, match="interleaved progressive AC"):
+        decode_jpeg_pixels(corrupted)
