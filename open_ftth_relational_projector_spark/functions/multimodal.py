@@ -133,38 +133,27 @@ def _png_chunks(b: bytes):
             break
 
 
-def decode_png_pixels(b: bytes) -> tuple[int, int, int, bytes]:
-    """Full PNG pixel decode with stdlib zlib: concatenate IDAT chunks,
-    inflate, and unfilter each scanline (filter types 0 None / 1 Sub /
-    2 Up / 3 Average / 4 Paeth, per the PNG spec §9). Supports 8-bit
-    depth, color types 0/2/4/6, no interlace — the overwhelmingly common
-    encoder output. Returns (width, height, color_type, raw pixel bytes,
-    row-major, ``_PNG_CHANNELS[color_type]`` bytes per pixel)."""
-    if b[:8] != _PNG_SIG:
-        raise NotImplementedError("not a PNG: pixel decode is PNG-only here")
-    width = height = ct = None
-    idat = bytearray()
-    for typ, data in _png_chunks(b):
-        if typ == b"IHDR":
-            width = int.from_bytes(data[0:4], "big")
-            height = int.from_bytes(data[4:8], "big")
-            depth, ct, interlace = data[8], data[9], data[12]
-            if depth != 8 or ct not in _PNG_CHANNELS or interlace:
-                raise NotImplementedError(
-                    f"unsupported PNG variant: depth={depth} color={ct} "
-                    f"interlace={interlace}"
-                )
-        elif typ == b"IDAT":
-            idat += data
-    if width is None or ct is None:
-        raise NotImplementedError("corrupt PNG: missing IHDR chunk")
-    raw = zlib.decompress(bytes(idat))
-    ch = _PNG_CHANNELS[ct]
-    stride = width * ch
+#: Adam7 pass grid: (x0, y0, dx, dy) per pass, PNG spec §8.2
+#: (xstart 0,4,0,2,0,1,0 / ystart 0,0,4,0,2,0,1 / steps 8,8,4·8,4·4,2·4,2·2,1·2)
+_ADAM7 = [
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+]
+
+
+def _png_unfilter(raw: bytes, pos: int, n_rows: int, stride: int, ch: int):
+    """Unfilter ``n_rows`` scanlines of ``stride`` bytes starting at
+    ``pos`` (filter types 0 None / 1 Sub / 2 Up / 3 Average / 4 Paeth,
+    PNG spec §9). The filter context (previous row) starts zeroed — each
+    Adam7 pass is its own filtering context. Returns (rows, new_pos)."""
     out = bytearray()
     prev = bytearray(stride)
-    pos = 0
-    for _ in range(height):
+    for _ in range(n_rows):
         ftype = raw[pos]
         pos += 1
         row = bytearray(raw[pos : pos + stride])
@@ -192,6 +181,60 @@ def decode_png_pixels(b: bytes) -> tuple[int, int, int, bytes]:
             raise NotImplementedError(f"unknown PNG filter type {ftype}")
         out += row
         prev = row
+    return out, pos
+
+
+def decode_png_pixels(b: bytes) -> tuple[int, int, int, bytes]:
+    """Full PNG pixel decode with stdlib zlib: concatenate IDAT chunks,
+    inflate, and unfilter each scanline (filter types 0 None / 1 Sub /
+    2 Up / 3 Average / 4 Paeth, per the PNG spec §9). Supports 8-bit
+    depth, color types 0/2/4/6, both non-interlaced and Adam7-interlaced
+    images (each of the 7 passes is unfiltered in its own context and
+    scattered onto the output grid). Returns (width, height, color_type,
+    raw pixel bytes, row-major, ``_PNG_CHANNELS[color_type]`` bytes per
+    pixel)."""
+    if b[:8] != _PNG_SIG:
+        raise NotImplementedError("not a PNG: pixel decode is PNG-only here")
+    width = height = ct = None
+    interlace = 0
+    idat = bytearray()
+    for typ, data in _png_chunks(b):
+        if typ == b"IHDR":
+            width = int.from_bytes(data[0:4], "big")
+            height = int.from_bytes(data[4:8], "big")
+            depth, ct, interlace = data[8], data[9], data[12]
+            if depth != 8 or ct not in _PNG_CHANNELS or interlace > 1:
+                raise NotImplementedError(
+                    f"unsupported PNG variant: depth={depth} color={ct} "
+                    f"interlace={interlace}"
+                )
+        elif typ == b"IDAT":
+            idat += data
+    if width is None or ct is None:
+        raise NotImplementedError("corrupt PNG: missing IHDR chunk")
+    raw = zlib.decompress(bytes(idat))
+    ch = _PNG_CHANNELS[ct]
+    stride = width * ch
+    if not interlace:
+        out, _ = _png_unfilter(raw, 0, height, stride, ch)
+        return width, height, ct, bytes(out)
+    # Adam7: 7 sub-images, each independently filtered, scattered onto
+    # the (x0 + i*dx, y0 + r*dy) grid
+    out = bytearray(height * stride)
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (width - x0 + dx - 1) // dx if width > x0 else 0
+        ph = (height - y0 + dy - 1) // dy if height > y0 else 0
+        if pw == 0 or ph == 0:
+            continue  # empty pass contributes NO scanlines (spec §8.2)
+        rows, pos = _png_unfilter(raw, pos, ph, pw * ch, ch)
+        for r in range(ph):
+            y = y0 + r * dy
+            for i in range(pw):
+                x = x0 + i * dx
+                src = (r * pw + i) * ch
+                dst = y * stride + x * ch
+                out[dst : dst + ch] = rows[src : src + ch]
     return width, height, ct, bytes(out)
 
 
@@ -341,9 +384,9 @@ def _gif_lzw_decode(data: bytes, min_code_size: int) -> bytes:
 def decode_gif_pixels(b: bytes) -> tuple[int, int, bytes]:
     """Real GIF pixel decode with stdlib-only LZW: logical screen + color
     tables parsed, extensions skipped, the FIRST image frame decompressed
-    and palette-mapped to RGB. Non-interlaced frames only (interlace
-    raises — it is rare outside animation tooling). Returns (width,
-    height, RGB bytes, row-major)."""
+    and palette-mapped to RGB. Interlaced frames (the 4-pass row order:
+    every 8th row from 0, from 4, every 4th from 2, every 2nd from 1) are
+    de-interlaced. Returns (width, height, RGB bytes, row-major)."""
     if b[:6] not in (b"GIF87a", b"GIF89a"):
         raise NotImplementedError("not a GIF")
     flags = b[10]
@@ -370,8 +413,6 @@ def decode_gif_pixels(b: bytes) -> tuple[int, int, bytes]:
                 n = 3 * (2 << (iflags & 0x07))
                 palette = b[pos : pos + n]
                 pos += n
-            if iflags & 0x40:
-                raise NotImplementedError("interlaced GIF not supported")
             if palette is None:
                 raise NotImplementedError("GIF frame without a color table")
             min_code = b[pos]
@@ -386,6 +427,17 @@ def decode_gif_pixels(b: bytes) -> tuple[int, int, bytes]:
                 raise NotImplementedError(
                     f"truncated GIF pixel data: {len(idx)} of {w * h} pixels"
                 )
+            if iflags & 0x40:  # interlaced: rows stored in 4-pass order
+                order = (
+                    list(range(0, h, 8))
+                    + list(range(4, h, 8))
+                    + list(range(2, h, 4))
+                    + list(range(1, h, 2))
+                )
+                deint = [0] * (w * h)
+                for stored, y in enumerate(order):
+                    deint[y * w : (y + 1) * w] = idx[stored * w : (stored + 1) * w]
+                idx = deint
             n_colors = len(palette) // 3
             out = bytearray(w * h * 3)
             for i, ci in enumerate(idx):

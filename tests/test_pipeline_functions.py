@@ -2293,3 +2293,96 @@ def test_minhash_catalog_production_twin_guarantees_sf0001(spark):
             outs["minhash_near_dups"][pair]
             == outs["minhash_near_dups_md5"][pair]
         )
+
+
+def test_png_adam7_interlaced_decode_matches_plain():
+    """Adam7-interlaced PNGs (independent test-side interlacer: split
+    pixels into the 7 passes, filter each pass's rows in its own context
+    — pass 1 with filter 0, later passes with filter 2/Up to pin the
+    per-pass context reset — deflate, interlace=1 header) must decode to
+    the same pixels as the plain encoding."""
+    import zlib as _zlib
+
+    from open_ftth_relational_projector_spark.functions.multimodal import (
+        _ADAM7,
+        decode_png_pixels,
+        encode_png,
+    )
+
+    for w, h in ((7, 5), (8, 8), (3, 2), (1, 1), (16, 9)):
+        ch = 3
+        pixels = bytes(
+            (x * 31 + y * 57 + c * 11) % 256
+            for y in range(h)
+            for x in range(w)
+            for c in range(ch)
+        )
+        raw = bytearray()
+        for pi, (x0, y0, dx, dy) in enumerate(_ADAM7):
+            pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+            ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+            if pw == 0 or ph == 0:
+                continue
+            prev = bytearray(pw * ch)
+            for r in range(ph):
+                y = y0 + r * dy
+                row = bytearray()
+                for i in range(pw):
+                    x = x0 + i * dx
+                    row += pixels[(y * w + x) * ch : (y * w + x) * ch + ch]
+                if pi == 0 or r == 0:
+                    raw += b"\x00" + row  # None
+                else:
+                    raw += b"\x02" + bytes(
+                        (row[j] - prev[j]) & 0xFF for j in range(len(row))
+                    )  # Up, within THIS pass's context
+                prev = row
+
+        def chunk(typ, data):
+            crc = _zlib.crc32(typ + data) & 0xFFFFFFFF
+            return (
+                len(data).to_bytes(4, "big") + typ + data
+                + crc.to_bytes(4, "big")
+            )
+
+        ihdr = (
+            w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([8, 2, 0, 0, 1])  # 8-bit RGB, Adam7
+        )
+        blob = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", _zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b"")
+        )
+        got = decode_png_pixels(blob)
+        plain = decode_png_pixels(encode_png(pixels, w, h, 2))
+        assert got == plain == (w, h, 2, pixels), (w, h)
+
+
+def test_gif_interlaced_decode_matches_plain():
+    """Interlaced GIFs (rows stored in the 4-pass order) must decode to
+    the same pixels as the plain row-major frame."""
+    from open_ftth_relational_projector_spark.functions.multimodal import (
+        decode_gif_pixels,
+    )
+
+    palette = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (9, 9, 9)]
+    for w, h in ((4, 11), (5, 8), (3, 1), (6, 2)):
+        indices = [(x * 3 + y * 7) % 4 for y in range(h) for x in range(w)]
+        plain = decode_gif_pixels(_gif_bytes(w, h, palette, indices))
+        order = (
+            list(range(0, h, 8))
+            + list(range(4, h, 8))
+            + list(range(2, h, 4))
+            + list(range(1, h, 2))
+        )
+        stored = []
+        for y in order:
+            stored += indices[y * w : (y + 1) * w]
+        blob = bytearray(_gif_bytes(w, h, palette, stored))
+        # set the interlace flag in the image descriptor (offset: after
+        # 6-byte header + 7-byte LSD + 12-byte GCT, descriptor flags at +9)
+        di = blob.find(b"\x2c")
+        blob[di + 9] |= 0x40
+        assert decode_gif_pixels(bytes(blob)) == plain, (w, h)
