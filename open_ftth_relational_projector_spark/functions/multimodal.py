@@ -188,36 +188,56 @@ def decode_png_pixels(b: bytes) -> tuple[int, int, int, bytes]:
     """Full PNG pixel decode with stdlib zlib: concatenate IDAT chunks,
     inflate, and unfilter each scanline (filter types 0 None / 1 Sub /
     2 Up / 3 Average / 4 Paeth, per the PNG spec §9). Supports 8-bit
-    depth, color types 0/2/4/6, both non-interlaced and Adam7-interlaced
+    depth, color types 0/2/3/4/6, both non-interlaced and Adam7-interlaced
     images (each of the 7 passes is unfiltered in its own context and
-    scattered onto the output grid). Returns (width, height, color_type,
-    raw pixel bytes, row-major, ``_PNG_CHANNELS[color_type]`` bytes per
-    pixel)."""
+    scattered onto the output grid). Palette images (color type 3, 8-bit
+    indices) are NORMALIZED to RGB and reported as color type 2 — the
+    same normalization the resize path applies to GIF. Returns (width,
+    height, color_type, raw pixel bytes, row-major,
+    ``_PNG_CHANNELS[color_type]`` bytes per pixel)."""
     if b[:8] != _PNG_SIG:
         raise NotImplementedError("not a PNG: pixel decode is PNG-only here")
     width = height = ct = None
     interlace = 0
     idat = bytearray()
+    plte = None
     for typ, data in _png_chunks(b):
         if typ == b"IHDR":
             width = int.from_bytes(data[0:4], "big")
             height = int.from_bytes(data[4:8], "big")
             depth, ct, interlace = data[8], data[9], data[12]
-            if depth != 8 or ct not in _PNG_CHANNELS or interlace > 1:
+            if depth != 8 or (ct != 3 and ct not in _PNG_CHANNELS) or interlace > 1:
                 raise NotImplementedError(
                     f"unsupported PNG variant: depth={depth} color={ct} "
                     f"interlace={interlace}"
                 )
+        elif typ == b"PLTE":
+            plte = data
         elif typ == b"IDAT":
             idat += data
     if width is None or ct is None:
         raise NotImplementedError("corrupt PNG: missing IHDR chunk")
     raw = zlib.decompress(bytes(idat))
-    ch = _PNG_CHANNELS[ct]
+    ch = 1 if ct == 3 else _PNG_CHANNELS[ct]
     stride = width * ch
+    def finish(out: bytearray) -> tuple[int, int, int, bytes]:
+        if ct != 3:
+            return width, height, ct, bytes(out)
+        if plte is None:
+            raise NotImplementedError("palette PNG without a PLTE chunk")
+        n_colors = len(plte) // 3
+        rgb = bytearray(width * height * 3)
+        for i, ci in enumerate(out):
+            if ci >= n_colors:
+                raise NotImplementedError(
+                    f"PNG palette index {ci} outside {n_colors}-entry PLTE"
+                )
+            rgb[i * 3 : i * 3 + 3] = plte[ci * 3 : ci * 3 + 3]
+        return width, height, 2, bytes(rgb)
+
     if not interlace:
         out, _ = _png_unfilter(raw, 0, height, stride, ch)
-        return width, height, ct, bytes(out)
+        return finish(out)
     # Adam7: 7 sub-images, each independently filtered, scattered onto
     # the (x0 + i*dx, y0 + r*dy) grid
     out = bytearray(height * stride)
@@ -235,7 +255,7 @@ def decode_png_pixels(b: bytes) -> tuple[int, int, int, bytes]:
                 src = (r * pw + i) * ch
                 dst = y * stride + x * ch
                 out[dst : dst + ch] = rows[src : src + ch]
-    return width, height, ct, bytes(out)
+    return finish(out)
 
 
 def encode_png(pixels: bytes, width: int, height: int, color_type: int) -> bytes:

@@ -2386,3 +2386,69 @@ def test_gif_interlaced_decode_matches_plain():
         di = blob.find(b"\x2c")
         blob[di + 9] |= 0x40
         assert decode_gif_pixels(bytes(blob)) == plain, (w, h)
+
+
+def test_png_palette_decode_normalizes_to_rgb():
+    """Color-type-3 (8-bit palette) PNGs decode to RGB (reported ct=2,
+    the GIF-style normalization), plain and Adam7-interlaced alike;
+    an index beyond the PLTE raises."""
+    import zlib as _zlib
+
+    from open_ftth_relational_projector_spark.functions.multimodal import (
+        decode_png_pixels,
+    )
+
+    def chunk(typ, data):
+        crc = _zlib.crc32(typ + data) & 0xFFFFFFFF
+        return len(data).to_bytes(4, "big") + typ + data + crc.to_bytes(4, "big")
+
+    palette = [(250, 1, 2), (3, 200, 5), (6, 7, 150), (20, 30, 40)]
+    plte = b"".join(bytes(c) for c in palette)
+    w, h = 5, 4
+    idx = [(x + 2 * y) % 4 for y in range(h) for x in range(w)]
+
+    def build(interlace, indices):
+        if not interlace:
+            raw = b"".join(
+                b"\x00" + bytes(indices[y * w : (y + 1) * w]) for y in range(h)
+            )
+        else:
+            from open_ftth_relational_projector_spark.functions.multimodal import (
+                _ADAM7,
+            )
+
+            raw = bytearray()
+            for x0, y0, dx, dy in _ADAM7:
+                pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+                ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+                if pw == 0 or ph == 0:
+                    continue
+                for r in range(ph):
+                    y = y0 + r * dy
+                    raw += b"\x00" + bytes(
+                        indices[y * w + x0 + i * dx] for i in range(pw)
+                    )
+        ihdr = (
+            w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([8, 3, 0, 0, 1 if interlace else 0])
+        )
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"PLTE", plte)
+            + chunk(b"IDAT", _zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b"")
+        )
+
+    want = b"".join(bytes(palette[i]) for i in idx)
+    for interlace in (0, 1):
+        gw, gh, ct, px = decode_png_pixels(build(interlace, idx))
+        assert (gw, gh, ct) == (w, h, 2), interlace
+        assert px == want, interlace
+
+    bad = idx[:]
+    bad[0] = 7  # beyond the 4-entry PLTE
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="palette index"):
+        decode_png_pixels(build(0, bad))
