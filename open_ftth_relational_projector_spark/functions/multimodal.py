@@ -7,7 +7,8 @@ PNG, pixel-level work is ALSO real: ``decode_png_pixels`` inflates the
 IDAT stream with stdlib zlib and unfilters every row (filters 0-4 incl.
 Paeth), ``resize_nearest`` resamples, and ``encode_png`` re-encodes a
 valid PNG — so ``resize_images(fake=False)`` is a genuine
-decode→resample→re-encode pipeline for 8-bit gray/RGB/GA/RGBA PNGs.
+decode→resample→re-encode pipeline for 8-bit gray/RGB/GA/RGBA/palette
+PNGs, non-interlaced and Adam7-interlaced alike.
 BMP (raw rows, ``decode_bmp_pixels``/``encode_bmp``), GIF (stdlib LZW,
 ``decode_gif_pixels``, normalized to PNG on resize), and JPEG — baseline
 AND progressive/SOF2 since round 5 (stdlib Huffman + IDCT,
@@ -154,6 +155,11 @@ def _png_unfilter(raw: bytes, pos: int, n_rows: int, stride: int, ch: int):
     out = bytearray()
     prev = bytearray(stride)
     for _ in range(n_rows):
+        if pos + 1 + stride > len(raw):
+            raise NotImplementedError(
+                f"truncated PNG pixel data: need {1 + stride} bytes at "
+                f"offset {pos} of {len(raw)}"
+            )
         ftype = raw[pos]
         pos += 1
         row = bytearray(raw[pos : pos + stride])
@@ -182,6 +188,21 @@ def _png_unfilter(raw: bytes, pos: int, n_rows: int, stride: int, ch: int):
         out += row
         prev = row
     return out, pos
+
+
+def _palette_to_rgb(indices, palette: bytes, fmt: str) -> bytes:
+    """Map a stream of 8-bit color indices through a 3-byte-per-entry
+    palette to RGB — shared by palette PNG and GIF; an index beyond the
+    table raises with the format named."""
+    n_colors = len(palette) // 3
+    out = bytearray(len(indices) * 3)
+    for i, ci in enumerate(indices):
+        if ci >= n_colors:
+            raise NotImplementedError(
+                f"{fmt} palette index {ci} outside {n_colors}-entry table"
+            )
+        out[i * 3 : i * 3 + 3] = palette[ci * 3 : ci * 3 + 3]
+    return bytes(out)
 
 
 def decode_png_pixels(b: bytes) -> tuple[int, int, int, bytes]:
@@ -225,15 +246,7 @@ def decode_png_pixels(b: bytes) -> tuple[int, int, int, bytes]:
             return width, height, ct, bytes(out)
         if plte is None:
             raise NotImplementedError("palette PNG without a PLTE chunk")
-        n_colors = len(plte) // 3
-        rgb = bytearray(width * height * 3)
-        for i, ci in enumerate(out):
-            if ci >= n_colors:
-                raise NotImplementedError(
-                    f"PNG palette index {ci} outside {n_colors}-entry PLTE"
-                )
-            rgb[i * 3 : i * 3 + 3] = plte[ci * 3 : ci * 3 + 3]
-        return width, height, 2, bytes(rgb)
+        return width, height, 2, _palette_to_rgb(out, plte, "PNG")
 
     if not interlace:
         out, _ = _png_unfilter(raw, 0, height, stride, ch)
@@ -458,15 +471,7 @@ def decode_gif_pixels(b: bytes) -> tuple[int, int, bytes]:
                 for stored, y in enumerate(order):
                     deint[y * w : (y + 1) * w] = idx[stored * w : (stored + 1) * w]
                 idx = deint
-            n_colors = len(palette) // 3
-            out = bytearray(w * h * 3)
-            for i, ci in enumerate(idx):
-                if ci >= n_colors:
-                    raise NotImplementedError(
-                        f"GIF color index {ci} outside {n_colors}-entry palette"
-                    )
-                out[i * 3 : i * 3 + 3] = palette[ci * 3 : ci * 3 + 3]
-            return w, h, bytes(out)
+            return w, h, _palette_to_rgb(idx, palette, "GIF")
         elif block == 0x3B:  # trailer
             break
         else:

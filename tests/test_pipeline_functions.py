@@ -2330,12 +2330,15 @@ def test_png_adam7_interlaced_decode_matches_plain():
                 for i in range(pw):
                     x = x0 + i * dx
                     row += pixels[(y * w + x) * ch : (y * w + x) * ch + ch]
-                if pi == 0 or r == 0:
+                if pi == 0:
                     raw += b"\x00" + row  # None
                 else:
+                    # Up on EVERY row of later passes — the first row
+                    # deltas against the ZEROED context, so a decoder
+                    # carrying prev across passes decodes garbage here
                     raw += b"\x02" + bytes(
                         (row[j] - prev[j]) & 0xFF for j in range(len(row))
-                    )  # Up, within THIS pass's context
+                    )
                 prev = row
 
         def chunk(typ, data):
