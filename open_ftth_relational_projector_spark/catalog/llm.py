@@ -1408,3 +1408,65 @@ def lineitem_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(cols)}, {stack}) AS (col, n, n_distinct, n_null, min_v, max_v)"
     )
 
+
+
+_BPE_ITER_BLOCK = """
+p{i} AS (
+  SELECT UNNEST(list_transform(generate_series(1, GREATEST(len(s) - 1, 0)),
+                               j -> s[j] || ' ' || s[j + 1])) AS p,
+         cnt
+  FROM s{prev}),
+m{i} AS (SELECT p, CAST(SUM(cnt) AS BIGINT) AS n FROM p{i} GROUP BY p
+         ORDER BY n DESC, p ASC LIMIT 1),
+r{i} AS (
+  SELECT cnt, s AS rest, []::VARCHAR[] AS done FROM s{prev}
+  UNION ALL
+  SELECT r.cnt,
+         CASE WHEN len(r.rest) >= 2 AND r.rest[1] = string_split(m.p, ' ')[1]
+                   AND r.rest[2] = string_split(m.p, ' ')[2]
+              THEN r.rest[3:] ELSE r.rest[2:] END,
+         CASE WHEN len(r.rest) >= 2 AND r.rest[1] = string_split(m.p, ' ')[1]
+                   AND r.rest[2] = string_split(m.p, ' ')[2]
+              THEN list_append(r.done, replace(m.p, ' ', ''))
+              ELSE list_append(r.done, r.rest[1]) END
+  FROM r{i} r, m{i} m WHERE len(r.rest) > 0),
+s{i} AS (SELECT cnt, done AS s FROM r{i} WHERE len(rest) = 0)"""
+
+_BPE_SQL = (
+    r"""
+    WITH RECURSIVE
+    wv AS (
+      SELECT w, COUNT(*) AS cnt
+      FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> '' GROUP BY w),
+    s0 AS (
+      SELECT cnt,
+             string_split(trim(regexp_replace(w, '(.)', '\1 ', 'g')), ' ') AS s
+      FROM wv),"""
+    + ",".join(_BPE_ITER_BLOCK.format(i=i, prev=i - 1) for i in (1, 2, 3))
+    + """
+    SELECT * FROM (
+      SELECT 1 AS it, string_split(p, ' ')[1] AS lhs,
+             string_split(p, ' ')[2] AS rhs, n AS pair_count FROM m1
+      UNION ALL SELECT 2, string_split(p, ' ')[1], string_split(p, ' ')[2], n FROM m2
+      UNION ALL SELECT 3, string_split(p, ' ')[1], string_split(p, ' ')[2], n FROM m3
+    )
+    """
+)
+
+
+@_q("bpe_learned_merges", _BPE_SQL)
+def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING (Sennrich et al. 2016): the first 3 merge
+    rules learned from the documents corpus — per iteration, count
+    adjacent symbol pairs over the (word, count) vocabulary, take the
+    most frequent pair (pair-string tiebreak), apply the merge greedily
+    left-to-right (functions/text.bpe_learn: an F.aggregate fold, no
+    UDF). The oracle replays the identical algorithm with chained
+    recursive CTEs — the per-word greedy merge as a head-or-pair
+    consuming recursion. Scale shape: state is vocabulary-sized; each
+    iteration is one pair-count shuffle plus a single-row argmax
+    collect (the rule itself)."""
+    return TXT.bpe_learn(
+        scattered(load_table(spark, sf_dir, "documents")), n_merges=3
+    )

@@ -278,3 +278,101 @@ def tfidf_cosine_pairs(
         .filter(cos >= threshold)
         .select("doc_a", "doc_b", F.round(cos, 4).alias("cosine"))
     )
+
+
+def _merge_adjacent_pair(s: Column, left: str, right: str) -> Column:
+    """Greedy left-to-right merge of every adjacent (left, right) symbol
+    pair in array ``s`` — the BPE merge-application rule. A pure
+    ``F.aggregate`` fold over the indices (JVM-side, no UDF): the
+    accumulator carries (done, skip); ``skip`` marks that the current
+    element was consumed as the right half of the previous merge."""
+    n = F.size(s)
+    init = F.struct(
+        F.array().cast("array<string>").alias("done"),
+        F.lit(False).alias("skip"),
+    )
+
+    def step(acc, i):
+        cur = F.element_at(s, i + 1)
+        nxt = F.try_element_at(s, i + 2)  # NULL past the end (ANSI-safe)
+        is_pair = (
+            (~acc.skip)
+            & nxt.isNotNull()
+            & (cur == F.lit(left))
+            & (nxt == F.lit(right))
+        )
+        done = (
+            F.when(acc.skip, acc.done)
+            .when(is_pair, F.concat(acc.done, F.array(F.concat(cur, nxt))))
+            .otherwise(F.concat(acc.done, F.array(cur)))
+        )
+        skip = F.when(acc.skip, F.lit(False)).otherwise(is_pair)
+        return F.struct(done.alias("done"), skip.alias("skip"))
+
+    return F.aggregate(
+        F.sequence(F.lit(0), n - 1), init, step, lambda acc: acc["done"]
+    )
+
+
+def bpe_learn(
+    docs: DataFrame,
+    n_merges: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merge rules from a corpus — the
+    tokenizer-TRAINING half of the BPE story (``subword_token_count`` is
+    the counting half). Classic algorithm (Sennrich et al. 2016 §3.2):
+    fold the corpus to a (word, count) vocabulary, split words to symbol
+    arrays, then repeatedly (1) count adjacent symbol pairs weighted by
+    word count, (2) pick the most frequent pair (ties broken by pair
+    string ascending — deterministic across engines), (3) merge every
+    greedy left-to-right occurrence. Returns one row per learned rule:
+    (it, lhs, rhs, pair_count).
+
+    Scale shape: state is the VOCABULARY (words x symbol arrays), never
+    the corpus; each iteration costs one pair-count shuffle over the
+    vocab plus a 1-row argmax collect (bounded — the merge rule itself);
+    merge application is a map-side JVM array fold. localCheckpoint per
+    iteration truncates the growing plan lineage.
+    """
+    words = (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cur = words.select(
+        "cnt",
+        F.split(
+            F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 ")), " "
+        ).alias("s"),
+    ).localCheckpoint(eager=True)
+    spark = docs.sparkSession
+    out_rows = []
+    for it in range(1, n_merges + 1):
+        pairs = (
+            cur.filter(F.size("s") >= 2)
+            .select(
+                "cnt",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(s) - 2), "
+                        "i -> concat(s[i], ' ', s[i + 1]))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p")
+            .agg(F.sum("cnt").alias("n"))
+        )
+        # bounded collect: exactly one row — the learned merge rule
+        top = pairs.orderBy(F.desc("n"), F.asc("p")).limit(1).collect()
+        if not top:
+            break
+        lhs, rhs = top[0]["p"].split(" ", 1)
+        out_rows.append((it, lhs, rhs, int(top[0]["n"])))
+        cur = cur.select(
+            "cnt", _merge_adjacent_pair(F.col("s"), lhs, rhs).alias("s")
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        out_rows, "it int, lhs string, rhs string, pair_count long"
+    )

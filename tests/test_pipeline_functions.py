@@ -2455,3 +2455,56 @@ def test_png_palette_decode_normalizes_to_rgb():
 
     with _pytest.raises(NotImplementedError, match="palette index"):
         decode_png_pixels(build(0, bad))
+
+
+def test_bpe_learn_textbook_merges(spark):
+    """The Sennrich et al. toy corpus learns the classic merge sequence:
+    es(9) -> est(9) -> lo(7) -> low(7)."""
+    from open_ftth_relational_projector_spark.functions.text import bpe_learn
+
+    corpus = [
+        ("low low low low low lower lower",),
+        ("newest newest newest newest newest newest widest widest widest",),
+    ]
+    df = spark.createDataFrame(corpus, "text string")
+    got = [
+        (r.it, r.lhs, r.rhs, r.pair_count)
+        for r in bpe_learn(df, n_merges=4).orderBy("it").collect()
+    ]
+    assert got == [
+        (1, "e", "s", 9),
+        (2, "es", "t", 9),
+        (3, "l", "o", 7),
+        (4, "lo", "w", 7),
+    ]
+
+
+def test_bpe_merge_greedy_left_to_right(spark):
+    """Greedy application inside a run of identical symbols: 'aaaa'
+    merges to [aa, aa], 'aaaaa' to [aa, aa, a] — the pair count of the
+    SECOND iteration reveals which fold semantics was applied."""
+    from open_ftth_relational_projector_spark.functions.text import bpe_learn
+
+    df = spark.createDataFrame([("aaaa aaaa aaaaa",)], "text string")
+    got = [
+        (r.it, r.lhs, r.rhs, r.pair_count)
+        for r in bpe_learn(df, n_merges=2).orderBy("it").collect()
+    ]
+    # it=1: 'a a' pairs: aaaa has 3 adjacent, aaaaa has 4 -> 2*3 + 4 = 10
+    assert got[0] == (1, "a", "a", 10)
+    # after greedy merge: aaaa -> [aa, aa]; aaaaa -> [aa, aa, a]
+    # it=2 pairs: ('aa','aa') count 2 (one per 'aaaa') + 1 ('aaaaa') = 3;
+    # ('aa','a') count 1 -> top is ('aa','aa')
+    assert got[1] == (2, "aa", "aa", 3)
+
+
+def test_bpe_learn_early_exhaustion(spark):
+    """Single-character vocabulary runs out of pairs: fewer rows than
+    n_merges, no error."""
+    from open_ftth_relational_projector_spark.functions.text import bpe_learn
+
+    df = spark.createDataFrame([("ab ab a b",)], "text string")
+    rows = bpe_learn(df, n_merges=5).collect()
+    # merge 1 fuses 'a b' inside 'ab'; after that every word is a single
+    # symbol -> no pairs left
+    assert [(r.it, r.lhs, r.rhs) for r in rows] == [(1, "a", "b")]
