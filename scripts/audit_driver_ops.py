@@ -42,6 +42,9 @@ ALLOWLIST: dict[str, str] = {
     "operators/median.py::exact_median_two_pass": "histogram bucket counts (fixed fan-out)",
     "sources/bucketing.py::write_partitioned": "distinct partition values of a dimension column",
     "functions/clustering.py::kmeans_fit": "k x dim centroid doubles per iteration",
+    "functions/text.py::bpe_learn": (
+        "LIMIT 1 argmax per merge iteration — the learned rule itself"
+    ),
     "functions/clustering.py::kcenter_select": "k selected rows, one per round",
     "functions/clustering.py::pq_codebooks": "k x dim per subspace (quantizer training)",
     "functions/graph.py::connected_components": "scalar label-sum convergence signature",
