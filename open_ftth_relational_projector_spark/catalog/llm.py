@@ -1419,9 +1419,9 @@ p{i} AS (
 m{i} AS (SELECT p, CAST(SUM(cnt) AS BIGINT) AS n FROM p{i} GROUP BY p
          ORDER BY n DESC, p ASC LIMIT 1),
 r{i} AS (
-  SELECT cnt, s AS rest, []::VARCHAR[] AS done FROM s{prev}
+  SELECT w, cnt, s AS rest, []::VARCHAR[] AS done FROM s{prev}
   UNION ALL
-  SELECT r.cnt,
+  SELECT r.w, r.cnt,
          CASE WHEN len(r.rest) >= 2 AND r.rest[1] = string_split(m.p, ' ')[1]
                    AND r.rest[2] = string_split(m.p, ' ')[2]
               THEN r.rest[3:] ELSE r.rest[2:] END,
@@ -1430,7 +1430,7 @@ r{i} AS (
               THEN list_append(r.done, replace(m.p, ' ', ''))
               ELSE list_append(r.done, r.rest[1]) END
   FROM r{i} r, m{i} m WHERE len(r.rest) > 0),
-s{i} AS (SELECT cnt, done AS s FROM r{i} WHERE len(rest) = 0)"""
+s{i} AS (SELECT w, cnt, done AS s FROM r{i} WHERE len(rest) = 0)"""
 
 _BPE_SQL = (
     r"""
@@ -1440,7 +1440,7 @@ _BPE_SQL = (
       FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
       WHERE w <> '' GROUP BY w),
     s0 AS (
-      SELECT cnt,
+      SELECT w, cnt,
              string_split(trim(regexp_replace(w, '(.)', '\1 ', 'g')), ' ') AS s
       FROM wv),"""
     + ",".join(_BPE_ITER_BLOCK.format(i=i, prev=i - 1) for i in (1, 2, 3))
@@ -1469,4 +1469,43 @@ def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     collect (the rule itself)."""
     return TXT.bpe_learn(
         scattered(load_table(spark, sf_dir, "documents")), n_merges=3
+    )
+
+
+_BPE_TOKENIZE_SQL = (
+    _BPE_SQL.rsplit("SELECT * FROM (", 1)[0].rstrip()
+    + """,
+    occ AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> '')
+    SELECT o.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(len(s3.s)) AS BIGINT) AS n_bpe_tokens
+    FROM occ o JOIN s3 USING (w)
+    GROUP BY o.doc_id
+    """
+)
+
+
+@_q("bpe_token_counts", _BPE_TOKENIZE_SQL)
+def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLICATION: train 3 merges on the documents corpus
+    (bpe_learned_merges), then tokenize every document with them and
+    report per-doc (n_words, n_bpe_tokens) — the counts the token-budget
+    and packing ops consume. Merges apply on the VOCABULARY (each
+    distinct word folded once) and join back to word occurrences, so
+    repeated words never re-tokenize (functions/text.bpe_tokenize_counts).
+    The oracle extends the training CTE chain with the occurrence join
+    over the fully merged symbol table."""
+    docs = scattered(load_table(spark, sf_dir, "documents"))
+    rules = [
+        (r["lhs"], r["rhs"])
+        for r in TXT.bpe_learn(docs, n_merges=3).orderBy("it").collect()
+    ]
+    out = TXT.bpe_tokenize_counts(docs, rules)
+    return out.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
     )

@@ -376,3 +376,41 @@ def bpe_learn(
     return spark.createDataFrame(
         out_rows, "it int, lhs string, rhs string, pair_count long"
     )
+
+
+def bpe_tokenize_counts(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document subword token counts under a learned BPE merge list —
+    the APPLICATION half of ``bpe_learn`` (tokenize the corpus with the
+    trained tokenizer; the budget/packing ops consume these counts).
+
+    Scale shape: merges are applied on the VOCABULARY (each distinct word
+    tokenized once via the same greedy ``F.aggregate`` fold as training),
+    then joined back to the per-document word occurrences — per-doc work
+    never re-tokenizes repeated words. One vocab aggregation, k map-side
+    folds, one broadcast-friendly join, one per-doc sum.
+    """
+    occurrences = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("w"),
+    ).filter(F.col("w") != "")
+    vocab = occurrences.select("w").distinct()
+    sym = F.split(F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 ")), " ")
+    merged = vocab.select("w", sym.alias("s"))
+    for lhs, rhs in merges:
+        merged = merged.select(
+            "w", _merge_adjacent_pair(F.col("s"), lhs, rhs).alias("s")
+        )
+    tok = merged.select("w", F.size("s").alias("n_tok"))
+    return (
+        occurrences.join(tok, "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_tok").alias("n_bpe_tokens"),
+        )
+    )
