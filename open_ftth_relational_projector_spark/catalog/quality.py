@@ -200,3 +200,85 @@ def label_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.label_centroid_stats(scattered(load_table(spark, sf_dir, "embeddings")))
 
 
+
+
+@_q(
+    "quality_score_auc",
+    """
+    WITH t AS (
+      SELECT lang = 'en' AS pos,
+             ROUND(
+               (CASE WHEN LEN(string_split(text, ' ')) BETWEEN 20 AND 10000
+                     THEN 0.4::DOUBLE ELSE 0.0::DOUBLE END
+                + CASE WHEN LEN(list_filter(string_split(text, ' '),
+                        x -> list_contains(['the','a','and','of','to'], x)))
+                        / CAST(LEN(string_split(text, ' ')) AS DOUBLE) > 0.01
+                       THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END
+                + CASE WHEN LENGTH(regexp_replace(LOWER(text), '[a-z0-9 ]', '', 'g'))
+                        / CAST(LENGTH(LOWER(text)) AS DOUBLE) < 0.1
+                       THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END), 4) AS s
+      FROM documents),
+    g AS (
+      SELECT s,
+             CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS npos,
+             CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS nneg
+      FROM t GROUP BY s),
+    c AS (
+      SELECT s, npos, nneg,
+             COALESCE(SUM(nneg) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS neg_below
+      FROM g),
+    tot AS (SELECT SUM(npos) AS p, SUM(nneg) AS n FROM g)
+    SELECT CASE WHEN tot.p > 0 AND tot.n > 0
+                THEN ROUND(SUM(c.npos * (c.neg_below + c.nneg / 2.0))
+                           / (tot.p * tot.n), 4) END AS auc,
+           CAST(MAX(tot.p) AS BIGINT) AS n_pos,
+           CAST(MAX(tot.n) AS BIGINT) AS n_neg
+    FROM c CROSS JOIN tot
+    GROUP BY tot.p, tot.n
+    """,
+)
+def quality_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC of the quality_score heuristic as a detector of English
+    documents (label = lang == 'en') — the rank-based Mann-Whitney form
+    with exact tie handling: AUC = Σ_s npos(s)·(neg_below(s) + nneg(s)/2)
+    / (P·N). The classifier-evaluation op a filtering pipeline runs when
+    calibrating a quality gate.
+
+    Scale shape: one aggregation collapses the corpus to ONE ROW PER
+    DISTINCT SCORE — quality_score's value lattice has ≤8 points (sums of
+    fixed weights 0.4/0.3/0.3), so the ordered cumulative pass runs over
+    a bounded, data-size-independent frame (audit-exempt, same class as
+    the PSI 10-bin spine)."""
+    from open_ftth_relational_projector_spark.functions import text as TXT
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        (F.col("lang") == "en").alias("pos"),
+        F.round(TXT.quality_score(F.col("text")), 4).alias("s"),
+    )
+    g = t.groupBy("s").agg(
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).alias("npos"),
+        F.sum(F.when(F.col("pos"), 0).otherwise(1)).alias("nneg"),
+    )
+    w = W.orderBy("s").rowsBetween(W.unboundedPreceding, -1)
+    c = g.withColumn("neg_below", F.coalesce(F.sum("nneg").over(w), F.lit(0)))
+    tot = g.agg(F.sum("npos").alias("p"), F.sum("nneg").alias("n"))
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .groupBy("p", "n")
+        .agg(
+            F.sum(
+                F.col("npos") * (F.col("neg_below") + F.col("nneg") / 2.0)
+            ).alias("_num")
+        )
+        .select(
+            F.when(
+                (F.col("p") > 0) & (F.col("n") > 0),
+                F.round(F.col("_num") / (F.col("p") * F.col("n")), 4),
+            ).alias("auc"),
+            F.col("p").cast("long").alias("n_pos"),
+            F.col("n").cast("long").alias("n_neg"),
+        )
+    )

@@ -62,6 +62,12 @@ EXEMPT: dict[str, tuple[frozenset[str], str]] = {
         "inherits dsir_importance_weights' frame-only OVER () over its "
         "n_buckets=256 hashed-feature sketch rows — bounded by construction",
     ),
+    "quality_score_auc": (
+        frozenset({"GLOBAL-WINDOW"}),
+        "ordered cumulative pass over ONE ROW PER DISTINCT quality score "
+        "— the score lattice has <=8 points (sums of fixed weights), "
+        "data-size-independent",
+    ),
 }
 
 # Streaming-state sims materialize through an availableNow drain and
