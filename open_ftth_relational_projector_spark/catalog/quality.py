@@ -282,3 +282,150 @@ def quality_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("long").alias("n_neg"),
         )
     )
+
+
+@_q(
+    "quality_pr_curve",
+    """
+    WITH t AS (
+      SELECT lang = 'en' AS pos,
+             ROUND(
+               (CASE WHEN LEN(string_split(text, ' ')) BETWEEN 20 AND 10000
+                     THEN 0.4::DOUBLE ELSE 0.0::DOUBLE END
+                + CASE WHEN LEN(list_filter(string_split(text, ' '),
+                        x -> list_contains(['the','a','and','of','to'], x)))
+                        / CAST(LEN(string_split(text, ' ')) AS DOUBLE) > 0.01
+                       THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END
+                + CASE WHEN LENGTH(regexp_replace(LOWER(text), '[a-z0-9 ]', '', 'g'))
+                        / CAST(LENGTH(LOWER(text)) AS DOUBLE) < 0.1
+                       THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END), 4) AS s
+      FROM documents),
+    g AS (
+      SELECT s,
+             CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS npos,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM t GROUP BY s),
+    tot AS (SELECT SUM(npos) AS p FROM g),
+    c AS (
+      SELECT s,
+             SUM(npos) OVER (ORDER BY s DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+             SUM(n) OVER (ORDER BY s DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS kept
+      FROM g)
+    SELECT c.s AS threshold,
+           CAST(c.kept AS BIGINT) AS n_kept,
+           ROUND(c.tp / CAST(c.kept AS DOUBLE), 4) AS precision_at,
+           ROUND(c.tp / CAST(tot.p AS DOUBLE), 4) AS recall_at,
+           ROUND(2.0 * c.tp / (c.kept + tot.p), 4) AS f1_at
+    FROM c CROSS JOIN tot
+    """,
+)
+def quality_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision / recall / F1 of the quality gate at EVERY achievable
+    threshold (keep docs with score >= t), label = lang == 'en' — the
+    operating-point sweep run when choosing where to set a filter. One
+    row per distinct score value; like quality_score_auc the ordered
+    pass runs over the bounded (<=8-point) score lattice, never the
+    corpus. F1 via the 2TP/(kept+P) identity — division-free of
+    precision/recall rounding."""
+    from open_ftth_relational_projector_spark.functions import text as TXT
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        (F.col("lang") == "en").alias("pos"),
+        F.round(TXT.quality_score(F.col("text")), 4).alias("s"),
+    )
+    g = t.groupBy("s").agg(
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).alias("npos"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    tot = g.agg(F.sum("npos").alias("p"))
+    w = W.orderBy(F.desc("s")).rowsBetween(W.unboundedPreceding, 0)
+    c = g.select(
+        "s",
+        F.sum("npos").over(w).alias("tp"),
+        F.sum("n").over(w).alias("kept"),
+    )
+    return c.crossJoin(F.broadcast(tot)).select(
+        F.col("s").alias("threshold"),
+        F.col("kept").cast("long").alias("n_kept"),
+        F.round(F.col("tp") / F.col("kept").cast("double"), 4).alias(
+            "precision_at"
+        ),
+        F.round(F.col("tp") / F.col("p").cast("double"), 4).alias("recall_at"),
+        F.round(2.0 * F.col("tp") / (F.col("kept") + F.col("p")), 4).alias(
+            "f1_at"
+        ),
+    )
+
+
+@_q(
+    "lang_guess_kappa",
+    """
+    WITH t AS (
+      SELECT lang AS truth,
+             CASE WHEN c_es > GREATEST(c_en, c_de, c_fr) THEN 'es'
+                  WHEN c_fr > GREATEST(c_en, c_de) THEN 'fr'
+                  WHEN c_de > c_en THEN 'de'
+                  WHEN c_en > 0 THEN 'en'
+                  ELSE 'und' END AS guess
+      FROM (
+        SELECT lang,
+               LEN(list_filter(string_split(text,' '), x -> list_contains(['the','a','and','of','to'], x))) AS c_en,
+               LEN(list_filter(string_split(text,' '), x -> list_contains(['der','die','das','und','zu'], x))) AS c_de,
+               LEN(list_filter(string_split(text,' '), x -> list_contains(['le','la','et','les','des'], x))) AS c_fr,
+               LEN(list_filter(string_split(text,' '), x -> list_contains(['el','la','los','y','de'], x))) AS c_es
+        FROM documents)),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM t),
+    agree AS (SELECT SUM(CASE WHEN truth = guess THEN 1 ELSE 0 END) AS a FROM t),
+    m AS (
+      SELECT cls, SUM(is_truth) AS row_n, SUM(is_guess) AS col_n FROM (
+        SELECT truth AS cls, 1 AS is_truth, 0 AS is_guess FROM t
+        UNION ALL
+        SELECT guess, 0, 1 FROM t)
+      GROUP BY cls),
+    pe AS (SELECT SUM(row_n * col_n) AS e FROM m)
+    SELECT ROUND(agree.a / n.n, 4) AS observed_agreement,
+           ROUND(pe.e / (n.n * n.n), 4) AS expected_agreement,
+           ROUND((agree.a / n.n - pe.e / (n.n * n.n))
+                 / (1.0 - pe.e / (n.n * n.n)), 4) AS kappa
+    FROM agree CROSS JOIN n CROSS JOIN pe
+    """,
+)
+def lang_guess_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the ground-truth lang column and the
+    stopword-vote lang_guess heuristic — chance-corrected agreement, the
+    standard way to report a weak labeler's quality. The confusion mass
+    reduces to per-class row/column marginals (one tiny groupBy), so
+    everything after the scan is class-cardinality-sized."""
+    from open_ftth_relational_projector_spark.functions import text as TXT
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        F.col("lang").alias("truth"),
+        TXT.lang_guess(F.col("text")).alias("guess"),
+    )
+    # ONE corpus scan: the confusion matrix (class-cardinality-sized);
+    # totals, agreement, and marginals all derive from it
+    cm = t.groupBy("truth", "guess").agg(F.count(F.lit(1)).alias("c"))
+    totals = cm.agg(
+        F.sum("c").alias("n"),
+        F.sum(F.when(F.col("truth") == F.col("guess"), F.col("c")).otherwise(0)).alias("a"),
+    )
+    rows = cm.groupBy(F.col("truth").alias("cls")).agg(F.sum("c").alias("row_n"))
+    cols = cm.groupBy(F.col("guess").alias("cls")).agg(F.sum("c").alias("col_n"))
+    e = (
+        rows.join(cols, "cls", "full")
+        .select(
+            (F.coalesce(F.col("row_n"), F.lit(0)) * F.coalesce(F.col("col_n"), F.lit(0))).alias("rc")
+        )
+        .agg(F.sum("rc").alias("e"))
+    )
+    po = F.col("a") / F.col("n").cast("double")
+    pe = F.col("e") / (F.col("n").cast("double") * F.col("n"))
+    return totals.crossJoin(F.broadcast(e)).select(
+        F.round(po, 4).alias("observed_agreement"),
+        F.round(pe, 4).alias("expected_agreement"),
+        F.round((po - pe) / (1.0 - pe), 4).alias("kappa"),
+    )

@@ -68,6 +68,11 @@ EXEMPT: dict[str, tuple[frozenset[str], str]] = {
         "— the score lattice has <=8 points (sums of fixed weights), "
         "data-size-independent",
     ),
+    "quality_pr_curve": (
+        frozenset({"GLOBAL-WINDOW"}),
+        "same bounded <=8-point score lattice as quality_score_auc: the "
+        "threshold sweep's cumulative TP/kept run over score groups",
+    ),
 }
 
 # Streaming-state sims materialize through an availableNow drain and
