@@ -1418,6 +1418,14 @@ p{i} AS (
   FROM s{prev}),
 m{i} AS (SELECT p, CAST(SUM(cnt) AS BIGINT) AS n FROM p{i} GROUP BY p
          ORDER BY n DESC, p ASC LIMIT 1),
+mm{i} AS (
+  -- exhaustion guard: when no pairs remain m{i} is empty, and a bare
+  -- cross join would drop the whole vocabulary from s{i}; the sentinel
+  -- pair (a lone control char: its split has no second element, so the
+  -- merge condition is never TRUE) makes the pass an explicit no-op
+  SELECT p FROM m{i}
+  UNION ALL
+  SELECT chr(1) WHERE NOT EXISTS (SELECT 1 FROM m{i})),
 r{i} AS (
   SELECT w, cnt, s AS rest, []::VARCHAR[] AS done FROM s{prev}
   UNION ALL
@@ -1429,10 +1437,12 @@ r{i} AS (
                    AND r.rest[2] = string_split(m.p, ' ')[2]
               THEN list_append(r.done, replace(m.p, ' ', ''))
               ELSE list_append(r.done, r.rest[1]) END
-  FROM r{i} r, m{i} m WHERE len(r.rest) > 0),
+  FROM r{i} r, mm{i} m WHERE len(r.rest) > 0),
 s{i} AS (SELECT w, cnt, done AS s FROM r{i} WHERE len(rest) = 0)"""
 
-_BPE_SQL = (
+# shared CTE chain (wv -> s0 -> 3 x pair-count/argmax/greedy-merge); both
+# BPE oracles compose from it instead of string surgery on each other
+_BPE_CTE_PREFIX = (
     r"""
     WITH RECURSIVE
     wv AS (
@@ -1444,6 +1454,10 @@ _BPE_SQL = (
              string_split(trim(regexp_replace(w, '(.)', '\1 ', 'g')), ' ') AS s
       FROM wv),"""
     + ",".join(_BPE_ITER_BLOCK.format(i=i, prev=i - 1) for i in (1, 2, 3))
+)
+
+_BPE_SQL = (
+    _BPE_CTE_PREFIX
     + """
     SELECT * FROM (
       SELECT 1 AS it, string_split(p, ' ')[1] AS lhs,
@@ -1473,7 +1487,7 @@ def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BPE_TOKENIZE_SQL = (
-    _BPE_SQL.rsplit("SELECT * FROM (", 1)[0].rstrip()
+    _BPE_CTE_PREFIX
     + """,
     occ AS (
       SELECT doc_id, w FROM (
@@ -1499,11 +1513,8 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle extends the training CTE chain with the occurrence join
     over the fully merged symbol table."""
     docs = scattered(load_table(spark, sf_dir, "documents"))
-    rules = [
-        (r["lhs"], r["rhs"])
-        for r in TXT.bpe_learn(docs, n_merges=3).orderBy("it").collect()
-    ]
-    out = TXT.bpe_tokenize_counts(docs, rules)
+    _, vocab = TXT.bpe_learn(docs, n_merges=3, return_vocab=True)
+    out = TXT.bpe_tokenize_counts(docs, merged_vocab=vocab)
     return out.select(
         "doc_id",
         F.col("n_words").cast("long").alias("n_words"),

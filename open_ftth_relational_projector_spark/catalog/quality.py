@@ -202,12 +202,9 @@ def label_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-@_q(
-    "quality_score_auc",
-    """
-    WITH t AS (
-      SELECT lang = 'en' AS pos,
-             ROUND(
+# the SQL twin of functions/text.quality_score, shared by the eval
+# queries' oracles (edit in ONE place if the weights/bands change)
+_QUALITY_SCORE_SQL = """ROUND(
                (CASE WHEN LEN(string_split(text, ' ')) BETWEEN 20 AND 10000
                      THEN 0.4::DOUBLE ELSE 0.0::DOUBLE END
                 + CASE WHEN LEN(list_filter(string_split(text, ' '),
@@ -216,7 +213,15 @@ def label_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                        THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END
                 + CASE WHEN LENGTH(regexp_replace(LOWER(text), '[a-z0-9 ]', '', 'g'))
                         / CAST(LENGTH(LOWER(text)) AS DOUBLE) < 0.1
-                       THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END), 4) AS s
+                       THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END), 4)"""
+
+
+@_q(
+    "quality_score_auc",
+    f"""
+    WITH t AS (
+      SELECT lang = 'en' AS pos,
+             {_QUALITY_SCORE_SQL} AS s
       FROM documents),
     g AS (
       SELECT s,
@@ -251,9 +256,7 @@ def quality_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed weights 0.4/0.3/0.3), so the ordered cumulative pass runs over
     a bounded, data-size-independent frame (audit-exempt, same class as
     the PSI 10-bin spine)."""
-    from open_ftth_relational_projector_spark.functions import text as TXT
-
-    docs = load_table(spark, sf_dir, "documents")
+    docs = scattered(load_table(spark, sf_dir, "documents"))
     t = docs.select(
         (F.col("lang") == "en").alias("pos"),
         F.round(TXT.quality_score(F.col("text")), 4).alias("s"),
@@ -286,19 +289,10 @@ def quality_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "quality_pr_curve",
-    """
+    f"""
     WITH t AS (
       SELECT lang = 'en' AS pos,
-             ROUND(
-               (CASE WHEN LEN(string_split(text, ' ')) BETWEEN 20 AND 10000
-                     THEN 0.4::DOUBLE ELSE 0.0::DOUBLE END
-                + CASE WHEN LEN(list_filter(string_split(text, ' '),
-                        x -> list_contains(['the','a','and','of','to'], x)))
-                        / CAST(LEN(string_split(text, ' ')) AS DOUBLE) > 0.01
-                       THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END
-                + CASE WHEN LENGTH(regexp_replace(LOWER(text), '[a-z0-9 ]', '', 'g'))
-                        / CAST(LENGTH(LOWER(text)) AS DOUBLE) < 0.1
-                       THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END), 4) AS s
+             {_QUALITY_SCORE_SQL} AS s
       FROM documents),
     g AS (
       SELECT s,
@@ -329,9 +323,7 @@ def quality_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass runs over the bounded (<=8-point) score lattice, never the
     corpus. F1 via the 2TP/(kept+P) identity — division-free of
     precision/recall rounding."""
-    from open_ftth_relational_projector_spark.functions import text as TXT
-
-    docs = load_table(spark, sf_dir, "documents")
+    docs = scattered(load_table(spark, sf_dir, "documents"))
     t = docs.select(
         (F.col("lang") == "en").alias("pos"),
         F.round(TXT.quality_score(F.col("text")), 4).alias("s"),
@@ -399,9 +391,7 @@ def lang_guess_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard way to report a weak labeler's quality. The confusion mass
     reduces to per-class row/column marginals (one tiny groupBy), so
     everything after the scan is class-cardinality-sized."""
-    from open_ftth_relational_projector_spark.functions import text as TXT
-
-    docs = load_table(spark, sf_dir, "documents")
+    docs = scattered(load_table(spark, sf_dir, "documents"))
     t = docs.select(
         F.col("lang").alias("truth"),
         TXT.lang_guess(F.col("text")).alias("guess"),

@@ -318,7 +318,8 @@ def bpe_learn(
     docs: DataFrame,
     n_merges: int = 3,
     text_col: str = "text",
-) -> DataFrame:
+    return_vocab: bool = False,
+):
     """Learn the first ``n_merges`` BPE merge rules from a corpus — the
     tokenizer-TRAINING half of the BPE story (``subword_token_count`` is
     the counting half). Classic algorithm (Sennrich et al. 2016 §3.2):
@@ -334,6 +335,11 @@ def bpe_learn(
     vocab plus a 1-row argmax collect (bounded — the merge rule itself);
     merge application is a map-side JVM array fold. localCheckpoint per
     iteration truncates the growing plan lineage.
+
+    With ``return_vocab`` the fully merged (word, symbols) vocabulary is
+    returned alongside the rules, so tokenizer APPLICATION
+    (``bpe_tokenize_counts``) can reuse it instead of re-tokenizing and
+    re-folding the vocabulary from scratch.
     """
     words = (
         docs.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
@@ -342,6 +348,7 @@ def bpe_learn(
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     cur = words.select(
+        "w",
         "cnt",
         F.split(
             F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 ")), " "
@@ -371,18 +378,22 @@ def bpe_learn(
         lhs, rhs = top[0]["p"].split(" ", 1)
         out_rows.append((it, lhs, rhs, int(top[0]["n"])))
         cur = cur.select(
-            "cnt", _merge_adjacent_pair(F.col("s"), lhs, rhs).alias("s")
+            "w", "cnt", _merge_adjacent_pair(F.col("s"), lhs, rhs).alias("s")
         ).localCheckpoint(eager=True)
-    return spark.createDataFrame(
+    merges_df = spark.createDataFrame(
         out_rows, "it int, lhs string, rhs string, pair_count long"
     )
+    if return_vocab:
+        return merges_df, cur.select("w", "s")
+    return merges_df
 
 
 def bpe_tokenize_counts(
     docs: DataFrame,
-    merges: list[tuple[str, str]],
+    merges: list[tuple[str, str]] | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    merged_vocab: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document subword token counts under a learned BPE merge list —
     the APPLICATION half of ``bpe_learn`` (tokenize the corpus with the
@@ -398,13 +409,18 @@ def bpe_tokenize_counts(
         F.col(id_col),
         F.explode(F.split(F.col(text_col), " ")).alias("w"),
     ).filter(F.col("w") != "")
-    vocab = occurrences.select("w").distinct()
-    sym = F.split(F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 ")), " ")
-    merged = vocab.select("w", sym.alias("s"))
-    for lhs, rhs in merges:
-        merged = merged.select(
-            "w", _merge_adjacent_pair(F.col("s"), lhs, rhs).alias("s")
-        )
+    if merged_vocab is not None:
+        merged = merged_vocab
+    else:
+        if merges is None:
+            raise ValueError("pass either merges or merged_vocab")
+        vocab = occurrences.select("w").distinct()
+        sym = F.split(F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 ")), " ")
+        merged = vocab.select("w", sym.alias("s"))
+        for lhs, rhs in merges:
+            merged = merged.select(
+                "w", _merge_adjacent_pair(F.col("s"), lhs, rhs).alias("s")
+            )
     tok = merged.select("w", F.size("s").alias("n_tok"))
     return (
         occurrences.join(tok, "w")

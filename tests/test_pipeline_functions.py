@@ -2508,3 +2508,39 @@ def test_bpe_learn_early_exhaustion(spark):
     # merge 1 fuses 'a b' inside 'ab'; after that every word is a single
     # symbol -> no pairs left
     assert [(r.it, r.lhs, r.rhs) for r in rows] == [(1, "a", "b")]
+
+
+def test_bpe_oracle_survives_merge_exhaustion(spark):
+    """Round-5 review repro: on a corpus whose pair supply exhausts before
+    3 iterations ('ab ab a b' has one merge), the tokenize oracle's
+    recursive chain previously cross-joined an EMPTY argmax CTE and
+    dropped the whole vocabulary (zero rows vs Spark's real counts). The
+    sentinel no-op pass must keep both sides identical."""
+    import duckdb
+
+    from open_ftth_relational_projector_spark.catalog.llm import (
+        _BPE_SQL,
+        _BPE_TOKENIZE_SQL,
+    )
+    from open_ftth_relational_projector_spark.functions.text import (
+        bpe_learn,
+        bpe_tokenize_counts,
+    )
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE TABLE documents AS SELECT 1 AS doc_id, 'ab ab a b' AS text"
+    )
+    docs = spark.createDataFrame([(1, "ab ab a b")], "doc_id long, text string")
+
+    merges_df, vocab = bpe_learn(docs, n_merges=3, return_vocab=True)
+    got_merges = [(r.it, r.lhs, r.rhs, r.pair_count) for r in merges_df.collect()]
+    want_merges = [tuple(r) for r in con.sql(_BPE_SQL).fetchall()]
+    assert got_merges == want_merges == [(1, "a", "b", 2)]
+
+    got_counts = [
+        (r.doc_id, r.n_words, r.n_bpe_tokens)
+        for r in bpe_tokenize_counts(docs, merged_vocab=vocab).collect()
+    ]
+    want_counts = [tuple(r) for r in con.sql(_BPE_TOKENIZE_SQL).fetchall()]
+    assert got_counts == want_counts == [(1, 4, 4)]
