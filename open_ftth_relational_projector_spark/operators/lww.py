@@ -63,19 +63,36 @@ def latest_touch_by_key(
     address fields) as a single keyed aggregation.
     """
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    # String-built aggregates: one py4j round trip per field instead of ~6
+    # (max_by + when + isNotNull + 2×col + alias) — construction latency is
+    # per-field-per-call driver cost, significant for wide entities.
     aggs = [
-        F.max_by(
-            F.col(c),
-            F.when(F.col(c).isNotNull(), F.col(seq_col)),
-        ).alias(c)
+        F.expr(
+            f"max_by(`{c}`, CASE WHEN `{c}` IS NOT NULL"
+            f" THEN `{seq_col}` END) AS `{c}`"
+        )
         for c in touch_cols
     ]
-    return df.groupBy(*keys).agg(*aggs, F.max(seq_col).alias(seq_col))
+    return df.groupBy(*keys).agg(
+        *aggs, F.expr(f"max(`{seq_col}`) AS `{seq_col}`")
+    )
 
 
 def touched(value: Column) -> Column:
     """Wrap a written value in a touch marker (see latest_touch_by_key)."""
     return F.struct(value.alias("v"))
+
+
+def touched_sql(expr: str, alias: str | None = None) -> str:
+    """SQL-string form of ``touched`` for ``selectExpr`` call sites.
+
+    ``touched(F.col(x)).alias(y)`` costs ~4 py4j round trips per column;
+    wide entity selects (13+ marker columns per event stream) pay that per
+    field per stream on every plan construction. The string form is free —
+    the whole select becomes ONE round trip.
+    """
+    alias = alias if alias is not None else expr
+    return f"named_struct('v', {expr}) AS `{alias}`"
 
 
 def untouched(data_type: str = "string") -> Column:

@@ -25,8 +25,6 @@ from functools import reduce
 
 from pyspark.sql import DataFrame, functions as F
 
-from open_ftth_relational_projector_spark.operators.lww import untouched
-
 
 def _normalize(
     part: DataFrame,
@@ -36,16 +34,25 @@ def _normalize(
     is_base: bool,
     is_removal: bool = False,
 ) -> DataFrame:
-    cols = [F.col(key), F.col(seq_col)]
+    # One selectExpr with string expressions instead of per-column F.col /
+    # untouched().alias() chains: each Column-API call is a py4j round trip,
+    # and fold_entity builds (fields+4) columns for every input stream — at
+    # 13 fields × 6 streams that alone was ~0.5 s of driver-side latency per
+    # projection (constant in data size, but the dominant cost of the bench's
+    # toy-scale domain fold). The string form is one round trip per stream.
+    have = set(part.columns)
+    exprs = [f"`{key}`", f"`{seq_col}`"]
     for f, dtype in fields.items():
-        cols.append(F.col(f) if f in part.columns else untouched(dtype).alias(f))
-    cols.append(
-        (F.col(seq_col) if is_base else F.lit(None).cast("long")).alias("_cseq")
+        exprs.append(
+            f"`{f}`" if f in have else f"CAST(NULL AS struct<v:{dtype}>) AS `{f}`"
+        )
+    exprs.append(
+        f"`{seq_col}` AS _cseq" if is_base else "CAST(NULL AS bigint) AS _cseq"
     )
-    cols.append(
-        (F.col(seq_col) if is_removal else F.lit(None).cast("long")).alias("_rseq")
+    exprs.append(
+        f"`{seq_col}` AS _rseq" if is_removal else "CAST(NULL AS bigint) AS _rseq"
     )
-    return part.select(*cols)
+    return part.selectExpr(*exprs)
 
 
 def fold_entity(
@@ -73,24 +80,26 @@ def fold_entity(
         )
     unioned = reduce(lambda a, b: a.unionByName(b), parts)
 
+    # F.expr string per aggregate (1 round trip) instead of
+    # max_by(col, when(...)) chains (~6 round trips each).
     aggs = [
-        F.max_by(F.col(f), F.when(F.col(f).isNotNull(), F.col(seq_col))).alias(f)
+        F.expr(
+            f"max_by(`{f}`, CASE WHEN `{f}` IS NOT NULL"
+            f" THEN `{seq_col}` END) AS `{f}`"
+        )
         for f in fields
     ]
     folded = unioned.groupBy(key).agg(
         *aggs,
-        F.max("_cseq").alias("_created_seq"),
-        F.max("_rseq").alias("_removed_seq"),
+        F.expr("max(_cseq) AS _created_seq"),
+        F.expr("max(_rseq) AS _removed_seq"),
     )
     live = folded.filter(
-        F.col("_created_seq").isNotNull()
-        & (
-            F.col("_removed_seq").isNull()
-            | (F.col("_removed_seq") < F.col("_created_seq"))
-        )
+        "_created_seq IS NOT NULL AND"
+        " (_removed_seq IS NULL OR _removed_seq < _created_seq)"
     )
-    return live.select(
-        key,
-        *[F.col(f"{f}.v").alias(f) for f in fields],
+    return live.selectExpr(
+        f"`{key}`",
+        *[f"`{f}`.v AS `{f}`" for f in fields],
         "_created_seq",
     )
