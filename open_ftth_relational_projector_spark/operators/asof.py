@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window as W, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 
 def asof_join(
@@ -46,42 +46,52 @@ def asof_join(
 
     fact_payload = [c for c in facts.columns if c not in keys and c != fact_seq]
 
-    v = versions.select(
-        *keys,
-        F.col(version_seq).alias("_seq"),
-        F.lit(0).alias("_side"),
-        F.struct(*[F.col(c) for c in version_cols]).alias("_vstate"),
-        *[F.lit(None).cast(facts.schema[c].dataType).alias(c) for c in fact_payload],
+    # String-built selects: the per-column Column-API chains here cost ~5
+    # py4j round trips per column per call, and the projection engine calls
+    # this operator once per as-of lookup — construction latency, not data
+    # cost. Semantics unchanged (same expression trees after parsing).
+    keyq = [f"`{k}`" for k in keys]
+    vstruct = ", ".join(f"`{c}`" for c in version_cols)
+    v = versions.selectExpr(
+        *keyq,
+        f"`{version_seq}` AS _seq",
+        "0 AS _side",
+        f"struct({vstruct}) AS _vstate",
+        *[
+            f"CAST(NULL AS {facts.schema[c].dataType.simpleString()}) AS `{c}`"
+            for c in fact_payload
+        ],
     )
-    f = facts.select(
-        *keys,
-        F.col(fact_seq).alias("_seq"),
-        F.lit(1).alias("_side"),
-        F.lit(None).cast(v.schema["_vstate"].dataType).alias("_vstate"),
-        *fact_payload,
+    f = facts.selectExpr(
+        *keyq,
+        f"`{fact_seq}` AS _seq",
+        "1 AS _side",
+        f"CAST(NULL AS {v.schema['_vstate'].dataType.simpleString()}) AS _vstate",
+        *[f"`{c}`" for c in fact_payload],
     )
 
     # Equal-seq tiebreak: under strict the fact must NOT see a co-sequenced
-    # version, so facts sort first (the -1 frame end then excludes it); under
-    # non-strict versions sort first so the frame-end-0 includes them. Event
-    # seqs are globally unique in the reference log, so this is belt-and-braces.
-    tiebreak = (-F.col("_side")) if strict else F.col("_side")
-    w = (
-        W.partitionBy(*keys)
-        .orderBy(F.col("_seq"), tiebreak)
-        .rowsBetween(W.unboundedPreceding, -1 if strict else 0)
-    )
-
+    # version, so facts sort first (the 1-PRECEDING frame end then excludes
+    # it); under non-strict versions sort first so the CURRENT-ROW frame end
+    # includes them. Event seqs are globally unique in the reference log, so
+    # this is belt-and-braces.
+    side_order = "DESC" if strict else "ASC"
+    frame_end = "1 PRECEDING" if strict else "CURRENT ROW"
     joined = (
         v.unionByName(f)
-        .withColumn("_asof", F.last("_vstate", ignorenulls=True).over(w))
-        .filter(F.col("_side") == 1)
+        .selectExpr(
+            "*",
+            f"last(_vstate, true) OVER (PARTITION BY {', '.join(keyq)}"
+            f" ORDER BY _seq, _side {side_order}"
+            f" ROWS BETWEEN UNBOUNDED PRECEDING AND {frame_end}) AS _asof",
+        )
+        .filter("_side = 1")
     )
-    return joined.select(
-        *keys,
-        F.col("_seq").alias(fact_seq),
-        *fact_payload,
-        *[F.col(f"_asof.{c}").alias(c) for c in version_cols],
+    return joined.selectExpr(
+        *keyq,
+        f"_seq AS `{fact_seq}`",
+        *[f"`{c}`" for c in fact_payload],
+        *[f"_asof.`{c}` AS `{c}`" for c in version_cols],
     )
 
 
@@ -113,25 +123,26 @@ def asof_join_broadcast(
         version_cols = [
             c for c in versions.columns if c not in keys and c != version_seq
         ]
+    # String-built (see asof_join): sort_array orders by the leading _vseq
+    # field, same as the Column form.
+    vstruct = ", ".join(f"`{c}`" for c in version_cols)
     packed = versions.groupBy(*keys).agg(
-        F.sort_array(
-            F.collect_list(
-                F.struct(
-                    F.col(version_seq).alias("_vseq"),
-                    F.struct(*[F.col(c) for c in version_cols]).alias("_vstate"),
-                )
-            )
-        ).alias("_vtl")
+        F.expr(
+            f"sort_array(collect_list(struct(`{version_seq}` AS _vseq,"
+            f" struct({vstruct}) AS _vstate))) AS _vtl"
+        )
     )
     out = facts.join(F.broadcast(packed), keys, "left")
-    if strict:
-        cond = lambda v: v["_vseq"] < F.col(fact_seq)  # noqa: E731
-    else:
-        cond = lambda v: v["_vseq"] <= F.col(fact_seq)  # noqa: E731
-    hits = F.filter(F.col("_vtl"), cond)
-    pick = F.when(F.size(hits) > 0, F.element_at(hits, -1)["_vstate"])
-    return out.select(
-        *facts.columns, *[pick[c].alias(c) for c in version_cols]
+    op = "<" if strict else "<="
+    hits = f"filter(_vtl, v -> v._vseq {op} `{fact_seq}`)"
+    factq = [f"`{c}`" for c in facts.columns]
+    picked = out.selectExpr(
+        *factq,
+        f"CASE WHEN size({hits}) > 0 THEN element_at({hits}, -1)._vstate END"
+        " AS _pick",
+    )
+    return picked.selectExpr(
+        *factq, *[f"_pick.`{c}` AS `{c}`" for c in version_cols]
     )
 
 

@@ -32,13 +32,16 @@ def latest_by_key(
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     if value_cols is None:
         value_cols = [c for c in df.columns if c not in keys and c != seq_col]
-    payload = F.struct(*[F.col(c) for c in value_cols])
+    # String-built (see latest_touch_by_key): one py4j round trip per agg.
+    payload = ", ".join(f"`{c}`" for c in value_cols)
     agg = df.groupBy(*keys).agg(
-        F.max_by(payload, F.col(seq_col)).alias("_latest"),
-        F.max(seq_col).alias(seq_col),
+        F.expr(f"max_by(struct({payload}), `{seq_col}`) AS _latest"),
+        F.expr(f"max(`{seq_col}`) AS `{seq_col}`"),
     )
-    return agg.select(
-        *keys, *[F.col(f"_latest.{c}").alias(c) for c in value_cols], seq_col
+    return agg.selectExpr(
+        *[f"`{k}`" for k in keys],
+        *[f"_latest.`{c}` AS `{c}`" for c in value_cols],
+        f"`{seq_col}`",
     )
 
 

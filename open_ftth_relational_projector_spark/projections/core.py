@@ -31,7 +31,10 @@ from open_ftth_relational_projector_spark.operators.asof import (
     asof_join_broadcast,
 )
 from open_ftth_relational_projector_spark.operators.explode_seq import explode_with_seq
-from open_ftth_relational_projector_spark.operators.lww import latest_by_key, touched
+from open_ftth_relational_projector_spark.operators.lww import (
+    latest_by_key,
+    touched_sql,
+)
 from open_ftth_relational_projector_spark.operators.walk_hops import subtract_hops
 from open_ftth_relational_projector_spark.projections.base import fold_entity
 
@@ -43,65 +46,59 @@ from open_ftth_relational_projector_spark.projections.base import fold_entity
 def _walk_versions(log: EventLog) -> DataFrame:
     """Interest-walk state versions: registered ∪ modified, stored deduped
     (ProjektorState.cs:101, 106)."""
-    reg = log.of("WalkOfInterestRegistered").select(
-        F.col("interest.id").alias("interest_id"),
+    reg = log.of("WalkOfInterestRegistered").selectExpr(
+        "interest.id AS interest_id",
         "seq",
-        F.array_distinct("interest.routeNetworkElementRefs").alias("walk"),
+        "array_distinct(interest.routeNetworkElementRefs) AS walk",
     )
-    mod = log.of("WalkOfInterestRouteNetworkElementsModified").select(
-        F.col("interestId").alias("interest_id"),
+    mod = log.of("WalkOfInterestRouteNetworkElementsModified").selectExpr(
+        "interestId AS interest_id",
         "seq",
-        F.array_distinct("routeNetworkElementIds").alias("walk"),
+        "array_distinct(routeNetworkElementIds) AS walk",
     )
     return reg.unionByName(mod)
 
 
 def _span_placements(log: EventLog) -> DataFrame:
     """Placement events with all derived per-event fields + as-of spec joins."""
-    eq = log.of("SpanEquipmentPlacedInRouteNetwork").select("seq", "equipment.*")
-    segs = F.flatten("spanStructures.spanSegments")
-    placed = eq.select(
+    eq = log.of("SpanEquipmentPlacedInRouteNetwork").selectExpr("seq", "equipment.*")
+    segs = "flatten(spanStructures.spanSegments)"
+    placed = eq.selectExpr(
         "seq",
-        F.col("id"),
-        F.col("name"),
-        F.col("specificationId").alias("spec_id"),
-        F.col("walkOfInterestId").alias("interest_id"),
-        F.col("isCable").alias("is_cable"),
-        F.element_at("nodesOfInterestIds", 1).alias("from_node_id"),
-        F.element_at("nodesOfInterestIds", -1).alias("to_node_id"),
-        F.col("spanStructures")[0]["spanSegments"][0]["id"].alias("root_segment_id"),
-        F.exists(
-            segs,
-            lambda s: (s["fromNodeOfInterestIndex"] == 0)
-            & (s["fromTerminalId"] != F.lit(EMPTY_GUID)),
-        ).alias("root_has_from_conn"),
-        F.exists(
-            segs,
-            lambda s: (s["toNodeOfInterestIndex"] == F.size("nodesOfInterestIds") - 1)
-            & (s["toTerminalId"] != F.lit(EMPTY_GUID)),
-        ).alias("root_has_to_conn"),
-        F.col("addressInfo.accessAddressId").alias("access_address_id"),
-        F.col("addressInfo.unitAddressId").alias("unit_address_id"),
-        F.col("utilityNetworkHops").alias("hops"),
+        "id",
+        "name",
+        "specificationId AS spec_id",
+        "walkOfInterestId AS interest_id",
+        "isCable AS is_cable",
+        "element_at(nodesOfInterestIds, 1) AS from_node_id",
+        "element_at(nodesOfInterestIds, -1) AS to_node_id",
+        "spanStructures[0].spanSegments[0].id AS root_segment_id",
+        f"exists({segs}, s -> s.fromNodeOfInterestIndex = 0"
+        f" AND s.fromTerminalId != '{EMPTY_GUID}') AS root_has_from_conn",
+        f"exists({segs}, s ->"
+        " s.toNodeOfInterestIndex = size(nodesOfInterestIds) - 1"
+        f" AND s.toTerminalId != '{EMPTY_GUID}') AS root_has_to_conn",
+        "addressInfo.accessAddressId AS access_address_id",
+        "addressInfo.unitAddressId AS unit_address_id",
+        "utilityNetworkHops AS hops",
     )
     return _with_span_spec(log, placed)
 
 
 def _with_span_spec(log: EventLog, facts: DataFrame) -> DataFrame:
     """Chained as-of joins: spec_id → span spec → root structure spec."""
-    spec_v = log.of("SpanEquipmentSpecificationAdded").select(
-        F.col("specification.id").alias("spec_id"),
+    spec_v = log.of("SpanEquipmentSpecificationAdded").selectExpr(
+        "specification.id AS spec_id",
         "seq",
-        F.col("specification.name").alias("spec_name"),
-        F.col("specification.isCable").alias("spec_is_cable"),
-        F.col("specification.rootTemplate.spanStructureSpecificationId").alias(
-            "struct_spec_id"
-        ),
+        "specification.name AS spec_name",
+        "specification.isCable AS spec_is_cable",
+        "specification.rootTemplate.spanStructureSpecificationId"
+        " AS struct_spec_id",
     )
-    struct_v = log.of("SpanStructureSpecificationAdded").select(
-        F.col("specification.id").alias("struct_spec_id"),
+    struct_v = log.of("SpanStructureSpecificationAdded").selectExpr(
+        "specification.id AS struct_spec_id",
         "seq",
-        F.col("specification.outerDiameter").alias("outer_diameter"),
+        "specification.outerDiameter AS outer_diameter",
     )
     # spec registries are dimension streams (bounded however big the fact
     # log gets), so both lookups are broadcast probes — no fact shuffle
@@ -114,59 +111,57 @@ def _span_state(log: EventLog) -> DataFrame:
     """Final per-equipment state (live rows only) — feeds the span_equipment
     table, conduit_slack, and the has-child timeline."""
     placed = _span_placements(log)
-    base = placed.select(
+    base = placed.selectExpr(
         "id",
         "seq",
-        touched(F.col("name")).alias("name"),
-        touched(F.col("interest_id")).alias("interest_id"),
-        touched(F.col("spec_name")).alias("spec_name"),
-        touched(F.col("outer_diameter")).alias("outer_diameter"),
-        touched(F.col("is_cable")).alias("is_cable"),
-        touched(F.col("access_address_id")).alias("access_address_id"),
-        touched(F.col("unit_address_id")).alias("unit_address_id"),
-        touched(F.col("from_node_id")).alias("from_node_id"),
-        touched(F.col("to_node_id")).alias("to_node_id"),
-        touched(
-            F.lower(F.col("spec_name")).contains("ø12")
-        ).alias("is_customer_conduit"),
-        touched(F.col("root_segment_id")).alias("root_segment_id"),
-        touched(F.col("root_has_from_conn")).alias("root_has_from_conn"),
-        touched(F.col("root_has_to_conn")).alias("root_has_to_conn"),
+        touched_sql("name"),
+        touched_sql("interest_id"),
+        touched_sql("spec_name"),
+        touched_sql("outer_diameter"),
+        touched_sql("is_cable"),
+        touched_sql("access_address_id"),
+        touched_sql("unit_address_id"),
+        touched_sql("from_node_id"),
+        touched_sql("to_node_id"),
+        touched_sql("contains(lower(spec_name), 'ø12')", "is_customer_conduit"),
+        touched_sql("root_segment_id"),
+        touched_sql("root_has_from_conn"),
+        touched_sql("root_has_to_conn"),
     )
 
     moved = (
         log.of("SpanEquipmentMoved")
         .unionByName(log.of("SpanEquipmentMerged"))
-        .select(
-            F.col("spanEquipmentId").alias("id"),
+        .selectExpr(
+            "spanEquipmentId AS id",
             "seq",
-            touched(F.element_at("nodesOfInterestIds", 1)).alias("from_node_id"),
-            touched(F.element_at("nodesOfInterestIds", -1)).alias("to_node_id"),
+            touched_sql("element_at(nodesOfInterestIds, 1)", "from_node_id"),
+            touched_sql("element_at(nodesOfInterestIds, -1)", "to_node_id"),
         )
     )
 
-    spec_changed_raw = log.of("SpanEquipmentSpecificationChanged").select(
-        F.col("spanEquipmentId").alias("id"),
+    spec_changed_raw = log.of("SpanEquipmentSpecificationChanged").selectExpr(
+        "spanEquipmentId AS id",
         "seq",
-        F.col("newSpecificationId").alias("spec_id"),
+        "newSpecificationId AS spec_id",
     )
-    spec_changed = _with_span_spec(log, spec_changed_raw).select(
+    spec_changed = _with_span_spec(log, spec_changed_raw).selectExpr(
         "id",
         "seq",
-        touched(F.col("spec_name")).alias("spec_name"),
-        touched(F.col("outer_diameter")).alias("outer_diameter"),
+        touched_sql("spec_name"),
+        touched_sql("outer_diameter"),
         # is_customer_conduit deliberately NOT touched (frozen at placement)
     )
 
-    addr_changed = log.of("SpanEquipmentAddressInfoChanged").select(
-        F.col("spanEquipmentId").alias("id"),
+    addr_changed = log.of("SpanEquipmentAddressInfoChanged").selectExpr(
+        "spanEquipmentId AS id",
         "seq",
-        touched(F.col("addressInfo.accessAddressId")).alias("access_address_id"),
-        touched(F.col("addressInfo.unitAddressId")).alias("unit_address_id"),
+        touched_sql("addressInfo.accessAddressId", "access_address_id"),
+        touched_sql("addressInfo.unitAddressId", "unit_address_id"),
     )
 
-    removed = log.of("SpanEquipmentRemoved").select(
-        F.col("spanEquipmentId").alias("id"), "seq"
+    removed = log.of("SpanEquipmentRemoved").selectExpr(
+        "spanEquipmentId AS id", "seq"
     )
 
     fields = {
@@ -192,31 +187,25 @@ def _span_state(log: EventLog) -> DataFrame:
 def _edge_events(log: EventLog) -> DataFrame:
     """Unresolved affix edges (child_id, seq, root_segment_id): explicit
     affix events plus placement-embedded hops (ProjektorState.cs:162-167)."""
-    placed = log.of("SpanEquipmentPlacedInRouteNetwork").select(
+    placed = log.of("SpanEquipmentPlacedInRouteNetwork").selectExpr(
         "seq",
-        F.col("equipment.id").alias("id"),
-        F.col("equipment.utilityNetworkHops").alias("hops"),
+        "equipment.id AS id",
+        "equipment.utilityNetworkHops AS hops",
     )
-    affix = log.of("SpanEquipmentAffixedToParent").select(
+    affix = log.of("SpanEquipmentAffixedToParent").selectExpr(
         "seq",
-        F.col("spanEquipmentId").alias("id"),
-        F.col("newUtilityHopList").alias("hops"),
+        "spanEquipmentId AS id",
+        "newUtilityHopList AS hops",
     )
-    emb = placed.filter(F.col("hops").isNotNull() & (F.size("hops") > 0))
+    emb = placed.filter("hops IS NOT NULL AND size(hops) > 0")
     return (
         emb.unionByName(affix)
-        .select(
-            F.col("id").alias("child_id"),
-            "seq",
-            F.explode("hops").alias("hop"),
+        .selectExpr("id AS child_id", "seq", "explode(hops) AS hop")
+        .selectExpr(
+            "child_id", "seq", "explode_outer(hop.parentAffixes) AS affix"
         )
-        .select(
-            "child_id",
-            "seq",
-            F.explode_outer("hop.parentAffixes").alias("affix"),
-        )
-        .filter(F.col("affix").isNotNull())
-        .select("child_id", "seq", F.col("affix.spanSegmentId").alias("root_segment_id"))
+        .filter("affix IS NOT NULL")
+        .selectExpr("child_id", "seq", "affix.spanSegmentId AS root_segment_id")
     )
 
 
@@ -226,25 +215,25 @@ def _parent_registry_versions(log: EventLog) -> DataFrame:
     parent (ProjektorState.cs:146, 285). Append-only in seq — a batch only
     ever ADDS versions, which is what makes the registry incrementally
     maintainable as a sink aux table."""
-    placed = log.of("SpanEquipmentPlacedInRouteNetwork").select(
+    placed = log.of("SpanEquipmentPlacedInRouteNetwork").selectExpr(
         "seq",
-        F.col("equipment.id").alias("id"),
-        F.col("equipment.spanStructures")[0]["spanSegments"][0]["id"].alias(
-            "root_segment_id"
-        ),
+        "equipment.id AS id",
+        "equipment.spanStructures[0].spanSegments[0].id AS root_segment_id",
     )
-    reg = placed.select("root_segment_id", "seq", F.col("id").alias("parent_id"))
-    removed = log.of("SpanEquipmentRemoved").select(
-        F.col("spanEquipmentId").alias("id"), "seq"
+    reg = placed.selectExpr("root_segment_id", "seq", "id AS parent_id")
+    removed = log.of("SpanEquipmentRemoved").selectExpr(
+        "spanEquipmentId AS id", "seq"
     )
     rm_root = (
         asof_join(
             removed.withColumnRenamed("id", "pid"),
-            placed.select(F.col("id").alias("pid"), "seq", "root_segment_id"),
+            placed.selectExpr("id AS pid", "seq", "root_segment_id"),
             "pid",
         )
-        .filter(F.col("root_segment_id").isNotNull())
-        .select("root_segment_id", "seq", F.lit(None).cast("string").alias("parent_id"))
+        .filter("root_segment_id IS NOT NULL")
+        .selectExpr(
+            "root_segment_id", "seq", "CAST(NULL AS string) AS parent_id"
+        )
     )
     return reg.unionByName(rm_root)
 
@@ -285,24 +274,24 @@ def _has_child_final(
         edges = _parent_edges(log)
 
     if detaches is None:
-        detaches = log.of("SpanEquipmentDetachedFromParent").select(
-            F.col("spanEquipmentId").alias("child_id"), "seq"
+        detaches = log.of("SpanEquipmentDetachedFromParent").selectExpr(
+            "spanEquipmentId AS child_id", "seq"
         )
-    detaches = detaches.select("child_id", F.col("seq").alias("detach_seq"))
+    detaches = detaches.selectExpr("child_id", "seq AS detach_seq")
     cancels = (
         edges.join(detaches, "child_id", "left")
-        .filter(F.col("detach_seq") > F.col("seq"))
+        .filter("detach_seq > seq")
         .groupBy("parent_id", "child_id", "seq")
-        .agg(F.min("detach_seq").alias("cancel_seq"))
-        .select("parent_id", F.col("cancel_seq").alias("seq"))
+        .agg(F.expr("min(detach_seq) AS cancel_seq"))
+        .selectExpr("parent_id", "cancel_seq AS seq")
         .distinct()
-        .withColumn("val", F.lit(False))
+        .selectExpr("*", "false AS val")
     )
-    sets = edges.select("parent_id", "seq").withColumn("val", F.lit(True))
+    sets = edges.selectExpr("parent_id", "seq", "true AS val")
     timeline = sets.unionByName(cancels)
     return (
         latest_by_key(timeline, "parent_id")
-        .select(F.col("parent_id").alias("id"), F.col("val").alias("has_child"))
+        .selectExpr("parent_id AS id", "val AS has_child")
     )
 
 
@@ -319,16 +308,16 @@ def project_rel_interest_to_route_element(log: EventLog) -> DataFrame:
     shuffle on interest_id, no join (a registered/unregistered join of two
     interest-sized streams would sort-merge at scale for nothing).
     """
-    walks = _walk_versions(log).withColumn("_dead", F.lit(False))
-    unreg = log.of("InterestUnregistered").select(
-        F.col("interestId").alias("interest_id"),
+    walks = _walk_versions(log).selectExpr("*", "false AS _dead")
+    unreg = log.of("InterestUnregistered").selectExpr(
+        "interestId AS interest_id",
         "seq",
-        F.lit(None).cast("array<string>").alias("walk"),
-        F.lit(True).alias("_dead"),
+        "CAST(NULL AS array<string>) AS walk",
+        "true AS _dead",
     )
     live = (
         latest_by_key(walks.unionByName(unreg), "interest_id")
-        .filter(~F.col("_dead"))
+        .filter("NOT _dead")
         .select("interest_id", "walk")
     )
     return explode_with_seq(live, "interest_id", "walk", "route_network_element_id")
@@ -343,47 +332,45 @@ def project_rel_fiber_cable_to_route_element(log: EventLog) -> DataFrame:
     that trigger; rows survive equipment removal.
     """
     placed = _span_placements(log)
-    t_place = placed.filter(F.col("spec_is_cable")).select(
-        F.col("id").alias("cable_id"), "seq", "interest_id", "hops"
+    t_place = placed.filter("spec_is_cable").selectExpr(
+        "id AS cable_id", "seq", "interest_id", "hops"
     )
 
     aff = (
         log.of("SpanEquipmentAffixedToParent")
-        .select(
-            F.col("spanEquipmentId").alias("cable_id"),
+        .selectExpr(
+            "spanEquipmentId AS cable_id",
             "seq",
-            F.col("newUtilityHopList").alias("hops"),
+            "newUtilityHopList AS hops",
         )
         .unionByName(
-            log.of("SpanEquipmentDetachedFromParent").select(
-                F.col("spanEquipmentId").alias("cable_id"),
+            log.of("SpanEquipmentDetachedFromParent").selectExpr(
+                "spanEquipmentId AS cable_id",
                 "seq",
-                F.col("newUtilityHopList").alias("hops"),
+                "newUtilityHopList AS hops",
             )
         )
     )
     # the equipment's interest id, from its latest placement before the event
     aff = asof_join(
         aff,
-        placed.select(F.col("id").alias("cable_id"), "seq", "interest_id"),
+        placed.selectExpr("id AS cable_id", "seq", "interest_id"),
         "cable_id",
-    ).filter(F.col("interest_id").isNotNull())
+    ).filter("interest_id IS NOT NULL")
 
     triggers = latest_by_key(t_place.unionByName(aff), "cable_id")
 
     with_walk = asof_join(
         triggers, _walk_versions(log), "interest_id", fact_seq="seq"
     )
-    hops_norm = F.transform(
-        F.col("hops"),
-        lambda h: F.struct(
-            h["fromNodeId"].alias("from_node_id"), h["toNodeId"].alias("to_node_id")
-        ),
+    hops_norm = F.expr(
+        "transform(hops, h -> struct(h.fromNodeId AS from_node_id,"
+        " h.toNodeId AS to_node_id))"
     )
     reduced = with_walk.select(
         "cable_id",
         subtract_hops(F.col("walk"), hops_norm).alias("elements"),
-    ).filter(F.col("elements").isNotNull())
+    ).filter("elements IS NOT NULL")
     return explode_with_seq(reduced, "cable_id", "elements", "route_network_element_id").withColumnRenamed(
         "cable_id", "fiber_cable_id"
     )
@@ -391,44 +378,44 @@ def project_rel_fiber_cable_to_route_element(log: EventLog) -> DataFrame:
 
 def project_node_container(log: EventLog) -> DataFrame:
     """node_container(id, route_node_id, spec_name, spec_category)."""
-    spec_v = log.of("NodeContainerSpecificationAdded").select(
-        F.col("specification.id").alias("spec_id"),
+    spec_v = log.of("NodeContainerSpecificationAdded").selectExpr(
+        "specification.id AS spec_id",
         "seq",
-        F.col("specification.name").alias("spec_name"),
-        F.col("specification.category").alias("spec_category"),
+        "specification.name AS spec_name",
+        "specification.category AS spec_category",
     )
-    placed = log.of("NodeContainerPlacedInRouteNetwork").select(
+    placed = log.of("NodeContainerPlacedInRouteNetwork").selectExpr(
         "seq",
-        F.col("container.id").alias("id"),
-        F.col("container.routeNodeId").alias("route_node_id"),
-        F.col("container.specificationId").alias("spec_id"),
+        "container.id AS id",
+        "container.routeNodeId AS route_node_id",
+        "container.specificationId AS spec_id",
     )
     placed = asof_join_broadcast(placed, spec_v, "spec_id")
-    base = placed.select(
+    base = placed.selectExpr(
         "id",
         "seq",
-        touched(F.col("route_node_id")).alias("route_node_id"),
-        touched(F.col("spec_name")).alias("spec_name"),
-        touched(F.col("spec_category")).alias("spec_category"),
+        touched_sql("route_node_id"),
+        touched_sql("spec_name"),
+        touched_sql("spec_category"),
     )
 
     changed = asof_join_broadcast(
-        log.of("NodeContainerSpecificationChanged").select(
-            F.col("nodeContainerId").alias("id"),
+        log.of("NodeContainerSpecificationChanged").selectExpr(
+            "nodeContainerId AS id",
             "seq",
-            F.col("newSpecificationId").alias("spec_id"),
+            "newSpecificationId AS spec_id",
         ),
         spec_v,
         "spec_id",
-    ).select(
+    ).selectExpr(
         "id",
         "seq",
-        touched(F.col("spec_name")).alias("spec_name"),
-        touched(F.col("spec_category")).alias("spec_category"),
+        touched_sql("spec_name"),
+        touched_sql("spec_category"),
     )
 
-    removed = log.of("NodeContainerRemovedFromRouteNetwork").select(
-        F.col("nodeContainerId").alias("id"), "seq"
+    removed = log.of("NodeContainerRemovedFromRouteNetwork").selectExpr(
+        "nodeContainerId AS id", "seq"
     )
     fields = {
         "route_node_id": "string",
@@ -462,32 +449,32 @@ def project_span_equipment(
 def project_service_termination(log: EventLog) -> DataFrame:
     """service_termination(id, route_node_id, name, access_address_id,
     unit_address_id)."""
-    spec_v = log.of("TerminalEquipmentSpecificationAdded").select(
-        F.col("specification.id").alias("spec_id"),
+    spec_v = log.of("TerminalEquipmentSpecificationAdded").selectExpr(
+        "specification.id AS spec_id",
         "seq",
-        F.col("specification.isCustomerTermination").alias("is_customer_termination"),
+        "specification.isCustomerTermination AS is_customer_termination",
     )
     # container → route-node relation versions (placement sets, removal clears)
-    rel_set = log.of("NodeContainerPlacedInRouteNetwork").select(
-        F.col("container.id").alias("container_id"),
+    rel_set = log.of("NodeContainerPlacedInRouteNetwork").selectExpr(
+        "container.id AS container_id",
         "seq",
-        F.col("container.routeNodeId").alias("route_node_id"),
+        "container.routeNodeId AS route_node_id",
     )
-    rel_clear = log.of("NodeContainerRemovedFromRouteNetwork").select(
-        F.col("nodeContainerId").alias("container_id"),
+    rel_clear = log.of("NodeContainerRemovedFromRouteNetwork").selectExpr(
+        "nodeContainerId AS container_id",
         "seq",
-        F.lit(None).cast("string").alias("route_node_id"),
+        "CAST(NULL AS string) AS route_node_id",
     )
     rel_v = rel_set.unionByName(rel_clear)
 
-    placed = log.of("TerminalEquipmentPlacedInNodeContainer").select(
+    placed = log.of("TerminalEquipmentPlacedInNodeContainer").selectExpr(
         "seq",
-        F.col("equipment.id").alias("id"),
-        F.col("equipment.name").alias("name"),
-        F.col("equipment.specificationId").alias("spec_id"),
-        F.col("equipment.nodeContainerId").alias("container_id"),
-        F.col("equipment.addressInfo.accessAddressId").alias("access_address_id"),
-        F.col("equipment.addressInfo.unitAddressId").alias("unit_address_id"),
+        "equipment.id AS id",
+        "equipment.name AS name",
+        "equipment.specificationId AS spec_id",
+        "equipment.nodeContainerId AS container_id",
+        "equipment.addressInfo.accessAddressId AS access_address_id",
+        "equipment.addressInfo.unitAddressId AS unit_address_id",
     )
     # terminal-equipment spec registry: dimension stream → broadcast probe;
     # container→node relation scales with containers → keep the shuffle form
@@ -495,31 +482,30 @@ def project_service_termination(log: EventLog) -> DataFrame:
     placed = asof_join(placed, rel_v, "container_id")
     # the reference's three give-up guards (ProjektorState.cs:531-541)
     placed = placed.filter(
-        (F.col("is_customer_termination") == F.lit(True))
-        & F.col("route_node_id").isNotNull()
+        "is_customer_termination = true AND route_node_id IS NOT NULL"
     )
-    base = placed.select(
+    base = placed.selectExpr(
         "id",
         "seq",
-        touched(F.col("route_node_id")).alias("route_node_id"),
-        touched(F.col("name")).alias("name"),
-        touched(F.col("access_address_id")).alias("access_address_id"),
-        touched(F.col("unit_address_id")).alias("unit_address_id"),
+        touched_sql("route_node_id"),
+        touched_sql("name"),
+        touched_sql("access_address_id"),
+        touched_sql("unit_address_id"),
     )
 
-    renamed = log.of("TerminalEquipmentNamingInfoChanged").select(
-        F.col("terminalEquipmentId").alias("id"),
+    renamed = log.of("TerminalEquipmentNamingInfoChanged").selectExpr(
+        "terminalEquipmentId AS id",
         "seq",
-        touched(F.col("namingInfo.name")).alias("name"),
+        touched_sql("namingInfo.name", "name"),
     )
-    readdr = log.of("TerminalEquipmentAddressInfoChanged").select(
-        F.col("terminalEquipmentId").alias("id"),
+    readdr = log.of("TerminalEquipmentAddressInfoChanged").selectExpr(
+        "terminalEquipmentId AS id",
         "seq",
-        touched(F.col("addressInfo.accessAddressId")).alias("access_address_id"),
-        touched(F.col("addressInfo.unitAddressId")).alias("unit_address_id"),
+        touched_sql("addressInfo.accessAddressId", "access_address_id"),
+        touched_sql("addressInfo.unitAddressId", "unit_address_id"),
     )
-    removed = log.of("TerminalEquipmentRemoved").select(
-        F.col("terminalEquipmentId").alias("id"), "seq"
+    removed = log.of("TerminalEquipmentRemoved").selectExpr(
+        "terminalEquipmentId AS id", "seq"
     )
     fields = {
         "route_node_id": "string",
@@ -603,25 +589,25 @@ def project_conduit_slack(
 
 def project_work_task(log: EventLog) -> DataFrame:
     """work_task(id, number, status)."""
-    created = log.of("WorkTaskCreated").select(
-        F.col("workTaskId").alias("id"),
+    created = log.of("WorkTaskCreated").selectExpr(
+        "workTaskId AS id",
         "seq",
-        F.col("workTask.number").alias("number"),
-        F.col("workTask.status").alias("status"),
+        "workTask.number AS number",
+        "workTask.status AS status",
     )
     # null/empty status ⇒ creation skipped entirely (ProjektorState.cs:593)
     created = created.filter(
-        F.col("status").isNotNull() & (F.col("status") != "")
-    ).select(
+        "status IS NOT NULL AND status != ''"
+    ).selectExpr(
         "id",
         "seq",
-        touched(F.col("number")).alias("number"),
-        touched(F.col("status")).alias("status"),
+        touched_sql("number"),
+        touched_sql("status"),
     )
-    changed = log.of("WorkTaskStatusChanged").select(
-        F.col("workTaskId").alias("id"),
+    changed = log.of("WorkTaskStatusChanged").selectExpr(
+        "workTaskId AS id",
         "seq",
-        touched(F.col("status")).alias("status"),
+        touched_sql("status"),
     )
     fields = {"number": "string", "status": "string"}
     return fold_entity([created], [changed], "id", fields).drop("_created_seq")
@@ -629,22 +615,22 @@ def project_work_task(log: EventLog) -> DataFrame:
 
 def project_installation(log: EventLog) -> DataFrame:
     """installation(id, installation_id, unit_address_id, status, location_remark)."""
-    created = log.of("InstallationCreated").select(
+    created = log.of("InstallationCreated").selectExpr(
         "id",
         "seq",
-        touched(F.col("installationId")).alias("installation_id"),
-        touched(F.col("unitAddressId")).alias("unit_address_id"),
-        touched(F.col("status")).alias("status"),
-        touched(F.col("locationRemark")).alias("location_remark"),
+        touched_sql("installationId", "installation_id"),
+        touched_sql("unitAddressId", "unit_address_id"),
+        touched_sql("status"),
+        touched_sql("locationRemark", "location_remark"),
     )
-    addr = log.of("InstallationUnitAddressChanged").select(
-        "id", "seq", touched(F.col("unitAddressId")).alias("unit_address_id")
+    addr = log.of("InstallationUnitAddressChanged").selectExpr(
+        "id", "seq", touched_sql("unitAddressId", "unit_address_id")
     )
-    status = log.of("InstallationStatusChanged").select(
-        "id", "seq", touched(F.col("status")).alias("status")
+    status = log.of("InstallationStatusChanged").selectExpr(
+        "id", "seq", touched_sql("status")
     )
-    remark = log.of("InstallationLocationRemarkChanged").select(
-        "id", "seq", touched(F.col("locationRemark")).alias("location_remark")
+    remark = log.of("InstallationLocationRemarkChanged").selectExpr(
+        "id", "seq", touched_sql("locationRemark", "location_remark")
     )
     fields = {
         "installation_id": "string",
