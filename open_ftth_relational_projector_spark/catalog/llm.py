@@ -1520,3 +1520,124 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_words").cast("long").alias("n_words"),
         F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
     )
+
+
+@_q(
+    "cluster_safe_split_stats",
+    """
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             UNNEST(list_distinct(list_transform(
+               generate_series(1, GREATEST(LEN(t) - 2, 0)),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+      FROM toks),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    pairs AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i
+      JOIN sizes sa ON i.doc_a = sa.doc_id
+      JOIN sizes sb ON i.doc_b = sb.doc_id
+      WHERE n_inter / CAST(sa.n + sb.n - n_inter AS DOUBLE) >= 0.05),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs),
+    reach(src, node) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a),
+    comp AS (SELECT src AS doc_id, MIN(node) AS cluster FROM reach GROUP BY src),
+    spl AS (
+      SELECT d.doc_id,
+             COALESCE(c.cluster, d.doc_id) AS cluster_id,
+             CASE WHEN substr(md5(CAST(COALESCE(c.cluster, d.doc_id) AS VARCHAR)), 1, 8) < 'cccccccc' THEN 'train'
+                  WHEN substr(md5(CAST(COALESCE(c.cluster, d.doc_id) AS VARCHAR)), 1, 8) < 'e6666666' THEN 'val'
+                  ELSE 'test' END AS split,
+             CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < 'cccccccc' THEN 'train'
+                  WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'val'
+                  ELSE 'test' END AS nsplit
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+    base AS (SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                    CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters
+             FROM spl GROUP BY split),
+    pj AS (SELECT a.split AS sa, b.split AS sb, a.nsplit AS na, b.nsplit AS nb
+           FROM pairs p
+           JOIN spl a ON p.doc_a = a.doc_id
+           JOIN spl b ON p.doc_b = b.doc_id),
+    leakc AS (SELECT s AS split, COUNT(*) AS n FROM (
+                SELECT UNNEST([sa, sb]) AS s FROM pj WHERE sa != sb) GROUP BY s),
+    leakn AS (SELECT s AS split, COUNT(*) AS n FROM (
+                SELECT UNNEST([na, nb]) AS s FROM pj WHERE na != nb) GROUP BY s)
+    SELECT base.split, base.n_docs, base.n_clusters,
+           CAST(COALESCE(leakc.n, 0) AS BIGINT) AS n_leaked_pairs,
+           CAST(COALESCE(leakn.n, 0) AS BIGINT) AS n_leaked_pairs_naive
+    FROM base
+    LEFT JOIN leakc ON base.split = leakc.split
+    LEFT JOIN leakn ON base.split = leakn.split
+    """,
+)
+def cluster_safe_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontaminated train/val/test splits: near-dup CLUSTERS (connected
+    components over the exact 3-gram Jaccard pairs, threshold 0.05) are
+    the unit of assignment (functions/sampling.cluster_safe_split), so no
+    near-dup pair can straddle a split — n_leaked_pairs is 0 by
+    construction, while n_leaked_pairs_naive shows what the per-document
+    hash split of the SAME fractions would leak. The oracle replays
+    pairs → components → md5-threshold assignment → leak counts in SQL."""
+    from open_ftth_relational_projector_spark.functions.sampling import (
+        cluster_safe_split,
+        hash_split,
+    )
+
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = (
+        D.ngram_jaccard_pairs(scattered(docs), threshold=0.05, n=3)
+        .select("doc_a", "doc_b")
+        .persist()
+    )
+    assigned = cluster_safe_split(docs, pairs, "doc_id", fr).persist()
+    naive = hash_split(docs.select("doc_id"), "doc_id", fr, out="nsplit")
+
+    base = assigned.groupBy("split").agg(
+        F.expr("CAST(count(*) AS BIGINT) AS n_docs"),
+        F.expr("CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters"),
+    )
+    pj = (
+        pairs.join(
+            assigned.selectExpr("doc_id AS doc_a", "split AS sa"), "doc_a"
+        )
+        .join(assigned.selectExpr("doc_id AS doc_b", "split AS sb"), "doc_b")
+        .join(naive.selectExpr("doc_id AS doc_a", "nsplit AS na"), "doc_a")
+        .join(naive.selectExpr("doc_id AS doc_b", "nsplit AS nb"), "doc_b")
+    )
+
+    def leaks(col_a: str, col_b: str, out: str) -> DataFrame:
+        return (
+            pj.filter(f"{col_a} != {col_b}")
+            .selectExpr(f"explode(array({col_a}, {col_b})) AS split")
+            .groupBy("split")
+            .agg(F.expr(f"count(*) AS {out}"))
+        )
+
+    out = (
+        base.join(leaks("sa", "sb", "n_leaked_pairs"), "split", "left")
+        .join(leaks("na", "nb", "n_leaked_pairs_naive"), "split", "left")
+        .selectExpr(
+            "split",
+            "n_docs",
+            "n_clusters",
+            "CAST(COALESCE(n_leaked_pairs, 0) AS BIGINT) AS n_leaked_pairs",
+            "CAST(COALESCE(n_leaked_pairs_naive, 0) AS BIGINT)"
+            " AS n_leaked_pairs_naive",
+        )
+    )
+    rows = out.collect()  # bounded: one row per split label (3)
+    pairs.unpersist()
+    assigned.unpersist()
+    return spark.createDataFrame(rows, out.schema)

@@ -419,3 +419,65 @@ def lang_guess_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pe, 4).alias("expected_agreement"),
         F.round((po - pe) / (1.0 - pe), 4).alias("kappa"),
     )
+
+
+@_q(
+    "quality_brier_calibration",
+    f"""
+    WITH t AS (
+      SELECT lang = 'en' AS pos,
+             {_QUALITY_SCORE_SQL} AS s
+      FROM documents),
+    g AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS np
+          FROM t GROUP BY s),
+    tot AS (SELECT SUM(n) AS nn,
+                   SUM(n * POW(s - np / CAST(n AS DOUBLE), 2)
+                       + np * (1 - np / CAST(n AS DOUBLE))) AS bsum,
+                   SUM(n * POW(s - np / CAST(n AS DOUBLE), 2)) AS rel
+            FROM g)
+    SELECT g.s, g.n AS n_docs,
+           ROUND(np / CAST(n AS DOUBLE), 4) AS frac_pos,
+           ROUND(s - np / CAST(n AS DOUBLE), 4) AS calib_gap,
+           ROUND(tot.bsum / tot.nn, 4) AS brier,
+           ROUND(tot.rel / tot.nn, 4) AS reliability
+    FROM g CROSS JOIN tot
+    """,
+)
+def quality_brier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration table + Brier score of the quality_score heuristic read
+    as P(lang = 'en'): per score point, empirical positive rate and the
+    calibration gap; globally, the Brier score and its reliability term
+    (per-bin decomposition — within a bin the prediction is constant, so
+    Σn_k[(s_k-p̄_k)² + p̄_k(1-p̄_k)]/N equals the doc-level mean squared
+    error exactly). Completes the classifier-eval family (AUC, PR curve,
+    kappa) with the proper-scoring-rule view.
+
+    Scale shape: same bounded lattice as quality_score_auc — one corpus
+    aggregation to ≤8 score rows, everything downstream data-size
+    independent."""
+    docs = scattered(load_table(spark, sf_dir, "documents"))
+    t = docs.select(
+        (F.col("lang") == "en").alias("pos"),
+        F.round(TXT.quality_score(F.col("text")), 4).alias("s"),
+    )
+    g = t.groupBy("s").agg(
+        F.expr("CAST(count(*) AS BIGINT) AS n"),
+        F.expr("sum(CASE WHEN pos THEN 1 ELSE 0 END) AS np"),
+    )
+    tot = g.agg(
+        F.expr("sum(n) AS nn"),
+        F.expr(
+            "sum(n * pow(s - np / CAST(n AS DOUBLE), 2)"
+            " + np * (1 - np / CAST(n AS DOUBLE))) AS bsum"
+        ),
+        F.expr("sum(n * pow(s - np / CAST(n AS DOUBLE), 2)) AS rel"),
+    )
+    return g.crossJoin(F.broadcast(tot)).selectExpr(
+        "s",
+        "n AS n_docs",
+        "ROUND(np / CAST(n AS DOUBLE), 4) AS frac_pos",
+        "ROUND(s - np / CAST(n AS DOUBLE), 4) AS calib_gap",
+        "ROUND(bsum / nn, 4) AS brier",
+        "ROUND(rel / nn, 4) AS reliability",
+    )

@@ -610,3 +610,63 @@ def winnow_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# α_256 = 0.7213/(1+1.079/256), computed once in Python and inlined as the
+# identical IEEE-double literal on both engines (a bare decimal literal would
+# parse as DECIMAL on Spark and diverge from DuckDB's double arithmetic)
+_HLL_ALPHA = repr(0.7213 / (1.0 + 1.079 / 256))
+
+
+@_q(
+    "hll_distinct_rollup",
+    f"""
+    WITH h AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                 ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#7'), 1, 15))::BIGINT AS hv
+               FROM events),
+    hb AS (SELECT event_type, day, hv // 4503599627370496 AS bucket,
+                  CASE WHEN hv % 4503599627370496 = 0 THEN 53
+                       ELSE 53 - length(bin(hv % 4503599627370496)) END AS rho
+           FROM h),
+    cell AS (SELECT event_type, day, bucket, MAX(rho) AS mx
+             FROM hb GROUP BY event_type, day, bucket),
+    merged AS (SELECT event_type, bucket, MAX(mx) AS mx
+               FROM cell GROUP BY event_type, bucket),
+    direct AS (SELECT event_type, bucket, MAX(rho) AS mx
+               FROM hb GROUP BY event_type, bucket),
+    ms AS (SELECT event_type, COUNT(*) AS nz, SUM(pow(2.0, -mx)) AS pz,
+                  SUM(bucket * 64 + mx) AS sig_s, MAX(bucket * 64 + mx) AS sig_m
+           FROM merged GROUP BY event_type),
+    ds AS (SELECT event_type, COUNT(*) AS nz,
+                  SUM(bucket * 64 + mx) AS sig_s, MAX(bucket * 64 + mx) AS sig_m
+           FROM direct GROUP BY event_type),
+    ex AS (SELECT event_type, COUNT(DISTINCT user_id) AS n
+           FROM events GROUP BY event_type)
+    SELECT ms.event_type,
+           CAST(ex.n AS BIGINT) AS exact_distinct,
+           ROUND(CASE WHEN CAST({_HLL_ALPHA} AS DOUBLE) * 65536 / ((256 - ms.nz) + ms.pz) <= 640.0
+                       AND ms.nz < 256
+                      THEN CAST(256 AS DOUBLE) * ln(CAST(256 AS DOUBLE) / (256 - ms.nz))
+                      ELSE CAST({_HLL_ALPHA} AS DOUBLE) * 65536 / ((256 - ms.nz) + ms.pz)
+                 END, 4) AS hll_est,
+           CAST(ms.nz AS INT) AS registers_used,
+           (ms.nz = ds.nz AND ms.sig_s = ds.sig_s AND ms.sig_m = ds.sig_m)
+             AS merge_lossless
+    FROM ms JOIN ds ON ms.event_type = ds.event_type
+    JOIN ex ON ms.event_type = ex.event_type
+    """,
+)
+def hll_distinct_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user sketches per (event_type, day), max-merged
+    to event_type and compared to the exact COUNT DISTINCT — the
+    register-vector sibling of kmv_distinct_rollup: constant 256 bytes per
+    cell at any cardinality (functions/sketches.hll_distinct_rollup,
+    md5-portable hash, integer-exact ρ). The oracle replays registers,
+    merge, the α·m²/Σ2^-M estimator, and the linear-counting fallback
+    bit-for-bit in SQL."""
+    from open_ftth_relational_projector_spark.functions.sketches import (
+        hll_distinct_rollup,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    return hll_distinct_rollup(ev, "event_type", "day", "user_id", seed=7)

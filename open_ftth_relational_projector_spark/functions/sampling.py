@@ -416,3 +416,42 @@ def length_bucketed_batches(
         .cast("int")
         .alias("pad_waste"),
     )
+
+
+def cluster_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    key: str,
+    fractions: dict[str, float],
+    salt: str = "",
+) -> DataFrame:
+    """Leakage-safe split assignment: near-dup CLUSTERS, not documents, are
+    the unit of train/val/test assignment.
+
+    A per-document hash split leaks whenever two near-duplicate documents
+    land in different splits (the eval split then contains soft copies of
+    training data — the contamination Lee et al. 2022 measure). Here every
+    document inherits the split of its near-dup cluster representative
+    (connected components over ``pairs``, min-id label; documents in no
+    pair are their own singleton cluster), so by construction no pair ever
+    straddles a split boundary.
+
+    Scale shape: components via functions/graph.connected_components
+    (per-round keyed joins); the assignment itself is one broadcast-free
+    left join + the same per-row md5-threshold expression as hash_split —
+    deterministic across runs, partitionings, and engines.
+
+    Returns ``docs`` + (cluster_id, split).
+    """
+    from open_ftth_relational_projector_spark.functions.graph import (
+        connected_components,
+    )
+
+    cc = connected_components(pairs, out_node="_n", out_label="_cluster")
+    out = (
+        docs.join(cc, docs[key] == cc["_n"], "left")
+        .drop("_n")
+        .withColumn("cluster_id", F.coalesce(F.col("_cluster"), F.col(key)))
+        .drop("_cluster")
+    )
+    return hash_split(out, "cluster_id", fractions, salt=salt, out="split")

@@ -492,3 +492,93 @@ def kmv_segment_overlap(
             ),
         )
     )
+
+
+def hll_distinct_rollup(
+    df: DataFrame,
+    group_col: str,
+    sub_col: str,
+    value_col: str,
+    seed: int = 7,
+) -> DataFrame:
+    """Mergeable HyperLogLog distinct-count sketches (Flajolet et al. 2007):
+    one 256-register sketch per (group, sub) cell, max-MERGED up to group
+    level, estimate vs the exact distinct count — the register-vector
+    sibling of ``kmv_distinct_rollup`` (same pre-aggregated-sketch-table
+    shape for 100 TB COUNT DISTINCT rollups, constant 256 bytes per cell
+    instead of k hashes).
+
+    Hash layout (md5-portable, ``dedup.portable_hash64``: 60 uniform
+    bits): the top p=8 bits pick the register, ρ = 1 + leading zeros of
+    the remaining 52 bits (computed exactly with integer/bin-string
+    arithmetic — no float log, so a DuckDB oracle replays the registers
+    bit-for-bit). Registers fold with MAX, which makes the cell→group
+    merge lossless by theorem (max of maxes); the live ``merge_lossless``
+    column re-proves it per run against registers built directly from raw
+    values, the same always-TRUE-by-construction pattern as KMV's.
+
+    Estimator: est_raw = α_m·m²/Σ 2^{-M_j} with α_m = 0.7213/(1+1.079/m),
+    linear-counting fallback m·ln(m/V) when est_raw ≤ 2.5m and V>0 empty
+    registers remain (the small-range regime of the original paper). All
+    float steps are either exact in IEEE double (2^{-ρ} sums, α constant
+    inlined from one Python computation) or 4dp-rounded on both engines.
+
+    Returns (group_col, exact_distinct BIGINT, hll_est DOUBLE(4dp),
+    registers_used INT, merge_lossless BOOLEAN).
+    """
+    P = 8
+    M = 1 << P  # 256 registers
+    REM = 60 - P  # low 52 bits feed rho
+    POW_REM = 1 << REM
+    alpha = 0.7213 / (1.0 + 1.079 / M)
+
+    hv = portable_hash64(F.col(value_col), seed)
+    h = df.select(
+        F.col(group_col).alias("g"), F.col(sub_col).alias("s"), hv.alias("hv")
+    )
+    hb = h.selectExpr(
+        "g",
+        "s",
+        f"hv DIV {POW_REM} AS bucket",
+        f"CASE WHEN hv % {POW_REM} = 0 THEN {REM + 1}"
+        f" ELSE {REM + 1} - length(bin(hv % {POW_REM})) END AS rho",
+    )
+    cell = hb.groupBy("g", "s", "bucket").agg(F.expr("max(rho) AS mx"))
+    merged = cell.groupBy("g", "bucket").agg(F.expr("max(mx) AS mx"))
+    direct = hb.groupBy("g", "bucket").agg(F.expr("max(rho) AS mx"))
+
+    # register-set signature for the merge proof: bucket and rho packed into
+    # one int (rho <= 53 < 64), compared via count + sum + max
+    def stats(sk: DataFrame) -> DataFrame:
+        return sk.groupBy("g").agg(
+            F.expr("count(*) AS nz"),
+            F.expr("sum(pow(2.0, -mx)) AS pz"),
+            F.expr("sum(bucket * 64 + mx) AS sig_s"),
+            F.expr("max(bucket * 64 + mx) AS sig_m"),
+        )
+
+    ms, ds = stats(merged), stats(direct)
+    exact = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.countDistinct(value_col).alias("exact_distinct")
+    )
+    est_raw = (
+        f"CAST({alpha!r} AS DOUBLE) * {M * M} / (({M} - ms.nz) + ms.pz)"
+    )
+    est = (
+        f"CASE WHEN {est_raw} <= {2.5 * M} AND ms.nz < {M}"
+        f" THEN CAST({M} AS DOUBLE) * ln(CAST({M} AS DOUBLE) / ({M} - ms.nz))"
+        f" ELSE {est_raw} END"
+    )
+    return (
+        ms.alias("ms")
+        .join(ds.alias("ds"), "g")
+        .join(exact, "g")
+        .selectExpr(
+            f"g AS {group_col}",
+            "CAST(exact_distinct AS BIGINT) AS exact_distinct",
+            f"ROUND({est}, 4) AS hll_est",
+            "CAST(ms.nz AS INT) AS registers_used",
+            "(ms.nz = ds.nz AND ms.sig_s = ds.sig_s AND ms.sig_m = ds.sig_m)"
+            " AS merge_lossless",
+        )
+    )

@@ -24,6 +24,10 @@ PKG = Path("open_ftth_relational_projector_spark")
 
 # file::function -> why the collect is bounded
 ALLOWLIST: dict[str, str] = {
+    "catalog/llm.py::cluster_safe_split_stats": (
+        "bounded: one row per split label (3) — materialized so the "
+        "persisted pairs/assignment intermediates can be unpersisted"
+    ),
     "catalog/projections.py::stream_incremental_sim": "scalar max(seq) batch bounds",
     "catalog/streaming_sims.py::_drain_stream_over_doc_batches": (
         "bounded sim: collects the documents dim once to write 3 stream "

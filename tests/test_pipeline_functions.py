@@ -2544,3 +2544,70 @@ def test_bpe_oracle_survives_merge_exhaustion(spark):
     ]
     want_counts = [tuple(r) for r in con.sql(_BPE_TOKENIZE_SQL).fetchall()]
     assert got_counts == want_counts == [(1, 4, 4)]
+
+
+def test_hll_distinct_rollup_properties(spark):
+    """Small-cardinality group estimates via the linear-counting branch
+    within a tight envelope; larger group within HLL's 3σ error for m=256
+    (σ ≈ 1.04/√256 = 6.5%); the cell→group max-merge is lossless; the
+    sketch is insensitive to how rows are distributed across sub cells."""
+    from open_ftth_relational_projector_spark.functions.sketches import (
+        hll_distinct_rollup,
+    )
+
+    rows = [("A", d % 3, d % 10) for d in range(60)]    # 10 distinct
+    rows += [("B", v % 5, v) for v in range(2000)]      # 2000 distinct
+    df = spark.createDataFrame(rows, "g string, sub int, val int")
+    out = {
+        r["g"]: r for r in hll_distinct_rollup(df, "g", "sub", "val").collect()
+    }
+    assert out["A"]["exact_distinct"] == 10
+    assert abs(out["A"]["hll_est"] - 10) < 2  # linear counting, near-exact
+    assert out["A"]["merge_lossless"]
+    assert out["B"]["exact_distinct"] == 2000
+    assert out["B"]["merge_lossless"]
+    assert abs(out["B"]["hll_est"] - 2000) / 2000 < 0.20  # 3σ for m=256
+
+    # register state must not depend on the sub partitioning (mergeability):
+    # reshuffling every row to a different sub cell leaves the estimate fixed
+    df2 = df.withColumn("sub", (F.col("val") * 7) % 13)
+    out2 = {
+        r["g"]: r
+        for r in hll_distinct_rollup(df2, "g", "sub", "val").collect()
+    }
+    assert {g: r["hll_est"] for g, r in out.items()} == {
+        g: r["hll_est"] for g, r in out2.items()
+    }
+
+
+def test_cluster_safe_split_no_leaked_pairs(spark):
+    """Every near-dup pair lands entirely inside one split; cluster_id is
+    the component min; singleton docs are their own cluster; fractions are
+    respected in expectation (only sanity-checked: all three labels occur
+    on a spread of clusters)."""
+    from open_ftth_relational_projector_spark.functions.sampling import (
+        cluster_safe_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(d,) for d in range(200)], "doc_id long"
+    )
+    # chain components {0..3}, {10,11}, everything else singleton
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    out = cluster_safe_split(
+        docs, pairs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert len(by_id) == 200
+    assert {by_id[d]["cluster_id"] for d in (0, 1, 2, 3)} == {0}
+    assert {by_id[d]["cluster_id"] for d in (10, 11)} == {10}
+    assert by_id[42]["cluster_id"] == 42
+    # no pair straddles a split
+    for a, b in [(0, 1), (1, 2), (2, 3), (10, 11)]:
+        assert by_id[a]["split"] == by_id[b]["split"]
+    # all members of a cluster share the representative's assignment
+    assert len({by_id[d]["split"] for d in (0, 1, 2, 3)}) == 1
+    labels = {r["split"] for r in out}
+    assert labels == {"train", "val", "test"}
