@@ -801,25 +801,36 @@ def jaccard_pairs_prefix_filtered(
     sh = add_shingles(docs, n, text_col, id_col)
     idx = sh.select("doc_id", F.explode("sh").alias("shingle"))
     df_t = idx.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    from pyspark.sql import Window as W
-
-    wdoc = W.partitionBy("doc_id").orderBy("df", "shingle")
-    sizes = idx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    prefix_len = (
-        F.col("n_sh")
-        - F.ceil(F.lit(threshold) * F.col("n_sh"))
-        + F.lit(1)
-    )
-    prefix = (
+    # One keyed aggregation builds the rarity-sorted prefix per doc: pack
+    # each doc's (df, shingle) postings into a sorted array, keep only the
+    # prefix slice, posexplode for positions. This replaces the earlier
+    # row_number window + separate per-doc sizes groupBy + join — two
+    # doc-keyed shuffles and a sort-based WindowExec collapse into one
+    # partial-aggregated shuffle (sort_array runs per doc, bounded by doc
+    # length, not per partition). Same output bit-for-bit (the equal-result
+    # test vs ngram_jaccard_pairs pins losslessness).
+    packed = (
         idx.join(df_t, "shingle")
-        .withColumn("pos", F.row_number().over(wdoc))
-        # NOT broadcast: `sizes` is one row per DOCUMENT (corpus-scale, not
-        # dimension-scale) — broadcasting it OOMs executors at 100 TB. The
-        # plain equi-join reuses doc_id, the partitioning the window above
-        # already established, so no extra shuffle is introduced.
-        .join(sizes, "doc_id")
-        .filter(F.col("pos") <= prefix_len)
-        .select("doc_id", "shingle", "pos", "n_sh")
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "sort_array(collect_list(struct(df, shingle))) AS ordered"
+            )
+        )
+        .selectExpr(
+            "doc_id",
+            "size(ordered) AS n_sh",
+            f"slice(ordered, 1, size(ordered)"
+            f" - CAST(ceil({threshold!r} * size(ordered)) AS INT) + 1)"
+            " AS pref",
+        )
+    )
+    prefix = packed.select(
+        "doc_id",
+        "n_sh",
+        F.posexplode("pref").alias("pos0", "entry"),
+    ).selectExpr(
+        "doc_id", "entry.shingle AS shingle", "pos0 + 1 AS pos", "n_sh"
     )
     # PPJoin positional filter (Xiao et al., WWW 2008), set-based and
     # LOSSLESS: both docs' shingle lists are sorted by the SAME global
