@@ -36,6 +36,7 @@ def _drain_stream_over_doc_batches(
     op,
     name: str,
     shuffle_partitions: int | None = None,
+    extra_fields: dict[str, str] | None = None,
 ):
     """Split the documents table into 3 doc_id-ranged micro-batches
     (seq = doc_id), write them as utime-ordered json files (FileStreamSource
@@ -49,9 +50,10 @@ def _drain_stream_over_doc_batches(
     At production scale the stream IS the source; this sim exists to put
     the state fold under the correctness gate, not to model ingest.
     """
+    extra = dict(extra_fields or {})  # name -> spark DDL type, e.g. "long"
     rows = (
         load_table(spark, sf_dir, "documents")
-        .select("doc_id", "text")
+        .select("doc_id", "text", *extra)
         .collect()
     )
     rows.sort(key=lambda r: r["doc_id"])
@@ -65,19 +67,20 @@ def _drain_stream_over_doc_batches(
             path = f"{tmp}/in/batch_{b:05d}.json"
             with open(path, "w") as fh:
                 for r in rows[b * third : (b + 1) * third]:
-                    fh.write(
-                        json.dumps(
-                            {
-                                "doc_id": r["doc_id"],
-                                "seq": r["doc_id"],
-                                "text": r["text"],
-                            }
-                        )
-                        + "\n"
-                    )
+                    payload = {
+                        "doc_id": r["doc_id"],
+                        "seq": r["doc_id"],
+                        "text": r["text"],
+                    }
+                    for c in extra:
+                        payload[c] = r[c]
+                    fh.write(json.dumps(payload) + "\n")
             os.utime(path, (now + b, now + b))
+        schema_ddl = "doc_id long, seq long, text string" + "".join(
+            f", {c} {t}" for c, t in extra.items()
+        )
         stream = (
-            spark.readStream.schema("doc_id long, seq long, text string")
+            spark.readStream.schema(schema_ddl)
             .option("maxFilesPerTrigger", "1")
             .json(f"{tmp}/in")
         )
@@ -205,3 +208,79 @@ def stream_lsh_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows, _ = _drain_stream_over_doc_batches(spark, sf_dir, op, "slshsim")
     pairs = sorted({(r["doc_a"], r["doc_b"]) for r in rows})
     return spark.createDataFrame(pairs or [], "doc_a long, doc_b long")
+
+
+# α_256 inlined as one IEEE-double literal (see catalog/sketches.py)
+_HLL_ALPHA_SQL = repr(0.7213 / (1.0 + 1.079 / 256))
+
+
+@_q(
+    "stream_hll_sim",
+    f"""
+    WITH h AS (SELECT lang,
+                 ('0x' || substr(md5(CAST(n_chars AS VARCHAR) || '#7'), 1, 15))::BIGINT AS hv
+               FROM documents),
+    hb AS (SELECT lang, hv // 4503599627370496 AS bucket,
+                  CASE WHEN hv % 4503599627370496 = 0 THEN 53
+                       ELSE 53 - length(bin(hv % 4503599627370496)) END AS rho
+           FROM h),
+    reg AS (SELECT lang, bucket, MAX(rho) AS mx FROM hb GROUP BY lang, bucket),
+    ms AS (SELECT lang, COUNT(*) AS nz, SUM(pow(2.0, -mx)) AS pz,
+                  SUM(bucket * 64 + mx) AS sig_s, MAX(bucket * 64 + mx) AS sig_m
+           FROM reg GROUP BY lang)
+    SELECT lang,
+           CAST(nz AS INT) AS registers_used,
+           CAST(sig_s AS BIGINT) AS sig_s,
+           CAST(sig_m AS BIGINT) AS sig_m,
+           ROUND(CASE WHEN CAST({_HLL_ALPHA_SQL} AS DOUBLE) * 65536 / ((256 - nz) + pz) <= 640.0
+                       AND nz < 256
+                      THEN CAST(256 AS DOUBLE) * ln(CAST(256 AS DOUBLE) / (256 - nz))
+                      ELSE CAST({_HLL_ALPHA_SQL} AS DOUBLE) * 65536 / ((256 - nz) + pz)
+                 END, 4) AS hll_est
+    FROM ms
+    """,
+)
+def stream_hll_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """streaming_hll_distinct (per-lang distinct n_chars cardinality via
+    256 HLL registers in keyed state) drained over a real 3-micro-batch
+    stream: register max-merge is order- and batching-independent, so the
+    final per-group state must equal the batch sketch over the union of
+    the batches — the oracle replays registers + exact integer register
+    signature + estimator in SQL. The sketch-state pattern: per-group
+    state is CONSTANT-SIZE however many distinct values stream past
+    (contrast streaming_dedup_first, whose state grows with keys)."""
+    from open_ftth_relational_projector_spark.streaming.stateful import (
+        streaming_hll_distinct,
+    )
+
+    def op(stream):
+        return streaming_hll_distinct(stream, "lang", "n_chars", seed=7)
+
+    rows, _ = _drain_stream_over_doc_batches(
+        spark,
+        sf_dir,
+        op,
+        "shll",
+        shuffle_partitions=4,
+        extra_fields={"lang": "string", "n_chars": "long"},
+    )
+    # final state per group = the emission with the highest fold count
+    best: dict = {}
+    for r in rows:
+        if r["g"] not in best or r["n_updates"] > best[r["g"]]["n_updates"]:
+            best[r["g"]] = r
+    out = [
+        (r["g"], r["registers_used"], r["sig_s"], r["sig_m"], r["hll_est"])
+        for r in best.values()
+    ]
+    return spark.createDataFrame(
+        out,
+        "lang string, registers_used int, sig_s long, sig_m long,"
+        " hll_est double",
+    ).selectExpr(
+        "lang",
+        "registers_used",
+        "sig_s",
+        "sig_m",
+        "ROUND(hll_est, 4) AS hll_est",
+    )

@@ -352,3 +352,100 @@ def streaming_lsh_candidates(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+HLL_OUTPUT_SCHEMA = (
+    "g string, n_updates long, registers_used int, sig_s long, sig_m long,"
+    " hll_est double"
+)
+HLL_STATE_SCHEMA = "regs array<int>, n_updates long"
+
+_HLL_M = 256
+_HLL_REM = 1 << 52
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / _HLL_M)
+
+
+def _hll_fold(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    import math
+
+    if state.exists:
+        regs_t, n_updates = state.get
+        regs = list(regs_t)
+    else:
+        regs, n_updates = [0] * _HLL_M, 0
+    n = 0
+    for pdf in pdfs:
+        n += len(pdf)
+        for b, r in zip(pdf["bucket"], pdf["rho"]):
+            b, r = int(b), int(r)
+            if r > regs[b]:
+                regs[b] = r
+    n_updates += n
+    state.update((regs, n_updates))
+    nz = sum(1 for v in regs if v > 0)
+    pz = sum(2.0 ** -v for v in regs if v > 0)
+    est_raw = _HLL_ALPHA * _HLL_M * _HLL_M / ((_HLL_M - nz) + pz)
+    if est_raw <= 2.5 * _HLL_M and nz < _HLL_M:
+        est = _HLL_M * math.log(_HLL_M / (_HLL_M - nz))
+    else:
+        est = est_raw
+    sig = [i * 64 + v for i, v in enumerate(regs) if v > 0]
+    yield pd.DataFrame(
+        {
+            "g": [key[0]],
+            "n_updates": [n_updates],
+            "registers_used": [nz],
+            "sig_s": [sum(sig)],
+            "sig_m": [max(sig) if sig else 0],
+            "hll_est": [est],
+        }
+    )
+
+
+def streaming_hll_distinct(
+    events: DataFrame,
+    group_col: str,
+    value_col: str,
+    seed: int = 7,
+) -> DataFrame:
+    """Streaming per-group distinct-count via HyperLogLog registers in
+    keyed state — the "how many unique users/urls/documents so far" signal
+    maintained continuously without storing the identities themselves.
+
+    State per group is the FIXED 256-int register vector of
+    ``functions/sketches.hll_distinct_rollup`` (same md5-portable hash and
+    integer-exact ρ, computed JVM-side before the state fold, so the
+    Python fold only max-merges small ints); each micro-batch costs one
+    keyed shuffle of its own rows and emits the group's post-batch
+    summary (register count, exact integer register signature, estimate).
+    Because register max-merge is order- and batching-independent, the
+    drained stream's final state equals the batch sketch over the union
+    of all batches — which is what the catalog sim's SQL oracle states.
+
+    Unlike streaming_dedup_first (state grows with distinct keys), the
+    state here is CONSTANT per group: this is the sketch-state pattern
+    for cardinality monitoring over unbounded streams.
+    """
+    prepped = events.selectExpr(
+        f"CAST(`{group_col}` AS STRING) AS g",
+        "CAST(conv(substring(md5(concat_ws('#',"
+        f" CAST(`{value_col}` AS STRING), '{seed}')), 1, 15), 16, 10)"
+        " AS LONG) AS hv",
+    ).selectExpr(
+        "g",
+        f"hv DIV {_HLL_REM} AS bucket",
+        f"CASE WHEN hv % {_HLL_REM} = 0 THEN 53"
+        f" ELSE 53 - length(bin(hv % {_HLL_REM})) END AS rho",
+    )
+    return prepped.groupBy("g").applyInPandasWithState(
+        _hll_fold,
+        outputStructType=HLL_OUTPUT_SCHEMA,
+        stateStructType=HLL_STATE_SCHEMA,
+        # append: one summary row per (group, micro-batch) accumulates in
+        # the sink; consumers keep the row with the highest n_updates per
+        # group (= the final state). Matches the availableNow drain sinks.
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -386,3 +386,75 @@ def test_lsh_bucket_fold_overflow_no_reemission():
     out3 = pd.concat(batch([4], [14]))
     assert set(zip(out3.doc_a, out3.doc_b)) == {(1, 4), (2, 4)}
     assert list(state.get[1]) == [3, 4]
+
+
+def test_streaming_hll_distinct_matches_batch_sketch(spark):
+    """streaming_hll_distinct drained over micro-batches ends with exactly
+    the batch hll_distinct_rollup registers (max-merge is batching-
+    independent): exact integer register signature AND estimate agree."""
+    import json
+    import os
+    import time as _time
+
+    from open_ftth_relational_projector_spark.functions.sketches import (
+        hll_distinct_rollup,
+    )
+    from open_ftth_relational_projector_spark.streaming.stateful import (
+        streaming_hll_distinct,
+    )
+
+    rows = [("a", v % 40) for v in range(120)] + [("b", v) for v in range(300)]
+    tmp = tempfile.mkdtemp(prefix="ofrp_shll_")
+    try:
+        os.makedirs(f"{tmp}/in")
+        now = _time.time()
+        third = (len(rows) + 2) // 3
+        for b in range(3):
+            path = f"{tmp}/in/batch_{b:05d}.json"
+            with open(path, "w") as fh:
+                for g, v in rows[b * third : (b + 1) * third]:
+                    fh.write(json.dumps({"g": g, "v": v}) + "\n")
+            os.utime(path, (now + b, now + b))
+        stream = spark.readStream.schema("g string, v long").option(
+            "maxFilesPerTrigger", "1"
+        ).json(f"{tmp}/in")
+        q = (
+            streaming_hll_distinct(stream, "g", "v", seed=7)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("shll_t")
+            .option("checkpointLocation", f"{tmp}/cp")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(240)
+        final = {}
+        for r in spark.sql("SELECT * FROM shll_t").collect():
+            if r["g"] not in final or r["n_updates"] > final[r["g"]]["n_updates"]:
+                final[r["g"]] = r
+
+        batch_df = spark.createDataFrame(rows, "g string, v long").withColumn(
+            "sub", F.lit(0)
+        )
+        batch = {
+            r["g"]: r
+            for r in hll_distinct_rollup(batch_df, "g", "sub", "v", seed=7).collect()
+        }
+        assert set(final) == {"a", "b"} == set(batch)
+        for g in ("a", "b"):
+            assert final[g]["registers_used"] == batch[g]["registers_used"]
+            assert round(final[g]["hll_est"], 4) == batch[g]["hll_est"]
+        # the fold only fires for groups PRESENT in a micro-batch (no
+        # timeout): 'a' rows all land in batch 0 (rows are a-then-b
+        # ordered) so 'a' emits exactly once; 'b' spans all 3 batches and
+        # its per-batch emissions are strictly monotone in n_updates
+        # (state only ever accumulates)
+        all_rows = spark.sql("SELECT * FROM shll_t").collect()
+        a_rows = [r for r in all_rows if r["g"] == "a"]
+        assert len(a_rows) == 1 and a_rows[0]["n_updates"] == 120
+        b_counts = sorted(r["n_updates"] for r in all_rows if r["g"] == "b")
+        assert len(b_counts) == 3 == len(set(b_counts))
+        assert b_counts[-1] == 300
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.catalog.dropTempView("shll_t")
