@@ -411,8 +411,10 @@ def zorder_locality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-chunk key spans. Narrow spans on BOTH dimensions are what make
     min/max row-group pruning effective for predicates on EITHER key —
     the property a single-column sort cannot give. Bit interleave is a
-    pure JVM expression; the chunking is one global sort (row-group
-    assignment is exactly the write-path sort at scale)."""
+    pure JVM expression; the chunking is a global-rank assignment done
+    with hierarchical_row_number (range-sharded rank + broadcast shard
+    offsets — bit-identical to row_number() OVER (ORDER BY ...) with no
+    single-task WindowExec), exactly the write-path sort at scale."""
     o = load_table(spark, sf_dir, "orders")
     ck = F.col("o_custkey") % 1024
     wk = (
@@ -433,14 +435,16 @@ def zorder_locality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", ck.alias("ck"), wk.alias("wk"), morton.alias("morton")
     )
     def chunked(order_cols, label):
-        wseq = W.orderBy(*order_cols)
-        return z.select(
+        # (morton, o_orderkey) / (o_orderkey,) are total orders, so the
+        # hierarchical rank equals the global row_number exactly
+        ranked = hierarchical_row_number(
+            z, [F.col(c) for c in order_cols], "_rn"
+        )
+        return ranked.select(
             "ck",
             "wk",
             F.lit(label).alias("ordering"),
-            F.floor((F.row_number().over(wseq) - 1) / F.lit(150))
-            .cast("int")
-            .alias("chunk"),
+            F.floor((F.col("_rn") - 1) / F.lit(150)).cast("int").alias("chunk"),
         )
 
     chunks = chunked(["morton", "o_orderkey"], "zorder").unionByName(

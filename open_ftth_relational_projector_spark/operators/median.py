@@ -22,7 +22,9 @@ even n averages the two middle values, odd n takes the middle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window as W, functions as F
+from pyspark.sql import DataFrame, functions as F
+
+from .hierarchical import hierarchical_row_number
 
 
 def exact_median_two_pass(
@@ -68,8 +70,16 @@ def exact_median_two_pass(
     # filter could disagree with floor((v-lo)/width) by one ulp at a bin
     # edge and silently shift every rank
     cand = data.filter((bucket >= b1) & (bucket <= b2))
-    ranked = cand.select(F.col(value_col).cast("double").alias("_v")).withColumn(
-        "_r", F.row_number().over(W.orderBy("_v"))
+    # hierarchical rank, not row_number() OVER (ORDER BY _v): the candidate
+    # set is ~n/n_buckets rows — data-proportional, so a partition-less
+    # window would still funnel it through one task at scale. Ties across
+    # shard boundaries make the rank->row mapping nondeterministic, but the
+    # VALUE at any rank is the order statistic of _v either way, which is
+    # all the lookup below reads.
+    ranked = hierarchical_row_number(
+        cand.select(F.col(value_col).cast("double").alias("_v")),
+        [F.col("_v")],
+        "_r",
     )
     vals = {
         r["_r"]: r["_v"]

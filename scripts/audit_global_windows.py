@@ -27,10 +27,6 @@ from open_ftth_relational_projector_spark.session import get_spark  # noqa: E402
 # ordered global window in the same query (the q15 defect class).
 # name -> (exempted kinds, why)
 EXEMPT: dict[str, tuple[frozenset[str], str]] = {
-    "zorder_locality_audit": (
-        frozenset({"GLOBAL-WINDOW"}),
-        "the audit MEASURES a global z-order layout",
-    ),
     "conversion_survival_curve": (
         frozenset({"GLOBAL-WINDOW"}),
         "KM running product over the 14-row day spine — window cardinality "
