@@ -670,3 +670,100 @@ def hll_distinct_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
     return hll_distinct_rollup(ev, "event_type", "day", "user_id", seed=7)
+
+
+# hdr_quantile_rollup's constants, shared verbatim with the oracle text so
+# the bound literal and k cannot drift apart
+_HDR_K = 64
+_HDR_BOUND = repr(1.0 / (2 * 64) + 1e-12)
+
+
+def _hdr_sel(q: str, tag: str) -> str:
+    return (
+        f"MIN(CASE WHEN cum >= CEIL(CAST({q} AS DOUBLE) * CAST(ms.n AS DOUBLE))"
+        f" THEN bucket END) AS _b{tag}"
+    )
+
+
+def _hdr_est(b: str) -> str:
+    return (
+        f"CAST((1::BIGINT << ({b} // {_HDR_K})) AS DOUBLE)"
+        f" * (2 * {_HDR_K} + 2 * ({b} % {_HDR_K}) + 1) / (2 * {_HDR_K})"
+    )
+
+
+def _hdr_out(tag: str) -> str:
+    e = _hdr_est(f"_b{tag}")
+    return (
+        f"ROUND({e}, 4) AS est_{tag}, exact_{tag},"
+        f" (abs({e} - exact_{tag}) / exact_{tag} <= {_HDR_BOUND}) AS ok_{tag}"
+    )
+
+
+@_q(
+    "hdr_quantile_rollup",
+    f"""
+    WITH bk AS (
+      SELECT lang, source, CAST(n_chars AS BIGINT) AS v,
+             (length(bin(CAST(n_chars AS BIGINT))) - 1) * {_HDR_K}
+             + ((CAST(n_chars AS BIGINT)
+                 - (1::BIGINT << (length(bin(CAST(n_chars AS BIGINT))) - 1)))
+                * {_HDR_K})
+               // (1::BIGINT << (length(bin(CAST(n_chars AS BIGINT))) - 1))
+               AS bucket
+      FROM documents WHERE n_chars >= 1),
+    cell AS (SELECT lang, source, bucket, COUNT(*) AS c
+             FROM bk GROUP BY lang, source, bucket),
+    merged AS (SELECT lang, bucket, SUM(c) AS c FROM cell GROUP BY lang, bucket),
+    direct AS (SELECT lang, bucket, COUNT(*) AS c FROM bk GROUP BY lang, bucket),
+    ms AS (SELECT lang, COUNT(*) AS nb, SUM(c) AS n, SUM(bucket * c) AS sig_s,
+                  MAX(bucket) AS sig_m FROM merged GROUP BY lang),
+    ds AS (SELECT lang, COUNT(*) AS nb, SUM(c) AS n, SUM(bucket * c) AS sig_s,
+                  MAX(bucket) AS sig_m FROM direct GROUP BY lang),
+    cum AS (SELECT lang, bucket,
+                   SUM(c) OVER (PARTITION BY lang ORDER BY bucket) AS cum
+            FROM merged),
+    sel AS (SELECT cum.lang,
+                   {_hdr_sel('0.5', 'p50')},
+                   {_hdr_sel('0.9', 'p90')},
+                   {_hdr_sel('0.99', 'p99')}
+            FROM cum JOIN ms ON cum.lang = ms.lang GROUP BY cum.lang),
+    ex AS (SELECT lang,
+             CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY v) AS BIGINT) AS exact_p50,
+             CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY v) AS BIGINT) AS exact_p90,
+             CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY v) AS BIGINT) AS exact_p99
+           FROM bk GROUP BY lang)
+    SELECT ms.lang AS lang, CAST(ms.n AS BIGINT) AS n,
+           {_hdr_out('p50')},
+           {_hdr_out('p90')},
+           {_hdr_out('p99')},
+           (ms.nb = ds.nb AND ms.n = ds.n AND ms.sig_s = ds.sig_s
+            AND ms.sig_m = ds.sig_m) AS merge_lossless
+    FROM ms JOIN ds ON ms.lang = ds.lang
+    JOIN sel ON ms.lang = sel.lang
+    JOIN ex ON ms.lang = ex.lang
+    """,
+)
+def hdr_quantile_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-linear mergeable quantile sketches per (lang, source), SUM-merged
+    to lang and read at p50/p90/p99 with a guaranteed relative error
+    ≤ 1/(2k) — the percentile sibling of the KMV/HLL rollups
+    (functions/sketches.hdr_quantile_rollup; HdrHistogram/DDSketch family,
+    Masson et al. VLDB 2019). Bucketing is integer-exact (bin-string
+    floor-log2 + linear sub-bucket division — no float log touches data),
+    so the oracle replays bucket ids, the merge signature, the
+    cumulative-rank quantile read, and the midpoint estimator verbatim;
+    exact percentile_disc and the error-bound booleans ride along as the
+    live proof."""
+    from open_ftth_relational_projector_spark.functions.sketches import (
+        hdr_quantile_rollup,
+    )
+
+    return hdr_quantile_rollup(
+        load_table(spark, sf_dir, "documents"),
+        "lang",
+        "source",
+        "n_chars",
+        k=_HDR_K,
+        quantiles=(0.5, 0.9, 0.99),
+    )

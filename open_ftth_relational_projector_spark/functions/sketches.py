@@ -582,3 +582,139 @@ def hll_distinct_rollup(
             " AS merge_lossless",
         )
     )
+
+
+def hdr_quantile_rollup(
+    df: DataFrame,
+    group_col: str,
+    sub_col: str,
+    value_col: str,
+    k: int = 64,
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Mergeable log-linear quantile sketch (the HdrHistogram / DDSketch
+    family: Masson et al., VLDB 2019): per-(group, sub) bucket-count
+    histograms, SUM-merged to group level, with a guaranteed relative
+    error ≤ 1/(2k) on every reported quantile — the percentile sibling of
+    ``kmv_distinct_rollup``/``hll_distinct_rollup`` (same pre-aggregated
+    sketch-table shape for 100 TB latency/size-distribution rollups: a
+    sketch per cell is O(k·log(range)) counters however many rows feed
+    it, and rollup across any dimension is count addition).
+
+    Bucketing is INTEGER-EXACT, not float-log: for a value v ≥ 1,
+    octave e = floor(log2 v) = length(bin(v)) - 1 (the bin-string trick
+    shared with the HLL ρ computation), then the octave [2^e, 2^{e+1}) is
+    split into k equal linear sub-buckets:
+    ``bucket = e·k + ((v - 2^e)·k) DIV 2^e``. No transcendental function
+    is evaluated on data, so a DuckDB oracle replays every bucket id
+    bit-for-bit — same portability argument as the HLL register layout.
+
+    The bucket midpoint ``2^e·(2k + 2·sub + 1) / (2k)`` is the estimate;
+    any v in the bucket satisfies |est − v|/v ≤ 1/(2k) because the
+    half-width 2^e/(2k) is at most 1/(2k) of the bucket's lower edge.
+    Quantile rank follows percentile_disc: the q-quantile is the value at
+    rank ceil(q·n), read from the first bucket whose cumulative count
+    reaches the rank (the cumulative pass runs over the ≤ 64·k bucket
+    rows PER GROUP — a partitioned window, bounded by the sketch size,
+    never by the data).
+
+    The live ``merge_lossless`` column re-proves SUM-mergeability against
+    a histogram built directly from raw values (always true by
+    associativity — same pattern as the KMV/HLL proofs), and each
+    ``ok_*`` column checks the reported estimate against the group's
+    exact percentile_disc within the theoretical bound.
+
+    Only values ≥ 1 are sketched (log buckets need a positive domain;
+    integer values keep the sub-bucket arithmetic exact).
+
+    Returns (group_col, n BIGINT, then per q: est_<q> DOUBLE(4dp),
+    exact_<q> BIGINT, ok_<q> BOOLEAN).
+    """
+    b = (
+        df.selectExpr(
+            f"{group_col} AS g",
+            f"{sub_col} AS s",
+            f"CAST({value_col} AS BIGINT) AS v",
+        )
+        .filter("v >= 1")
+        .selectExpr("g", "s", "v", "length(bin(v)) - 1 AS e")
+        .selectExpr(
+            "g",
+            "s",
+            "v",
+            f"e * {k} + ((v - shiftleft(CAST(1 AS BIGINT), e)) * {k})"
+            f" DIV shiftleft(CAST(1 AS BIGINT), e) AS bucket",
+        )
+    )
+    cell = b.groupBy("g", "s", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    merged = cell.groupBy("g", "bucket").agg(F.sum("c").alias("c"))
+    direct = b.groupBy("g", "bucket").agg(F.count(F.lit(1)).alias("c"))
+
+    def sig(h: DataFrame) -> DataFrame:
+        return h.groupBy("g").agg(
+            F.expr("count(*) AS nb"),
+            F.expr("sum(c) AS n"),
+            F.expr("sum(bucket * c) AS sig_s"),
+            F.expr("max(bucket) AS sig_m"),
+        )
+
+    ms, ds = sig(merged), sig(direct)
+    from pyspark.sql import Window
+
+    wcum = (
+        Window.partitionBy("g")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = merged.withColumn("cum", F.sum("c").over(wcum))
+    j = cum.join(ms.select("g", "n"), "g")
+
+    def est_expr(bucket_col: str) -> str:
+        return (
+            f"CAST(shiftleft(CAST(1 AS BIGINT), {bucket_col} DIV {k}) AS DOUBLE)"
+            f" * (2 * {k} + 2 * ({bucket_col} % {k}) + 1) / (2 * {k})"
+        )
+
+    aggs = []
+    for q in quantiles:
+        tag = f"p{round(q * 100)}"
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col("cum") >= F.ceil(F.lit(q) * F.col("n").cast("double")),
+                    F.col("bucket"),
+                )
+            ).alias(f"_b{tag}")
+        )
+    sel = j.groupBy("g").agg(*aggs)
+
+    exact = b.selectExpr("g", "v").groupBy("g").agg(
+        *[
+            F.expr(
+                f"CAST(percentile_disc({q!r}) WITHIN GROUP (ORDER BY v) AS BIGINT)"
+            ).alias(f"exact_p{round(q * 100)}")
+            for q in quantiles
+        ]
+    )
+
+    out_cols = [f"ms.g AS {group_col}", "CAST(ms.n AS BIGINT) AS n"]
+    bound = 1.0 / (2 * k) + 1e-12
+    for q in quantiles:
+        tag = f"p{round(q * 100)}"
+        e = est_expr(f"_b{tag}")
+        out_cols += [
+            f"ROUND({e}, 4) AS est_{tag}",
+            f"exact_{tag}",
+            f"(abs({e} - exact_{tag}) / exact_{tag} <= {bound!r}) AS ok_{tag}",
+        ]
+    out_cols.append(
+        "(ms.nb = ds.nb AND ms.n = ds.n AND ms.sig_s = ds.sig_s"
+        " AND ms.sig_m = ds.sig_m) AS merge_lossless"
+    )
+    return (
+        ms.alias("ms")
+        .join(ds.alias("ds"), "g")
+        .join(sel, "g")
+        .join(exact, "g")
+        .selectExpr(*out_cols)
+    )

@@ -2611,3 +2611,52 @@ def test_cluster_safe_split_no_leaked_pairs(spark):
     assert len({by_id[d]["split"] for d in (0, 1, 2, 3)}) == 1
     labels = {r["split"] for r in out}
     assert labels == {"train", "val", "test"}
+
+
+def test_hdr_quantile_rollup_properties(spark):
+    """Every reported quantile honors the 1/(2k) relative-error bound on a
+    heavy-tailed multi-octave distribution (the regime where a plain
+    fixed-width histogram fails); the sub->group count-merge is lossless;
+    the sketch is insensitive to how rows are split across sub cells; and
+    values < 1 are excluded from n."""
+    from open_ftth_relational_projector_spark.functions.sketches import (
+        hdr_quantile_rollup,
+    )
+
+    # 1..10^6-ish lognormal-ish spread, deterministic: v = (i*i*7919) % M + 1
+    rows = [("A", i % 4, (i * i * 7919) % 1_000_000 + 1) for i in range(3000)]
+    rows += [("B", 0, 5), ("B", 1, 5), ("B", 2, 0)]  # ties + sub-1 value
+    df = spark.createDataFrame(rows, "g string, sub int, v long")
+    k = 64
+    out = {
+        r["g"]: r
+        for r in hdr_quantile_rollup(
+            df, "g", "sub", "v", k=k, quantiles=(0.5, 0.9, 0.99)
+        ).collect()
+    }
+    assert out["A"]["n"] == 3000
+    vals = sorted((i * i * 7919) % 1_000_000 + 1 for i in range(3000))
+    import math
+
+    for q, tag in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+        exact = vals[math.ceil(q * 3000) - 1]
+        assert out["A"][f"exact_{tag}"] == exact
+        assert out["A"][f"ok_{tag}"], (tag, out["A"])
+        assert abs(out["A"][f"est_{tag}"] - exact) / exact <= 1.0 / (2 * k) + 1e-9
+    assert out["A"]["merge_lossless"]
+    # B: the v=0 row is dropped, both remaining rows are 5 -> every
+    # quantile estimates the single bucket holding 5
+    assert out["B"]["n"] == 2
+    assert out["B"]["exact_p99"] == 5 and out["B"]["ok_p99"]
+
+    # sub-split invariance: rehashing rows across sub cells must leave the
+    # merged histogram (and thus every output) identical
+    df2 = df.withColumn("sub", (F.col("v") * 13) % 7)
+    out2 = {
+        r["g"]: r
+        for r in hdr_quantile_rollup(
+            df2, "g", "sub", "v", k=k, quantiles=(0.5, 0.9, 0.99)
+        ).collect()
+    }
+    for g in ("A", "B"):
+        assert out[g].asDict() == out2[g].asDict()
