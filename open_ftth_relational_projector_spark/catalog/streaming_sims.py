@@ -284,3 +284,97 @@ def stream_hll_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sig_m",
         "ROUND(hll_est, 4) AS hll_est",
     )
+
+
+from .sketches import _HDR_K, _hdr_est, _hdr_sel  # noqa: E402
+
+
+@_q(
+    "stream_hdr_sim",
+    f"""
+    WITH bk AS (
+      SELECT lang, CAST(n_chars AS BIGINT) AS v,
+             (length(bin(CAST(n_chars AS BIGINT))) - 1) * {_HDR_K}
+             + ((CAST(n_chars AS BIGINT)
+                 - (1::BIGINT << (length(bin(CAST(n_chars AS BIGINT))) - 1)))
+                * {_HDR_K})
+               // (1::BIGINT << (length(bin(CAST(n_chars AS BIGINT))) - 1))
+               AS bucket
+      FROM documents WHERE n_chars >= 1),
+    merged AS (SELECT lang, bucket, COUNT(*) AS c FROM bk GROUP BY lang, bucket),
+    ms AS (SELECT lang, COUNT(*) AS nb, SUM(c) AS n, SUM(bucket * c) AS sig_s,
+                  MAX(bucket) AS sig_m FROM merged GROUP BY lang),
+    cum AS (SELECT lang, bucket,
+                   SUM(c) OVER (PARTITION BY lang ORDER BY bucket) AS cum
+            FROM merged),
+    sel AS (SELECT cum.lang,
+                   {_hdr_sel('0.5', 'p50')},
+                   {_hdr_sel('0.9', 'p90')},
+                   {_hdr_sel('0.99', 'p99')}
+            FROM cum JOIN ms ON cum.lang = ms.lang GROUP BY cum.lang)
+    SELECT ms.lang AS lang, CAST(ms.n AS BIGINT) AS n,
+           CAST(ms.nb AS INT) AS nb,
+           CAST(ms.sig_s AS BIGINT) AS sig_s,
+           CAST(ms.sig_m AS BIGINT) AS sig_m,
+           ROUND({_hdr_est('_bp50')}, 4) AS est_p50,
+           ROUND({_hdr_est('_bp90')}, 4) AS est_p90,
+           ROUND({_hdr_est('_bp99')}, 4) AS est_p99
+    FROM ms JOIN sel ON ms.lang = sel.lang
+    """,
+)
+def stream_hdr_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """streaming_hdr_quantiles (per-lang p50/p90/p99 of n_chars via the
+    log-linear bucket histogram in keyed state) drained over a real
+    3-micro-batch stream: histogram addition is order- and
+    batching-independent, so the final per-group state must equal the
+    batch sketch over the union of the batches — the oracle replays
+    bucket ids, histogram signature, cumulative-rank reads and the
+    midpoint estimator in SQL. Contrast stream_hll_sim (distinct-count
+    registers): same constant-bounded sketch-state pattern, quantile
+    flavor."""
+    from open_ftth_relational_projector_spark.streaming.stateful import (
+        streaming_hdr_quantiles,
+    )
+
+    def op(stream):
+        return streaming_hdr_quantiles(stream, "lang", "n_chars")
+
+    rows, _ = _drain_stream_over_doc_batches(
+        spark,
+        sf_dir,
+        op,
+        "shdr",
+        shuffle_partitions=4,
+        extra_fields={"lang": "string", "n_chars": "long"},
+    )
+    best: dict = {}
+    for r in rows:
+        if r["g"] not in best or r["n_updates"] > best[r["g"]]["n_updates"]:
+            best[r["g"]] = r
+    out = [
+        (
+            r["g"],
+            r["n_updates"],
+            r["nb"],
+            r["sig_s"],
+            r["sig_m"],
+            r["est_p50"],
+            r["est_p90"],
+            r["est_p99"],
+        )
+        for r in best.values()
+    ]
+    return spark.createDataFrame(
+        out,
+        "lang string, n long, nb int, sig_s long, sig_m long,"
+        " est_p50 double, est_p90 double, est_p99 double",
+    ).selectExpr(
+        "lang",
+        "n",
+        "nb",
+        "sig_s",
+        "sig_m",
+        "ROUND(est_p50, 4) AS est_p50",
+        "ROUND(est_p90, 4) AS est_p90",
+        "ROUND(est_p99, 4) AS est_p99",
+    )

@@ -449,3 +449,102 @@ def streaming_hll_distinct(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+HDR_OUTPUT_SCHEMA = (
+    "g string, n_updates long, nb int, sig_s long, sig_m long,"
+    " est_p50 double, est_p90 double, est_p99 double"
+)
+HDR_STATE_SCHEMA = "buckets array<long>, counts array<long>"
+
+_HDR_K = 64
+_HDR_QS = (0.5, 0.9, 0.99)
+
+
+def _hdr_fold(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    import math
+
+    hist: dict[int, int] = {}
+    if state.exists:
+        buckets, counts = state.get
+        hist = dict(zip((int(b) for b in buckets), (int(c) for c in counts)))
+    for pdf in pdfs:
+        for b in pdf["bucket"]:
+            b = int(b)
+            hist[b] = hist.get(b, 0) + 1
+    items = sorted(hist.items())
+    state.update(([b for b, _ in items], [c for _, c in items]))
+    n = sum(hist.values())
+    ests = []
+    for q in _HDR_QS:
+        rank = math.ceil(q * float(n))
+        cum = 0
+        est = float("nan")
+        for b, c in items:
+            cum += c
+            if cum >= rank:
+                e, sub = divmod(b, _HDR_K)
+                # same exact-integer-over-double midpoint as the batch
+                # sketch / SQL oracle: 2^e * (2k + 2*sub + 1) / (2k)
+                est = (2.0**e) * (2 * _HDR_K + 2 * sub + 1) / (2 * _HDR_K)
+                break
+        ests.append(est)
+    yield pd.DataFrame(
+        {
+            "g": [key[0]],
+            "n_updates": [n],
+            "nb": [len(items)],
+            "sig_s": [sum(b * c for b, c in items)],
+            "sig_m": [max(hist) if hist else 0],
+            "est_p50": [ests[0]],
+            "est_p90": [ests[1]],
+            "est_p99": [ests[2]],
+        }
+    )
+
+
+def streaming_hdr_quantiles(
+    events: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Streaming per-group quantile monitoring via the log-linear bucket
+    histogram of ``functions/sketches.hdr_quantile_rollup`` held in keyed
+    state — continuous p50/p90/p99 with relative error ≤ 1/(2k) over an
+    unbounded stream, state bounded by the bucket count (≤ 64·k), never by
+    the row count.
+
+    The integer-exact bucket id is computed JVM-side (bin-string
+    floor-log2 + linear sub-bucket division, identical to the batch
+    sketch), so the Python fold only increments small-int counters.
+    Histogram addition is order- and batching-independent, so the drained
+    stream's final state equals the batch sketch over the union of all
+    batches — what the catalog sim's SQL oracle states. Values < 1 are
+    dropped before the fold (the sketch's positive-integer domain).
+    """
+    k = _HDR_K
+    prepped = (
+        events.selectExpr(
+            f"CAST(`{group_col}` AS STRING) AS g",
+            f"CAST(`{value_col}` AS BIGINT) AS v",
+        )
+        .filter("v >= 1")
+        .selectExpr(
+            "g",
+            f"(length(bin(v)) - 1) * {k}"
+            f" + ((v - shiftleft(CAST(1 AS BIGINT), length(bin(v)) - 1)) * {k})"
+            f" DIV shiftleft(CAST(1 AS BIGINT), length(bin(v)) - 1) AS bucket",
+        )
+    )
+    return prepped.groupBy("g").applyInPandasWithState(
+        _hdr_fold,
+        outputStructType=HDR_OUTPUT_SCHEMA,
+        stateStructType=HDR_STATE_SCHEMA,
+        # append: one summary row per (group, micro-batch); consumers keep
+        # the row with the highest n_updates per group (the final state),
+        # matching the availableNow drain sinks
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -458,3 +458,77 @@ def test_streaming_hll_distinct_matches_batch_sketch(spark):
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
         spark.catalog.dropTempView("shll_t")
+
+
+def test_streaming_hdr_quantiles_matches_batch_sketch(spark):
+    """streaming_hdr_quantiles drained over micro-batches ends with exactly
+    the batch hdr_quantile_rollup histogram (count-merge is batching-
+    independent): histogram signature AND every quantile estimate agree;
+    v<1 rows are dropped before the fold."""
+    import json
+    import os
+    import time as _time
+
+    from open_ftth_relational_projector_spark.functions.sketches import (
+        hdr_quantile_rollup,
+    )
+    from open_ftth_relational_projector_spark.streaming.stateful import (
+        streaming_hdr_quantiles,
+    )
+
+    rows = [("a", (i * i * 7919) % 100_000 + 1) for i in range(400)]
+    rows += [("b", 5), ("b", 5), ("b", 7), ("b", 0)]
+    tmp = tempfile.mkdtemp(prefix="ofrp_shdr_")
+    try:
+        os.makedirs(f"{tmp}/in")
+        now = _time.time()
+        third = (len(rows) + 2) // 3
+        for b in range(3):
+            path = f"{tmp}/in/batch_{b:05d}.json"
+            with open(path, "w") as fh:
+                for g, v in rows[b * third : (b + 1) * third]:
+                    fh.write(json.dumps({"g": g, "v": v}) + "\n")
+            os.utime(path, (now + b, now + b))
+        stream = spark.readStream.schema("g string, v long").option(
+            "maxFilesPerTrigger", "1"
+        ).json(f"{tmp}/in")
+        q = (
+            streaming_hdr_quantiles(stream, "g", "v")
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("shdr_t")
+            .option("checkpointLocation", f"{tmp}/cp")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(240)
+        final = {}
+        for r in spark.sql("SELECT * FROM shdr_t").collect():
+            if r["g"] not in final or r["n_updates"] > final[r["g"]]["n_updates"]:
+                final[r["g"]] = r
+
+        batch_df = spark.createDataFrame(rows, "g string, v long").withColumn(
+            "sub", F.lit(0)
+        )
+        batch = {
+            r["g"]: r
+            for r in hdr_quantile_rollup(
+                batch_df, "g", "sub", "v", k=64, quantiles=(0.5, 0.9, 0.99)
+            ).collect()
+        }
+        assert set(final) == {"a", "b"} == set(batch)
+        for g in ("a", "b"):
+            assert final[g]["n_updates"] == batch[g]["n"]
+            for tag in ("p50", "p90", "p99"):
+                # stream emits the raw estimate, batch rounds 4dp HALF_UP
+                # (Spark ROUND); Python round() is HALF_EVEN so exact
+                # re-rounding would flake on 4th-decimal ties (5.03125) —
+                # compare raw vs rounded at half-ulp tolerance instead
+                assert (
+                    abs(final[g][f"est_{tag}"] - batch[g][f"est_{tag}"])
+                    <= 5.0e-5 + 1e-12
+                ), (g, tag)
+        assert final["b"]["n_updates"] == 3  # the v=0 row never reached state
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.catalog.dropTempView("shdr_t")
