@@ -591,6 +591,7 @@ def hdr_quantile_rollup(
     value_col: str,
     k: int = 64,
     quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+    verify: bool = True,
 ) -> DataFrame:
     """Mergeable log-linear quantile sketch (the HdrHistogram / DDSketch
     family: Masson et al., VLDB 2019): per-(group, sub) bucket-count
@@ -628,7 +629,12 @@ def hdr_quantile_rollup(
     integer values keep the sub-bucket arithmetic exact).
 
     Returns (group_col, n BIGINT, then per q: est_<q> DOUBLE(4dp),
-    exact_<q> BIGINT, ok_<q> BOOLEAN).
+    exact_<q> BIGINT, ok_<q> BOOLEAN). ``verify=False`` drops the exact
+    percentile_disc verifier, the ok_* columns and the direct-histogram
+    merge proof — the production shape at scale, where the exact
+    aggregate (which buffers every group value) is precisely what the
+    sketch exists to avoid; merge_lossless then rides on histogram
+    construction alone and is omitted.
     """
     b = (
         df.selectExpr(
@@ -646,9 +652,14 @@ def hdr_quantile_rollup(
             f" DIV shiftleft(CAST(1 AS BIGINT), e) AS bucket",
         )
     )
-    cell = b.groupBy("g", "s", "bucket").agg(F.count(F.lit(1)).alias("c"))
-    merged = cell.groupBy("g", "bucket").agg(F.sum("c").alias("c"))
     direct = b.groupBy("g", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    if verify:
+        cell = b.groupBy("g", "s", "bucket").agg(F.count(F.lit(1)).alias("c"))
+        merged = cell.groupBy("g", "bucket").agg(F.sum("c").alias("c"))
+    else:
+        # without the merge proof the sub-cell stage is pure overhead —
+        # one keyed count builds the same histogram in a single shuffle
+        merged = direct
 
     def sig(h: DataFrame) -> DataFrame:
         return h.groupBy("g").agg(
@@ -688,6 +699,21 @@ def hdr_quantile_rollup(
         )
     sel = j.groupBy("g").agg(*aggs)
 
+    out_cols = [f"ms.g AS {group_col}", "CAST(ms.n AS BIGINT) AS n"]
+    bound = 1.0 / (2 * k) + 1e-12
+    for q in quantiles:
+        tag = f"p{round(q * 100)}"
+        e = est_expr(f"_b{tag}")
+        out_cols.append(f"ROUND({e}, 4) AS est_{tag}")
+        if verify:
+            out_cols += [
+                f"exact_{tag}",
+                f"(abs({e} - exact_{tag}) / exact_{tag} <= {bound!r})"
+                f" AS ok_{tag}",
+            ]
+    if not verify:
+        return ms.alias("ms").join(sel, "g").selectExpr(*out_cols)
+
     exact = b.selectExpr("g", "v").groupBy("g").agg(
         *[
             F.expr(
@@ -696,17 +722,6 @@ def hdr_quantile_rollup(
             for q in quantiles
         ]
     )
-
-    out_cols = [f"ms.g AS {group_col}", "CAST(ms.n AS BIGINT) AS n"]
-    bound = 1.0 / (2 * k) + 1e-12
-    for q in quantiles:
-        tag = f"p{round(q * 100)}"
-        e = est_expr(f"_b{tag}")
-        out_cols += [
-            f"ROUND({e}, 4) AS est_{tag}",
-            f"exact_{tag}",
-            f"(abs({e} - exact_{tag}) / exact_{tag} <= {bound!r}) AS ok_{tag}",
-        ]
     out_cols.append(
         "(ms.nb = ds.nb AND ms.n = ds.n AND ms.sig_s = ds.sig_s"
         " AND ms.sig_m = ds.sig_m) AS merge_lossless"

@@ -79,6 +79,8 @@ EXEMPT: dict[str, tuple[frozenset[str], str]] = {
 SKIP = {
     "stream_dedup_sim": "availableNow drain; result plan is a LocalRelation",
     "stream_lsh_sim": "availableNow drain; result plan is a LocalRelation",
+    "stream_hll_sim": "availableNow drain; result plan is a LocalRelation",
+    "stream_hdr_sim": "availableNow drain; result plan is a LocalRelation",
 }
 
 
