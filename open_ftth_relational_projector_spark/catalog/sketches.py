@@ -615,7 +615,13 @@ def winnow_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # α_256 = 0.7213/(1+1.079/256), computed once in Python and inlined as the
 # identical IEEE-double literal on both engines (a bare decimal literal would
 # parse as DECIMAL on Spark and diverge from DuckDB's double arithmetic)
-_HLL_ALPHA = repr(0.7213 / (1.0 + 1.079 / 256))
+from open_ftth_relational_projector_spark.functions.sketches import (
+    HLL_ALPHA as _HLL_ALPHA_F,
+)
+
+# one IEEE-double literal, derived from THE shared constant so the batch
+# function, the streaming fold and every oracle agree bit-for-bit
+_HLL_ALPHA = repr(_HLL_ALPHA_F)
 
 
 @_q(
@@ -675,7 +681,22 @@ def hll_distinct_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # hdr_quantile_rollup's constants, shared verbatim with the oracle text so
 # the bound literal and k cannot drift apart
 _HDR_K = 64
-_HDR_BOUND = repr(1.0 / (2 * 64) + 1e-12)
+_HDR_BOUND = repr(1.0 / (2 * _HDR_K) + 1e-12)
+
+
+def _hdr_bucket_sql(v: str) -> str:
+    """DuckDB expression for the log-linear bucket id of ``v`` (positive
+    BIGINT) — the oracle twin of functions/sketches.hdr_bucket_expr at
+    k=_HDR_K, including its large-octave right-shift form (the naive
+    multiply overflows int64 for v >= ~2^57). Change them together."""
+    lg = _HDR_K.bit_length() - 1
+    e = f"(length(bin({v})) - 1)"
+    low = f"{v} - (1::BIGINT << {e})"
+    return (
+        f"{e} * {_HDR_K} + (CASE WHEN {e} >= {lg}"
+        f" THEN ({low}) >> ({e} - {lg})"
+        f" ELSE (({low}) * {_HDR_K}) // (1::BIGINT << {e}) END)"
+    )
 
 
 def _hdr_sel(q: str, tag: str) -> str:
@@ -705,12 +726,7 @@ def _hdr_out(tag: str) -> str:
     f"""
     WITH bk AS (
       SELECT lang, source, CAST(n_chars AS BIGINT) AS v,
-             (length(bin(CAST(n_chars AS BIGINT))) - 1) * {_HDR_K}
-             + ((CAST(n_chars AS BIGINT)
-                 - (1::BIGINT << (length(bin(CAST(n_chars AS BIGINT))) - 1)))
-                * {_HDR_K})
-               // (1::BIGINT << (length(bin(CAST(n_chars AS BIGINT))) - 1))
-               AS bucket
+             {_hdr_bucket_sql('CAST(n_chars AS BIGINT)')} AS bucket
       FROM documents WHERE n_chars >= 1),
     cell AS (SELECT lang, source, bucket, COUNT(*) AS c
              FROM bk GROUP BY lang, source, bucket),

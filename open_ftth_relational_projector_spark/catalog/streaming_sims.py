@@ -210,8 +210,9 @@ def stream_lsh_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(pairs or [], "doc_a long, doc_b long")
 
 
-# α_256 inlined as one IEEE-double literal (see catalog/sketches.py)
-_HLL_ALPHA_SQL = repr(0.7213 / (1.0 + 1.079 / 256))
+# α_256 as one IEEE-double literal, from the same shared constant as the
+# batch function / streaming fold / batch oracle (catalog/sketches.py)
+from .sketches import _HLL_ALPHA as _HLL_ALPHA_SQL  # noqa: E402
 
 
 @_q(
@@ -264,15 +265,9 @@ def stream_hll_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         shuffle_partitions=4,
         extra_fields={"lang": "string", "n_chars": "long"},
     )
-    # final state per group = the emission with the highest fold count
-    best: dict = {}
-    for r in rows:
-        if r["g"] not in best or r["n_updates"] > best[r["g"]]["n_updates"]:
-            best[r["g"]] = r
-    out = [
-        (r["g"], r["registers_used"], r["sig_s"], r["sig_m"], r["hll_est"])
-        for r in best.values()
-    ]
+    out = _final_state(
+        rows, ("g", "registers_used", "sig_s", "sig_m", "hll_est")
+    )
     return spark.createDataFrame(
         out,
         "lang string, registers_used int, sig_s long, sig_m long,"
@@ -286,7 +281,18 @@ def stream_hll_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-from .sketches import _HDR_K, _hdr_est, _hdr_sel  # noqa: E402
+from .sketches import _HDR_K, _hdr_bucket_sql, _hdr_est, _hdr_sel  # noqa: E402
+
+
+def _final_state(rows, fields):
+    """Drained availableNow sims emit one summary row per (group,
+    micro-batch); the group's FINAL state is its highest-n_updates row
+    (state only accumulates). Shared by the HLL/HDR sketch sims."""
+    best: dict = {}
+    for r in rows:
+        if r["g"] not in best or r["n_updates"] > best[r["g"]]["n_updates"]:
+            best[r["g"]] = r
+    return [tuple(r[f] for f in fields) for r in best.values()]
 
 
 @_q(
@@ -294,12 +300,7 @@ from .sketches import _HDR_K, _hdr_est, _hdr_sel  # noqa: E402
     f"""
     WITH bk AS (
       SELECT lang, CAST(n_chars AS BIGINT) AS v,
-             (length(bin(CAST(n_chars AS BIGINT))) - 1) * {_HDR_K}
-             + ((CAST(n_chars AS BIGINT)
-                 - (1::BIGINT << (length(bin(CAST(n_chars AS BIGINT))) - 1)))
-                * {_HDR_K})
-               // (1::BIGINT << (length(bin(CAST(n_chars AS BIGINT))) - 1))
-               AS bucket
+             {_hdr_bucket_sql('CAST(n_chars AS BIGINT)')} AS bucket
       FROM documents WHERE n_chars >= 1),
     merged AS (SELECT lang, bucket, COUNT(*) AS c FROM bk GROUP BY lang, bucket),
     ms AS (SELECT lang, COUNT(*) AS nb, SUM(c) AS n, SUM(bucket * c) AS sig_s,
@@ -347,23 +348,19 @@ def stream_hdr_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         shuffle_partitions=4,
         extra_fields={"lang": "string", "n_chars": "long"},
     )
-    best: dict = {}
-    for r in rows:
-        if r["g"] not in best or r["n_updates"] > best[r["g"]]["n_updates"]:
-            best[r["g"]] = r
-    out = [
+    out = _final_state(
+        rows,
         (
-            r["g"],
-            r["n_updates"],
-            r["nb"],
-            r["sig_s"],
-            r["sig_m"],
-            r["est_p50"],
-            r["est_p90"],
-            r["est_p99"],
-        )
-        for r in best.values()
-    ]
+            "g",
+            "n_updates",
+            "nb",
+            "sig_s",
+            "sig_m",
+            "est_p50",
+            "est_p90",
+            "est_p99",
+        ),
+    )
     return spark.createDataFrame(
         out,
         "lang string, n long, nb int, sig_s long, sig_m long,"

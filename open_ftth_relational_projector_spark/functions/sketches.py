@@ -32,6 +32,42 @@ from open_ftth_relational_projector_spark.functions.dedup import (
 from open_ftth_relational_projector_spark.functions.text import tokens
 
 
+# HyperLogLog layout shared by hll_distinct_rollup, the streaming register
+# fold (streaming/stateful.streaming_hll_distinct) and both catalog oracles:
+# portable_hash64 yields 60 uniform bits; the top HLL_P pick the register,
+# the low HLL_REM_BITS feed rho.
+HLL_P = 8
+HLL_M = 1 << HLL_P  # 256 registers
+HLL_REM_BITS = 60 - HLL_P
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+
+
+def hdr_bucket_expr(v: str, k: int) -> str:
+    """Spark SQL expression for the log-linear bucket id of column ``v``
+    (a positive BIGINT): octave e = floor(log2 v) via the bin-string
+    length, then k equal linear sub-buckets. ``k`` must be a power of two
+    so the sub-bucket division can be a right-shift for large octaves —
+    the naive ``((v - 2^e) * k) DIV 2^e`` overflows int64 once
+    e + log2(k) >= 63 (v >= ~2^57 at k=64), silently corrupting buckets
+    in non-ANSI arithmetic. For e >= log2(k) the shift form
+    ``(v - 2^e) >> (e - log2 k)`` is exactly equal and cannot overflow;
+    below that v < k so the multiply is tiny.
+
+    Shared verbatim (text-identical semantics) with the DuckDB oracle
+    builder catalog/sketches._hdr_bucket_sql — change them together.
+    """
+    if k <= 0 or k & (k - 1):
+        raise ValueError(f"k must be a power of two, got {k}")
+    lg = k.bit_length() - 1
+    e = f"(length(bin({v})) - 1)"
+    low = f"{v} - shiftleft(CAST(1 AS BIGINT), {e})"
+    return (
+        f"{e} * {k} + (CASE WHEN {e} >= {lg}"
+        f" THEN shiftright({low}, {e} - {lg})"
+        f" ELSE (({low}) * {k}) DIV shiftleft(CAST(1 AS BIGINT), {e}) END)"
+    )
+
+
 def count_min_heavy_hitters(
     docs: DataFrame,
     d: int = 4,
@@ -526,11 +562,9 @@ def hll_distinct_rollup(
     Returns (group_col, exact_distinct BIGINT, hll_est DOUBLE(4dp),
     registers_used INT, merge_lossless BOOLEAN).
     """
-    P = 8
-    M = 1 << P  # 256 registers
-    REM = 60 - P  # low 52 bits feed rho
+    P, M, REM = HLL_P, HLL_M, HLL_REM_BITS
     POW_REM = 1 << REM
-    alpha = 0.7213 / (1.0 + 1.079 / M)
+    alpha = HLL_ALPHA
 
     hv = portable_hash64(F.col(value_col), seed)
     h = df.select(
@@ -636,6 +670,12 @@ def hdr_quantile_rollup(
     sketch exists to avoid; merge_lossless then rides on histogram
     construction alone and is omitted.
     """
+    tags = [f"p{round(q * 100)}" for q in quantiles]
+    if len(set(tags)) != len(tags):
+        raise ValueError(
+            f"quantiles {quantiles} collide on column tags {tags}; "
+            "quantiles must differ by at least a percent"
+        )
     b = (
         df.selectExpr(
             f"{group_col} AS g",
@@ -643,14 +683,7 @@ def hdr_quantile_rollup(
             f"CAST({value_col} AS BIGINT) AS v",
         )
         .filter("v >= 1")
-        .selectExpr("g", "s", "v", "length(bin(v)) - 1 AS e")
-        .selectExpr(
-            "g",
-            "s",
-            "v",
-            f"e * {k} + ((v - shiftleft(CAST(1 AS BIGINT), e)) * {k})"
-            f" DIV shiftleft(CAST(1 AS BIGINT), e) AS bucket",
-        )
+        .selectExpr("g", "s", "v", f"{hdr_bucket_expr('v', k)} AS bucket")
     )
     direct = b.groupBy("g", "bucket").agg(F.count(F.lit(1)).alias("c"))
     if verify:

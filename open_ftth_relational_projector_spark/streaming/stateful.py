@@ -360,9 +360,12 @@ HLL_OUTPUT_SCHEMA = (
 )
 HLL_STATE_SCHEMA = "regs array<int>, n_updates long"
 
-_HLL_M = 256
-_HLL_REM = 1 << 52
-_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / _HLL_M)
+from open_ftth_relational_projector_spark.functions.sketches import (
+    HLL_ALPHA as _HLL_ALPHA,
+    HLL_M as _HLL_M,
+    HLL_REM_BITS,
+    hdr_bucket_expr,
+)
 
 
 def _hll_fold(
@@ -378,7 +381,8 @@ def _hll_fold(
     n = 0
     for pdf in pdfs:
         n += len(pdf)
-        for b, r in zip(pdf["bucket"], pdf["rho"]):
+        # vectorized per-bucket max, then merge into the register vector
+        for b, r in pdf.groupby("bucket")["rho"].max().items():
             b, r = int(b), int(r)
             if r > regs[b]:
                 regs[b] = r
@@ -428,16 +432,20 @@ def streaming_hll_distinct(
     state here is CONSTANT per group: this is the sketch-state pattern
     for cardinality monitoring over unbounded streams.
     """
-    prepped = events.selectExpr(
-        f"CAST(`{group_col}` AS STRING) AS g",
-        "CAST(conv(substring(md5(concat_ws('#',"
-        f" CAST(`{value_col}` AS STRING), '{seed}')), 1, 15), 16, 10)"
-        " AS LONG) AS hv",
+    from open_ftth_relational_projector_spark.functions.dedup import (
+        portable_hash64,
+    )
+
+    pow_rem = 1 << HLL_REM_BITS
+    rho_max = HLL_REM_BITS + 1
+    prepped = events.select(
+        F.col(group_col).cast("string").alias("g"),
+        portable_hash64(F.col(value_col).cast("string"), seed).alias("hv"),
     ).selectExpr(
         "g",
-        f"hv DIV {_HLL_REM} AS bucket",
-        f"CASE WHEN hv % {_HLL_REM} = 0 THEN 53"
-        f" ELSE 53 - length(bin(hv % {_HLL_REM})) END AS rho",
+        f"hv DIV {pow_rem} AS bucket",
+        f"CASE WHEN hv % {pow_rem} = 0 THEN {rho_max}"
+        f" ELSE {rho_max} - length(bin(hv % {pow_rem})) END AS rho",
     )
     return prepped.groupBy("g").applyInPandasWithState(
         _hll_fold,
@@ -471,9 +479,10 @@ def _hdr_fold(
         buckets, counts = state.get
         hist = dict(zip((int(b) for b in buckets), (int(c) for c in counts)))
     for pdf in pdfs:
-        for b in pdf["bucket"]:
+        # vectorized bucket counting, then merge into the histogram
+        for b, c in pdf["bucket"].value_counts().items():
             b = int(b)
-            hist[b] = hist.get(b, 0) + 1
+            hist[b] = hist.get(b, 0) + int(c)
     items = sorted(hist.items())
     state.update(([b for b, _ in items], [c for _, c in items]))
     n = sum(hist.values())
@@ -524,19 +533,13 @@ def streaming_hdr_quantiles(
     batches — what the catalog sim's SQL oracle states. Values < 1 are
     dropped before the fold (the sketch's positive-integer domain).
     """
-    k = _HDR_K
     prepped = (
         events.selectExpr(
             f"CAST(`{group_col}` AS STRING) AS g",
             f"CAST(`{value_col}` AS BIGINT) AS v",
         )
         .filter("v >= 1")
-        .selectExpr(
-            "g",
-            f"(length(bin(v)) - 1) * {k}"
-            f" + ((v - shiftleft(CAST(1 AS BIGINT), length(bin(v)) - 1)) * {k})"
-            f" DIV shiftleft(CAST(1 AS BIGINT), length(bin(v)) - 1) AS bucket",
-        )
+        .selectExpr("g", f"{hdr_bucket_expr('v', _HDR_K)} AS bucket")
     )
     return prepped.groupBy("g").applyInPandasWithState(
         _hdr_fold,

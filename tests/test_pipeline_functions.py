@@ -2660,3 +2660,43 @@ def test_hdr_quantile_rollup_properties(spark):
     }
     for g in ("A", "B"):
         assert out[g].asDict() == out2[g].asDict()
+
+
+def test_hdr_bucket_expr_no_overflow_large_octaves(spark):
+    """Regression (r5 review): the naive ((v - 2^e)*k) DIV 2^e sub-bucket
+    multiply overflows int64 at e >= 57 (k=64) — nanosecond-scale counters
+    live there. The shift form must equal exact Python bigint arithmetic
+    across every octave including the top ones, and the full sketch must
+    keep its error bound on such values."""
+    from open_ftth_relational_projector_spark.functions.sketches import (
+        hdr_bucket_expr,
+        hdr_quantile_rollup,
+    )
+
+    k = 64
+    vals = [1, 2, 3, 63, 64, 65, 127, 308, 10**6 + 7]
+    vals += [2**57 - 1, 2**57, 17 * 10**17, 2**62 + 987654321, 2**63 - 1]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = {
+        r["v"]: r["b"]
+        for r in df.selectExpr("v", f"{hdr_bucket_expr('v', k)} AS b").collect()
+    }
+    for v in vals:
+        e = v.bit_length() - 1
+        want = e * k + (v - 2**e) * k // 2**e  # exact bigint arithmetic
+        assert got[v] == want, (v, got[v], want)
+
+    # end-to-end: sketch over huge values stays within the bound
+    big = spark.createDataFrame(
+        [("A", i % 2, 17 * 10**17 + i * 10**13) for i in range(200)],
+        "g string, sub int, v long",
+    )
+    row = hdr_quantile_rollup(big, "g", "sub", "v", k=k).collect()[0]
+    assert row["ok_p50"] and row["ok_p99"] and row["merge_lossless"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="power of two"):
+        hdr_bucket_expr("v", 48)
+    with _pytest.raises(ValueError, match="collide"):
+        hdr_quantile_rollup(big, "g", "sub", "v", quantiles=(0.995, 0.999))
