@@ -1641,3 +1641,54 @@ def cluster_safe_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs.unpersist()
     assigned.unpersist()
     return spark.createDataFrame(rows, out.schema)
+
+
+@_q(
+    "dup_substring_spans",
+    """
+    WITH base AS (SELECT doc_id, text AS t,
+                         CAST(length(text) AS BIGINT) AS n_chars
+                  FROM documents),
+    grams AS (
+      SELECT b.doc_id, u.pos,
+             substr(b.t, CAST(u.pos + 1 AS INT), 20) AS gram
+      FROM (SELECT * FROM base WHERE n_chars >= 20) b,
+           LATERAL unnest(generate_series(0, b.n_chars - 20)) AS u(pos)),
+    freq AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) >= 2),
+    hits AS (SELECT g.doc_id, g.pos FROM grams g JOIN freq USING (gram)),
+    marked AS (
+      SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER w IS NULL
+                    OR pos > lag(pos) OVER w + 20
+                  THEN 1 ELSE 0 END AS new_span
+      FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+    sp AS (SELECT doc_id, pos,
+                  SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos)
+                    AS span_id
+           FROM marked),
+    spans AS (SELECT doc_id, span_id,
+                     MAX(pos) + 20 - MIN(pos) AS span_chars
+              FROM sp GROUP BY doc_id, span_id),
+    agg AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS n_dup_spans,
+                   CAST(SUM(span_chars) AS BIGINT) AS dup_chars
+            FROM spans GROUP BY doc_id)
+    SELECT b.doc_id,
+           COALESCE(a.n_dup_spans, 0) AS n_dup_spans,
+           CAST(COALESCE(a.dup_chars, 0) AS BIGINT) AS dup_chars,
+           b.n_chars,
+           ROUND(COALESCE(a.dup_chars, 0) / CAST(b.n_chars AS DOUBLE), 4)
+             AS dup_frac
+    FROM base b LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def dup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-substring span budget per document — the exact-substring
+    dedup preprocessing of Lee et al. 2022 (functions/dedup.duplicated_spans,
+    L=20): maximal char spans covered by corpus-repeated 20-grams, via an
+    inverted gram index (hash shuffle standing in for the suffix array's
+    global sort) + a per-doc ordered merge pass (window bounded by doc
+    length). The oracle replays gram expansion, frequency filter, interval
+    merge and the per-doc budget in SQL."""
+    return D.duplicated_spans(
+        load_table(spark, sf_dir, "documents"), min_len=20
+    )

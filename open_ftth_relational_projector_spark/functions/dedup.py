@@ -979,3 +979,89 @@ def containment_pairs(
         )
         .filter(F.col("containment") >= threshold)
     )
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    min_len: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Repeated-substring span detection — the exact-substring dedup
+    preprocessing of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better"): per document, the maximal character spans
+    covered by length-``min_len`` substrings that occur MORE THAN ONCE in
+    the corpus (in another document or at another position of the same
+    one). The reference method builds a corpus suffix array; the
+    distributed shape here reaches the same span set for the fixed
+    match length L=min_len via an inverted index:
+
+    1. explode every char position 0..len-L into its L-gram (linear in
+       corpus chars — the suffix-array's lexicographic global sort
+       replaced by a hash shuffle on the gram);
+    2. grams with corpus frequency >= 2 mark their (doc, pos) as a
+       duplicated window [pos, pos+L);
+    3. per doc, overlapping-or-touching windows merge into maximal spans
+       with one ordered pass (positions ascend, so the previous window's
+       start is lag(pos): a new span opens when pos > lag(pos) + L) —
+       a window PARTITIONED by doc, bounded by doc length, never by
+       corpus size.
+
+    Returns one row per doc: (doc_id, n_dup_spans INT, dup_chars BIGINT,
+    n_chars BIGINT, dup_frac DOUBLE(4dp)) — docs with no duplicated span
+    included with zeros, so the output is a full per-doc dedup budget
+    (dup_frac is what the Lee et al. pipeline cuts from each doc).
+    """
+    from pyspark.sql import Window
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("t"),
+        F.length(text_col).cast("long").alias("n_chars"),
+    )
+    grams = base.filter(F.col("n_chars") >= min_len).selectExpr(
+        "doc_id",
+        f"explode(sequence(0, n_chars - {min_len})) AS pos",
+        "t",
+    ).selectExpr("doc_id", "pos", f"substring(t, pos + 1, {min_len}) AS gram")
+    freq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n"))
+    hits = (
+        grams.join(freq.filter(F.col("n") >= 2), "gram")
+        .select("doc_id", "pos")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    spans = (
+        hits.withColumn("prev", F.lag("pos").over(w))
+        .withColumn(
+            "new_span",
+            (F.col("prev").isNull() | (F.col("pos") > F.col("prev") + min_len))
+            .cast("int"),
+        )
+        .withColumn(
+            "span_id",
+            F.sum("new_span").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("doc_id", "span_id")
+        .agg((F.max("pos") + min_len - F.min("pos")).alias("span_chars"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_dup_spans"),
+            F.sum("span_chars").cast("long").alias("dup_chars"),
+        )
+    )
+    return (
+        base.select("doc_id", "n_chars")
+        .join(spans, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_dup_spans", F.lit(0)).cast("int").alias("n_dup_spans"),
+            F.coalesce("dup_chars", F.lit(0)).cast("long").alias("dup_chars"),
+            "n_chars",
+            F.round(
+                F.coalesce("dup_chars", F.lit(0)) / F.col("n_chars").cast("double"),
+                4,
+            ).alias("dup_frac"),
+        )
+    )

@@ -2700,3 +2700,39 @@ def test_hdr_bucket_expr_no_overflow_large_octaves(spark):
         hdr_bucket_expr("v", 48)
     with _pytest.raises(ValueError, match="collide"):
         hdr_quantile_rollup(big, "g", "sub", "v", quantiles=(0.995, 0.999))
+
+
+def test_duplicated_spans_semantics(spark):
+    """Hand-built corpus pins the Lee-et-al span semantics: corpus-repeated
+    L-grams mark [pos, pos+L) windows; overlapping-or-touching windows
+    merge into maximal spans; within-doc repeats count; docs shorter than
+    L or with no repeated gram report zeros."""
+    L = 8
+    # doc 1/2 share "ABCDEFGHIJ" (10 chars -> grams at pos 0,1,2 in doc 1)
+    # doc 3 repeats "QRSTUVWX" twice WITHIN itself at pos 0 and 10
+    # doc 4 is unique; doc 5 is shorter than L
+    rows = [
+        (1, "ABCDEFGHIJ" + "0123456789zz"),
+        (2, "yy" + "ABCDEFGHIJ" + "kkkkkkkk"),
+        (3, "QRSTUVWX" + "--" + "QRSTUVWX"),
+        (4, "no repeats here at all!!"),
+        (5, "tiny"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from open_ftth_relational_projector_spark.functions.dedup import (
+        duplicated_spans,
+    )
+
+    out = {r["doc_id"]: r for r in duplicated_spans(df, min_len=L).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}
+    # doc 1: shared grams at pos 0,1,2 -> one merged span [0, 2+8) = 10 chars
+    assert (out[1]["n_dup_spans"], out[1]["dup_chars"]) == (1, 10)
+    # doc 2: same 10-char block, offset by 2
+    assert (out[2]["n_dup_spans"], out[2]["dup_chars"]) == (1, 10)
+    # doc 3: within-doc repeat, two windows at pos 0 and 10; gap of 2 chars
+    # > 0 so they do NOT merge (10 > 0 + 8): two 8-char spans
+    assert (out[3]["n_dup_spans"], out[3]["dup_chars"]) == (2, 16)
+    assert out[3]["dup_frac"] == round(16 / 18, 4)
+    for d in (4, 5):
+        assert (out[d]["n_dup_spans"], out[d]["dup_chars"]) == (0, 0)
+        assert out[d]["dup_frac"] == 0.0
