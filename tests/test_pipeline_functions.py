@@ -2736,3 +2736,13 @@ def test_duplicated_spans_semantics(spark):
     for d in (4, 5):
         assert (out[d]["n_dup_spans"], out[d]["dup_chars"]) == (0, 0)
         assert out[d]["dup_frac"] == 0.0
+
+    # the production xxhash64-fingerprint shuffle shape must reproduce the
+    # exact-gram output (collisions are ~n^2/2^64 — none on any fixture)
+    fp = {
+        r["doc_id"]: r
+        for r in duplicated_spans(df, min_len=L, fingerprint=True).collect()
+    }
+    assert {d: r.asDict() for d, r in out.items()} == {
+        d: r.asDict() for d, r in fp.items()
+    }
