@@ -98,6 +98,13 @@ EXTRA_QUERIES = [
     # regression visibility) and the scale-safe negative-sampling rewrite
     "stream_dedup_sim",
     "stream_lsh_sim",
+    "stream_hll_sim",
+    "stream_hdr_sim",
+    # r5 continuation: sketch + substring-dedup additions
+    "hll_distinct_rollup",
+    "hdr_quantile_rollup",
+    "dup_substring_spans",
+    "zorder_locality_audit",
     "negative_samples_per_customer",
 ]
 
@@ -222,7 +229,13 @@ def main() -> None:
     for name in EXTRA_QUERIES:
         fn = SPARK_QUERIES[name]
         t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
+        # noop sink, not count(): count() lets Catalyst prune every column
+        # and even eliminate a trailing unique-key outer join entirely
+        # (dup_substring_spans timed as a bare table count) — the noop
+        # writer forces full evaluation of every output column with no
+        # sink cost. Headline queries keep count() for cross-round
+        # comparability of the frozen set (documented protocol).
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         extra[name] = round(time.perf_counter() - t0, 3)
 
     # Round 3's final line carried 45 inline extra_queries and outgrew the

@@ -1690,5 +1690,7 @@ def dup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     length). The oracle replays gram expansion, frequency filter, interval
     merge and the per-doc budget in SQL."""
     return D.duplicated_spans(
-        load_table(spark, sf_dir, "documents"), min_len=20
+        load_table(spark, sf_dir, "documents"),
+        min_len=20,
+        repartition_to=spark.sparkContext.defaultParallelism,
     )

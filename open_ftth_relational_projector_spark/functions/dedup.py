@@ -987,6 +987,7 @@ def duplicated_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     fingerprint: bool = False,
+    repartition_to: int | None = None,
 ) -> DataFrame:
     """Repeated-substring span detection — the exact-substring dedup
     preprocessing of Lee et al. 2022 ("Deduplicating Training Data Makes
@@ -1020,6 +1021,13 @@ def duplicated_spans(
     corpus scale). A fingerprint collision (~n²/2⁶⁴ over the corpus gram
     count) can mark a non-repeated window as duplicated; exact grams
     (the default) are the oracle path.
+
+    ``repartition_to``: the gram explode is a narrow map, so its
+    parallelism is the INPUT's partitioning — right at scale (a 100 TB
+    corpus scans as thousands of splits; an extra shuffle of the raw
+    text would be waste), but a small single-file input serializes on
+    one core. Passing a target spreads docs by id first (shuffling 1x
+    the text, ~L-times smaller than the gram shuffle it unblocks).
     """
     from pyspark.sql import Window
 
@@ -1028,7 +1036,10 @@ def duplicated_spans(
         F.col(text_col).alias("t"),
         F.length(text_col).cast("long").alias("n_chars"),
     )
-    grams = base.filter(F.col("n_chars") >= min_len).selectExpr(
+    eligible = base.filter(F.col("n_chars") >= min_len)
+    if repartition_to:
+        eligible = eligible.repartition(repartition_to, "doc_id")
+    grams = eligible.selectExpr(
         "doc_id",
         f"explode(sequence(0, n_chars - {min_len})) AS pos",
         "t",
