@@ -215,7 +215,14 @@ def main() -> None:
     for name in BENCH_QUERIES:
         fn = SPARK_QUERIES[name]
         t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
+        # noop sink since r5: count() let Catalyst prune unused output
+        # columns, so map-only queries (simhash_fingerprints: the whole
+        # fingerprint expression; running_value_per_user: the window) were
+        # partially skipped. The noop writer forces every output column to
+        # evaluate with no sink cost — honest wall clock, one-time step
+        # change documented with a dual measurement in BENCH_NOTES (r1-r4
+        # totals remain comparable to each other under the old protocol).
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
     pname, psec = bench_domain_projection(spark)
@@ -233,8 +240,7 @@ def main() -> None:
         # and even eliminate a trailing unique-key outer join entirely
         # (dup_substring_spans timed as a bare table count) — the noop
         # writer forces full evaluation of every output column with no
-        # sink cost. Headline queries keep count() for cross-round
-        # comparability of the frozen set (documented protocol).
+        # sink cost. The headline set switched too (same session).
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         extra[name] = round(time.perf_counter() - t0, 3)
 
