@@ -375,3 +375,83 @@ def stream_hdr_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ROUND(est_p90, 4) AS est_p90",
         "ROUND(est_p99, 4) AS est_p99",
     )
+
+
+@_q(
+    "stream_topk_sim",
+    """
+    WITH d AS (
+      SELECT lang,
+             ('0x' || substr(md5(lang || '#0'), 1, 15))::BIGINT % 2 AS shard
+      FROM documents),
+    s AS (SELECT shard, COUNT(*) AS n_shard FROM d GROUP BY shard),
+    c AS (SELECT shard, lang, COUNT(*) AS n FROM d GROUP BY shard, lang)
+    SELECT CAST(c.shard AS VARCHAR) AS shard, c.lang AS lang,
+           CAST(c.n AS BIGINT) AS exact_n,
+           CAST(s.n_shard AS BIGINT) AS n_shard,
+           TRUE AS retained,
+           TRUE AS est_bounds_ok
+    FROM c JOIN s USING (shard)
+    WHERE c.n * 2 > s.n_shard
+    """,
+)
+def stream_topk_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """streaming_space_saving (m=2 counters per shard, 2 md5-hash shards,
+    key=lang) drained over a real 3-micro-batch stream. SpaceSaving's
+    counter evolution is order-SENSITIVE, so the oracle checks its
+    order-INDEPENDENT guarantees instead of replaying state: every lang
+    whose true count exceeds n_shard/m must be retained in its shard's
+    final counters (`retained`), with true <= est <= true + err
+    (`est_bounds_ok`) — both computed live from the drained state against
+    exact SQL counts, TRUE by the Metwally et al. 2005 theorems."""
+    from open_ftth_relational_projector_spark.streaming.stateful import (
+        streaming_space_saving,
+    )
+
+    def op(stream):
+        return streaming_space_saving(stream, "lang", "seq", m=2, n_shards=2)
+
+    rows, _ = _drain_stream_over_doc_batches(
+        spark,
+        sf_dir,
+        op,
+        "stopk",
+        shuffle_partitions=4,
+        extra_fields={"lang": "string"},
+    )
+    # final counter table per shard = rows carrying the highest n_shard
+    final_n: dict = {}
+    for r in rows:
+        if r["shard"] not in final_n or r["n_shard"] > final_n[r["shard"]]:
+            final_n[r["shard"]] = r["n_shard"]
+    retained = {
+        (r["shard"], r["key"]): r
+        for r in rows
+        if r["n_shard"] == final_n[r["shard"]]
+    }
+    exact = (
+        load_table(spark, sf_dir, "documents")
+        .selectExpr(
+            "CAST(pmod(CAST(conv(substr(md5(concat(lang, '#0')), 1, 15), 16, 10)"
+            " AS BIGINT), 2) AS STRING) AS shard",
+            "lang",
+        )
+        .groupBy("shard", "lang")
+        .count()
+        .collect()
+    )
+    out = []
+    for r in exact:
+        shard, lang, n = r["shard"], r["lang"], int(r["count"])
+        n_shard = final_n[shard]
+        if n * 2 > n_shard:  # the guaranteed-retention threshold (m=2)
+            hit = retained.get((shard, lang))
+            bounds = hit is not None and (
+                n <= hit["est"] <= n + hit["err"]
+            )
+            out.append((shard, lang, n, n_shard, hit is not None, bool(bounds)))
+    return spark.createDataFrame(
+        out,
+        "shard string, lang string, exact_n long, n_shard long,"
+        " retained boolean, est_bounds_ok boolean",
+    )

@@ -551,3 +551,105 @@ def streaming_hdr_quantiles(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SS_OUTPUT_SCHEMA = "shard string, key string, est long, err long, n_shard long"
+SS_STATE_SCHEMA = (
+    "keys array<string>, counts array<long>, errs array<long>, n long"
+)
+
+
+def _make_space_saving_fold(m: int):
+    def fold(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        ctr: dict[str, tuple[int, int]] = {}
+        n = 0
+        if state.exists:
+            keys, counts, errs, n = state.get
+            ctr = {
+                k: (int(c), int(e)) for k, c, e in zip(keys, counts, errs)
+            }
+        for pdf in pdfs:
+            # seq order makes the counter evolution deterministic, so the
+            # drained state is testable against a sequential reference fold
+            for x in pdf.sort_values("seq")["k"]:
+                x = str(x)
+                n += 1
+                if x in ctr:
+                    c, e = ctr[x]
+                    ctr[x] = (c + 1, e)
+                elif len(ctr) < m:
+                    ctr[x] = (1, 0)
+                else:
+                    # evict the min-count counter; ties break on the
+                    # smallest key so eviction is order-deterministic
+                    victim = min(ctr, key=lambda k: (ctr[k][0], k))
+                    c_min = ctr.pop(victim)[0]
+                    ctr[x] = (c_min + 1, c_min)
+        items = sorted(ctr.items())
+        state.update(
+            (
+                [k for k, _ in items],
+                [c for _, (c, _) in items],
+                [e for _, (_, e) in items],
+                n,
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "shard": [key[0]] * len(items),
+                "key": [k for k, _ in items],
+                "est": [c for _, (c, _) in items],
+                "err": [e for _, (_, e) in items],
+                "n_shard": [n] * len(items),
+            }
+        )
+
+    return fold
+
+
+def streaming_space_saving(
+    events: DataFrame,
+    key_col: str,
+    seq_col: str,
+    m: int = 2,
+    n_shards: int = 2,
+) -> DataFrame:
+    """Streaming heavy hitters via SpaceSaving (Metwally et al. 2005) in
+    keyed state — the top-k/frequent-items monitor whose state is EXACTLY
+    ``m`` counters per shard however many distinct keys stream past (the
+    5th state pattern next to grow-with-keys dedup, capped-membership
+    LSH, constant HLL registers and the bounded HDR histogram).
+
+    Keys hash-shard with the md5-portable hash (so an ANSI-SQL oracle can
+    re-derive shard membership); every occurrence of a key lands in ONE
+    shard, so per shard the classic guarantees hold over its n_shard
+    rows: any key with true count > n_shard/m is retained, and a retained
+    key's estimate satisfies true <= est <= true + err. Emission per
+    micro-batch is the shard's full counter table (<= m rows) with its
+    running n_shard — consumers keep the highest-n_shard rows per shard.
+
+    Counter evolution (unlike the other four folds' merges) is
+    order-sensitive; rows fold in ``seq_col`` order within each batch so
+    the drained state is deterministic and the invariants above are what
+    the catalog sim's oracle checks (they are order-INDEPENDENT facts).
+    """
+    from open_ftth_relational_projector_spark.functions.dedup import (
+        portable_hash64,
+    )
+
+    prepped = events.select(
+        F.pmod(portable_hash64(F.col(key_col).cast("string"), 0), F.lit(n_shards))
+        .cast("string")
+        .alias("shard"),
+        F.col(key_col).cast("string").alias("k"),
+        F.col(seq_col).cast("long").alias("seq"),
+    )
+    return prepped.groupBy("shard").applyInPandasWithState(
+        _make_space_saving_fold(m),
+        outputStructType=SS_OUTPUT_SCHEMA,
+        stateStructType=SS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

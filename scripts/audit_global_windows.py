@@ -81,6 +81,7 @@ SKIP = {
     "stream_lsh_sim": "availableNow drain; result plan is a LocalRelation",
     "stream_hll_sim": "availableNow drain; result plan is a LocalRelation",
     "stream_hdr_sim": "availableNow drain; result plan is a LocalRelation",
+    "stream_topk_sim": "availableNow drain; result plan is a LocalRelation",
 }
 
 

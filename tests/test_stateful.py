@@ -532,3 +532,82 @@ def test_streaming_hdr_quantiles_matches_batch_sketch(spark):
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
         spark.catalog.dropTempView("shdr_t")
+
+
+def test_streaming_space_saving_matches_sequential_reference(spark):
+    """streaming_space_saving drained over seq-ordered micro-batches ends
+    with exactly the counters of a sequential SpaceSaving fold over the
+    same rows (deterministic min-count/smallest-key eviction), and the
+    Metwally guarantees hold: every key above n_shard/m retained with
+    true <= est <= true + err."""
+    import json
+    import os
+    import time as _time
+
+    from open_ftth_relational_projector_spark.streaming.stateful import (
+        streaming_space_saving,
+    )
+
+    # skewed single-shard-friendly stream: key frequencies 60/25/10/5
+    seq_rows = []
+    pattern = ["a"] * 12 + ["b"] * 5 + ["c"] * 2 + ["d"]
+    for i in range(100):
+        seq_rows.append((i, pattern[i % len(pattern)]))
+    tmp = tempfile.mkdtemp(prefix="ofrp_ss_")
+    try:
+        os.makedirs(f"{tmp}/in")
+        now = _time.time()
+        third = (len(seq_rows) + 2) // 3
+        for b in range(3):
+            path = f"{tmp}/in/batch_{b:05d}.json"
+            with open(path, "w") as fh:
+                for s, k in seq_rows[b * third : (b + 1) * third]:
+                    fh.write(json.dumps({"seq": s, "lang": k}) + "\n")
+            os.utime(path, (now + b, now + b))
+        stream = spark.readStream.schema("seq long, lang string").option(
+            "maxFilesPerTrigger", "1"
+        ).json(f"{tmp}/in")
+        m = 2
+        q = (
+            streaming_space_saving(stream, "lang", "seq", m=m, n_shards=1)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("ss_t")
+            .option("checkpointLocation", f"{tmp}/cp")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(240)
+        rows = spark.sql("SELECT * FROM ss_t").collect()
+        n_final = max(r["n_shard"] for r in rows)
+        got = {
+            r["key"]: (r["est"], r["err"])
+            for r in rows
+            if r["n_shard"] == n_final
+        }
+
+        # sequential reference fold over the same seq order
+        ctr: dict = {}
+        for _, x in seq_rows:
+            if x in ctr:
+                ctr[x] = (ctr[x][0] + 1, ctr[x][1])
+            elif len(ctr) < m:
+                ctr[x] = (1, 0)
+            else:
+                victim = min(ctr, key=lambda k: (ctr[k][0], k))
+                c_min = ctr.pop(victim)[0]
+                ctr[x] = (c_min + 1, c_min)
+        assert got == ctr and n_final == 100
+
+        # guarantees vs true counts
+        from collections import Counter
+
+        true = Counter(k for _, k in seq_rows)
+        for k, n in true.items():
+            if n * m > 100:
+                assert k in got
+                est, err = got[k]
+                assert n <= est <= n + err
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.catalog.dropTempView("ss_t")
