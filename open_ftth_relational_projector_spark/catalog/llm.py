@@ -1676,8 +1676,9 @@ def cluster_safe_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            COALESCE(a.n_dup_spans, 0) AS n_dup_spans,
            CAST(COALESCE(a.dup_chars, 0) AS BIGINT) AS dup_chars,
            b.n_chars,
-           ROUND(COALESCE(a.dup_chars, 0) / CAST(b.n_chars AS DOUBLE), 4)
-             AS dup_frac
+           CASE WHEN b.n_chars = 0 THEN 0.0
+                ELSE ROUND(COALESCE(a.dup_chars, 0)
+                           / CAST(b.n_chars AS DOUBLE), 4) END AS dup_frac
     FROM base b LEFT JOIN agg a USING (doc_id)
     """,
 )

@@ -429,11 +429,17 @@ def stream_topk_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in rows
         if r["n_shard"] == final_n[r["shard"]]
     }
+    from open_ftth_relational_projector_spark.functions.dedup import (
+        portable_hash64,
+    )
+
     exact = (
         load_table(spark, sf_dir, "documents")
-        .selectExpr(
-            "CAST(pmod(CAST(conv(substr(md5(concat(lang, '#0')), 1, 15), 16, 10)"
-            " AS BIGINT), 2) AS STRING) AS shard",
+        .filter(F.col("lang").isNotNull())
+        .select(
+            F.pmod(portable_hash64(F.col("lang"), 0), F.lit(2))
+            .cast("string")
+            .alias("shard"),
             "lang",
         )
         .groupBy("shard", "lang")

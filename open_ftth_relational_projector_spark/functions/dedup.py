@@ -1087,9 +1087,14 @@ def duplicated_spans(
             F.coalesce("n_dup_spans", F.lit(0)).cast("int").alias("n_dup_spans"),
             F.coalesce("dup_chars", F.lit(0)).cast("long").alias("dup_chars"),
             "n_chars",
-            F.round(
-                F.coalesce("dup_chars", F.lit(0)) / F.col("n_chars").cast("double"),
-                4,
-            ).alias("dup_frac"),
+            # n_chars=0 (empty text) divides to NULL on Spark but NaN on
+            # DuckDB — pin the trivially-dup-free doc to 0.0 on both
+            F.when(F.col("n_chars") > 0,
+                F.round(
+                    F.coalesce("dup_chars", F.lit(0))
+                    / F.col("n_chars").cast("double"),
+                    4,
+                ),
+            ).otherwise(0.0).alias("dup_frac"),
         )
     )

@@ -570,10 +570,16 @@ def _make_space_saving_fold(m: int):
             ctr = {
                 k: (int(c), int(e)) for k, c, e in zip(keys, counts, errs)
             }
-        for pdf in pdfs:
-            # seq order makes the counter evolution deterministic, so the
-            # drained state is testable against a sequential reference fold
-            for x in pdf.sort_values("seq")["k"]:
+        # one concat+sort across ALL Arrow chunks: a shard micro-batch
+        # larger than arrow.maxRecordsPerBatch arrives as several pdfs in
+        # arbitrary order, and per-chunk sorting would fold chunks in
+        # arrival order — same global-seq contract as the sibling folds
+        chunks = list(pdfs)
+        rows_in = (
+            pd.concat(chunks) if chunks else pd.DataFrame({"seq": [], "k": []})
+        )
+        if len(rows_in):
+            for x in rows_in.sort_values("seq")["k"]:
                 x = str(x)
                 n += 1
                 if x in ctr:
@@ -639,7 +645,10 @@ def streaming_space_saving(
         portable_hash64,
     )
 
-    prepped = events.select(
+    # NULL keys are dropped: a NULL would shard on md5 of the bare seed
+    # (concat_ws skips NULLs) while the Python fold stringified it to
+    # 'None' — no coherent count semantics either way
+    prepped = events.filter(F.col(key_col).isNotNull()).select(
         F.pmod(portable_hash64(F.col(key_col).cast("string"), 0), F.lit(n_shards))
         .cast("string")
         .alias("shard"),
