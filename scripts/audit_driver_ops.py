@@ -29,6 +29,11 @@ ALLOWLIST: dict[str, str] = {
         "persisted pairs/assignment intermediates can be unpersisted"
     ),
     "catalog/projections.py::stream_incremental_sim": "scalar max(seq) batch bounds",
+    "catalog/streaming_sims.py::stream_topk_sim": (
+        "bounded: exact per-(shard,lang) counts — at most "
+        "n_shards x |langs| rows (10 at this catalog entry), collected to "
+        "evaluate the SpaceSaving retention/bound guarantees driver-side"
+    ),
     "catalog/streaming_sims.py::_drain_stream_over_doc_batches": (
         "bounded sim: collects the documents dim once to write 3 stream "
         "batch files (500 rows at sf0.01) + the drained memory-sink result"
