@@ -461,3 +461,130 @@ def stream_topk_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard string, lang string, exact_n long, n_shard long,"
         " retained boolean, est_bounds_ok boolean",
     )
+
+
+@_q(
+    "stream_join_sim",
+    """
+    SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+           v.user_id AS user_id,
+           CAST(epoch_us(p.ts) - epoch_us(v.ts) AS BIGINT) AS gap_us
+    FROM events v JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts >= v.ts
+     AND p.ts <= v.ts + INTERVAL 360 MINUTE
+    """,
+)
+def stream_join_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (streaming/joins.stream_interval_join):
+    the events table splits into a VIEW stream and a PURCHASE stream, each
+    replayed as 3 event-id-ordered micro-batch files; purchases join to
+    the same user's views within a 6-hour event-time window. Both sides
+    are watermarked — the time-range condition is what lets Spark evict
+    two-sided join state (bounded by max_gap of data, not stream length)
+    — and an inner interval join drops no in-watermark matches, so the
+    fully drained replay must equal the batch interval join the oracle
+    runs. Timestamps travel as epoch micros and rebuild with
+    timestamp_micros, so event-time comparisons are integer-exact on
+    both engines."""
+    from open_ftth_relational_projector_spark.streaming.joins import (
+        stream_interval_join,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "purchase"))
+        .selectExpr(
+            "event_id",
+            "user_id",
+            "unix_micros(CAST(ts AS TIMESTAMP)) AS ts_us",
+            "event_type",
+        )
+        .collect()
+    )
+    ev.sort(key=lambda r: r["event_id"])
+    tag = f"sjoin{next(_CALL_SEQ)}"
+    tmp = tempfile.mkdtemp(prefix=f"ofrp_{tag}_")
+    try:
+        for side in ("view", "purchase"):
+            os.makedirs(f"{tmp}/{side}")
+        now = time.time()
+        third = (len(ev) + 2) // 3
+        for b in range(3):
+            chunk = ev[b * third : (b + 1) * third]
+            for side in ("view", "purchase"):
+                path = f"{tmp}/{side}/batch_{b:05d}.json"
+                with open(path, "w") as fh:
+                    for r in chunk:
+                        if r["event_type"] == side:
+                            fh.write(
+                                json.dumps(
+                                    {
+                                        "event_id": r["event_id"],
+                                        "user_id": r["user_id"],
+                                        "ts_us": r["ts_us"],
+                                    }
+                                )
+                                + "\n"
+                            )
+                os.utime(path, (now + b, now + b))
+
+        def src(side):
+            return (
+                spark.readStream.schema("event_id long, user_id long, ts_us long")
+                .option("maxFilesPerTrigger", "1")
+                .json(f"{tmp}/{side}")
+                .selectExpr(
+                    f"event_id AS {side}_id",
+                    "user_id",
+                    f"timestamp_micros(ts_us) AS {side}_ts",
+                    f"ts_us AS {side}_us",
+                )
+            )
+
+        views = src("view").withColumnRenamed("user_id", "user_id")
+        purch = src("purchase").selectExpr(
+            "purchase_id", "user_id AS p_user_id", "purchase_ts", "purchase_us"
+        )
+        joined = stream_interval_join(
+            views,
+            purch.withColumnRenamed("p_user_id", "user_id"),
+            "user_id",
+            "view_ts",
+            "purchase_ts",
+            max_gap_minutes=360,
+        ).selectExpr(
+            "l.view_id AS view_id",
+            "r.purchase_id AS purchase_id",
+            "l.user_id AS user_id",
+            "r.purchase_us - l.view_us AS gap_us",
+        )
+        prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try:
+            q = (
+                joined.writeStream.outputMode("append")
+                .format("memory")
+                .queryName(tag)
+                .option("checkpointLocation", f"{tmp}/cp")
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(600):
+                q.stop()
+                raise RuntimeError("stream_join_sim drain timed out")
+            rows = spark.sql(f"SELECT * FROM {tag}").collect()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+            spark.catalog.dropTempView(tag)
+        out = sorted(
+            (r["view_id"], r["purchase_id"], r["user_id"], r["gap_us"])
+            for r in rows
+        )
+        return spark.createDataFrame(
+            out or [],
+            "view_id long, purchase_id long, user_id long, gap_us long",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -82,6 +82,7 @@ SKIP = {
     "stream_hll_sim": "availableNow drain; result plan is a LocalRelation",
     "stream_hdr_sim": "availableNow drain; result plan is a LocalRelation",
     "stream_topk_sim": "availableNow drain; result plan is a LocalRelation",
+    "stream_join_sim": "availableNow drain; result plan is a LocalRelation",
 }
 
 

@@ -611,3 +611,82 @@ def test_streaming_space_saving_matches_sequential_reference(spark):
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
         spark.catalog.dropTempView("ss_t")
+
+
+def test_stream_interval_join_matches_across_batches(spark):
+    """Two-sided join state must carry across micro-batches: a purchase
+    arriving a batch AFTER its matching view still joins (the view waits
+    in left-side state); a purchase outside the gap window never joins."""
+    import json
+    import os
+    import time as _time
+
+    from open_ftth_relational_projector_spark.streaming.joins import (
+        stream_interval_join,
+    )
+
+    base = 1_700_000_000_000_000  # epoch micros
+    MIN = 60_000_000
+    views = [(1, 10, base), (2, 20, base + 5 * MIN)]
+    purchases = [
+        (101, 10, base + 30 * MIN),   # batch 1: joins view 1 (same batch)
+        (102, 10, base + 90 * MIN),   # batch 2: joins view 1 (CROSS batch)
+        (103, 20, base + 400 * MIN),  # batch 2: outside 360-min gap of view 2
+        (104, 20, base + 6 * MIN),    # batch 2: joins view 2 (cross batch)
+    ]
+    tmp = tempfile.mkdtemp(prefix="ofrp_sjoin_t_")
+    try:
+        os.makedirs(f"{tmp}/v")
+        os.makedirs(f"{tmp}/p")
+        now = _time.time()
+        batches = {
+            f"{tmp}/v/b0.json": views,
+            f"{tmp}/p/b0.json": purchases[:1],
+            f"{tmp}/p/b1.json": purchases[1:],
+        }
+        for i, (path, rows) in enumerate(batches.items()):
+            with open(path, "w") as fh:
+                for eid, uid, ts in rows:
+                    fh.write(
+                        json.dumps({"event_id": eid, "user_id": uid, "ts_us": ts})
+                        + "\n"
+                    )
+            os.utime(path, (now + i, now + i))
+
+        def src(d, side):
+            return (
+                spark.readStream.schema("event_id long, user_id long, ts_us long")
+                .option("maxFilesPerTrigger", "1")
+                .json(d)
+                .selectExpr(
+                    f"event_id AS {side}_id",
+                    "user_id",
+                    f"timestamp_micros(ts_us) AS {side}_ts",
+                )
+            )
+
+        joined = stream_interval_join(
+            src(f"{tmp}/v", "view"),
+            src(f"{tmp}/p", "purchase"),
+            "user_id",
+            "view_ts",
+            "purchase_ts",
+            max_gap_minutes=360,
+        ).selectExpr("l.view_id AS view_id", "r.purchase_id AS purchase_id")
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("sjoin_t")
+            .option("checkpointLocation", f"{tmp}/cp")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(240)
+        got = {
+            (r["view_id"], r["purchase_id"])
+            for r in spark.sql("SELECT * FROM sjoin_t").collect()
+        }
+        assert got == {(1, 101), (1, 102), (2, 104)}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.catalog.dropTempView("sjoin_t")
