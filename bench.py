@@ -102,6 +102,7 @@ EXTRA_QUERIES = [
     "stream_hdr_sim",
     "stream_topk_sim",
     "stream_join_sim",
+    "stream_session_sim",
     # r5 continuation: sketch + substring-dedup additions
     "hll_distinct_rollup",
     "hdr_quantile_rollup",

@@ -588,3 +588,109 @@ def stream_join_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@_q(
+    "stream_session_sim",
+    """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS ts_us FROM events
+      WHERE event_type IN ('view', 'click', 'purchase')),
+    flagged AS (
+      SELECT user_id, ts_us,
+             CASE WHEN lag(ts_us) OVER w IS NULL
+                    OR ts_us - lag(ts_us) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+    sess AS (
+      SELECT user_id, ts_us,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us)
+               AS session_id
+      FROM flagged)
+    SELECT CAST(user_id AS VARCHAR) AS g,
+           MIN(ts_us) AS start_us,
+           MAX(ts_us) AS end_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def stream_session_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """streaming_sessionize (EventTimeTimeout state; 30-min gap over each
+    user's view/click/purchase stream) drained over 3 ordered micro-batch
+    files plus a watermark-flushing SENTINEL batch (one far-future event
+    for a key the output drops): the sentinel advances the event-time
+    watermark past every real session's end + gap, so ALL sessions emit
+    and the drained output must equal batch lag/island sessionization —
+    which is exactly the SQL the oracle runs. Session bounds travel as
+    epoch micros, integer-exact on both engines."""
+    from open_ftth_relational_projector_spark.streaming.stateful import (
+        streaming_sessionize,
+    )
+
+    GAP_MIN = 30
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "click", "purchase"))
+        .selectExpr("user_id", "unix_micros(CAST(ts AS TIMESTAMP)) AS ts_us")
+        .collect()
+    )
+    ev.sort(key=lambda r: r["ts_us"])
+    tag = f"ssess{next(_CALL_SEQ)}"
+    tmp = tempfile.mkdtemp(prefix=f"ofrp_{tag}_")
+    try:
+        os.makedirs(f"{tmp}/in")
+        now = time.time()
+        third = (len(ev) + 2) // 3
+        for b in range(3):
+            path = f"{tmp}/in/batch_{b:05d}.json"
+            with open(path, "w") as fh:
+                for r in ev[b * third : (b + 1) * third]:
+                    fh.write(
+                        json.dumps({"user_id": r["user_id"], "ts_us": r["ts_us"]})
+                        + "\n"
+                    )
+            os.utime(path, (now + b, now + b))
+        # sentinel: one event far past max_ts + gap + watermark delay, for a
+        # key that cannot collide with real user ids — advances the
+        # watermark so every real session times out and emits
+        sentinel_ts = ev[-1]["ts_us"] + (GAP_MIN + 10) * 60_000_000
+        path = f"{tmp}/in/batch_99999.json"
+        with open(path, "w") as fh:
+            fh.write(json.dumps({"user_id": -1, "ts_us": sentinel_ts}) + "\n")
+        os.utime(path, (now + 3, now + 3))
+
+        stream = (
+            spark.readStream.schema("user_id long, ts_us long")
+            .option("maxFilesPerTrigger", "1")
+            .json(f"{tmp}/in")
+        )
+        prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try:
+            q = (
+                streaming_sessionize(stream, "user_id", "ts_us", GAP_MIN)
+                .writeStream.outputMode("append")
+                .format("memory")
+                .queryName(tag)
+                .option("checkpointLocation", f"{tmp}/cp")
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(600):
+                q.stop()
+                raise RuntimeError("stream_session_sim drain timed out")
+            rows = spark.sql(f"SELECT * FROM {tag}").collect()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+            spark.catalog.dropTempView(tag)
+        out = sorted(
+            (r["g"], r["start_us"], r["end_us"], r["n_events"])
+            for r in rows
+            if r["g"] != "-1"  # the sentinel's own session is not data
+        )
+        return spark.createDataFrame(
+            out or [],
+            "g string, start_us long, end_us long, n_events long",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -662,3 +662,93 @@ def streaming_space_saving(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SESS_OUTPUT_SCHEMA = "g string, start_us long, end_us long, n_events long"
+SESS_STATE_SCHEMA = "start_us long, end_us long, n long"
+
+
+def _make_session_fold(gap_us: int):
+    def fold(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        out = []
+        if state.hasTimedOut:
+            # watermark passed end + gap: the session can never extend
+            start, end, n = state.get
+            out.append((start, end, n))
+            state.remove()
+        else:
+            cur = state.get if state.exists else None
+            chunks = list(pdfs)
+            rows_in = (
+                pd.concat(chunks) if chunks else pd.DataFrame({"ts_us": []})
+            )
+            for ts in rows_in.sort_values("ts_us")["ts_us"]:
+                ts = int(ts)
+                if cur is None:
+                    cur = (ts, ts, 1)
+                elif ts - cur[1] <= gap_us:
+                    cur = (cur[0], max(cur[1], ts), cur[2] + 1)
+                else:
+                    # in-stream gap: close the old session immediately
+                    out.append(cur)
+                    cur = (ts, ts, 1)
+            if cur is not None:
+                state.update(cur)
+                # fires when the EVENT-TIME watermark passes this instant
+                state.setTimeoutTimestamp((cur[1] + gap_us) // 1000)
+        yield pd.DataFrame(
+            {
+                "g": [key[0]] * len(out),
+                "start_us": [s for s, _, _ in out],
+                "end_us": [e for _, e, _ in out],
+                "n_events": [n for _, _, n in out],
+            }
+        )
+
+    return fold
+
+
+def streaming_sessionize(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_minutes: int = 30,
+    watermark_delay: str = "1 second",
+) -> DataFrame:
+    """Timeout-driven sessionization — the EventTimeTimeout state pattern
+    (the one state-API knob the other folds don't use): per-key session
+    state emits when the event-time WATERMARK passes session_end + gap,
+    i.e. when the stream itself proves no event can extend the session.
+    In-stream gaps (a key's next event already past the gap) close
+    eagerly without waiting for the timeout.
+
+    ``ts_col`` must be epoch MICROS (long); the event-time watermark
+    column is derived from it, and all output bounds stay integer-exact.
+    Because sessions only emit when provably closed, a drain must advance
+    the watermark past the last session's end + gap to flush final
+    sessions — the catalog sim appends a sentinel event for exactly that,
+    after which the drained output equals batch sessionization (the
+    lag/island SQL the oracle runs) over the entire input.
+
+    State per key is one (start, end, n) triple — constant — and the
+    timeout eviction is what keeps the state store from accumulating
+    idle keys: the idle-session cleanup a 100 TB clickstream needs.
+    """
+    gap_us = gap_minutes * 60_000_000
+    prepped = (
+        events.selectExpr(
+            f"CAST(`{key_col}` AS STRING) AS g",
+            f"CAST(`{ts_col}` AS BIGINT) AS ts_us",
+            f"timestamp_micros(CAST(`{ts_col}` AS BIGINT)) AS _evt",
+        )
+        .withWatermark("_evt", watermark_delay)
+    )
+    return prepped.groupBy("g").applyInPandasWithState(
+        _make_session_fold(gap_us),
+        outputStructType=SESS_OUTPUT_SCHEMA,
+        stateStructType=SESS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -29,6 +29,11 @@ ALLOWLIST: dict[str, str] = {
         "persisted pairs/assignment intermediates can be unpersisted"
     ),
     "catalog/projections.py::stream_incremental_sim": "scalar max(seq) batch bounds",
+    "catalog/streaming_sims.py::stream_session_sim": (
+        "bounded sim: collects the view/click/purchase event dim once to "
+        "write 3 stream batch files (~6k rows at sf0.01) + the drained "
+        "memory-sink session table"
+    ),
     "catalog/streaming_sims.py::stream_join_sim": (
         "bounded sim: collects the view/purchase event dims once to write "
         "3 stream batch files per side (~4k rows at sf0.01) + the drained "

@@ -83,6 +83,7 @@ SKIP = {
     "stream_hdr_sim": "availableNow drain; result plan is a LocalRelation",
     "stream_topk_sim": "availableNow drain; result plan is a LocalRelation",
     "stream_join_sim": "availableNow drain; result plan is a LocalRelation",
+    "stream_session_sim": "availableNow drain; result plan is a LocalRelation",
 }
 
 

@@ -690,3 +690,60 @@ def test_stream_interval_join_matches_across_batches(spark):
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
         spark.catalog.dropTempView("sjoin_t")
+
+
+def test_streaming_sessionize_eager_close_and_timeout_flush(spark):
+    """Two closure paths must both work: an in-stream gap closes the prior
+    session eagerly (same fold call), while the LAST session of a key only
+    emits once the event-time watermark passes end + gap (here advanced by
+    a later batch's far-future row for another key)."""
+    import json
+    import os
+    import time as _time
+
+    from open_ftth_relational_projector_spark.streaming.stateful import (
+        streaming_sessionize,
+    )
+
+    MIN = 60_000_000
+    B = 1_700_000_000_000_000  # epoch-us base: the initial watermark is
+    # epoch ZERO, so a ts_us of literal 0 would be dropped as late data
+    b0 = [(7, B), (7, B + 10 * MIN), (7, B + 100 * MIN)]  # gap>30min inside
+    b1 = [(99, B + 400 * MIN)]  # watermark mover for user 7's open session
+    tmp = tempfile.mkdtemp(prefix="ofrp_sess_t_")
+    try:
+        os.makedirs(f"{tmp}/in")
+        now = _time.time()
+        for i, rows in enumerate((b0, b1)):
+            path = f"{tmp}/in/b{i}.json"
+            with open(path, "w") as fh:
+                for uid, ts in rows:
+                    fh.write(json.dumps({"user_id": uid, "ts_us": ts}) + "\n")
+            os.utime(path, (now + i, now + i))
+        stream = spark.readStream.schema("user_id long, ts_us long").option(
+            "maxFilesPerTrigger", "1"
+        ).json(f"{tmp}/in")
+        q = (
+            streaming_sessionize(stream, "user_id", "ts_us", 30)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("sess_t")
+            .option("checkpointLocation", f"{tmp}/cp")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(240)
+        got = {
+            (r["g"], r["start_us"], r["end_us"], r["n_events"])
+            for r in spark.sql("SELECT * FROM sess_t").collect()
+        }
+        # eager close: (0, 10min, 2); timeout flush: (100min, 100min, 1).
+        # user 99's own session never emits (nothing advanced the
+        # watermark past ITS end + gap) — exactly the open-tail semantics
+        assert got == {
+            ("7", B, B + 10 * MIN, 2),
+            ("7", B + 100 * MIN, B + 100 * MIN, 1),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.catalog.dropTempView("sess_t")
