@@ -463,6 +463,38 @@ def stream_topk_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def _drain_query(spark, df, tag: str, tmp: str, shuffle_partitions: int = 4):
+    """Start an availableNow drain of ``df`` into a memory sink and return
+    the collected rows — shuffle-partition save/restore and the
+    stop-before-cleanup guard shared with _drain_stream_over_doc_batches
+    (never rmtree a checkpoint under a still-running query)."""
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            df.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(tag)
+            .option("checkpointLocation", f"{tmp}/cp")
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+    try:
+        try:
+            if not q.awaitTermination(600):
+                raise RuntimeError(f"{tag}: drain did not finish in 600s")
+        finally:
+            if q.isActive:
+                q.stop()
+        return spark.sql(f"SELECT * FROM {tag}").collect()
+    finally:
+        spark.catalog.dropTempView(tag)
+
+
 @_q(
     "stream_join_sim",
     """
@@ -503,7 +535,10 @@ def stream_join_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .collect()
     )
-    ev.sort(key=lambda r: r["event_id"])
+    # replay in EVENT-TIME order: batch files are the arrival order, and
+    # with a finite watermark delay an out-of-order replay could drop
+    # late rows / evict join state the batch oracle keeps
+    ev.sort(key=lambda r: r["ts_us"])
     tag = f"sjoin{next(_CALL_SEQ)}"
     tmp = tempfile.mkdtemp(prefix=f"ofrp_{tag}_")
     try:
@@ -543,13 +578,9 @@ def stream_join_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
 
-        views = src("view").withColumnRenamed("user_id", "user_id")
-        purch = src("purchase").selectExpr(
-            "purchase_id", "user_id AS p_user_id", "purchase_ts", "purchase_us"
-        )
         joined = stream_interval_join(
-            views,
-            purch.withColumnRenamed("p_user_id", "user_id"),
+            src("view"),
+            src("purchase"),
             "user_id",
             "view_ts",
             "purchase_ts",
@@ -560,24 +591,7 @@ def stream_join_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l.user_id AS user_id",
             "r.purchase_us - l.view_us AS gap_us",
         )
-        prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "4")
-        try:
-            q = (
-                joined.writeStream.outputMode("append")
-                .format("memory")
-                .queryName(tag)
-                .option("checkpointLocation", f"{tmp}/cp")
-                .trigger(availableNow=True)
-                .start()
-            )
-            if not q.awaitTermination(600):
-                q.stop()
-                raise RuntimeError("stream_join_sim drain timed out")
-            rows = spark.sql(f"SELECT * FROM {tag}").collect()
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
-            spark.catalog.dropTempView(tag)
+        rows = _drain_query(spark, joined, tag, tmp)
         out = sorted(
             (r["view_id"], r["purchase_id"], r["user_id"], r["gap_us"])
             for r in rows
@@ -635,6 +649,10 @@ def stream_session_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     ev.sort(key=lambda r: r["ts_us"])
+    if not ev:
+        return spark.createDataFrame(
+            [], "g string, start_us long, end_us long, n_events long"
+        )
     tag = f"ssess{next(_CALL_SEQ)}"
     tmp = tempfile.mkdtemp(prefix=f"ofrp_{tag}_")
     try:
@@ -664,25 +682,10 @@ def stream_session_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("maxFilesPerTrigger", "1")
             .json(f"{tmp}/in")
         )
-        prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "4")
-        try:
-            q = (
-                streaming_sessionize(stream, "user_id", "ts_us", GAP_MIN)
-                .writeStream.outputMode("append")
-                .format("memory")
-                .queryName(tag)
-                .option("checkpointLocation", f"{tmp}/cp")
-                .trigger(availableNow=True)
-                .start()
-            )
-            if not q.awaitTermination(600):
-                q.stop()
-                raise RuntimeError("stream_session_sim drain timed out")
-            rows = spark.sql(f"SELECT * FROM {tag}").collect()
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
-            spark.catalog.dropTempView(tag)
+        rows = _drain_query(
+            spark, streaming_sessionize(stream, "user_id", "ts_us", GAP_MIN),
+            tag, tmp,
+        )
         out = sorted(
             (r["g"], r["start_us"], r["end_us"], r["n_events"])
             for r in rows
