@@ -468,3 +468,68 @@ def bigram_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_scores(scattered(load_table(spark, sf_dir, "documents")))
 
 
+
+
+@_q(
+    "ccnet_perplexity_buckets",
+    """
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks
+                 FROM documents),
+    uni AS (SELECT doc_id, UNNEST(toks) AS w FROM tok),
+    big AS (SELECT doc_id,
+                   UNNEST([toks[i] FOR i IN range(1, len(toks))]) AS w1,
+                   UNNEST([toks[i] || ' ' || toks[i + 1]
+                           FOR i IN range(1, len(toks))]) AS bg
+            FROM tok),
+    c2 AS (SELECT bg, COUNT(*) AS c12 FROM big GROUP BY bg),
+    c1 AS (SELECT w, COUNT(*) AS c1 FROM uni GROUP BY w),
+    v AS (SELECT COUNT(DISTINCT w) AS v FROM uni),
+    scores AS (
+      SELECT big.doc_id, ROUND(AVG(LN((c2.c12 + 1.0) / (c1.c1 + v.v))), 4)
+               AS lp
+      FROM big JOIN c2 USING (bg)
+      JOIN c1 ON c1.w = big.w1
+      CROSS JOIN v
+      GROUP BY big.doc_id),
+    bucketed AS (
+      SELECT d.lang, s.lp,
+             NTILE(3) OVER (PARTITION BY d.lang
+                            ORDER BY s.lp DESC, s.doc_id) AS ppl_bucket
+      FROM scores s JOIN documents d USING (doc_id))
+    SELECT lang, ppl_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(lp), 4) AS mean_logprob,
+           ROUND(MIN(lp), 4) AS min_logprob,
+           ROUND(MAX(lp), 4) AS max_logprob
+    FROM bucketed GROUP BY lang, ppl_bucket
+    """,
+)
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail perplexity bucketing (Wenzek et al. 2020):
+    per language, documents rank by their corpus-bigram-LM score
+    (functions/quality.bigram_lm_scores — higher avg log-prob = lower
+    perplexity = cleaner) and split into NTILE(3) terciles; bucket 1 is
+    the "head" CCNet keeps preferentially. Ranking uses the 4-dp ROUNDED
+    score with doc_id tie-break so tercile boundaries are deterministic
+    across engines (raw double sums are summation-order-sensitive). The
+    per-lang window is partitioned — bounded by the language's docs,
+    the same shape CCNet shards by (lang, shard) at web scale."""
+    from open_ftth_relational_projector_spark.functions.quality import (
+        bigram_lm_scores,
+    )
+
+    docs = scattered(load_table(spark, sf_dir, "documents"))
+    scores = bigram_lm_scores(docs).select(
+        "doc_id", F.round("avg_logprob", 4).alias("lp")
+    )
+    w = W.partitionBy("lang").orderBy(F.desc("lp"), F.col("doc_id"))
+    bucketed = (
+        scores.join(docs.select("doc_id", "lang"), "doc_id")
+        .withColumn("ppl_bucket", F.ntile(3).over(w))
+    )
+    return bucketed.groupBy("lang", "ppl_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        _r4(F.avg("lp")).alias("mean_logprob"),
+        _r4(F.min("lp")).alias("min_logprob"),
+        _r4(F.max("lp")).alias("max_logprob"),
+    )
