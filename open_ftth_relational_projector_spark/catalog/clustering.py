@@ -518,14 +518,29 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         bigram_lm_scores,
     )
 
+    from open_ftth_relational_projector_spark.operators.hierarchical import (
+        hierarchical_grouped_row_number,
+        ntile_from_rank_col,
+    )
+
     docs = scattered(load_table(spark, sf_dir, "documents"))
     scores = bigram_lm_scores(docs).select(
         "doc_id", F.round("avg_logprob", 4).alias("lp")
     )
-    w = W.partitionBy("lang").orderBy(F.desc("lp"), F.col("doc_id"))
-    bucketed = (
-        scores.join(docs.select("doc_id", "lang"), "doc_id")
-        .withColumn("ppl_bucket", F.ntile(3).over(w))
+    # languages are FEW and each holds a data-proportional share, so a
+    # plain ntile() OVER (PARTITION BY lang ...) would funnel corpus/|lang|
+    # rows through one task — exactly the giant-group regime the grouped
+    # hierarchical rank exists for; the exact-NTILE formula then assigns
+    # terciles from (rank, per-lang count) map-side
+    ranked = hierarchical_grouped_row_number(
+        scores.join(docs.select("doc_id", "lang"), "doc_id"),
+        ["lang"],
+        [F.desc("lp"), F.col("doc_id")],
+        "_rn",
+    )
+    n_per_lang = ranked.groupBy("lang").agg(F.count(F.lit(1)).alias("_n"))
+    bucketed = ranked.join(F.broadcast(n_per_lang), "lang").withColumn(
+        "ppl_bucket", ntile_from_rank_col(F.col("_rn"), F.col("_n"), 3)
     )
     return bucketed.groupBy("lang", "ppl_bucket").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),

@@ -138,3 +138,75 @@ def ntile_from_rank(rank: Column, n_rows: int, n_tiles: int) -> Column:
     big = F.floor((rank - 1) / F.lit(q + 1)) + 1
     small = F.lit(rem) + F.floor((rank - F.lit(cut) - 1) / F.lit(max(q, 1))) + 1
     return F.when(rank <= F.lit(cut), big).otherwise(small)
+
+
+def ntile_from_rank_col(rank: Column, n_rows: Column, n_tiles: int) -> Column:
+    """``ntile_from_rank`` with a per-row (per-group) row count COLUMN —
+    the exact NTILE formula where each group carries its own n. Same SQL
+    semantics: the first ``n % t`` tiles hold ``ceil(n/t)`` rows."""
+    q = F.floor(n_rows / n_tiles)
+    rem = n_rows % n_tiles
+    cut = rem * (q + 1)
+    big = F.floor((rank - 1) / (q + 1)) + 1
+    small = rem + F.floor((rank - cut - 1) / F.greatest(q, F.lit(1))) + 1
+    return F.when(rank <= cut, big).otherwise(small).cast("int")
+
+
+def hierarchical_grouped_row_number(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[Column],
+    out_col: str,
+    n_shards: int | None = None,
+) -> DataFrame:
+    """Exact per-group 1-based rank in ``order_cols`` order (total order
+    within each group), computed without a per-group single-task window —
+    for the LOW-cardinality giant-group regime (a handful of languages /
+    tenants each holding a data-proportional share), where
+    ``row_number() OVER (PARTITION BY g ORDER BY ...)`` funnels each
+    group through one task. For many small groups the plain partitioned
+    window is already the right plan; use that instead.
+
+    Range-partition on (group, order): each shard holds a contiguous run
+    of (group, order) space, so shard ids ascend with the order WITHIN
+    each group; rank locally per (shard, group), collect the per-(shard,
+    group) counts (≈ n_groups + n_shards rows — bounded by the regime's
+    assumption), prefix-sum per group on the driver, broadcast back.
+    Bit-identical to the per-group global window for total orders.
+    """
+    n = n_shards or _n_shards(df)
+    sharded = df.repartitionByRange(n, *group_cols, *order_cols).withColumn(
+        "_shard", F.spark_partition_id()
+    )
+    w = Window.partitionBy("_shard", *group_cols).orderBy(*order_cols)
+    local = sharded.withColumn(
+        "_rn_local", F.row_number().over(w)
+    ).localCheckpoint()
+    counts_df = local.groupBy("_shard", *group_cols).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    counts = counts_df.collect()
+    per_group: dict = {}
+    for r in counts:
+        per_group.setdefault(tuple(r[c] for c in group_cols), []).append(r)
+    rows = []
+    for shard_rows in per_group.values():
+        running = 0
+        for r in sorted(shard_rows, key=lambda r: r["_shard"]):
+            rows.append(
+                tuple([r["_shard"]] + [r[c] for c in group_cols] + [running])
+            )
+            running += r["_n"]
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    off_schema = StructType(
+        [counts_df.schema["_shard"]]
+        + [counts_df.schema[c] for c in group_cols]
+        + [StructField("_off", LongType())]
+    )
+    offs = df.sparkSession.createDataFrame(rows, off_schema)
+    return (
+        local.join(F.broadcast(offs), ["_shard", *group_cols])
+        .withColumn(out_col, (F.col("_rn_local") + F.col("_off")).cast("long"))
+        .drop("_shard", "_rn_local", "_off")
+    )

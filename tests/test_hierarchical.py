@@ -143,3 +143,40 @@ def test_hierarchical_cumsum_wide_decimal_exact(spark):
         for r in hierarchical_cumsum(df, [F.col("k")], "v", "cum", n_shards=4).collect()
     }
     assert got == want
+
+
+def test_grouped_row_number_and_ntile_match_window(spark):
+    """hierarchical_grouped_row_number + ntile_from_rank_col must equal
+    the plain per-group window ntile exactly: few giant skewed groups,
+    ties on the order value broken by id (total order), group sizes
+    chosen to exercise NTILE's ceil/floor split (n % t != 0)."""
+    from open_ftth_relational_projector_spark.operators.hierarchical import (
+        hierarchical_grouped_row_number,
+        ntile_from_rank_col,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    for g, n in (("en", 700), ("zh", 101), ("de", 17), ("fr", 3), ("es", 1)):
+        for i in range(n):
+            rows.append((g, i, rng.randrange(40)))  # heavy ties in v
+    df = spark.createDataFrame(rows, "g string, id long, v long").repartition(8)
+
+    w = Window.partitionBy("g").orderBy(F.desc("v"), F.col("id"))
+    want = {
+        (r.g, r.id): (r.rn, r.b)
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .withColumn("b", F.ntile(3).over(w))
+        .collect()
+    }
+    ranked = hierarchical_grouped_row_number(
+        df, ["g"], [F.desc("v"), F.col("id")], "rn", n_shards=7
+    )
+    npg = ranked.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    got = {
+        (r.g, r.id): (r.rn, r.b)
+        for r in ranked.join(F.broadcast(npg), "g")
+        .withColumn("b", ntile_from_rank_col(F.col("rn"), F.col("n"), 3))
+        .collect()
+    }
+    assert got == want
