@@ -293,11 +293,29 @@ def event_deltas_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language length deciles (data-mixing strata). Deterministic:
     the NTILE order breaks ties on doc_id so both engines cut identical
-    buckets."""
+    buckets. Languages are few and huge (the giant-group window regime),
+    so the rank comes from hierarchical_grouped_row_number + the exact
+    NTILE formula instead of a per-lang single-task ntile() window."""
+    from open_ftth_relational_projector_spark.operators.hierarchical import (
+        hierarchical_grouped_row_number,
+        ntile_from_rank_col,
+    )
+
     d = load_table(spark, sf_dir, "documents")
-    w = W.partitionBy("lang").orderBy("n_chars", "doc_id")
-    return d.select(
-        "lang", "doc_id", F.ntile(10).over(w).cast("int").alias("decile")
+    ranked = hierarchical_grouped_row_number(
+        d.select("lang", "doc_id", "n_chars"),
+        ["lang"],
+        [F.col("n_chars"), F.col("doc_id")],
+        "_rn",
+    )
+    npg = ranked.groupBy("lang").agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        ranked.join(F.broadcast(npg), "lang")
+        .select(
+            "lang",
+            "doc_id",
+            ntile_from_rank_col(F.col("_rn"), F.col("_n"), 10).alias("decile"),
+        )
     )
 
 

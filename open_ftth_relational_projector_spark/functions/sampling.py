@@ -75,17 +75,27 @@ def stratified_sample(
     """Deterministic n-per-group sample: rank rows inside each group by
     their stable hash bucket (ties broken by the key itself) and keep the
     first n. Same rows come back on every run, every engine, any
-    partitioning — the property `df.sample` can't give. One shuffle on the
-    group column."""
+    partitioning — the property `df.sample` can't give.
+
+    Two-phase exact top-n so a giant group never rides one task: rows
+    pre-rank inside (group, key-hash sub-shard) partitions — parallel,
+    each keeping its own first n — and only the surviving
+    n·n_subshards candidates per group enter the final per-group rank.
+    Every global top-n row is its sub-shard's top-n (keys are unique), so
+    the two-phase result is exactly the single-window result; the final
+    window's partitions are bounded by n·n_subshards, not group size."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy(group_col).orderBy(
-        split_bucket(F.col(key), salt), F.col(key)
-    )
+    order = [split_bucket(F.col(key), salt), F.col(key)]
+    sub = F.pmod(F.xxhash64(F.col(key)), F.lit(32))
+    w_pre = Window.partitionBy(F.col(group_col), sub).orderBy(*order)
+    w = Window.partitionBy(group_col).orderBy(*order)
     return (
-        df.withColumn("_rn", F.row_number().over(w))
+        df.withColumn("_prn", F.row_number().over(w_pre))
+        .filter(F.col("_prn") <= n_per_group)
+        .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= n_per_group)
-        .drop("_rn")
+        .drop("_prn", "_rn")
     )
 
 
@@ -380,9 +390,12 @@ def length_bucketed_batches(
     where pad_waste = bucket's running max length − the doc's length
     within its batch… kept simple: waste vs the batch max.
 
-    Scale shape: one window per bucket (rank) — the partitionBy(bucket)
-    sort is the only shuffle; batch ids derive arithmetically from the
-    rank, and the batch max comes from one more bucketed window pass.
+    Scale shape: buckets are FEW and huge (the giant-group regime), so
+    the in-bucket rank comes from hierarchical_grouped_row_number
+    (range-sharded, no single-task window); batch ids derive
+    arithmetically from the rank, and the batch max comes from a
+    (bucket, batch_id)-partitioned window whose partitions are bounded
+    by batch_size.
     """
     from open_ftth_relational_projector_spark.functions.text import (
         token_count,
@@ -399,13 +412,19 @@ def length_bucketed_batches(
         n.cast("int").alias("n_tokens"),
         bucket.cast("int").alias("bucket"),
     )
-    w = W.partitionBy("bucket").orderBy("doc_id")
+    from open_ftth_relational_projector_spark.operators.hierarchical import (
+        hierarchical_grouped_row_number,
+    )
+
+    ranked = hierarchical_grouped_row_number(
+        base, ["bucket"], [F.col("doc_id")], "_rn"
+    )
     # explicit floor: a bare double→int cast truncates in Spark but ROUNDS
     # in DuckDB — floor-then-cast is the portable spelling
-    withbatch = base.withColumn(
+    withbatch = ranked.withColumn(
         "batch_id",
-        F.floor((F.row_number().over(w) - 1) / F.lit(batch_size)).cast("int"),
-    )
+        F.floor((F.col("_rn") - 1) / F.lit(batch_size)).cast("int"),
+    ).drop("_rn")
     wb = W.partitionBy("bucket", "batch_id")
     return withbatch.select(
         "doc_id",
