@@ -8,6 +8,16 @@ the list of global-window queries is explicit and reviewable rather than
 latent.
 
 Run: python scripts/audit_global_windows.py [sf_dir]
+
+A second, MANUAL lens this audit cannot see statically: windows
+PARTITIONED by a low-cardinality key over data-proportional rows (lang,
+source, bucket — each group = corpus/|groups| through one task). Those
+are found by grepping partitionBy keys and judging cardinality; the
+round-5 sweep rewrote the five found (ccnet buckets, doc_length_deciles,
+length_bucketed_batches via operators/hierarchical's grouped rank;
+stratified_sample + the zipf top-50 via two-phase exact top-n). New
+windows over lang/source/event_type/bucket-like keys need the same
+judgment.
 """
 
 from __future__ import annotations
