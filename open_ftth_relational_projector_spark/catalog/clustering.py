@@ -537,6 +537,7 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["lang"],
         [F.desc("lp"), F.col("doc_id")],
         "_rn",
+        shard_on=-F.col("lp"),  # monotone with the DESC order
     )
     n_per_lang = ranked.groupBy("lang").agg(F.count(F.lit(1)).alias("_n"))
     bucketed = ranked.join(F.broadcast(n_per_lang), "lang").withColumn(

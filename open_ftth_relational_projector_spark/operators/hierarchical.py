@@ -157,6 +157,7 @@ def hierarchical_grouped_row_number(
     group_cols: list[str],
     order_cols: list[Column],
     out_col: str,
+    shard_on: Column | None = None,
     n_shards: int | None = None,
 ) -> DataFrame:
     """Exact per-group 1-based rank in ``order_cols`` order (total order
@@ -167,22 +168,42 @@ def hierarchical_grouped_row_number(
     group through one task. For many small groups the plain partitioned
     window is already the right plan; use that instead.
 
-    Range-partition on (group, order): each shard holds a contiguous run
-    of (group, order) space, so shard ids ascend with the order WITHIN
-    each group; rank locally per (shard, group), collect the per-(shard,
-    group) counts (≈ n_groups + n_shards rows — bounded by the regime's
-    assumption), prefix-sum per group on the driver, broadcast back.
-    Bit-identical to the per-group global window for total orders.
+    ``shard_on`` must be a NUMERIC expression monotone non-decreasing
+    along ``order_cols`` (e.g. the primary sort column, negated for a
+    descending sort); it defaults to the first order column, which is
+    then required to be an ascending numeric. Shard boundaries come from
+    one approxQuantile pass and shard assignment is a PURE EXPRESSION —
+    equal keys land in one shard, shards ascend with the order — so the
+    per-(shard, group) count job and the ranking job agree without
+    materializing the input (the localCheckpoint a repartitionByRange
+    design needs costs a full write+read of the data; measured 4x slower
+    than the plain window at 20M rows, while this form adds only two
+    cheap scans). Boundaries affect only load balance, never rank
+    values, so approxQuantile's approximation is correctness-free.
+    Heavy ties on ``shard_on`` skew shard sizes — the residual caveat.
     """
     n = n_shards or _n_shards(df)
-    sharded = df.repartitionByRange(n, *group_cols, *order_cols).withColumn(
-        "_shard", F.spark_partition_id()
-    )
+    key = (shard_on if shard_on is not None else order_cols[0]).cast("double")
+    tmp = df.withColumn("_sk", key)
+    probs = [i / n for i in range(1, n)]
+    bounds = sorted(set(tmp.stat.approxQuantile("_sk", probs, 0.001)))
+    if bounds:
+        # flat sum of comparisons (bounds is a tiny driver-side list) —
+        # a higher-order aggregate() here trips a Catalyst binding bug
+        # when the expression feeds a broadcast join under noop writes
+        shard = sum(
+            (
+                F.when(F.col("_sk") > F.lit(float(b)), 1).otherwise(0)
+                for b in bounds
+            ),
+            F.lit(0),
+        )
+    else:
+        shard = F.lit(0)
+    sharded = tmp.withColumn("_shard", shard)
     w = Window.partitionBy("_shard", *group_cols).orderBy(*order_cols)
-    local = sharded.withColumn(
-        "_rn_local", F.row_number().over(w)
-    ).localCheckpoint()
-    counts_df = local.groupBy("_shard", *group_cols).agg(
+    local = sharded.withColumn("_rn_local", F.row_number().over(w))
+    counts_df = sharded.groupBy("_shard", *group_cols).agg(
         F.count(F.lit(1)).alias("_n")
     )
     counts = counts_df.collect()
@@ -200,7 +221,7 @@ def hierarchical_grouped_row_number(
     from pyspark.sql.types import LongType, StructField, StructType
 
     off_schema = StructType(
-        [counts_df.schema["_shard"]]
+        [StructField("_shard", counts_df.schema["_shard"].dataType)]
         + [counts_df.schema[c] for c in group_cols]
         + [StructField("_off", LongType())]
     )
@@ -208,5 +229,5 @@ def hierarchical_grouped_row_number(
     return (
         local.join(F.broadcast(offs), ["_shard", *group_cols])
         .withColumn(out_col, (F.col("_rn_local") + F.col("_off")).cast("long"))
-        .drop("_shard", "_rn_local", "_off")
+        .drop("_shard", "_rn_local", "_off", "_sk")
     )

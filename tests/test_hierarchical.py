@@ -170,7 +170,8 @@ def test_grouped_row_number_and_ntile_match_window(spark):
         .collect()
     }
     ranked = hierarchical_grouped_row_number(
-        df, ["g"], [F.desc("v"), F.col("id")], "rn", n_shards=7
+        df, ["g"], [F.desc("v"), F.col("id")], "rn",
+        shard_on=-F.col("v"), n_shards=7,
     )
     npg = ranked.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
     got = {
