@@ -1356,9 +1356,13 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("recency_d"),
         F.count(F.lit(1)).alias("frequency"),
         _r4(F.sum("o_totalprice")).alias("monetary"),
-    )
+    ).persist()  # the 3-rank chain scans its input several times (the
+    # expression-sharded ranks no longer materialize anything themselves)
     ranked = hierarchical_row_number(
-        rfm, [F.col("recency_d").desc(), F.col("custkey")], "_r_rn"
+        rfm,
+        [F.col("recency_d").desc(), F.col("custkey")],
+        "_r_rn",
+        shard_on=-F.col("recency_d"),  # expression path for the DESC order
     )
     ranked = hierarchical_row_number(
         ranked, [F.col("frequency"), F.col("custkey")], "_f_rn"
@@ -1366,7 +1370,7 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = hierarchical_row_number(
         ranked, [F.col("monetary"), F.col("custkey")], "_m_rn"
     )
-    n_cust = ranked.count()  # reads the final localCheckpoint — cheap
+    n_cust = ranked.count()
     scored = ranked.select(
         "custkey",
         F.col("recency_d").cast("int").alias("recency_d"),

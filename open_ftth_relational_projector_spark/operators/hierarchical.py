@@ -67,12 +67,67 @@ def _offsets_df(df: DataFrame, totals: list, value_key: str) -> DataFrame:
     return df.sparkSession.createDataFrame(offsets or [(0, 0)], schema)
 
 
+def _expr_shard(
+    df: DataFrame, order_cols: list[Column], shard_on: Column | None, n: int
+):
+    """Deterministic shard-id EXPRESSION for range sharding, or None when
+    the expression path is unavailable.
+
+    The id comes from approxQuantile boundaries over a numeric key that
+    is monotone non-decreasing along the order (``shard_on`` if given,
+    else the first order column when its type casts to double): equal
+    keys land in one shard and shards ascend with the order, so the
+    offsets job and the main job agree WITHOUT materializing the input —
+    the localCheckpoint the repartitionByRange fallback needs costs a
+    full write+read of the data. Boundaries only shape load balance,
+    never result values, so the quantile approximation is
+    correctness-free; heavy ties on the key skew shard sizes (the
+    residual caveat). Returns (augmented_df, shard_col) or (df, None).
+    """
+    from pyspark.sql.types import NumericType, TimestampType
+
+    key = shard_on
+    if key is None:
+        first = order_cols[0]
+        try:
+            # a desc()/asc()-wrapped primary is a SortOrder, not a value
+            # expression — it ANALYZES inside a projection but cannot
+            # codegen, so detect it structurally and route to the
+            # fallback (pass shard_on=-col to use the expression path)
+            if "SortOrder" in first._jc.expr().getClass().getName():  # noqa: SLF001
+                return df, None
+            probe = df.select(first.alias("_k")).schema[0].dataType
+        except Exception:  # noqa: BLE001
+            return df, None
+        if isinstance(probe, (NumericType, TimestampType)):
+            key = first
+        else:
+            return df, None
+    tmp = df.withColumn("_sk", key.cast("double"))
+    probs = [i / n for i in range(1, n)]
+    bounds = sorted(set(tmp.stat.approxQuantile("_sk", probs, 0.001)))
+    if not bounds:
+        return tmp, F.lit(0)
+    # flat sum of comparisons (bounds is a tiny driver-side list) — a
+    # higher-order aggregate() here trips a Catalyst binding bug when
+    # the expression feeds a broadcast join under noop writes
+    shard = sum(
+        (
+            F.when(F.col("_sk") > F.lit(float(b)), 1).otherwise(0)
+            for b in bounds
+        ),
+        F.lit(0),
+    )
+    return tmp, shard
+
+
 def hierarchical_cumsum(
     df: DataFrame,
     order_cols: list[Column],
     value_col: str,
     out_col: str,
     n_shards: int | None = None,
+    shard_on: Column | None = None,
 ) -> DataFrame:
     """Inclusive running sum of ``value_col`` in ``order_cols`` order,
     computed per range-shard with broadcast shard offsets. Equals
@@ -83,22 +138,35 @@ def hierarchical_cumsum(
     pre-scale to integers (the catalog callers all sum longs) when
     bit-equality with a single-window oracle matters.
     Ordering must be total (add a tiebreak column if needed) for a
-    deterministic result."""
-    sharded = df.repartitionByRange(n_shards or _n_shards(df), *order_cols).withColumn(
-        "_shard", F.spark_partition_id()
-    )
+    deterministic result.
+
+    Sharding: a numeric primary order key (or explicit ``shard_on``
+    monotone with the order) shards via a deterministic quantile-bound
+    expression — no input materialization; otherwise the
+    repartitionByRange + localCheckpoint fallback pins the sampled shard
+    assignment across the two jobs."""
+    n = n_shards or _n_shards(df)
+    tmp, shard = _expr_shard(df, order_cols, shard_on, n)
+    if shard is not None:
+        sharded = tmp.withColumn("_shard", shard)
+        drop = ["_shard", "_cum_local", "_off", "_sk"]
+    else:
+        sharded = df.repartitionByRange(n, *order_cols).withColumn(
+            "_shard", F.spark_partition_id()
+        ).localCheckpoint()
+        drop = ["_shard", "_cum_local", "_off"]
     w = (
         Window.partitionBy("_shard")
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    local = sharded.withColumn("_cum_local", F.sum(value_col).over(w)).localCheckpoint()
-    totals = local.groupBy("_shard").agg(F.sum(value_col).alias("_tot")).collect()
+    local = sharded.withColumn("_cum_local", F.sum(value_col).over(w))
+    totals = sharded.groupBy("_shard").agg(F.sum(value_col).alias("_tot")).collect()
     offs = _offsets_df(df, totals, "_tot")
     return (
         local.join(F.broadcast(offs), "_shard")
         .withColumn(out_col, F.col("_cum_local") + F.col("_off"))
-        .drop("_shard", "_cum_local", "_off")
+        .drop(*drop)
     )
 
 
@@ -107,23 +175,32 @@ def hierarchical_row_number(
     order_cols: list[Column],
     out_col: str,
     n_shards: int | None = None,
+    shard_on: Column | None = None,
 ) -> DataFrame:
     """Exact global 1-based rank in ``order_cols`` order (must be a total
     order), computed per range-shard with broadcast shard row-count
-    offsets. Equals ``row_number() OVER (ORDER BY ...)`` exactly."""
-    sharded = df.repartitionByRange(n_shards or _n_shards(df), *order_cols).withColumn(
-        "_shard", F.spark_partition_id()
-    )
+    offsets. Equals ``row_number() OVER (ORDER BY ...)`` exactly.
+    Sharding strategy as in hierarchical_cumsum: quantile-bound
+    expression for numeric primaries (``shard_on`` for descending or
+    non-leading keys), repartitionByRange + localCheckpoint otherwise."""
+    n = n_shards or _n_shards(df)
+    tmp, shard = _expr_shard(df, order_cols, shard_on, n)
+    if shard is not None:
+        sharded = tmp.withColumn("_shard", shard)
+        drop = ["_shard", "_rn_local", "_off", "_sk"]
+    else:
+        sharded = df.repartitionByRange(n, *order_cols).withColumn(
+            "_shard", F.spark_partition_id()
+        ).localCheckpoint()
+        drop = ["_shard", "_rn_local", "_off"]
     w = Window.partitionBy("_shard").orderBy(*order_cols)
-    local = sharded.withColumn(
-        "_rn_local", F.row_number().over(w)
-    ).localCheckpoint()
-    counts = local.groupBy("_shard").agg(F.count(F.lit(1)).alias("_n")).collect()
+    local = sharded.withColumn("_rn_local", F.row_number().over(w))
+    counts = sharded.groupBy("_shard").agg(F.count(F.lit(1)).alias("_n")).collect()
     offs = _offsets_df(df, counts, "_n")
     return (
         local.join(F.broadcast(offs), "_shard")
         .withColumn(out_col, (F.col("_rn_local") + F.col("_off")).cast("long"))
-        .drop("_shard", "_rn_local", "_off")
+        .drop(*drop)
     )
 
 
