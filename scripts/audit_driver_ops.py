@@ -56,6 +56,15 @@ ALLOWLIST: dict[str, str] = {
     "sinks/jdbc_sink.py::write_full": "per-partition executor writes; collect is DDL table list",
     "sinks/jdbc_sink.py::merge_incremental": "collects per-batch delta under the incremental row guard",
     "operators/hierarchical.py::hierarchical_cumsum": "#shards rows (scalar-sized totals)",
+    "operators/hierarchical.py::hierarchical_grouped_row_number": (
+        "~n_groups + n_shards rows — bounded by the few-giant-groups "
+        "regime the primitive is documented for"
+    ),
+    "catalog/streaming_sims.py::_drain_query": (
+        "bounded sim helper: collects the availableNow memory-sink drain "
+        "for the join/session sims (196 pairs / per-user sessions at "
+        "sf0.01) — same contract as _drain_stream_over_doc_batches"
+    ),
     "operators/hierarchical.py::hierarchical_row_number": "#shards rows (scalar-sized counts)",
     "operators/skyline.py::skyline_2d": "#shards prefix maxima (scalar-sized)",
     "operators/median.py::exact_median_two_pass": "histogram bucket counts (fixed fan-out)",
