@@ -71,19 +71,23 @@ def corpus_zipf_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("tok").alias("n_vocab"),
     )
     tf = t.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("f"))
-    # two-phase exact top-50: tf has one row per (source, token), so every
-    # global top-50 token is also its hash-sub-shard's top-50 — pre-rank
-    # inside (source, token-hash % 32) in parallel, and only 32*50
-    # candidates per source enter the final window (the vocab itself can
-    # reach 1e8+ rows per source at corpus scale)
-    order = [F.col("f").desc(), F.col("tok")]
-    w_pre = W.partitionBy(F.col("source"), F.pmod(F.xxhash64("tok"), F.lit(32))).orderBy(*order)
-    wrk = W.partitionBy("source").orderBy(*order)
+    # two-phase exact top-50 (operators/hierarchical.two_phase_top_n):
+    # tf has one row per (source, token), so the sub-shard pre-rank is
+    # lossless, and the final window sees 32*50 candidates per source
+    # rather than the vocab (1e8+ rows per source at corpus scale)
+    from open_ftth_relational_projector_spark.operators.hierarchical import (
+        two_phase_top_n,
+    )
+
     top = (
-        tf.withColumn("_pr", F.row_number().over(w_pre))
-        .filter(F.col("_pr") <= 50)
-        .withColumn("r", F.row_number().over(wrk))
-        .filter(F.col("r") <= 50)
+        two_phase_top_n(
+            tf,
+            [F.col("source")],
+            [F.col("f").desc(), F.col("tok")],
+            50,
+            F.col("tok"),
+            out_col="r",
+        )
         .select(
             "source",
             F.log(F.col("r").cast("double")).alias("x"),

@@ -524,8 +524,16 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = scattered(load_table(spark, sf_dir, "documents"))
-    scores = bigram_lm_scores(docs).select(
-        "doc_id", F.round("avg_logprob", 4).alias("lp")
+    # the bigram-LM pipeline (token explode + count-table joins) is the
+    # expensive part, and the expression-sharded rank fires two eager
+    # driver actions over its output — persist it for the duration of
+    # plan construction, release before returning (the returned plan
+    # re-derives it once on the consumer's action)
+    scores = (
+        bigram_lm_scores(docs)
+        .select("doc_id", F.round("avg_logprob", 4).alias("lp"))
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .persist()
     )
     # languages are FEW and each holds a data-proportional share, so a
     # plain ntile() OVER (PARTITION BY lang ...) would funnel corpus/|lang|
@@ -533,19 +541,21 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hierarchical rank exists for; the exact-NTILE formula then assigns
     # terciles from (rank, per-lang count) map-side
     ranked = hierarchical_grouped_row_number(
-        scores.join(docs.select("doc_id", "lang"), "doc_id"),
+        scores,
         ["lang"],
         [F.desc("lp"), F.col("doc_id")],
         "_rn",
         shard_on=-F.col("lp"),  # monotone with the DESC order
+        total_col="_n",
     )
-    n_per_lang = ranked.groupBy("lang").agg(F.count(F.lit(1)).alias("_n"))
-    bucketed = ranked.join(F.broadcast(n_per_lang), "lang").withColumn(
+    bucketed = ranked.withColumn(
         "ppl_bucket", ntile_from_rank_col(F.col("_rn"), F.col("_n"), 3)
     )
-    return bucketed.groupBy("lang", "ppl_bucket").agg(
+    out = bucketed.groupBy("lang", "ppl_bucket").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         _r4(F.avg("lp")).alias("mean_logprob"),
         _r4(F.min("lp")).alias("min_logprob"),
         _r4(F.max("lp")).alias("max_logprob"),
     )
+    scores.unpersist(False)
+    return out

@@ -307,15 +307,13 @@ def doc_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["lang"],
         [F.col("n_chars"), F.col("doc_id")],
         "_rn",
+        total_col="_n",  # group totals ride the offsets broadcast — no
+        # second scan/join for the NTILE denominator
     )
-    npg = ranked.groupBy("lang").agg(F.count(F.lit(1)).alias("_n"))
-    return (
-        ranked.join(F.broadcast(npg), "lang")
-        .select(
-            "lang",
-            "doc_id",
-            ntile_from_rank_col(F.col("_rn"), F.col("_n"), 10).alias("decile"),
-        )
+    return ranked.select(
+        "lang",
+        "doc_id",
+        ntile_from_rank_col(F.col("_rn"), F.col("_n"), 10).alias("decile"),
     )
 
 

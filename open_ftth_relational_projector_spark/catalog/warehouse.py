@@ -1393,6 +1393,10 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.lit("regular"))
     )
+    # the eager rank-chain actions (quantiles, offset counts) ran against
+    # the cache; release it — the consumer's single action re-derives the
+    # aggregate once
+    rfm.unpersist(False)
     return scored.withColumn("segment", seg)
 
 

@@ -84,19 +84,17 @@ def stratified_sample(
     Every global top-n row is its sub-shard's top-n (keys are unique), so
     the two-phase result is exactly the single-window result; the final
     window's partitions are bounded by n·n_subshards, not group size."""
-    from pyspark.sql import Window
-
-    order = [split_bucket(F.col(key), salt), F.col(key)]
-    sub = F.pmod(F.xxhash64(F.col(key)), F.lit(32))
-    w_pre = Window.partitionBy(F.col(group_col), sub).orderBy(*order)
-    w = Window.partitionBy(group_col).orderBy(*order)
-    return (
-        df.withColumn("_prn", F.row_number().over(w_pre))
-        .filter(F.col("_prn") <= n_per_group)
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= n_per_group)
-        .drop("_prn", "_rn")
+    from open_ftth_relational_projector_spark.operators.hierarchical import (
+        two_phase_top_n,
     )
+
+    return two_phase_top_n(
+        df,
+        [F.col(group_col)],
+        [split_bucket(F.col(key), salt), F.col(key)],
+        n_per_group,
+        F.col(key),
+    ).drop("_rn")
 
 
 def token_budget_chunks(

@@ -83,19 +83,28 @@ def _expr_shard(
     never result values, so the quantile approximation is
     correctness-free; heavy ties on the key skew shard sizes (the
     residual caveat). Returns (augmented_df, shard_col) or (df, None).
+
+    The input must be VALUE-DETERMINISTIC across re-evaluation (no
+    rand()-derived columns): without the fallback's checkpoint, the
+    offsets job and the main job each evaluate the plan, and a row that
+    changed shard between them would silently drop at the offsets join —
+    persist() nondeterministic inputs first. Null shard keys raise at
+    runtime (a null would shard as 0 while the window sorts it by its
+    null ordering — silent mis-ranking otherwise).
     """
     from pyspark.sql.types import NumericType, TimestampType
 
     key = shard_on
     if key is None:
         first = order_cols[0]
+        # a desc()/asc()-wrapped primary is a SortOrder, not a value
+        # expression — it ANALYZES inside a projection but cannot codegen,
+        # so detect it (via the Column repr; Spark 4's classic Column no
+        # longer exposes the underlying expression object) and route to
+        # the fallback (pass shard_on=-col to use the expression path)
+        if " NULLS FIRST" in str(first) or " NULLS LAST" in str(first):
+            return df, None
         try:
-            # a desc()/asc()-wrapped primary is a SortOrder, not a value
-            # expression — it ANALYZES inside a projection but cannot
-            # codegen, so detect it structurally and route to the
-            # fallback (pass shard_on=-col to use the expression path)
-            if "SortOrder" in first._jc.expr().getClass().getName():  # noqa: SLF001
-                return df, None
             probe = df.select(first.alias("_k")).schema[0].dataType
         except Exception:  # noqa: BLE001
             return df, None
@@ -103,8 +112,16 @@ def _expr_shard(
             key = first
         else:
             return df, None
-    tmp = df.withColumn("_sk", key.cast("double"))
+    guarded = F.when(
+        key.isNull(),
+        F.assert_true(key.isNotNull(), F.lit("hierarchical shard key is NULL")).cast(
+            "double"
+        ),
+    ).otherwise(key.cast("double"))
+    tmp = df.withColumn("_sk", guarded)
     probs = [i / n for i in range(1, n)]
+    if not probs:  # n_shards=1: single shard, no quantile job needed
+        return tmp, F.lit(0)
     bounds = sorted(set(tmp.stat.approxQuantile("_sk", probs, 0.001)))
     if not bounds:
         return tmp, F.lit(0)
@@ -236,6 +253,7 @@ def hierarchical_grouped_row_number(
     out_col: str,
     shard_on: Column | None = None,
     n_shards: int | None = None,
+    total_col: str | None = None,
 ) -> DataFrame:
     """Exact per-group 1-based rank in ``order_cols`` order (total order
     within each group), computed without a per-group single-task window —
@@ -245,38 +263,27 @@ def hierarchical_grouped_row_number(
     group through one task. For many small groups the plain partitioned
     window is already the right plan; use that instead.
 
-    ``shard_on`` must be a NUMERIC expression monotone non-decreasing
-    along ``order_cols`` (e.g. the primary sort column, negated for a
-    descending sort); it defaults to the first order column, which is
-    then required to be an ascending numeric. Shard boundaries come from
-    one approxQuantile pass and shard assignment is a PURE EXPRESSION —
-    equal keys land in one shard, shards ascend with the order — so the
-    per-(shard, group) count job and the ranking job agree without
-    materializing the input (the localCheckpoint a repartitionByRange
-    design needs costs a full write+read of the data; measured 4x slower
-    than the plain window at 20M rows, while this form adds only two
-    cheap scans). Boundaries affect only load balance, never rank
-    values, so approxQuantile's approximation is correctness-free.
-    Heavy ties on ``shard_on`` skew shard sizes — the residual caveat.
+    Sharding comes from ``_expr_shard`` (quantile-bound pure expression;
+    see its contract — numeric non-null key monotone with the order,
+    value-deterministic input); a SortOrder/non-numeric primary without
+    ``shard_on`` raises rather than silently serializing. Shard ids are
+    GLOBAL over the order key, so within every group they ascend with
+    the order and per-group offsets concatenate exactly.
+
+    ``total_col``: when set, the per-group row count (already in hand
+    from the offsets collect) rides along as an extra column — callers
+    needing NTILE avoid a second scan + join for the group totals.
+
+    NULL group keys are kept (null-safe offsets join), matching SQL
+    window PARTITION BY semantics where NULL is its own partition.
     """
     n = n_shards or _n_shards(df)
-    key = (shard_on if shard_on is not None else order_cols[0]).cast("double")
-    tmp = df.withColumn("_sk", key)
-    probs = [i / n for i in range(1, n)]
-    bounds = sorted(set(tmp.stat.approxQuantile("_sk", probs, 0.001)))
-    if bounds:
-        # flat sum of comparisons (bounds is a tiny driver-side list) —
-        # a higher-order aggregate() here trips a Catalyst binding bug
-        # when the expression feeds a broadcast join under noop writes
-        shard = sum(
-            (
-                F.when(F.col("_sk") > F.lit(float(b)), 1).otherwise(0)
-                for b in bounds
-            ),
-            F.lit(0),
+    tmp, shard = _expr_shard(df, order_cols, shard_on, n)
+    if shard is None:
+        raise ValueError(
+            "hierarchical_grouped_row_number needs a numeric primary order "
+            "column or an explicit monotone shard_on expression"
         )
-    else:
-        shard = F.lit(0)
     sharded = tmp.withColumn("_shard", shard)
     w = Window.partitionBy("_shard", *group_cols).orderBy(*order_cols)
     local = sharded.withColumn("_rn_local", F.row_number().over(w))
@@ -290,9 +297,14 @@ def hierarchical_grouped_row_number(
     rows = []
     for shard_rows in per_group.values():
         running = 0
+        total = sum(r["_n"] for r in shard_rows)
         for r in sorted(shard_rows, key=lambda r: r["_shard"]):
             rows.append(
-                tuple([r["_shard"]] + [r[c] for c in group_cols] + [running])
+                tuple(
+                    [r["_shard"]]
+                    + [r[c] for c in group_cols]
+                    + [running, total]
+                )
             )
             running += r["_n"]
     from pyspark.sql.types import LongType, StructField, StructType
@@ -300,11 +312,50 @@ def hierarchical_grouped_row_number(
     off_schema = StructType(
         [StructField("_shard", counts_df.schema["_shard"].dataType)]
         + [counts_df.schema[c] for c in group_cols]
-        + [StructField("_off", LongType())]
+        + [StructField("_off", LongType()), StructField("_grp_n", LongType())]
     )
     offs = df.sparkSession.createDataFrame(rows, off_schema)
+    cond = F.col("l._shard") == F.col("r._shard")
+    for c in group_cols:
+        cond = cond & F.col(f"l.{c}").eqNullSafe(F.col(f"r.{c}"))
+    joined = local.alias("l").join(F.broadcast(offs.alias("r")), cond)
+    out = joined.select(
+        *[F.col(f"l.{c}") for c in local.columns],
+        F.col("r._off").alias("_off"),
+        F.col("r._grp_n").alias("_grp_n"),
+    ).withColumn(out_col, (F.col("_rn_local") + F.col("_off")).cast("long"))
+    if total_col is not None:
+        out = out.withColumn(total_col, F.col("_grp_n"))
+    return out.drop("_shard", "_rn_local", "_off", "_grp_n", "_sk")
+
+
+def two_phase_top_n(
+    df: DataFrame,
+    group_cols: list[Column],
+    order_cols: list[Column],
+    n: int,
+    unique_key: Column,
+    out_col: str = "_rn",
+    n_subshards: int = 32,
+) -> DataFrame:
+    """Exact per-group top-``n`` (with 1-based rank in ``out_col``)
+    without ranking whole groups through single tasks: rows pre-rank
+    inside (group, hash(unique_key) % n_subshards) partitions in
+    parallel, each keeping its own first n, and only the surviving
+    n·n_subshards candidates per group enter the final per-group window.
+
+    EXACTNESS requires ``unique_key`` to be unique within its group
+    (one row per key): then every global top-n row is also its
+    sub-shard's top-n, so the pre-filter is lossless. The final window's
+    partitions are bounded by n·n_subshards, never by group size.
+    """
+    sub = F.pmod(F.xxhash64(unique_key), F.lit(n_subshards))
+    w_pre = Window.partitionBy(*group_cols, sub).orderBy(*order_cols)
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
     return (
-        local.join(F.broadcast(offs), ["_shard", *group_cols])
-        .withColumn(out_col, (F.col("_rn_local") + F.col("_off")).cast("long"))
-        .drop("_shard", "_rn_local", "_off", "_sk")
+        df.withColumn("_tpn_pre", F.row_number().over(w_pre))
+        .filter(F.col("_tpn_pre") <= n)
+        .withColumn(out_col, F.row_number().over(w))
+        .filter(F.col(out_col) <= n)
+        .drop("_tpn_pre")
     )

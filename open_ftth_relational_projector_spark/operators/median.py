@@ -72,11 +72,11 @@ def exact_median_two_pass(
     cand = data.filter((bucket >= b1) & (bucket <= b2))
     # hierarchical rank, not row_number() OVER (ORDER BY _v): the candidate
     # set is ~n/n_buckets rows — data-proportional, so a partition-less
-    # window would still funnel it through one task at scale.
-    # repartitionByRange routes equal _v to ONE shard, so only the
-    # within-shard ordering of tied rows (and thus the rank->row mapping)
-    # is nondeterministic; the VALUE at any rank is the order statistic of
-    # _v either way, which is all the lookup below reads.
+    # window would still funnel it through one task at scale. The
+    # quantile-expression sharding routes equal _v to ONE shard, so only
+    # the within-shard ordering of tied rows (and thus the rank->row
+    # mapping) is nondeterministic; the VALUE at any rank is the order
+    # statistic of _v either way, which is all the lookup below reads.
     ranked = hierarchical_row_number(
         cand.select(F.col(value_col).cast("double").alias("_v")),
         [F.col("_v")],

@@ -38,12 +38,14 @@ def global_rank(
     computed without a single-partition window. ``order_cols`` must form
     a total order (include a unique tiebreaker)."""
     # Delegates to the shared range-shard + broadcast-offset primitive
-    # (operators/hierarchical.py), which localCheckpoints the sharded rank
-    # so the offsets job and the final join see the SAME range boundaries:
-    # RangePartitioner samples with an rddId-dependent seed, so
-    # re-evaluating the plan can draw DIFFERENT boundaries and produce
-    # duplicate ranks (caught by the sf0.1 differential sweep; invisible
-    # at small scale where the sample is the whole input).
+    # (operators/hierarchical.py). Numeric primaries shard via a
+    # DETERMINISTIC quantile-bound expression (the offsets job and the
+    # final join cannot disagree by construction); non-numeric orders —
+    # the common case here, string blocking keys — take the
+    # repartitionByRange + localCheckpoint fallback, which pins the
+    # sampled boundaries across jobs (RangePartitioner's rddId-seeded
+    # sample once produced duplicate ranks without it; caught by the
+    # sf0.1 differential sweep).
     from .hierarchical import hierarchical_row_number
 
     return hierarchical_row_number(

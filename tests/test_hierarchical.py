@@ -181,3 +181,39 @@ def test_grouped_row_number_and_ntile_match_window(spark):
         .collect()
     }
     assert got == want
+
+
+def test_grouped_rank_null_group_kept_null_key_raises(spark):
+    """NULL group keys must survive (SQL windows treat NULL as its own
+    partition — the offsets join is null-safe); a NULL SHARD key must
+    raise rather than silently mis-rank; total_col carries the per-group
+    count without an extra scan."""
+    from open_ftth_relational_projector_spark.operators.hierarchical import (
+        hierarchical_grouped_row_number,
+    )
+
+    rows = [("en", 1, 10), ("en", 2, 5), (None, 3, 7), (None, 4, 1)]
+    df = spark.createDataFrame(rows, "g string, id long, v long")
+    got = {
+        (r.g, r.id): (r.rn, r.n)
+        for r in hierarchical_grouped_row_number(
+            df, ["g"], [F.col("v"), F.col("id")], "rn",
+            total_col="n", n_shards=3,
+        ).collect()
+    }
+    assert got == {
+        ("en", 2): (1, 2),
+        ("en", 1): (2, 2),
+        (None, 4): (1, 2),
+        (None, 3): (2, 2),
+    }
+
+    import pytest as _pytest
+
+    null_v = spark.createDataFrame(
+        [("en", 1, None), ("en", 2, 5)], "g string, id long, v long"
+    )
+    with _pytest.raises(Exception, match="NULL|ASSERT"):
+        hierarchical_grouped_row_number(
+            null_v, ["g"], [F.col("v"), F.col("id")], "rn", n_shards=3
+        ).collect()
