@@ -1393,10 +1393,11 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.lit("regular"))
     )
-    # the eager rank-chain actions (quantiles, offset counts) ran against
-    # the cache; release it — the consumer's single action re-derives the
-    # aggregate once
-    rfm.unpersist(False)
+    # the cache stays for the session (MEMORY_AND_DISK, evictable):
+    # the chained ranks hit it from every eager action AND from the
+    # consumer's evaluation — releasing it here re-derives the orders
+    # aggregation + window chain several times over (measured 6.6 s vs
+    # ~2 s at sf0.1)
     return scored.withColumn("segment", seg)
 
 
