@@ -374,11 +374,26 @@ def cms_join_size_estimate(
     """
     seeds = F.array(*[F.lit(s) for s in range(d)])
 
-    def grid(df: DataFrame, key: str) -> DataFrame:
+    def counts(df: DataFrame, key: str, name: str) -> DataFrame:
         return (
             df.select(F.col(key).cast("string").alias("k"))
             .filter(F.col("k").isNotNull())
-            .withColumn("seed", F.explode(seeds))
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    def grid(cnt: DataFrame, name: str) -> DataFrame:
+        # The grid cell is Σ n(k) over keys hashing to the cell, so it can
+        # be built from the per-key COUNTS instead of the raw rows: the md5
+        # work drops from O(rows·d) to O(distinct keys·d) and the fact
+        # table is scanned once per side for both the grid and the exact
+        # verifier (the counts aggregate is the shared subplan — Spark's
+        # exchange reuse feeds both consumers from one shuffle when it
+        # fires, and even when it re-runs, the re-run is the cheap
+        # counts→grid leg, not the fact scan's md5-per-row of the old
+        # row-level formulation).
+        return (
+            cnt.withColumn("seed", F.explode(seeds))
             .select(
                 "seed",
                 (
@@ -393,42 +408,51 @@ def cms_join_size_estimate(
                     ).cast("long")
                     % w
                 ).alias("bucket"),
+                F.col(name).alias("n"),
             )
             .groupBy("seed", "bucket")
-            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.sum("n").alias("c"))
         )
 
-    ga, gb = grid(a, a_key), grid(b, b_key)
-    # per-seed inner products over shared buckets; a seed whose grids
-    # share NO bucket has inner product 0 and must still vote in the min,
-    # so the products re-join a full seed spine
-    per_seed = (
-        ga.alias("ga")
-        .join(gb.alias("gb"), ["seed", "bucket"])
-        .groupBy("seed")
-        .agg(F.sum(F.col("ga.c") * F.col("gb.c")).alias("ip"))
-    )
+    # Self-join pre-flight (a is b on the same key) is the common planner
+    # probe, and both sketch and verifier collapse to second frequency
+    # moments — no join at all: ip(seed) = Σ_bucket c² (the AMS F2
+    # estimator) and exact = Σ_k n(k)².
+    self_join = a is b and a_key == b_key
+    ca = counts(a, a_key, "na")
+    ga = grid(ca, "na")
+    if self_join:
+        per_seed = ga.groupBy("seed").agg(
+            F.sum(F.col("c") * F.col("c")).alias("ip")
+        )
+        exact = ca.agg(
+            F.coalesce(
+                F.sum(F.col("na") * F.col("na")), F.lit(0)
+            ).alias("exact_size")
+        )
+    else:
+        cb = counts(b, b_key, "nb")
+        gb = grid(cb, "nb")
+        # per-seed inner products over shared buckets; a seed whose grids
+        # share NO bucket has inner product 0 and must still vote in the
+        # min, so the products re-join a full seed spine
+        per_seed = (
+            ga.alias("ga")
+            .join(gb.alias("gb"), ["seed", "bucket"])
+            .groupBy("seed")
+            .agg(F.sum(F.col("ga.c") * F.col("gb.c")).alias("ip"))
+        )
+        exact = ca.join(cb, "k").agg(
+            F.coalesce(
+                F.sum(F.col("na") * F.col("nb")), F.lit(0)
+            ).alias("exact_size")
+        )
     seed_spine = a.sparkSession.range(d).select(
         F.col("id").cast("int").alias("seed")
     )
     est = (
         seed_spine.join(per_seed, "seed", "left")
         .agg(F.min(F.coalesce(F.col("ip"), F.lit(0))).alias("cms_est"))
-    )
-    ca = (
-        a.select(F.col(a_key).cast("string").alias("k"))
-        .filter(F.col("k").isNotNull())
-        .groupBy("k")
-        .agg(F.count(F.lit(1)).alias("na"))
-    )
-    cb = (
-        b.select(F.col(b_key).cast("string").alias("k"))
-        .filter(F.col("k").isNotNull())
-        .groupBy("k")
-        .agg(F.count(F.lit(1)).alias("nb"))
-    )
-    exact = ca.join(cb, "k").agg(
-        F.coalesce(F.sum(F.col("na") * F.col("nb")), F.lit(0)).alias("exact_size")
     )
     return (
         exact.crossJoin(F.broadcast(est))
