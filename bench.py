@@ -103,9 +103,10 @@ EXTRA_QUERIES = [
     "stream_topk_sim",
     "stream_join_sim",
     "stream_session_sim",
-    # r5 continuation: sketch + substring-dedup additions
+    # r5 continuation: sketch + substring-dedup additions, IVFADC serving
     "hll_distinct_rollup",
     "hdr_quantile_rollup",
+    "ivfpq_knn_adc",
     "dup_substring_spans",
     "zorder_locality_audit",
     "negative_samples_per_customer",

@@ -907,3 +907,132 @@ def pq_knn_adc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_knn_adc(emb, queries, m=2, k=4, iters=2, knn_k=5, dim=64)
 
 
+def _ivfpq_res_ctes(j: int, lo: int, hi: int) -> str:
+    """The PQ codebook kmeans chain (k=4, iters=2 — the `_pq_sub_ctes`
+    recipe) over the coarse-quantizer RESIDUALS (`res`) restricted to
+    subspace ``j`` = positions [lo, hi]; r-prefixed so the coarse chain
+    and both residual chains coexist in one statement."""
+    return f"""
+    rs{j} AS (SELECT vec_id, pos, val FROM res
+              WHERE pos BETWEEN {lo} AND {hi}),
+    r0{j} AS (SELECT i.cid, r.pos, ROUND(r.val, 6) AS cv
+              FROM pqinit i JOIN rs{j} r USING (vec_id)),
+    rd1{j} AS (SELECT r.vec_id, c.cid,
+                      SUM((r.val - c.cv) * (r.val - c.cv)) AS d2
+               FROM rs{j} r JOIN r0{j} c USING (pos) GROUP BY 1, 2),
+    ra1{j} AS (SELECT vec_id, cid FROM (
+                 SELECT vec_id, cid,
+                        ROW_NUMBER() OVER (PARTITION BY vec_id
+                                           ORDER BY d2, cid) AS rn
+                 FROM rd1{j}) WHERE rn = 1),
+    rc1{j} AS (SELECT a.cid, r.pos, ROUND(AVG(r.val), 6) AS cv
+               FROM ra1{j} a JOIN rs{j} r USING (vec_id) GROUP BY 1, 2),
+    rd2{j} AS (SELECT r.vec_id, c.cid,
+                      SUM((r.val - c.cv) * (r.val - c.cv)) AS d2
+               FROM rs{j} r JOIN rc1{j} c USING (pos) GROUP BY 1, 2),
+    ra2{j} AS (SELECT vec_id, cid FROM (
+                 SELECT vec_id, cid,
+                        ROW_NUMBER() OVER (PARTITION BY vec_id
+                                           ORDER BY d2, cid) AS rn
+                 FROM rd2{j}) WHERE rn = 1),
+    rc2{j} AS (SELECT a.cid, r.pos, ROUND(AVG(r.val), 6) AS cv
+               FROM ra2{j} a JOIN rs{j} r USING (vec_id) GROUP BY 1, 2),
+    rd3{j} AS (SELECT r.vec_id, c.cid,
+                      SUM((r.val - c.cv) * (r.val - c.cv)) AS d2
+               FROM rs{j} r JOIN rc2{j} c USING (pos) GROUP BY 1, 2),
+    ra3{j} AS (SELECT vec_id, cid FROM (
+                 SELECT vec_id, cid,
+                        ROW_NUMBER() OVER (PARTITION BY vec_id
+                                           ORDER BY d2, cid) AS rn
+                 FROM rd3{j}) WHERE rn = 1)"""
+
+
+_IVFPQ_ADC_SQL = (
+    """
+    WITH pqinit AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cid, vec_id
+      FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)),"""
+    # coarse quantizer: the same kmeans chain over ALL 64 positions
+    + _pq_sub_ctes("c", 1, 64)
+    + """,
+    res AS (
+      SELECT p.vec_id, p.pos, p.val - cc.cv AS val
+      FROM pec p
+      JOIN a3c a ON a.vec_id = p.vec_id
+      JOIN c2c cc ON cc.cid = a.cid AND cc.pos = p.pos),"""
+    + ",".join([_ivfpq_res_ctes(1, 1, 32), _ivfpq_res_ctes(2, 33, 64)])
+    + """,
+    qprobe AS (
+      SELECT query_id, cid AS cell FROM (
+        SELECT t.query_id, t.cid,
+               ROW_NUMBER() OVER (PARTITION BY t.query_id
+                                  ORDER BY t.d, t.cid) AS pr
+        FROM (SELECT p.vec_id AS query_id, cc.cid,
+                     ROUND(SUM((p.val - cc.cv) * (p.val - cc.cv)), 6) AS d
+              FROM pec p JOIN c2c cc ON cc.pos = p.pos
+              WHERE p.vec_id % 100 = 0
+              GROUP BY 1, 2) t) WHERE pr <= 2),
+    qres AS (
+      SELECT qp.query_id, qp.cell, p.pos, p.val - cc.cv AS val
+      FROM qprobe qp
+      JOIN pec p ON p.vec_id = qp.query_id
+      JOIN c2c cc ON cc.cid = qp.cell AND cc.pos = p.pos),
+    ld1 AS (
+      SELECT r.query_id, r.cell, c.cid,
+             ROUND(SUM((r.val - c.cv) * (r.val - c.cv)), 6) AS d
+      FROM qres r JOIN rc21 c ON c.pos = r.pos
+      WHERE r.pos BETWEEN 1 AND 32
+      GROUP BY 1, 2, 3),
+    ld2 AS (
+      SELECT r.query_id, r.cell, c.cid,
+             ROUND(SUM((r.val - c.cv) * (r.val - c.cv)), 6) AS d
+      FROM qres r JOIN rc22 c ON c.pos = r.pos
+      WHERE r.pos BETWEEN 33 AND 64
+      GROUP BY 1, 2, 3),
+    scored AS (
+      SELECT qp.query_id, v.vec_id AS neighbor_id, l1.d + l2.d AS adist
+      FROM a3c v
+      JOIN ra31 k1 ON k1.vec_id = v.vec_id
+      JOIN ra32 k2 ON k2.vec_id = v.vec_id
+      JOIN qprobe qp ON qp.cell = v.cid
+      JOIN ld1 l1 ON l1.query_id = qp.query_id AND l1.cell = qp.cell
+                 AND l1.cid = k1.cid
+      JOIN ld2 l2 ON l2.query_id = qp.query_id AND l2.cell = qp.cell
+                 AND l2.cid = k2.cid
+      WHERE v.vec_id <> qp.query_id)
+    SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk FROM (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adist, neighbor_id) AS rnk
+      FROM scored) WHERE rnk <= 5
+    """
+)
+
+
+@_q("ivfpq_knn_adc", _IVFPQ_ADC_SQL)
+def ivfpq_knn_adc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC (clustering.ivfpq_knn_adc): coarse Lloyd cells route the
+    corpus into inverted lists, residuals against the cell centroid are
+    product-quantized, and each query scores only its 2 probed cells via
+    per-cell ADC lookup tables — the FAISS IVF-PQ serving composition.
+    The oracle unrolls coarse training, residuals, both residual
+    codebooks, probe selection, and the ADC ranking in one statement."""
+    from open_ftth_relational_projector_spark.functions.clustering import (
+        ivfpq_knn_adc,
+    )
+
+    emb = scattered(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return ivfpq_knn_adc(
+        emb,
+        queries,
+        n_cells=4,
+        m=2,
+        k=4,
+        iters=2,
+        n_probe=2,
+        knn_k=5,
+        dim=64,
+    )
+
+

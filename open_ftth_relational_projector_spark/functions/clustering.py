@@ -403,6 +403,147 @@ def pq_knn_adc(
     )
 
 
+def ivfpq_knn_adc(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_cells: int = 4,
+    m: int = 2,
+    k: int = 4,
+    iters: int = 2,
+    n_probe: int = 2,
+    knn_k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """IVFADC (Jégou et al., TPAMI 2011 §V — the FAISS IVF-PQ serving
+    architecture): a coarse Lloyd quantizer routes every corpus vector to
+    one of ``n_cells`` inverted lists; the vector's RESIDUAL against its
+    cell centroid is product-quantized (m codebooks of k centroids); a
+    query probes its ``n_probe`` nearest cells and scores each listed
+    vector by asymmetric distance — per probed cell the query's residual
+    builds one m×k lookup table and a vector costs m array lookups. This
+    is the composition billion-scale ANN actually deploys: IVF bounds the
+    candidates scanned, residual PQ bounds the bytes per candidate.
+
+    Scale shape: both trainings are the bounded-collect Lloyd recipe
+    (k×dim driver rows per M-step); cell routing and PQ codes are one
+    map-only pass over the corpus (no shuffle — the corpus never moves);
+    the exploded (query × probed cell) side broadcasts with its LUTs as
+    plan literals; ranking is the per-query top-k window. Raising
+    ``n_probe`` to ``n_cells`` scans every list (the recall ceiling of
+    the PQ approximation); ``m``/``k`` trade bytes for fidelity.
+
+    Cross-engine determinism: coarse probe order sorts on (round(d², 6),
+    cell id); LUT entries round to 6 dp before summing; final ranking
+    ties break on neighbor id — the same fixed-point contract as
+    ``pq_knn_adc``, so the DuckDB oracle replays coarse training,
+    residuals, PQ training, probe choice, and ADC ranking bit-for-bit.
+
+    Returns (query_id, neighbor_id, rnk).
+    """
+    from open_ftth_relational_projector_spark.functions.text import let
+
+    sub_len = dim // m
+    coarse = kmeans_fit(corpus, n_cells, iters, id_col, vec_col)
+    cl = _centroid_lit(coarse)
+
+    v = as_double(F.col(vec_col))
+    cell = assign_cluster(v, coarse)
+    residual = F.zip_with(
+        v, F.element_at(cl, cell), lambda x, c: x - c
+    )
+    res_corpus = corpus.select(
+        F.col(id_col), residual.alias("embedding")
+    )
+    codebooks = [
+        kmeans_fit(
+            res_corpus.select(
+                F.col(id_col),
+                F.slice(F.col("embedding"), j * sub_len + 1, sub_len).alias(
+                    "embedding"
+                ),
+            ),
+            k,
+            iters,
+            id_col,
+            "embedding",
+        )
+        for j in range(m)
+    ]
+
+    code_cols = [F.col(id_col).alias("neighbor_id"), cell.alias("cell")]
+    for j, cents in enumerate(codebooks, start=1):
+        rsub = F.slice(residual, (j - 1) * sub_len + 1, sub_len)
+        code_cols.append(assign_cluster(rsub, cents).alias(f"code_{j}"))
+    coded = corpus.select(*code_cols)
+
+    # probe list: n_probe nearest cells by (round(d², 6), cell id) — the
+    # struct sort IS the deterministic tie-break the oracle replays
+    qv = as_double(F.col(vec_col))
+    probe_structs = F.transform(
+        F.sequence(F.lit(1), F.lit(n_cells)),
+        lambda i: F.struct(
+            F.round(_sq_dist(qv, F.element_at(cl, i)), 6).alias("d"),
+            i.cast("int").alias("cell"),
+        ),
+    )
+    probed = queries.select(
+        F.col(id_col).alias("query_id"),
+        qv.alias("qv"),
+        F.explode(
+            F.slice(F.array_sort(probe_structs), 1, n_probe)
+        ).alias("probe"),
+    ).select("query_id", "qv", F.col("probe.cell").alias("cell"))
+
+    # per probed cell: the query's residual against THAT cell's centroid
+    # feeds one LUT per subspace (k rounded squared distances each)
+    q_res = F.zip_with(
+        F.col("qv"),
+        F.element_at(cl, F.col("cell")),
+        lambda x, c: x - c,
+    )
+    def _lut_body(cb: Column, n: int):
+        # NB: the returned lambda must take exactly ONE parameter —
+        # PySpark binds lambda variables by arity, so default-arg capture
+        # would make it look like a 3-ary higher-order function
+        def body(s: Column) -> Column:
+            return F.transform(
+                F.sequence(F.lit(1), F.lit(n)),
+                lambda i: F.round(_sq_dist(s, F.element_at(cb, i)), 6),
+            )
+
+        return body
+
+    lut_cols = [F.col("query_id"), F.col("cell")]
+    for j, cents in enumerate(codebooks, start=1):
+        qsub = F.slice(q_res, (j - 1) * sub_len + 1, sub_len)
+        lut_cols.append(
+            let(qsub, _lut_body(_centroid_lit(cents), len(cents))).alias(
+                f"lut_{j}"
+            )
+        )
+    q = probed.select(*lut_cols)
+
+    dist = None
+    for j in range(1, m + 1):
+        term = F.element_at(F.col(f"lut_{j}"), F.col(f"code_{j}"))
+        dist = term if dist is None else dist + term
+    scored = (
+        coded.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("adist", dist)
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= knn_k)
+        .select("query_id", "neighbor_id", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
 def kcenter_select(
     emb: DataFrame,
     k: int = 4,

@@ -1853,6 +1853,62 @@ def test_pq_adc_recall_reasonable_vs_bruteforce(spark):
     assert out[(0, 1)] == 1 and out[(2, 1)] == 3 and out[(4, 1)] == 5
 
 
+def test_ivfpq_recall_structure_and_partition_invariance(spark):
+    """IVFADC on separable blobs: residual PQ inside probed cells must
+    recover each query's exact nearest neighbor (the blobs land in
+    distinct coarse cells, so probing 1-2 cells suffices and the residual
+    codebooks resolve within-cell structure); the result is exactly
+    knn_k rows per query with ranks 1..k; and the whole pipeline is a
+    deterministic function of the DATA — repartitioning the corpus must
+    reproduce every (query, neighbor, rank) triple (the fixed-point
+    training + rounded-LUT contract the DuckDB oracle relies on)."""
+    import random
+
+    from open_ftth_relational_projector_spark.functions.clustering import (
+        ivfpq_knn_adc,
+    )
+
+    rng = random.Random(17)
+    blobs = [
+        [0.0, 0.0, 0.0, 0.0],
+        [20.0, 20.0, 0.0, 0.0],
+        [0.0, 20.0, 20.0, 0.0],
+        [20.0, 0.0, 0.0, 20.0],
+    ]
+    rows = [
+        (i, [c + rng.gauss(0, 0.5) for c in blobs[i % 4]])
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = df.filter("vec_id < 4")
+
+    out = ivfpq_knn_adc(
+        df, queries, n_cells=4, m=2, k=4, iters=3, n_probe=2, knn_k=3, dim=4
+    )
+    got = {(r["query_id"], r["rnk"]): r["neighbor_id"] for r in out.collect()}
+    assert len(got) == 4 * 3
+    assert {rk for _, rk in got} == {1, 2, 3}
+    # every returned neighbor shares the query's blob (same residue mod 4)
+    for (qid, _), nid in got.items():
+        assert nid % 4 == qid % 4, (qid, nid)
+
+    again = {
+        (r["query_id"], r["rnk"]): r["neighbor_id"]
+        for r in ivfpq_knn_adc(
+            df.repartition(7),
+            queries,
+            n_cells=4,
+            m=2,
+            k=4,
+            iters=3,
+            n_probe=2,
+            knn_k=3,
+            dim=4,
+        ).collect()
+    }
+    assert again == got
+
+
 def test_bfs_distances_chain_fork_unreachable(spark):
     """Multi-source min distance on a chain with a fork: nearest source
     wins; nodes beyond max_hops and disconnected islands are absent; a

@@ -201,6 +201,17 @@ def test_minhash_md5_twin_no_cartesian(q):
     C.assert_no_cartesian(q("minhash_near_dups_md5"))
 
 
+def test_ivfpq_broadcasts_queries_corpus_never_shuffled_to_join(q):
+    """IVFADC's join side must be the exploded (query × probed-cell) set
+    with its LUT literals — broadcast — while the coded corpus stays in
+    place; no sort-merge, no cartesian. The only wide exchange allowed is
+    the per-query top-k window over candidate rows."""
+    df = q("ivfpq_knn_adc")
+    assert C.broadcast_join_count(df) >= 1, "query side must broadcast"
+    assert C.sortmerge_join_count(df) == 0
+    C.assert_no_cartesian(df)
+
+
 def test_round3_compositions_cartesian_free(q):
     for name in (
         "dedup_keep_list",
