@@ -1249,6 +1249,41 @@ def token_budget_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "epoch_shuffle_manifest",
+    """
+    WITH e AS (
+      SELECT doc_id, UNNEST(range(0, 2)) AS epoch FROM documents),
+    u AS (
+      SELECT doc_id, epoch,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#' || epoch
+                                 || '#epoch'), 1, 15))::BIGINT AS u
+      FROM e),
+    r AS (
+      SELECT doc_id, epoch,
+             ROW_NUMBER() OVER (PARTITION BY epoch
+                                ORDER BY u, doc_id) AS position
+      FROM u)
+    SELECT doc_id, CAST(epoch AS INT) AS epoch, position,
+           CAST((position - 1) % 4 AS INT) AS shard
+    FROM r
+    """,
+)
+def epoch_shuffle_manifest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible training-run data ordering (functions/sampling.
+    epoch_shuffle_manifest): each epoch's global document order derives
+    from md5(doc_id‖epoch‖salt) — no rand() — with round-robin shard
+    interleaving; the per-epoch global rank runs on the giant-group
+    hierarchical primitive, never a per-epoch single-task window. The
+    oracle replays the permutation exactly."""
+    from open_ftth_relational_projector_spark.functions.sampling import (
+        epoch_shuffle_manifest,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return epoch_shuffle_manifest(docs, "doc_id", n_epochs=2, n_shards=4)
+
+
+@_q(
     "sliding_window_chunks",
     """
     WITH t AS (

@@ -435,6 +435,69 @@ def length_bucketed_batches(
     )
 
 
+def epoch_shuffle_manifest(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    n_epochs: int = 2,
+    n_shards: int = 4,
+    salt: str = "epoch",
+) -> DataFrame:
+    """Deterministic per-epoch global shuffle manifest — the data-ordering
+    contract of a reproducible training run: for each epoch, every row's
+    position in the epoch's global order is md5(key‖epoch‖salt)-derived,
+    so the exact sequence a trainer consumes is a pure function of
+    (corpus, salt) — re-runnable across engines, partitionings, and
+    restarts, with no ``rand()`` anywhere. Shards interleave round-robin
+    by position, so each shard is itself an evenly-spaced subsequence of
+    the epoch order (shard-local order preserves the global order) and
+    shard sizes differ by at most one row.
+
+    The per-epoch global rank is the giant-group regime (n_epochs groups,
+    each corpus-sized) — computed with hierarchical_grouped_row_number's
+    quantile-bound expression sharding, NOT a per-epoch single-task
+    window. The md5-long sort key collides only at ~2^-60, and the key
+    column itself breaks any tie, so the order is total and the oracle
+    replays it exactly.
+
+    Returns (key, epoch, position, shard) — n_epochs rows per input row.
+    """
+    from open_ftth_relational_projector_spark.operators.hierarchical import (
+        hierarchical_grouped_row_number,
+    )
+
+    e = df.select(F.col(key_col)).withColumn(
+        "epoch", F.explode(F.sequence(F.lit(0), F.lit(n_epochs - 1)))
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "#",
+                    F.col(key_col).cast("string"),
+                    F.col("epoch"),
+                    F.lit(salt),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    ranked = hierarchical_grouped_row_number(
+        e.withColumn("_u", u),
+        ["epoch"],
+        [F.col("_u"), F.col(key_col)],
+        "position",
+    )
+    return ranked.select(
+        key_col,
+        "epoch",
+        "position",
+        ((F.col("position") - 1) % n_shards).cast("int").alias("shard"),
+    )
+
+
 def cluster_safe_split(
     docs: DataFrame,
     pairs: DataFrame,

@@ -355,6 +355,43 @@ def test_hash_split_deterministic_and_proportional(spark):
     assert th["train"][0] == "00000000" and th["test"][1] == "ffffffff"
 
 
+def test_epoch_shuffle_manifest_permutation_shards_and_invariance(spark):
+    """Each epoch's positions are an exact permutation of 1..n; shards
+    interleave round-robin so sizes differ by at most one and shard-local
+    order equals the global order restricted to the shard; the two epochs
+    order the corpus differently; and the whole manifest is invariant to
+    input partitioning (the reproducible-training-run contract)."""
+    from open_ftth_relational_projector_spark.functions.sampling import (
+        epoch_shuffle_manifest,
+    )
+
+    n = 997  # prime: shard sizes must straddle n // n_shards
+    df = spark.range(0, n).withColumnRenamed("id", "doc_id")
+    out = epoch_shuffle_manifest(df, "doc_id", n_epochs=2, n_shards=4)
+    rows = out.collect()
+    assert len(rows) == 2 * n
+    by_epoch: dict[int, list] = {}
+    for r in rows:
+        by_epoch.setdefault(r["epoch"], []).append(r)
+    orders = {}
+    for ep, ers in by_epoch.items():
+        assert sorted(r["position"] for r in ers) == list(range(1, n + 1))
+        for r in ers:
+            assert r["shard"] == (r["position"] - 1) % 4
+        shard_sizes = {}
+        for r in ers:
+            shard_sizes[r["shard"]] = shard_sizes.get(r["shard"], 0) + 1
+        assert max(shard_sizes.values()) - min(shard_sizes.values()) <= 1
+        orders[ep] = [
+            r["doc_id"] for r in sorted(ers, key=lambda r: r["position"])
+        ]
+    assert orders[0] != orders[1]  # epochs reshuffle
+    again = epoch_shuffle_manifest(
+        df.repartition(13), "doc_id", n_epochs=2, n_shards=4
+    )
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
+
+
 def test_hash_split_salt_changes_assignment(spark):
     from open_ftth_relational_projector_spark.functions.sampling import hash_split
 
