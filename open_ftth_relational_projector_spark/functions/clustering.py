@@ -415,6 +415,7 @@ def ivfpq_knn_adc(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    train_sample_frac: float | None = None,
 ) -> DataFrame:
     """IVFADC (Jégou et al., TPAMI 2011 §V — the FAISS IVF-PQ serving
     architecture): a coarse Lloyd quantizer routes every corpus vector to
@@ -445,7 +446,28 @@ def ivfpq_knn_adc(
     from open_ftth_relational_projector_spark.functions.text import let
 
     sub_len = dim // m
-    coarse = kmeans_fit(corpus, n_cells, iters, id_col, vec_col)
+    # Training cost must not scale with the corpus: like FAISS, both the
+    # coarse quantizer and the PQ codebooks can train on a bounded
+    # DETERMINISTIC sample (md5-bucket of the id — reproducible across
+    # runs/partitionings, no rand()), after which the corpus pays only the
+    # one map-only coding pass. None = train on everything (the catalog's
+    # oracle-replayable configuration).
+    train = corpus
+    if train_sample_frac is not None:
+        cut = int(train_sample_frac * 16**8)
+        train = corpus.filter(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("#", F.col(id_col), F.lit("ivfpq"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            < cut
+        )
+    coarse = kmeans_fit(train, n_cells, iters, id_col, vec_col)
     cl = _centroid_lit(coarse)
 
     v = as_double(F.col(vec_col))
@@ -453,12 +475,12 @@ def ivfpq_knn_adc(
     residual = F.zip_with(
         v, F.element_at(cl, cell), lambda x, c: x - c
     )
-    res_corpus = corpus.select(
+    res_train = train.select(
         F.col(id_col), residual.alias("embedding")
     )
     codebooks = [
         kmeans_fit(
-            res_corpus.select(
+            res_train.select(
                 F.col(id_col),
                 F.slice(F.col("embedding"), j * sub_len + 1, sub_len).alias(
                     "embedding"

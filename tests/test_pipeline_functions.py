@@ -1945,6 +1945,37 @@ def test_ivfpq_recall_structure_and_partition_invariance(spark):
     }
     assert again == got
 
+    # sample-trained deployment path: quantizers fit on an md5-bucket
+    # subset, every query still gets exactly knn_k well-formed rows, and
+    # the result stays a deterministic function of the data
+    sampled = ivfpq_knn_adc(
+        df,
+        queries,
+        n_cells=4,
+        m=2,
+        k=4,
+        iters=3,
+        n_probe=2,
+        knn_k=3,
+        dim=4,
+        train_sample_frac=0.5,
+    ).collect()
+    assert len(sampled) == 4 * 3
+    assert {(r["query_id"], r["rnk"]) for r in sampled} == set(got)
+    sampled_again = ivfpq_knn_adc(
+        df.repartition(5),
+        queries,
+        n_cells=4,
+        m=2,
+        k=4,
+        iters=3,
+        n_probe=2,
+        knn_k=3,
+        dim=4,
+        train_sample_frac=0.5,
+    ).collect()
+    assert sorted(map(tuple, sampled)) == sorted(map(tuple, sampled_again))
+
 
 def test_bfs_distances_chain_fork_unreachable(spark):
     """Multi-source min distance on a chain with a fork: nearest source
