@@ -107,6 +107,7 @@ EXTRA_QUERIES = [
     "hll_distinct_rollup",
     "hdr_quantile_rollup",
     "ivfpq_knn_adc",
+    "epoch_shuffle_manifest",
     "dup_substring_spans",
     "zorder_locality_audit",
     "negative_samples_per_customer",

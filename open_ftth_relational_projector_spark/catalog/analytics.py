@@ -779,10 +779,11 @@ def jaccard_pairs_prefix_filtered_q(spark: SparkSession, sf_dir: str) -> DataFra
     return out.select("doc_a", "doc_b", _r4(F.col("jaccard")).alias("jaccard"))
 
 
-def _pq_sub_ctes(j: int, lo: int, hi: int) -> str:
+def _pq_sub_ctes(j: int | str, lo: int, hi: int) -> str:
     """The kmeans CTE chain (k=4, iters=2 — see _KMEANS_CTES) restricted
-    to subspace ``j`` = embedding positions [lo, hi]; suffixed so two
-    chains coexist in one statement."""
+    to subspace ``j`` = embedding positions [lo, hi]; suffixed so multiple
+    chains coexist in one statement (ivfpq's coarse chain passes j="c"
+    over the full 1..64 range)."""
     return f"""
     pe{j} AS (
       SELECT vec_id, pos, val FROM (
