@@ -136,6 +136,82 @@ def kmeans_fit(
     return centroids
 
 
+def pq_fit_codebooks(
+    corpus: DataFrame,
+    m: int,
+    k: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> list[list[list[float]]]:
+    """Train all ``m`` per-subspace PQ codebooks JOINTLY — one corpus pass
+    per Lloyd iteration instead of m (the subspaces are independent, so
+    fusing their E/M steps changes nothing about the math: same first-k
+    init, same lowest-id tie-break, same 6 dp M-step rounding, same
+    empty-cell carry-over as running ``kmeans_fit`` per subspace). At
+    100 TB this is the difference between m scans of the corpus per
+    iteration and one; locally it collapses m×iters driver-side M-step
+    jobs into iters.
+
+    Returns ``m`` centroid lists, each shaped (≤k, dim//m)."""
+    sub_len = dim // m
+    init_rows = (
+        corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+        .orderBy(F.col(id_col))
+        .limit(k)
+        .collect()
+    )
+    books = [
+        [
+            [round(float(x), 6) for x in r["v"][j * sub_len : (j + 1) * sub_len]]
+            for r in init_rows
+        ]
+        for j in range(m)
+    ]
+    vecs = corpus.select(as_double(F.col(vec_col)).alias("v"))
+    for _ in range(iters):
+        cid_cols = [
+            assign_cluster(
+                F.slice(F.col("v"), j * sub_len + 1, sub_len), books[j]
+            ).alias(f"_c{j}")
+            for j in range(m)
+        ]
+        sub = F.floor(F.col("pos") / sub_len).cast("int")
+        cid = F.element_at(
+            F.array(*[F.col(f"_c{j}") for j in range(m)]), sub + 1
+        )
+        rows = (
+            vecs.select(*cid_cols, F.posexplode(F.col("v")).alias("pos", "val"))
+            .select(sub.alias("sub"), cid.alias("cid"), "pos", "val")
+            .groupBy("sub", "cid", "pos")
+            .agg(F.avg("val").alias("cv"))
+            .collect()
+        )
+        by_key: dict[tuple[int, int], dict[int, float]] = {}
+        for r in rows:
+            by_key.setdefault((r["sub"], r["cid"]), {})[r["pos"]] = r["cv"]
+        new_books = [
+            [
+                [
+                    round(float(by_key[(j, cid_)][j * sub_len + p]), 6)
+                    for p in range(sub_len)
+                ]
+                if (j, cid_) in by_key
+                else books[j][cid_ - 1]  # empty cell keeps its old centroid
+                for cid_ in range(1, len(books[j]) + 1)
+            ]
+            for j in range(m)
+        ]
+        converged = new_books == books
+        books = new_books
+        if converged:
+            # every subspace at its Lloyd fixpoint — identical to running
+            # the remaining iterations (same argument as kmeans_fit)
+            break
+    return books
+
+
 def kmeans_cluster_stats(
     corpus: DataFrame,
     k: int = 4,
@@ -300,16 +376,7 @@ def pq_codes(
     subspace — one pass over the corpus emits all m codes.
     """
     sub_len = dim // m
-    codebooks = []
-    for j in range(m):
-        lo = j * sub_len + 1
-        sub = corpus.select(
-            F.col(id_col),
-            F.slice(as_double(F.col(vec_col)), lo, sub_len).alias(
-                "embedding"
-            ),
-        )
-        codebooks.append(kmeans_fit(sub, k, iters, id_col, "embedding"))
+    codebooks = pq_fit_codebooks(corpus, m, k, iters, id_col, vec_col, dim)
     cols = [F.col(id_col).alias("vec_id")]
     err_terms = []
     for j, cents in enumerate(codebooks, start=1):
@@ -350,16 +417,7 @@ def pq_knn_adc(
     top-k window. Returns (query_id, neighbor_id, rnk).
     """
     sub_len = dim // m
-    codebooks = []
-    for j in range(m):
-        lo = j * sub_len + 1
-        sub = corpus.select(
-            F.col(id_col),
-            F.slice(as_double(F.col(vec_col)), lo, sub_len).alias(
-                "embedding"
-            ),
-        )
-        codebooks.append(kmeans_fit(sub, k, iters, id_col, "embedding"))
+    codebooks = pq_fit_codebooks(corpus, m, k, iters, id_col, vec_col, dim)
 
     code_cols = [F.col(id_col).alias("neighbor_id")]
     for j, cents in enumerate(codebooks, start=1):
@@ -478,21 +536,9 @@ def ivfpq_knn_adc(
     res_train = train.select(
         F.col(id_col), residual.alias("embedding")
     )
-    codebooks = [
-        kmeans_fit(
-            res_train.select(
-                F.col(id_col),
-                F.slice(F.col("embedding"), j * sub_len + 1, sub_len).alias(
-                    "embedding"
-                ),
-            ),
-            k,
-            iters,
-            id_col,
-            "embedding",
-        )
-        for j in range(m)
-    ]
+    codebooks = pq_fit_codebooks(
+        res_train, m, k, iters, id_col, "embedding", dim
+    )
 
     code_cols = [F.col(id_col).alias("neighbor_id"), cell.alias("cell")]
     for j, cents in enumerate(codebooks, start=1):

@@ -1890,6 +1890,45 @@ def test_pq_adc_recall_reasonable_vs_bruteforce(spark):
     assert out[(0, 1)] == 1 and out[(2, 1)] == 3 and out[(4, 1)] == 5
 
 
+def test_pq_fused_training_identical_to_per_subspace_kmeans(spark):
+    """pq_fit_codebooks fuses all m subspace trainings into one corpus
+    pass per iteration; the subspaces are independent, so the result must
+    be IDENTICAL (post the 6 dp contract rounding) to running kmeans_fit
+    per subspace slice — the equivalence every PQ oracle relies on."""
+    import random
+
+    from open_ftth_relational_projector_spark.functions.clustering import (
+        kmeans_fit,
+        pq_fit_codebooks,
+    )
+    from open_ftth_relational_projector_spark.functions.similarity import (
+        as_double,
+    )
+
+    rng = random.Random(23)
+    rows = [(i, [rng.gauss(0, 3) for _ in range(8)]) for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    m, k, iters, dim = 4, 3, 3, 8
+    sub_len = dim // m
+    fused = pq_fit_codebooks(df, m, k, iters, "vec_id", "embedding", dim)
+    loop = [
+        kmeans_fit(
+            df.select(
+                F.col("vec_id"),
+                F.slice(
+                    as_double(F.col("embedding")), j * sub_len + 1, sub_len
+                ).alias("embedding"),
+            ),
+            k,
+            iters,
+            "vec_id",
+            "embedding",
+        )
+        for j in range(m)
+    ]
+    assert fused == loop
+
+
 def test_ivfpq_recall_structure_and_partition_invariance(spark):
     """IVFADC on separable blobs: residual PQ inside probed cells must
     recover each query's exact nearest neighbor (the blobs land in
