@@ -912,7 +912,11 @@ def _ivfpq_res_ctes(j: int, lo: int, hi: int) -> str:
     """The PQ codebook kmeans chain (k=4, iters=2 — the `_pq_sub_ctes`
     recipe) over the coarse-quantizer RESIDUALS (`res`) restricted to
     subspace ``j`` = positions [lo, hi]; r-prefixed so the coarse chain
-    and both residual chains coexist in one statement."""
+    and both residual chains coexist in one statement. Same empty-cell
+    caveat as every unrolled kmeans chain here: a cell that empties
+    mid-training vanishes from the SQL chain while the engine carries
+    its centroid forward — the fixtures keep all cells populated, which
+    the oracle runs themselves verify."""
     return f"""
     rs{j} AS (SELECT vec_id, pos, val FROM res
               WHERE pos BETWEEN {lo} AND {hi}),

@@ -183,6 +183,11 @@ def pq_fit_codebooks(
         )
         rows = (
             vecs.select(*cid_cols, F.posexplode(F.col("v")).alias("pos", "val"))
+            # dim % m tail positions belong to NO subspace (kmeans_fit's
+            # per-slice loop never read them); without this filter their
+            # sub index would run past the cid array — an ANSI
+            # element_at error, not just wasted work
+            .filter(F.col("pos") < m * sub_len)
             .select(sub.alias("sub"), cid.alias("cid"), "pos", "val")
             .groupBy("sub", "cid", "pos")
             .agg(F.avg("val").alias("cv"))
@@ -497,7 +502,12 @@ def ivfpq_knn_adc(
     cell id); LUT entries round to 6 dp before summing; final ranking
     ties break on neighbor id — the same fixed-point contract as
     ``pq_knn_adc``, so the DuckDB oracle replays coarse training,
-    residuals, PQ training, probe choice, and ADC ranking bit-for-bit.
+    residuals, PQ training, probe choice, and ADC ranking bit-for-bit —
+    GIVEN no Lloyd cell empties mid-training: the Spark side carries an
+    empty cell's old centroid forward while an unrolled SQL chain drops
+    it (the standing caveat of every kmeans oracle in this repo; all
+    three SF fixtures keep every cell populated, which the oracle runs
+    themselves witness).
 
     Returns (query_id, neighbor_id, rnk).
     """
@@ -512,19 +522,20 @@ def ivfpq_knn_adc(
     # oracle-replayable configuration).
     train = corpus
     if train_sample_frac is not None:
-        cut = int(train_sample_frac * 16**8)
-        train = corpus.filter(
-            F.conv(
-                F.substring(
-                    F.md5(F.concat_ws("#", F.col(id_col), F.lit("ivfpq"))),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("long")
-            < cut
+        from open_ftth_relational_projector_spark.functions.sampling import (
+            md5_uniform,
         )
+
+        train = corpus.filter(
+            md5_uniform(F.col(id_col), "ivfpq") <= train_sample_frac
+        )
+        n_train = train.count()  # scalar guard; training-time only
+        if n_train < max(n_cells, k):
+            raise ValueError(
+                f"ivfpq_knn_adc: train_sample_frac={train_sample_frac} "
+                f"left {n_train} training rows — need at least "
+                f"max(n_cells, k) = {max(n_cells, k)}; raise the fraction"
+            )
     coarse = kmeans_fit(train, n_cells, iters, id_col, vec_col)
     cl = _centroid_lit(coarse)
 

@@ -74,7 +74,13 @@ ALLOWLIST: dict[str, str] = {
         "LIMIT 1 argmax per merge iteration — the learned rule itself"
     ),
     "functions/clustering.py::kcenter_select": "k selected rows, one per round",
-    "functions/clustering.py::pq_codebooks": "k x dim per subspace (quantizer training)",
+    "functions/clustering.py::pq_fit_codebooks": (
+        "first-k init rows + m x k x sub_len M-step doubles per iteration "
+        "(fused quantizer training)"
+    ),
+    "functions/clustering.py::ivfpq_knn_adc": (
+        "scalar training-sample count guard (train_sample_frac path only)"
+    ),
     "functions/graph.py::connected_components": "scalar label-sum convergence signature",
     "functions/graph.py::_label_sum": "scalar label-sum convergence signature",
     "functions/graph.py::_connected_components_star": "scalar edge checksum per round",

@@ -1929,6 +1929,66 @@ def test_pq_fused_training_identical_to_per_subspace_kmeans(spark):
     assert fused == loop
 
 
+def test_pq_fused_training_ignores_tail_dims_like_the_slice_loop(spark):
+    """dim % m tail positions belong to no subspace; the per-slice loop
+    never read them and the fused trainer must not either (nor crash on
+    the out-of-range subspace index under ANSI element_at)."""
+    import random
+
+    from open_ftth_relational_projector_spark.functions.clustering import (
+        kmeans_fit,
+        pq_fit_codebooks,
+    )
+    from open_ftth_relational_projector_spark.functions.similarity import (
+        as_double,
+    )
+
+    rng = random.Random(29)
+    rows = [(i, [rng.gauss(0, 2) for _ in range(7)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    m, k, iters, dim = 3, 2, 2, 7  # sub_len = 2, position 7 is tail
+    sub_len = dim // m
+    fused = pq_fit_codebooks(df, m, k, iters, "vec_id", "embedding", dim)
+    loop = [
+        kmeans_fit(
+            df.select(
+                F.col("vec_id"),
+                F.slice(
+                    as_double(F.col("embedding")), j * sub_len + 1, sub_len
+                ).alias("embedding"),
+            ),
+            k,
+            iters,
+            "vec_id",
+            "embedding",
+        )
+        for j in range(m)
+    ]
+    assert fused == loop
+
+
+def test_ivfpq_tiny_train_sample_raises_clearly(spark):
+    from open_ftth_relational_projector_spark.functions.clustering import (
+        ivfpq_knn_adc,
+    )
+
+    df = spark.range(0, 50).selectExpr(
+        "id AS vec_id",
+        "transform(sequence(1, 4), i -> CAST(id * i AS DOUBLE)) AS embedding",
+    )
+    with pytest.raises(ValueError, match="train_sample_frac"):
+        ivfpq_knn_adc(
+            df,
+            df.filter("vec_id = 0"),
+            n_cells=4,
+            m=2,
+            k=4,
+            iters=1,
+            dim=4,
+            train_sample_frac=1e-6,
+        )
+
+
 def test_ivfpq_recall_structure_and_partition_invariance(spark):
     """IVFADC on separable blobs: residual PQ inside probed cells must
     recover each query's exact nearest neighbor (the blobs land in
