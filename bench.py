@@ -111,6 +111,10 @@ EXTRA_QUERIES = [
     "dup_substring_spans",
     "zorder_locality_audit",
     "negative_samples_per_customer",
+    # r5 continuation (driver-round session): dimensionality reduction +
+    # rank-1 latent factors
+    "jl_projection_audit",
+    "latent_part_affinity",
 ]
 
 

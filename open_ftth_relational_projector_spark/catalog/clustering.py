@@ -559,3 +559,170 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scores.unpersist(False)
     return out
+
+
+# --- r5 continuation: dimensionality reduction + latent factors ------------
+
+
+def _pif_iter_sql(i: int) -> str:
+    """One alternating power-iteration round in SQL: column half-step then
+    row half-step, each L2-normalized and ROUNDED to 10 dp (the
+    functions/factorization determinism contract)."""
+    return f"""
+    v{i}r AS (SELECT p, SUM(r.w * u{i - 1}.f) AS s
+              FROM r JOIN u{i - 1} USING (c) GROUP BY p),
+    v{i} AS (SELECT p, ROUND(s / (SELECT SQRT(SUM(s * s)) FROM v{i}r), 10) AS f
+             FROM v{i}r),
+    u{i}r AS (SELECT c, SUM(r.w * v{i}.f) AS s
+              FROM r JOIN v{i} USING (p) GROUP BY c),
+    u{i} AS (SELECT c, ROUND(s / (SELECT SQRT(SUM(s * s)) FROM u{i}r), 10) AS f
+             FROM u{i}r)"""
+
+
+_LATENT_SQL = (
+    """
+    WITH r AS (
+      SELECT o_custkey AS c, l_partkey AS p,
+             CAST(SUM(l_quantity) AS DOUBLE) AS w
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY 1, 2),
+    u0 AS (SELECT DISTINCT c, 1.0 AS f FROM r),"""
+    + ",".join(_pif_iter_sql(i) for i in (1, 2, 3))
+    + """
+    SELECT 'part' AS entity, p AS entity_id, ROUND(f, 6) AS affinity FROM v3
+    UNION ALL
+    SELECT 'customer', c, ROUND(f, 6) FROM u3
+    """
+)
+
+
+@_q("latent_part_affinity", _LATENT_SQL)
+def latent_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-1 matrix factorization of the customer×part quantity matrix by
+    alternating power iteration (3 rounds from u = 1⃗) — the dominant
+    singular pair as a latent "affinity" score per part and per customer,
+    the collaborative-filtering signal behind item similarity and data
+    mixture weighting (functions/factorization.power_iteration_factors).
+    Per-half-iteration L2 normalization + 10-dp rounding is the same
+    cross-engine determinism contract as pagerank/kmeans; the oracle
+    unrolls the three rounds in SQL. Each half-step is one keyed join +
+    one map-side-combined groupBy over nnz(R); norms are scalar aggregates
+    broadcast back (no OVER () window)."""
+    from open_ftth_relational_projector_spark.functions.factorization import (
+        power_iteration_factors,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    ratings = (
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .groupBy(
+            F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p")
+        )
+        .agg(F.sum("l_quantity").alias("w"))
+    )
+    u, v = power_iteration_factors(
+        ratings, row_col="c", col_col="p", value_col="w", iters=3
+    )
+    return v.select(
+        F.lit("part").alias("entity"),
+        F.col("p").alias("entity_id"),
+        F.round("factor", 6).alias("affinity"),
+    ).unionByName(
+        u.select(
+            F.lit("customer").alias("entity"),
+            F.col("c").alias("entity_id"),
+            F.round("factor", 6).alias("affinity"),
+        )
+    )
+
+
+_JL_SQL = """
+    WITH sgn AS (
+      SELECT j.j, i.i,
+             CASE WHEN ('0x' || substr(md5('jl#' || CAST(j.j AS VARCHAR)
+                        || '#' || CAST(i.i AS VARCHAR)), 1, 1))::BIGINT % 2 = 0
+                  THEN 1.0 ELSE -1.0 END AS s
+      FROM (SELECT UNNEST(range(16)) AS j) j,
+           (SELECT UNNEST(range(64)) AS i) i),
+    pe AS (
+      SELECT vec_id, vec_id % 25 AS bucket,
+             UNNEST(range(len(embedding))) AS i,
+             UNNEST(CAST(embedding AS DOUBLE[])) AS val
+      FROM embeddings),
+    proj AS (
+      SELECT pe.vec_id, sgn.j, SUM(pe.val * sgn.s) / 4.0 AS pv
+      FROM pe JOIN sgn USING (i)
+      GROUP BY pe.vec_id, sgn.j),
+    vn AS (SELECT vec_id, SQRT(SUM(val * val)) AS n_orig FROM pe GROUP BY vec_id),
+    pn AS (SELECT vec_id, SQRT(SUM(pv * pv)) AS n_proj FROM proj GROUP BY vec_id),
+    od AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib, SUM(a.val * b.val) AS dot_o
+      FROM pe a JOIN pe b
+        ON a.i = b.i AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+      GROUP BY 1, 2),
+    pd AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib, SUM(a.pv * b.pv) AS dot_p
+      FROM proj a JOIN proj b
+        ON a.j = b.j AND a.vec_id % 25 = b.vec_id % 25 AND a.vec_id < b.vec_id
+      GROUP BY 1, 2),
+    pair AS (
+      SELECT od.ia % 25 AS bucket,
+             ABS(od.dot_o / (va.n_orig * vb.n_orig)
+                 - pd.dot_p / (pa.n_proj * pb.n_proj)) AS err
+      FROM od JOIN pd ON od.ia = pd.ia AND od.ib = pd.ib
+      JOIN vn va ON va.vec_id = od.ia
+      JOIN vn vb ON vb.vec_id = od.ib
+      JOIN pn pa ON pa.vec_id = od.ia
+      JOIN pn pb ON pb.vec_id = od.ib)
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(AVG(err), 4) AS mean_abs_err,
+           ROUND(MAX(err), 4) AS max_abs_err
+    FROM pair GROUP BY bucket
+    """
+
+
+@_q("jl_projection_audit", _JL_SQL)
+def jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sign random projection 64→16 dims
+    (functions/similarity.jl_project: md5-derived ±1 matrix, map-only,
+    one parsed expression) plus the distance-preservation audit: pairwise
+    cosine before vs after, blocked by id-residue so the pair count is
+    O(n²/B) per block, aggregated to per-block mean/max absolute error.
+    The projection is the cheap pre-pass that shrinks every downstream
+    pairwise/ANN shuffle by dim/k×; the audit is the QA gate — at corpus
+    scale it runs on a bounded md5-picked vector sample (this 500-vector
+    table is already sample-sized). The oracle re-derives the identical
+    sign matrix from DuckDB's md5."""
+    from open_ftth_relational_projector_spark.functions.similarity import (
+        dot,
+        jl_project,
+    )
+
+    emb = scattered(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    base = jl_project(emb, vec_col="v", out_col="pv", k=16, dim=64).select(
+        "vec_id",
+        (F.col("vec_id") % 25).alias("bucket"),
+        "v",
+        "pv",
+        F.expr("sqrt(aggregate(v, 0D, (a, x) -> a + x * x))").alias("n_orig"),
+        F.expr("sqrt(aggregate(pv, 0D, (a, x) -> a + x * x))").alias("n_proj"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    err = F.abs(
+        dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n_orig") * F.col("b.n_orig"))
+        - dot(F.col("a.pv"), F.col("b.pv"))
+        / (F.col("a.n_proj") * F.col("b.n_proj"))
+    )
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(F.col("a.bucket").alias("bucket"), err.alias("err"))
+    return pairs.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        _r4(F.avg("err")).alias("mean_abs_err"),
+        _r4(F.max("err")).alias("max_abs_err"),
+    )

@@ -535,3 +535,57 @@ def knn_label_propagation(
             (F.col("nb_label") == F.col("true_label")).alias("agrees"),
         )
     )
+
+
+# --- Johnson-Lindenstrauss sign random projection ---------------------------
+
+
+def jl_sign_matrix(k: int, dim: int, salt: str = "jl") -> list[list[float]]:
+    """Deterministic ±1 projection matrix from md5 — engine-portable.
+
+    Entry (j, i) is +1 when the first hex nibble of md5("{salt}#{j}#{i}")
+    is even, else −1 (Achlioptas 2003: ±1 entries satisfy the JL lemma with
+    the same distortion bound as Gaussian entries). hashlib/Spark/DuckDB
+    md5 agree on UTF-8 input, so a SQL oracle re-derives the identical
+    matrix — no RNG, no state to ship.
+    """
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{salt}#{j}#{i}".encode()).hexdigest()[0], 16) % 2
+            == 0
+            else -1.0
+            for i in range(dim)
+        ]
+        for j in range(k)
+    ]
+
+
+def jl_project(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "proj",
+    k: int = 16,
+    dim: int = 64,
+    salt: str = "jl",
+) -> DataFrame:
+    """Append a k-dim sign-random-projection of ``vec_col`` (÷ √k).
+
+    Map-only: the k×dim sign matrix embeds as literals inside ONE parsed
+    expression (a single py4j round trip, the simhash string-built
+    pattern), each output dim a zip_with·aggregate fold — whole-stage
+    codegen, zero Python, no shuffle. At 100 TB this is the cheap
+    pre-pass that shrinks every downstream pairwise/ANN shuffle by
+    dim/k×.
+    """
+    signs = jl_sign_matrix(k, dim, salt)
+    scale = float(k) ** 0.5
+    dims = ", ".join(
+        "aggregate(zip_with(cast(`%s` as array<double>), array(%s), "
+        "(x, s) -> x * s), 0D, (a, x) -> a + x) / %rD"
+        % (vec_col, ", ".join(f"{s}D" for s in row), scale)
+        for row in signs
+    )
+    return df.withColumn(out_col, F.expr(f"array({dims})"))

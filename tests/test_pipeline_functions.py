@@ -2969,3 +2969,114 @@ def test_duplicated_spans_semantics(spark):
     assert {d: r.asDict() for d, r in out.items()} == {
         d: r.asDict() for d, r in fp.items()
     }
+
+
+# --- r5 continuation: JL projection + rank-1 power iteration ----------------
+
+
+def test_jl_sign_matrix_matches_duckdb_md5_derivation():
+    """The Python (hashlib) sign derivation and the DuckDB oracle's md5
+    expression must produce the identical ±1 matrix — the cross-engine
+    contract jl_projection_audit stands on."""
+    import duckdb
+
+    from open_ftth_relational_projector_spark.functions.similarity import (
+        jl_sign_matrix,
+    )
+
+    signs = jl_sign_matrix(4, 8)
+    got = duckdb.sql(
+        """
+        SELECT j.j, i.i,
+               CASE WHEN ('0x' || substr(md5('jl#' || CAST(j.j AS VARCHAR)
+                          || '#' || CAST(i.i AS VARCHAR)), 1, 1))::BIGINT
+                    % 2 = 0 THEN 1.0 ELSE -1.0 END AS s
+        FROM (SELECT UNNEST(range(4)) AS j) j,
+             (SELECT UNNEST(range(8)) AS i) i
+        """
+    ).fetchall()
+    for j, i, s in got:
+        assert signs[j][i] == s, (j, i, signs[j][i], s)
+
+
+def test_jl_project_matches_numpy_and_preserves_cosine(spark):
+    import numpy as np
+
+    from open_ftth_relational_projector_spark.functions.similarity import (
+        jl_project,
+        jl_sign_matrix,
+    )
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(40, 64)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r.vec_id: np.array(r.proj)
+        for r in jl_project(df, k=16, dim=64).collect()
+    }
+    S = np.array(jl_sign_matrix(16, 64))
+    errs = []
+    for i in range(40):
+        want = (S @ vecs[i]) / 4.0
+        assert np.allclose(out[i], want, atol=1e-9)
+    # JL distance preservation: mean cosine error over pairs stays small
+    for i in range(0, 40, 5):
+        for j in range(i + 1, 40, 5):
+            co = vecs[i] @ vecs[j] / (
+                np.linalg.norm(vecs[i]) * np.linalg.norm(vecs[j])
+            )
+            cp = out[i] @ out[j] / (
+                np.linalg.norm(out[i]) * np.linalg.norm(out[j])
+            )
+            errs.append(abs(co - cp))
+    assert sum(errs) / len(errs) < 0.2, sum(errs) / len(errs)
+
+
+def test_power_iteration_factors_match_numpy_replay_and_svd(spark):
+    """Exact match (1e-9) against a numpy replay using the identical
+    per-half-iteration rounding, and directional convergence toward the
+    dominant singular pair (all values non-negative, so no sign fixups)."""
+    import numpy as np
+
+    from open_ftth_relational_projector_spark.functions.factorization import (
+        power_iteration_factors,
+    )
+
+    rng = np.random.RandomState(3)
+    rows = [
+        (int(c), int(p), float(w))
+        for c in range(12)
+        for p in range(9)
+        if (w := round(float(rng.randint(0, 6)), 1)) > 0
+    ]
+    df = spark.createDataFrame(rows, "row_id long, col_id long, rating double")
+    u_df, v_df = power_iteration_factors(df, iters=3)
+    u_got = {r.row_id: r.factor for r in u_df.collect()}
+    v_got = {r.col_id: r.factor for r in v_df.collect()}
+
+    row_ids = sorted({r for r, _, _ in rows})
+    col_ids = sorted({c for _, c, _ in rows})
+    A = np.zeros((len(row_ids), len(col_ids)))
+    for r, c, w in rows:
+        A[row_ids.index(r), col_ids.index(c)] = w
+    u = np.ones(len(row_ids))
+    for _ in range(3):
+        v = A.T @ u
+        v = np.round(v / np.linalg.norm(v), 10)
+        u = A @ v
+        u = np.round(u / np.linalg.norm(u), 10)
+    for i, rid in enumerate(row_ids):
+        assert abs(u_got[rid] - u[i]) < 1e-9, (rid, u_got[rid], u[i])
+    for i, cid in enumerate(col_ids):
+        assert abs(v_got[cid] - v[i]) < 1e-9, (cid, v_got[cid], v[i])
+
+    # after 3 iterations the column factor points near the dominant right
+    # singular vector (nonnegative matrix: Perron direction)
+    _, _, vt = np.linalg.svd(A)
+    v1 = np.abs(vt[0])
+    cos = float(v @ v1 / (np.linalg.norm(v) * np.linalg.norm(v1)))
+    assert cos > 0.99, cos
+    assert min(v_got.values()) >= 0.0 and min(u_got.values()) >= 0.0
