@@ -16,10 +16,11 @@ oracle hash-matches.
 Scale shape: each half-iteration is one join keyed on the ratings matrix's
 row (or column) key + one map-side-combined groupBy — both linear in
 nnz(R); the L2 norm is a scalar aggregate broadcast back (the q20
-scalar-agg + crossJoin(broadcast) pattern — NO ``OVER ()`` window). R is
-localCheckpoint'd once so the per-iteration plans stay flat; on a cluster,
-pre-partitioning/bucketing R by its join keys lets every iteration reuse
-one partitioning.
+scalar-agg + crossJoin(broadcast) pattern — NO ``OVER ()`` window). R and
+each half-step's factor vector are localCheckpoint'd so the per-iteration
+plans stay flat (see _half_step for why the plan would otherwise double
+per half-step); on a cluster, pre-partitioning/bucketing R by its join
+keys lets every iteration reuse one partitioning.
 
 Because R is non-negative and the row factor starts at all-ones, every
 intermediate value stays non-negative (Perron-Frobenius) — the usual SVD
@@ -79,6 +80,14 @@ def _half_step(
         .agg(F.sum(F.col("_w") * F.col("_f")).alias("_s"))
     )
     nrm = raw.agg(F.sqrt(F.sum(F.col("_s") * F.col("_s"))).alias("_n"))
-    return raw.crossJoin(F.broadcast(nrm)).select(
-        out_key, F.round(F.col("_s") / F.col("_n"), iter_dp).alias("_f")
+    # localCheckpoint per half-step: `raw` is referenced TWICE (norm branch
+    # + value branch), so without truncation the logical plan doubles every
+    # half-step — 2^(2·iters) copies of the first join by the end. The
+    # checkpoint keeps the plan flat (analyzer/optimizer cost linear in
+    # iters); the materialized state is one factor vector, linear in the
+    # matrix's row/col count — the standard iterative-DataFrame guard.
+    return (
+        raw.crossJoin(F.broadcast(nrm))
+        .select(out_key, F.round(F.col("_s") / F.col("_n"), iter_dp).alias("_f"))
+        .localCheckpoint(eager=True)
     )
