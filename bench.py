@@ -115,6 +115,7 @@ EXTRA_QUERIES = [
     # rank-1 latent factors
     "jl_projection_audit",
     "latent_part_affinity",
+    "latent_rank2_affinity",
 ]
 
 

@@ -569,24 +569,24 @@ def _pif_iter_sql(i: int) -> str:
     row half-step, each L2-normalized and ROUNDED to 10 dp (the
     functions/factorization determinism contract)."""
     return f"""
-    v{i}r AS (SELECT p, SUM(r.w * u{i - 1}.f) AS s
+    v{i}r AS MATERIALIZED (SELECT p, SUM(r.w * u{i - 1}.f) AS s
               FROM r JOIN u{i - 1} USING (c) GROUP BY p),
-    v{i} AS (SELECT p, ROUND(s / (SELECT SQRT(SUM(s * s)) FROM v{i}r), 10) AS f
+    v{i} AS MATERIALIZED (SELECT p, ROUND(s / (SELECT SQRT(SUM(s * s)) FROM v{i}r), 10) AS f
              FROM v{i}r),
-    u{i}r AS (SELECT c, SUM(r.w * v{i}.f) AS s
+    u{i}r AS MATERIALIZED (SELECT c, SUM(r.w * v{i}.f) AS s
               FROM r JOIN v{i} USING (p) GROUP BY c),
-    u{i} AS (SELECT c, ROUND(s / (SELECT SQRT(SUM(s * s)) FROM u{i}r), 10) AS f
+    u{i} AS MATERIALIZED (SELECT c, ROUND(s / (SELECT SQRT(SUM(s * s)) FROM u{i}r), 10) AS f
              FROM u{i}r)"""
 
 
 _LATENT_SQL = (
     """
-    WITH r AS (
+    WITH r AS MATERIALIZED (
       SELECT o_custkey AS c, l_partkey AS p,
              CAST(SUM(l_quantity) AS DOUBLE) AS w
       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       GROUP BY 1, 2),
-    u0 AS (SELECT DISTINCT c, 1.0 AS f FROM r),"""
+    u0 AS MATERIALIZED (SELECT DISTINCT c, 1.0 AS f FROM r),"""
     + ",".join(_pif_iter_sql(i) for i in (1, 2, 3))
     + """
     SELECT 'part' AS entity, p AS entity_id, ROUND(f, 6) AS affinity FROM v3
@@ -725,4 +725,101 @@ def jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_pairs"),
         _r4(F.avg("err")).alias("mean_abs_err"),
         _r4(F.max("err")).alias("max_abs_err"),
+    )
+
+
+def _pif2_iter_sql(i: int) -> str:
+    """One DEFLATED alternating round in SQL: the rank-1 correction is
+    applied as −σ₁·factor₁·(overlap scalar) per side — R₂ never
+    materializes, mirroring functions/factorization._deflated_half_step."""
+    return f"""
+    x{i}r AS MATERIALIZED (
+      SELECT v3.p,
+             COALESCE(b.s0, 0)
+               - (SELECT s1 FROM sigma) * v3.f
+                 * (SELECT SUM(y{i - 1}.f * u3.f)
+                    FROM y{i - 1} JOIN u3 USING (c)) AS s
+      FROM v3 LEFT JOIN (
+        SELECT p, SUM(r.w * y{i - 1}.f) AS s0
+        FROM r JOIN y{i - 1} USING (c) GROUP BY p) b USING (p)),
+    x{i} AS MATERIALIZED (SELECT p, ROUND(s / (SELECT SQRT(SUM(s * s)) FROM x{i}r), 10) AS f
+             FROM x{i}r),
+    y{i}r AS MATERIALIZED (
+      SELECT u3.c,
+             COALESCE(b.s0, 0)
+               - (SELECT s1 FROM sigma) * u3.f
+                 * (SELECT SUM(x{i}.f * v3.f)
+                    FROM x{i} JOIN v3 USING (p)) AS s
+      FROM u3 LEFT JOIN (
+        SELECT c, SUM(r.w * x{i}.f) AS s0
+        FROM r JOIN x{i} USING (p) GROUP BY c) b USING (c)),
+    y{i} AS MATERIALIZED (SELECT c, ROUND(s / (SELECT SQRT(SUM(s * s)) FROM y{i}r), 10) AS f
+             FROM y{i}r)"""
+
+
+_LATENT2_SQL = (
+    """
+    WITH r AS MATERIALIZED (
+      SELECT o_custkey AS c, l_partkey AS p,
+             CAST(SUM(l_quantity) AS DOUBLE) AS w
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY 1, 2),
+    u0 AS MATERIALIZED (SELECT DISTINCT c, 1.0 AS f FROM r),"""
+    + ",".join(_pif_iter_sql(i) for i in (1, 2, 3))
+    + """,
+    sigma AS MATERIALIZED (SELECT SUM(r.w * u3.f * v3.f) AS s1
+              FROM r JOIN u3 USING (c) JOIN v3 USING (p)),
+    y0 AS MATERIALIZED (SELECT DISTINCT c, 1.0 AS f FROM r),"""
+    + ",".join(_pif2_iter_sql(i) for i in (1, 2, 3))
+    + """
+    SELECT 'part' AS entity, p AS entity_id, 1 AS component,
+           ROUND(f, 6) AS affinity FROM v3
+    UNION ALL
+    SELECT 'part', p, 2, ROUND(f, 6) FROM x3
+    UNION ALL
+    SELECT 'customer', c, 1, ROUND(f, 6) FROM u3
+    UNION ALL
+    SELECT 'customer', c, 2, ROUND(f, 6) FROM y3
+    """
+)
+
+
+@_q("latent_rank2_affinity", _LATENT2_SQL)
+def latent_rank2_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First TWO singular components of the customer×part quantity matrix
+    (functions/factorization.power_iteration_rank2): component 1 by
+    alternating power iteration, component 2 by IMPLICIT deflation —
+    R₂ = R − σ₁u₁v₁ᵀ is dense and never materialized; every half-step
+    applies the correction as −σ₁·factor₁·(overlap scalar), one broadcast
+    scalar + one keyed join, keeping deflation linear in nnz(R) at any
+    scale. Same 10-dp per-half-iteration rounding contract; the oracle
+    unrolls both components' iterations in SQL."""
+    from open_ftth_relational_projector_spark.functions.factorization import (
+        power_iteration_rank2,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    ratings = (
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .groupBy(
+            F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p")
+        )
+        .agg(F.sum("l_quantity").alias("w"))
+    )
+    u, v = power_iteration_rank2(
+        ratings, row_col="c", col_col="p", value_col="w", iters=3
+    )
+    return v.select(
+        F.lit("part").alias("entity"),
+        F.col("p").alias("entity_id"),
+        "component",
+        F.round("factor", 6).alias("affinity"),
+    ).unionByName(
+        u.select(
+            F.lit("customer").alias("entity"),
+            F.col("c").alias("entity_id"),
+            "component",
+            F.round("factor", 6).alias("affinity"),
+        )
     )

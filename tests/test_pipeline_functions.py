@@ -3080,3 +3080,54 @@ def test_power_iteration_factors_match_numpy_replay_and_svd(spark):
     cos = float(v @ v1 / (np.linalg.norm(v) * np.linalg.norm(v1)))
     assert cos > 0.99, cos
     assert min(v_got.values()) >= 0.0 and min(u_got.values()) >= 0.0
+
+
+def test_power_iteration_rank2_deflation_matches_replay_and_svd(spark):
+    """Component 2 must match an exact numpy replay of the implicit
+    deflation (same per-half-step rounding), align with numpy SVD's second
+    singular direction on a planted spectral-gap matrix, and be
+    near-orthogonal to component 1."""
+    import numpy as np
+
+    from open_ftth_relational_projector_spark.functions.factorization import (
+        power_iteration_rank2,
+    )
+
+    rng = np.random.RandomState(5)
+    a, b = np.abs(rng.randn(12)), np.abs(rng.randn(9))
+    c, d = rng.randn(12), rng.randn(9)
+    A = 10 * np.outer(a / np.linalg.norm(a), b / np.linalg.norm(b)) + 3 * np.outer(
+        c / np.linalg.norm(c), d / np.linalg.norm(d)
+    )
+    A = np.round(np.abs(A), 2)
+    rows = [
+        (i, j, float(A[i, j])) for i in range(12) for j in range(9) if A[i, j] > 0
+    ]
+    df = spark.createDataFrame(rows, "row_id long, col_id long, rating double")
+    uf, vf = power_iteration_rank2(df, iters=3)
+    u_got = {(r.component, r.row_id): r.factor for r in uf.collect()}
+    v_got = {(r.component, r.col_id): r.factor for r in vf.collect()}
+
+    u = np.ones(12)
+    for _ in range(3):
+        v = A.T @ u
+        v = np.round(v / np.linalg.norm(v), 10)
+        u = A @ v
+        u = np.round(u / np.linalg.norm(u), 10)
+    s1 = float(u @ A @ v)
+    y = np.ones(12)
+    for _ in range(3):
+        x = A.T @ y - s1 * v * (u @ y)
+        x = np.round(x / np.linalg.norm(x), 10)
+        y = A @ x - s1 * u * (v @ x)
+        y = np.round(y / np.linalg.norm(y), 10)
+    for i in range(12):
+        assert abs(u_got[(1, i)] - u[i]) < 1e-9
+        assert abs(u_got[(2, i)] - y[i]) < 1e-9
+    for j in range(9):
+        assert abs(v_got[(1, j)] - v[j]) < 1e-9
+        assert abs(v_got[(2, j)] - x[j]) < 1e-9
+
+    _, _, vt = np.linalg.svd(A)
+    assert abs(x @ vt[1]) / np.linalg.norm(x) > 0.99
+    assert abs(float(x @ v)) < 1e-6  # deflation orthogonality
