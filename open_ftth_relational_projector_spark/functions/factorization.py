@@ -136,6 +136,10 @@ def power_iteration_rank2(
         r.join(u1.select("_r", F.col("_f").alias("_g")), "_r")
         .join(v1.select("_c", F.col("_f").alias("_h")), "_c")
         .agg(F.sum(F.col("_w") * F.col("_g") * F.col("_h")).alias("_s1"))
+        # computed once: every deflated half-step broadcasts this scalar,
+        # and without the checkpoint each of the 2·iters steps would
+        # re-evaluate the three-way join-aggregate over R
+        .localCheckpoint(eager=True)
     )
     y = r.select("_r").distinct().withColumn("_f", F.lit(1.0))
     x = None
