@@ -116,6 +116,8 @@ EXTRA_QUERIES = [
     "jl_projection_audit",
     "latent_part_affinity",
     "latent_rank2_affinity",
+    "ols_price_model",
+    "ols_residual_by_nation",
 ]
 
 

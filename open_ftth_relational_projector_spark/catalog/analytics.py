@@ -1041,3 +1041,164 @@ def ivfpq_knn_adc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# --- r5 continuation: closed-form distributed OLS ---------------------------
+
+# the oracle splices the SAME solve text as the Spark path (imported
+# constants), so the IEEE operation order over the exact decimal moments is
+# identical by construction — betas match bit-for-bit before rounding
+from open_ftth_relational_projector_spark.functions.regression import (  # noqa: E402
+    OLS2_B0,
+    OLS2_B1,
+    OLS2_B2,
+    OLS2_SSE,
+    OLS2_SST,
+)
+
+_OLS_MOMENTS_SQL = """
+    m AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(x1) AS DOUBLE) AS s1,
+             CAST(SUM(x2) AS DOUBLE) AS s2,
+             CAST(SUM(y)  AS DOUBLE) AS sy,
+             CAST(SUM(x1 * x1) AS DOUBLE) AS s11,
+             CAST(SUM(x1 * x2) AS DOUBLE) AS s12,
+             CAST(SUM(x2 * x2) AS DOUBLE) AS s22,
+             CAST(SUM(x1 * y) AS DOUBLE) AS s1y,
+             CAST(SUM(x2 * y) AS DOUBLE) AS s2y,
+             CAST(SUM(y * y) AS DOUBLE) AS syy
+      FROM feat),
+    beta AS (
+      SELECT *, {b0} AS b0, {b1} AS b1, {b2} AS b2 FROM m),
+    fit AS (
+      SELECT n, b0, b1, b2, {sse} AS sse, {sst} AS sst FROM beta)
+"""
+
+_OLS_FEAT_SQL = """
+    feat AS (
+      SELECT CAST(l_quantity AS DECIMAL(19,4)) AS x1,
+             CAST(p_retailprice AS DECIMAL(19,4)) AS x2,
+             CAST(l_extendedprice AS DECIMAL(19,4)) AS y,
+             l_suppkey
+      FROM lineitem JOIN part ON l_partkey = p_partkey)
+"""
+# DECIMAL(19,4), not (18,4): DuckDB multiplies width-≤18 decimals in int64
+# and range-errors on y*y (~1e18 at the 1e4 scale); width 19 forces the
+# hugeint path → DECIMAL(38,8), still exact. Spark stays at (18,4)
+# (products are decimal(37,8), exact) — both engines sum the identical
+# exact values.
+
+_OLS_MODEL_SQL = (
+    "WITH" + _OLS_FEAT_SQL + "," + _OLS_MOMENTS_SQL.format(
+        b0=OLS2_B0, b1=OLS2_B1, b2=OLS2_B2, sse=OLS2_SSE, sst=OLS2_SST
+    )
+    + """
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           ROUND(b0, 6) AS beta0, ROUND(b1, 6) AS beta1,
+           ROUND(b2, 6) AS beta2,
+           ROUND(1 - sse / sst, 6) AS r2,
+           ROUND(SQRT(sse / n), 4) AS rmse
+    FROM fit
+    """
+)
+
+
+@_q("ols_price_model", _OLS_MODEL_SQL)
+def ols_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form OLS (functions/regression.ols2_fit): price ~ quantity +
+    retailprice over lineitem⋈part. ONE distributed aggregation pass
+    builds the exact-decimal moment matrix (order-independent sums → no
+    cross-engine float drift), the 3×3 normal-equation solve is a literal
+    expression over that one row, and R²/RMSE derive from the SAME
+    moments — train + evaluate on any corpus size in one pass with O(d²)
+    shuffle state. The oracle splices the identical solve text."""
+    from open_ftth_relational_projector_spark.functions.regression import (
+        ols2_fit,
+    )
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    feat = lineitem.join(
+        part, lineitem["l_partkey"] == part["p_partkey"]
+    ).select(
+        F.col("l_quantity").alias("x1"),
+        F.col("p_retailprice").alias("x2"),
+        F.col("l_extendedprice").alias("y"),
+    )
+    fit = ols2_fit(feat, "x1", "x2", "y")
+    return fit.select(
+        F.col("n").cast("long").alias("n_rows"),
+        F.round("b0", 6).alias("beta0"),
+        F.round("b1", 6).alias("beta1"),
+        F.round("b2", 6).alias("beta2"),
+        F.round(F.lit(1.0) - F.col("sse") / F.col("sst"), 6).alias("r2"),
+        F.round(F.sqrt(F.col("sse") / F.col("n")), 4).alias("rmse"),
+    )
+
+
+_OLS_RESID_SQL = (
+    "WITH" + _OLS_FEAT_SQL + "," + _OLS_MOMENTS_SQL.format(
+        b0=OLS2_B0, b1=OLS2_B1, b2=OLS2_B2, sse=OLS2_SSE, sst=OLS2_SST
+    )
+    + """
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(AVG(CAST(f.y AS DOUBLE)
+                     - (fit.b0 + fit.b1 * CAST(f.x1 AS DOUBLE)
+                               + fit.b2 * CAST(f.x2 AS DOUBLE))), 4)
+             AS mean_resid,
+           ROUND(SQRT(AVG(POW(CAST(f.y AS DOUBLE)
+                     - (fit.b0 + fit.b1 * CAST(f.x1 AS DOUBLE)
+                               + fit.b2 * CAST(f.x2 AS DOUBLE)), 2))), 4)
+             AS rmse_resid
+    FROM feat f CROSS JOIN fit
+    JOIN supplier ON f.l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """
+)
+
+
+@_q("ols_residual_by_nation", _OLS_RESID_SQL)
+def ols_residual_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-debug residual rollup: the one-row OLS fit broadcast onto a
+    map-only scoring pass (functions/regression.ols2_residuals — no
+    shuffle of the fact side beyond the nation rollup), residual
+    mean/RMSE per supplier nation — the per-slice bias screen run after
+    any closed-form fit. Nation/supplier dims broadcast."""
+    from open_ftth_relational_projector_spark.functions.regression import (
+        ols2_fit,
+        ols2_residuals,
+    )
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    feat = lineitem.join(
+        part, lineitem["l_partkey"] == part["p_partkey"]
+    ).select(
+        F.col("l_quantity").alias("x1"),
+        F.col("p_retailprice").alias("x2"),
+        F.col("l_extendedprice").alias("y"),
+        "l_suppkey",
+    )
+    fit = ols2_fit(feat, "x1", "x2", "y")
+    scored = ols2_residuals(feat, "x1", "x2", "y", fit)
+    return (
+        scored.join(
+            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            scored["l_suppkey"] == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            _r4(F.avg("_resid")).alias("mean_resid"),
+            _r4(F.sqrt(F.avg(F.pow(F.col("_resid"), 2)))).alias("rmse_resid"),
+        )
+    )

@@ -1,0 +1,114 @@
+"""Closed-form distributed OLS: normal equations in one aggregation pass.
+
+The canonical one-pass scalable-ML pattern: a d-feature linear model needs
+only the moment sums XᵀX (d(d+1)/2 values) and Xᵀy (d values) — one
+map-side-combined aggregation over any corpus size, O(d²) state, then a
+tiny closed-form solve. Fit statistics come from the same moments
+(SSE = Syy − 2βᵀSxy + βᵀSxxβ), so training AND evaluation cost exactly ONE
+distributed pass; scoring/residuals are a second map-only pass with the
+betas broadcast. At 100 TB nothing about this changes: the shuffle carries
+O(d²) numbers per partition, full stop.
+
+Determinism contract: inputs are cast to DECIMAL before multiplication, so
+every moment is an EXACT decimal sum — order-independent, hence identical
+between Spark partial aggregation and a single-threaded SQL engine (no
+per-iteration rounding needed, unlike the float-sum iterative operators).
+The 3×3 solve is then a literal expression over the exact moments,
+evaluated in double precision in the same textual operation order on both
+engines — IEEE arithmetic is deterministic given identical inputs and
+order, so betas agree bit-for-bit before any output rounding (the oracle
+splices the formulas from OLS2_* below, so the two texts cannot drift).
+
+Implements the d=2 (two features + intercept) solve explicitly — the
+adjugate of the symmetric 3×3 moment matrix. Larger d follows the same
+shape with the solve done driver-side on the collected O(d²) moments.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# exact decimal type for the inputs: money/quantity-scaled driver columns
+# are ≤ 2 dp so (18,4) is lossless; products carry ≤ 8 dp and sums widen
+# to 38 digits in both engines without overflow at any realistic corpus
+_DEC = "decimal(18,4)"
+
+# the shared solve text — adjugate/determinant of the symmetric 3×3 moment
+# matrix A = [[n,s1,s2],[s1,s11,s12],[s2,s12,s22]], rhs b = [sy,s1y,s2y];
+# engine-neutral SQL spliced verbatim into BOTH the Spark selectExpr and
+# the DuckDB oracle so the IEEE operation order is identical by
+# construction
+OLS2_DET = (
+    "(n * (s11 * s22 - s12 * s12)"
+    " - s1 * (s1 * s22 - s12 * s2)"
+    " + s2 * (s1 * s12 - s11 * s2))"
+)
+OLS2_B0 = (
+    "(( sy * (s11 * s22 - s12 * s12)"
+    " - s1y * (s1 * s22 - s12 * s2)"
+    f" + s2y * (s1 * s12 - s11 * s2)) / {OLS2_DET})"
+)
+OLS2_B1 = (
+    "(( sy * (s12 * s2 - s1 * s22)"
+    " + s1y * (n * s22 - s2 * s2)"
+    f" + s2y * (s1 * s2 - n * s12)) / {OLS2_DET})"
+)
+OLS2_B2 = (
+    "(( sy * (s1 * s12 - s11 * s2)"
+    " + s1y * (s2 * s1 - n * s12)"
+    f" + s2y * (n * s11 - s1 * s1)) / {OLS2_DET})"
+)
+OLS2_SSE = (
+    "(syy - 2 * (b0 * sy + b1 * s1y + b2 * s2y)"
+    " + (b0 * (b0 * n + b1 * s1 + b2 * s2)"
+    "  + b1 * (b0 * s1 + b1 * s11 + b2 * s12)"
+    "  + b2 * (b0 * s2 + b1 * s12 + b2 * s22)))"
+)
+OLS2_SST = "(syy - sy * sy / n)"
+
+
+def ols2_moments(df: DataFrame, x1: str, x2: str, y: str) -> DataFrame:
+    """ONE distributed pass → a single row of exact-decimal moment sums
+    (cast to double after the exact aggregation)."""
+    c1, c2, cy = (F.col(c).cast(_DEC) for c in (x1, x2, y))
+    return df.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(c1).cast("double").alias("s1"),
+        F.sum(c2).cast("double").alias("s2"),
+        F.sum(cy).cast("double").alias("sy"),
+        F.sum(c1 * c1).cast("double").alias("s11"),
+        F.sum(c1 * c2).cast("double").alias("s12"),
+        F.sum(c2 * c2).cast("double").alias("s22"),
+        F.sum(c1 * cy).cast("double").alias("s1y"),
+        F.sum(c2 * cy).cast("double").alias("s2y"),
+        F.sum(cy * cy).cast("double").alias("syy"),
+    )
+
+
+def ols2_fit(df: DataFrame, x1: str, x2: str, y: str) -> DataFrame:
+    """Fit y ~ b0 + b1·x1 + b2·x2; returns ONE row
+    (n, b0, b1, b2, sse, sst) — exact-decimal moments, literal solve."""
+    m = ols2_moments(df, x1, x2, y)
+    return m.selectExpr(
+        "*", f"{OLS2_B0} as b0", f"{OLS2_B1} as b1", f"{OLS2_B2} as b2"
+    ).selectExpr(
+        "n", "b0", "b1", "b2",
+        f"{OLS2_SSE} as sse",
+        f"{OLS2_SST} as sst",
+    )
+
+
+def ols2_residuals(
+    df: DataFrame, x1: str, x2: str, y: str, fit: DataFrame
+) -> DataFrame:
+    """Map-only scoring pass: appends prediction + residual columns with
+    the one-row fit broadcast (no shuffle of df)."""
+    b = F.broadcast(fit.select("b0", "b1", "b2"))
+    return (
+        df.crossJoin(b)
+        .withColumn(
+            "_pred",
+            F.col("b0") + F.col("b1") * F.col(x1) + F.col("b2") * F.col(x2),
+        )
+        .withColumn("_resid", F.col(y) - F.col("_pred"))
+    )

@@ -3131,3 +3131,42 @@ def test_power_iteration_rank2_deflation_matches_replay_and_svd(spark):
     _, _, vt = np.linalg.svd(A)
     assert abs(x @ vt[1]) / np.linalg.norm(x) > 0.99
     assert abs(float(x @ v)) < 1e-6  # deflation orthogonality
+
+
+def test_ols2_fit_matches_numpy_lstsq(spark):
+    """One-pass normal-equation fit must match numpy's lstsq solution and
+    its R²/SSE on data with 2-dp values (the exact-decimal moment regime)."""
+    import numpy as np
+
+    from open_ftth_relational_projector_spark.functions.regression import (
+        ols2_fit,
+        ols2_residuals,
+    )
+
+    rng = np.random.RandomState(11)
+    x1 = np.round(rng.uniform(1, 50, 300), 2)
+    x2 = np.round(rng.uniform(900, 2000, 300), 2)
+    y = np.round(3.5 * x1 + 0.25 * x2 - 40 + rng.randn(300) * 5, 2)
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(c)) for a, b, c in zip(x1, x2, y)],
+        "x1 double, x2 double, y double",
+    )
+    fit = ols2_fit(df, "x1", "x2", "y").collect()[0]
+    X = np.column_stack([np.ones(300), x1, x2])
+    beta, _, _, _ = np.linalg.lstsq(X, y, rcond=None)
+    assert abs(fit.b0 - beta[0]) < 1e-6, (fit.b0, beta[0])
+    assert abs(fit.b1 - beta[1]) < 1e-6
+    assert abs(fit.b2 - beta[2]) < 1e-6
+    sse = float(((X @ beta - y) ** 2).sum())
+    sst = float(((y - y.mean()) ** 2).sum())
+    assert abs(fit.sse - sse) < 1e-4 * max(sse, 1.0)
+    assert abs(fit.sst - sst) < 1e-4 * max(sst, 1.0)
+    assert fit.n == 300.0
+
+    scored = ols2_residuals(
+        df, "x1", "x2", "y", ols2_fit(df, "x1", "x2", "y")
+    ).collect()
+    for r in scored[:20]:
+        want = beta[0] + beta[1] * r.x1 + beta[2] * r.x2
+        assert abs(r._pred - want) < 1e-5
+        assert abs(r._resid - (r.y - want)) < 1e-5
