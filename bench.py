@@ -118,6 +118,7 @@ EXTRA_QUERIES = [
     "latent_rank2_affinity",
     "ols_price_model",
     "ols_residual_by_nation",
+    "nb_lang_confusion",
 ]
 
 

@@ -1202,3 +1202,75 @@ def ols_residual_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             _r4(F.sqrt(F.avg(F.pow(F.col("_resid"), 2)))).alias("rmse_resid"),
         )
     )
+
+
+_NB_SQL = """
+    WITH d AS MATERIALIZED (
+      SELECT doc_id, lang, text,
+             substr(md5(CAST(doc_id AS VARCHAR) || 'nb'), 1, 8)
+               < 'b3333333' AS is_train
+      FROM documents),
+    tok AS (SELECT doc_id, lang, is_train,
+                   UNNEST(string_split(text, ' ')) AS term FROM d),
+    tokf AS MATERIALIZED (SELECT * FROM tok WHERE term <> ''),
+    cls AS MATERIALIZED (
+      SELECT lang AS cls, COUNT(*) AS tok_c
+      FROM tokf WHERE is_train GROUP BY 1),
+    nc AS (SELECT lang AS cls, COUNT(*) AS n_c FROM d WHERE is_train
+           GROUP BY 1),
+    voc AS (SELECT COUNT(DISTINCT term) AS v FROM tokf WHERE is_train),
+    nt AS (SELECT COUNT(*) AS n FROM d WHERE is_train),
+    classes AS MATERIALIZED (
+      SELECT c.cls,
+             CAST(ROUND(LN(1.0 / (c.tok_c + voc.v)), 6)
+                  AS DECIMAL(18,6)) AS dflt,
+             CAST(ROUND(LN(CAST(nc.n_c AS DOUBLE) / CAST(nt.n AS DOUBLE)), 6)
+                  AS DECIMAL(18,6)) AS prior
+      FROM cls c JOIN nc USING (cls) CROSS JOIN voc CROSS JOIN nt),
+    cond AS MATERIALIZED (
+      SELECT t.lang AS cls, t.term,
+             CAST(ROUND(LN((COUNT(*) + 1.0) / (c.tok_c + voc.v)), 6)
+                  AS DECIMAL(18,6)) AS ll
+      FROM tokf t JOIN cls c ON c.cls = t.lang CROSS JOIN voc
+      WHERE t.is_train GROUP BY t.lang, t.term, c.tok_c, voc.v),
+    ts AS MATERIALIZED (
+      SELECT t.doc_id, cl.cls, SUM(COALESCE(cond.ll, cl.dflt)) AS s
+      FROM tokf t CROSS JOIN classes cl
+      LEFT JOIN cond ON cond.cls = cl.cls AND cond.term = t.term
+      WHERE NOT t.is_train
+      GROUP BY 1, 2),
+    sc AS MATERIALIZED (
+      SELECT b.doc_id, b.lang AS true_label, cl.cls,
+             cl.prior + COALESCE(ts.s, CAST(0 AS DECIMAL(18,6))) AS score
+      FROM d b CROSS JOIN classes cl
+      LEFT JOIN ts ON ts.doc_id = b.doc_id AND ts.cls = cl.cls
+      WHERE NOT b.is_train),
+    mx AS (SELECT doc_id, MAX(score) AS m FROM sc GROUP BY 1),
+    pred AS (
+      SELECT sc.doc_id, MAX(sc.true_label) AS true_label,
+             MAX(sc.cls) AS pred_label
+      FROM sc JOIN mx ON sc.doc_id = mx.doc_id AND sc.score = mx.m
+      GROUP BY 1)
+    SELECT true_label, pred_label, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pred GROUP BY 1, 2
+    """
+
+
+@_q("nb_lang_confusion", _NB_SQL)
+def nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier with Laplace smoothing
+    (functions/text.naive_bayes_confusion) — the fastText-shaped
+    provenance/quality classifier of a curation pipeline: trained on an
+    md5-deterministic ~70% split in ONE token-aggregation pass (the model
+    is the vocab×classes log-likelihood table, broadcast), evaluated as a
+    confusion matrix over the held-out 30%. Per-token log-likelihoods are
+    rounded then summed as EXACT decimals, so scores and argmax
+    tie-breaks are engine-identical; the oracle replays the identical
+    split, smoothing, and tie rule."""
+    from open_ftth_relational_projector_spark.functions.text import (
+        naive_bayes_confusion,
+    )
+
+    return naive_bayes_confusion(
+        scattered(load_table(spark, sf_dir, "documents"))
+    )

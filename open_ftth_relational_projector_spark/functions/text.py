@@ -430,3 +430,131 @@ def bpe_tokenize_counts(
             F.sum("n_tok").alias("n_bpe_tokens"),
         )
     )
+
+
+# --- Naive Bayes text classifier (one aggregation pass to train) ------------
+
+
+def naive_bayes_confusion(
+    docs: DataFrame,
+    text_col: str = "text",
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+    train_hex: str = "b3333333",
+    salt: str = "nb",
+    ll_dp: int = 6,
+) -> DataFrame:
+    """Multinomial Naive Bayes with Laplace smoothing — the fastText-shaped
+    quality/provenance classifier of a training-data pipeline — trained on
+    an md5-deterministic ~70% split and evaluated as a confusion matrix
+    ``(true_label, pred_label, n_docs)`` over the held-out rest.
+
+    Scale/determinism shape:
+    - TRAINING is one token aggregation pass: per-(class, term) counts +
+      per-class totals; the model is the (vocab × classes) log-likelihood
+      table — broadcast here (bounded vocab, the fastText hashing regime);
+      at an unbounded vocab the scoring join shuffles on term instead.
+    - Per-token log-likelihoods are ROUNDED to ``ll_dp`` and cast to
+      DECIMAL, so every per-document score is an EXACT decimal sum —
+      order-independent, engine-portable, and argmax ties resolve
+      identically everywhere (max label among exact-equal scores). The
+      only float op is the ln() itself, rounded immediately (the
+      bigram-LM precedent).
+    - The two driver-side values are bounded scalars (vocab size, train
+      doc count) — the pagerank N pattern.
+    """
+    is_train = (
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 8
+        )
+        < train_hex
+    )
+    base = docs.select(
+        F.col(id_col).alias("_id"),
+        F.col(label_col).alias("_lbl"),
+        F.col(text_col).alias("_txt"),
+        is_train.alias("_train"),
+    )
+    tok = base.select(
+        "_id", "_lbl", "_train", F.explode(F.split("_txt", " ")).alias("_term")
+    ).filter(F.col("_term") != "")
+    train_tok = tok.filter("_train").localCheckpoint(eager=True)
+    vocab_v = train_tok.select("_term").distinct().count()
+    n_train = base.filter("_train").count()
+
+    cls = train_tok.groupBy(F.col("_lbl").alias("_cls")).agg(
+        F.count(F.lit(1)).alias("_tok_c")
+    )
+    n_docs_c = (
+        base.filter("_train")
+        .groupBy(F.col("_lbl").alias("_cls"))
+        .agg(F.count(F.lit(1)).alias("_n_c"))
+    )
+    dec = f"decimal(18,{ll_dp})"
+    classes = (
+        cls.join(n_docs_c, "_cls")
+        .select(
+            "_cls",
+            F.round(
+                F.log(F.lit(1.0) / (F.col("_tok_c") + F.lit(vocab_v))), ll_dp
+            ).cast(dec).alias("_dflt"),
+            F.round(
+                F.log(F.col("_n_c").cast("double") / F.lit(float(n_train))),
+                ll_dp,
+            ).cast(dec).alias("_prior"),
+        )
+    )
+    cond = (
+        train_tok.groupBy(F.col("_lbl").alias("_cls"), "_term")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .join(cls, "_cls")
+        .select(
+            "_cls",
+            "_term",
+            F.round(
+                F.log(
+                    (F.col("_cnt") + F.lit(1.0))
+                    / (F.col("_tok_c") + F.lit(vocab_v))
+                ),
+                ll_dp,
+            ).cast(dec).alias("_ll"),
+        )
+    )
+    # per-(test doc, class) exact-decimal token score; docs whose text
+    # yields zero tokens still score (priors only) via the left join below
+    tok_scores = (
+        tok.filter(~F.col("_train"))
+        .crossJoin(F.broadcast(classes.select("_cls", "_dflt")))
+        .join(F.broadcast(cond), ["_cls", "_term"], "left")
+        .groupBy("_id", "_lbl", "_cls")
+        .agg(F.sum(F.coalesce(F.col("_ll"), F.col("_dflt"))).alias("_s"))
+    )
+    scored = (
+        base.filter(~F.col("_train"))
+        .select("_id", "_lbl")
+        .crossJoin(F.broadcast(classes.select("_cls", "_prior")))
+        .join(tok_scores, ["_id", "_lbl", "_cls"], "left")
+        .select(
+            "_id",
+            "_lbl",
+            "_cls",
+            (
+                F.col("_prior")
+                + F.coalesce(F.col("_s"), F.lit(0).cast(dec))
+            ).alias("_score"),
+        )
+    )
+    # argmax with deterministic tie-break: scores are EXACT decimals, so
+    # max(struct(score, label)) = "largest label among the exactly-tied
+    # max scores" — the same rule the SQL oracle applies
+    pred = scored.groupBy("_id", "_lbl").agg(
+        F.max(F.struct("_score", "_cls")).alias("_m")
+    )
+    return (
+        pred.select(
+            F.col("_lbl").alias("true_label"),
+            F.col("_m._cls").alias("pred_label"),
+        )
+        .groupBy("true_label", "pred_label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )

@@ -3170,3 +3170,72 @@ def test_ols2_fit_matches_numpy_lstsq(spark):
         want = beta[0] + beta[1] * r.x1 + beta[2] * r.x2
         assert abs(r._pred - want) < 1e-5
         assert abs(r._resid - (r.y - want)) < 1e-5
+
+
+def test_naive_bayes_confusion_matches_pure_python_replay(spark):
+    """Confusion matrix must equal a literal single-threaded replay of the
+    md5 split, Laplace smoothing, 6-dp rounding, exact-decimal scoring,
+    and max-label tie-break — and be diagonal-dominant on separable data."""
+    import hashlib
+    import math
+    from collections import Counter
+    from decimal import Decimal
+
+    from open_ftth_relational_projector_spark.functions.text import (
+        naive_bayes_confusion,
+    )
+
+    vocab = {"aa": ["red", "ruby", "rose"], "bb": ["blue", "cyan", "navy"]}
+    rows = []
+    for i in range(80):
+        lbl = "aa" if i % 2 == 0 else "bb"
+        words = [vocab[lbl][(i + k) % 3] for k in range(6)]
+        if i % 10 == 0:
+            words.append(vocab["bb" if lbl == "aa" else "aa"][0])
+        rows.append((i, " ".join(words), lbl))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        (r.true_label, r.pred_label): r.n_docs
+        for r in naive_bayes_confusion(df).collect()
+    }
+
+    def is_train(doc_id):
+        h = hashlib.md5(f"{doc_id}nb".encode()).hexdigest()[:8]
+        return h < "b3333333"
+
+    train = [(i, t.split(" "), l) for i, t, l in rows if is_train(i)]
+    test = [(i, t.split(" "), l) for i, t, l in rows if not is_train(i)]
+    labels = sorted({l for _, _, l in train})
+    tok_c = Counter()
+    cnt = Counter()
+    for _, ws, l in train:
+        for w in ws:
+            if w:
+                tok_c[l] += 1
+                cnt[(l, w)] += 1
+    v = len({w for _, ws, _ in train for w in ws if w})
+    n_train = len(train)
+    n_c = Counter(l for _, _, l in train)
+    q = Decimal("0.000001")
+
+    def r6(x):
+        return Decimal(repr(round(x, 6))).quantize(q)
+
+    want = Counter()
+    for _, ws, true in test:
+        best = None
+        for l in labels:
+            s = r6(math.log(n_c[l] / float(n_train)))
+            for w in ws:
+                if not w:
+                    continue
+                if (l, w) in cnt:
+                    s += r6(math.log((cnt[(l, w)] + 1.0) / (tok_c[l] + v)))
+                else:
+                    s += r6(math.log(1.0 / (tok_c[l] + v)))
+            if best is None or (s, l) > best:
+                best = (s, l)
+        want[(true, best[1])] += 1
+    assert got == dict(want), (got, dict(want))
+    correct = sum(n for (t, p), n in got.items() if t == p)
+    assert correct / sum(got.values()) > 0.9
