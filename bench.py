@@ -119,6 +119,7 @@ EXTRA_QUERIES = [
     "ols_price_model",
     "ols_residual_by_nation",
     "nb_lang_confusion",
+    "stream_ols_sim",
 ]
 
 

@@ -41,10 +41,10 @@ from . import streaming_sims  # noqa: E402,F401
 # Registration order for the driver window
 # ===========================================================================
 # ROUND-6 WINDOW PLAN (for the next session): assuming CORRECTNESS_r05
-# lands green, only the twenty-six r5-added queries will lack a driver row
-# (187 of 213 will hold one): stream_dedup_sim + stream_lsh_sim +
+# lands green, only the twenty-seven r5-added queries will lack a driver row
+# (187 of 214 will hold one): stream_dedup_sim + stream_lsh_sim +
 # stream_hll_sim + stream_hdr_sim + stream_topk_sim + stream_join_sim +
-# stream_session_sim (registered last)
+# stream_session_sim + stream_ols_sim (registered last)
 # and bpe_learned_merges,
 # bpe_token_counts, quality_score_auc, quality_pr_curve,
 # lang_guess_kappa, quality_brier_calibration, hll_distinct_rollup,
@@ -55,7 +55,7 @@ from . import streaming_sims  # noqa: E402,F401
 # (registered at
 # their family modules' tails, i.e. MID-order — identify them by NAME,
 # not by position in catalog_order.txt). r6 window: q1 flagship + those
-# twenty-six + 23 regression picks from the queries whose most recent
+# twenty-seven + 22 regression picks from the queries whose most recent
 # driver row is
 # OLDEST (r2 first — TPC-H q3..q22, multimodal_*, embedding_*, knn_*,
 # cohort/funnel family — then r3's proj_*_sim / windows / text

@@ -697,3 +697,111 @@ def stream_session_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+from open_ftth_relational_projector_spark.functions.regression import (  # noqa: E402
+    OLS2_B0,
+    OLS2_B1,
+    OLS2_B2,
+    OLS2_SSE,
+    OLS2_SST,
+)
+
+_SOLS_FEAT = """
+    f AS (
+      SELECT lang,
+             CAST(n_chars AS BIGINT) AS x1,
+             CAST(LEN(text) - LEN(REPLACE(text, 'e', '')) AS BIGINT) AS x2,
+             CAST(LEN(string_split(text, ' ')) AS BIGINT) AS y
+      FROM documents)
+"""
+
+
+@_q(
+    "stream_ols_sim",
+    f"""
+    WITH {_SOLS_FEAT},
+    m AS (
+      SELECT lang,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(x1) AS DOUBLE) AS s1,
+             CAST(SUM(x2) AS DOUBLE) AS s2,
+             CAST(SUM(y)  AS DOUBLE) AS sy,
+             CAST(SUM(x1 * x1) AS DOUBLE) AS s11,
+             CAST(SUM(x1 * x2) AS DOUBLE) AS s12,
+             CAST(SUM(x2 * x2) AS DOUBLE) AS s22,
+             CAST(SUM(x1 * y) AS DOUBLE) AS s1y,
+             CAST(SUM(x2 * y) AS DOUBLE) AS s2y,
+             CAST(SUM(y * y) AS DOUBLE) AS syy
+      FROM f GROUP BY lang),
+    beta AS (
+      SELECT *, {OLS2_B0} AS b0, {OLS2_B1} AS b1, {OLS2_B2} AS b2 FROM m),
+    fit AS (
+      SELECT lang, n, b0, b1, b2, {OLS2_SSE} AS sse, {OLS2_SST} AS sst
+      FROM beta)
+    SELECT lang, CAST(n AS BIGINT) AS n_rows,
+           ROUND(b0, 6) AS beta0, ROUND(b1, 6) AS beta1,
+           ROUND(b2, 6) AS beta2,
+           ROUND(1 - sse / sst, 6) AS r2
+    FROM fit
+    """,
+)
+def stream_ols_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """streaming_ols_moments (per-lang normal-equation moment sums as
+    keyed state — online model refresh, 10 integers of state per group)
+    drained over a real 3-micro-batch stream: integer-moment addition is
+    order- and batching-independent, so the final state must equal the
+    batch aggregation over the batch union; BOTH sides then apply the
+    identical regression.OLS2_* solve text (token count ~ chars +
+    'e'-count per language). Contrast ols_price_model: same closed-form
+    one-pass family, streaming-state flavor."""
+    from open_ftth_relational_projector_spark.streaming.stateful import (
+        streaming_ols_moments,
+    )
+
+    def op(stream):
+        feats = stream.selectExpr(
+            "lang",
+            "n_chars AS x1",
+            "length(text) - length(replace(text, 'e', '')) AS x2",
+            "size(split(text, ' ')) AS y",
+        )
+        return streaming_ols_moments(feats, "lang", "x1", "x2", "y")
+
+    rows, _ = _drain_stream_over_doc_batches(
+        spark,
+        sf_dir,
+        op,
+        "sols",
+        shuffle_partitions=4,
+        extra_fields={"lang": "string", "n_chars": "long"},
+    )
+    out = _final_state(
+        rows,
+        ("g", "n_updates", "s1", "s2", "sy", "s11", "s12", "s22",
+         "s1y", "s2y", "syy"),
+    )
+    df = spark.createDataFrame(
+        out,
+        "lang string, n long, s1 long, s2 long, sy long, s11 long,"
+        " s12 long, s22 long, s1y long, s2y long, syy long",
+    ).selectExpr(
+        "lang",
+        "CAST(n AS DOUBLE) AS n",
+        *[f"CAST({c} AS DOUBLE) AS {c}"
+          for c in ("s1", "s2", "sy", "s11", "s12", "s22",
+                    "s1y", "s2y", "syy")],
+    )
+    return df.selectExpr(
+        "*",
+        f"{OLS2_B0} AS b0",
+        f"{OLS2_B1} AS b1",
+        f"{OLS2_B2} AS b2",
+    ).selectExpr(
+        "lang",
+        "CAST(n AS BIGINT) AS n_rows",
+        "ROUND(b0, 6) AS beta0",
+        "ROUND(b1, 6) AS beta1",
+        "ROUND(b2, 6) AS beta2",
+        f"ROUND(1 - {OLS2_SSE} / {OLS2_SST}, 6) AS r2",
+    )

@@ -752,3 +752,89 @@ def streaming_sessionize(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+# --- streaming OLS: mergeable exact-integer normal-equation moments --------
+
+OLS_OUTPUT_SCHEMA = (
+    "g string, n_updates long, s1 long, s2 long, sy long, s11 long,"
+    " s12 long, s22 long, s1y long, s2y long, syy long"
+)
+OLS_STATE_SCHEMA = (
+    "n long, s1 long, s2 long, sy long, s11 long, s12 long, s22 long,"
+    " s1y long, s2y long, syy long"
+)
+
+
+def _ols_fold(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    vals = [0] * 10
+    if state.exists:
+        vals = [int(v) for v in state.get]
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        x1 = pdf["x1"].astype("int64")
+        x2 = pdf["x2"].astype("int64")
+        y = pdf["y"].astype("int64")
+        vals[0] += len(pdf)
+        vals[1] += int(x1.sum())
+        vals[2] += int(x2.sum())
+        vals[3] += int(y.sum())
+        vals[4] += int((x1 * x1).sum())
+        vals[5] += int((x1 * x2).sum())
+        vals[6] += int((x2 * x2).sum())
+        vals[7] += int((x1 * y).sum())
+        vals[8] += int((x2 * y).sum())
+        vals[9] += int((y * y).sum())
+    state.update(tuple(vals))
+    yield pd.DataFrame(
+        {
+            "g": [key[0]],
+            "n_updates": [vals[0]],
+            "s1": [vals[1]],
+            "s2": [vals[2]],
+            "sy": [vals[3]],
+            "s11": [vals[4]],
+            "s12": [vals[5]],
+            "s22": [vals[6]],
+            "s1y": [vals[7]],
+            "s2y": [vals[8]],
+            "syy": [vals[9]],
+        }
+    )
+
+
+def streaming_ols_moments(
+    events: DataFrame,
+    group_col: str,
+    x1_col: str,
+    x2_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Online per-group linear-model refresh: the O(d²) normal-equation
+    moment sums of functions/regression held as keyed state — the model
+    (betas, R²) is readable from state at ANY point in the stream via the
+    closed-form solve, and the state is 10 integers per group however
+    many rows stream past.
+
+    Moments over INTEGER features are exact and addition is order- and
+    batching-independent, so the drained stream's final state equals the
+    batch aggregation over the union of all batches — the catalog sim's
+    SQL oracle replays exactly that, then both sides apply the identical
+    regression.OLS2_* solve text to the identical integer moments.
+    """
+    prepped = events.select(
+        F.col(group_col).cast("string").alias("g"),
+        F.col(x1_col).cast("long").alias("x1"),
+        F.col(x2_col).cast("long").alias("x2"),
+        F.col(y_col).cast("long").alias("y"),
+    )
+    return prepped.groupBy("g").applyInPandasWithState(
+        _ols_fold,
+        outputStructType=OLS_OUTPUT_SCHEMA,
+        stateStructType=OLS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

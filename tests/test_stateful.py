@@ -747,3 +747,92 @@ def test_streaming_sessionize_eager_close_and_timeout_flush(spark):
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
         spark.catalog.dropTempView("sess_t")
+
+
+def test_streaming_ols_moments_match_batch_aggregation(spark):
+    """streaming_ols_moments drained over 3 micro-batches ends with exactly
+    the batch integer moment sums (integer addition is batching-
+    independent), and the closed-form betas from the drained state equal
+    a numpy lstsq fit on the same rows."""
+    import json
+    import os
+    import time as _time
+
+    import numpy as np
+
+    from open_ftth_relational_projector_spark.streaming.stateful import (
+        streaming_ols_moments,
+    )
+
+    rng = np.random.RandomState(9)
+    rows = [
+        (
+            "a" if i % 3 else "b",
+            int(rng.randint(1, 200)),
+            int(rng.randint(1, 50)),
+        )
+        for i in range(300)
+    ]
+    rows = [(g, x1, x2, 3 * x1 + 2 * x2 + int(rng.randint(0, 5))) for g, x1, x2 in rows]
+    tmp = tempfile.mkdtemp(prefix="ofrp_sols_")
+    try:
+        os.makedirs(f"{tmp}/in")
+        now = _time.time()
+        third = (len(rows) + 2) // 3
+        for b in range(3):
+            path = f"{tmp}/in/batch_{b:05d}.json"
+            with open(path, "w") as fh:
+                for g, x1, x2, y in rows[b * third : (b + 1) * third]:
+                    fh.write(
+                        json.dumps({"g": g, "x1": x1, "x2": x2, "y": y}) + "\n"
+                    )
+            os.utime(path, (now + b, now + b))
+        stream = spark.readStream.schema(
+            "g string, x1 long, x2 long, y long"
+        ).option("maxFilesPerTrigger", "1").json(f"{tmp}/in")
+        q = (
+            streaming_ols_moments(stream, "g", "x1", "x2", "y")
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("sols_t")
+            .option("checkpointLocation", f"{tmp}/cp")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql("SELECT * FROM sols_t").collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    final = {}
+    for r in got:
+        if r.g not in final or r.n_updates > final[r.g].n_updates:
+            final[r.g] = r
+    for g in ("a", "b"):
+        sub = [(x1, x2, y) for gg, x1, x2, y in rows if gg == g]
+        x1 = np.array([a for a, _, _ in sub], dtype=np.int64)
+        x2 = np.array([a for _, a, _ in sub], dtype=np.int64)
+        y = np.array([a for _, _, a in sub], dtype=np.int64)
+        f = final[g]
+        assert f.n_updates == len(sub)
+        assert f.s1 == int(x1.sum()) and f.s2 == int(x2.sum())
+        assert f.sy == int(y.sum()) and f.syy == int((y * y).sum())
+        assert f.s11 == int((x1 * x1).sum())
+        assert f.s12 == int((x1 * x2).sum())
+        assert f.s22 == int((x2 * x2).sum())
+        assert f.s1y == int((x1 * y).sum())
+        assert f.s2y == int((x2 * y).sum())
+        # closed-form solve from the drained moments == numpy lstsq
+        A = np.array(
+            [
+                [f.n_updates, f.s1, f.s2],
+                [f.s1, f.s11, f.s12],
+                [f.s2, f.s12, f.s22],
+            ],
+            dtype=np.float64,
+        )
+        b = np.array([f.sy, f.s1y, f.s2y], dtype=np.float64)
+        beta = np.linalg.solve(A, b)
+        X = np.column_stack([np.ones(len(sub)), x1, x2])
+        want, _, _, _ = np.linalg.lstsq(X, y.astype(np.float64), rcond=None)
+        assert np.allclose(beta, want, atol=1e-6), (beta, want)
