@@ -512,3 +512,61 @@ def test_negative_samples_candidates_bounded(q, spark):
     # every output customer has at most 3 rows
     out = df.groupBy("custkey").count().agg({"count": "max"}).collect()[0][0]
     assert out <= 3
+
+
+# --- r5 continuation: factorization / JL / OLS / NB plan pins ---------------
+
+
+def test_latent_factor_plans_stay_flat(q):
+    """power_iteration checkpoints every half-step, so the RETURNED plan
+    must be checkpoint scans + union — ZERO exchanges and no windows.
+    (Without the per-half-step truncation the logical plan doubles per
+    half-step; this pin holds the guard in place.)"""
+    for name in ("latent_part_affinity", "latent_rank2_affinity"):
+        df = q(name)
+        plan = C.formatted_plan(df)
+        assert C.shuffle_count(df) == 0, name
+        assert "WindowExec" not in plan, name
+
+
+def test_ols_price_model_is_one_pass(q):
+    """The normal-equation fit: part-side broadcast join, ONE aggregation
+    exchange (plus at most AQE's result exchange), no windows, no Python."""
+    df = q("ols_price_model")
+    plan = C.formatted_plan(df)
+    assert C.broadcast_join_count(df) >= 1
+    assert C.sortmerge_join_count(df) == 0
+    assert C.shuffle_count(df) <= 2, plan
+    assert "WindowExec" not in plan and "BatchEvalPython" not in plan
+
+
+def test_ols_residuals_scoring_is_map_only(q):
+    """The scoring pass must broadcast the one-row fit and the dims: no
+    sort-merge join anywhere, exchanges only for the two aggregations
+    (moments + the nation rollup)."""
+    df = q("ols_residual_by_nation")
+    plan = C.formatted_plan(df)
+    assert C.sortmerge_join_count(df) == 0
+    assert "WindowExec" not in plan and "BatchEvalPython" not in plan
+
+
+def test_jl_projection_audit_no_python_no_windows(q):
+    """The 64→16 projection is a single JVM expression: no Python workers,
+    no windows; the pair join keys on the residue bucket."""
+    df = q("jl_projection_audit")
+    plan = C.formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "WindowExec" not in plan
+
+
+def test_nb_confusion_model_broadcasts(q):
+    """Naive Bayes scoring must broadcast the MODEL (the vocab×classes
+    log-likelihood table and the class constants — bounded size); the one
+    allowed shuffle join is the doc-keyed outer join of per-doc token
+    scores onto the test docs, whose BOTH sides grow with the corpus. No
+    windows, no Python."""
+    df = q("nb_lang_confusion")
+    plan = C.formatted_plan(df)
+    assert C.broadcast_join_count(df) >= 2, plan
+    assert C.sortmerge_join_count(df) <= 1, plan
+    assert "WindowExec" not in plan and "BatchEvalPython" not in plan
