@@ -312,3 +312,85 @@ def test_skyline_matches_dominance_definition(spark, pts):
         p[0] for p in rows if not any(dominated(p, q) for q in rows if q[0] != p[0])
     )
     assert got == brute
+
+
+# --- streaming OLS moment fold: batching invariance (r5 continuation) -------
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for driving a fold function directly."""
+
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),
+            st.integers(min_value=0, max_value=10_000),
+            st.integers(min_value=0, max_value=10_000),
+        ),
+        max_size=60,
+    ),
+    cuts=st.lists(st.integers(min_value=0, max_value=60), max_size=4),
+)
+@settings(max_examples=200, deadline=None)
+def test_ols_fold_batching_invariant(rows, cuts):
+    """Folding any micro-batch split of the rows (including empty batches)
+    must end in exactly the state of one all-at-once fold, and that state
+    must equal direct integer sums — the mergeable-moments contract
+    stream_ols_sim's oracle relies on."""
+    import pandas as pd
+
+    from open_ftth_relational_projector_spark.streaming.stateful import (
+        _ols_fold,
+    )
+
+    def pdf(chunk):
+        return pd.DataFrame(
+            {
+                "x1": [a for a, _, _ in chunk],
+                "x2": [a for _, a, _ in chunk],
+                "y": [a for _, _, a in chunk],
+            },
+            dtype="int64",
+        )
+
+    bounds = sorted({min(c, len(rows)) for c in cuts} | {0, len(rows)})
+    batches = [
+        rows[a:b] for a, b in zip(bounds, bounds[1:])
+    ] or [rows]
+
+    split_state = _FakeState()
+    for batch in batches:
+        list(_ols_fold(("g",), iter([pdf(batch)]), split_state))
+    whole_state = _FakeState()
+    list(_ols_fold(("g",), iter([pdf(rows)]), whole_state))
+    assert split_state.get == whole_state.get
+
+    n = len(rows)
+    want = (
+        n,
+        sum(a for a, _, _ in rows),
+        sum(b for _, b, _ in rows),
+        sum(c for _, _, c in rows),
+        sum(a * a for a, _, _ in rows),
+        sum(a * b for a, b, _ in rows),
+        sum(b * b for _, b, _ in rows),
+        sum(a * c for a, _, c in rows),
+        sum(b * c for _, b, c in rows),
+        sum(c * c for _, _, c in rows),
+    )
+    assert tuple(whole_state.get) == want
