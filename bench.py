@@ -120,6 +120,7 @@ EXTRA_QUERIES = [
     "ols_residual_by_nation",
     "nb_lang_confusion",
     "stream_ols_sim",
+    "bootstrap_revenue_ci",
 ]
 
 

@@ -1274,3 +1274,67 @@ def nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return naive_bayes_confusion(
         scattered(load_table(spark, sf_dir, "documents"))
     )
+
+
+from open_ftth_relational_projector_spark.functions.sampling import (  # noqa: E402
+    poisson_weight_sql,
+)
+
+# the DuckDB-side uniform: identical rational to sampling.md5_uniform_sql
+# (numerator an exact integer < 2^52 in both engines)
+_BOOT_U = (
+    "((('0x' || substr(md5(k || '#boot' || CAST(b AS VARCHAR)), 1, 13))::BIGINT"
+    " + 1) / 4503599627370496.0)"
+)
+
+_BOOT_SQL = f"""
+    WITH r AS MATERIALIZED (
+      SELECT l_returnflag AS flag,
+             CAST(l_extendedprice AS DECIMAL(19,4)) AS vd,
+             CAST(l_orderkey AS VARCHAR) || '-'
+               || CAST(l_linenumber AS VARCHAR) AS k
+      FROM lineitem),
+    w AS MATERIALIZED (
+      SELECT flag, vd, bs.b, {poisson_weight_sql(_BOOT_U)} AS w
+      FROM r CROSS JOIN (SELECT UNNEST(range(40)) AS b) bs),
+    bm AS (SELECT flag, b, CAST(SUM(vd * w) AS DOUBLE) / SUM(w) AS m
+           FROM w GROUP BY flag, b),
+    rk AS (SELECT flag, m,
+                  ROW_NUMBER() OVER (PARTITION BY flag ORDER BY m, b) AS rn
+           FROM bm),
+    base AS (SELECT flag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                    ROUND(CAST(SUM(vd) AS DOUBLE) / COUNT(*), 4) AS mean
+             FROM r GROUP BY flag)
+    SELECT base.flag AS l_returnflag, n_rows, mean,
+           ROUND(MAX(CASE WHEN rn = 2 THEN m END), 4) AS ci_lo,
+           ROUND(MAX(CASE WHEN rn = 39 THEN m END), 4) AS ci_hi
+    FROM base JOIN rk USING (flag) GROUP BY 1, 2, 3
+    """
+
+
+@_q("bootstrap_revenue_ci", _BOOT_SQL)
+def bootstrap_revenue_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% CI for mean extended price per return flag
+    (functions/sampling.poisson_bootstrap_ci): every row draws 40
+    deterministic md5-derived Poisson(1) weights, ONE aggregation pass
+    emits the 40 exact-decimal (Σwx, Σw) pairs per group, and the CI is
+    order statistics of the sorted resample means — O(B) state per group
+    at any corpus size, the one-scan uncertainty-quantification recipe.
+    The oracle replays the weights row-exploded (toy scale) and the
+    identical order-statistic rule; exact decimal sums make the 40 means
+    bit-identical cross-engine."""
+    from open_ftth_relational_projector_spark.functions.sampling import (
+        poisson_bootstrap_ci,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return poisson_bootstrap_ci(
+        li,
+        value_col="l_extendedprice",
+        key_expr=(
+            "concat(CAST(l_orderkey AS STRING), '-',"
+            " CAST(l_linenumber AS STRING))"
+        ),
+        group_cols=["l_returnflag"],
+        n_resamples=40,
+    )

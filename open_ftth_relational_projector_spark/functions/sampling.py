@@ -535,3 +535,108 @@ def cluster_safe_split(
         .drop("_cluster")
     )
     return hash_split(out, "cluster_id", fractions, salt=salt, out="split")
+
+
+# --- Poisson bootstrap: one-pass confidence intervals -----------------------
+
+# P(Poisson(1) ≤ k) literals shared with the SQL oracle (truncated at 7 —
+# P(X>7) ≈ 1e-5 — so weights are bounded ints and both engines compare the
+# exact md5 uniform against the identical constants)
+POISSON1_CDF = (
+    "0.3678794412",
+    "0.7357588823",
+    "0.9196986029",
+    "0.9810118431",
+    "0.9963401532",
+    "0.9994058151",
+    "0.9999167589",
+)
+
+
+def poisson_weight_sql(u_expr: str) -> str:
+    """Engine-neutral CASE mapping a (0,1] uniform to a Poisson(1) draw —
+    the bootstrap resample weight (Poisson bootstrap: at corpus scale a
+    with-replacement resample of n rows is indistinguishable from per-row
+    independent Poisson(1) weights, and needs only ONE pass)."""
+    cases = " ".join(
+        f"WHEN {u_expr} <= {t} THEN {k}" for k, t in enumerate(POISSON1_CDF)
+    )
+    return f"(CASE {cases} ELSE {len(POISSON1_CDF)} END)"
+
+
+def md5_uniform_sql(key_expr: str, salt_expr: str) -> str:
+    """The md5_uniform recipe as SPARK-dialect SQL text: first 13 hex
+    chars → (0,1] rational with an exact-double denominator (16^13). A
+    DuckDB oracle derives the IDENTICAL value with its own hex-parse
+    idiom: ``(('0x' || substr(md5(...), 1, 13))::BIGINT + 1) / 16^13`` —
+    the numerator is an exact integer < 2^52 in both engines, so the
+    quotient is the same double."""
+    return (
+        f"((CAST(conv(substring(md5(concat({key_expr}, {salt_expr})), 1, 13),"
+        f" 16, 10) AS BIGINT) + 1) / {float(_HEX13_SPAN)!r})"
+    )
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    value_col: str,
+    key_expr: str,
+    group_cols: list[str] | None = None,
+    n_resamples: int = 40,
+    alpha: float = 0.05,
+    salt: str = "boot",
+    out_dp: int = 4,
+) -> DataFrame:
+    """Percentile-bootstrap CI for the per-group mean in ONE aggregation
+    pass: every row gets ``n_resamples`` deterministic Poisson(1) weights
+    (md5-derived — no RNG, repartition-stable), the pass emits B exact
+    decimal (Σwx, Σw) pairs per group, and the CI reads order statistics
+    off the sorted B resample means — O(B) state per group at any corpus
+    size, the Poisson-bootstrap trick that makes uncertainty
+    quantification a single scan at 100 TB.
+
+    CI rule: with means sorted ascending, lo = element ⌊α/2·B⌋+1,
+    hi = element B−⌊α/2·B⌋ (1-based order statistics; the oracle replays
+    the identical rule). Sums are exact decimals, so the B means are
+    bit-identical cross-engine and the order statistics cannot drift.
+    """
+    b = n_resamples
+    k_lo = int(alpha / 2 * b) + 1
+    k_hi = b - int(alpha / 2 * b)
+    groups = list(group_cols or [])
+    val_dec = f"CAST(`{value_col}` AS DECIMAL(18,4))"
+    w_exprs = [
+        poisson_weight_sql(
+            md5_uniform_sql(key_expr, f"'#{salt}{j}'")
+        )
+        for j in range(b)
+    ]
+    # one selectExpr: all B weights parse in a single round trip
+    prepped = df.selectExpr(
+        *groups,
+        f"`{value_col}` AS _v",
+        f"{val_dec} AS _vd",
+        *[f"{w} AS _w{j}" for j, w in enumerate(w_exprs)],
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum(F.col("_vd")).alias("_sx"),
+    ]
+    for j in range(b):
+        aggs.append(F.sum(F.col("_vd") * F.col(f"_w{j}")).alias(f"_bx{j}"))
+        aggs.append(F.sum(F.col(f"_w{j}")).cast("long").alias(f"_bw{j}"))
+    agged = (
+        prepped.groupBy(*groups).agg(*aggs) if groups else prepped.agg(*aggs)
+    )
+    means = ", ".join(
+        f"CAST(_bx{j} AS DOUBLE) / _bw{j}" for j in range(b)
+    )
+    return agged.selectExpr(
+        *groups,
+        "_n AS n_rows",
+        f"ROUND(CAST(_sx AS DOUBLE) / _n, {out_dp}) AS mean",
+        f"ROUND(element_at(array_sort(array({means})), {k_lo}),"
+        f" {out_dp}) AS ci_lo",
+        f"ROUND(element_at(array_sort(array({means})), {k_hi}),"
+        f" {out_dp}) AS ci_hi",
+    )

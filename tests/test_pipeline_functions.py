@@ -3239,3 +3239,61 @@ def test_naive_bayes_confusion_matches_pure_python_replay(spark):
     assert got == dict(want), (got, dict(want))
     correct = sum(n for (t, p), n in got.items() if t == p)
     assert correct / sum(got.values()) > 0.9
+
+
+def test_poisson_bootstrap_ci_matches_pure_python_replay(spark):
+    """CI values must equal a literal replay of the md5 uniforms, the
+    Poisson(1) CDF thresholds, exact-fraction sums, and the order-statistic
+    rule; the CDF literals themselves must match math.exp-derived Poisson(1)
+    probabilities to 1e-9; and the CI must bracket the point estimate."""
+    import hashlib
+    import math
+    from fractions import Fraction
+
+    from open_ftth_relational_projector_spark.functions.sampling import (
+        POISSON1_CDF,
+        poisson_bootstrap_ci,
+    )
+
+    acc, fact = 0.0, 1.0
+    for k, lit in enumerate(POISSON1_CDF):
+        if k:
+            fact *= k
+        acc += math.exp(-1.0) / fact
+        assert abs(float(lit) - acc) < 1e-9, (k, lit, acc)
+
+    rows = [(i, "g1" if i % 2 else "g2", round(10.0 + (i * 7 % 13) * 0.25, 2))
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "k long, g string, v double")
+    got = {
+        r.g: (r.n_rows, r.mean, r.ci_lo, r.ci_hi)
+        for r in poisson_bootstrap_ci(
+            df, "v", "CAST(k AS STRING)", group_cols=["g"], n_resamples=40
+        ).collect()
+    }
+
+    def uni(key, j):
+        h = int(hashlib.md5(f"{key}#boot{j}".encode()).hexdigest()[:13], 16)
+        return (h + 1) / float(16**13)
+
+    def weight(key, j):
+        u = uni(key, j)
+        for k, t in enumerate(POISSON1_CDF):
+            if u <= float(t):
+                return k
+        return len(POISSON1_CDF)
+
+    for g in ("g1", "g2"):
+        sub = [(k, v) for k, gg, v in rows if gg == g]
+        means = []
+        for j in range(40):
+            sx = sum(Fraction(str(v)) * weight(k, j) for k, v in sub)
+            sw = sum(weight(k, j) for k, _ in sub)
+            means.append(float(sx) / sw)
+        means.sort()
+        n, mean, lo, hi = got[g]
+        assert n == len(sub)
+        assert mean == round(float(sum(Fraction(str(v)) for _, v in sub))
+                             / len(sub), 4)
+        assert lo == round(means[1], 4) and hi == round(means[38], 4), g
+        assert lo <= mean <= hi
