@@ -570,3 +570,14 @@ def test_nb_confusion_model_broadcasts(q):
     assert C.broadcast_join_count(df) >= 2, plan
     assert C.sortmerge_join_count(df) <= 1, plan
     assert "WindowExec" not in plan and "BatchEvalPython" not in plan
+
+
+def test_bootstrap_ci_is_one_pass(q):
+    """The Poisson bootstrap must stay ONE aggregation pass: a single
+    exchange for the grouped moment sums (plus at most AQE's result
+    exchange), no windows, no Python, no joins at all."""
+    df = q("bootstrap_revenue_ci")
+    plan = C.formatted_plan(df)
+    assert C.shuffle_count(df) <= 2, plan
+    assert "Join" not in plan, plan
+    assert "WindowExec" not in plan and "BatchEvalPython" not in plan
