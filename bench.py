@@ -121,6 +121,7 @@ EXTRA_QUERIES = [
     "nb_lang_confusion",
     "stream_ols_sim",
     "bootstrap_revenue_ci",
+    "jl_knn_recall",
 ]
 
 

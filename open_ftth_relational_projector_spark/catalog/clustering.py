@@ -823,3 +823,93 @@ def latent_rank2_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("factor", 6).alias("affinity"),
         )
     )
+
+
+def _jl_knn_sql() -> str:
+    """Oracle for jl_knn_recall: the projection is replayed as ORDERED
+    list arithmetic (list_transform index order + sequential list_sum —
+    the same left-to-right double summation as Spark's zip_with/aggregate
+    fold), so projected values, cosines, and therefore the ROW_NUMBER
+    rankings are bit-identical with no rounding contract needed. Sign
+    literals come from jl_sign_matrix (itself pinned against DuckDB's md5
+    derivation by test)."""
+    from open_ftth_relational_projector_spark.functions.similarity import (
+        jl_sign_matrix,
+    )
+
+    signs = jl_sign_matrix(16, 64)
+    pv = ", ".join(
+        "list_sum(list_transform(generate_series(1, 64),"
+        " i -> v[i]::DOUBLE * ([" + ", ".join(str(s) for s in row) + "])[i]))"
+        " / 4.0"
+        for row in signs
+    )
+
+    def dot(a, b, n):
+        return (
+            f"list_sum(list_transform(generate_series(1, {n}),"
+            f" i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
+        )
+
+    def cos(a, b, n):
+        return (
+            f"{dot(a, b, n)} / (sqrt({dot(a, a, n)}) * sqrt({dot(b, b, n)}))"
+        )
+
+    return f"""
+    WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+    p AS MATERIALIZED (SELECT vec_id, [{pv}] AS pv FROM e),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 50 = 0),
+    qp AS (SELECT vec_id AS query_id, pv AS qpv FROM p WHERE vec_id % 50 = 0),
+    st AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                  ORDER BY {cos('c.v', 'q.qv', 64)} DESC,
+                                           c.vec_id) AS rnk
+        FROM e c, q WHERE c.vec_id <> q.query_id) t
+      WHERE rnk <= 5),
+    at AS (
+      SELECT query_id, neighbor_id, 1 AS hit FROM (
+        SELECT qp.query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY qp.query_id
+                                  ORDER BY {cos('c.pv', 'qp.qpv', 16)} DESC,
+                                           c.vec_id) AS rnk
+        FROM p c, qp WHERE c.vec_id <> qp.query_id) t
+      WHERE rnk <= 5)
+    SELECT st.query_id,
+           CAST(COUNT(*) AS INT) AS n_exact,
+           CAST(SUM(COALESCE(at.hit, 0)) AS INT) AS n_found,
+           ROUND(SUM(COALESCE(at.hit, 0)) / CAST(COUNT(*) AS DOUBLE), 4)
+             AS recall
+    FROM st LEFT JOIN at USING (query_id, neighbor_id)
+    GROUP BY st.query_id
+    """
+
+
+@_q("jl_knn_recall", _jl_knn_sql())
+def jl_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The JL accelerator measured the way it would be deployed: exact
+    top-5 cosine kNN on the 16-dim projection vs exact kNN on the full
+    64 dims, recall@5 per query (functions/similarity.jl_project +
+    knn_bruteforce + knn_recall). At corpus scale the projection cuts
+    every candidate dot product 4×; this query is the standing recall
+    gate for that trade. Both rankings are deterministic cross-engine
+    (sequential double summation both sides), so the oracle replays them
+    exactly — the approximate path itself is hash-matched, not just its
+    exactness twin."""
+    from open_ftth_relational_projector_spark.functions.similarity import (
+        jl_project,
+        knn_bruteforce,
+        knn_recall,
+    )
+
+    emb = scattered(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    proj = jl_project(emb, vec_col="v", out_col="pv", k=16, dim=64)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    pqueries = proj.filter(F.col("vec_id") % 50 == 0)
+    exact = knn_bruteforce(emb, queries, k=5, vec_col="v")
+    approx = knn_bruteforce(proj, pqueries, k=5, vec_col="pv")
+    return knn_recall(approx, exact)
