@@ -1280,30 +1280,33 @@ from open_ftth_relational_projector_spark.functions.sampling import (  # noqa: E
     poisson_weight_sql,
 )
 
-# the DuckDB-side uniform: identical rational to sampling.md5_uniform_sql
-# (numerator an exact integer < 2^52 in both engines)
-_BOOT_U = (
-    "((('0x' || substr(md5(k || '#boot' || CAST(b AS VARCHAR)), 1, 13))::BIGINT"
-    " + 1) / 4503599627370496.0)"
+# the DuckDB-side 12-bit draw: block-derived like the Spark path — digest
+# m = b//10 of the row key, 3 hex chars at offset (b%10)*3+1, an exact
+# integer on 0..4095 in both engines
+_BOOT_H = (
+    "(('0x' || substr(md5(k || '#boot' || CAST(b // 10 AS VARCHAR)),"
+    " (b % 10) * 3 + 1, 3))::BIGINT)"
 )
 
 _BOOT_SQL = f"""
     WITH r AS MATERIALIZED (
       SELECT l_returnflag AS flag,
-             CAST(l_extendedprice AS DECIMAL(19,4)) AS vd,
+             CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS vc,
              CAST(l_orderkey AS VARCHAR) || '-'
                || CAST(l_linenumber AS VARCHAR) AS k
       FROM lineitem),
     w AS MATERIALIZED (
-      SELECT flag, vd, bs.b, {poisson_weight_sql(_BOOT_U)} AS w
+      SELECT flag, vc, bs.b, {poisson_weight_sql(_BOOT_H)} AS w
       FROM r CROSS JOIN (SELECT UNNEST(range(40)) AS b) bs),
-    bm AS (SELECT flag, b, CAST(SUM(vd * w) AS DOUBLE) / SUM(w) AS m
+    bm AS (SELECT flag, b,
+                  CAST(SUM(vc * w) AS DOUBLE) / SUM(w) / 100.0 AS m
            FROM w GROUP BY flag, b),
     rk AS (SELECT flag, m,
                   ROW_NUMBER() OVER (PARTITION BY flag ORDER BY m, b) AS rn
            FROM bm),
     base AS (SELECT flag, CAST(COUNT(*) AS BIGINT) AS n_rows,
-                    ROUND(CAST(SUM(vd) AS DOUBLE) / COUNT(*), 4) AS mean
+                    ROUND(CAST(SUM(vc) AS DOUBLE) / COUNT(*) / 100.0, 4)
+                      AS mean
              FROM r GROUP BY flag)
     SELECT base.flag AS l_returnflag, n_rows, mean,
            ROUND(MAX(CASE WHEN rn = 2 THEN m END), 4) AS ci_lo,

@@ -553,15 +553,34 @@ POISSON1_CDF = (
 )
 
 
-def poisson_weight_sql(u_expr: str) -> str:
-    """Engine-neutral CASE mapping a (0,1] uniform to a Poisson(1) draw —
-    the bootstrap resample weight (Poisson bootstrap: at corpus scale a
-    with-replacement resample of n rows is indistinguishable from per-row
-    independent Poisson(1) weights, and needs only ONE pass)."""
-    cases = " ".join(
-        f"WHEN {u_expr} <= {t} THEN {k}" for k, t in enumerate(POISSON1_CDF)
+# the same thresholds as exact integer cutpoints in the 12-bit draw
+# domain: with h uniform on 0..4095 and u = (h+1)/4096 (exact powers of
+# two), u > cdf_k  ⟺  h ≥ floor(cdf_k·4096), so the Poisson draw is
+# w = Σ_k [h ≥ C_k] — branch-free integer comparisons instead of an
+# 8-branch CASE per draw (40 CASE chains pushed the generated code past
+# Spark's method limit and the WHOLE query fell back to interpreted
+# execution: 0 WholeStageCodegen spans, ~20 s for 600k rows)
+from fractions import Fraction as _Fr  # noqa: E402
+
+POISSON1_CUT4096 = tuple(
+    int(_Fr(float(t)) * 4096) for t in POISSON1_CDF
+)
+
+
+def poisson_weight_sql(h_expr: str) -> str:
+    """Engine-neutral branch-free map from a 12-bit integer draw
+    (0..4095) to a Poisson(1) weight — the bootstrap resample weight
+    (Poisson bootstrap: at corpus scale a with-replacement resample of n
+    rows is indistinguishable from per-row independent Poisson(1)
+    weights, and needs only ONE pass). Exactly equivalent to comparing
+    the (h+1)/4096 uniform against POISSON1_CDF."""
+    return (
+        "("
+        + " + ".join(
+            f"CAST({h_expr} >= {c} AS INT)" for c in POISSON1_CUT4096
+        )
+        + ")"
     )
-    return f"(CASE {cases} ELSE {len(POISSON1_CDF)} END)"
 
 
 def md5_uniform_sql(key_expr: str, salt_expr: str) -> str:
@@ -587,56 +606,86 @@ def poisson_bootstrap_ci(
     salt: str = "boot",
     out_dp: int = 4,
 ) -> DataFrame:
-    """Percentile-bootstrap CI for the per-group mean in ONE aggregation
-    pass: every row gets ``n_resamples`` deterministic Poisson(1) weights
-    (md5-derived — no RNG, repartition-stable), the pass emits B exact
-    decimal (Σwx, Σw) pairs per group, and the CI reads order statistics
-    off the sorted B resample means — O(B) state per group at any corpus
-    size, the Poisson-bootstrap trick that makes uncertainty
-    quantification a single scan at 100 TB.
+    """Percentile-bootstrap CI for the per-group mean in ONE scan: every
+    row gets ``n_resamples`` deterministic Poisson(1) weights (md5-derived
+    — no RNG, repartition-stable), a map-side-combined (group, resample)
+    aggregation emits B exact integer (Σwx, Σw) pairs per group, and the
+    CI reads order statistics off the sorted B resample means — O(B)
+    state per group at any corpus size, the Poisson-bootstrap trick that
+    makes uncertainty quantification a single scan at 100 TB.
 
-    CI rule: with means sorted ascending, lo = element ⌊α/2·B⌋+1,
-    hi = element B−⌊α/2·B⌋ (1-based order statistics; the oracle replays
-    the identical rule). Sums are exact decimals, so the B means are
-    bit-identical cross-engine and the order statistics cannot drift.
+    Physical shape (each earlier cut is documented because it LOOKED
+    scale-correct and was not):
+    - a B-wide column formulation (80 aggregate buffers) exceeds
+      spark.sql.codegen.maxFields, silently dropping the WHOLE plan to
+      interpreted execution (0 WholeStageCodegen spans, ~10× slower);
+      instead each row EXPLODES into B (row, resample) pairs through a
+      2-buffer aggregate — fully codegen'd, and the shuffle still carries
+      only |groups|·B combined rows;
+    - hashing dominates the per-row cost, so each md5 digest yields TEN
+      draws (3 hex chars = 12 bits each); B=40 needs 4 digests per row,
+      computed BEFORE the explode;
+    - the draw→weight map is branch-free integer cutpoints
+      (POISSON1_CUT4096), exactly equivalent to comparing the (h+1)/4096
+      uniform against POISSON1_CDF;
+    - values scale to exact integer hundredths (input contract: ≤ 2-dp
+      values), so every sum is LONG arithmetic — exact and
+      order-independent; the B means are bit-identical cross-engine and
+      the CI rule (means ascending, lo = element ⌊α/2·B⌋+1, hi = element
+      B−⌊α/2·B⌋, 1-based) cannot drift.
     """
     b = n_resamples
     k_lo = int(alpha / 2 * b) + 1
     k_hi = b - int(alpha / 2 * b)
     groups = list(group_cols or [])
-    val_dec = f"CAST(`{value_col}` AS DECIMAL(18,4))"
-    w_exprs = [
-        poisson_weight_sql(
-            md5_uniform_sql(key_expr, f"'#{salt}{j}'")
-        )
-        for j in range(b)
-    ]
-    # one selectExpr: all B weights parse in a single round trip
-    prepped = df.selectExpr(
+    val_cents = f"CAST(ROUND(`{value_col}` * 100, 0) AS BIGINT)"
+    n_blocks = (b + 9) // 10
+    hashed = df.selectExpr(
         *groups,
-        f"`{value_col}` AS _v",
-        f"{val_dec} AS _vd",
-        *[f"{w} AS _w{j}" for j, w in enumerate(w_exprs)],
+        f"{val_cents} AS _vc",
+        *[
+            f"md5(concat({key_expr}, '#{salt}{m}')) AS _h{m}"
+            for m in range(n_blocks)
+        ],
     )
-    aggs = [
-        F.count(F.lit(1)).cast("long").alias("_n"),
-        F.sum(F.col("_vd")).alias("_sx"),
-    ]
-    for j in range(b):
-        aggs.append(F.sum(F.col("_vd") * F.col(f"_w{j}")).alias(f"_bx{j}"))
-        aggs.append(F.sum(F.col(f"_w{j}")).cast("long").alias(f"_bw{j}"))
-    agged = (
-        prepped.groupBy(*groups).agg(*aggs) if groups else prepped.agg(*aggs)
+    harr = "array(" + ", ".join(f"_h{m}" for m in range(n_blocks)) + ")"
+    draw = (
+        f"CAST(conv(substring(element_at({harr},"
+        f" CAST(_j DIV 10 AS INT) + 1), (_j % 10) * 3 + 1, 3),"
+        f" 16, 10) AS BIGINT)"
     )
-    means = ", ".join(
-        f"CAST(_bx{j} AS DOUBLE) / _bw{j}" for j in range(b)
+    per_resample = (
+        hashed.selectExpr(
+            *groups,
+            "_vc",
+            *[f"_h{m}" for m in range(n_blocks)],
+            f"explode(sequence(0, {b - 1})) AS _j",
+        )
+        .selectExpr(
+            *groups, "_j", "_vc", f"{poisson_weight_sql(draw)} AS _w"
+        )
+        .groupBy(*groups, "_j")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_n"),
+            F.sum(F.col("_vc")).alias("_sx"),
+            F.sum(F.col("_vc") * F.col("_w")).alias("_bx"),
+            F.sum(F.col("_w")).cast("long").alias("_bw"),
+        )
     )
-    return agged.selectExpr(
+    # every _j slice sees every row once, so _n/_sx are constant across _j
+    final = per_resample.groupBy(*groups).agg(
+        F.max("_n").alias("_n"),
+        F.max("_sx").alias("_sx"),
+        F.array_sort(
+            F.collect_list(
+                F.col("_bx").cast("double") / F.col("_bw") / F.lit(100.0)
+            )
+        ).alias("_means"),
+    )
+    return final.selectExpr(
         *groups,
         "_n AS n_rows",
-        f"ROUND(CAST(_sx AS DOUBLE) / _n, {out_dp}) AS mean",
-        f"ROUND(element_at(array_sort(array({means})), {k_lo}),"
-        f" {out_dp}) AS ci_lo",
-        f"ROUND(element_at(array_sort(array({means})), {k_hi}),"
-        f" {out_dp}) AS ci_hi",
+        f"ROUND(CAST(_sx AS DOUBLE) / _n / 100.0, {out_dp}) AS mean",
+        f"ROUND(element_at(_means, {k_lo}), {out_dp}) AS ci_lo",
+        f"ROUND(element_at(_means, {k_hi}), {out_dp}) AS ci_hi",
     )

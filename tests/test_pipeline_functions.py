@@ -3252,6 +3252,7 @@ def test_poisson_bootstrap_ci_matches_pure_python_replay(spark):
 
     from open_ftth_relational_projector_spark.functions.sampling import (
         POISSON1_CDF,
+        POISSON1_CUT4096,
         poisson_bootstrap_ci,
     )
 
@@ -3261,6 +3262,12 @@ def test_poisson_bootstrap_ci_matches_pure_python_replay(spark):
             fact *= k
         acc += math.exp(-1.0) / fact
         assert abs(float(lit) - acc) < 1e-9, (k, lit, acc)
+    # the integer cutpoints are exactly floor(cdf*4096): [h >= C] ⟺
+    # (h+1)/4096 > cdf — the branch-free weight is the CASE weight
+    from fractions import Fraction as Fr
+
+    for lit, c in zip(POISSON1_CDF, POISSON1_CUT4096):
+        assert c == int(Fr(float(lit)) * 4096)
 
     rows = [(i, "g1" if i % 2 else "g2", round(10.0 + (i * 7 % 13) * 0.25, 2))
             for i in range(200)]
@@ -3272,28 +3279,45 @@ def test_poisson_bootstrap_ci_matches_pure_python_replay(spark):
         ).collect()
     }
 
-    def uni(key, j):
-        h = int(hashlib.md5(f"{key}#boot{j}".encode()).hexdigest()[:13], 16)
-        return (h + 1) / float(16**13)
+    def draw(key, j):
+        m, t = divmod(j, 10)
+        h = hashlib.md5(f"{key}#boot{m}".encode()).hexdigest()
+        return int(h[3 * t : 3 * t + 3], 16)
 
     def weight(key, j):
-        u = uni(key, j)
-        for k, t in enumerate(POISSON1_CDF):
-            if u <= float(t):
-                return k
-        return len(POISSON1_CDF)
+        h = draw(key, j)
+        return sum(1 for c in POISSON1_CUT4096 if h >= c)
+
+    def r4hu(x):
+        # Spark/DuckDB ROUND is half-up; Python's round is half-even — and
+        # resample means CAN land exactly on a 4-dp half (they are small
+        # rationals), so the replay must use the engines' mode
+        from decimal import ROUND_HALF_UP, Decimal
+
+        return float(Decimal(repr(x)).quantize(Decimal("0.0001"),
+                                                rounding=ROUND_HALF_UP))
+
+    def cents(v):
+        # the operator's exact-integer scaling: round(v*100) in doubles
+        return round(v * 100)
 
     for g in ("g1", "g2"):
         sub = [(k, v) for k, gg, v in rows if gg == g]
         means = []
         for j in range(40):
-            sx = sum(Fraction(str(v)) * weight(k, j) for k, v in sub)
+            sx = sum(cents(v) * weight(k, j) for k, v in sub)
             sw = sum(weight(k, j) for k, _ in sub)
-            means.append(float(sx) / sw)
+            means.append(float(sx) / sw / 100.0)
         means.sort()
         n, mean, lo, hi = got[g]
         assert n == len(sub)
-        assert mean == round(float(sum(Fraction(str(v)) for _, v in sub))
-                             / len(sub), 4)
-        assert lo == round(means[1], 4) and hi == round(means[38], 4), g
+        assert mean == r4hu(
+            float(sum(cents(v) for _, v in sub)) / len(sub) / 100.0
+        )
+        assert lo == r4hu(means[1]) and hi == r4hu(means[38]), g
         assert lo <= mean <= hi
+        # the integer-cents sums are exactly 100x the rational-value sums
+        for j in (0, 17):
+            sx_frac = sum(Fraction(str(v)) * weight(k, j) for k, v in sub)
+            sx_cents = sum(cents(v) * weight(k, j) for k, v in sub)
+            assert Fraction(sx_cents, 100) == sx_frac

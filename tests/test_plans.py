@@ -572,12 +572,19 @@ def test_nb_confusion_model_broadcasts(q):
     assert "WindowExec" not in plan and "BatchEvalPython" not in plan
 
 
-def test_bootstrap_ci_is_one_pass(q):
-    """The Poisson bootstrap must stay ONE aggregation pass: a single
-    exchange for the grouped moment sums (plus at most AQE's result
-    exchange), no windows, no Python, no joins at all."""
+def test_bootstrap_ci_is_one_scan(q):
+    """The Poisson bootstrap must stay ONE scan of the fact table: the
+    (group, resample) aggregate is map-side combined so its exchange
+    carries |groups|·B rows, and the only other exchange is the tiny
+    per-group rollup (plus at most AQE's result exchange). No windows,
+    no Python, no joins."""
+    import re
+
     df = q("bootstrap_revenue_ci")
     plan = C.formatted_plan(df)
-    assert C.shuffle_count(df) <= 2, plan
+    # formatted plans list each node in the tree AND the detail section;
+    # count detail headers so one scan node counts once
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert C.shuffle_count(df) <= 3, plan
     assert "Join" not in plan, plan
     assert "WindowExec" not in plan and "BatchEvalPython" not in plan
