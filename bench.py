@@ -122,6 +122,7 @@ EXTRA_QUERIES = [
     "stream_ols_sim",
     "bootstrap_revenue_ci",
     "jl_knn_recall",
+    "ab_tests_fdr_nations",
 ]
 
 

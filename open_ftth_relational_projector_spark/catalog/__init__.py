@@ -41,8 +41,8 @@ from . import streaming_sims  # noqa: E402,F401
 # Registration order for the driver window
 # ===========================================================================
 # ROUND-6 WINDOW PLAN (for the next session): assuming CORRECTNESS_r05
-# lands green, only the twenty-nine r5-added queries will lack a driver row
-# (187 of 216 will hold one): stream_dedup_sim + stream_lsh_sim +
+# lands green, only the thirty r5-added queries will lack a driver row
+# (187 of 217 will hold one): stream_dedup_sim + stream_lsh_sim +
 # stream_hll_sim + stream_hdr_sim + stream_topk_sim + stream_join_sim +
 # stream_session_sim + stream_ols_sim (registered last)
 # and bpe_learned_merges,
@@ -53,11 +53,11 @@ from . import streaming_sims  # noqa: E402,F401
 # jl_projection_audit, jl_knn_recall, latent_part_affinity,
 # latent_rank2_affinity,
 # ols_price_model, ols_residual_by_nation, nb_lang_confusion,
-# bootstrap_revenue_ci
+# bootstrap_revenue_ci, ab_tests_fdr_nations
 # (registered at
 # their family modules' tails, i.e. MID-order — identify them by NAME,
 # not by position in catalog_order.txt). r6 window: q1 flagship + those
-# twenty-nine + 20 regression picks from the queries whose most recent
+# thirty + 19 regression picks from the queries whose most recent
 # driver row is
 # OLDEST (r2 first — TPC-H q3..q22, multimodal_*, embedding_*, knn_*,
 # cohort/funnel family — then r3's proj_*_sim / windows / text

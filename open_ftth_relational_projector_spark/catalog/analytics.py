@@ -1341,3 +1341,147 @@ def bootstrap_revenue_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_cols=["l_returnflag"],
         n_resamples=40,
     )
+
+
+from open_ftth_relational_projector_spark.functions.sampling import (  # noqa: E402
+    two_sided_p_sql,
+)
+
+# shared formula text: per-nation vs rest-of-world two-sample z on the
+# mean, population variances from (n, Σv, Σv²); z rounds to 6 dp BEFORE
+# the CDF so the p-value inputs are engine-identical
+_FDR_STATS_LIST = [
+    "n1",
+    "s1 / n1 AS m1",
+    "ss1 / n1 - (s1 / n1) * (s1 / n1) AS v1",
+    "nt - n1 AS n2",
+    "(st - s1) / (nt - n1) AS m2",
+    "(sst - ss1) / (nt - n1)"
+    " - ((st - s1) / (nt - n1)) * ((st - s1) / (nt - n1)) AS v2",
+]
+_FDR_STATS = ", ".join(_FDR_STATS_LIST)
+_FDR_Z = "ROUND((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 6)"
+_FDR_Q = 0.1
+
+_FDR_SQL = f"""
+    WITH f AS MATERIALIZED (
+      SELECT n_name, CAST(l_extendedprice AS DOUBLE) AS v
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey),
+    per AS MATERIALIZED (
+      SELECT n_name, CAST(COUNT(*) AS DOUBLE) AS n1,
+             SUM(v) AS s1, SUM(v * v) AS ss1
+      FROM f GROUP BY n_name),
+    tot AS (SELECT SUM(n1) AS nt, SUM(s1) AS st, SUM(ss1) AS sst FROM per),
+    stats AS (SELECT n_name, {_FDR_STATS} FROM per CROSS JOIN tot),
+    zt AS MATERIALIZED (
+      SELECT n_name, n1, {_FDR_Z} AS z FROM stats),
+    pt AS MATERIALIZED (
+      SELECT n_name, n1, z, {two_sided_p_sql('abs(z)')} AS p FROM zt),
+    rk AS MATERIALIZED (
+      SELECT a.n_name, a.n1, a.z, a.p,
+             1 + CAST(SUM(CASE WHEN b.p < a.p
+                          OR (b.p = a.p AND b.n_name < a.n_name)
+                          THEN 1 ELSE 0 END) AS INT) AS bh_rank
+      FROM pt a CROSS JOIN pt b
+      GROUP BY a.n_name, a.n1, a.z, a.p),
+    m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m FROM rk),
+    kstar AS (
+      SELECT COALESCE(MAX(CASE WHEN p <= {_FDR_Q} * bh_rank / m.m
+                           THEN bh_rank END), 0) AS k
+      FROM rk CROSS JOIN m)
+    SELECT rk.n_name, CAST(rk.n1 AS BIGINT) AS n_rows,
+           ROUND(rk.z, 4) AS z, rk.p, rk.bh_rank,
+           rk.bh_rank <= kstar.k AS significant
+    FROM rk CROSS JOIN kstar
+    """
+
+
+@_q("ab_tests_fdr_nations", _FDR_SQL)
+def ab_tests_fdr_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Many simultaneous hypothesis tests with multiple-testing control:
+    per supplier nation, a two-sample z-test of mean extended price vs
+    the rest of the corpus (rest-stats derived by SUBTRACTION from one
+    grouped pass — no second scan), then Benjamini-Hochberg step-up at
+    q=0.1 across the 25 tests. One fact scan; the BH step runs on the
+    25-row test table via a window-free rank join + scalar k*. The normal
+    CDF is a shared-text polynomial (functions/sampling.PHI_ABS_SQL) and
+    z rounds to 6 dp before it, so p-values and the BH decision replay
+    identically in the oracle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    f = (
+        li.join(
+            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            li["l_suppkey"] == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .selectExpr("n_name", "CAST(l_extendedprice AS DOUBLE) AS v")
+    )
+    per = f.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("double").alias("n1"),
+        F.sum("v").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).alias("ss1"),
+    )
+    tot = per.agg(
+        F.sum("n1").alias("nt"), F.sum("s1").alias("st"),
+        F.sum("ss1").alias("sst"),
+    )
+    stats = per.crossJoin(F.broadcast(tot)).selectExpr(
+        "n_name", *_FDR_STATS_LIST
+    )
+    zt = stats.selectExpr("n_name", "n1", f"{_FDR_Z} AS z")
+    pt = zt.selectExpr(
+        "n_name", "n1", "z", f"{two_sided_p_sql('abs(z)')} AS p"
+    )
+    a, b_ = pt.alias("a"), pt.selectExpr(
+        "n_name AS bn", "p AS bp"
+    ).alias("b")
+    rk = (
+        a.crossJoin(F.broadcast(b_))
+        .groupBy("a.n_name", "a.n1", "a.z", "a.p")
+        .agg(
+            (
+                F.lit(1)
+                + F.sum(
+                    F.when(
+                        (F.col("bp") < F.col("a.p"))
+                        | (
+                            (F.col("bp") == F.col("a.p"))
+                            & (F.col("bn") < F.col("a.n_name"))
+                        ),
+                        1,
+                    ).otherwise(0)
+                )
+            ).cast("int").alias("bh_rank")
+        )
+    )
+    m = rk.agg(F.count(F.lit(1)).cast("double").alias("m"))
+    kstar = (
+        rk.crossJoin(F.broadcast(m))
+        .agg(
+            F.coalesce(
+                F.max(
+                    F.when(
+                        F.col("p")
+                        <= F.lit(_FDR_Q) * F.col("bh_rank") / F.col("m"),
+                        F.col("bh_rank"),
+                    )
+                ),
+                F.lit(0),
+            ).alias("k")
+        )
+    )
+    return rk.crossJoin(F.broadcast(kstar)).select(
+        "n_name",
+        F.col("n1").cast("long").alias("n_rows"),
+        F.round("z", 4).alias("z"),
+        "p",
+        "bh_rank",
+        (F.col("bh_rank") <= F.col("k")).alias("significant"),
+    )

@@ -689,3 +689,25 @@ def poisson_bootstrap_ci(
         f"ROUND(element_at(_means, {k_lo}), {out_dp}) AS ci_lo",
         f"ROUND(element_at(_means, {k_hi}), {out_dp}) AS ci_hi",
     )
+
+
+# --- many simultaneous z-tests + Benjamini-Hochberg FDR ---------------------
+
+# standard normal CDF via Zelen-Severo / Abramowitz-Stegun 26.2.17 —
+# engine-neutral SQL text shared verbatim by the Spark path and the DuckDB
+# oracle so both evaluate the identical polynomial in the identical order
+# (|rel err| < 7.5e-8, far inside the 6-dp rounding the consumers apply)
+PHI_ABS_SQL = (
+    "(1.0 - (exp(-({x}) * ({x}) / 2.0) / 2.5066282746310002) * "
+    "((((1.330274429 * (1.0 / (1.0 + 0.2316419 * ({x}))) - 1.821255978) * "
+    "(1.0 / (1.0 + 0.2316419 * ({x}))) + 1.781477937) * "
+    "(1.0 / (1.0 + 0.2316419 * ({x}))) - 0.356563782) * "
+    "(1.0 / (1.0 + 0.2316419 * ({x}))) + 0.319381530) * "
+    "(1.0 / (1.0 + 0.2316419 * ({x}))))"
+)
+
+
+def two_sided_p_sql(z_abs_expr: str) -> str:
+    """p = 2·(1 − Φ(|z|)) as shared SQL text, rounded to 6 dp so the
+    downstream Benjamini-Hochberg comparisons are engine-deterministic."""
+    return f"ROUND(2.0 * (1.0 - {PHI_ABS_SQL.format(x=z_abs_expr)}), 6)"

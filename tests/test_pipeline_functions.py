@@ -3321,3 +3321,41 @@ def test_poisson_bootstrap_ci_matches_pure_python_replay(spark):
             sx_frac = sum(Fraction(str(v)) * weight(k, j) for k, v in sub)
             sx_cents = sum(cents(v) * weight(k, j) for k, v in sub)
             assert Fraction(sx_cents, 100) == sx_frac
+
+
+def test_two_sided_p_sql_matches_erf_and_bh_step_is_correct(spark):
+    """The shared normal-CDF polynomial must track the erf-exact two-sided
+    p within its documented 7.5e-8 bound (evaluated THROUGH Spark), and
+    the catalog FDR query's significance flags must satisfy the
+    Benjamini-Hochberg step-up definition recomputed from its own rows."""
+    import math
+
+    from open_ftth_relational_projector_spark.catalog import SPARK_QUERIES
+    from open_ftth_relational_projector_spark.functions.sampling import (
+        two_sided_p_sql,
+    )
+
+    zs = [0.05, 0.3, 0.7, 1.0, 1.645, 1.96, 2.33, 3.1]
+    df = spark.createDataFrame([(z,) for z in zs], "z double")
+    got = {
+        round(r.z, 3): r.p
+        for r in df.selectExpr(
+            "z", f"{two_sided_p_sql('abs(z)')} AS p"
+        ).collect()
+    }
+    for z in zs:
+        exact = 2.0 * (1.0 - 0.5 * (1 + math.erf(z / math.sqrt(2))))
+        assert abs(got[round(z, 3)] - exact) < 2e-7 + 1e-6, (z, got, exact)
+
+    rows = SPARK_QUERIES["ab_tests_fdr_nations"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    m = len(rows)
+    ranked = sorted(rows, key=lambda r: (r.p, r.n_name))
+    for i, r in enumerate(ranked, start=1):
+        assert r.bh_rank == i, (r.n_name, r.bh_rank, i)
+    k_star = max(
+        (r.bh_rank for r in rows if r.p <= 0.1 * r.bh_rank / m), default=0
+    )
+    for r in rows:
+        assert r.significant == (r.bh_rank <= k_star), r
