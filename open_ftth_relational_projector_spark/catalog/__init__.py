@@ -40,30 +40,21 @@ from . import streaming_sims  # noqa: E402,F401
 # ===========================================================================
 # Registration order for the driver window
 # ===========================================================================
-# ROUND-6 WINDOW PLAN (for the next session): assuming CORRECTNESS_r05
-# lands green, only the thirty r5-added queries will lack a driver row
-# (187 of 217 will hold one): stream_dedup_sim + stream_lsh_sim +
-# stream_hll_sim + stream_hdr_sim + stream_topk_sim + stream_join_sim +
-# stream_session_sim + stream_ols_sim (registered last)
-# and bpe_learned_merges,
-# bpe_token_counts, quality_score_auc, quality_pr_curve,
-# lang_guess_kappa, quality_brier_calibration, hll_distinct_rollup,
-# hdr_quantile_rollup, dup_substring_spans, ccnet_perplexity_buckets,
-# cluster_safe_split_stats, ivfpq_knn_adc, epoch_shuffle_manifest,
-# jl_projection_audit, jl_knn_recall, latent_part_affinity,
-# latent_rank2_affinity,
-# ols_price_model, ols_residual_by_nation, nb_lang_confusion,
-# bootstrap_revenue_ci, ab_tests_fdr_nations
-# (registered at
-# their family modules' tails, i.e. MID-order — identify them by NAME,
-# not by position in catalog_order.txt). r6 window: q1 flagship + those
-# thirty + 19 regression picks from the queries whose most recent
-# driver row is
-# OLDEST (r2 first — TPC-H q3..q22, multimodal_*, embedding_*, knn_*,
-# cohort/funnel family — then r3's proj_*_sim / windows / text
-# basics), so every query's latest green row stays at most ~3 rounds
-# old. If any r5 row FAILED, put it at the front of the r6 window
-# after the fix. Keep
+# ROUND-7 WINDOW PLAN (for the next session): assuming CORRECTNESS_r06
+# lands green, the cumulative driver-green union is 217/217 (+ any r6
+# additions) and every window from here on is pure freshness rotation:
+# q1 flagship + any never-driver-checked r6/r7 additions first + the
+# queries whose most recent green row is OLDEST. After r6 the oldest
+# are the 15 remaining r2-only rows (anti_join_customers_without_orders,
+# benchmark_decontamination, clicks_within_signup_day,
+# dim_join_customer_geo, embedding_near_dups (r6 re-covers it),
+# embedding_norms_by_label, label_centroid_stats, lineitem_profile,
+# repetition_stats, salted_event_counts,
+# semi_join_customers_with_urgent_orders, signup_to_purchase_funnel,
+# tfidf_top_terms, token_entropy, train_test_split_stats,
+# value_quantiles_by_type) then the r3 rows (proj_*_sim, windows, text
+# basics — see CORRECTNESS_r03.json) in registration order. If any r6
+# row FAILED, put it at the front of the r7 window after the fix. Keep
 # every name in _DRIVER_WINDOW_FRONT registered (the assert below
 # enforces it) and re-pin tests/data/catalog_order.txt +
 # CATALOG.md (scripts/gen_catalog_index.py) after any reorder.
@@ -72,63 +63,65 @@ from . import streaming_sims  # noqa: E402,F401
 # entries per round; windows rotate so every query eventually holds a
 # recent green row.
 _DRIVER_WINDOW_FRONT = [
-    # Round 5 (per the round-4 verdict's ask #1): the 39 queries that have
-    # never held a driver row, in registration order — closing the last
-    # coverage gap — plus q1 flagship and 10 regression spot-checks.
+    # Round 6 (per the round-5 verdict's ask #1): q1 flagship + the 30
+    # r5-added queries that have never held a driver row (CORRECTNESS_r05
+    # landed 50/50 green, so these are the only members of the catalog
+    # without one; closing them makes the cumulative union 217/217) + 19
+    # regression picks from the queries whose latest green row is OLDEST
+    # (all r2: TPC-H q3..q22, multimodal, embedding/order-seq family).
     "q1_pricing_summary",
-    # -- the 39 never-driver-checked, registration order --
-    "unpivot_lineitem_measures",
-    "cube_orders_status_priority",
-    "asof_forward_error_recovery",
-    "attribution_last_touch",
-    "event_deltas_range_frame",
-    "doc_length_deciles",
-    "repeat_buyer_churn_setops",
-    "knn_label_noise",
-    "dsir_doc_weights",
-    "curation_decisions",
-    "embedding_outlier_stats",
-    "hybrid_rrf_retrieval",
-    "temperature_mixture_sample",
-    "length_bucketed_batches",
-    "audio_wav_features",
-    "audio_wav_resample",
-    "expectations_audit",
-    "price_histogram",
-    "zorder_locality_audit",
-    "event_transition_matrix",
-    "json_dlq_report",
-    "negative_samples_per_customer",  # first row lands on the r5 rewrite
-    "pseudonymized_join_integrity",
-    "k_anonymity_audit",
-    "dow_seasonality_index",
-    "attribution_linear_multitouch",
-    "acctbal_distribution_ranks",
-    "item_item_similarity",
-    "part_cooccurrence_top_pairs",
-    "calendar_monthly_rollup",
-    "kwic_snippets",
-    "user_value_trend",
-    "top_user_journey_prefixes",
-    "fd_violation_profile",
-    "fk_fanout_audit",
-    "table_content_fingerprints",
-    "grouping_sets_revenue",
-    "null_safe_segment_join",
-    "revenue_share_of_region",
-    # -- 10 regression spot-checks: queries rewritten this round or
-    #    sitting on primitives changed this round, then the oldest
-    #    (r2-only) green rows --
-    "q15_top_supplier",  # r5 rewrite: scalar-max broadcast (was OVER ())
-    "token_budget_chunks",  # hierarchical_cumsum consumer; last row r2
-    "dedup_clusters",  # connected_components consumer; last row r2
-    "multimodal_features",  # r4 driver-bench regression watch; last row r2
-    "ngram_jaccard_pairs",
-    "cross_doc_shingle_dup",
-    "pii_scan",
-    "weekly_cohort_retention",
-    "knn_bruteforce",
-    "stratified_doc_sample",
+    # -- the 30 never-driver-checked r5 additions --
+    "ols_price_model",
+    "ols_residual_by_nation",  # fixed this round: ADVICE decimal moments
+    "ab_tests_fdr_nations",  # fixed this round: exact-decimal z inputs
+    "bootstrap_revenue_ci",
+    "nb_lang_confusion",
+    "bpe_learned_merges",
+    "bpe_token_counts",
+    "quality_score_auc",
+    "quality_pr_curve",
+    "quality_brier_calibration",
+    "lang_guess_kappa",
+    "hll_distinct_rollup",
+    "hdr_quantile_rollup",
+    "dup_substring_spans",
+    "ccnet_perplexity_buckets",
+    "cluster_safe_split_stats",
+    "ivfpq_knn_adc",
+    "epoch_shuffle_manifest",
+    "jl_projection_audit",  # fixed this round: ordered-list oracle
+    "jl_knn_recall",
+    "latent_part_affinity",
+    "latent_rank2_affinity",
+    "stream_dedup_sim",
+    "stream_lsh_sim",
+    "stream_hll_sim",
+    "stream_hdr_sim",
+    "stream_topk_sim",
+    "stream_join_sim",
+    "stream_session_sim",
+    "stream_ols_sim",
+    # -- 19 regression picks: the queries whose most recent driver-green
+    #    row is oldest (all from CORRECTNESS_r02), registration order --
+    "q3_order_revenue",
+    "q4_order_priority",
+    "q5_region_nation_revenue",
+    "q6_forecast_revenue",
+    "q7_nation_volume_shipping",
+    "q9_product_type_profit",
+    "q10_returned_items",
+    "q12_shipmode_priority",
+    "q13_customer_order_distribution",
+    "q14_promo_effect",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_discounted_revenue",
+    "q22_sales_opportunity",
+    "multimodal_frames",
+    "multimodal_resize",
+    "embedding_near_dups",
+    "order_item_seq",
 ]
 
 

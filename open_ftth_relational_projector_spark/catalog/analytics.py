@@ -1348,32 +1348,41 @@ from open_ftth_relational_projector_spark.functions.sampling import (  # noqa: E
 )
 
 # shared formula text: per-nation vs rest-of-world two-sample z on the
-# mean, population variances from (n, Σv, Σv²); z rounds to 6 dp BEFORE
-# the CDF so the p-value inputs are engine-identical
+# mean, population variances from (n, Σv, Σv²). The moment sums are EXACT
+# DECIMAL(18,4)-derived aggregates (summation-order-independent, so both
+# engines hold bit-identical sums by construction — the regression.py
+# contract); they convert to DOUBLE only here, at the ratio stage, and the
+# rest-of-world stats subtract ON THE DECIMALS before that conversion.
 _FDR_STATS_LIST = [
     "n1",
-    "s1 / n1 AS m1",
-    "ss1 / n1 - (s1 / n1) * (s1 / n1) AS v1",
+    "CAST(s1d AS DOUBLE) / n1 AS m1",
+    "CAST(ss1d AS DOUBLE) / n1"
+    " - (CAST(s1d AS DOUBLE) / n1) * (CAST(s1d AS DOUBLE) / n1) AS v1",
     "nt - n1 AS n2",
-    "(st - s1) / (nt - n1) AS m2",
-    "(sst - ss1) / (nt - n1)"
-    " - ((st - s1) / (nt - n1)) * ((st - s1) / (nt - n1)) AS v2",
+    "CAST(std - s1d AS DOUBLE) / (nt - n1) AS m2",
+    "CAST(sstd - ss1d AS DOUBLE) / (nt - n1)"
+    " - (CAST(std - s1d AS DOUBLE) / (nt - n1))"
+    " * (CAST(std - s1d AS DOUBLE) / (nt - n1)) AS v2",
 ]
 _FDR_STATS = ", ".join(_FDR_STATS_LIST)
 _FDR_Z = "ROUND((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 6)"
 _FDR_Q = 0.1
 
+# DECIMAL(19,4) on the DuckDB side, not (18,4): width ≤ 18 multiplies in
+# int64 and overflows; 19 forces the hugeint path → exact DECIMAL(38,8).
+# Spark keeps (18,4); the aggregated VALUES are identical either way.
 _FDR_SQL = f"""
     WITH f AS MATERIALIZED (
-      SELECT n_name, CAST(l_extendedprice AS DOUBLE) AS v
+      SELECT n_name, CAST(l_extendedprice AS DECIMAL(19,4)) AS v
       FROM lineitem
       JOIN supplier ON l_suppkey = s_suppkey
       JOIN nation ON s_nationkey = n_nationkey),
     per AS MATERIALIZED (
       SELECT n_name, CAST(COUNT(*) AS DOUBLE) AS n1,
-             SUM(v) AS s1, SUM(v * v) AS ss1
+             SUM(v) AS s1d, SUM(v * v) AS ss1d
       FROM f GROUP BY n_name),
-    tot AS (SELECT SUM(n1) AS nt, SUM(s1) AS st, SUM(ss1) AS sst FROM per),
+    tot AS (SELECT SUM(n1) AS nt, SUM(s1d) AS std, SUM(ss1d) AS sstd
+            FROM per),
     stats AS (SELECT n_name, {_FDR_STATS} FROM per CROSS JOIN tot),
     zt AS MATERIALIZED (
       SELECT n_name, n1, {_FDR_Z} AS z FROM stats),
@@ -1405,10 +1414,14 @@ def ab_tests_fdr_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     the rest of the corpus (rest-stats derived by SUBTRACTION from one
     grouped pass — no second scan), then Benjamini-Hochberg step-up at
     q=0.1 across the 25 tests. One fact scan; the BH step runs on the
-    25-row test table via a window-free rank join + scalar k*. The normal
-    CDF is a shared-text polynomial (functions/sampling.PHI_ABS_SQL) and
-    z rounds to 6 dp before it, so p-values and the BH decision replay
-    identically in the oracle."""
+    25-row test table via a window-free rank join + scalar k*. The moment
+    sums (Σv, Σv²) accumulate as exact DECIMAL(18,4)-derived aggregates —
+    summation-order-independent, so both engines hold bit-identical z
+    inputs BY CONSTRUCTION (the regression.py contract), not merely with
+    high probability; the decimals convert to DOUBLE only at the ratio
+    stage, the normal CDF is a shared-text polynomial
+    (functions/sampling.PHI_ABS_SQL), and z rounds to 6 dp before it, so
+    p-values and the BH decision replay identically in the oracle."""
     li = load_table(spark, sf_dir, "lineitem")
     supplier = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
@@ -1421,16 +1434,16 @@ def ab_tests_fdr_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(nation.select("n_nationkey", "n_name")),
             F.col("s_nationkey") == F.col("n_nationkey"),
         )
-        .selectExpr("n_name", "CAST(l_extendedprice AS DOUBLE) AS v")
+        .selectExpr("n_name", "CAST(l_extendedprice AS DECIMAL(18,4)) AS v")
     )
     per = f.groupBy("n_name").agg(
         F.count(F.lit(1)).cast("double").alias("n1"),
-        F.sum("v").alias("s1"),
-        F.sum(F.col("v") * F.col("v")).alias("ss1"),
+        F.sum("v").alias("s1d"),
+        F.sum(F.expr("v * v")).alias("ss1d"),
     )
     tot = per.agg(
-        F.sum("n1").alias("nt"), F.sum("s1").alias("st"),
-        F.sum("ss1").alias("sst"),
+        F.sum("n1").alias("nt"), F.sum("s1d").alias("std"),
+        F.sum("ss1d").alias("sstd"),
     )
     stats = per.crossJoin(F.broadcast(tot)).selectExpr(
         "n_name", *_FDR_STATS_LIST

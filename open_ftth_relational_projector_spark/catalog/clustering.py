@@ -637,52 +637,56 @@ def latent_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_JL_SQL = """
-    WITH sgn AS (
-      SELECT j.j, i.i,
-             CASE WHEN ('0x' || substr(md5('jl#' || CAST(j.j AS VARCHAR)
-                        || '#' || CAST(i.i AS VARCHAR)), 1, 1))::BIGINT % 2 = 0
-                  THEN 1.0 ELSE -1.0 END AS s
-      FROM (SELECT UNNEST(range(16)) AS j) j,
-           (SELECT UNNEST(range(64)) AS i) i),
-    pe AS (
-      SELECT vec_id, vec_id % 25 AS bucket,
-             UNNEST(range(len(embedding))) AS i,
-             UNNEST(CAST(embedding AS DOUBLE[])) AS val
-      FROM embeddings),
-    proj AS (
-      SELECT pe.vec_id, sgn.j, SUM(pe.val * sgn.s) / 4.0 AS pv
-      FROM pe JOIN sgn USING (i)
-      GROUP BY pe.vec_id, sgn.j),
-    vn AS (SELECT vec_id, SQRT(SUM(val * val)) AS n_orig FROM pe GROUP BY vec_id),
-    pn AS (SELECT vec_id, SQRT(SUM(pv * pv)) AS n_proj FROM proj GROUP BY vec_id),
-    od AS (
-      SELECT a.vec_id AS ia, b.vec_id AS ib, SUM(a.val * b.val) AS dot_o
-      FROM pe a JOIN pe b
-        ON a.i = b.i AND a.bucket = b.bucket AND a.vec_id < b.vec_id
-      GROUP BY 1, 2),
-    pd AS (
-      SELECT a.vec_id AS ia, b.vec_id AS ib, SUM(a.pv * b.pv) AS dot_p
-      FROM proj a JOIN proj b
-        ON a.j = b.j AND a.vec_id % 25 = b.vec_id % 25 AND a.vec_id < b.vec_id
-      GROUP BY 1, 2),
+def _jl_audit_sql() -> str:
+    """Oracle for jl_projection_audit: the projection, the norms, AND the
+    pairwise dot products all replay as ORDERED list arithmetic
+    (list_transform index order + sequential list_sum — the same
+    left-to-right double summation as Spark's zip_with/aggregate fold),
+    the _jl_knn_sql bit-identical-projection contract. The per-bucket
+    mean then aggregates an exact DECIMAL(18,9) image of the
+    (bit-identical) pair errors, so no cross-engine summation-order
+    hazard remains anywhere in the query."""
+    from open_ftth_relational_projector_spark.functions.similarity import (
+        jl_sign_matrix,
+    )
+
+    signs = jl_sign_matrix(16, 64)
+    pv = ", ".join(
+        "list_sum(list_transform(generate_series(1, 64),"
+        " i -> v[i]::DOUBLE * ([" + ", ".join(str(s) for s in row) + "])[i]))"
+        " / 4.0"
+        for row in signs
+    )
+
+    def dot(a, b, n):
+        return (
+            f"list_sum(list_transform(generate_series(1, {n}),"
+            f" i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
+        )
+
+    return f"""
+    WITH e AS (SELECT vec_id, vec_id % 25 AS bucket, embedding AS v
+               FROM embeddings),
+    p AS MATERIALIZED (
+      SELECT vec_id, bucket, v, [{pv}] AS pv,
+             SQRT({dot('v', 'v', 64)}) AS n_orig FROM e),
+    n AS MATERIALIZED (
+      SELECT vec_id, bucket, v, pv, n_orig,
+             SQRT({dot('pv', 'pv', 16)}) AS n_proj FROM p),
     pair AS (
-      SELECT od.ia % 25 AS bucket,
-             ABS(od.dot_o / (va.n_orig * vb.n_orig)
-                 - pd.dot_p / (pa.n_proj * pb.n_proj)) AS err
-      FROM od JOIN pd ON od.ia = pd.ia AND od.ib = pd.ib
-      JOIN vn va ON va.vec_id = od.ia
-      JOIN vn vb ON vb.vec_id = od.ib
-      JOIN pn pa ON pa.vec_id = od.ia
-      JOIN pn pb ON pb.vec_id = od.ib)
+      SELECT a.bucket,
+             ABS({dot('a.v', 'b.v', 64)} / (a.n_orig * b.n_orig)
+                 - {dot('a.pv', 'b.pv', 16)} / (a.n_proj * b.n_proj)) AS err
+      FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
     SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_pairs,
-           ROUND(AVG(err), 4) AS mean_abs_err,
+           ROUND(CAST(SUM(CAST(ROUND(err, 9) AS DECIMAL(18,9))) AS DOUBLE)
+                 / COUNT(*), 4) AS mean_abs_err,
            ROUND(MAX(err), 4) AS max_abs_err
     FROM pair GROUP BY bucket
     """
 
 
-@_q("jl_projection_audit", _JL_SQL)
+@_q("jl_projection_audit", _jl_audit_sql())
 def jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson-Lindenstrauss sign random projection 64→16 dims
     (functions/similarity.jl_project: md5-derived ±1 matrix, map-only,
@@ -692,8 +696,11 @@ def jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     The projection is the cheap pre-pass that shrinks every downstream
     pairwise/ANN shuffle by dim/k×; the audit is the QA gate — at corpus
     scale it runs on a bounded md5-picked vector sample (this 500-vector
-    table is already sample-sized). The oracle re-derives the identical
-    sign matrix from DuckDB's md5."""
+    table is already sample-sized). The oracle replays projection, norms,
+    and pair dot products as ordered list arithmetic (bit-identical to
+    the zip_with/aggregate folds), and the bucket mean sums an exact
+    DECIMAL(18,9) image of the errors on BOTH sides, so the 4-dp rounding
+    can never sit on a cross-engine ulp boundary."""
     from open_ftth_relational_projector_spark.functions.similarity import (
         dot,
         jl_project,
@@ -723,7 +730,12 @@ def jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("a.bucket").alias("bucket"), err.alias("err"))
     return pairs.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n_pairs"),
-        _r4(F.avg("err")).alias("mean_abs_err"),
+        F.round(
+            F.sum(F.expr("CAST(ROUND(err, 9) AS DECIMAL(18,9))"))
+            .cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("mean_abs_err"),
         _r4(F.max("err")).alias("max_abs_err"),
     )
 

@@ -53,6 +53,8 @@ def power_iteration_factors(
     L2-unit vector rounded to ``iter_dp`` (the dominant left/right singular
     directions of R after ``iters`` alternations from u = 1⃗).
     """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
     r = (
         ratings.select(
             F.col(row_col).alias("_r"),
@@ -119,6 +121,8 @@ def power_iteration_rank2(
     be negative; sign is deterministic because the start vector and every
     rounding step are.
     """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
     r = (
         ratings.select(
             F.col(row_col).alias("_r"),

@@ -148,6 +148,36 @@ def affected_ids(batch_envelopes: DataFrame) -> dict[str, list[str]]:
     return affected_ids_from_rows(collect_batch(batch_envelopes))
 
 
+def affected_ids_distributed(batch_log: EventLog) -> dict[str, list[str]]:
+    """Touched entity ids per domain, extracted as Spark aggregations.
+
+    The oversized-batch twin of ``affected_ids``: the batch rows never
+    reach the driver — per-type id projections union per domain and only
+    the DISTINCT id lists are collected (∝ touched entities, not ∝ batch
+    rows; a catch-up batch after long downtime can hold the whole backlog,
+    but the entity universe it touches is bounded by the domain). The tiny
+    id lists then drive the same semi-join restriction as the driver path.
+    """
+    by_domain: dict[str, list[DataFrame]] = {}
+    for etype, (domain, id_path) in AFFECTED.items():
+        df = batch_log.of(etype).select(F.expr(id_path).alias("id"))
+        by_domain.setdefault(domain, []).append(df)
+        if etype in CABLE_TRIGGER_TYPES:
+            by_domain.setdefault("cable", []).append(df)
+    out: dict[str, list[str]] = {}
+    for domain, dfs in by_domain.items():
+        u = dfs[0]
+        for d in dfs[1:]:
+            u = u.unionByName(d)
+        vals = sorted(
+            r.id
+            for r in u.where(F.col("id").isNotNull()).distinct().collect()
+        )
+        if vals:
+            out[domain] = vals
+    return out
+
+
 @dataclass
 class TableDelta:
     """Keyed-merge delta: recomputed rows + keys with no row (deletes)."""

@@ -236,21 +236,47 @@ def apply_batch(
     if batch_id is not None and sink.get_meta("applied_batch") == str(batch_id):
         return False
 
-    parsed = collect_batch(batch_envelopes)
-    ids = affected_ids_from_rows(parsed)
+    from open_ftth_relational_projector_spark.streaming.incremental import (
+        MAX_DRIVER_BATCH_ROWS,
+        affected_ids_distributed,
+    )
+
+    # ONE aggregate job sizes the batch before anything is pulled to the
+    # driver: count gates the collect (a post-downtime catch-up batch can
+    # hold the entire backlog), min drives the overlap check, max the
+    # watermark.
+    stat = batch_envelopes.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("seq").alias("mn"),
+        F.max("seq").alias("mx"),
+    ).collect()[0]
+    n_batch = int(stat["n"])
+    batch_min = stat["mn"] if stat["mn"] is None else int(stat["mn"])
+    batch_max = stat["mx"] if stat["mx"] is None else int(stat["mx"])
+    driver_sized = n_batch <= MAX_DRIVER_BATCH_ROWS
+
+    parsed = collect_batch(batch_envelopes) if driver_sized else None
     # materialize the typed streams once per batch: every per-table delta
     # re-reads several of them, and without this each recompute re-filters
     # and re-parses the accumulated envelope log
     full_log = EventLog.from_envelopes(full_envelopes)
     if persist_full:
         full_log = full_log.persisted()
+    batch_log = None
+    if parsed is None:
+        # oversized batch: touched keys come from a distributed distinct
+        # aggregation — only the id LISTS reach the driver
+        batch_log = EventLog.from_envelopes(batch_envelopes).persisted()
     try:
-        from open_ftth_relational_projector_spark.streaming.incremental import (
-            MAX_DRIVER_BATCH_ROWS,
-        )
         from open_ftth_relational_projector_spark.streaming.replay import (
             replay_lww_tables,
             replay_rel_batch,
+        )
+
+        ids = (
+            affected_ids_from_rows(parsed)
+            if parsed is not None
+            else affected_ids_distributed(batch_log)
         )
 
         # The driver-side replays require sink state == fold(log ∖ batch).
@@ -258,12 +284,13 @@ def apply_batch(
         # violates that, so it takes the distributed recompute, which is
         # idempotent by construction (pure function of the accumulated log).
         prev_wm = int(sink.get_meta("watermark") or 0)
-        batch_min = min((s for s, _, _ in parsed), default=None)
         overlap = batch_min is not None and batch_min <= prev_wm
-        driver_ok = not overlap and len(parsed) <= MAX_DRIVER_BATCH_ROWS
+        driver_ok = driver_sized and not overlap
 
         edge_ctx = (
-            build_edge_context(full_log, parsed, ids, sink) if not overlap else None
+            build_edge_context(full_log, parsed, ids, sink)
+            if parsed is not None and not overlap
+            else None
         )
         # join-free LWW tables replay straight against the sink's public
         # rows (zero Spark jobs) whenever the batch is driver-sized
@@ -290,8 +317,9 @@ def apply_batch(
             # spec registries are dimension streams — fold them EVERY batch
             # (a spec-only batch must still land in the aux registry for
             # later batches' placements to resolve against)
-            for name, tbl in fold_spec_registry(parsed).items():
-                sink.merge(name, tbl)
+            if parsed is not None:
+                for name, tbl in fold_spec_registry(parsed).items():
+                    sink.merge(name, tbl)
             if edge_ctx is not None:
                 sink.append("_aux_affix_edge", edge_ctx.new_edges)
                 sink.append("_aux_root_segment", edge_ctx.new_registry)
@@ -300,9 +328,10 @@ def apply_batch(
                 if rr is not None:
                     sink.merge("_aux_span_state", rr.state_upserts)
                     sink.delete_keys("_aux_span_state", "id", rr.state_deletes)
-            elif ids.get("span") or ids.get("cable"):
-                # distributed fallback: the batch was too large for the
-                # driver path, so the aux sets are reseeded wholesale from
+            elif parsed is None or ids.get("span") or ids.get("cable"):
+                # distributed fallback (overlap/giant batch): the aux sets
+                # — including the spec/walk registries an oversized batch
+                # never folded driver-side — are reseeded wholesale from
                 # the accumulated log (the fallback is already ∝ log).
                 for name, df in aux_seed_frames(full_log).items():
                     sink.overwrite(name, df)

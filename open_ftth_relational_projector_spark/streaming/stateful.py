@@ -775,9 +775,12 @@ def _ols_fold(
     for pdf in pdfs:
         if not len(pdf):
             continue
-        x1 = pdf["x1"].astype("int64")
-        x2 = pdf["x2"].astype("int64")
-        y = pdf["y"].astype("int64")
+        # object dtype → pandas sums with arbitrary-precision Python ints;
+        # int64 products like (x1*x1).sum() would wrap silently on overflow
+        # and the corruption would persist in keyed state
+        x1 = pdf["x1"].astype("int64").astype(object)
+        x2 = pdf["x2"].astype("int64").astype(object)
+        y = pdf["y"].astype("int64").astype(object)
         vals[0] += len(pdf)
         vals[1] += int(x1.sum())
         vals[2] += int(x2.sum())
@@ -788,6 +791,11 @@ def _ols_fold(
         vals[7] += int((x1 * y).sum())
         vals[8] += int((x2 * y).sum())
         vals[9] += int((y * y).sum())
+    if any(not (-(2**63) <= v < 2**63) for v in vals):
+        raise OverflowError(
+            "OLS moment state exceeds int64; rescale the feature columns "
+            f"(key={key[0]!r}, moments={vals})"
+        )
     state.update(tuple(vals))
     yield pd.DataFrame(
         {
