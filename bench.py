@@ -123,6 +123,10 @@ EXTRA_QUERIES = [
     "bootstrap_revenue_ci",
     "jl_knn_recall",
     "ab_tests_fdr_nations",
+    # r6: mixture planning, corpus versioning, robust stats
+    "domain_mixture_weights",
+    "corpus_snapshot_diff",
+    "winsorized_price_stats",
 ]
 
 

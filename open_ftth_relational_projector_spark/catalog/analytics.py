@@ -1498,3 +1498,212 @@ def ab_tests_fdr_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bh_rank",
         (F.col("bh_rank") <= F.col("k")).alias("significant"),
     )
+
+
+# --- r6: robust (winsorized/trimmed) statistics ------------------------------
+
+_WINSOR_SQL = """
+    WITH li AS (SELECT l_returnflag AS flag, CAST(l_extendedprice AS DOUBLE) AS v
+                FROM lineitem),
+    pct AS (
+      SELECT flag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             ROUND(quantile_cont(v, 0.05), 6) AS p05,
+             ROUND(quantile_cont(v, 0.95), 6) AS p95
+      FROM li GROUP BY flag),
+    cl AS (
+      SELECT li.flag, pct.n_rows, pct.p05, pct.p95,
+             CAST(ROUND(LEAST(GREATEST(li.v, pct.p05), pct.p95), 6)
+                  AS DECIMAL(19,6)) AS w,
+             li.v BETWEEN pct.p05 AND pct.p95 AS inside,
+             CAST(ROUND(li.v, 6) AS DECIMAL(19,6)) AS vd
+      FROM li JOIN pct USING (flag))
+    SELECT flag AS l_returnflag, n_rows, p05, p95,
+           ROUND(CAST(SUM(w) AS DOUBLE) / n_rows, 4) AS winsorized_mean,
+           CAST(SUM(CASE WHEN inside THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           ROUND(CAST(SUM(CASE WHEN inside THEN vd END) AS DOUBLE)
+                 / SUM(CASE WHEN inside THEN 1 ELSE 0 END), 4) AS trimmed_mean
+    FROM cl GROUP BY 1, 2, 3, 4
+    """
+
+
+@_q("winsorized_price_stats", _WINSOR_SQL)
+def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group statistics: 5/95% winsorized mean (tails clamped
+    to the percentiles) and trimmed mean (tails dropped) of extended
+    price per return flag — the outlier-resistant summary a corpus-stats
+    pass reports instead of a raw mean. Two passes by nature (percentile,
+    then clamp), both map-side-combined groupBys; the percentiles are
+    exact interpolating (`percentile` ↔ quantile_cont). Determinism by
+    construction: 2-dp inputs make every interpolated percentile a ≤4-dp
+    real (never on a 6-dp rounding boundary), and the clamped values are
+    rounded to 6 dp then summed as exact DECIMAL(19,6) on BOTH sides —
+    no cross-engine summation-order hazard."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").cast("double").alias("v"),
+    )
+    pct = li.groupBy("flag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.expr("percentile(v, 0.05D)"), 6).alias("p05"),
+        F.round(F.expr("percentile(v, 0.95D)"), 6).alias("p95"),
+    )
+    cl = li.join(F.broadcast(pct), "flag").selectExpr(
+        "flag",
+        "n_rows",
+        "p05",
+        "p95",
+        "CAST(ROUND(LEAST(GREATEST(v, p05), p95), 6) AS DECIMAL(19,6)) AS w",
+        "v BETWEEN p05 AND p95 AS inside",
+        "CAST(ROUND(v, 6) AS DECIMAL(19,6)) AS vd",
+    )
+    return cl.groupBy("flag", "n_rows", "p05", "p95").agg(
+        F.round(
+            F.sum("w").cast("double") / F.col("n_rows"), 4
+        ).alias("winsorized_mean"),
+        F.sum(F.when(F.col("inside"), 1).otherwise(0)).alias("n_kept"),
+        F.round(
+            F.sum(F.when(F.col("inside"), F.col("vd"))).cast("double")
+            / F.sum(F.when(F.col("inside"), 1).otherwise(0)),
+            4,
+        ).alias("trimmed_mean"),
+    ).withColumnRenamed("flag", "l_returnflag")
+
+
+# --- r6: one-pass correlation matrix ----------------------------------------
+
+_CORR_VARS = {"q": "l_quantity", "p": "l_extendedprice", "d": "l_discount",
+              "t": "l_tax"}
+_CORR_PAIRS = [("q", "p"), ("q", "d"), ("q", "t"), ("p", "d"), ("p", "t"),
+               ("d", "t")]
+
+
+def _corr_exprs(x: str, y: str) -> tuple[str, str]:
+    """Shared covariance/correlation text over the exact-decimal moment
+    sums (converted to DOUBLE only here, the regression.py contract)."""
+    n = "CAST(n AS DOUBLE)"
+    sx, sy = f"CAST(s_{x} AS DOUBLE)", f"CAST(s_{y} AS DOUBLE)"
+    sxy = f"CAST(s_{x}{y} AS DOUBLE)"
+    sxx, syy = f"CAST(s_{x}{x} AS DOUBLE)", f"CAST(s_{y}{y} AS DOUBLE)"
+    cov = f"({sxy} / {n} - ({sx} / {n}) * ({sy} / {n}))"
+
+    def var(s1, s2):
+        return f"({s2} / {n} - ({s1} / {n}) * ({s1} / {n}))"
+
+    corr = f"({cov} / sqrt({var(sx, sxx)} * {var(sy, syy)}))"
+    return cov, corr
+
+
+def _corr_moment_exprs(dec: str) -> list[str]:
+    exprs = []
+    ks = list(_CORR_VARS)
+    for k in ks:
+        exprs.append(f"SUM(CAST({_CORR_VARS[k]} AS {dec})) AS s_{k}")
+    for i, x in enumerate(ks):
+        for y in ks[i:]:
+            exprs.append(
+                f"SUM(CAST({_CORR_VARS[x]} AS {dec})"
+                f" * CAST({_CORR_VARS[y]} AS {dec})) AS s_{x}{y}"
+            )
+    return exprs
+
+
+def _corr_sql() -> str:
+    moments = ",\n             ".join(_corr_moment_exprs("DECIMAL(19,4)"))
+    branches = []
+    for x, y in _CORR_PAIRS:
+        cov, corr = _corr_exprs(x, y)
+        branches.append(
+            f"SELECT l_returnflag, '{_CORR_VARS[x]}' AS var_x,"
+            f" '{_CORR_VARS[y]}' AS var_y,"
+            f" ROUND({cov}, 6) AS covariance, ROUND({corr}, 6) AS corr"
+            " FROM m"
+        )
+    body = "\n    UNION ALL\n    ".join(branches)
+    return f"""
+    WITH m AS (
+      SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+             {moments}
+      FROM lineitem GROUP BY l_returnflag)
+    {body}
+    """
+
+
+@_q("correlation_matrix_lineitem", _corr_sql())
+def correlation_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation + covariance of the four lineitem
+    measures per return flag, from ONE map-side-combined aggregation pass
+    (15 exact-DECIMAL moment sums per group — the d² one-pass recipe that
+    scales to any corpus size; the 6-pair unpivot runs on the 3-row moment
+    table). Moments are summation-order-independent by the decimal
+    contract, and both engines apply the identical shared formula text, so
+    every correlation replays bit-identically in the oracle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        # Spark stays at DECIMAL(18,4); the oracle widens to (19,4) only to
+        # force DuckDB's hugeint multiply path — identical values either way
+        *[F.expr(e) for e in _corr_moment_exprs("DECIMAL(18,4)")],
+    )
+    out = None
+    for x, y in _CORR_PAIRS:
+        cov, corr = _corr_exprs(x, y)
+        branch = per.selectExpr(
+            "l_returnflag",
+            f"'{_CORR_VARS[x]}' AS var_x",
+            f"'{_CORR_VARS[y]}' AS var_y",
+            f"ROUND({cov}, 6) AS covariance",
+            f"ROUND({corr}, 6) AS corr",
+        )
+        out = branch if out is None else out.unionByName(branch)
+    return out
+
+
+# --- r6: equi-depth histogram without a single-task window -------------------
+
+_EQUIDEPTH_SQL = """
+    WITH li AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+                       l_orderkey AS k1, l_linenumber AS k2
+                FROM lineitem),
+    r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v, k1, k2) AS rn FROM li),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM li)
+    SELECT CAST(((rn - 1) * 10) // n AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(MIN(v), 2) AS lo, ROUND(MAX(v), 2) AS hi
+    FROM r CROSS JOIN n
+    GROUP BY 1
+    """
+
+
+@_q("equidepth_price_bins", _EQUIDEPTH_SQL)
+def equidepth_price_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-count) 10-bucket histogram of extended price —
+    the optimizer/data-profiling histogram form equi-width bins can't
+    give on skewed data. The exact global rank comes from
+    operators.hierarchical_row_number (range-sharded, broadcast offsets)
+    instead of `ROW_NUMBER() OVER (ORDER BY ...)`, so no single task ever
+    sees the whole corpus; ties split deterministically by the (orderkey,
+    linenumber) tiebreak, and bucket = ((rank−1)·10) div n is exact
+    integer arithmetic on both engines."""
+    from open_ftth_relational_projector_spark.operators.hierarchical import (
+        hierarchical_row_number,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").selectExpr(
+        "CAST(l_extendedprice AS DOUBLE) AS v",
+        "l_orderkey AS k1",
+        "l_linenumber AS k2",
+    )
+    r = hierarchical_row_number(
+        li, [F.col("v"), F.col("k1"), F.col("k2")], "rn"
+    )
+    cnt = li.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        r.crossJoin(F.broadcast(cnt))
+        .selectExpr("v", "CAST(((rn - 1) * 10) div n AS INT) AS bucket")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.min("v"), 2).alias("lo"),
+            F.round(F.max("v"), 2).alias("hi"),
+        )
+    )

@@ -159,7 +159,11 @@ def curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsir_importance_weights,
     )
 
-    docs = scattered(load_table(spark, sf_dir, "documents"))
+    # ONE materialization of the documents scan feeds all four signal
+    # sub-pipelines (quality, DSIR, bigram-LM — and DSIR/LM each walk
+    # their exploded features twice); without it every branch re-reads
+    # and re-decodes the text column from parquet.
+    docs = scattered(load_table(spark, sf_dir, "documents")).persist()
     emb = scattered(load_table(spark, sf_dir, "embeddings"))
     q = docs.select(
         "doc_id",
@@ -168,8 +172,12 @@ def curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     sem = semantic_dedup(emb, threshold=0.9, k=4, iters=2).select(
         F.col("vec_id").alias("doc_id"), F.col("keep").alias("sem_keep")
     )
-    dw = dsir_importance_weights(docs, target_lang="en", n_buckets=256)
-    lms = bigram_lm_scores(docs)
+    # dw/lms are each consumed TWICE (threshold aggregate + the final
+    # join); without the persist the whole DSIR resp. bigram-LM pipeline
+    # re-executes for the percentile branch. The persisted frames are
+    # per-doc dimension-sized (one row per document).
+    dw = dsir_importance_weights(docs, target_lang="en", n_buckets=256).persist()
+    lms = bigram_lm_scores(docs).persist()
     dthr = dw.agg(F.expr("percentile(log_weight, 0.2)").alias("dt"))
     lthr = lms.agg(F.expr("percentile(avg_logprob, 0.2)").alias("lt"))
     dsir_ok = F.col("log_weight") >= F.col("dt")

@@ -1730,3 +1730,126 @@ def dup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_len=20,
         repartition_to=spark.sparkContext.defaultParallelism,
     )
+
+
+# --- r6: static domain-mixture planning -------------------------------------
+
+def _mixture_sql() -> str:
+    from open_ftth_relational_projector_spark.functions.sampling import (
+        MIX_QD_SQL,
+        mix_final_exprs,
+    )
+
+    finals = ",\n           ".join(mix_final_exprs(1_000_000))
+    return f"""
+    WITH per AS (
+      SELECT source, SUM(LEN(string_split(text, ' '))) AS n_tokens
+      FROM documents GROUP BY source),
+    base AS (
+      SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+             CAST(n_tokens AS DOUBLE) / nt AS p_raw,
+             {MIX_QD_SQL} AS qd
+      FROM per CROSS JOIN (SELECT SUM(n_tokens) AS nt FROM per) tot)
+    SELECT source, n_tokens,
+           {finals}
+    FROM base CROSS JOIN (SELECT SUM(qd) AS qsum FROM base) den
+    """
+
+
+@_q("domain_mixture_weights", _mixture_sql())
+def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static domain-mixture plan for a 1M-token training draw
+    (functions/sampling.mixture_weights): per source, token totals, raw
+    share, √-temperature sampling weight (upweights small domains), the
+    planned token draw, and implied epochs (>1 ⇒ repetition). One corpus
+    scan; the G-row normalization uses exact DECIMAL(18,9) sums so both
+    engines hold bit-identical weights (τ=0.5 makes the reweight an IEEE
+    sqrt — correctly rounded, engine-identical by construction)."""
+    from open_ftth_relational_projector_spark.functions.sampling import (
+        mixture_weights,
+    )
+
+    return mixture_weights(
+        load_table(spark, sf_dir, "documents"), token_budget=1_000_000
+    )
+
+
+# --- r6: corpus snapshot diff ------------------------------------------------
+
+_SNAPSHOT_DIFF_SQL = """
+    WITH d AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, lang, text
+               FROM documents),
+    v1 AS (SELECT doc_id, lang, md5(text) AS fp FROM d),
+    b AS (SELECT doc_id, lang, text,
+                 ('0x' || substr(md5(doc_id || '#0'), 1, 15))::BIGINT % 10
+                   AS bkt
+          FROM d),
+    v2 AS (
+      SELECT doc_id, lang,
+             CASE WHEN bkt = 1 THEN md5(text || ' [rev2]')
+                  ELSE md5(text) END AS fp
+      FROM b WHERE bkt <> 0
+      UNION ALL
+      SELECT doc_id || '::v2', lang, md5('new:' || doc_id)
+      FROM b WHERE bkt = 2)
+    SELECT CASE WHEN v1.doc_id IS NULL THEN 'added'
+                WHEN v2.doc_id IS NULL THEN 'removed'
+                WHEN v1.fp = v2.fp THEN 'unchanged'
+                ELSE 'changed' END AS status,
+           COALESCE(v1.lang, v2.lang) AS lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+    GROUP BY 1, 2
+    """
+
+
+@_q("corpus_snapshot_diff", _SNAPSHOT_DIFF_SQL)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-versioning diff (functions/dedup.snapshot_diff): v2 is a
+    deterministic md5-bucketed mutation of the corpus (bucket 0 of 10
+    removed, bucket 1 edited, bucket 2 additionally spawns a new doc),
+    and the diff classifies every id added/removed/changed/unchanged by
+    content fingerprint, aggregated per (status, lang). At scale only
+    (id, fingerprint, lang) triples ship through the one full-outer
+    shuffle — the text never moves; the output is the work-list an
+    incremental recrawl/retrain pass re-enters into the pipeline."""
+    from open_ftth_relational_projector_spark.functions.dedup import (
+        portable_hash64,
+        snapshot_diff,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "lang", "text"
+    )
+    b = docs.select(
+        "doc_id", "lang", "text",
+        (portable_hash64(F.col("doc_id")) % 10).alias("bkt"),
+    )
+    v1 = docs.select("doc_id", "lang", F.md5("text").alias("fingerprint"))
+    v2 = (
+        b.filter("bkt <> 0")
+        .select(
+            "doc_id",
+            "lang",
+            F.when(
+                F.col("bkt") == 1,
+                F.md5(F.concat(F.col("text"), F.lit(" [rev2]"))),
+            )
+            .otherwise(F.md5("text"))
+            .alias("fingerprint"),
+        )
+        .unionByName(
+            b.filter("bkt = 2").select(
+                F.concat(F.col("doc_id"), F.lit("::v2")).alias("doc_id"),
+                "lang",
+                F.md5(F.concat(F.lit("new:"), F.col("doc_id"))).alias(
+                    "fingerprint"
+                ),
+            )
+        )
+    )
+    return (
+        snapshot_diff(v1, v2, carry=("lang",))
+        .groupBy("status", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

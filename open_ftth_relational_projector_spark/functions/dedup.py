@@ -1098,3 +1098,44 @@ def duplicated_spans(
             ).otherwise(0.0).alias("dup_frac"),
         )
     )
+
+
+# --- corpus snapshot versioning ---------------------------------------------
+
+def snapshot_diff(
+    v1: DataFrame,
+    v2: DataFrame,
+    id_col: str = "doc_id",
+    fp_col: str = "fingerprint",
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """Corpus-version diff by content fingerprint: one full-outer join of
+    two snapshots' (id, fingerprint) sets → per-id status ∈
+    added / removed / changed / unchanged. ``carry`` columns are
+    coalesced across the two sides (v1 wins where both exist).
+
+    The standard corpus-versioning primitive for incremental
+    recrawl/retrain decisions: at 100 TB only (id, 32-byte fingerprint
+    [, carry]) pairs ship through the ONE co-partitioned shuffle — the
+    text never moves, and the output drives which documents re-enter the
+    downstream pipeline.
+    """
+    a = v1.select(
+        F.col(id_col).alias("id"),
+        F.col(fp_col).alias("fp1"),
+        *[F.col(c).alias(f"a_{c}") for c in carry],
+    )
+    b = v2.select(
+        F.col(id_col).alias("id"),
+        F.col(fp_col).alias("fp2"),
+        *[F.col(c).alias(f"b_{c}") for c in carry],
+    )
+    return a.join(b, "id", "full_outer").select(
+        F.col("id").alias(id_col),
+        F.when(F.col("fp1").isNull(), "added")
+        .when(F.col("fp2").isNull(), "removed")
+        .when(F.col("fp1") == F.col("fp2"), "unchanged")
+        .otherwise("changed")
+        .alias("status"),
+        *[F.coalesce(f"a_{c}", f"b_{c}").alias(c) for c in carry],
+    )

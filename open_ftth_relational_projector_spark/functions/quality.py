@@ -255,21 +255,31 @@ def bigram_lm_scores(
     big = base.select(
         "doc_id",
         F.explode(_bigrams_all(F.col("text"))).alias("bg"),
-    ).withColumn("w1", F.split(F.col("bg"), " ").getItem(0))
+    )
     c2 = big.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
     c1 = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
-    vocab = uni.agg(F.countDistinct("w").alias("v"))
-    return (
-        big.join(c2, "bg")
-        .join(c1, big["w1"] == c1["w"])
+    # V = |{distinct w}| = the row count of the c1 gram table — a
+    # gram-table-sized aggregate, NOT another countDistinct pass over the
+    # exploded corpus
+    vocab = c1.agg(F.count(F.lit(1)).alias("v"))
+    # pre-score the GRAM table (c2 ⋈ c1 is gram-sized), so the corpus-sized
+    # bigram stream shuffles once (join on bg) instead of twice (bg then
+    # w1) — the per-row lp value is identical, just computed once per
+    # distinct bigram instead of once per occurrence
+    lp_table = (
+        c2.withColumn("w1", F.split(F.col("bg"), " ").getItem(0))
+        .join(c1, F.col("w1") == c1["w"])
         .crossJoin(F.broadcast(vocab))
-        .withColumn(
-            "lp",
+        .select(
+            "bg",
             F.log(
                 (F.col("c12") + F.lit(1)).cast("double")
                 / (F.col("c1") + F.col("v")).cast("double")
-            ),
+            ).alias("lp"),
         )
+    )
+    return (
+        big.join(lp_table, "bg")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("int").alias("n_bigrams"),

@@ -711,3 +711,61 @@ def two_sided_p_sql(z_abs_expr: str) -> str:
     """p = 2·(1 − Φ(|z|)) as shared SQL text, rounded to 6 dp so the
     downstream Benjamini-Hochberg comparisons are engine-deterministic."""
     return f"ROUND(2.0 * (1.0 - {PHI_ABS_SQL.format(x=z_abs_expr)}), 6)"
+
+
+# --- static domain-mixture planning -----------------------------------------
+
+#: temperature-smoothed weight numerator, shared verbatim with SQL oracles.
+#: τ = 0.5 on purpose: p^τ is then IEEE-754 sqrt — correctly rounded, so
+#: bit-identical cross-engine where a pow(p, 0.3) could differ at ulp —
+#: and the 9-dp DECIMAL image makes the normalizing sum order-independent.
+MIX_QD_SQL = "CAST(ROUND(sqrt(CAST(n_tokens AS DOUBLE) / nt), 9) AS DECIMAL(18,9))"
+
+
+def mix_final_exprs(token_budget: int) -> list[str]:
+    """Final projection of the mixture plan, shared verbatim with SQL
+    oracles (q = normalized temperature weight as an exact-decimal ratio
+    converted to DOUBLE at the division)."""
+    q = "(CAST(qd AS DOUBLE) / CAST(qsum AS DOUBLE))"
+    return [
+        "ROUND(p_raw, 6) AS p_raw",
+        f"ROUND({q}, 6) AS q_temp",
+        f"CAST(ROUND({q} * {token_budget}, 0) AS BIGINT) AS tokens_drawn",
+        f"ROUND({q} * {token_budget} / n_tokens, 4) AS epochs",
+    ]
+
+
+def mixture_weights(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    token_budget: int = 1_000_000,
+) -> DataFrame:
+    """Static domain-mixture plan (the DoReMi-lite / temperature-sampling
+    recipe): per domain, the whitespace-token total, its raw corpus share
+    p_g, the temperature-smoothed sampling weight q_g ∝ p_g^0.5
+    (upweights small domains, the standard multilingual/multi-source
+    mitigation), the planned token draw q_g·budget, and the implied
+    epochs over the domain's own tokens (>1 ⇒ repetition).
+
+    Scale shape: ONE corpus scan into a map-side-combined G-group count,
+    then everything is dimension-sized — the G-row table normalizes via
+    exact DECIMAL(18,9) sums (order-independent) broadcast back through
+    1-row cross joins. No window, no second scan, no driver state.
+    """
+    from open_ftth_relational_projector_spark.functions.text import token_count
+
+    per = docs.groupBy(F.col(group_col).alias("source")).agg(
+        F.sum(token_count(F.col(text_col))).alias("n_tokens")
+    )
+    tot = per.agg(F.sum("n_tokens").alias("nt"))
+    base = per.crossJoin(F.broadcast(tot)).selectExpr(
+        "source",
+        "n_tokens",
+        "CAST(n_tokens AS DOUBLE) / nt AS p_raw",
+        f"{MIX_QD_SQL} AS qd",
+    )
+    den = base.agg(F.sum("qd").alias("qsum"))
+    return base.crossJoin(F.broadcast(den)).selectExpr(
+        "source", "n_tokens", *mix_final_exprs(token_budget)
+    )

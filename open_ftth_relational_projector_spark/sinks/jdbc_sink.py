@@ -12,9 +12,12 @@ Mirrors the reference's two write modes (Database/PostgresWriter.cs):
   (:72-98) with two round-trips per micro-batch *total*.
 
 Requires the PostgreSQL JDBC driver on the Spark classpath
-(``--packages org.postgresql:postgresql:42.7.x``). Not exercised by local
-tests (no Postgres in the test environment); the DuckDB sink covers the
-semantics, this module covers the wire-up.
+(``--packages org.postgresql:postgresql:42.7.x``). No Postgres exists in
+the test environment, but the statement builders and transaction wiring
+ARE exercised locally: tests/test_jdbc_dialect.py runs every emitted
+statement verbatim against DuckDB (PG-flavored dialect) through a
+java.sql shim and asserts the upsert/replace/meta semantics; only the
+executor-parallel ``df.write.jdbc`` staging remains PG-only surface.
 """
 
 from __future__ import annotations

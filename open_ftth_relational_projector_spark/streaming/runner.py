@@ -345,8 +345,7 @@ def apply_batch(
                     sink.delete_keys(table, "id", delta.delete_keys)
             if batch_id is not None:
                 sink.set_meta("applied_batch", str(batch_id))
-            # the batch is already collected — no extra Spark job for max
-            batch_max = max((s for s, _, _ in parsed), default=None)
+            # batch_max came from the sizing aggregate — no extra job
             if batch_max is not None:
                 prev = int(sink.get_meta("watermark") or 0)
                 sink.set_meta("watermark", str(max(prev, int(batch_max))))
@@ -356,6 +355,8 @@ def apply_batch(
             raise
     finally:
         full_log.unpersist()
+        if batch_log is not None:
+            batch_log.unpersist()
     return True
 
 
@@ -370,6 +371,7 @@ class ProjectionStream:
         bronze_dir: str,
         checkpoint_dir: str,
         fmt: str = "json",
+        max_files_per_trigger: int | None = 64,
     ):
         self.spark = spark
         self.events_dir = events_dir
@@ -377,6 +379,16 @@ class ProjectionStream:
         self.bronze_dir = bronze_dir
         self.checkpoint_dir = checkpoint_dir
         self.fmt = fmt
+        # Bounds the catch-up batch after downtime: the file source emits at
+        # most this many landed batch-files per micro-batch (each file is
+        # one poll interval of events), so the first post-restart batch is
+        # a bounded slice of the backlog, not all of it — the streaming
+        # analog of the reference's two-phase Worker design (Worker.cs:32-48,
+        # dehydrate bulk, then bounded catch-up). availableNow drains honor
+        # it too. Oversized batches that still slip through (a single giant
+        # file) reroute inside apply_batch to the distributed no-collect
+        # path.
+        self.max_files_per_trigger = max_files_per_trigger
         self.query = None
 
     def _process(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -390,6 +402,10 @@ class ProjectionStream:
 
     def start(self, available_now: bool = False, trigger_seconds: float = 2.0):
         reader = self.spark.readStream.schema(ENVELOPE_SCHEMA)
+        if self.max_files_per_trigger is not None:
+            reader = reader.option(
+                "maxFilesPerTrigger", str(self.max_files_per_trigger)
+            )
         if self.fmt == "json":
             stream = reader.json(self.events_dir)
         else:

@@ -1,0 +1,206 @@
+"""PG-compatible e2e for the JDBC sink, without a PostgreSQL server.
+
+No PG server (and no sqlglot) exists in this container, so the
+surface that would first touch a real PostgreSQL — JdbcSink's emitted
+statement TEXT and driver-side transaction wiring — is verified two ways:
+
+1. executed VERBATIM against DuckDB, whose SQL dialect is PG-flavored:
+   ``_connect`` is replaced by a shim that forwards the java.sql calls
+   (createStatement/execute/setAutoCommit/commit/rollback) to a DuckDB
+   connection and ``_stage`` lands the delta as a real staged table, so
+   the unmodified ``ensure_schema`` / ``merge`` / ``delete_keys`` /
+   ``replace_group`` / ``set_meta`` / ``begin``/``commit``/``rollback``
+   code paths run end-to-end and the row-level upsert semantics are
+   asserted — a syntax error or a semantic slip in the statement
+   builders fails here, not on first contact with PostgreSQL;
+2. statically — every captured statement sticks to the portable subset
+   (double-quoted identifiers, ''-escaped single-quoted literals, no
+   backticks, no engine-specific tokens).
+
+The one PG-only construct the sink emits, ``DELETE ... USING``
+(PostgresWriter.cs replacement for per-row DML), is also valid DuckDB,
+which is exactly why it was chosen over ``MERGE``/``ON CONFLICT``
+variants whose spellings diverge between the two engines.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from open_ftth_relational_projector_spark.sinks.ddl import (
+    SCHEMA,
+    TABLE_COLUMNS,
+)
+from open_ftth_relational_projector_spark.sinks.jdbc_sink import JdbcSink
+
+
+class _Stmt:
+    def __init__(self, con, captured):
+        self.con = con
+        self.captured = captured
+
+    def execute(self, sql: str) -> None:
+        self.captured.append(sql)
+        self.con.execute(sql)
+
+    def close(self) -> None:
+        pass
+
+
+class _Conn:
+    """java.sql.Connection shim over DuckDB: the sink's transaction code
+    runs unchanged (setAutoCommit(False) opens an explicit transaction)."""
+
+    def __init__(self, con, captured):
+        self.con = con
+        self.captured = captured
+
+    def setAutoCommit(self, flag: bool) -> None:  # noqa: N802 - java name
+        if not flag:
+            self.con.execute("BEGIN TRANSACTION")
+
+    def createStatement(self):  # noqa: N802 - java name
+        return _Stmt(self.con, self.captured)
+
+    def commit(self) -> None:
+        self.con.execute("COMMIT")
+
+    def rollback(self) -> None:
+        self.con.execute("ROLLBACK")
+
+    def close(self) -> None:
+        pass
+
+
+class DuckDialectSink(JdbcSink):
+    """JdbcSink with the JDBC wire replaced by DuckDB; every statement
+    builder and the _execute/_txn code paths are the real ones."""
+
+    def __init__(self):  # noqa: D107 - no spark/url in this harness
+        self.schema = SCHEMA
+        self._txn_conn = None
+        self.con = duckdb.connect()
+        self.captured: list[str] = []
+
+    def _connect(self):
+        return _Conn(self.con, self.captured)
+
+    def _stage(self, table: str, df: pd.DataFrame) -> str:
+        stage = f'{self.schema}."_stage_{table}"'
+        cols = ", ".join(f'"{c}"' for c in self._cols(table))
+        self.con.register("_stage_src", df)
+        self.con.execute(f"DROP TABLE IF EXISTS {stage}")
+        self.con.execute(f"CREATE TABLE {stage} AS SELECT {cols} FROM _stage_src")
+        self.con.unregister("_stage_src")
+        return stage
+
+    def fetch(self, sql: str):
+        return self.con.execute(sql).fetchall()
+
+
+@pytest.fixture()
+def sink():
+    s = DuckDialectSink()
+    s.ensure_schema()
+    return s
+
+
+def test_ensure_schema_idempotent(sink):
+    # IF NOT EXISTS everywhere: a second bootstrap is a no-op, not an error
+    sink.ensure_schema()
+    for table in TABLE_COLUMNS:
+        cols = [
+            r[0]
+            for r in sink.fetch(
+                "SELECT column_name FROM information_schema.columns "
+                f"WHERE table_schema = '{SCHEMA}' AND table_name = '{table}' "
+                "ORDER BY ordinal_position"
+            )
+        ]
+        assert cols == sink._cols(table), table
+
+
+def test_merge_upserts_and_updates(sink):
+    df1 = pd.DataFrame(
+        {"id": ["a", "b"], "number": ["W1", "W2"], "status": ["open", "open"]}
+    )
+    sink.merge("work_task", df1)
+    df2 = pd.DataFrame({"id": ["b", "c"], "number": ["W2", "W3"],
+                        "status": ["done", "open"]})
+    sink.merge("work_task", df2)
+    rows = sorted(sink.fetch(f'SELECT * FROM {SCHEMA}."work_task"'))
+    assert rows == [
+        ("a", "W1", "open"), ("b", "W2", "done"), ("c", "W3", "open"),
+    ]
+
+
+def test_delete_keys_escapes_quotes(sink):
+    df = pd.DataFrame(
+        {"id": ["x", "o'brien"], "number": ["W1", "W2"],
+         "status": ["open", "open"]}
+    )
+    sink.merge("work_task", df)
+    sink.delete_keys("work_task", "id", ["o'brien", "missing"])
+    rows = sink.fetch(f'SELECT "id" FROM {SCHEMA}."work_task"')
+    assert rows == [("x",)]
+
+
+def test_replace_group(sink):
+    df1 = pd.DataFrame(
+        {
+            "interest_id": ["i1", "i1", "i2"],
+            "route_network_element_id": ["r1", "r2", "r9"],
+            "seq_no": [1, 2, 1],
+        }
+    )
+    sink.replace_group("rel_interest_to_route_element", ["i1", "i2"], df1)
+    df2 = pd.DataFrame(
+        {
+            "interest_id": ["i1"],
+            "route_network_element_id": ["r3"],
+            "seq_no": [1],
+        }
+    )
+    # replacing i1 and deleting i2 (no replacement rows) in one group call
+    sink.replace_group("rel_interest_to_route_element", ["i1", "i2"], df2)
+    rows = sink.fetch(
+        f'SELECT * FROM {SCHEMA}."rel_interest_to_route_element"'
+    )
+    assert rows == [("i1", "r3", 1)]
+
+
+def test_meta_roundtrip_and_transaction(sink):
+    sink.begin()
+    sink.set_meta("watermark", "41")
+    sink.set_meta("watermark", "42")
+    sink.commit()
+    assert sink.fetch(
+        f"SELECT \"value\" FROM {SCHEMA}.\"_projector_meta\" "
+        "WHERE \"key\" = 'watermark'"
+    ) == [("42",)]
+    # rollback reverts the whole group
+    sink.begin()
+    sink.set_meta("watermark", "99")
+    sink.rollback()
+    assert sink.fetch(
+        f"SELECT \"value\" FROM {SCHEMA}.\"_projector_meta\" "
+        "WHERE \"key\" = 'watermark'"
+    ) == [("42",)]
+
+
+def test_statement_text_portable_subset(sink):
+    df = pd.DataFrame({"id": ["a"], "number": ["W1"], "status": ["s"]})
+    sink.merge("work_task", df)
+    sink.delete_keys("work_task", "id", ["a"])
+    sink.set_meta("k", "v")
+    assert sink.captured, "no statements captured"
+    for s in sink.captured:
+        assert "`" not in s, s  # backtick identifiers are MySQL/Spark
+        assert "$$" not in s, s
+        assert s.count('"') % 2 == 0, s  # balanced identifier quoting
+        # literals only ever escape quotes by doubling: stripping all ''
+        # pairs must leave balanced single quotes
+        assert s.replace("''", "").count("'") % 2 == 0, s
+        assert "ARRAY<" not in s and "STRUCT<" not in s, s

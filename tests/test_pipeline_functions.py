@@ -3359,3 +3359,58 @@ def test_two_sided_p_sql_matches_erf_and_bh_step_is_correct(spark):
     )
     for r in rows:
         assert r.significant == (r.bh_rank <= k_star), r
+
+
+# --- r6: mixture planning + snapshot diff -----------------------------------
+
+
+def test_mixture_weights_normalize_and_upweight(spark):
+    from open_ftth_relational_projector_spark.functions.sampling import (
+        mixture_weights,
+    )
+
+    rows = [
+        (1, "a " * 99 + "a", "big"),   # 100 tokens
+        (2, "b " * 99 + "b", "big"),   # 100 tokens
+        (3, "c " * 49 + "c", "small"),  # 50 tokens
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        r["source"]: r
+        for r in mixture_weights(
+            docs, token_budget=1000
+        ).collect()
+    }
+    assert out["big"]["n_tokens"] == 200 and out["small"]["n_tokens"] == 50
+    assert out["big"]["p_raw"] == 0.8 and out["small"]["p_raw"] == 0.2
+    # temperature sampling upweights the small domain above its raw share
+    assert out["small"]["q_temp"] > 0.2
+    assert abs(out["big"]["q_temp"] + out["small"]["q_temp"] - 1.0) < 1e-6
+    assert out["big"]["tokens_drawn"] + out["small"]["tokens_drawn"] == 1000
+    # epochs = draw / own tokens; the upweighted small domain repeats more
+    assert out["small"]["epochs"] > out["big"]["epochs"]
+
+
+def test_snapshot_diff_statuses(spark):
+    from open_ftth_relational_projector_spark.functions.dedup import (
+        snapshot_diff,
+    )
+
+    v1 = spark.createDataFrame(
+        [("a", "h1", "en"), ("b", "h2", "en"), ("c", "h3", "de")],
+        "doc_id string, fingerprint string, lang string",
+    )
+    v2 = spark.createDataFrame(
+        [("a", "h1", "en"), ("b", "h2x", "en"), ("d", "h4", "fr")],
+        "doc_id string, fingerprint string, lang string",
+    )
+    got = {
+        r["doc_id"]: (r["status"], r["lang"])
+        for r in snapshot_diff(v1, v2, carry=("lang",)).collect()
+    }
+    assert got == {
+        "a": ("unchanged", "en"),
+        "b": ("changed", "en"),
+        "c": ("removed", "de"),
+        "d": ("added", "fr"),
+    }

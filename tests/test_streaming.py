@@ -315,9 +315,13 @@ def test_fold_has_child_matches_spark_fold(spark):
 
 
 def test_apply_batch_large_batch_fallback(spark, monkeypatch):
-    """Batches above MAX_DRIVER_BATCH_ROWS skip the driver-side edge path;
-    the distributed full-recompute fallback must produce the same tables."""
+    """Batches above MAX_DRIVER_BATCH_ROWS never reach the driver: the
+    batch rows are NOT collected (touched keys come from a distributed
+    distinct aggregation), the driver-side edge path is skipped, and the
+    distributed full-recompute fallback produces the same tables — the
+    bounded-catch-up guarantee for a post-downtime backlog batch."""
     import open_ftth_relational_projector_spark.streaming.incremental as I
+    import open_ftth_relational_projector_spark.streaming.runner as R
 
     env = spark.createDataFrame(
         to_envelope_rows(generate(seed=21, scale=6)), ENVELOPE_SCHEMA
@@ -328,10 +332,86 @@ def test_apply_batch_large_batch_fallback(spark, monkeypatch):
     max_seq = env.agg({"seq": "max"}).collect()[0][0]
     cut = int(max_seq * 0.5)
     monkeypatch.setattr(I, "MAX_DRIVER_BATCH_ROWS", 0)
+
+    def forbidden_collect(batch_envelopes):
+        raise AssertionError(
+            "collect_batch must not run for an oversized batch"
+        )
+
+    monkeypatch.setattr(R, "collect_batch", forbidden_collect)
     sink = DuckDBSink()
     dehydrate(env.filter(f"seq <= {cut}"), sink)
     apply_batch(env, env.filter(f"seq > {cut}"), sink, batch_id=0)
     _assert_sink_matches(sink, expected)
+
+
+def test_affected_ids_distributed_matches_driver_extraction(spark):
+    """The no-collect key extraction must name exactly the same touched
+    entities per domain as the driver-side parsed-payload walk."""
+    from open_ftth_relational_projector_spark.streaming.incremental import (
+        affected_ids_distributed,
+        affected_ids_from_rows,
+        collect_batch,
+    )
+
+    env = spark.createDataFrame(
+        to_envelope_rows(generate(seed=33, scale=5)), ENVELOPE_SCHEMA
+    ).cache()
+    max_seq = env.agg({"seq": "max"}).collect()[0][0]
+    batch = env.filter(f"seq > {int(max_seq * 0.4)}")
+    via_driver = affected_ids_from_rows(collect_batch(batch))
+    via_spark = affected_ids_distributed(EventLog.from_envelopes(batch))
+    assert via_spark == via_driver
+
+
+def test_backlog_replay_bounded_batches(spark, envelopes, expected_tables):
+    """Long-downtime catch-up: many landed batch files drain under
+    maxFilesPerTrigger=1, so every micro-batch holds one poll interval of
+    events (bounded driver rows) instead of the whole backlog — and the
+    final tables still equal the batch replay."""
+    max_seq = envelopes.agg({"seq": "max"}).collect()[0][0]
+    cut = max_seq // 3
+    tmp = tempfile.mkdtemp(prefix="ofrp_backlog_")
+    events_dir, bronze, cp = f"{tmp}/in", f"{tmp}/bronze", f"{tmp}/cp"
+    try:
+        sink = DuckDBSink()
+        prefix = envelopes.filter(f"seq <= {cut}")
+        dehydrate(prefix, sink)
+        prefix.write.mode("overwrite").parquet(bronze)
+
+        # the "downtime backlog": 5 poll intervals landed before restart
+        n_files = 5
+        step = (max_seq - cut) // n_files + 1
+        for i in range(n_files):
+            lo, hi = cut + i * step, min(cut + (i + 1) * step, max_seq)
+            if lo >= max_seq:
+                break
+            write_envelope_batch(
+                envelopes.filter(f"seq > {lo} AND seq <= {hi}"), events_dir, i
+            )
+
+        stream = ProjectionStream(
+            spark, events_dir, sink, bronze, cp, max_files_per_trigger=1
+        )
+        batch_sizes = []
+        orig_process = stream._process
+
+        def counting_process(batch_df, batch_id):
+            batch_sizes.append(batch_df.count())
+            orig_process(batch_df, batch_id)
+
+        stream._process = counting_process
+        q = stream.start(available_now=True)
+        q.awaitTermination(240)
+        # one landed file per micro-batch: the backlog drained in ≥ n_files
+        # bounded slices, never as one giant batch
+        assert len(batch_sizes) >= n_files
+        total = envelopes.filter(f"seq > {cut}").count()
+        assert sum(batch_sizes) == total
+        assert max(batch_sizes) < total
+        _assert_sink_matches(sink, expected_tables)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def test_cable_nonretrigger_and_walk_version_resolution(spark):
