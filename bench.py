@@ -123,10 +123,13 @@ EXTRA_QUERIES = [
     "bootstrap_revenue_ci",
     "jl_knn_recall",
     "ab_tests_fdr_nations",
-    # r6: mixture planning, corpus versioning, robust stats
+    # r6: mixture planning, corpus versioning, robust stats, one-pass
+    # correlation, windowless equi-depth bins
     "domain_mixture_weights",
     "corpus_snapshot_diff",
     "winsorized_price_stats",
+    "correlation_matrix_lineitem",
+    "equidepth_price_bins",
 ]
 
 
