@@ -130,6 +130,7 @@ EXTRA_QUERIES = [
     "winsorized_price_stats",
     "correlation_matrix_lineitem",
     "equidepth_price_bins",
+    "ols_crossval_kfold",
 ]
 
 

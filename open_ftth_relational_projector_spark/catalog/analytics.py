@@ -1707,3 +1707,91 @@ def equidepth_price_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("v"), 2).alias("hi"),
         )
     )
+
+
+# --- r6: one-pass k-fold cross-validation ------------------------------------
+
+def _kfold_sql() -> str:
+    from open_ftth_relational_projector_spark.functions.regression import (
+        OLS2_MOMENT_EXPRS,
+    )
+
+    f_sums = ",\n             ".join(
+        f"SUM({e}) AS f_{m}" for m, e in OLS2_MOMENT_EXPRS.items()
+    )
+    t_sums = ", ".join(f"SUM(f_{m}) AS t_{m}" for m in OLS2_MOMENT_EXPRS)
+    train_cols = ",\n             ".join(
+        f"CAST(t_{m} - f_{m} AS DOUBLE) AS {m}" for m in OLS2_MOMENT_EXPRS
+    )
+    test_cols = ",\n             ".join(
+        f"CAST(f_{m} AS DOUBLE) AS tf_{m}" for m in OLS2_MOMENT_EXPRS
+    )
+    test_renames = ", ".join(f"tf_{m} AS {m}" for m in OLS2_MOMENT_EXPRS)
+    return f"""
+    WITH feats AS (
+      SELECT CAST(l_quantity AS DECIMAL(19,4)) AS x1d,
+             CAST(p_retailprice AS DECIMAL(19,4)) AS x2d,
+             CAST(l_extendedprice AS DECIMAL(19,4)) AS yd,
+             ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '-'
+                 || CAST(l_linenumber AS VARCHAR) || '#f'), 1, 15))::BIGINT
+               % 5 AS fold
+      FROM lineitem JOIN part ON l_partkey = p_partkey),
+    per AS (
+      SELECT fold, CAST(COUNT(*) AS DOUBLE) AS fn,
+             {f_sums}
+      FROM feats GROUP BY fold),
+    tot AS (SELECT SUM(fn) AS tn, {t_sums} FROM per),
+    train AS (
+      SELECT fold, tn - fn AS n, fn AS n_test_d,
+             {train_cols},
+             {test_cols}
+      FROM per CROSS JOIN tot),
+    fitted AS (
+      SELECT *, {OLS2_B0} AS b0, {OLS2_B1} AS b1, {OLS2_B2} AS b2
+      FROM train),
+    test AS (
+      SELECT fold, b0, b1, b2,
+             CAST(n AS BIGINT) AS n_train, CAST(n_test_d AS BIGINT) AS n_test,
+             n_test_d AS n, {test_renames}
+      FROM fitted)
+    SELECT fold, n_train, n_test,
+           ROUND(b0, 6) AS b0, ROUND(b1, 6) AS b1, ROUND(b2, 6) AS b2,
+           ROUND(1.0 - {OLS2_SSE} / {OLS2_SST}, 4) AS r2_oof,
+           ROUND(sqrt(GREATEST({OLS2_SSE}, 0.0) / n), 4) AS rmse_oof
+    FROM test
+    """
+
+
+@_q("ols_crossval_kfold", _kfold_sql())
+def ols_crossval_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold cross-validation of the price model in ONE distributed pass
+    (functions/regression.ols2_kfold): per-fold exact-decimal moments from
+    one grouped aggregation, train moments for each fold by SUBTRACTION
+    from the totals (complement = total − fold, exact on decimals), betas
+    from the closed-form solve on the complement, and the out-of-fold
+    R²/RMSE evaluated on the held-out fold's own moments via the same
+    SSE identity — model VALIDATION at corpus scale with no second scan
+    and no scoring pass. Folds are md5-bucketed on the line key, so
+    membership, moments, betas, and OOF metrics all replay bit-identically
+    in the oracle."""
+    from open_ftth_relational_projector_spark.functions.regression import (
+        ols2_kfold,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    feats = li.join(
+        F.broadcast(part.select("p_partkey", "p_retailprice")),
+        li["l_partkey"] == F.col("p_partkey"),
+    )
+    return ols2_kfold(
+        feats,
+        x1="l_quantity",
+        x2="p_retailprice",
+        y="l_extendedprice",
+        key_expr=(
+            "concat(CAST(l_orderkey AS STRING), '-',"
+            " CAST(l_linenumber AS STRING))"
+        ),
+        k=5,
+    )

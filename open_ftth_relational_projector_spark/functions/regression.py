@@ -112,3 +112,95 @@ def ols2_residuals(
         )
         .withColumn("_resid", F.col(y) - F.col("_pred"))
     )
+
+
+# --- one-pass k-fold cross-validation ---------------------------------------
+
+#: moment-sum expression bodies over the decimal feature columns
+#: (x1d, x2d, yd) — shared verbatim with SQL oracles
+OLS2_MOMENT_EXPRS: dict[str, str] = {
+    "s1": "x1d",
+    "s2": "x2d",
+    "sy": "yd",
+    "s11": "x1d * x1d",
+    "s12": "x1d * x2d",
+    "s22": "x2d * x2d",
+    "s1y": "x1d * yd",
+    "s2y": "x2d * yd",
+    "syy": "yd * yd",
+}
+
+
+def ols2_kfold(
+    df: DataFrame,
+    x1: str,
+    x2: str,
+    y: str,
+    key_expr: str,
+    k: int = 5,
+) -> DataFrame:
+    """k-fold cross-validation of the 2-feature OLS in ONE distributed
+    pass: per-fold exact-decimal moments from one grouped aggregation,
+    TRAIN moments for each fold by SUBTRACTION from the totals
+    (complement = total − fold, exact on decimals), betas from the
+    closed-form solve on the complement, and out-of-fold SSE/SST
+    evaluated on the held-out fold's own moments — the same
+    SSE = Syy − 2βᵀSxy + βᵀSxxβ identity, so no scoring scan either.
+
+    At 100 TB: the corpus is read once; everything after the k-row moment
+    table is literal arithmetic. Folds are md5-bucketed on ``key_expr``
+    (engine-portable), so fold membership replays identically in a SQL
+    oracle, and the decimal contract makes every moment — hence every
+    beta and every R² — bit-identical cross-engine before rounding.
+
+    Returns one row per fold:
+    (fold, n_train, n_test, b0, b1, b2 @6dp, r2_oof, rmse_oof @4dp).
+    """
+    feats = df.selectExpr(
+        f"CAST({x1} AS {_DEC}) AS x1d",
+        f"CAST({x2} AS {_DEC}) AS x2d",
+        f"CAST({y} AS {_DEC}) AS yd",
+        f"CAST(conv(substring(md5(concat({key_expr}, '#f')), 1, 15), 16, 10)"
+        f" AS BIGINT) % {k} AS fold",
+    )
+    per = feats.groupBy("fold").agg(
+        F.count(F.lit(1)).cast("double").alias("fn"),
+        *[
+            F.expr(f"SUM({e})").alias(f"f_{m}")
+            for m, e in OLS2_MOMENT_EXPRS.items()
+        ],
+    )
+    tot = per.agg(
+        F.sum("fn").alias("tn"),
+        *[F.sum(f"f_{m}").alias(f"t_{m}") for m in OLS2_MOMENT_EXPRS],
+    )
+    train = per.crossJoin(F.broadcast(tot)).selectExpr(
+        "fold",
+        "tn - fn AS n",
+        "fn AS n_test_d",
+        *[f"CAST(t_{m} - f_{m} AS DOUBLE) AS {m}" for m in OLS2_MOMENT_EXPRS],
+        *[f"CAST(f_{m} AS DOUBLE) AS tf_{m}" for m in OLS2_MOMENT_EXPRS],
+    )
+    fitted = train.selectExpr(
+        "*", f"{OLS2_B0} AS b0", f"{OLS2_B1} AS b1", f"{OLS2_B2} AS b2"
+    )
+    test = fitted.selectExpr(
+        "fold",
+        "b0", "b1", "b2",
+        "CAST(n AS BIGINT) AS n_train",
+        "CAST(n_test_d AS BIGINT) AS n_test",
+        "n_test_d AS n",
+        *[f"tf_{m} AS {m}" for m in OLS2_MOMENT_EXPRS],
+    )
+    return test.selectExpr(
+        "fold",
+        "n_train",
+        "n_test",
+        "ROUND(b0, 6) AS b0",
+        "ROUND(b1, 6) AS b1",
+        "ROUND(b2, 6) AS b2",
+        f"ROUND(1.0 - {OLS2_SSE} / {OLS2_SST}, 4) AS r2_oof",
+        # GREATEST(·, 0): on an exactly-linear fold the SSE identity
+        # cancels to ~±1e-9 in doubles; a tiny negative would sqrt to NaN
+        f"ROUND(sqrt(GREATEST({OLS2_SSE}, 0.0) / n), 4) AS rmse_oof",
+    )

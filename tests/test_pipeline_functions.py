@@ -3414,3 +3414,27 @@ def test_snapshot_diff_statuses(spark):
         "c": ("removed", "de"),
         "d": ("added", "fr"),
     }
+
+
+def test_ols2_kfold_recovers_exact_model(spark):
+    """On exactly-linear data every fold's complement-trained betas are
+    the true coefficients and the out-of-fold fit is perfect — and the
+    fold partition covers the input exactly once."""
+    from open_ftth_relational_projector_spark.functions.regression import (
+        ols2_kfold,
+    )
+
+    n = 500
+    df = spark.range(n).selectExpr(
+        "CAST(id AS STRING) AS k",
+        "CAST((id % 50) AS DOUBLE) AS x1",
+        "CAST((id % 83) AS DOUBLE) AS x2",
+        "CAST(2.0 + 3.0 * (id % 50) + 0.5 * (id % 83) AS DOUBLE) AS y",
+    )
+    rows = ols2_kfold(df, "x1", "x2", "y", key_expr="k", k=5).collect()
+    assert len(rows) == 5
+    assert sum(r["n_test"] for r in rows) == n
+    for r in rows:
+        assert r["n_train"] + r["n_test"] == n
+        assert (r["b0"], r["b1"], r["b2"]) == (2.0, 3.0, 0.5), r
+        assert r["r2_oof"] == 1.0 and r["rmse_oof"] == 0.0, r
