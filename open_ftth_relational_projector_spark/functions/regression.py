@@ -169,7 +169,11 @@ def ols2_kfold(
             F.expr(f"SUM({e})").alias(f"f_{m}")
             for m, e in OLS2_MOMENT_EXPRS.items()
         ],
-    )
+    # the k-row moment table feeds BOTH the totals and the train stage;
+    # without truncation each branch re-runs the corpus aggregation
+    # (the factorization localCheckpoint pattern — materialized state is
+    # k rows of moments)
+    ).localCheckpoint(eager=True)
     tot = per.agg(
         F.sum("fn").alias("tn"),
         *[F.sum(f"f_{m}").alias(f"t_{m}") for m in OLS2_MOMENT_EXPRS],

@@ -588,3 +588,55 @@ def test_bootstrap_ci_is_one_scan(q):
     assert C.shuffle_count(df) <= 3, plan
     assert "Join" not in plan, plan
     assert "WindowExec" not in plan and "BatchEvalPython" not in plan
+
+
+def test_correlation_matrix_is_one_pass(q):
+    """All 15 moment sums come from ONE grouped aggregation; the 6 pair
+    branches run on the 3-row moment table — no second fact scan shape
+    (windows/sort-merge/Python all absent)."""
+    df = q("correlation_matrix_lineitem")
+    plan = C.formatted_plan(df)
+    assert C.sortmerge_join_count(df) == 0
+    assert "WindowExec" not in plan and "BatchEvalPython" not in plan
+
+
+def test_mixture_weights_dimension_sized_normalization(q):
+    """One corpus scan into a G-group count; both normalizations ride
+    broadcast cross joins — no sort-merge join, window, or Python."""
+    df = q("domain_mixture_weights")
+    plan = C.formatted_plan(df)
+    assert C.sortmerge_join_count(df) == 0
+    assert "WindowExec" not in plan and "BatchEvalPython" not in plan
+
+
+def test_snapshot_diff_plan_stays_jvm(q):
+    """Fingerprint diff is pure JVM relational work: no Python workers, no
+    windows; the md5 fingerprints project out BEFORE the full-outer
+    exchange (only (id, fp, lang) shuffles, never text)."""
+    df = q("corpus_snapshot_diff")
+    plan = C.formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "WindowExec" not in plan
+
+
+def test_kfold_crossval_is_one_pass(q):
+    """The k-fold CV: the corpus aggregation runs ONCE (inside the k-row
+    moment checkpoint — the visible plan starts from k rows and carries a
+    single tiny totals exchange + broadcast; without the checkpoint the
+    totals branch re-ran the fact scan). No sort-merge, window, or
+    Python anywhere."""
+    df = q("ols_crossval_kfold")
+    plan = C.formatted_plan(df)
+    assert C.sortmerge_join_count(df) == 0
+    assert C.shuffle_count(df) <= 2, plan
+    assert "WindowExec" not in plan and "BatchEvalPython" not in plan
+
+
+def test_equidepth_bins_no_python(q):
+    """Equi-depth bins ride the hierarchical rank (per-shard partitioned
+    windows + broadcast offsets): no Python, and every WindowExec the plan
+    holds is shard-partitioned (the global-window audit enforces the
+    no-single-task invariant across the whole catalog)."""
+    df = q("equidepth_price_bins")
+    plan = C.formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
