@@ -131,6 +131,8 @@ EXTRA_QUERIES = [
     "correlation_matrix_lineitem",
     "equidepth_price_bins",
     "ols_crossval_kfold",
+    "sliding_token_chunks",
+    "per_source_quality_cap",
 ]
 
 

@@ -1853,3 +1853,92 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("status", "lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+# --- r6: overlapping token-window chunking -----------------------------------
+
+_SLIDING_CHUNKS_SQL = """
+    WITH d AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                      string_split(text, ' ') AS toks,
+                      LEN(string_split(text, ' ')) AS n
+               FROM documents),
+    c AS (SELECT doc_id, toks, n,
+                 UNNEST(range(0, (n - 1) // 48 + 1)) AS idx
+          FROM d)
+    SELECT doc_id || ':' || CAST(idx AS VARCHAR) AS chunk_id,
+           doc_id,
+           CAST(idx AS INT) AS idx,
+           CAST(LEAST(64, n - (idx * 48 + 1) + 1) AS INT) AS n_chunk_tokens,
+           md5(array_to_string(list_slice(toks, idx * 48 + 1, idx * 48 + 64),
+                               ' ')) AS fp
+    FROM c
+    """
+
+
+@_q("sliding_token_chunks", _SLIDING_CHUNKS_SQL)
+def sliding_token_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 64-token windows at stride 48 (16-token overlap) per
+    document (functions/text.sliding_token_chunks) — the long-document
+    context-window preparation step. Map-only scan-side transform (one
+    split + sequence/explode, no shuffle, no Python); chunk ids and the
+    md5 of each chunk's space-rejoined text hash-match the oracle, so
+    boundaries AND content replay exactly."""
+    from open_ftth_relational_projector_spark.functions.text import (
+        sliding_token_chunks,
+    )
+
+    return sliding_token_chunks(
+        load_table(spark, sf_dir, "documents"), window=64, stride=48
+    )
+
+
+# --- r6: per-source quality capping ------------------------------------------
+
+_QUALITY_CAP_SQL = """
+    WITH r AS (
+      SELECT source, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM documents)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN rn <= CEIL(0.6 * n) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(MIN(CASE WHEN rn <= CEIL(0.6 * n) THEN n_chars END)
+                AS BIGINT) AS cutoff_chars
+    FROM r GROUP BY source
+    """
+
+
+@_q("per_source_quality_cap", _QUALITY_CAP_SQL)
+def per_source_quality_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the top 60% of documents per source by a quality proxy
+    (n_chars, tie-broken by id) — the per-domain curation cap that stops
+    one noisy source from flooding the mix. The within-source rank rides
+    operators.hierarchical_grouped_row_number (sources are the
+    low-cardinality giant-group regime: a plain partitioned window would
+    funnel each source through ONE task at corpus scale). The oracle
+    replays rank, cap, and cutoff in window SQL."""
+    from open_ftth_relational_projector_spark.operators.hierarchical import (
+        hierarchical_grouped_row_number,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    ranked = hierarchical_grouped_row_number(
+        docs,
+        ["source"],
+        [F.desc("n_chars"), F.col("doc_id")],
+        "_rn",
+        shard_on=-F.col("n_chars"),
+        total_col="_n",
+    )
+    kept = F.col("_rn") <= F.ceil(F.lit(0.6) * F.col("_n"))
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+        F.min(F.when(kept, F.col("n_chars"))).cast("long").alias(
+            "cutoff_chars"
+        ),
+    )

@@ -558,3 +558,43 @@ def naive_bayes_confusion(
         .groupBy("true_label", "pred_label")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     )
+
+
+def sliding_token_chunks(
+    docs: "DataFrame",
+    window: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "DataFrame":
+    """Overlapping token-window chunking — the context-window preparation
+    step for long documents (stride < window ⇒ window−stride tokens of
+    overlap between consecutive chunks, the standard packing-with-overlap
+    recipe). Deterministic chunk ids ``doc_id:idx``.
+
+    Map-only: one split + one ``sequence``/``explode`` per document, no
+    shuffle, no Python — at 100 TB this is a pure scan-side transform
+    whose output feeds tokenization/packing directly. Returns
+    (chunk_id, doc_id, idx, n_chunk_tokens, fp) where fp is the md5 of
+    the chunk text (space-rejoined tokens — engine-portable, so a SQL
+    oracle replays chunk boundaries AND content exactly).
+    """
+    base = docs.selectExpr(
+        f"CAST({id_col} AS STRING) AS doc_id",
+        f"split({text_col}, ' ') AS toks",
+        f"size(split({text_col}, ' ')) AS n",
+    )
+    return base.selectExpr(
+        "doc_id",
+        "toks",
+        "n",
+        f"explode(sequence(0, (n - 1) div {stride})) AS idx",
+    ).selectExpr(
+        "concat(doc_id, ':', CAST(idx AS STRING)) AS chunk_id",
+        "doc_id",
+        "CAST(idx AS INT) AS idx",
+        f"CAST(least({window}, n - (idx * {stride} + 1) + 1) AS INT)"
+        " AS n_chunk_tokens",
+        f"md5(array_join(slice(toks, CAST(idx * {stride} + 1 AS INT),"
+        f" {window}), ' ')) AS fp",
+    )

@@ -3438,3 +3438,29 @@ def test_ols2_kfold_recovers_exact_model(spark):
         assert r["n_train"] + r["n_test"] == n
         assert (r["b0"], r["b1"], r["b2"]) == (2.0, 3.0, 0.5), r
         assert r["r2_oof"] == 1.0 and r["rmse_oof"] == 0.0, r
+
+
+def test_sliding_token_chunks_boundaries(spark):
+    """Window/stride boundary cases: a short doc yields one clamped
+    chunk; an exact-boundary doc yields fully-covered overlapping chunks;
+    consecutive chunks overlap by window − stride tokens."""
+    from open_ftth_relational_projector_spark.functions.text import (
+        sliding_token_chunks,
+    )
+
+    rows = [
+        ("a", "x y z"),                      # 3 tokens < stride → 1 chunk
+        ("b", " ".join(f"t{i}" for i in range(100))),  # 100 tokens
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    out = sliding_token_chunks(docs, window=8, stride=4).collect()
+    a = sorted(r for r in out if r["doc_id"] == "a")
+    assert len(a) == 1 and a[0]["n_chunk_tokens"] == 3
+    b = sorted((r["idx"], r["n_chunk_tokens"]) for r in out
+               if r["doc_id"] == "b")
+    # starts 1, 5, ..., 97 → 25 chunks; last holds 100-97+1 = 4 tokens
+    assert len(b) == 25
+    assert b[0] == (0, 8) and b[-1] == (24, 4)
+    # chunk ids deterministic
+    ids = {r["chunk_id"] for r in out}
+    assert "b:24" in ids and "a:0" in ids
