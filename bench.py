@@ -133,6 +133,7 @@ EXTRA_QUERIES = [
     "ols_crossval_kfold",
     "sliding_token_chunks",
     "per_source_quality_cap",
+    "stream_snapshot_sim",
 ]
 
 

@@ -805,3 +805,103 @@ def stream_ols_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ROUND(b2, 6) AS beta2",
         f"ROUND(1 - {OLS2_SSE} / {OLS2_SST}, 6) AS r2",
     )
+
+
+@_q(
+    "stream_snapshot_sim",
+    """
+    WITH v AS (
+      SELECT doc_id, j, doc_id * 4 + j AS seq,
+             md5(text || CASE WHEN j >= 1 THEN ' [rev]' ELSE '' END) AS fp
+      FROM documents
+      CROSS JOIN (SELECT UNNEST(range(0, 3)) AS j) js
+      WHERE j <= doc_id % 3),
+    s AS (SELECT doc_id, seq, fp,
+                 LAG(fp) OVER (PARTITION BY doc_id ORDER BY j) AS prev
+          FROM v)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(seq AS BIGINT) AS seq,
+           CASE WHEN prev IS NULL THEN 'added'
+                WHEN prev = fp THEN 'unchanged'
+                ELSE 'changed' END AS status,
+           fp
+    FROM s
+    """,
+)
+def stream_snapshot_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """streaming_snapshot_status (the streaming twin of
+    functions/dedup.snapshot_diff) drained over a real 3-micro-batch
+    stream of document VERSIONS: batch j carries version j of every doc
+    with doc_id % 3 ≥ j, version 1 edits the text and version 2 repeats
+    it — so every id walks added → changed → unchanged against the
+    fingerprint state store. The drained union must equal the batch
+    LAG-over-versions replay, which is exactly the oracle."""
+    import json as _json
+
+    from open_ftth_relational_projector_spark.streaming.stateful import (
+        streaming_snapshot_status,
+    )
+
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    )
+    rows.sort(key=lambda r: r["doc_id"])
+    qname = f"ssnap_{next(_CALL_SEQ)}"
+    tmp = tempfile.mkdtemp(prefix="ofrp_ssnap_")
+    try:
+        os.makedirs(f"{tmp}/in")
+        now = time.time()
+        for j in range(3):
+            path = f"{tmp}/in/batch_{j:05d}.json"
+            with open(path, "w") as fh:
+                for r in rows:
+                    if j > r["doc_id"] % 3:
+                        continue
+                    text = r["text"] + (" [rev]" if j >= 1 else "")
+                    fh.write(
+                        _json.dumps(
+                            {
+                                "doc_id": r["doc_id"],
+                                "seq": r["doc_id"] * 4 + j,
+                                "text": text,
+                            }
+                        )
+                        + "\n"
+                    )
+            os.utime(path, (now + j, now + j))
+        stream = (
+            spark.readStream.schema("doc_id long, seq long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .json(f"{tmp}/in")
+        )
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try:
+            q = (
+                streaming_snapshot_status(stream)
+                .writeStream.outputMode("append")
+                .format("memory")
+                .queryName(qname)
+                .option("checkpointLocation", f"{tmp}/cp")
+                .trigger(availableNow=True)
+                .start()
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        try:
+            if not q.awaitTermination(600):
+                raise RuntimeError(
+                    "stream_snapshot_sim: availableNow drain did not"
+                    " finish in 600s"
+                )
+        finally:
+            if q.isActive:
+                q.stop()
+        out = spark.table(qname)
+        schema = out.schema
+        collected = out.collect()
+        return spark.createDataFrame(collected, schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.catalog.dropTempView(qname)

@@ -846,3 +846,69 @@ def streaming_ols_moments(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- incremental snapshot status (streaming twin of dedup.snapshot_diff) ----
+
+SNAPSHOT_OUTPUT_SCHEMA = "doc_id long, seq long, status string, fp string"
+SNAPSHOT_STATE_SCHEMA = "fp string"
+
+
+def _snapshot_fold(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    last = state.get[0] if state.exists else None
+    rows = pd.concat(list(pdfs)).sort_values("seq")
+    out_seq, out_status, out_fp = [], [], []
+    for r in rows.itertuples(index=False):
+        status = (
+            "added"
+            if last is None
+            else ("unchanged" if r.fp == last else "changed")
+        )
+        last = r.fp
+        out_seq.append(int(r.seq))
+        out_status.append(status)
+        out_fp.append(r.fp)
+    state.update((last,))
+    yield pd.DataFrame(
+        {
+            "doc_id": [int(key[0])] * len(out_seq),
+            "seq": out_seq,
+            "status": out_status,
+            "fp": out_fp,
+        }
+    )
+
+
+def streaming_snapshot_status(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Incremental corpus versioning: classify every incoming document
+    version added / changed / unchanged against the last fingerprint the
+    stream has seen for that id — the streaming twin of
+    functions/dedup.snapshot_diff, for continuous ingestion where the
+    "previous snapshot" is the keyed state store rather than a second
+    table. (``removed`` needs a snapshot boundary and stays batch-side.)
+
+    State per doc id = ONE 32-char fingerprint, partitioned by id across
+    executors; each micro-batch shuffles only its own rows. Within a
+    batch, versions apply in ``seq`` order, so drained output over N
+    ordered files equals the batch LAG-over-versions replay — the
+    catalog sim's oracle states exactly that.
+    """
+    keyed = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(seq_col).cast("long").alias("seq"),
+        F.md5(F.col(text_col)).alias("fp"),
+    )
+    return keyed.groupBy("doc_id").applyInPandasWithState(
+        _snapshot_fold,
+        outputStructType=SNAPSHOT_OUTPUT_SCHEMA,
+        stateStructType=SNAPSHOT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
