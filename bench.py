@@ -134,6 +134,7 @@ EXTRA_QUERIES = [
     "sliding_token_chunks",
     "per_source_quality_cap",
     "stream_snapshot_sim",
+    "ols_conformal_intervals",
 ]
 
 

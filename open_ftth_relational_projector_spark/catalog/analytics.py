@@ -1795,3 +1795,142 @@ def ols_crossval_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         k=5,
     )
+
+
+# --- r6: split-conformal prediction intervals --------------------------------
+
+def _conformal_sql() -> str:
+    from open_ftth_relational_projector_spark.functions.regression import (
+        OLS2_MOMENT_EXPRS,
+    )
+
+    sums = ",\n             ".join(
+        f"CAST(SUM(CASE WHEN fold >= 2 THEN {e} END) AS DOUBLE) AS {m}"
+        for m, e in OLS2_MOMENT_EXPRS.items()
+    )
+    return f"""
+    WITH feats AS (
+      SELECT CAST(l_quantity AS DECIMAL(19,4)) AS x1d,
+             CAST(p_retailprice AS DECIMAL(19,4)) AS x2d,
+             CAST(l_extendedprice AS DECIMAL(19,4)) AS yd,
+             ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '-'
+                 || CAST(l_linenumber AS VARCHAR) || '#f'), 1, 15))::BIGINT
+               % 5 AS fold
+      FROM lineitem JOIN part ON l_partkey = p_partkey),
+    m AS (
+      SELECT CAST(SUM(CASE WHEN fold >= 2 THEN 1 ELSE 0 END) AS DOUBLE) AS n,
+             {sums}
+      FROM feats),
+    beta AS (SELECT n, {OLS2_B0} AS b0, {OLS2_B1} AS b1, {OLS2_B2} AS b2
+             FROM m),
+    scored AS (
+      SELECT fold,
+             ROUND(ABS(CAST(yd AS DOUBLE)
+                       - (b0 + b1 * CAST(x1d AS DOUBLE)
+                          + b2 * CAST(x2d AS DOUBLE))), 6) AS ar
+      FROM feats CROSS JOIN beta WHERE fold <= 1),
+    q AS (SELECT quantile_cont(ar, 0.9) AS q90,
+                 CAST(COUNT(*) AS BIGINT) AS n_calib
+          FROM scored WHERE fold = 0),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+                 CAST(SUM(CASE WHEN ar <= (SELECT q90 FROM q)
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+          FROM scored WHERE fold = 1)
+    SELECT CAST(beta.n AS BIGINT) AS n_train, q.n_calib, t.n_test,
+           ROUND(beta.b0, 6) AS b0, ROUND(beta.b1, 6) AS b1,
+           ROUND(beta.b2, 6) AS b2,
+           ROUND(q.q90, 4) AS q90_width,
+           ROUND(CAST(t.n_covered AS DOUBLE) / t.n_test, 4) AS test_coverage
+    FROM beta CROSS JOIN q CROSS JOIN t
+    """
+
+
+@_q("ols_conformal_intervals", _conformal_sql())
+def ols_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals for the price model: train on
+    md5-folds 2-4 (exact-decimal moments, CASE-gated inside ONE
+    aggregation pass), calibrate the 90% absolute-residual quantile on
+    fold 0, and report honest empirical coverage on the untouched fold 1
+    — the distribution-free uncertainty wrapper a model-serving pipeline
+    attaches to any regressor. Two passes total (moments; then a map-only
+    scoring pass with the betas broadcast feeding two scalar aggregates).
+    Residuals round to 6 dp before the quantile, so the interpolated q90
+    and the coverage count replay identically in the oracle."""
+    from open_ftth_relational_projector_spark.functions.regression import (
+        OLS2_B0,
+        OLS2_B1,
+        OLS2_B2,
+        OLS2_MOMENT_EXPRS,
+        _DEC,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    feats = li.join(
+        F.broadcast(part.select("p_partkey", "p_retailprice")),
+        li["l_partkey"] == F.col("p_partkey"),
+    ).selectExpr(
+        f"CAST(l_quantity AS {_DEC}) AS x1d",
+        f"CAST(p_retailprice AS {_DEC}) AS x2d",
+        f"CAST(l_extendedprice AS {_DEC}) AS yd",
+        "CAST(conv(substring(md5(concat(CAST(l_orderkey AS STRING), '-',"
+        " CAST(l_linenumber AS STRING), '#f')), 1, 15), 16, 10) AS BIGINT)"
+        " % 5 AS fold",
+    )
+    m = feats.agg(
+        F.expr(
+            "CAST(SUM(CASE WHEN fold >= 2 THEN 1 ELSE 0 END) AS DOUBLE)"
+        ).alias("n"),
+        *[
+            F.expr(
+                f"CAST(SUM(CASE WHEN fold >= 2 THEN {e} END) AS DOUBLE)"
+            ).alias(mm)
+            for mm, e in OLS2_MOMENT_EXPRS.items()
+        ],
+    )
+    beta = m.selectExpr(
+        "n", f"{OLS2_B0} AS b0", f"{OLS2_B1} AS b1", f"{OLS2_B2} AS b2"
+    )
+    scored = (
+        feats.filter("fold <= 1")
+        .crossJoin(F.broadcast(beta))
+        .selectExpr(
+            "fold",
+            "n",
+            "b0", "b1", "b2",
+            "ROUND(ABS(CAST(yd AS DOUBLE)"
+            " - (b0 + b1 * CAST(x1d AS DOUBLE)"
+            " + b2 * CAST(x2d AS DOUBLE))), 6) AS ar",
+        )
+        .persist()  # consumed by the calib quantile AND the test coverage
+    )
+    q = scored.filter("fold = 0").agg(
+        F.expr("percentile(ar, 0.9D)").alias("q90"),
+        F.count(F.lit(1)).alias("n_calib"),
+    )
+    t = (
+        scored.filter("fold = 1")
+        .crossJoin(F.broadcast(q.select("q90")))
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(F.when(F.col("ar") <= F.col("q90"), 1).otherwise(0)).alias(
+                "n_covered"
+            ),
+        )
+    )
+    one = scored.limit(1).selectExpr("CAST(n AS BIGINT) AS n_train",
+                                     "b0", "b1", "b2")
+    return (
+        one.crossJoin(F.broadcast(q))
+        .crossJoin(F.broadcast(t))
+        .selectExpr(
+            "n_train",
+            "n_calib",
+            "n_test",
+            "ROUND(b0, 6) AS b0",
+            "ROUND(b1, 6) AS b1",
+            "ROUND(b2, 6) AS b2",
+            "ROUND(q90, 4) AS q90_width",
+            "ROUND(CAST(n_covered AS DOUBLE) / n_test, 4) AS test_coverage",
+        )
+    )
