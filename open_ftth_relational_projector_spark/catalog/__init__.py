@@ -41,10 +41,13 @@ from . import streaming_sims  # noqa: E402,F401
 # Registration order for the driver window
 # ===========================================================================
 # ROUND-7 WINDOW PLAN (for the next session): assuming CORRECTNESS_r06
-# lands green, the cumulative driver-green union is 217/217 (+ any r6
-# additions) and every window from here on is pure freshness rotation:
-# q1 flagship + any never-driver-checked r6/r7 additions first + the
-# queries whose most recent green row is OLDEST. After r6 the oldest
+# lands green, the cumulative driver-green union is 217/227 and the TEN
+# r6 additions lack a driver row (all 3-scale oracle-green locally):
+# domain_mixture_weights, corpus_snapshot_diff, winsorized_price_stats,
+# correlation_matrix_lineitem, equidepth_price_bins, ols_crossval_kfold,
+# sliding_token_chunks, per_source_quality_cap, stream_snapshot_sim,
+# ols_conformal_intervals. r7 window: q1 flagship + those ten first +
+# the queries whose most recent green row is OLDEST. After r6 the oldest
 # are the 15 remaining r2-only rows (anti_join_customers_without_orders,
 # benchmark_decontamination, clicks_within_signup_day,
 # dim_join_customer_geo, embedding_near_dups (r6 re-covers it),

@@ -48,6 +48,11 @@ ALLOWLIST: dict[str, str] = {
         "bounded sim: collects the documents dim once to write 3 stream "
         "batch files (500 rows at sf0.01) + the drained memory-sink result"
     ),
+    "catalog/streaming_sims.py::stream_snapshot_sim": (
+        "bounded sim: collects the documents dim once to write 3 version "
+        "batch files (500 rows at sf0.01) + the drained memory-sink result "
+        "— same contract as _drain_stream_over_doc_batches"
+    ),
     "plans/checks.py::wholestage_codegen_spans": "test helper: forces AQE final plan",
     "streaming/incremental.py::_apply_incremental": "guarded by MAX_DRIVER_BATCH_ROWS with distributed fallback",
     "streaming/incremental.py::affected_keys": "scalar count guard",

@@ -836,3 +836,63 @@ def test_streaming_ols_moments_match_batch_aggregation(spark):
         X = np.column_stack([np.ones(len(sub)), x1, x2])
         want, _, _, _ = np.linalg.lstsq(X, y.astype(np.float64), rcond=None)
         assert np.allclose(beta, want, atol=1e-6), (beta, want)
+
+
+def test_streaming_snapshot_status_survives_restart(spark, tmp_path):
+    """The fingerprint state must rehydrate across SEPARATE query runs:
+    a version re-ingested unchanged in run 2 classifies 'unchanged' (not
+    'added'), and an edit classifies 'changed' against run 1's state."""
+    from open_ftth_relational_projector_spark.streaming.stateful import (
+        streaming_snapshot_status,
+    )
+
+    src, cp, out = (
+        str(tmp_path / "src"),
+        str(tmp_path / "cp"),
+        str(tmp_path / "out"),
+    )
+
+    def land(rows):
+        spark.createDataFrame(
+            rows, "doc_id long, seq long, text string"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def drain(run):
+        def sink(batch_df, batch_id):
+            batch_df.withColumn("run", F.lit(run)).write.mode(
+                "append"
+            ).parquet(out)
+
+        q = (
+            streaming_snapshot_status(
+                spark.readStream.schema(
+                    "doc_id long, seq long, text string"
+                ).parquet(src)
+            )
+            .writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            (r["doc_id"], r["seq"]): r["status"]
+            for r in spark.read.parquet(out)
+            .filter(F.col("run") == run)
+            .collect()
+        }
+
+    land([(1, 10, "hello world"), (2, 11, "other text")])
+    first = drain(1)
+    assert first == {(1, 10): "added", (2, 11): "added"}
+
+    # run 2, fresh query, same checkpoint: doc 1 unchanged, doc 2 edited,
+    # doc 3 brand new
+    land([(1, 20, "hello world"), (2, 21, "other text v2"), (3, 22, "new")])
+    second = drain(2)
+    assert second == {
+        (1, 20): "unchanged",
+        (2, 21): "changed",
+        (3, 22): "added",
+    }
