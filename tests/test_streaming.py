@@ -560,3 +560,44 @@ def test_service_termination_giveup_guards_across_batches(spark):
     _assert_sink_matches(
         sink, {n: tables[n].toPandas() for n in PROJECTION_TABLES}
     )
+
+
+def test_projection_stream_checkpoint_restart(spark, envelopes, expected_tables):
+    """T2/T5 across process generations: drain part of the backlog, STOP
+    the query, land more files, start a FRESH ProjectionStream on the
+    same checkpoint — the restarted query must resume from the
+    checkpoint (not re-apply run 1's files) and the final tables must
+    equal the batch replay."""
+    max_seq = envelopes.agg({"seq": "max"}).collect()[0][0]
+    cut = max_seq // 3
+    mid = cut + (max_seq - cut) // 2
+    tmp = tempfile.mkdtemp(prefix="ofrp_restart_")
+    events_dir, bronze, cp = f"{tmp}/in", f"{tmp}/bronze", f"{tmp}/cp"
+    try:
+        sink = DuckDBSink()
+        prefix = envelopes.filter(f"seq <= {cut}")
+        dehydrate(prefix, sink)
+        prefix.write.mode("overwrite").parquet(bronze)
+
+        write_envelope_batch(
+            envelopes.filter(f"seq > {cut} AND seq <= {mid}"), events_dir, 0
+        )
+        s1 = ProjectionStream(spark, events_dir, sink, bronze, cp)
+        q1 = s1.start(available_now=True)
+        q1.awaitTermination(240)
+
+        # second generation: new files, fresh query object, same checkpoint
+        write_envelope_batch(
+            envelopes.filter(f"seq > {mid}"), events_dir, 1
+        )
+        applied_before = sink.get_meta("applied_batch")
+        s2 = ProjectionStream(spark, events_dir, sink, bronze, cp)
+        q2 = s2.start(available_now=True)
+        q2.awaitTermination(240)
+
+        # the restarted query processed only the NEW file (batch ids
+        # continue, they don't reset to 0 and re-apply run 1's data)
+        assert sink.get_meta("applied_batch") != applied_before
+        _assert_sink_matches(sink, expected_tables)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
