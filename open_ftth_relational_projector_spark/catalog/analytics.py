@@ -1532,8 +1532,12 @@ def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the percentiles) and trimmed mean (tails dropped) of extended
     price per return flag — the outlier-resistant summary a corpus-stats
     pass reports instead of a raw mean. Two passes by nature (percentile,
-    then clamp), both map-side-combined groupBys; the percentiles are
-    exact interpolating (`percentile` ↔ quantile_cont). Determinism by
+    then clamp). Scale note: stage 1's exact interpolating `percentile`
+    buffers each group's values (fine for the bounded flag groups here);
+    a 100 TB giant-group run swaps stage 1 for the HDR sketch
+    (functions/sketches, bounded state, hdr_quantile_rollup carries its
+    inline accuracy audit) or the hierarchical rank — the clamp stage is
+    map-side either way. Determinism by
     construction: 2-dp inputs make every interpolated percentile a ≤4-dp
     real (never on a 6-dp rounding boundary), and the clamped values are
     rounded to 6 dp then summed as exact DECIMAL(19,6) on BOTH sides —
@@ -1711,9 +1715,18 @@ def equidepth_price_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- r6: one-pass k-fold cross-validation ------------------------------------
 
+_KFOLD_KEY_SQL = (
+    "CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)"
+)
+_KFOLD_KEY_SPARK = (
+    "concat(CAST(l_orderkey AS STRING), '-', CAST(l_linenumber AS STRING))"
+)
+
+
 def _kfold_sql() -> str:
     from open_ftth_relational_projector_spark.functions.regression import (
         OLS2_MOMENT_EXPRS,
+        fold_expr_sql,
     )
 
     f_sums = ",\n             ".join(
@@ -1732,9 +1745,7 @@ def _kfold_sql() -> str:
       SELECT CAST(l_quantity AS DECIMAL(19,4)) AS x1d,
              CAST(p_retailprice AS DECIMAL(19,4)) AS x2d,
              CAST(l_extendedprice AS DECIMAL(19,4)) AS yd,
-             ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '-'
-                 || CAST(l_linenumber AS VARCHAR) || '#f'), 1, 15))::BIGINT
-               % 5 AS fold
+             {fold_expr_sql(_KFOLD_KEY_SQL, 5)} AS fold
       FROM lineitem JOIN part ON l_partkey = p_partkey),
     per AS (
       SELECT fold, CAST(COUNT(*) AS DOUBLE) AS fn,
@@ -1789,10 +1800,7 @@ def ols_crossval_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
         x1="l_quantity",
         x2="p_retailprice",
         y="l_extendedprice",
-        key_expr=(
-            "concat(CAST(l_orderkey AS STRING), '-',"
-            " CAST(l_linenumber AS STRING))"
-        ),
+        key_expr=_KFOLD_KEY_SPARK,
         k=5,
     )
 
@@ -1802,6 +1810,7 @@ def ols_crossval_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _conformal_sql() -> str:
     from open_ftth_relational_projector_spark.functions.regression import (
         OLS2_MOMENT_EXPRS,
+        fold_expr_sql,
     )
 
     sums = ",\n             ".join(
@@ -1813,9 +1822,7 @@ def _conformal_sql() -> str:
       SELECT CAST(l_quantity AS DECIMAL(19,4)) AS x1d,
              CAST(p_retailprice AS DECIMAL(19,4)) AS x2d,
              CAST(l_extendedprice AS DECIMAL(19,4)) AS yd,
-             ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '-'
-                 || CAST(l_linenumber AS VARCHAR) || '#f'), 1, 15))::BIGINT
-               % 5 AS fold
+             {fold_expr_sql(_KFOLD_KEY_SQL, 5)} AS fold
       FROM lineitem JOIN part ON l_partkey = p_partkey),
     m AS (
       SELECT CAST(SUM(CASE WHEN fold >= 2 THEN 1 ELSE 0 END) AS DOUBLE) AS n,
@@ -1862,6 +1869,7 @@ def ols_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         OLS2_B2,
         OLS2_MOMENT_EXPRS,
         _DEC,
+        fold_expr_spark,
     )
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -1873,9 +1881,7 @@ def ols_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CAST(l_quantity AS {_DEC}) AS x1d",
         f"CAST(p_retailprice AS {_DEC}) AS x2d",
         f"CAST(l_extendedprice AS {_DEC}) AS yd",
-        "CAST(conv(substring(md5(concat(CAST(l_orderkey AS STRING), '-',"
-        " CAST(l_linenumber AS STRING), '#f')), 1, 15), 16, 10) AS BIGINT)"
-        " % 5 AS fold",
+        f"{fold_expr_spark(_KFOLD_KEY_SPARK, 5)} AS fold",
     )
     m = feats.agg(
         F.expr(
@@ -1896,8 +1902,6 @@ def ols_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(beta))
         .selectExpr(
             "fold",
-            "n",
-            "b0", "b1", "b2",
             "ROUND(ABS(CAST(yd AS DOUBLE)"
             " - (b0 + b1 * CAST(x1d AS DOUBLE)"
             " + b2 * CAST(x2d AS DOUBLE))), 6) AS ar",
@@ -1918,8 +1922,10 @@ def ols_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    one = scored.limit(1).selectExpr("CAST(n AS BIGINT) AS n_train",
-                                     "b0", "b1", "b2")
+    # constants come from the 1-row beta frame, not a limit(1) over the
+    # corpus-sized scored frame — cheaper, and it matches the oracle's
+    # FROM beta CROSS JOIN shape even when the calib/test folds are empty
+    one = beta.selectExpr("CAST(n AS BIGINT) AS n_train", "b0", "b1", "b2")
     return (
         one.crossJoin(F.broadcast(q))
         .crossJoin(F.broadcast(t))

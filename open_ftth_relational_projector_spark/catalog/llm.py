@@ -1863,7 +1863,7 @@ _SLIDING_CHUNKS_SQL = """
                       LEN(string_split(text, ' ')) AS n
                FROM documents),
     c AS (SELECT doc_id, toks, n,
-                 UNNEST(range(0, (n - 1) // 48 + 1)) AS idx
+                 UNNEST(range(0, (GREATEST(n - 64, 0) + 47) // 48 + 1)) AS idx
           FROM d)
     SELECT doc_id || ':' || CAST(idx AS VARCHAR) AS chunk_id,
            doc_id,

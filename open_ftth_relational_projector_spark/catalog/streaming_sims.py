@@ -37,12 +37,17 @@ def _drain_stream_over_doc_batches(
     name: str,
     shuffle_partitions: int | None = None,
     extra_fields: dict[str, str] | None = None,
+    payloads_for_batch=None,
 ):
     """Split the documents table into 3 doc_id-ranged micro-batches
     (seq = doc_id), write them as utime-ordered json files (FileStreamSource
     processes oldest-modTime first, so cross-batch arrival follows seq
     order), drain `op(stream)` with availableNow into a memory sink, and
     return the materialized rows + output schema.
+
+    ``payloads_for_batch(b, rows)`` overrides the per-batch payload
+    generation (default: range-sliced thirds of the docs, seq = doc_id) —
+    e.g. the snapshot sim emits per-batch document VERSIONS.
 
     Driver-side bounds: the documents table is collected once to write the
     batch files — 500 rows at the driver-gate sf0.01, 5k at sf0.1 (the
@@ -57,23 +62,29 @@ def _drain_stream_over_doc_batches(
         .collect()
     )
     rows.sort(key=lambda r: r["doc_id"])
+    if payloads_for_batch is None:
+        third = (len(rows) + 2) // 3
+
+        def payloads_for_batch(b, rows):  # noqa: PLR1704 - default impl
+            for r in rows[b * third : (b + 1) * third]:
+                payload = {
+                    "doc_id": r["doc_id"],
+                    "seq": r["doc_id"],
+                    "text": r["text"],
+                }
+                for c in extra:
+                    payload[c] = r[c]
+                yield payload
+
     qname = f"{name}_{next(_CALL_SEQ)}"
     tmp = tempfile.mkdtemp(prefix=f"ofrp_{name}_")
     try:
         os.makedirs(f"{tmp}/in")
         now = time.time()
-        third = (len(rows) + 2) // 3
         for b in range(3):
             path = f"{tmp}/in/batch_{b:05d}.json"
             with open(path, "w") as fh:
-                for r in rows[b * third : (b + 1) * third]:
-                    payload = {
-                        "doc_id": r["doc_id"],
-                        "seq": r["doc_id"],
-                        "text": r["text"],
-                    }
-                    for c in extra:
-                        payload[c] = r[c]
+                for payload in payloads_for_batch(b, rows):
                     fh.write(json.dumps(payload) + "\n")
             os.utime(path, (now + b, now + b))
         schema_ddl = "doc_id long, seq long, text string" + "".join(
@@ -835,73 +846,26 @@ def stream_snapshot_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     it — so every id walks added → changed → unchanged against the
     fingerprint state store. The drained union must equal the batch
     LAG-over-versions replay, which is exactly the oracle."""
-    import json as _json
-
     from open_ftth_relational_projector_spark.streaming.stateful import (
         streaming_snapshot_status,
     )
 
-    rows = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .collect()
+    def version_payloads(b, rows):
+        for r in rows:
+            if b > r["doc_id"] % 3:
+                continue
+            yield {
+                "doc_id": r["doc_id"],
+                "seq": r["doc_id"] * 4 + b,
+                "text": r["text"] + (" [rev]" if b >= 1 else ""),
+            }
+
+    rows, schema = _drain_stream_over_doc_batches(
+        spark,
+        sf_dir,
+        streaming_snapshot_status,
+        "ssnap",
+        shuffle_partitions=4,
+        payloads_for_batch=version_payloads,
     )
-    rows.sort(key=lambda r: r["doc_id"])
-    qname = f"ssnap_{next(_CALL_SEQ)}"
-    tmp = tempfile.mkdtemp(prefix="ofrp_ssnap_")
-    try:
-        os.makedirs(f"{tmp}/in")
-        now = time.time()
-        for j in range(3):
-            path = f"{tmp}/in/batch_{j:05d}.json"
-            with open(path, "w") as fh:
-                for r in rows:
-                    if j > r["doc_id"] % 3:
-                        continue
-                    text = r["text"] + (" [rev]" if j >= 1 else "")
-                    fh.write(
-                        _json.dumps(
-                            {
-                                "doc_id": r["doc_id"],
-                                "seq": r["doc_id"] * 4 + j,
-                                "text": text,
-                            }
-                        )
-                        + "\n"
-                    )
-            os.utime(path, (now + j, now + j))
-        stream = (
-            spark.readStream.schema("doc_id long, seq long, text string")
-            .option("maxFilesPerTrigger", "1")
-            .json(f"{tmp}/in")
-        )
-        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "4")
-        try:
-            q = (
-                streaming_snapshot_status(stream)
-                .writeStream.outputMode("append")
-                .format("memory")
-                .queryName(qname)
-                .option("checkpointLocation", f"{tmp}/cp")
-                .trigger(availableNow=True)
-                .start()
-            )
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-        try:
-            if not q.awaitTermination(600):
-                raise RuntimeError(
-                    "stream_snapshot_sim: availableNow drain did not"
-                    " finish in 600s"
-                )
-        finally:
-            if q.isActive:
-                q.stop()
-        out = spark.table(qname)
-        schema = out.schema
-        collected = out.collect()
-        return spark.createDataFrame(collected, schema)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
-        spark.catalog.dropTempView(qname)
+    return spark.createDataFrame(rows, schema)

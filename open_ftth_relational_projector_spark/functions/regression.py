@@ -118,6 +118,23 @@ def ols2_residuals(
 
 #: moment-sum expression bodies over the decimal feature columns
 #: (x1d, x2d, yd) — shared verbatim with SQL oracles
+def fold_expr_spark(key_expr: str, k: int, salt: str = "f") -> str:
+    """md5 fold bucket, Spark spelling. ONE definition per engine so the
+    salt/hex-width/modulus can never drift between call sites (the
+    OLS2_*/MIX_QD_SQL shared-text convention)."""
+    return (
+        f"CAST(conv(substring(md5(concat({key_expr}, '#{salt}')), 1, 15),"
+        f" 16, 10) AS BIGINT) % {k}"
+    )
+
+
+def fold_expr_sql(key_sql: str, k: int, salt: str = "f") -> str:
+    """md5 fold bucket, DuckDB spelling — the twin of fold_expr_spark."""
+    return (
+        f"('0x' || substr(md5({key_sql} || '#{salt}'), 1, 15))::BIGINT % {k}"
+    )
+
+
 OLS2_MOMENT_EXPRS: dict[str, str] = {
     "s1": "x1d",
     "s2": "x2d",
@@ -160,8 +177,7 @@ def ols2_kfold(
         f"CAST({x1} AS {_DEC}) AS x1d",
         f"CAST({x2} AS {_DEC}) AS x2d",
         f"CAST({y} AS {_DEC}) AS yd",
-        f"CAST(conv(substring(md5(concat({key_expr}, '#f')), 1, 15), 16, 10)"
-        f" AS BIGINT) % {k} AS fold",
+        f"{fold_expr_spark(key_expr, k)} AS fold",
     )
     per = feats.groupBy("fold").agg(
         F.count(F.lit(1)).cast("double").alias("fn"),

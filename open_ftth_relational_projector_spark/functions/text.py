@@ -584,11 +584,17 @@ def sliding_token_chunks(
         f"split({text_col}, ' ') AS toks",
         f"size(split({text_col}, ' ')) AS n",
     )
+    # last idx = ceil(max(n - window, 0) / stride): once a window reaches
+    # the document end, no further (fully-contained, zero-new-coverage)
+    # tail chunk is emitted. greatest() applies BEFORE the division so the
+    # numerator is never negative (Spark `div` truncates toward zero,
+    # DuckDB `//` floors — they disagree on negatives).
     return base.selectExpr(
         "doc_id",
         "toks",
         "n",
-        f"explode(sequence(0, (n - 1) div {stride})) AS idx",
+        f"explode(sequence(0,"
+        f" (greatest(n - {window}, 0) + {stride} - 1) div {stride})) AS idx",
     ).selectExpr(
         "concat(doc_id, ':', CAST(idx AS STRING)) AS chunk_id",
         "doc_id",

@@ -158,24 +158,24 @@ def affected_ids_distributed(batch_log: EventLog) -> dict[str, list[str]]:
     but the entity universe it touches is bounded by the domain). The tiny
     id lists then drive the same semi-join restriction as the driver path.
     """
-    by_domain: dict[str, list[DataFrame]] = {}
+    parts: list[DataFrame] = []
     for etype, (domain, id_path) in AFFECTED.items():
-        df = batch_log.of(etype).select(F.expr(id_path).alias("id"))
-        by_domain.setdefault(domain, []).append(df)
-        if etype in CABLE_TRIGGER_TYPES:
-            by_domain.setdefault("cable", []).append(df)
-    out: dict[str, list[str]] = {}
-    for domain, dfs in by_domain.items():
-        u = dfs[0]
-        for d in dfs[1:]:
-            u = u.unionByName(d)
-        vals = sorted(
-            r.id
-            for r in u.where(F.col("id").isNotNull()).distinct().collect()
+        df = batch_log.of(etype).select(
+            F.lit(domain).alias("domain"), F.expr(id_path).alias("id")
         )
-        if vals:
-            out[domain] = vals
-    return out
+        parts.append(df)
+        if etype in CABLE_TRIGGER_TYPES:
+            parts.append(df.select(F.lit("cable").alias("domain"), "id"))
+    # ONE tagged union → ONE distinct().collect() job for every domain
+    # (per-domain collects would pay ~7 scheduler round trips on the
+    # catch-up path, where latency already hurts)
+    u = parts[0]
+    for d in parts[1:]:
+        u = u.unionByName(d)
+    out: dict[str, set[str]] = {}
+    for r in u.where(F.col("id").isNotNull()).distinct().collect():
+        out.setdefault(r.domain, set()).add(r.id)
+    return {d: sorted(s) for d, s in out.items()}
 
 
 @dataclass

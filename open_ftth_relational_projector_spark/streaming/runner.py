@@ -241,21 +241,26 @@ def apply_batch(
         affected_ids_distributed,
     )
 
-    # ONE aggregate job sizes the batch before anything is pulled to the
-    # driver: count gates the collect (a post-downtime catch-up batch can
-    # hold the entire backlog), min drives the overlap check, max the
-    # watermark.
-    stat = batch_envelopes.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.min("seq").alias("mn"),
-        F.max("seq").alias("mx"),
-    ).collect()[0]
-    n_batch = int(stat["n"])
-    batch_min = stat["mn"] if stat["mn"] is None else int(stat["mn"])
-    batch_max = stat["mx"] if stat["mx"] is None else int(stat["mx"])
-    driver_sized = n_batch <= MAX_DRIVER_BATCH_ROWS
-
-    parsed = collect_batch(batch_envelopes) if driver_sized else None
+    # Size-gate the batch with a PROBE collect of cap+1 rows: the common
+    # driver-sized case (every 2 s-trigger micro-batch) stays at ONE Spark
+    # job — the probe IS the collected batch, and min/max seq derive
+    # driver-side. Only the rare oversized case (post-downtime backlog in
+    # one batch) pays a second job for min/max; its probe pull is bounded
+    # at cap+1 rows by construction.
+    probe = collect_batch(batch_envelopes.limit(MAX_DRIVER_BATCH_ROWS + 1))
+    driver_sized = len(probe) <= MAX_DRIVER_BATCH_ROWS
+    if driver_sized:
+        parsed = probe
+        seqs = [s for s, _, _ in parsed]
+        batch_min = min(seqs, default=None)
+        batch_max = max(seqs, default=None)
+    else:
+        parsed = None
+        stat = batch_envelopes.agg(
+            F.min("seq").alias("mn"), F.max("seq").alias("mx")
+        ).collect()[0]
+        batch_min = int(stat["mn"])
+        batch_max = int(stat["mx"])
     # materialize the typed streams once per batch: every per-table delta
     # re-reads several of them, and without this each recompute re-filters
     # and re-parses the accumulated envelope log

@@ -3458,9 +3458,21 @@ def test_sliding_token_chunks_boundaries(spark):
     assert len(a) == 1 and a[0]["n_chunk_tokens"] == 3
     b = sorted((r["idx"], r["n_chunk_tokens"]) for r in out
                if r["doc_id"] == "b")
-    # starts 1, 5, ..., 97 → 25 chunks; last holds 100-97+1 = 4 tokens
-    assert len(b) == 25
-    assert b[0] == (0, 8) and b[-1] == (24, 4)
+    # last idx = ceil((100-8)/4) = 23 → 24 chunks; chunk 23 starts at
+    # token 93 and reaches the end (full window, tokens 93-100) — NO
+    # zero-new-coverage tail chunk after the end is reached
+    assert len(b) == 24
+    assert b[0] == (0, 8) and b[-1] == (23, 8)
+    # every token is covered: chunk starts advance by stride to the end
+    starts = [idx * 4 + 1 for idx, _ in b]
+    assert starts[-1] + 8 - 1 == 100
+    # an exact-window doc yields exactly one chunk (no contained tail)
+    docs2 = spark.createDataFrame(
+        [("c", " ".join(f"u{i}" for i in range(8)))],
+        "doc_id string, text string",
+    )
+    c = sliding_token_chunks(docs2, window=8, stride=4).collect()
+    assert len(c) == 1 and c[0]["n_chunk_tokens"] == 8
     # chunk ids deterministic
     ids = {r["chunk_id"] for r in out}
-    assert "b:24" in ids and "a:0" in ids
+    assert "b:23" in ids and "a:0" in ids

@@ -315,11 +315,12 @@ def test_fold_has_child_matches_spark_fold(spark):
 
 
 def test_apply_batch_large_batch_fallback(spark, monkeypatch):
-    """Batches above MAX_DRIVER_BATCH_ROWS never reach the driver: the
-    batch rows are NOT collected (touched keys come from a distributed
-    distinct aggregation), the driver-side edge path is skipped, and the
-    distributed full-recompute fallback produces the same tables — the
-    bounded-catch-up guarantee for a post-downtime backlog batch."""
+    """Batches above MAX_DRIVER_BATCH_ROWS never reach the driver in
+    full: only the bounded size PROBE (cap+1 rows) is collected — touched
+    keys come from a distributed distinct aggregation, the driver-side
+    edge path is skipped, and the distributed full-recompute fallback
+    produces the same tables — the bounded-catch-up guarantee for a
+    post-downtime backlog batch."""
     import open_ftth_relational_projector_spark.streaming.incremental as I
     import open_ftth_relational_projector_spark.streaming.runner as R
 
@@ -333,15 +334,21 @@ def test_apply_batch_large_batch_fallback(spark, monkeypatch):
     cut = int(max_seq * 0.5)
     monkeypatch.setattr(I, "MAX_DRIVER_BATCH_ROWS", 0)
 
-    def forbidden_collect(batch_envelopes):
-        raise AssertionError(
-            "collect_batch must not run for an oversized batch"
-        )
+    real_collect = R.collect_batch
+    collected_sizes = []
 
-    monkeypatch.setattr(R, "collect_batch", forbidden_collect)
+    def bounded_collect(batch_envelopes):
+        rows = real_collect(batch_envelopes)
+        collected_sizes.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(R, "collect_batch", bounded_collect)
     sink = DuckDBSink()
     dehydrate(env.filter(f"seq <= {cut}"), sink)
     apply_batch(env, env.filter(f"seq > {cut}"), sink, batch_id=0)
+    # with the cap at 0, every collect was the 1-row probe — the batch
+    # body (hundreds of rows) never reached the driver
+    assert collected_sizes and max(collected_sizes) <= 1
     _assert_sink_matches(sink, expected)
 
 
