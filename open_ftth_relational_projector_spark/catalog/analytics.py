@@ -1532,24 +1532,31 @@ def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the percentiles) and trimmed mean (tails dropped) of extended
     price per return flag — the outlier-resistant summary a corpus-stats
     pass reports instead of a raw mean. Two passes by nature (percentile,
-    then clamp). Scale note: stage 1's exact interpolating `percentile`
-    buffers each group's values (fine for the bounded flag groups here);
-    a 100 TB giant-group run swaps stage 1 for the HDR sketch
-    (functions/sketches, bounded state, hdr_quantile_rollup carries its
-    inline accuracy audit) or the hierarchical rank — the clamp stage is
-    map-side either way. Determinism by
+    then clamp). Stage 1 is the grouped hierarchical-rank exact quantile
+    (operators/quantiles.exact_quantiles — bit-identical to the exact
+    `percentile` aggregate, but range-sharded instead of buffering each
+    data-proportional flag group in one aggregation state); the clamp
+    stage is map-side either way. Determinism by
     construction: 2-dp inputs make every interpolated percentile a ≤4-dp
     real (never on a 6-dp rounding boundary), and the clamped values are
     rounded to 6 dp then summed as exact DECIMAL(19,6) on BOTH sides —
     no cross-engine summation-order hazard."""
+    from open_ftth_relational_projector_spark.operators.quantiles import (
+        exact_quantiles,
+    )
+
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_returnflag").alias("flag"),
         F.col("l_extendedprice").cast("double").alias("v"),
     )
-    pct = li.groupBy("flag").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.round(F.expr("percentile(v, 0.05D)"), 6).alias("p05"),
-        F.round(F.expr("percentile(v, 0.95D)"), 6).alias("p95"),
+    pct = exact_quantiles(
+        li, "v", {"p05": 0.05, "p95": 0.95}, group_cols=["flag"],
+        count_col="n_rows",
+    ).select(
+        "flag",
+        "n_rows",
+        F.round(F.col("p05"), 6).alias("p05"),
+        F.round(F.col("p95"), 6).alias("p95"),
     )
     cl = li.join(F.broadcast(pct), "flag").selectExpr(
         "flag",
@@ -1908,9 +1915,17 @@ def ols_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()  # consumed by the calib quantile AND the test coverage
     )
-    q = scored.filter("fold = 0").agg(
-        F.expr("percentile(ar, 0.9D)").alias("q90"),
-        F.count(F.lit(1)).alias("n_calib"),
+    # calib-fold q90 via the hierarchical-rank exact quantile: the calib
+    # fold is corpus/5-sized, so the exact `percentile` aggregate would
+    # buffer it in ONE aggregation state at 100× — exact_quantiles is
+    # bit-identical with range-sharded state ('ar' is never null, so
+    # count_col == COUNT(*)).
+    from open_ftth_relational_projector_spark.operators.quantiles import (
+        exact_quantiles,
+    )
+
+    q = exact_quantiles(
+        scored.filter("fold = 0"), "ar", {"q90": 0.9}, count_col="n_calib"
     )
     t = (
         scored.filter("fold = 1")

@@ -178,8 +178,18 @@ def curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-doc dimension-sized (one row per document).
     dw = dsir_importance_weights(docs, target_lang="en", n_buckets=256).persist()
     lms = bigram_lm_scores(docs).persist()
-    dthr = dw.agg(F.expr("percentile(log_weight, 0.2)").alias("dt"))
-    lthr = lms.agg(F.expr("percentile(avg_logprob, 0.2)").alias("lt"))
+    # corpus 20th-percentile thresholds via the hierarchical-rank exact
+    # quantile: the dw/lms frames are per-doc (one row per document), so
+    # the exact `percentile` aggregate would buffer the whole corpus's
+    # values in ONE aggregation state at 100× — exact_quantiles is
+    # bit-identical with range-sharded state (the persisted inputs
+    # satisfy its value-determinism contract).
+    from open_ftth_relational_projector_spark.operators.quantiles import (
+        exact_quantiles,
+    )
+
+    dthr = exact_quantiles(dw, "log_weight", {"dt": 0.2})
+    lthr = exact_quantiles(lms, "avg_logprob", {"lt": 0.2})
     dsir_ok = F.col("log_weight") >= F.col("dt")
     lm_ok = F.col("avg_logprob") >= F.col("lt")
     return (

@@ -866,14 +866,18 @@ def negative_samples_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame
 def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorization — outlier capping at the per-group p05/p95 before
     statistics (the feature-prep step that keeps heavy tails from
-    dominating a mean): exact interpolating percentiles per key in one
-    pass (a tiny per-group table broadcast back), then clamp-and-average.
-    At 100 TB the exact percentile swaps for approx_percentile, same
-    shape."""
+    dominating a mean): exact interpolating percentiles per key via the
+    grouped hierarchical-rank quantile (operators/quantiles — bit-identical
+    to the exact `percentile` aggregate without buffering a
+    data-proportional event_type group in one aggregation state; the tiny
+    per-group table broadcasts back), then clamp-and-average."""
+    from open_ftth_relational_projector_spark.operators.quantiles import (
+        exact_quantiles,
+    )
+
     ev = load_table(spark, sf_dir, "events")
-    thr = ev.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.05)").alias("p05"),
-        F.expr("percentile(value, 0.95)").alias("p95"),
+    thr = exact_quantiles(
+        ev, "value", {"p05": 0.05, "p95": 0.95}, group_cols=["event_type"]
     )
     clamped = F.least(
         F.greatest(F.col("value"), F.col("p05")), F.col("p95")

@@ -300,26 +300,30 @@ def robust_outlier_stats(
     immune to the outliers it is hunting (a single 10^9 glitch inflates a
     stddev gate into uselessness but moves a median not at all).
 
-    Two exact-percentile passes (median of values, then median of
-    absolute deviations), each one groupBy with the tiny per-group stats
-    broadcast back — the value stream is scanned twice, never self-joined.
-    Exact ``percentile`` is a per-group sort; at 100 TB swap in
-    ``approx_percentile`` (t-digest, map-side combinable) — the exact form
-    is kept here because the oracle replays it formula-for-formula.
+    Two exact-median passes (median of values, then median of absolute
+    deviations), each via the grouped hierarchical-rank exact quantile
+    (``operators/quantiles.exact_quantiles`` — bit-identical to the exact
+    ``percentile`` aggregate, but range-sharded instead of buffering a
+    data-proportional group's values in one aggregation state), with the
+    tiny per-group stats broadcast back — the value stream is scanned,
+    never self-joined.
     Groups with MAD ≈ 0 (over half the values identical) are excluded:
     every deviation would be infinitely many MADs out.
 
     Returns (group_col, n BIGINT, med, mad, n_anomalies BIGINT).
     """
-    med = df.groupBy(group_col).agg(
-        F.expr(f"percentile({value_col}, 0.5)").alias("_med")
+    from open_ftth_relational_projector_spark.operators.quantiles import (
+        exact_quantiles,
     )
-    mad = (
-        df.join(F.broadcast(med), group_col)
-        .groupBy(group_col)
-        .agg(
-            F.expr(f"percentile(abs({value_col} - _med), 0.5)").alias("_mad")
-        )
+
+    med = exact_quantiles(
+        df, value_col, {"_med": 0.5}, group_cols=[group_col]
+    )
+    mad = exact_quantiles(
+        df.join(F.broadcast(med), group_col),
+        F.abs(F.col(value_col) - F.col("_med")),
+        {"_mad": 0.5},
+        group_cols=[group_col],
     )
     z = F.lit(0.6745) * (F.col(value_col) - F.col("_med")) / F.col("_mad")
     return (

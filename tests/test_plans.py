@@ -640,3 +640,24 @@ def test_equidepth_bins_no_python(q):
     df = q("equidepth_price_bins")
     plan = C.formatted_plan(df)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_no_single_state_exact_percentile_at_flagged_sites(q):
+    """Round-6 verdict #2: the five data-proportional exact-`percentile()`
+    call sites must stay routed through operators/quantiles.exact_quantiles
+    (hierarchical-rank, range-sharded) — a `percentile(...)` aggregate in
+    any of these optimized plans means a corpus/group-sized single
+    aggregation state is back. `mad_outlier_stats` covers the
+    functions/quality.robust_outlier_stats site; `curation_decisions`
+    covers catalog/curation's dthr/lthr thresholds."""
+    for name in (
+        "winsorized_price_stats",
+        "ols_conformal_intervals",
+        "curation_decisions",
+        "mad_outlier_stats",
+        "winsorized_value_stats",
+    ):
+        plan = q(name)._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
+        assert "percentile(" not in plan, (
+            f"{name} regressed to a single-state exact percentile"
+        )
