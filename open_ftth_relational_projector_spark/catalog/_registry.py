@@ -2,6 +2,16 @@
 
 Family modules register via the ``_q`` decorator; ``catalog/__init__``
 imports them in a fixed order and then applies the driver-window reorder.
+
+Caching convention: catalog functions return LAZY DataFrames, so a
+``.persist()`` placed inside one (to stop a multi-consumer sub-pipeline
+re-executing per consumer) cannot be paired with an ``unpersist()`` — the
+action happens later, in the caller. Repeated invocations (bench
+best-of-N loops) therefore accumulate cached frames and rely on Spark's
+LRU block eviction (storage-level MEMORY_AND_DISK blocks are dropped
+least-recently-used under memory pressure; correctness is unaffected,
+the frame just recomputes). Long-lived callers that loop over catalog
+entries can call ``spark.catalog.clearCache()`` between iterations.
 """
 
 from __future__ import annotations

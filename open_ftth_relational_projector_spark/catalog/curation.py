@@ -175,7 +175,9 @@ def curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dw/lms are each consumed TWICE (threshold aggregate + the final
     # join); without the persist the whole DSIR resp. bigram-LM pipeline
     # re-executes for the percentile branch. The persisted frames are
-    # per-doc dimension-sized (one row per document).
+    # per-doc dimension-sized (one row per document). No paired
+    # unpersist is possible in a lazy catalog function — repeated
+    # invocations rely on LRU block eviction (see catalog/_registry.py).
     dw = dsir_importance_weights(docs, target_lang="en", n_buckets=256).persist()
     lms = bigram_lm_scores(docs).persist()
     # corpus 20th-percentile thresholds via the hierarchical-rank exact

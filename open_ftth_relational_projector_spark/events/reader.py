@@ -131,6 +131,12 @@ class EventLog:
         return EventLog(typed, self._spark, raw=self._raw)
 
     @property
+    def raw(self) -> DataFrame | None:
+        """The (seq, event_type, payload) envelope frame this log was
+        built from, or None for ``from_typed`` logs."""
+        return self._raw
+
+    @property
     def spark(self) -> SparkSession:
         return self._spark
 

@@ -157,15 +157,30 @@ def affected_ids_distributed(batch_log: EventLog) -> dict[str, list[str]]:
     rows; a catch-up batch after long downtime can hold the whole backlog,
     but the entity universe it touches is bounded by the domain). The tiny
     id lists then drive the same semi-join restriction as the driver path.
+
+    One tiny distinct aggregate first narrows the union to the event
+    types actually PRESENT in the batch (round-6 advice: unioning all
+    ~30 AFFECTED projections built a wide filter/parse plan even when a
+    batch held a handful of types).
     """
+    present: set[str] | None = None
+    if batch_log.raw is not None:
+        present = {
+            r.event_type
+            for r in batch_log.raw.select("event_type").distinct().collect()
+        }
     parts: list[DataFrame] = []
     for etype, (domain, id_path) in AFFECTED.items():
+        if present is not None and etype not in present:
+            continue
         df = batch_log.of(etype).select(
             F.lit(domain).alias("domain"), F.expr(id_path).alias("id")
         )
         parts.append(df)
         if etype in CABLE_TRIGGER_TYPES:
             parts.append(df.select(F.lit("cable").alias("domain"), "id"))
+    if not parts:  # batch holds no AFFECTED types at all
+        return {}
     # ONE tagged union → ONE distinct().collect() job for every domain
     # (per-domain collects would pay ~7 scheduler round trips on the
     # catch-up path, where latency already hurts)

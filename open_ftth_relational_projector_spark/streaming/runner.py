@@ -42,7 +42,6 @@ from open_ftth_relational_projector_spark.streaming.incremental import (
     TableDelta,
     affected_ids_from_rows,
     build_edge_context,
-    collect_batch,
     compute_deltas,
     md5_uuid,
 )
@@ -246,11 +245,19 @@ def apply_batch(
     # job — the probe IS the collected batch, and min/max seq derive
     # driver-side. Only the rare oversized case (post-downtime backlog in
     # one batch) pays a second job for min/max; its probe pull is bounded
-    # at cap+1 rows by construction.
-    probe = collect_batch(batch_envelopes.limit(MAX_DRIVER_BATCH_ROWS + 1))
-    driver_sized = len(probe) <= MAX_DRIVER_BATCH_ROWS
+    # at cap+1 rows by construction. Payload JSON parses only AFTER
+    # driver_sized is confirmed (round-6 advice: the oversized path was
+    # paying ~cap json.loads for rows it immediately discarded).
+    import json
+
+    probe_rows = batch_envelopes.select("seq", "event_type", "payload").limit(
+        MAX_DRIVER_BATCH_ROWS + 1
+    ).collect()
+    driver_sized = len(probe_rows) <= MAX_DRIVER_BATCH_ROWS
     if driver_sized:
-        parsed = probe
+        parsed = [
+            (r.seq, r.event_type, json.loads(r.payload)) for r in probe_rows
+        ]
         seqs = [s for s, _, _ in parsed]
         batch_min = min(seqs, default=None)
         batch_max = max(seqs, default=None)

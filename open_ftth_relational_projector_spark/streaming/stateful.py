@@ -775,12 +775,26 @@ def _ols_fold(
     for pdf in pdfs:
         if not len(pdf):
             continue
-        # object dtype → pandas sums with arbitrary-precision Python ints;
-        # int64 products like (x1*x1).sum() would wrap silently on overflow
-        # and the corruption would persist in keyed state
-        x1 = pdf["x1"].astype("int64").astype(object)
-        x2 = pdf["x2"].astype("int64").astype(object)
-        y = pdf["y"].astype("int64").astype(object)
+        x1 = pdf["x1"].astype("int64")
+        x2 = pdf["x2"].astype("int64")
+        y = pdf["y"].astype("int64")
+        # magnitude pre-check: with m = max(|value|), every product is
+        # ≤ m² and every batch sum of products is ≤ len·m², so when
+        # len·m² ≤ 2^62 the vectorized int64 path cannot wrap (hot path);
+        # only batches that could overflow pay the object-dtype
+        # arbitrary-precision fallback (round-6 advice)
+        m = max(
+            int(x1.max()), -int(x1.min()),
+            int(x2.max()), -int(x2.min()),
+            int(y.max()), -int(y.min()), 0,
+        )
+        if m * m * len(pdf) > 2**62:
+            # object dtype → pandas sums with arbitrary-precision Python
+            # ints; int64 products like (x1*x1).sum() would wrap silently
+            # on overflow and the corruption would persist in keyed state
+            x1 = x1.astype(object)
+            x2 = x2.astype(object)
+            y = y.astype(object)
         vals[0] += len(pdf)
         vals[1] += int(x1.sum())
         vals[2] += int(x2.sum())

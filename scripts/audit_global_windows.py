@@ -101,6 +101,7 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = get_spark(app_name="window-audit", shuffle_partitions=4)
     findings = []
+    relied: set[tuple[str, str]] = set()  # (query, kind) exemptions used
     for name, fn in SPARK_QUERIES.items():
         if name in SKIP:
             findings.append((name, f"SKIP: {SKIP[name]}"))
@@ -134,6 +135,7 @@ def main() -> None:
             if not exempted:
                 worst = entry
                 break  # an unexempted spec decides the query outright
+            relied.add((name, kind))
             worst = worst or entry
         if worst:
             findings.append(worst)
@@ -144,8 +146,23 @@ def main() -> None:
         for n, m in findings
         if m.startswith(("GLOBAL-WINDOW", "FRAME-ONLY-WINDOW", "PLAN-ERROR"))
     ]
-    print(f"\n{len(bad)} unexempted global-window/plan-error queries")
-    sys.exit(1 if bad else 0)
+    # Stale-exemption gate (round-6 verdict #5): an EXEMPT entry whose
+    # named window kind no longer appears in the query's plan is dead
+    # documentation — the printed exemption list and the EXEMPT dict must
+    # not drift apart, so a stale entry fails the audit until removed.
+    stale = [
+        (name, kind)
+        for name, (kinds, _) in EXEMPT.items()
+        for kind in sorted(kinds)
+        if (name, kind) not in relied
+    ]
+    for name, kind in stale:
+        print(f"STALE-EXEMPT {name}: plan no longer contains a {kind}")
+    print(
+        f"\n{len(bad)} unexempted global-window/plan-error queries; "
+        f"{len(relied)} exemptions relied on; {len(stale)} stale"
+    )
+    sys.exit(1 if bad or stale else 0)
 
 
 if __name__ == "__main__":
