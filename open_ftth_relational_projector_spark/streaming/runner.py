@@ -218,6 +218,18 @@ def apply_slack_delta(sink, delta: GroupDelta) -> None:
     sink.delete_keys("conduit_slack", "route_node_id", zero)
 
 
+def _probe_collect(batch_envelopes: DataFrame, cap: int) -> list:
+    """Bounded size-gate probe: pull at most ``cap + 1`` RAW envelope rows
+    (seq, event_type, payload — payload stays an unparsed JSON string).
+    The driver-sized test seam: everything apply_batch ever collects of a
+    batch body goes through here, bounded by construction."""
+    return (
+        batch_envelopes.select("seq", "event_type", "payload")
+        .limit(cap + 1)
+        .collect()
+    )
+
+
 def apply_batch(
     full_envelopes: DataFrame,
     batch_envelopes: DataFrame,
@@ -250,9 +262,7 @@ def apply_batch(
     # paying ~cap json.loads for rows it immediately discarded).
     import json
 
-    probe_rows = batch_envelopes.select("seq", "event_type", "payload").limit(
-        MAX_DRIVER_BATCH_ROWS + 1
-    ).collect()
+    probe_rows = _probe_collect(batch_envelopes, MAX_DRIVER_BATCH_ROWS)
     driver_sized = len(probe_rows) <= MAX_DRIVER_BATCH_ROWS
     if driver_sized:
         parsed = [

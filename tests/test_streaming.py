@@ -334,15 +334,15 @@ def test_apply_batch_large_batch_fallback(spark, monkeypatch):
     cut = int(max_seq * 0.5)
     monkeypatch.setattr(I, "MAX_DRIVER_BATCH_ROWS", 0)
 
-    real_collect = R.collect_batch
+    real_probe = R._probe_collect
     collected_sizes = []
 
-    def bounded_collect(batch_envelopes):
-        rows = real_collect(batch_envelopes)
+    def bounded_probe(batch_envelopes, cap):
+        rows = real_probe(batch_envelopes, cap)
         collected_sizes.append(len(rows))
         return rows
 
-    monkeypatch.setattr(R, "collect_batch", bounded_collect)
+    monkeypatch.setattr(R, "_probe_collect", bounded_probe)
     sink = DuckDBSink()
     dehydrate(env.filter(f"seq <= {cut}"), sink)
     apply_batch(env, env.filter(f"seq > {cut}"), sink, batch_id=0)
