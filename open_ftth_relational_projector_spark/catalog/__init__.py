@@ -40,91 +40,89 @@ from . import streaming_sims  # noqa: E402,F401
 # ===========================================================================
 # Registration order for the driver window
 # ===========================================================================
-# ROUND-7 WINDOW PLAN (for the next session): assuming CORRECTNESS_r06
-# lands green, the cumulative driver-green union is 217/227 and the TEN
-# r6 additions lack a driver row (all 3-scale oracle-green locally):
-# domain_mixture_weights, corpus_snapshot_diff, winsorized_price_stats,
-# correlation_matrix_lineitem, equidepth_price_bins, ols_crossval_kfold,
-# sliding_token_chunks, per_source_quality_cap, stream_snapshot_sim,
-# ols_conformal_intervals. r7 window: q1 flagship + those ten first +
-# the queries whose most recent green row is OLDEST. After r6 the oldest
-# are the 15 remaining r2-only rows (anti_join_customers_without_orders,
-# benchmark_decontamination, clicks_within_signup_day,
-# dim_join_customer_geo, embedding_near_dups (r6 re-covers it),
-# embedding_norms_by_label, label_centroid_stats, lineitem_profile,
-# repetition_stats, salted_event_counts,
-# semi_join_customers_with_urgent_orders, signup_to_purchase_funnel,
-# tfidf_top_terms, token_entropy, train_test_split_stats,
-# value_quantiles_by_type) then the r3 rows (proj_*_sim, windows, text
-# basics — see CORRECTNESS_r03.json) in registration order. If any r6
-# row FAILED, put it at the front of the r7 window after the fix. Keep
-# every name in _DRIVER_WINDOW_FRONT registered (the assert below
-# enforces it) and re-pin tests/data/catalog_order.txt +
+# ROUND-7 WINDOW (this session): CORRECTNESS_r06 landed 50/50 green, so
+# the cumulative driver-green union entering r7 is 217/227. This window
+# certifies, in order: the q1 flagship; the TEN r6 additions (the only
+# pre-r7 queries without any driver row — all oracle-green in the
+# builder's and the judge's independent sf0.01 sweeps); the FIVE new
+# twin-agreement entries (round-6 verdict #6: driver-visible verdicts
+# for the rows-only approximate ANN paths — the production
+# minhash_near_dups / simhash_fingerprints / embedding_near_dups_lsh /
+# knn_lsh / knn_ivf entries themselves are deliberately NOT given window
+# slots: they would record rows-only again, and their guarantees are
+# exactly what the agreement entries hash-check); then the 15 r2-only
+# regression picks (oldest driver-green rows), then the oldest r3 rows
+# in registration order, filling the 50-slot window.
+#
+# ROUND-8 PLAN (for the next session): assuming CORRECTNESS_r07 lands
+# green, the r8 window is q1 + the remaining r3-green rows not covered
+# here (sliding/session window family onward per CORRECTNESS_r03) —
+# recompute with the latest-green ranking (scripts/gen_catalog_index.py
+# documents the procedure; rank every query by its most recent green
+# CORRECTNESS round, oldest first, registration order as tiebreak).
+# If any r7 row FAILED, put it at the front of the r8 window after the
+# fix. Keep every name in _DRIVER_WINDOW_FRONT registered (the assert
+# below enforces it) and re-pin tests/data/catalog_order.txt +
 # CATALOG.md (scripts/gen_catalog_index.py) after any reorder.
 #
 # The driver's CORRECTNESS gate records only the FIRST 50 queries()
 # entries per round; windows rotate so every query eventually holds a
 # recent green row.
 _DRIVER_WINDOW_FRONT = [
-    # Round 6 (per the round-5 verdict's ask #1): q1 flagship + the 30
-    # r5-added queries that have never held a driver row (CORRECTNESS_r05
-    # landed 50/50 green, so these are the only members of the catalog
-    # without one; closing them makes the cumulative union 217/217) + 19
-    # regression picks from the queries whose latest green row is OLDEST
-    # (all r2: TPC-H q3..q22, multimodal, embedding/order-seq family).
     "q1_pricing_summary",
-    # -- the 30 never-driver-checked r5 additions --
-    "ols_price_model",
-    "ols_residual_by_nation",  # fixed this round: ADVICE decimal moments
-    "ab_tests_fdr_nations",  # fixed this round: exact-decimal z inputs
-    "bootstrap_revenue_ci",
-    "nb_lang_confusion",
-    "bpe_learned_merges",
-    "bpe_token_counts",
-    "quality_score_auc",
-    "quality_pr_curve",
-    "quality_brier_calibration",
-    "lang_guess_kappa",
-    "hll_distinct_rollup",
-    "hdr_quantile_rollup",
-    "dup_substring_spans",
-    "ccnet_perplexity_buckets",
-    "cluster_safe_split_stats",
-    "ivfpq_knn_adc",
-    "epoch_shuffle_manifest",
-    "jl_projection_audit",  # fixed this round: ordered-list oracle
-    "jl_knn_recall",
-    "latent_part_affinity",
-    "latent_rank2_affinity",
-    "stream_dedup_sim",
-    "stream_lsh_sim",
-    "stream_hll_sim",
-    "stream_hdr_sim",
-    "stream_topk_sim",
-    "stream_join_sim",
-    "stream_session_sim",
-    "stream_ols_sim",
-    # -- 19 regression picks: the queries whose most recent driver-green
-    #    row is oldest (all from CORRECTNESS_r02), registration order --
-    "q3_order_revenue",
-    "q4_order_priority",
-    "q5_region_nation_revenue",
-    "q6_forecast_revenue",
-    "q7_nation_volume_shipping",
-    "q9_product_type_profit",
-    "q10_returned_items",
-    "q12_shipmode_priority",
-    "q13_customer_order_distribution",
-    "q14_promo_effect",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q19_discounted_revenue",
-    "q22_sales_opportunity",
-    "multimodal_frames",
-    "multimodal_resize",
-    "embedding_near_dups",
-    "order_item_seq",
+    # -- the 10 never-driver-checked r6 additions --
+    "domain_mixture_weights",
+    "corpus_snapshot_diff",
+    "sliding_token_chunks",
+    "per_source_quality_cap",
+    "winsorized_price_stats",
+    "correlation_matrix_lineitem",
+    "equidepth_price_bins",
+    "ols_crossval_kfold",
+    "ols_conformal_intervals",
+    "stream_snapshot_sim",
+    # -- the 5 new r7 twin-agreement entries (verdict #6) --
+    "minhash_twin_agreement",
+    "simhash_twin_agreement",
+    "emb_lsh_twin_agreement",
+    "knn_lsh_twin_agreement",
+    "knn_ivf_twin_agreement",
+    # -- 15 regression picks: the r2-only rows (oldest green) --
+    "dim_join_customer_geo",
+    "anti_join_customers_without_orders",
+    "semi_join_customers_with_urgent_orders",
+    "train_test_split_stats",
+    "embedding_norms_by_label",
+    "tfidf_top_terms",
+    "value_quantiles_by_type",
+    "signup_to_purchase_funnel",
+    "clicks_within_signup_day",
+    "salted_event_counts",
+    "lineitem_profile",
+    "repetition_stats",
+    "token_entropy",
+    "benchmark_decontamination",
+    "label_centroid_stats",
+    # -- 19 oldest r3-green rows, registration order --
+    "q21_waiting_suppliers",
+    "skyline_parts",
+    "dedup_first_occurrence",
+    "exists_nested_high_value_first_line",
+    "first_last_part_per_order",
+    "top3_orders_per_customer",
+    "rollup_lineitem_status",
+    "pivot_event_counts",
+    "lww_latest_event_per_user",
+    "asof_purchase_prior_signup",
+    "json_props_stats",
+    "running_value_per_user",
+    "sessionize_30min",
+    "tumbling_event_windows",
+    "sliding_event_windows",
+    "session_event_windows",
+    "proj_work_task_sim",
+    "proj_installation_sim",
+    "stream_incremental_sim",
 ]
 
 

@@ -1942,3 +1942,316 @@ def per_source_quality_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cutoff_chars"
         ),
     )
+
+
+# ===========================================================================
+# Round 7: driver-visible twin agreement for the five rows-only ANN entries
+# ===========================================================================
+# minhash_near_dups / simhash_fingerprints / embedding_near_dups_lsh /
+# knn_lsh / knn_ivf are approximate-by-design xxhash/partial-probe paths:
+# their exact outputs are hash-family-dependent, so no ANSI-SQL oracle can
+# replay them row-for-row. Their machinery is hash-matched through the
+# *_md5 / *_fullprobe twins, and the guarantees the production variants DO
+# make (pinned in tests/test_pipeline_functions.py) are verified here as
+# catalog entries whose verdict columns have SQL-derivable expectations —
+# so the driver's correctness gate sees the twin equivalence every round
+# (round-6 verdict #6) instead of a rows-only record.
+
+_SEP = chr(31)  # token/shingle joiner for set fingerprints (unit separator)
+
+_MINHASH_AGREE_SQL = """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, GREATEST(LEN(t) - 2, 0)),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+      FROM toks),
+    fp AS (SELECT array_to_string(list_sort(g), chr(31)) AS f
+           FROM sh WHERE LEN(g) > 0),
+    grp AS (SELECT f, COUNT(*) AS n FROM fp GROUP BY f),
+    exp AS (SELECT CAST(COALESCE(SUM(n * (n - 1) // 2), 0) AS BIGINT) AS d
+            FROM grp)
+    SELECT v.variant, exp.d AS n_dup_expected, exp.d AS n_dup_found,
+           CAST(0 AS BIGINT) AS n_precision_viol
+    FROM exp, (VALUES ('md5_portable'), ('production')) v(variant)
+    ORDER BY v.variant
+    """
+
+
+@_q("minhash_twin_agreement", _MINHASH_AGREE_SQL)
+def minhash_twin_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible verdict for the rows-only `minhash_near_dups`
+    (xxhash64) entry and its `minhash_near_dups_md5` twin: both variants
+    must (a) emit EVERY exact-duplicate pair — identical shingle sets
+    collide on all bands under any hash family — and (b) emit ONLY
+    exactly-scored true pairs (precision 1.0 against the n-gram Jaccard
+    recomputed from the shingle sets). The expected duplicate-pair count
+    is derived independently on both engines by grouping documents on a
+    canonical sorted-shingle-set fingerprint; the violation counters'
+    expectation is 0. Full pair-set equality across hash families is NOT
+    claimed (banding recall at J<1 is hash-dependent) — see
+    tests/test_pipeline_functions.py::test_minhash_xxhash_and_md5_twin_same_guarantees."""
+    docs = scattered(load_table(spark, sf_dir, "documents"))
+    sh = D.add_shingles(docs, 3)
+    fp = F.md5(F.concat_ws(_SEP, F.array_sort(F.col("sh"))))
+    expected = (
+        sh.filter(F.size("sh") > 0)
+        .groupBy(fp.alias("f"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.coalesce(
+                F.sum(F.expr("n * (n - 1) DIV 2")), F.lit(0)
+            ).cast("long").alias("n_dup_expected")
+        )
+    )
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+
+    def verdict(variant: str, **kw) -> DataFrame:
+        out = D.minhash_near_dups(docs, threshold=0.05, **kw)
+        j = out.join(sh_a, "doc_a").join(sh_b, "doc_b")
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        uni = F.size("sh_a") + F.size("sh_b") - inter
+        jx = inter / uni.cast("double")
+        viol = (F.col("jaccard") < F.lit(0.05)) | (
+            F.abs(F.col("jaccard") - jx) > F.lit(1e-9)
+        )
+        counts = j.agg(
+            F.coalesce(
+                F.sum(F.when((inter == uni) & (uni > 0), 1).otherwise(0)),
+                F.lit(0),
+            ).cast("long").alias("n_dup_found"),
+            F.coalesce(
+                F.sum(F.when(viol, 1).otherwise(0)), F.lit(0)
+            ).cast("long").alias("n_precision_viol"),
+        )
+        return (
+            expected.crossJoin(F.broadcast(counts))
+            .select(
+                F.lit(variant).alias("variant"),
+                "n_dup_expected",
+                "n_dup_found",
+                "n_precision_viol",
+            )
+        )
+
+    return verdict("production").unionByName(
+        verdict(
+            "md5_portable", hash_fn=D.portable_hash64, portable_bands=True
+        )
+    )
+
+
+_SIMHASH_AGREE_SQL = """
+    WITH fp AS (
+      SELECT array_to_string(list_sort(list_distinct(string_split(text, ' '))),
+                             chr(31)) AS f
+      FROM documents),
+    g AS (SELECT f, COUNT(*) AS n FROM fp GROUP BY f)
+    SELECT v.variant,
+           CAST((SELECT SUM(n) FROM g) AS BIGINT) AS n_docs,
+           CAST((SELECT COUNT(*) FROM g) AS BIGINT) AS n_token_set_groups,
+           CAST(0 AS BIGINT) AS n_fp_mismatch
+    FROM (VALUES ('md5_portable'), ('production')) v(variant)
+    ORDER BY v.variant
+    """
+
+
+@_q("simhash_twin_agreement", _SIMHASH_AGREE_SQL)
+def simhash_twin_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible verdict for the rows-only `simhash_fingerprints`
+    (xxhash64) entry and its `simhash_fingerprints_md5` twin: a SimHash
+    is a deterministic function of the document's DISTINCT token set, so
+    within each variant every group of documents sharing a token set must
+    carry exactly one distinct fingerprint (n_fp_mismatch = 0); the group
+    census (n_docs, n_token_set_groups) is derived independently on both
+    engines from a canonical sorted-token-set fingerprint."""
+    docs = scattered(load_table(spark, sf_dir, "documents"))
+    fp = docs.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(_SEP, F.array_sort(F.array_distinct(TXT.tokens(F.col("text")))))
+        ).alias("f"),
+    )
+
+    def verdict(variant: str, **kw) -> DataFrame:
+        sim = D.simhash64(docs, **kw)
+        g = sim.join(fp, "doc_id").groupBy("f").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("simhash").alias("nd"),
+        )
+        return g.agg(
+            F.lit(variant).alias("variant"),
+            F.sum("n").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_token_set_groups"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_fp_mismatch"),
+        )
+
+    return verdict("production").unionByName(
+        verdict("md5_portable", n_bits=60, hash_fn=D.portable_hash64)
+    )
+
+
+_EMB_LSH_AGREE_SQL = f"""
+    SELECT CAST((SELECT COUNT(*) FROM ({_EMB_NEAR_DUPS_SQL}) e) AS BIGINT)
+             AS n_exact_pairs,
+           CAST(0 AS BIGINT) AS n_fullprobe_diff,
+           CAST(0 AS BIGINT) AS n_prod_violations
+    """
+
+
+@_q("emb_lsh_twin_agreement", _EMB_LSH_AGREE_SQL)
+def emb_lsh_twin_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible verdict for the rows-only `embedding_near_dups_lsh`
+    entry: (a) its fullprobe twin (probe_radius == n_planes scans every
+    bucket) must equal the exact all-pairs result row-for-row including
+    cosines (n_fullprobe_diff = 0, with the exact pair count replayed by
+    the SQL oracle), and (b) every pair the production partial-probe
+    variant emits must exist in the exact result with the identical
+    cosine — LSH bucketing can only LOSE pairs, never invent or rescore
+    one (n_prod_violations = 0)."""
+    emb = scattered(load_table(spark, sf_dir, "embeddings"))
+    exact = S.embedding_near_dups(emb, threshold=0.45)
+    full = S.embedding_near_dups(
+        emb, threshold=0.45, bucketed=True, n_planes=4, probe_radius=4
+    )
+    prod = S.embedding_near_dups(emb, threshold=0.45, bucketed=True, n_planes=4)
+
+    e = exact.select("id_a", "id_b", F.col("cosine").alias("c_e")).withColumn(
+        "_e", F.lit(1)
+    )
+    n_exact = e.agg(F.count(F.lit(1)).cast("long").alias("n_exact_pairs"))
+    f = full.select("id_a", "id_b", F.col("cosine").alias("c_f")).withColumn(
+        "_f", F.lit(1)
+    )
+    fd = e.join(f, ["id_a", "id_b"], "full_outer")
+    n_full_diff = fd.agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("_e").isNull()
+                    | F.col("_f").isNull()
+                    | (F.col("c_e") != F.col("c_f")),
+                    1,
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        ).cast("long").alias("n_fullprobe_diff")
+    )
+    pd_ = prod.select("id_a", "id_b", F.col("cosine").alias("c_p")).join(
+        e, ["id_a", "id_b"], "left"
+    )
+    n_prod_viol = pd_.agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("_e").isNull() | (F.col("c_p") != F.col("c_e")), 1
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        ).cast("long").alias("n_prod_violations")
+    )
+    return (
+        n_exact.crossJoin(F.broadcast(n_full_diff))
+        .crossJoin(F.broadcast(n_prod_viol))
+    )
+
+
+def _knn_twin_verdict(
+    spark: SparkSession, sf_dir: str, fullprobe, production
+) -> DataFrame:
+    """Shared assembly for the knn twin-agreement entries: fullprobe must
+    equal brute force on (query_id, neighbor_id, rnk) exactly; the
+    production approximate result must be internally consistent — each
+    query's returned neighbors ranked by TRUE exact cosine (descending,
+    neighbor_id tiebreak) with the reported contiguous ranks. The rank
+    recheck joins the tiny (queries × k) result against the embeddings
+    and windows over ≤k rows per query — bounded regardless of corpus
+    size."""
+    emb = scattered(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    brute = S.knn_bruteforce(emb, queries, k=5)
+    b = brute.withColumn("_b", F.lit(1))
+    f = fullprobe(emb, queries).withColumn("_f", F.lit(1))
+    n_exact = b.agg(F.count(F.lit(1)).cast("long").alias("n_exact_rows"))
+    d = b.join(f, ["query_id", "neighbor_id", "rank"], "full_outer")
+    n_diff = d.agg(
+        F.coalesce(
+            F.sum(
+                F.when(F.col("_b").isNull() | F.col("_f").isNull(), 1).otherwise(0)
+            ),
+            F.lit(0),
+        ).cast("long").alias("n_fullprobe_diff")
+    )
+    prod = production(emb, queries)
+    qv = emb.select(
+        F.col("vec_id").alias("query_id"),
+        S.as_double(F.col("embedding")).alias("qv"),
+    )
+    cv = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        S.as_double(F.col("embedding")).alias("cv"),
+    )
+    scored = (
+        cv.join(F.broadcast(prod), "neighbor_id")
+        .join(F.broadcast(qv.join(F.broadcast(prod.select("query_id").distinct()), "query_id")), "query_id")
+        .withColumn("sim", S.cosine(F.col("qv"), F.col("cv")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    n_misrank = scored.withColumn("_rr", F.row_number().over(w)).agg(
+        F.coalesce(
+            F.sum(F.when(F.col("rank") != F.col("_rr"), 1).otherwise(0)),
+            F.lit(0),
+        ).cast("long").alias("n_prod_misranked")
+    )
+    return (
+        n_exact.crossJoin(F.broadcast(n_diff))
+        .crossJoin(F.broadcast(n_misrank))
+    )
+
+
+_KNN_AGREE_SQL = f"""
+    SELECT CAST((SELECT COUNT(*) FROM ({_KNN_BRUTEFORCE_SQL}) b) AS BIGINT)
+             AS n_exact_rows,
+           CAST(0 AS BIGINT) AS n_fullprobe_diff,
+           CAST(0 AS BIGINT) AS n_prod_misranked
+    """
+
+
+@_q("knn_lsh_twin_agreement", _KNN_AGREE_SQL)
+def knn_lsh_twin_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible verdict for the rows-only `knn_lsh` entry: the
+    fullprobe twin (radius == n_planes covers every bucket) must equal
+    brute force exactly (count replayed by the SQL oracle), and the
+    production partial-probe result must rank its returned candidates by
+    true exact cosine — bucketing restricts the CANDIDATE set but never
+    reorders survivors."""
+    return _knn_twin_verdict(
+        spark,
+        sf_dir,
+        fullprobe=lambda emb, q: S.knn_lsh(
+            emb, q, k=5, n_planes=4, probe_radius=4
+        ),
+        production=lambda emb, q: S.knn_lsh(emb, q, k=5),
+    )
+
+
+@_q("knn_ivf_twin_agreement", _KNN_AGREE_SQL)
+def knn_ivf_twin_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible verdict for the rows-only `knn_ivf` entry: probing
+    every cell (n_probe == n_centroids) must equal brute force exactly
+    regardless of the trained quantizer (count replayed by the SQL
+    oracle), and the production n_probe=4 result must rank its returned
+    candidates by true exact cosine — the inverted file restricts the
+    CANDIDATE set but never reorders survivors."""
+    return _knn_twin_verdict(
+        spark,
+        sf_dir,
+        fullprobe=lambda emb, q: S.knn_ivf(
+            emb, q, k=5, n_centroids=16, n_probe=16
+        ),
+        production=lambda emb, q: S.knn_ivf(emb, q, k=5),
+    )
