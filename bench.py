@@ -16,6 +16,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from open_ftth_relational_projector_spark.session import get_spark  # noqa: E402
 from open_ftth_relational_projector_spark.catalog import SPARK_QUERIES  # noqa: E402
 
+_LOAD_AVG_START: float | None = None  # stamped at main() entry for the sidecar
+
 BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_order_revenue",
@@ -219,6 +221,11 @@ def bench_streaming_catchup(spark, scale: int = 20) -> tuple[str, float]:
 
 
 def main() -> None:
+    global _LOAD_AVG_START
+    try:
+        _LOAD_AVG_START = round(os.getloadavg()[0], 2)
+    except OSError:
+        _LOAD_AVG_START = None
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     # console progress bars write stage-fragment lines that can share a
@@ -273,15 +280,62 @@ def main() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         extra[name] = round(time.perf_counter() - t0, 3)
 
+    # Sidecar schema (round-6 verdict #4): each extra query carries a
+    # cold+warm PAIR so a single contended in-sequence number can't read
+    # as the query's cost (cold runs swing 2-4x with host load; see
+    # BENCH_NOTES). "cold" refreshes every run (the driver's in-sequence
+    # number); "warm_best3" is the min of 3 back-to-back re-runs, measured
+    # only when SPARK_GRAFT_WARM_BEST3=1 (an idle-host local run — too
+    # expensive for every driver round) and carried forward from the
+    # committed sidecar otherwise.
+    sidecar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_EXTRA.json"
+    )
+    prior_warm: dict[str, float] = {}
+    try:
+        with open(sidecar) as f:
+            for qname, rec in json.load(f).get("extra_queries", {}).items():
+                if isinstance(rec, dict) and rec.get("warm_best3") is not None:
+                    prior_warm[qname] = rec["warm_best3"]
+    except (OSError, ValueError):
+        pass
+    warm: dict[str, float] = dict(prior_warm)
+    if os.environ.get("SPARK_GRAFT_WARM_BEST3") == "1":
+        for name in EXTRA_QUERIES:
+            fn = SPARK_QUERIES[name]
+            best = None
+            for _ in range(3):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            warm[name] = round(best, 3)
+
     # Round 3's final line carried 45 inline extra_queries and outgrew the
     # driver's tail capture (BENCH_r03.json parsed: null). The extras go to
     # a sidecar file; the final stdout line stays compact (~1 KB) so the
     # driver can always parse it.
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_EXTRA.json"),
-        "w",
-    ) as f:
-        json.dump({"extra_queries": extra, "sf": sf}, f, indent=1)
+    with open(sidecar, "w") as f:
+        json.dump(
+            {
+                "extra_queries": {
+                    name: {"cold": c, "warm_best3": warm.get(name)}
+                    for name, c in extra.items()
+                },
+                "sf": sf,
+                "load_avg_start": _LOAD_AVG_START,
+                "note": (
+                    "cold = single in-sequence run (contention-sensitive, "
+                    "2-4x swing with host load); warm_best3 = min of 3 "
+                    "back-to-back re-runs on an idle host "
+                    "(SPARK_GRAFT_WARM_BEST3=1), carried forward between "
+                    "driver rounds — compare regressions against "
+                    "warm_best3, not cold"
+                ),
+            },
+            f,
+            indent=1,
+        )
 
     print(
         json.dumps(
