@@ -1046,22 +1046,31 @@ def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def value_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per key (Spark `percentile` ==
-    DuckDB `quantile_cont`, both linear interpolation). At 100 TB swap for
-    `approx_percentile` (t-digest, mergeable partial agg) — same query
-    shape, bounded memory; the exact form stays as its oracle."""
+    DuckDB `quantile_cont`, both linear interpolation), via the grouped
+    hierarchical-rank quantile (operators/quantiles.exact_quantiles):
+    event_type is the low-cardinality giant-group regime — the exact
+    `percentile` aggregate would buffer corpus/|types| values in one
+    aggregation state at 100×; exact_quantiles is bit-identical with
+    range-sharded state (value is never null in this table, so the
+    rank-pass count == COUNT(*))."""
+    from open_ftth_relational_projector_spark.operators.quantiles import (
+        exact_quantiles,
+    )
+
     ev = load_table(spark, sf_dir, "events")
-    q = F.percentile("value", F.lit([0.25, 0.5, 0.75, 0.9]))
-    return (
-        ev.groupBy("event_type")
-        .agg(q.alias("qs"), F.count(F.lit(1)).alias("n"))
-        .select(
-            "event_type",
-            _r4(F.element_at("qs", 1)).alias("p25"),
-            _r4(F.element_at("qs", 2)).alias("p50"),
-            _r4(F.element_at("qs", 3)).alias("p75"),
-            _r4(F.element_at("qs", 4)).alias("p90"),
-            "n",
-        )
+    return exact_quantiles(
+        ev,
+        "value",
+        {"p25": 0.25, "p50": 0.5, "p75": 0.75, "p90": 0.9},
+        group_cols=["event_type"],
+        count_col="n",
+    ).select(
+        "event_type",
+        _r4(F.col("p25")).alias("p25"),
+        _r4(F.col("p50")).alias("p50"),
+        _r4(F.col("p75")).alias("p75"),
+        _r4(F.col("p90")).alias("p90"),
+        "n",
     )
 
 

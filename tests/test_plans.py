@@ -656,6 +656,7 @@ def test_no_single_state_exact_percentile_at_flagged_sites(q):
         "curation_decisions",
         "mad_outlier_stats",
         "winsorized_value_stats",
+        "value_quantiles_by_type",
     ):
         plan = q(name)._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
         assert "percentile(" not in plan, (
