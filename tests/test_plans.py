@@ -328,18 +328,26 @@ def test_new_family_r3_late_cartesian_free(q):
         "embedding_outlier_stats",
     ):
         C.assert_no_cartesian(q(name))
+    import re
+
     for name, n_scalars in (
         ("bigram_lm_doc_scores", 2),   # vocab size
-        # vocab + two percentile thresholds; reused scalar subtrees print
-        # once per reuse in the formatted plan, so the bound is loose
-        ("curation_decisions", 8),
+        # vocab + two percentile-threshold scalars + the DSIR/LM scalar
+        # frames — counted as DISTINCT plan nodes ("(N) BroadcastNested
+        # LoopJoin" definitions), because reused scalar subtrees print one
+        # extra reference line per consumer and would inflate a raw
+        # substring count without any plan change
+        ("curation_decisions", 4),
         # BM25 N/avgdl scalar + broadcast-query inequality kNN probe +
         # the k-sized full-outer fusion (tiny both sides)
         ("hybrid_rrf_retrieval", 4),
     ):
         plan = C.formatted_plan(q(name))
         assert "CartesianProduct" not in plan, name
-        assert plan.count("BroadcastNestedLoopJoin") <= n_scalars, name
+        n_bnlj = len(
+            re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan, re.M)
+        )
+        assert n_bnlj <= n_scalars, (name, n_bnlj)
 
 
 def test_session_additions_plan_shapes(q):
