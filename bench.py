@@ -137,6 +137,15 @@ EXTRA_QUERIES = [
     "per_source_quality_cap",
     "stream_snapshot_sim",
     "ols_conformal_intervals",
+    # round-7 additions: the remaining hierarchical-quantile rewrites and
+    # the ANN twin-agreement verdict entries
+    "winsorized_value_stats",
+    "value_quantiles_by_type",
+    "minhash_twin_agreement",
+    "simhash_twin_agreement",
+    "emb_lsh_twin_agreement",
+    "knn_lsh_twin_agreement",
+    "knn_ivf_twin_agreement",
 ]
 
 

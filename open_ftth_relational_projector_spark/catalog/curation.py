@@ -185,13 +185,23 @@ def curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the exact `percentile` aggregate would buffer the whole corpus's
     # values in ONE aggregation state at 100× — exact_quantiles is
     # bit-identical with range-sharded state (the persisted inputs
-    # satisfy its value-determinism contract).
+    # satisfy its value-determinism contract). The two thresholds ride
+    # ONE helper invocation (tagged union, grouped by signal) so the
+    # fixed per-call job overhead — shard-bound sample + per-shard counts
+    # — is paid once, not twice; the 2-row result splits back into the
+    # broadcast scalar frames the final join consumes.
     from open_ftth_relational_projector_spark.operators.quantiles import (
         exact_quantiles,
     )
 
-    dthr = exact_quantiles(dw, "log_weight", {"dt": 0.2})
-    lthr = exact_quantiles(lms, "avg_logprob", {"lt": 0.2})
+    both = dw.select(
+        F.lit("d").alias("sig"), F.col("log_weight").alias("v")
+    ).unionByName(
+        lms.select(F.lit("l").alias("sig"), F.col("avg_logprob").alias("v"))
+    )
+    thr2 = exact_quantiles(both, "v", {"t": 0.2}, group_cols=["sig"]).persist()
+    dthr = thr2.filter(F.col("sig") == "d").select(F.col("t").alias("dt"))
+    lthr = thr2.filter(F.col("sig") == "l").select(F.col("t").alias("lt"))
     dsir_ok = F.col("log_weight") >= F.col("dt")
     lm_ok = F.col("avg_logprob") >= F.col("lt")
     return (

@@ -94,6 +94,8 @@ SKIP = {
     "stream_topk_sim": "availableNow drain; result plan is a LocalRelation",
     "stream_join_sim": "availableNow drain; result plan is a LocalRelation",
     "stream_session_sim": "availableNow drain; result plan is a LocalRelation",
+    "stream_ols_sim": "availableNow drain; result plan is a LocalRelation",
+    "stream_snapshot_sim": "availableNow drain; result plan is a LocalRelation",
 }
 
 
