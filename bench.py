@@ -300,16 +300,20 @@ def main() -> None:
     sidecar = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_EXTRA.json"
     )
-    prior_warm: dict[str, float] = {}
+    # each warm number carries the date it was MEASURED: a carried-forward
+    # floor from before a query rewrite is visibly stale instead of
+    # silently posing as the current baseline
+    prior_warm: dict[str, tuple[float, str | None]] = {}
     try:
         with open(sidecar) as f:
             for qname, rec in json.load(f).get("extra_queries", {}).items():
                 if isinstance(rec, dict) and rec.get("warm_best3") is not None:
-                    prior_warm[qname] = rec["warm_best3"]
+                    prior_warm[qname] = (rec["warm_best3"], rec.get("warm_recorded"))
     except (OSError, ValueError):
         pass
-    warm: dict[str, float] = dict(prior_warm)
+    warm: dict[str, tuple[float, str | None]] = dict(prior_warm)
     if os.environ.get("SPARK_GRAFT_WARM_BEST3") == "1":
+        stamp = time.strftime("%Y-%m-%d")
         for name in EXTRA_QUERIES:
             fn = SPARK_QUERIES[name]
             best = None
@@ -318,7 +322,7 @@ def main() -> None:
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 dt = time.perf_counter() - t0
                 best = dt if best is None else min(best, dt)
-            warm[name] = round(best, 3)
+            warm[name] = (round(best, 3), stamp)
 
     # Round 3's final line carried 45 inline extra_queries and outgrew the
     # driver's tail capture (BENCH_r03.json parsed: null). The extras go to
@@ -328,7 +332,11 @@ def main() -> None:
         json.dump(
             {
                 "extra_queries": {
-                    name: {"cold": c, "warm_best3": warm.get(name)}
+                    name: {
+                        "cold": c,
+                        "warm_best3": warm.get(name, (None, None))[0],
+                        "warm_recorded": warm.get(name, (None, None))[1],
+                    }
                     for name, c in extra.items()
                 },
                 "sf": sf,

@@ -9,9 +9,16 @@ re-executing per consumer) cannot be paired with an ``unpersist()`` — the
 action happens later, in the caller. Repeated invocations (bench
 best-of-N loops) therefore accumulate cached frames and rely on Spark's
 LRU block eviction (storage-level MEMORY_AND_DISK blocks are dropped
-least-recently-used under memory pressure; correctness is unaffected,
-the frame just recomputes). Long-lived callers that loop over catalog
-entries can call ``spark.catalog.clearCache()`` between iterations.
+least-recently-used under memory pressure; for the DETERMINISTIC frames
+catalog functions persist, correctness is unaffected — the frame just
+recomputes to the same values). Long-lived callers that loop over
+catalog entries can call ``spark.catalog.clearCache()`` between
+iterations. Caveat: eviction recomputes with fresh evaluation, so
+persist() is NOT a durability guarantee for rand()-derived frames —
+operators with a value-determinism contract on their input
+(operators/hierarchical, operators/quantiles) must not be fed a
+persisted nondeterministic frame; derive determinism from the data
+(hash columns), as every catalog entry does.
 """
 
 from __future__ import annotations

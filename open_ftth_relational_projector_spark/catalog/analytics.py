@@ -1924,8 +1924,21 @@ def ols_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_quantiles,
     )
 
+    # Left-join against a constant-true condition (not crossJoin): on an
+    # empty calibration fold exact_quantiles yields ZERO rows where the
+    # old global aggregate yielded one (null q90, n_calib 0) — the left
+    # join + coalesce restores that shape so the query and its oracle
+    # (whose aggregate CTEs always produce a row) stay row-for-row equal
+    # on any fold-hash outcome.
     q = exact_quantiles(
         scored.filter("fold = 0"), "ar", {"q90": 0.9}, count_col="n_calib"
+    )
+    q = (
+        spark.range(1)
+        .join(F.broadcast(q), F.lit(True), "left")
+        .select(
+            "q90", F.coalesce("n_calib", F.lit(0)).cast("long").alias("n_calib")
+        )
     )
     t = (
         scored.filter("fold = 1")

@@ -1040,7 +1040,7 @@ def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(quantile_cont(value, 0.5), 4) AS p50,
            ROUND(quantile_cont(value, 0.75), 4) AS p75,
            ROUND(quantile_cont(value, 0.9), 4) AS p90,
-           COUNT(*) AS n
+           COUNT(value) AS n
     FROM events GROUP BY event_type
     """,
 )
@@ -1051,8 +1051,8 @@ def value_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     event_type is the low-cardinality giant-group regime — the exact
     `percentile` aggregate would buffer corpus/|types| values in one
     aggregation state at 100×; exact_quantiles is bit-identical with
-    range-sharded state (value is never null in this table, so the
-    rank-pass count == COUNT(*))."""
+    range-sharded state. `n` is COUNT(value) on BOTH sides (the
+    rank-pass count is non-null by construction)."""
     from open_ftth_relational_projector_spark.operators.quantiles import (
         exact_quantiles,
     )

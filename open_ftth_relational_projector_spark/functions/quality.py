@@ -316,9 +316,13 @@ def robust_outlier_stats(
         exact_quantiles,
     )
 
+    # persist: the tiny per-group median frame feeds the MAD pass's input
+    # (which exact_quantiles evaluates in two eager jobs + the final
+    # action) AND the final join — without it the whole median pipeline
+    # re-executes once per consumer evaluation
     med = exact_quantiles(
         df, value_col, {"_med": 0.5}, group_cols=[group_col]
-    )
+    ).persist()
     mad = exact_quantiles(
         df.join(F.broadcast(med), group_col),
         F.abs(F.col(value_col) - F.col("_med")),

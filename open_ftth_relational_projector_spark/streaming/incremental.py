@@ -103,12 +103,18 @@ def collect_batch(batch_envelopes: DataFrame) -> list[tuple[int, str, dict]]:
     driver-side with zero additional Spark jobs; only the neighborhood
     recompute fans out to the cluster.
     """
+    return parse_envelope_rows(
+        batch_envelopes.select("seq", "event_type", "payload").collect()
+    )
+
+
+def parse_envelope_rows(rows) -> list[tuple[int, str, dict]]:
+    """(seq, event_type, payload-json-string) rows → parsed tuples — the
+    ONE definition of the driver-side batch shape (collect_batch and
+    apply_batch's size-gate probe both route through it)."""
     import json
 
-    return [
-        (r.seq, r.event_type, json.loads(r.payload))
-        for r in batch_envelopes.select("seq", "event_type", "payload").collect()
-    ]
+    return [(r.seq, r.event_type, json.loads(r.payload)) for r in rows]
 
 
 def _payload_get(payload: dict, dotted: str):

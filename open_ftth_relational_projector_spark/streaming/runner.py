@@ -260,14 +260,14 @@ def apply_batch(
     # at cap+1 rows by construction. Payload JSON parses only AFTER
     # driver_sized is confirmed (round-6 advice: the oversized path was
     # paying ~cap json.loads for rows it immediately discarded).
-    import json
+    from open_ftth_relational_projector_spark.streaming.incremental import (
+        parse_envelope_rows,
+    )
 
     probe_rows = _probe_collect(batch_envelopes, MAX_DRIVER_BATCH_ROWS)
     driver_sized = len(probe_rows) <= MAX_DRIVER_BATCH_ROWS
     if driver_sized:
-        parsed = [
-            (r.seq, r.event_type, json.loads(r.payload)) for r in probe_rows
-        ]
+        parsed = parse_envelope_rows(probe_rows)
         seqs = [s for s, _, _ in parsed]
         batch_min = min(seqs, default=None)
         batch_max = max(seqs, default=None)

@@ -104,6 +104,9 @@ def main() -> None:
     spark = get_spark(app_name="window-audit", shuffle_partitions=4)
     findings = []
     relied: set[tuple[str, str]] = set()  # (query, kind) exemptions used
+    fully_scanned: set[str] = set()  # plans walked to the end (no SKIP /
+    # PLAN-ERROR / unexempted early break) — the only queries whose
+    # exemptions can be judged stale without false-positiving
     for name, fn in SPARK_QUERIES.items():
         if name in SKIP:
             findings.append((name, f"SKIP: {SKIP[name]}"))
@@ -139,6 +142,8 @@ def main() -> None:
                 break  # an unexempted spec decides the query outright
             relied.add((name, kind))
             worst = worst or entry
+        else:
+            fully_scanned.add(name)
         if worst:
             findings.append(worst)
     for name, msg in findings:
@@ -152,11 +157,15 @@ def main() -> None:
     # named window kind no longer appears in the query's plan is dead
     # documentation — the printed exemption list and the EXEMPT dict must
     # not drift apart, so a stale entry fails the audit until removed.
+    # Only FULLY-scanned plans can prove staleness: a SKIPped or
+    # PLAN-ERROR query, or one whose scan broke early on an unexempted
+    # spec, never populated `relied`, and flagging its entries would be a
+    # wrong diagnosis (the unexempted case already fails via `bad`).
     stale = [
         (name, kind)
         for name, (kinds, _) in EXEMPT.items()
         for kind in sorted(kinds)
-        if (name, kind) not in relied
+        if name in fully_scanned and (name, kind) not in relied
     ]
     for name, kind in stale:
         print(f"STALE-EXEMPT {name}: plan no longer contains a {kind}")
