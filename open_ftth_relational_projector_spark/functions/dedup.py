@@ -146,12 +146,29 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("doc_id"), F.explode(entries).alias("e")
     ).select("doc_id", F.col("e.n_sh").alias("n_sh"), F.col("e.shingle").alias("shingle"))
 
-    postings = sh.groupBy(F.xxhash64("shingle").alias("sh_hash")).agg(
+    keyed = sh.select(
+        F.xxhash64("shingle").alias("sh_hash"), "doc_id", "n_sh"
+    )
+    if max_postings is not None:
+        # bound the collect_list STATE, not just its output: a stop-shingle
+        # shared by k docs would otherwise buffer all k postings inside ONE
+        # aggregation state before the size filter could drop the list —
+        # the same single-state pattern as an uncapped exact percentile.
+        # One COUNT pass (bounded state) nominates the shingles worth
+        # collecting; the semi-join keeps only their rows, so every
+        # collect_list state holds ≤ max_postings entries. Costs one extra
+        # scan of the exploded shingles; identical output.
+        keep = (
+            keyed.groupBy("sh_hash")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter((F.col("_df") > 1) & (F.col("_df") <= max_postings))
+            .select("sh_hash")
+        )
+        keyed = keyed.join(keep, "sh_hash", "left_semi")
+    postings = keyed.groupBy("sh_hash").agg(
         F.array_sort(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ds")
     )
     postings = postings.filter(F.size("ds") > 1)
-    if max_postings is not None:
-        postings = postings.filter(F.size("ds") <= max_postings)
     pairs = postings.select(
         F.explode(
             F.flatten(
@@ -901,6 +918,7 @@ def containment_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_postings: int | None = None,
 ) -> DataFrame:
     """Asymmetric containment join: C(A→B) = |shingles(A) ∩ shingles(B)|
     / |shingles(A)| — the quote/subset detector Jaccard structurally
@@ -913,6 +931,14 @@ def containment_pairs(
     postings on 64-bit shingle hashes, in-bucket pair expansion — work ∝
     genuinely shared shingles); each unordered candidate pair then emits
     up to two directional rows.
+
+    ``max_postings`` is the same 100 TB stop-shingle guard as
+    ngram_jaccard_pairs: hot shingles are dropped by a bounded COUNT pass
+    BEFORE their postings ever enter a collect_list state or the
+    quadratic pair expansion; the surviving candidate pairs lose that
+    intersection evidence, so capped mode recomputes containment exactly
+    per pair from the full shingle arrays (work ∝ candidates).
+    Default None keeps the uncapped exact join (the SQL-oracle path).
 
     Returns (contained, container, containment) with containment ≥
     ``threshold``, containment rounded to 4 dp.
@@ -928,8 +954,20 @@ def containment_pairs(
     ).select(
         "doc_id", F.col("e.n_sh").alias("n_sh"), F.col("e.shingle").alias("shingle")
     )
+    keyed = sh.select(
+        F.xxhash64("shingle").alias("sh_hash"), "doc_id", "n_sh"
+    )
+    if max_postings is not None:
+        # bounded-state stop-shingle guard (see ngram_jaccard_pairs)
+        keep = (
+            keyed.groupBy("sh_hash")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter((F.col("_df") > 1) & (F.col("_df") <= max_postings))
+            .select("sh_hash")
+        )
+        keyed = keyed.join(keep, "sh_hash", "left_semi")
     postings = (
-        sh.groupBy(F.xxhash64("shingle").alias("sh_hash"))
+        keyed.groupBy("sh_hash")
         .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ds"))
         .filter(F.size("ds") > 1)
     )
@@ -946,15 +984,43 @@ def containment_pairs(
             )
         ).alias("p")
     )
-    inter = (
-        pairs.groupBy(
+    if max_postings is not None:
+        # capped index: per-pair counts miss the dropped stop-shingles, so
+        # the index only NOMINATES candidates; containment recomputes
+        # exactly per pair from the full shingle arrays
+        cands = pairs.select(
             F.col("p.a.doc_id").alias("doc_a"),
             F.col("p.b.doc_id").alias("doc_b"),
-            F.col("p.a.n_sh").alias("n_a"),
-            F.col("p.b.n_sh").alias("n_b"),
+        ).distinct()
+        sh_full = add_shingles(docs, n, text_col, id_col)
+        j = cands.join(
+            sh_full.select(
+                F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+            ),
+            "doc_a",
+        ).join(
+            sh_full.select(
+                F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
+            ),
+            "doc_b",
         )
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
+        inter = j.select(
+            "doc_a",
+            "doc_b",
+            F.size("sh_a").alias("n_a"),
+            F.size("sh_b").alias("n_b"),
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("n_inter"),
+        )
+    else:
+        inter = (
+            pairs.groupBy(
+                F.col("p.a.doc_id").alias("doc_a"),
+                F.col("p.b.doc_id").alias("doc_b"),
+                F.col("p.a.n_sh").alias("n_a"),
+                F.col("p.b.n_sh").alias("n_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
     directed = inter.select(
         F.explode(
             F.array(

@@ -3476,3 +3476,71 @@ def test_sliding_token_chunks_boundaries(spark):
     # chunk ids deterministic
     ids = {r["chunk_id"] for r in out}
     assert "b:23" in ids and "a:0" in ids
+
+
+def test_posting_collect_state_bounded_by_prefilter(spark):
+    """Round-7 scale fix: with max_postings the inverted index must DROP a
+    hot shingle's rows BEFORE the collect_list aggregation (a bounded
+    COUNT pass + semi-join), not buffer the whole posting list in one
+    state and filter after — pinned on the optimized plan: the Aggregate
+    carrying collect_list must sit above a LeftSemi join when capped, and
+    the output must be unchanged."""
+    boiler = "all rights reserved worldwide"
+    rows = [(i, f"unique{i} text{i} body{i} filler{i} {boiler}") for i in range(30)]
+    rows += [
+        (100, f"alpha beta gamma delta epsilon {boiler}"),
+        (101, f"alpha beta gamma delta zeta {boiler}"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = D.ngram_jaccard_pairs(df, threshold=0.15, n=3, max_postings=10)
+    plan = capped._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
+    assert "LeftSemi" in plan, plan[:500]
+
+    uncapped_plan = D.ngram_jaccard_pairs(
+        df, threshold=0.15, n=3
+    )._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
+    assert "LeftSemi" not in uncapped_plan  # oracle path untouched
+
+
+def test_containment_pairs_capped_matches_uncapped_scores(spark):
+    """containment_pairs grows the same stop-shingle guard: without a hot
+    shingle capped == uncapped exactly; with one, pairs whose only
+    evidence is the boilerplate are dropped while surviving pairs carry
+    the TRUE containment (recomputed per pair, stop-shingles included)."""
+    calm = [(i, f"u{i}a u{i}b u{i}c u{i}d u{i}e") for i in range(12)]
+    calm += [(50, "one two three four five six"), (51, "one two three four seven")]
+    cdf = spark.createDataFrame(calm, "doc_id long, text string")
+    base = {
+        (r["contained"], r["container"]): r["containment"]
+        for r in D.containment_pairs(cdf, threshold=0.3, n=3).collect()
+    }
+    capped = {
+        (r["contained"], r["container"]): r["containment"]
+        for r in D.containment_pairs(
+            cdf, threshold=0.3, n=3, max_postings=10
+        ).collect()
+    }
+    assert capped == base and base  # no hot shingle -> identical
+
+    boiler = "all rights reserved worldwide"
+    hot = [(i, f"x{i}a x{i}b x{i}c x{i}d {boiler}") for i in range(30)]
+    hot += [
+        (100, f"alpha beta gamma delta epsilon {boiler}"),
+        (101, f"alpha beta gamma delta {boiler}"),
+    ]
+    hdf = spark.createDataFrame(hot, "doc_id long, text string")
+    hbase = {
+        (r["contained"], r["container"]): r["containment"]
+        for r in D.containment_pairs(hdf, threshold=0.3, n=3).collect()
+    }
+    hcapped = {
+        (r["contained"], r["container"]): r["containment"]
+        for r in D.containment_pairs(
+            hdf, threshold=0.3, n=3, max_postings=10
+        ).collect()
+    }
+    assert set(hcapped) <= set(hbase)
+    assert (101, 100) in hcapped  # real containment found via rare shingles
+    for pair, c in hcapped.items():
+        assert c == hbase[pair], pair  # exact scores, stop-shingles included
