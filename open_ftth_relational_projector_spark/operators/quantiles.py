@@ -24,7 +24,16 @@ bounded per-task state:
 
 The value stream is scanned three times (shard-bound sample, per-shard
 counts, final rank+filter) — all map-side column scans — instead of
-sorted through one task; at 100 TB that trade is the whole point.
+sorted through one task; at 100 TB that trade is the whole point. At
+sf0.1 the two extra eager jobs cost ~1-2 s of fixed scheduler latency
+per call (measured in BENCH_NOTES r7). A lazy-offsets variant (prefix
+sum over the counts frame inside the final action) would fuse one pass
+away, but for the ungrouped case it needs an unpartitioned window over
+the n_shards-row counts frame — bounded by construction, yet it would
+re-introduce the exact window shape the global-window audit exists to
+catch, one exemption per caller. The driver-side prefix sum keeps every
+caller's plan window-clean; the collect is shards×groups rows
+(allowlisted, bounded).
 """
 
 from __future__ import annotations
