@@ -105,3 +105,31 @@ def test_column_expression_value(spark):
         F.expr("percentile(abs(v - 50.0), 0.5D)").alias("m")
     ).collect()[0]["m"]
     assert got == exp
+
+
+def test_property_random_quantiles_match_percentile(spark):
+    """Property sweep: randomized value distributions (uniform, heavy-tail,
+    integer-lattice ties, negatives) × randomized probability sets must
+    match percentile() EXACTLY. Seeded, 6 trials — the fixed-seed stand-in
+    for a hypothesis strategy (Spark fixtures and hypothesis's function-
+    scoped health checks don't mix)."""
+    import random
+
+    rng = random.Random(99)
+    for trial in range(6):
+        n = rng.choice([13, 97, 500, 1201])
+        dist = rng.choice(["uniform", "heavy", "lattice"])
+        if dist == "uniform":
+            vals = [rng.uniform(-1e6, 1e6) for _ in range(n)]
+        elif dist == "heavy":
+            vals = [rng.gauss(0, 1) ** 7 for _ in range(n)]
+        else:
+            vals = [float(rng.randint(-5, 5)) for _ in range(n)]
+        ps = {
+            f"q{i}": round(rng.uniform(0.0, 1.0), 3) for i in range(rng.randint(1, 5))
+        }
+        ps["q_lo"], ps["q_hi"] = 0.0, 1.0  # extremes always included
+        df = spark.createDataFrame([(v,) for v in vals], "v double")
+        got = _got(df, ps)
+        exp = _expected(df, ps)
+        assert got == exp, (trial, dist, n, ps)
