@@ -1588,6 +1588,19 @@ _CORR_PAIRS = [("q", "p"), ("q", "d"), ("q", "t"), ("p", "d"), ("p", "t"),
                ("d", "t")]
 
 
+def _round_norm(expr: str, digits: int) -> str:
+    """ROUND normalized through ``+ 0`` so IEEE -0.0 becomes +0.0.
+
+    Spark's ROUND goes through BigDecimal and always returns +0.0 for a
+    tiny negative input, while DuckDB's ROUND(double) preserves the sign
+    bit (-0.0) — the r7 driver hash fail on correlation_matrix_lineitem
+    was exactly one such cell. ``x + 0`` is a no-op on every nonzero
+    double and maps -0.0 to +0.0 on both engines (IEEE 754 addition), so
+    the shared formula text stays engine-identical AND sign-normalized.
+    """
+    return f"(ROUND({expr}, {digits}) + 0)"
+
+
 def _corr_exprs(x: str, y: str) -> tuple[str, str]:
     """Shared covariance/correlation text over the exact-decimal moment
     sums (converted to DOUBLE only here, the regression.py contract)."""
@@ -1626,7 +1639,8 @@ def _corr_sql() -> str:
         branches.append(
             f"SELECT l_returnflag, '{_CORR_VARS[x]}' AS var_x,"
             f" '{_CORR_VARS[y]}' AS var_y,"
-            f" ROUND({cov}, 6) AS covariance, ROUND({corr}, 6) AS corr"
+            f" {_round_norm(cov, 6)} AS covariance,"
+            f" {_round_norm(corr, 6)} AS corr"
             " FROM m"
         )
     body = "\n    UNION ALL\n    ".join(branches)
@@ -1662,8 +1676,8 @@ def correlation_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_returnflag",
             f"'{_CORR_VARS[x]}' AS var_x",
             f"'{_CORR_VARS[y]}' AS var_y",
-            f"ROUND({cov}, 6) AS covariance",
-            f"ROUND({corr}, 6) AS corr",
+            f"{_round_norm(cov, 6)} AS covariance",
+            f"{_round_norm(corr, 6)} AS corr",
         )
         out = branch if out is None else out.unionByName(branch)
     return out

@@ -61,12 +61,22 @@ def exact_quantiles(
     (+ the non-null value count as ``count_col`` when requested — equal
     to COUNT(*) whenever the value expression is never null, which is
     what the catalog callers feed). NULL values are skipped, matching
-    the aggregate; a group whose values are ALL null yields no row
-    (the aggregate would yield a null quantile — callers here never
-    feed such groups).
+    the aggregate; a group whose values are ALL null (and, ungrouped,
+    empty input) yields a row with NULL quantiles and count 0 — the
+    same shape ``percentile()`` over GROUP BY and DuckDB
+    ``quantile_cont`` produce, reattached here by a null-safe left
+    join from the distinct group keys (r7 advisor fix; previously such
+    groups were silently dropped).
 
     The input must be value-deterministic across re-evaluation (the
     ``_expr_shard`` contract — persist() anything rand()-derived first).
+
+    NOTE eager construction: building this DataFrame runs cluster jobs
+    immediately (hierarchical_grouped_row_number's shard-bound sample +
+    per-shard counts collect) — unlike the lazy-plan catalog convention.
+    Plan-only callers (audits, speculative construction) pay those two
+    bounded jobs, and the collected shard offsets are frozen at
+    construction time (fine under the value-determinism contract above).
     """
     group_cols = list(group_cols or [])
     v = F.col(value) if isinstance(value, str) else value
@@ -117,4 +127,33 @@ def exact_quantiles(
         )
     if count_col is not None:
         out_cols.append(F.col("_gn").cast("long").alias(count_col))
-    return picked.select(*out_cols)
+    res = picked.select(*out_cols)
+
+    # Shape contract: one output row per distinct group key (ungrouped:
+    # exactly one row), even when every value in the group is NULL —
+    # `vals` dropped those rows, so reattach the missing keys with a
+    # null-safe LEFT join (broadcast: the quantile side is one row per
+    # non-all-null group, small by construction). count_col coalesces to
+    # 0 for reattached groups (COUNT(value) over all-NULLs is 0).
+    res_cols = [c for c in res.columns if c not in group_cols]
+
+    def _out(side, name: str) -> Column:
+        col = side[name]
+        if name == count_col:
+            return F.coalesce(col, F.lit(0).cast("long")).alias(name)
+        return col
+
+    if group_cols:
+        keys = df.select(*group_cols).distinct()
+        cond = None
+        for c in group_cols:
+            eq = keys[c].eqNullSafe(res[c])
+            cond = eq if cond is None else (cond & eq)
+        joined = keys.join(F.broadcast(res), cond, "left")
+        final = [keys[c] for c in group_cols] + [_out(res, c) for c in res_cols]
+    else:
+        one = df.sparkSession.range(1).select(F.lit(1).alias("_one"))
+        res1 = res.withColumn("_one", F.lit(1))
+        joined = one.join(F.broadcast(res1), "_one", "left")
+        final = [_out(res1, c) for c in res_cols]
+    return joined.select(*final)

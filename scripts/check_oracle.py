@@ -7,6 +7,7 @@ value comparison. Run: python scripts/check_oracle.py [sf_dir]
 from __future__ import annotations
 
 import math
+import struct
 import sys
 
 import duckdb
@@ -23,12 +24,21 @@ TABLES = [
 
 
 def norm(v):
+    """Driver-hash-parity normalization.
+
+    Floats compare by their exact IEEE-754 bit pattern (NaN canonicalized)
+    — the r7 lesson: the old ``round(v, 4)`` + ``==`` was blind to signed
+    zeros (-0.0 == 0.0 in Python) and to 5th/6th-decimal divergence, so
+    three rounds of "232/232 OK" sweeps coexisted with a driver hash FAIL.
+    This is strictly stricter than the driver's gate; a pass here implies
+    a hash match there.
+    """
     if v is None:
         return None
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return round(v, 4)
+            return "f:NaN"
+        return "f:" + struct.pack(">d", v).hex()
     if isinstance(v, bytes):
         return v.hex()
     return v

@@ -3544,3 +3544,41 @@ def test_containment_pairs_capped_matches_uncapped_scores(spark):
     assert (101, 100) in hcapped  # real containment found via rare shingles
     for pair, c in hcapped.items():
         assert c == hbase[pair], pair  # exact scores, stop-shingles included
+
+
+def test_split_tokenization_engine_agreement(spark):
+    """Pin the twin-agreement fingerprint premise (catalog/llm.py _SEP
+    block): Spark F.split(text, ' ') and DuckDB string_split(text, ' ')
+    tokenize IDENTICALLY — including leading / consecutive / trailing
+    empty tokens and separator-adjacent control chars — so the canonical
+    set fingerprints group the same documents on both engines. The
+    length-prefix injectivity (a token containing chr(31) cannot alias a
+    token boundary) is exercised by the chr(31) cases."""
+    import duckdb
+
+    cases = [
+        "a  b", " a b", "a b ", "", " ", "  ",
+        "a\x1fb c", "a \x1fb", "x  y", "a:1 b",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "text string")
+    got = {
+        r["text"]: r["t"]
+        for r in df.select("text", F.split("text", " ").alias("t")).collect()
+    }
+    con = duckdb.connect()
+    for c in cases:
+        duck = con.sql("SELECT string_split(?, ' ')", params=[c]).fetchone()[0]
+        assert got[c] == duck, (repr(c), got[c], duck)
+
+    # length-prefix canonical encoding is injective across these sets
+    from open_ftth_relational_projector_spark.catalog.llm import (
+        _canon_set_fp,
+    )
+
+    sets = [["a\x1fb"], ["a", "b"], ["a", ""], ["a"], ["", "a"], ["1:a"], ["a", "1"]]
+    fdf = spark.createDataFrame([(s,) for s in sets], "s array<string>")
+    fps = [r["f"] for r in fdf.select(_canon_set_fp(F.col("s")).alias("f")).collect()]
+    # ["a",""] and ["","a"] are the same SET -> same fp; all others distinct
+    assert fps[2] == fps[4]
+    distinct = fps[:4] + fps[5:]
+    assert len(set(distinct)) == len(distinct)

@@ -133,3 +133,40 @@ def test_property_random_quantiles_match_percentile(spark):
         got = _got(df, ps)
         exp = _expected(df, ps)
         assert got == exp, (trial, dist, n, ps)
+
+
+def test_all_null_group_and_empty_input_shape(spark):
+    """r7 advisor fix: the output SHAPE must match percentile() over
+    GROUP BY — an all-NULL group yields a row with NULL quantiles (and
+    count 0), grouped; empty / all-NULL input yields exactly one such
+    row, ungrouped. Previously those groups were silently dropped."""
+    ps = {"med": 0.5, "p90": 0.9}
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", None), ("b", None), (None, 2.0)],
+        "g string, v double",
+    )
+    got = {
+        r["g"]: (r["med"], r["p90"], r["n"])
+        for r in exact_quantiles(
+            df, "v", ps, group_cols=["g"], count_col="n"
+        ).collect()
+    }
+    exp = {
+        r["g"]: (r["med"], r["p90"], r["n"])
+        for r in df.groupBy("g")
+        .agg(
+            F.expr("percentile(v, 0.5D)").alias("med"),
+            F.expr("percentile(v, 0.9D)").alias("p90"),
+            F.count("v").alias("n"),
+        )
+        .collect()
+    }
+    assert got == exp  # includes g='b' (NULL, NULL, 0) and the NULL key
+
+    empty = spark.createDataFrame([], "v double")
+    rows = exact_quantiles(empty, "v", ps, count_col="n").collect()
+    assert [(r["med"], r["p90"], r["n"]) for r in rows] == [(None, None, 0)]
+
+    all_null = spark.createDataFrame([(None,), (None,)], "v double")
+    rows = exact_quantiles(all_null, "v", ps, count_col="n").collect()
+    assert [(r["med"], r["p90"], r["n"]) for r in rows] == [(None, None, 0)]
