@@ -40,89 +40,96 @@ from . import streaming_sims  # noqa: E402,F401
 # ===========================================================================
 # Registration order for the driver window
 # ===========================================================================
-# ROUND-7 WINDOW (this session): CORRECTNESS_r06 landed 50/50 green, so
-# the cumulative driver-green union entering r7 is 217/227. This window
-# certifies, in order: the q1 flagship; the TEN r6 additions (the only
-# pre-r7 queries without any driver row — all oracle-green in the
-# builder's and the judge's independent sf0.01 sweeps); the FIVE new
-# twin-agreement entries (round-6 verdict #6: driver-visible verdicts
-# for the rows-only approximate ANN paths — the production
-# minhash_near_dups / simhash_fingerprints / embedding_near_dups_lsh /
-# knn_lsh / knn_ivf entries themselves are deliberately NOT given window
-# slots: they would record rows-only again, and their guarantees are
-# exactly what the agreement entries hash-check); then the 15 r2-only
-# regression picks (oldest driver-green rows), then the oldest r3 rows
-# in registration order, filling the 50-slot window.
+# ROUND-8 WINDOW (this session): CORRECTNESS_r07 landed 49/50 — the one
+# FAIL was correlation_matrix_lineitem (IEEE signed-zero: DuckDB ROUND
+# preserves -0.0, Spark's BigDecimal ROUND returns +0.0 on one sf0.01
+# covariance cell). Fixed this round by normalizing the shared formula
+# text through "+ 0" on BOTH engines; per the pinned plan the fixed query
+# goes to the FRONT of the window. Also re-certified up front: the three
+# twin-agreement entries whose oracle text changed this round
+# (length-prefixed set fingerprints; emb_lsh's exact baseline bounded to
+# vec_id < 4096). Then the latest-green ranking fills the window: all 30
+# remaining r3-green rows, the 14 oldest r4-green rows in registration
+# order, and winsorized_value_stats (r4-green, pulled one slot forward
+# because its plan changed with the exact_quantiles all-null-group
+# left-join rewrite). Cumulative driver-green union entering r8: 226/232
+# direct + 5 ANN paths certified via their agreement twins; a green
+# correlation row makes it 232/232.
 #
-# ROUND-8 PLAN (for the next session): assuming CORRECTNESS_r07 lands
-# green, the r8 window is q1 + the remaining r3-green rows not covered
-# here (sliding/session window family onward per CORRECTNESS_r03) —
-# recompute with the latest-green ranking (scripts/gen_catalog_index.py
-# documents the procedure; rank every query by its most recent green
-# CORRECTNESS round, oldest first, registration order as tiebreak).
-# If any r7 row FAILED, put it at the front of the r8 window after the
+# ROUND-9 PLAN (for the next session): assuming CORRECTNESS_r08 lands
+# green, recompute with the latest-green ranking (rank every query by its
+# most recent green CORRECTNESS round, oldest first, registration order
+# as tiebreak — the procedure documented here and in
+# scripts/gen_catalog_index.py): q1 + the r4-green remainder
+# (kmv_segment_overlap onward) + the oldest r5 rows fill the 50 slots.
+# If any r8 row FAILED, put it at the front of the r9 window after the
 # fix. Keep every name in _DRIVER_WINDOW_FRONT registered (the assert
 # below enforces it) and re-pin tests/data/catalog_order.txt +
-# CATALOG.md (scripts/gen_catalog_index.py) after any reorder.
+# CATALOG.md (scripts/gen_catalog_index.py) after any reorder. The
+# production ANN rows-only entries (minhash_near_dups,
+# simhash_fingerprints, embedding_near_dups_lsh, knn_lsh, knn_ivf) stay
+# OUT of window slots: they would record rows-only again, and their
+# guarantees are exactly what the *_twin_agreement entries hash-check.
 #
 # The driver's CORRECTNESS gate records only the FIRST 50 queries()
 # entries per round; windows rotate so every query eventually holds a
 # recent green row.
 _DRIVER_WINDOW_FRONT = [
     "q1_pricing_summary",
-    # -- the 10 never-driver-checked r6 additions --
-    "domain_mixture_weights",
-    "corpus_snapshot_diff",
-    "sliding_token_chunks",
-    "per_source_quality_cap",
-    "winsorized_price_stats",
+    # -- the r7 FAIL, fixed this round (signed-zero normalization) --
     "correlation_matrix_lineitem",
-    "equidepth_price_bins",
-    "ols_crossval_kfold",
-    "ols_conformal_intervals",
-    "stream_snapshot_sim",
-    # -- the 5 new r7 twin-agreement entries (verdict #6) --
+    # -- oracle text changed this round (canonical fingerprints / bound) --
     "minhash_twin_agreement",
     "simhash_twin_agreement",
     "emb_lsh_twin_agreement",
-    "knn_lsh_twin_agreement",
-    "knn_ivf_twin_agreement",
-    # -- 15 regression picks: the r2-only rows (oldest green) --
-    "dim_join_customer_geo",
-    "anti_join_customers_without_orders",
-    "semi_join_customers_with_urgent_orders",
-    "train_test_split_stats",
-    "embedding_norms_by_label",
-    "tfidf_top_terms",
-    "value_quantiles_by_type",
-    "signup_to_purchase_funnel",
-    "clicks_within_signup_day",
-    "salted_event_counts",
-    "lineitem_profile",
-    "repetition_stats",
-    "token_entropy",
-    "benchmark_decontamination",
-    "label_centroid_stats",
-    # -- 19 oldest r3-green rows, registration order --
-    "q21_waiting_suppliers",
-    "skyline_parts",
-    "dedup_first_occurrence",
-    "exists_nested_high_value_first_line",
-    "first_last_part_per_order",
-    "top3_orders_per_customer",
-    "rollup_lineitem_status",
-    "pivot_event_counts",
-    "lww_latest_event_per_user",
-    "asof_purchase_prior_signup",
-    "json_props_stats",
-    "running_value_per_user",
-    "sessionize_30min",
-    "tumbling_event_windows",
-    "sliding_event_windows",
-    "session_event_windows",
-    "proj_work_task_sim",
-    "proj_installation_sim",
-    "stream_incremental_sim",
+    # -- all 30 remaining r3-green rows (oldest green), registration order --
+    "proj_node_container_sim",
+    "proj_rel_interest_sim",
+    "proj_service_termination_sim",
+    "proj_span_equipment_sim",
+    "proj_conduit_slack_sim",
+    "walk_hop_subtract_sim",
+    "walk_hop_multi_sim",
+    "proj_rel_fiber_cable_sim",
+    "text_stats",
+    "token_counts_bpe",
+    "lang_quality_stats",
+    "exact_dedup_groups",
+    "doc_fingerprint_groups",
+    "corpus_filter_report",
+    "dedup_keep_list",
+    "weighted_doc_sample",
+    "corpus_pipeline_stats",
+    "minhash_near_dups_md5",
+    "simhash_fingerprints_md5",
+    "simhash_near_dups",
+    "embedding_near_dups_lsh_fullprobe",
+    "embedding_quantize_int8",
+    "knn_lsh_fullprobe",
+    "knn_ivf_fullprobe",
+    "sliding_window_chunks",
+    "bm25_top_docs",
+    "bfs_purchase_distances",
+    "kmv_distinct_rollup",
+    "sorted_neighborhood_er",
+    "mad_outlier_stats",
+    # -- 14 oldest r4-green rows, registration order --
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q11_important_part_values",
+    "q20_part_promo_suppliers",
+    "merged_order_activity_periods",
+    "approx_distinct_users",
+    "containment_near_dups",
+    "kmeans_cluster_stats",
+    "semantic_dedup_verdicts",
+    "kcenter_coreset",
+    "kcore_purchase_graph",
+    "weighted_purchase_paths",
+    "pagerank_purchase_graph",
+    "bigram_lm_doc_scores",
+    # -- r4-green, plan changed by the exact_quantiles shape rewrite --
+    "winsorized_value_stats",
 ]
 
 
