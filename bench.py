@@ -6,8 +6,10 @@ Prints ONE JSON line:
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
+import re
 import sys
 import time
 
@@ -229,6 +231,22 @@ def bench_streaming_catchup(spark, scale: int = 20) -> tuple[str, float]:
     return "streaming_catchup_4batches", time.perf_counter() - t0
 
 
+def _plan_signature(df) -> str:
+    """Stable fingerprint of a query's OPTIMIZED plan, used to invalidate
+    carried-forward warm_best3 numbers when the query is rewritten (r7
+    advisor: a pre-rewrite warm floor silently posed as the regression
+    baseline until someone re-ran SPARK_GRAFT_WARM_BEST3=1). Session-
+    varying tokens (expression ids ``#123``, plan ids, object addresses)
+    are normalized away so the signature changes exactly when the plan
+    SHAPE/expressions change. Over-invalidation on cosmetic plan-text
+    drift is fine — a nulled warm number just gets re-measured."""
+    txt = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
+    txt = re.sub(r"#\d+[L]?", "#", txt)
+    txt = re.sub(r"plan_id=\d+", "plan_id=", txt)
+    txt = re.sub(r"@[0-9a-f]{6,}", "@", txt)
+    return hashlib.md5(txt.encode()).hexdigest()[:12]
+
+
 def main() -> None:
     global _LOAD_AVG_START
     try:
@@ -278,6 +296,7 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
 
     extra: dict[str, float] = {}
+    plan_sig: dict[str, str] = {}
     for name in EXTRA_QUERIES:
         fn = SPARK_QUERIES[name]
         t0 = time.perf_counter()
@@ -286,8 +305,10 @@ def main() -> None:
         # (dup_substring_spans timed as a bare table count) — the noop
         # writer forces full evaluation of every output column with no
         # sink cost. The headline set switched too (same session).
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
         extra[name] = round(time.perf_counter() - t0, 3)
+        plan_sig[name] = _plan_signature(df)
 
     # Sidecar schema (round-6 verdict #4): each extra query carries a
     # cold+warm PAIR so a single contended in-sequence number can't read
@@ -300,14 +321,19 @@ def main() -> None:
     sidecar = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_EXTRA.json"
     )
-    # each warm number carries the date it was MEASURED: a carried-forward
-    # floor from before a query rewrite is visibly stale instead of
-    # silently posing as the current baseline
+    # each warm number carries the date it was MEASURED plus the plan
+    # signature it was measured UNDER: a carried-forward floor from before
+    # a query rewrite is dropped automatically (plan_sig mismatch ⇒ the
+    # measured plan no longer exists), not just visibly stale
     prior_warm: dict[str, tuple[float, str | None]] = {}
+    invalidated: list[str] = []
     try:
         with open(sidecar) as f:
             for qname, rec in json.load(f).get("extra_queries", {}).items():
                 if isinstance(rec, dict) and rec.get("warm_best3") is not None:
+                    if rec.get("plan_sig") != plan_sig.get(qname):
+                        invalidated.append(qname)
+                        continue
                     prior_warm[qname] = (rec["warm_best3"], rec.get("warm_recorded"))
     except (OSError, ValueError):
         pass
@@ -336,9 +362,11 @@ def main() -> None:
                         "cold": c,
                         "warm_best3": warm.get(name, (None, None))[0],
                         "warm_recorded": warm.get(name, (None, None))[1],
+                        "plan_sig": plan_sig.get(name),
                     }
                     for name, c in extra.items()
                 },
+                "warm_invalidated_by_plan_change": sorted(invalidated),
                 "sf": sf,
                 "load_avg_start": _LOAD_AVG_START,
                 "note": (
@@ -346,8 +374,10 @@ def main() -> None:
                     "2-4x swing with host load); warm_best3 = min of 3 "
                     "back-to-back re-runs on an idle host "
                     "(SPARK_GRAFT_WARM_BEST3=1), carried forward between "
-                    "driver rounds — compare regressions against "
-                    "warm_best3, not cold"
+                    "driver rounds ONLY while the query's optimized-plan "
+                    "signature is unchanged (a rewrite nulls its warm "
+                    "floor) — compare regressions against warm_best3, "
+                    "not cold"
                 ),
             },
             f,

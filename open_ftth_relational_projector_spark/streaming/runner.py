@@ -236,6 +236,7 @@ def apply_batch(
     sink,
     batch_id: int | None = None,
     persist_full: bool = True,
+    probe_seq_first: bool = False,
 ) -> bool:
     """Apply one micro-batch incrementally. Returns False if skipped
     (already-applied batch_id — T5 exactly-once).
@@ -243,7 +244,15 @@ def apply_batch(
     ``persist_full=False`` skips caching the accumulated log for callers
     whose ``full_envelopes`` already derives from a cached/materialized
     source (re-filtering a cached parent is cheaper than building another
-    cache of the same rows every batch)."""
+    cache of the same rows every batch).
+
+    ``probe_seq_first=True`` sizes the batch with a seq-ONLY probe before
+    touching payloads, so an oversized batch never materializes cap+1 raw
+    payload strings on the driver (r7 advisor carry-over: the last
+    driver-memory spike lived on exactly the backlog path). Costs one
+    extra tiny job when the batch turns out driver-sized — callers set it
+    only where backlog is plausible (the first micro-batch after a
+    (re)start); steady-state 2 s triggers keep the single-job full probe."""
     if batch_id is not None and sink.get_meta("applied_batch") == str(batch_id):
         return False
 
@@ -264,8 +273,23 @@ def apply_batch(
         parse_envelope_rows,
     )
 
-    probe_rows = _probe_collect(batch_envelopes, MAX_DRIVER_BATCH_ROWS)
-    driver_sized = len(probe_rows) <= MAX_DRIVER_BATCH_ROWS
+    if probe_seq_first:
+        # backlog-plausible caller: size on seq alone (≤ cap+1 longs on
+        # the driver), then pull payloads only once driver_sized is known
+        seq_rows = (
+            batch_envelopes.select("seq")
+            .limit(MAX_DRIVER_BATCH_ROWS + 1)
+            .collect()
+        )
+        driver_sized = len(seq_rows) <= MAX_DRIVER_BATCH_ROWS
+        probe_rows = (
+            _probe_collect(batch_envelopes, MAX_DRIVER_BATCH_ROWS)
+            if driver_sized
+            else []
+        )
+    else:
+        probe_rows = _probe_collect(batch_envelopes, MAX_DRIVER_BATCH_ROWS)
+        driver_sized = len(probe_rows) <= MAX_DRIVER_BATCH_ROWS
     if driver_sized:
         parsed = parse_envelope_rows(probe_rows)
         seqs = [s for s, _, _ in parsed]
@@ -412,6 +436,13 @@ class ProjectionStream:
         # path.
         self.max_files_per_trigger = max_files_per_trigger
         self.query = None
+        # backlog lands in the first micro-batch after a (re)start (the
+        # file source delivers accumulated files there; a single giant
+        # file can exceed maxFilesPerTrigger's row bound) — that batch
+        # sizes itself seq-first so the oversized case never pulls raw
+        # payloads to the driver; steady-state batches keep the
+        # single-job probe
+        self._first_since_start = True
 
     def _process(self, batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -420,9 +451,17 @@ class ProjectionStream:
         # seq-dedup guards the crash window between append and sink commit
         full = self.spark.read.parquet(self.bronze_dir).dropDuplicates(["seq"])
         batch = batch_df.dropDuplicates(["seq"])
-        apply_batch(full, batch, self.sink, batch_id=batch_id)
+        apply_batch(
+            full,
+            batch,
+            self.sink,
+            batch_id=batch_id,
+            probe_seq_first=self._first_since_start,
+        )
+        self._first_since_start = False
 
     def start(self, available_now: bool = False, trigger_seconds: float = 2.0):
+        self._first_since_start = True  # a restart is a backlog window again
         reader = self.spark.readStream.schema(ENVELOPE_SCHEMA)
         if self.max_files_per_trigger is not None:
             reader = reader.option(

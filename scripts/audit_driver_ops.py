@@ -57,7 +57,11 @@ ALLOWLIST: dict[str, str] = {
     "streaming/incremental.py::_apply_incremental": "guarded by MAX_DRIVER_BATCH_ROWS with distributed fallback",
     "streaming/incremental.py::affected_keys": "scalar count guard",
     "streaming/runner.py::dehydrate": "scalar max(seq)",
-    "streaming/runner.py::apply_batch": "scalar max(seq)",
+    "streaming/runner.py::apply_batch": (
+        "scalar min/max(seq) aggregate, plus the backlog-path seq-only "
+        "size probe bounded at cap+1 LONG values by the limit() in the "
+        "same expression (probe_seq_first callers)"
+    ),
     "sinks/jdbc_sink.py::write_full": "per-partition executor writes; collect is DDL table list",
     "sinks/jdbc_sink.py::merge_incremental": "collects per-batch delta under the incremental row guard",
     "operators/hierarchical.py::hierarchical_cumsum": "#shards rows (scalar-sized totals)",

@@ -608,3 +608,53 @@ def test_projection_stream_checkpoint_restart(spark, envelopes, expected_tables)
         _assert_sink_matches(sink, expected_tables)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_apply_batch_probe_seq_first_skips_payload_pull(spark, monkeypatch):
+    """probe_seq_first=True (the backlog-plausible first batch after a
+    (re)start): an OVERSIZED batch must never collect payload rows at all
+    — the seq-only probe sizes it, min/max come from the distributed
+    aggregate, and the result still matches the full recompute. A
+    driver-sized batch under the same flag still collects its (bounded)
+    body once and applies identically."""
+    import open_ftth_relational_projector_spark.streaming.incremental as I
+    import open_ftth_relational_projector_spark.streaming.runner as R
+
+    env = spark.createDataFrame(
+        to_envelope_rows(generate(seed=23, scale=6)), ENVELOPE_SCHEMA
+    ).cache()
+    tables = project_all(EventLog.from_envelopes(env))
+    expected = {n: tables[n].toPandas() for n in PROJECTION_TABLES}
+
+    max_seq = env.agg({"seq": "max"}).collect()[0][0]
+    cut = int(max_seq * 0.5)
+
+    payload_pulls = []
+    real_probe = R._probe_collect
+
+    def counting_probe(batch_envelopes, cap):
+        rows = real_probe(batch_envelopes, cap)
+        payload_pulls.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(R, "_probe_collect", counting_probe)
+
+    # oversized (cap 0): payload probe must not run at all
+    monkeypatch.setattr(I, "MAX_DRIVER_BATCH_ROWS", 0)
+    sink = DuckDBSink()
+    dehydrate(env.filter(f"seq <= {cut}"), sink)
+    apply_batch(
+        env, env.filter(f"seq > {cut}"), sink, batch_id=0, probe_seq_first=True
+    )
+    assert payload_pulls == []
+    _assert_sink_matches(sink, expected)
+
+    # driver-sized under the flag: one bounded payload pull, same result
+    monkeypatch.setattr(I, "MAX_DRIVER_BATCH_ROWS", 10_000)
+    sink2 = DuckDBSink()
+    dehydrate(env.filter(f"seq <= {cut}"), sink2)
+    apply_batch(
+        env, env.filter(f"seq > {cut}"), sink2, batch_id=0, probe_seq_first=True
+    )
+    assert len(payload_pulls) == 1
+    _assert_sink_matches(sink2, expected)
