@@ -19,6 +19,16 @@ operators with a value-determinism contract on their input
 (operators/hierarchical, operators/quantiles) must not be fed a
 persisted nondeterministic frame; derive determinism from the data
 (hash columns), as every catalog entry does.
+
+Laziness exception: entries built on ``operators/quantiles.
+exact_quantiles`` (and anything else on ``operators/hierarchical``'s
+collected shard offsets) run bounded cluster jobs at DataFrame
+CONSTRUCTION time — the shard-bound sample and per-shard counts collect
+execute when the catalog function is CALLED, not at the later action.
+Plan-only callers (audits, speculative construction) therefore pay those
+jobs; the collected offsets are frozen at construction, which is exactly
+the value-determinism contract above. The operator docstring carries the
+same warning.
 """
 
 from __future__ import annotations

@@ -50,7 +50,7 @@ from ._registry import _q, _r4  # noqa: F401
            ROUND(LN(CAST(a.n_vocab AS DOUBLE))
                  / LN(CAST(a.n_tokens AS DOUBLE)), 4) AS heaps_beta,
            ROUND((o.sxy - o.n * o.mx * o.my)
-                 / (o.sxx - o.n * o.mx * o.mx), 4) AS zipf_slope
+                 / (o.sxx - o.n * o.mx * o.mx), 4) + 0 AS zipf_slope
     FROM agg a JOIN ols o ON a.source = o.source
     """,
 )
@@ -503,7 +503,7 @@ def kwic_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(x * y) AS sxy, SUM(x * x) AS sxx
       FROM px GROUP BY user_id)
     SELECT user_id, CAST(n AS BIGINT) AS n,
-           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) + 0 AS slope
     FROM s WHERE n >= 5 AND (n * sxx - sx * sx) > 1e-9
     """,
 )
@@ -559,12 +559,12 @@ def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM agg)
     SELECT CAST(na AS BIGINT) AS n_a, CAST(ca AS BIGINT) AS conv_a,
            CAST(nb AS BIGINT) AS n_b, CAST(cb AS BIGINT) AS conv_b,
-           ROUND((ca / CAST(na AS DOUBLE)) - (cb / CAST(nb AS DOUBLE)), 4)
+           ROUND((ca / CAST(na AS DOUBLE)) - (cb / CAST(nb AS DOUBLE)), 4) + 0
              AS lift,
            ROUND(((ca / CAST(na AS DOUBLE)) - (cb / CAST(nb AS DOUBLE)))
                  / SQRT(((ca + cb) / CAST(na + nb AS DOUBLE))
                         * (1 - (ca + cb) / CAST(na + nb AS DOUBLE))
-                        * (1.0 / na + 1.0 / nb)), 4) AS z
+                        * (1.0 / na + 1.0 / nb)), 4) + 0 AS z
     FROM wide
     """,
 )
@@ -1059,15 +1059,15 @@ from open_ftth_relational_projector_spark.functions.regression import (  # noqa:
 _OLS_MOMENTS_SQL = """
     m AS (
       SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-             CAST(SUM(x1) AS DOUBLE) AS s1,
-             CAST(SUM(x2) AS DOUBLE) AS s2,
-             CAST(SUM(y)  AS DOUBLE) AS sy,
-             CAST(SUM(x1 * x1) AS DOUBLE) AS s11,
-             CAST(SUM(x1 * x2) AS DOUBLE) AS s12,
-             CAST(SUM(x2 * x2) AS DOUBLE) AS s22,
-             CAST(SUM(x1 * y) AS DOUBLE) AS s1y,
-             CAST(SUM(x2 * y) AS DOUBLE) AS s2y,
-             CAST(SUM(y * y) AS DOUBLE) AS syy
+             CAST(CAST(SUM(x1) AS STRING) AS DOUBLE) AS s1,
+             CAST(CAST(SUM(x2) AS STRING) AS DOUBLE) AS s2,
+             CAST(CAST(SUM(y) AS STRING) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(x1 * x1) AS STRING) AS DOUBLE) AS s11,
+             CAST(CAST(SUM(x1 * x2) AS STRING) AS DOUBLE) AS s12,
+             CAST(CAST(SUM(x2 * x2) AS STRING) AS DOUBLE) AS s22,
+             CAST(CAST(SUM(x1 * y) AS STRING) AS DOUBLE) AS s1y,
+             CAST(CAST(SUM(x2 * y) AS STRING) AS DOUBLE) AS s2y,
+             CAST(CAST(SUM(y * y) AS STRING) AS DOUBLE) AS syy
       FROM feat),
     beta AS (
       SELECT *, {b0} AS b0, {b1} AS b1, {b2} AS b2 FROM m),
@@ -1095,9 +1095,9 @@ _OLS_MODEL_SQL = (
     )
     + """
     SELECT CAST(n AS BIGINT) AS n_rows,
-           ROUND(b0, 6) AS beta0, ROUND(b1, 6) AS beta1,
-           ROUND(b2, 6) AS beta2,
-           ROUND(1 - sse / sst, 6) AS r2,
+           ROUND(b0, 6) + 0 AS beta0, ROUND(b1, 6) + 0 AS beta1,
+           ROUND(b2, 6) + 0 AS beta2,
+           ROUND(1 - sse / sst, 6) + 0 AS r2,
            ROUND(SQRT(sse / n), 4) AS rmse
     FROM fit
     """
@@ -1355,14 +1355,14 @@ from open_ftth_relational_projector_spark.functions.sampling import (  # noqa: E
 # rest-of-world stats subtract ON THE DECIMALS before that conversion.
 _FDR_STATS_LIST = [
     "n1",
-    "CAST(s1d AS DOUBLE) / n1 AS m1",
-    "CAST(ss1d AS DOUBLE) / n1"
-    " - (CAST(s1d AS DOUBLE) / n1) * (CAST(s1d AS DOUBLE) / n1) AS v1",
+    "CAST(CAST(s1d AS STRING) AS DOUBLE) / n1 AS m1",
+    "CAST(CAST(ss1d AS STRING) AS DOUBLE) / n1"
+    " - (CAST(CAST(s1d AS STRING) AS DOUBLE) / n1) * (CAST(CAST(s1d AS STRING) AS DOUBLE) / n1) AS v1",
     "nt - n1 AS n2",
-    "CAST(std - s1d AS DOUBLE) / (nt - n1) AS m2",
-    "CAST(sstd - ss1d AS DOUBLE) / (nt - n1)"
-    " - (CAST(std - s1d AS DOUBLE) / (nt - n1))"
-    " * (CAST(std - s1d AS DOUBLE) / (nt - n1)) AS v2",
+    "CAST(CAST(std - s1d AS STRING) AS DOUBLE) / (nt - n1) AS m2",
+    "CAST(CAST(sstd - ss1d AS STRING) AS DOUBLE) / (nt - n1)"
+    " - (CAST(CAST(std - s1d AS STRING) AS DOUBLE) / (nt - n1))"
+    " * (CAST(CAST(std - s1d AS STRING) AS DOUBLE) / (nt - n1)) AS v2",
 ]
 _FDR_STATS = ", ".join(_FDR_STATS_LIST)
 _FDR_Z = "ROUND((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 6)"
@@ -1605,9 +1605,11 @@ def _corr_exprs(x: str, y: str) -> tuple[str, str]:
     """Shared covariance/correlation text over the exact-decimal moment
     sums (converted to DOUBLE only here, the regression.py contract)."""
     n = "CAST(n AS DOUBLE)"
-    sx, sy = f"CAST(s_{x} AS DOUBLE)", f"CAST(s_{y} AS DOUBLE)"
-    sxy = f"CAST(s_{x}{y} AS DOUBLE)"
-    sxx, syy = f"CAST(s_{x}{x} AS DOUBLE)", f"CAST(s_{y}{y} AS DOUBLE)"
+    sx = f"CAST(CAST(s_{x} AS STRING) AS DOUBLE)"
+    sy = f"CAST(CAST(s_{y} AS STRING) AS DOUBLE)"
+    sxy = f"CAST(CAST(s_{x}{y} AS STRING) AS DOUBLE)"
+    sxx = f"CAST(CAST(s_{x}{x} AS STRING) AS DOUBLE)"
+    syy = f"CAST(CAST(s_{y}{y} AS STRING) AS DOUBLE)"
     cov = f"({sxy} / {n} - ({sx} / {n}) * ({sy} / {n}))"
 
     def var(s1, s2):
@@ -1755,10 +1757,10 @@ def _kfold_sql() -> str:
     )
     t_sums = ", ".join(f"SUM(f_{m}) AS t_{m}" for m in OLS2_MOMENT_EXPRS)
     train_cols = ",\n             ".join(
-        f"CAST(t_{m} - f_{m} AS DOUBLE) AS {m}" for m in OLS2_MOMENT_EXPRS
+        f"CAST(CAST(t_{m} - f_{m} AS STRING) AS DOUBLE) AS {m}" for m in OLS2_MOMENT_EXPRS
     )
     test_cols = ",\n             ".join(
-        f"CAST(f_{m} AS DOUBLE) AS tf_{m}" for m in OLS2_MOMENT_EXPRS
+        f"CAST(CAST(f_{m} AS STRING) AS DOUBLE) AS tf_{m}" for m in OLS2_MOMENT_EXPRS
     )
     test_renames = ", ".join(f"tf_{m} AS {m}" for m in OLS2_MOMENT_EXPRS)
     return f"""
@@ -1787,8 +1789,8 @@ def _kfold_sql() -> str:
              n_test_d AS n, {test_renames}
       FROM fitted)
     SELECT fold, n_train, n_test,
-           ROUND(b0, 6) AS b0, ROUND(b1, 6) AS b1, ROUND(b2, 6) AS b2,
-           ROUND(1.0 - {OLS2_SSE} / {OLS2_SST}, 4) AS r2_oof,
+           ROUND(b0, 6) + 0 AS b0, ROUND(b1, 6) + 0 AS b1, ROUND(b2, 6) + 0 AS b2,
+           ROUND(1.0 - {OLS2_SSE} / {OLS2_SST}, 4) + 0 AS r2_oof,
            ROUND(sqrt(GREATEST({OLS2_SSE}, 0.0) / n), 4) AS rmse_oof
     FROM test
     """
@@ -1835,7 +1837,7 @@ def _conformal_sql() -> str:
     )
 
     sums = ",\n             ".join(
-        f"CAST(SUM(CASE WHEN fold >= 2 THEN {e} END) AS DOUBLE) AS {m}"
+        f"CAST(CAST(SUM(CASE WHEN fold >= 2 THEN {e} END) AS STRING) AS DOUBLE) AS {m}"
         for m, e in OLS2_MOMENT_EXPRS.items()
     )
     return f"""
@@ -1865,8 +1867,8 @@ def _conformal_sql() -> str:
                           THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
           FROM scored WHERE fold = 1)
     SELECT CAST(beta.n AS BIGINT) AS n_train, q.n_calib, t.n_test,
-           ROUND(beta.b0, 6) AS b0, ROUND(beta.b1, 6) AS b1,
-           ROUND(beta.b2, 6) AS b2,
+           ROUND(beta.b0, 6) + 0 AS b0, ROUND(beta.b1, 6) + 0 AS b1,
+           ROUND(beta.b2, 6) + 0 AS b2,
            ROUND(q.q90, 4) AS q90_width,
            ROUND(CAST(t.n_covered AS DOUBLE) / t.n_test, 4) AS test_coverage
     FROM beta CROSS JOIN q CROSS JOIN t
@@ -1909,8 +1911,12 @@ def ols_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(SUM(CASE WHEN fold >= 2 THEN 1 ELSE 0 END) AS DOUBLE)"
         ).alias("n"),
         *[
+            # same text as the oracle's train-moment conversion: string
+            # roundtrip = correctly-rounded DECIMAL→DOUBLE on both engines
+            # (dec2dbl_sql rationale in functions/regression.py)
             F.expr(
-                f"CAST(SUM(CASE WHEN fold >= 2 THEN {e} END) AS DOUBLE)"
+                f"CAST(CAST(SUM(CASE WHEN fold >= 2 THEN {e} END)"
+                " AS STRING) AS DOUBLE)"
             ).alias(mm)
             for mm, e in OLS2_MOMENT_EXPRS.items()
         ],
@@ -1975,9 +1981,9 @@ def ols_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_train",
             "n_calib",
             "n_test",
-            "ROUND(b0, 6) AS b0",
-            "ROUND(b1, 6) AS b1",
-            "ROUND(b2, 6) AS b2",
+            "ROUND(b0, 6) + 0 AS b0",
+            "ROUND(b1, 6) + 0 AS b1",
+            "ROUND(b2, 6) + 0 AS b2",
             "ROUND(q90, 4) AS q90_width",
             "ROUND(CAST(n_covered AS DOUBLE) / n_test, 4) AS test_coverage",
         )

@@ -116,7 +116,7 @@ def kmeans_cluster_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY y.vec_id, y.cid
     )
     SELECT a3.vec_id, a3.cid AS cluster_id,
-           ROUND(COALESCE(s.max_sim, -1.0), 4) AS max_intra_sim,
+           ROUND(COALESCE(s.max_sim, -1.0), 4) + 0 AS max_intra_sim,
            COALESCE(s.max_sim, -1.0) < 0.9 AS keep
     FROM a3 LEFT JOIN sims s ON s.vec_id = a3.vec_id
     """,
@@ -165,7 +165,7 @@ def semantic_dedup_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
                   AS w
            FROM counts)
     SELECT fb.doc_id, CAST(COUNT(*) AS INTEGER) AS n_feats,
-           ROUND(SUM(lw.w), 4) AS log_weight
+           ROUND(SUM(lw.w), 4) + 0 AS log_weight
     FROM fb JOIN lw USING (b)
     GROUP BY fb.doc_id
     """,
@@ -450,7 +450,7 @@ def bfs_purchase_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     c1 AS (SELECT w, COUNT(*) AS c1 FROM uni GROUP BY w),
     v AS (SELECT COUNT(DISTINCT w) AS v FROM uni)
     SELECT big.doc_id, CAST(COUNT(*) AS INTEGER) AS n_bigrams,
-           ROUND(AVG(LN((c2.c12 + 1.0) / (c1.c1 + v.v))), 4) AS avg_logprob
+           ROUND(AVG(LN((c2.c12 + 1.0) / (c1.c1 + v.v))), 4) + 0 AS avg_logprob
     FROM big JOIN c2 USING (bg)
     JOIN c1 ON c1.w = big.w1
     CROSS JOIN v
@@ -485,7 +485,7 @@ def bigram_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     c1 AS (SELECT w, COUNT(*) AS c1 FROM uni GROUP BY w),
     v AS (SELECT COUNT(DISTINCT w) AS v FROM uni),
     scores AS (
-      SELECT big.doc_id, ROUND(AVG(LN((c2.c12 + 1.0) / (c1.c1 + v.v))), 4)
+      SELECT big.doc_id, ROUND(AVG(LN((c2.c12 + 1.0) / (c1.c1 + v.v))), 4) + 0
                AS lp
       FROM big JOIN c2 USING (bg)
       JOIN c1 ON c1.w = big.w1
@@ -498,9 +498,9 @@ def bigram_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM scores s JOIN documents d USING (doc_id))
     SELECT lang, ppl_bucket,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           ROUND(AVG(lp), 4) AS mean_logprob,
-           ROUND(MIN(lp), 4) AS min_logprob,
-           ROUND(MAX(lp), 4) AS max_logprob
+           ROUND(AVG(lp), 4) + 0 AS mean_logprob,
+           ROUND(MIN(lp), 4) + 0 AS min_logprob,
+           ROUND(MAX(lp), 4) + 0 AS max_logprob
     FROM bucketed GROUP BY lang, ppl_bucket
     """,
 )
@@ -589,9 +589,9 @@ _LATENT_SQL = (
     u0 AS MATERIALIZED (SELECT DISTINCT c, 1.0 AS f FROM r),"""
     + ",".join(_pif_iter_sql(i) for i in (1, 2, 3))
     + """
-    SELECT 'part' AS entity, p AS entity_id, ROUND(f, 6) AS affinity FROM v3
+    SELECT 'part' AS entity, p AS entity_id, ROUND(f, 6) + 0 AS affinity FROM v3
     UNION ALL
-    SELECT 'customer', c, ROUND(f, 6) FROM u3
+    SELECT 'customer', c, ROUND(f, 6) + 0 FROM u3
     """
 )
 
@@ -785,13 +785,13 @@ _LATENT2_SQL = (
     + ",".join(_pif2_iter_sql(i) for i in (1, 2, 3))
     + """
     SELECT 'part' AS entity, p AS entity_id, 1 AS component,
-           ROUND(f, 6) AS affinity FROM v3
+           ROUND(f, 6) + 0 AS affinity FROM v3
     UNION ALL
-    SELECT 'part', p, 2, ROUND(f, 6) FROM x3
+    SELECT 'part', p, 2, ROUND(f, 6) + 0 FROM x3
     UNION ALL
-    SELECT 'customer', c, 1, ROUND(f, 6) FROM u3
+    SELECT 'customer', c, 1, ROUND(f, 6) + 0 FROM u3
     UNION ALL
-    SELECT 'customer', c, 2, ROUND(f, 6) FROM y3
+    SELECT 'customer', c, 2, ROUND(f, 6) + 0 FROM y3
     """
 )
 

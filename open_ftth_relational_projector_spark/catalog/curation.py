@@ -93,7 +93,7 @@ _CURATION_SQL = (
                    + LN(CAST((SELECT SUM(cr) FROM dcounts) + 256 AS DOUBLE))
                    AS w
             FROM dcounts),
-    dw AS (SELECT dfb.doc_id, ROUND(SUM(dlw.w), 4) AS log_weight
+    dw AS (SELECT dfb.doc_id, ROUND(SUM(dlw.w), 4) + 0 AS log_weight
            FROM dfb JOIN dlw USING (b) GROUP BY dfb.doc_id),
     ltok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
     lmu AS (SELECT doc_id, UNNEST(toks) AS w FROM ltok),
@@ -106,7 +106,7 @@ _CURATION_SQL = (
     lc1 AS (SELECT w, COUNT(*) AS c1 FROM lmu GROUP BY w),
     lv AS (SELECT COUNT(DISTINCT w) AS v FROM lmu),
     lms AS (SELECT lmb.doc_id,
-                   ROUND(AVG(LN((lc2.c12 + 1.0) / (lc1.c1 + lv.v))), 4)
+                   ROUND(AVG(LN((lc2.c12 + 1.0) / (lc1.c1 + lv.v))), 4) + 0
                      AS avg_logprob
             FROM lmb JOIN lc2 USING (bg)
             JOIN lc1 ON lc1.w = lmb.w1

@@ -254,7 +254,8 @@ def running_value_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events)
     SELECT event_id, user_id,
            ROUND(value - LAG(value, 1, 0.0)
-                 OVER (PARTITION BY user_id ORDER BY event_id), 4) AS delta_prev,
+                 OVER (PARTITION BY user_id ORDER BY event_id), 4) + 0
+             AS delta_prev,
            ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY sec
                  RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW), 4)
              AS day_window_sum

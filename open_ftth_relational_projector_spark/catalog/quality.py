@@ -192,7 +192,7 @@ def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT label,
            CAST(COUNT(*) AS INTEGER) AS n_vecs,
-           ROUND(AVG(dot_vc / (SQRT(vv) * SQRT(cc))), 4) AS avg_cos_to_centroid
+           ROUND(AVG(dot_vc / (SQRT(vv) * SQRT(cc))), 4) + 0 AS avg_cos_to_centroid
     FROM per_vec GROUP BY label
     """,
 )
@@ -381,7 +381,7 @@ def quality_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT ROUND(agree.a / n.n, 4) AS observed_agreement,
            ROUND(pe.e / (n.n * n.n), 4) AS expected_agreement,
            ROUND((agree.a / n.n - pe.e / (n.n * n.n))
-                 / (1.0 - pe.e / (n.n * n.n)), 4) AS kappa
+                 / (1.0 - pe.e / (n.n * n.n)), 4) + 0 AS kappa
     FROM agree CROSS JOIN n CROSS JOIN pe
     """,
 )
@@ -438,7 +438,7 @@ def lang_guess_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM g)
     SELECT g.s, g.n AS n_docs,
            ROUND(np / CAST(n AS DOUBLE), 4) AS frac_pos,
-           ROUND(s - np / CAST(n AS DOUBLE), 4) AS calib_gap,
+           ROUND(s - np / CAST(n AS DOUBLE), 4) + 0 AS calib_gap,
            ROUND(tot.bsum / tot.nn, 4) AS brier,
            ROUND(tot.rel / tot.nn, 4) AS reliability
     FROM g CROSS JOIN tot
@@ -477,7 +477,7 @@ def quality_brier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s",
         "n AS n_docs",
         "ROUND(np / CAST(n AS DOUBLE), 4) AS frac_pos",
-        "ROUND(s - np / CAST(n AS DOUBLE), 4) AS calib_gap",
+        "ROUND(s - np / CAST(n AS DOUBLE), 4) + 0 AS calib_gap",
         "ROUND(bsum / nn, 4) AS brier",
         "ROUND(rel / nn, 4) AS reliability",
     )

@@ -751,9 +751,9 @@ _SOLS_FEAT = """
       SELECT lang, n, b0, b1, b2, {OLS2_SSE} AS sse, {OLS2_SST} AS sst
       FROM beta)
     SELECT lang, CAST(n AS BIGINT) AS n_rows,
-           ROUND(b0, 6) AS beta0, ROUND(b1, 6) AS beta1,
-           ROUND(b2, 6) AS beta2,
-           ROUND(1 - sse / sst, 6) AS r2
+           ROUND(b0, 6) + 0 AS beta0, ROUND(b1, 6) + 0 AS beta1,
+           ROUND(b2, 6) + 0 AS beta2,
+           ROUND(1 - sse / sst, 6) + 0 AS r2
     FROM fit
     """,
 )
@@ -811,10 +811,10 @@ def stream_ols_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).selectExpr(
         "lang",
         "CAST(n AS BIGINT) AS n_rows",
-        "ROUND(b0, 6) AS beta0",
-        "ROUND(b1, 6) AS beta1",
-        "ROUND(b2, 6) AS beta2",
-        f"ROUND(1 - {OLS2_SSE} / {OLS2_SST}, 6) AS r2",
+        "ROUND(b0, 6) + 0 AS beta0",
+        "ROUND(b1, 6) + 0 AS beta1",
+        "ROUND(b2, 6) + 0 AS beta2",
+        f"ROUND(1 - {OLS2_SSE} / {OLS2_SST}, 6) + 0 AS r2",
     )
 
 

@@ -151,7 +151,7 @@ def conversion_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     ORDER BY ABS(cusum) DESC, event_id) AS rn
           FROM c)
     SELECT user_id, event_id AS changepoint_event,
-           ROUND(cusum, 4) AS peak_cusum
+           ROUND(cusum, 4) + 0 AS peak_cusum
     FROM r WHERE rn = 1
     """,
 )
@@ -546,7 +546,7 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM customer GROUP BY 1),
     r AS (
       SELECT NULLIF(c_mktsegment, 'BUILDING') AS seg,
-             ROUND(AVG(c_acctbal), 4) AS avg_bal
+             ROUND(AVG(c_acctbal), 4) + 0 AS avg_bal
       FROM customer GROUP BY 1)
     SELECT COALESCE(l.seg, '(null)') AS segment, l.n_customers, r.avg_bal
     FROM l JOIN r ON l.seg IS NOT DISTINCT FROM r.seg

@@ -1011,7 +1011,7 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dim_join_customer_geo",
     """
     SELECT r.r_name AS region, n.n_name AS nation,
-           COUNT(*) AS n_customers, ROUND(AVG(c.c_acctbal), 4) AS avg_acctbal
+           COUNT(*) AS n_customers, ROUND(AVG(c.c_acctbal), 4) + 0 AS avg_acctbal
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey

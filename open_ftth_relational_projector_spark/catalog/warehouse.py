@@ -141,7 +141,7 @@ def expectations_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_s AS (SELECT o_orderkey, o_totalprice, o_orderstatus
               FROM orders WHERE o_orderkey % 5 <> 0)
     SELECT change, CAST(COUNT(*) AS BIGINT) AS n_keys,
-           ROUND(COALESCE(SUM(delta), 0), 2) AS total_price_delta
+           ROUND(COALESCE(SUM(delta), 0), 2) + 0 AS total_price_delta
     FROM (
       SELECT CASE WHEN o.o_orderkey IS NULL THEN 'inserted'
                   WHEN n.o_orderkey IS NULL THEN 'deleted'
@@ -994,7 +994,7 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
     SELECT event_id, user_id,
-           ROUND((value - mu) / SQRT(m2 - mu * mu), 4) AS z
+           ROUND((value - mu) / SQRT(m2 - mu * mu), 4) + 0 AS z
     FROM st
     WHERE n >= 10 AND m2 - mu * mu > 1e-12
       AND ABS((value - mu) / SQRT(m2 - mu * mu)) > 3

@@ -67,6 +67,23 @@ OLS2_SSE = (
 OLS2_SST = "(syy - sy * sy / n)"
 
 
+def dec2dbl_sql(expr: str) -> str:
+    """Correctly-rounded DECIMAL→DOUBLE conversion in ENGINE-SHARED SQL
+    text. DuckDB's native DECIMAL→DOUBLE cast is double-rounded (int128
+    significand → double, then a scale multiply — two IEEE roundings),
+    while Spark's goes through BigDecimal and rounds once; on moment sums
+    whose significand exceeds 2^53 the results differ by 1 ulp (measured:
+    the r8 sweep caught kfold's s2y/syy moments diverging at sf0.001,
+    flipping b0 across a 6-dp ROUND boundary). Routing through a STRING
+    (decimal→string is exact digits on both engines; string→double parse
+    is correctly rounded in both fast_float and Double.parseDouble) makes
+    the conversion bit-identical cross-engine. DuckDB accepts STRING as a
+    VARCHAR alias, so the same text runs on both engines — and on the
+    Spark side the value is UNCHANGED (its direct cast was already
+    correctly rounded), so pre-r8 driver-green rows cannot move."""
+    return f"CAST(CAST({expr} AS STRING) AS DOUBLE)"
+
+
 def ols2_moments(df: DataFrame, x1: str, x2: str, y: str) -> DataFrame:
     """ONE distributed pass → a single row of exact-decimal moment sums
     (cast to double after the exact aggregation)."""
@@ -198,8 +215,8 @@ def ols2_kfold(
         "fold",
         "tn - fn AS n",
         "fn AS n_test_d",
-        *[f"CAST(t_{m} - f_{m} AS DOUBLE) AS {m}" for m in OLS2_MOMENT_EXPRS],
-        *[f"CAST(f_{m} AS DOUBLE) AS tf_{m}" for m in OLS2_MOMENT_EXPRS],
+        *[f"{dec2dbl_sql(f't_{m} - f_{m}')} AS {m}" for m in OLS2_MOMENT_EXPRS],
+        *[f"{dec2dbl_sql(f'f_{m}')} AS tf_{m}" for m in OLS2_MOMENT_EXPRS],
     )
     fitted = train.selectExpr(
         "*", f"{OLS2_B0} AS b0", f"{OLS2_B1} AS b1", f"{OLS2_B2} AS b2"
@@ -216,10 +233,10 @@ def ols2_kfold(
         "fold",
         "n_train",
         "n_test",
-        "ROUND(b0, 6) AS b0",
-        "ROUND(b1, 6) AS b1",
-        "ROUND(b2, 6) AS b2",
-        f"ROUND(1.0 - {OLS2_SSE} / {OLS2_SST}, 4) AS r2_oof",
+        "ROUND(b0, 6) + 0 AS b0",
+        "ROUND(b1, 6) + 0 AS b1",
+        "ROUND(b2, 6) + 0 AS b2",
+        f"ROUND(1.0 - {OLS2_SSE} / {OLS2_SST}, 4) + 0 AS r2_oof",
         # GREATEST(·, 0): on an exactly-linear fold the SSE identity
         # cancels to ~±1e-9 in doubles; a tiny negative would sqrt to NaN
         f"ROUND(sqrt(GREATEST({OLS2_SSE}, 0.0) / n), 4) AS rmse_oof",
