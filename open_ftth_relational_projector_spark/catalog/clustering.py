@@ -14,6 +14,15 @@ from open_ftth_relational_projector_spark.operators import asof_join, latest_by_
 from open_ftth_relational_projector_spark.functions import dedup as D  # noqa: F401
 from open_ftth_relational_projector_spark.functions import similarity as S  # noqa: F401
 from open_ftth_relational_projector_spark.functions import text as TXT  # noqa: F401
+from open_ftth_relational_projector_spark.functions.factorization import (  # noqa: F401
+    dec2dbl_expr,
+    deflated_raw_sql,
+    dot_sum_sql,
+    fi_to_f_sql,
+    matvec_sum_sql,
+    normsq_sum_sql,
+    repin_sql,
+)
 from open_ftth_relational_projector_spark.functions.multimodal import (  # noqa: F401
     attach_binary,
     extract_features,
@@ -564,34 +573,45 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- r5 continuation: dimensionality reduction + latent factors ------------
 
 
+def _pif_norm_sql(raw_cte: str) -> str:
+    """Shared normalize-and-re-pin: integer matvec result -> next integer
+    factor state (functions/factorization exact contract; the helpers ARE
+    the Spark side's expression text, so the twin holds by construction)."""
+    norm = f"(SELECT SQRT({dec2dbl_expr(normsq_sum_sql('s'))}) FROM {raw_cte})"
+    return repin_sql(f"{dec2dbl_expr('s')} / {norm}", 10)
+
+
 def _pif_iter_sql(i: int) -> str:
     """One alternating power-iteration round in SQL: column half-step then
-    row half-step, each L2-normalized and ROUNDED to 10 dp (the
-    functions/factorization determinism contract)."""
+    row half-step, each an EXACT integer matvec (order-independent decimal
+    sums) + L2 normalize + integer re-pin at 10 dp — the exact-state
+    determinism contract of functions/factorization (round 8)."""
     return f"""
-    v{i}r AS MATERIALIZED (SELECT p, SUM(r.w * u{i - 1}.f) AS s
+    v{i}r AS MATERIALIZED (SELECT p, {matvec_sum_sql('r.wi', f'u{i - 1}.fi')} AS s
               FROM r JOIN u{i - 1} USING (c) GROUP BY p),
-    v{i} AS MATERIALIZED (SELECT p, ROUND(s / (SELECT SQRT(SUM(s * s)) FROM v{i}r), 10) AS f
+    v{i} AS MATERIALIZED (SELECT p, {_pif_norm_sql(f'v{i}r')} AS fi
              FROM v{i}r),
-    u{i}r AS MATERIALIZED (SELECT c, SUM(r.w * v{i}.f) AS s
+    u{i}r AS MATERIALIZED (SELECT c, {matvec_sum_sql('r.wi', f'v{i}.fi')} AS s
               FROM r JOIN v{i} USING (p) GROUP BY c),
-    u{i} AS MATERIALIZED (SELECT c, ROUND(s / (SELECT SQRT(SUM(s * s)) FROM u{i}r), 10) AS f
+    u{i} AS MATERIALIZED (SELECT c, {_pif_norm_sql(f'u{i}r')} AS fi
              FROM u{i}r)"""
 
+
+_AFF_V = f"ROUND({fi_to_f_sql('fi', 10)}, 6) + 0"
 
 _LATENT_SQL = (
     """
     WITH r AS MATERIALIZED (
       SELECT o_custkey AS c, l_partkey AS p,
-             CAST(SUM(l_quantity) AS DOUBLE) AS w
+             CAST(ROUND(SUM(l_quantity) * 1e2, 0) AS BIGINT) AS wi
       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       GROUP BY 1, 2),
-    u0 AS MATERIALIZED (SELECT DISTINCT c, 1.0 AS f FROM r),"""
+    u0 AS MATERIALIZED (SELECT DISTINCT c, CAST(10000000000 AS BIGINT) AS fi FROM r),"""
     + ",".join(_pif_iter_sql(i) for i in (1, 2, 3))
-    + """
-    SELECT 'part' AS entity, p AS entity_id, ROUND(f, 6) + 0 AS affinity FROM v3
+    + f"""
+    SELECT 'part' AS entity, p AS entity_id, {_AFF_V} AS affinity FROM v3
     UNION ALL
-    SELECT 'customer', c, ROUND(f, 6) + 0 FROM u3
+    SELECT 'customer', c, {_AFF_V} FROM u3
     """
 )
 
@@ -603,9 +623,11 @@ def latent_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     singular pair as a latent "affinity" score per part and per customer,
     the collaborative-filtering signal behind item similarity and data
     mixture weighting (functions/factorization.power_iteration_factors).
-    Per-half-iteration L2 normalization + 10-dp rounding is the same
-    cross-engine determinism contract as pagerank/kmeans; the oracle
-    unrolls the three rounds in SQL. Each half-step is one keyed join +
+    Per-half-iteration L2 normalization + integer re-pin at 10 dp is the
+    EXACT determinism contract (round 8: factor state is an integer-scaled
+    BIGINT and every iteration aggregate is an order-independent exact
+    decimal sum — see functions/factorization); the oracle unrolls the
+    three rounds in SQL from the same shared expression text. Each half-step is one keyed join +
     one map-side-combined groupBy over nnz(R); norms are scalar aggregates
     broadcast back (no OVER () window)."""
     from open_ftth_relational_projector_spark.functions.factorization import (
@@ -740,32 +762,44 @@ def jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pif2_norm_sql(raw_cte: str) -> str:
+    """Normalize-and-re-pin over the deflated integer state ``si``."""
+    norm = f"(SELECT SQRT({dec2dbl_expr(normsq_sum_sql('si'))}) FROM {raw_cte})"
+    return repin_sql(f"{dec2dbl_expr('si')} / {norm}", 10)
+
+
 def _pif2_iter_sql(i: int) -> str:
     """One DEFLATED alternating round in SQL: the rank-1 correction is
     applied as −σ₁·factor₁·(overlap scalar) per side — R₂ never
-    materializes, mirroring functions/factorization._deflated_half_step."""
+    materializes, mirroring functions/factorization._deflated_half_step
+    under the exact-integer contract: the matvec and both scalar
+    aggregates are exact decimal sums of integer products; the one double
+    combination re-pins to integer state (si) BEFORE its norm."""
+    ov_x = (
+        f"(SELECT {dec2dbl_expr(dot_sum_sql(f'y{i - 1}.fi', 'u3.fi'))} / 1e20"
+        f" FROM y{i - 1} JOIN u3 USING (c))"
+    )
+    ov_y = (
+        f"(SELECT {dec2dbl_expr(dot_sum_sql(f'x{i}.fi', 'v3.fi'))} / 1e20"
+        f" FROM x{i} JOIN v3 USING (p))"
+    )
+    sig = "(SELECT s1 FROM sigma)"
     return f"""
     x{i}r AS MATERIALIZED (
       SELECT v3.p,
-             COALESCE(b.s0, 0)
-               - (SELECT s1 FROM sigma) * v3.f
-                 * (SELECT SUM(y{i - 1}.f * u3.f)
-                    FROM y{i - 1} JOIN u3 USING (c)) AS s
+             {repin_sql(deflated_raw_sql('b.s0', sig, 'v3.fi', ov_x, 10, 2), 10)} AS si
       FROM v3 LEFT JOIN (
-        SELECT p, SUM(r.w * y{i - 1}.f) AS s0
+        SELECT p, {matvec_sum_sql('r.wi', f'y{i - 1}.fi')} AS s0
         FROM r JOIN y{i - 1} USING (c) GROUP BY p) b USING (p)),
-    x{i} AS MATERIALIZED (SELECT p, ROUND(s / (SELECT SQRT(SUM(s * s)) FROM x{i}r), 10) AS f
+    x{i} AS MATERIALIZED (SELECT p, {_pif2_norm_sql(f'x{i}r')} AS fi
              FROM x{i}r),
     y{i}r AS MATERIALIZED (
       SELECT u3.c,
-             COALESCE(b.s0, 0)
-               - (SELECT s1 FROM sigma) * u3.f
-                 * (SELECT SUM(x{i}.f * v3.f)
-                    FROM x{i} JOIN v3 USING (p)) AS s
+             {repin_sql(deflated_raw_sql('b.s0', sig, 'u3.fi', ov_y, 10, 2), 10)} AS si
       FROM u3 LEFT JOIN (
-        SELECT c, SUM(r.w * x{i}.f) AS s0
+        SELECT c, {matvec_sum_sql('r.wi', f'x{i}.fi')} AS s0
         FROM r JOIN x{i} USING (p) GROUP BY c) b USING (c)),
-    y{i} AS MATERIALIZED (SELECT c, ROUND(s / (SELECT SQRT(SUM(s * s)) FROM y{i}r), 10) AS f
+    y{i} AS MATERIALIZED (SELECT c, {_pif2_norm_sql(f'y{i}r')} AS fi
              FROM y{i}r)"""
 
 
@@ -773,25 +807,25 @@ _LATENT2_SQL = (
     """
     WITH r AS MATERIALIZED (
       SELECT o_custkey AS c, l_partkey AS p,
-             CAST(SUM(l_quantity) AS DOUBLE) AS w
+             CAST(ROUND(SUM(l_quantity) * 1e2, 0) AS BIGINT) AS wi
       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       GROUP BY 1, 2),
-    u0 AS MATERIALIZED (SELECT DISTINCT c, 1.0 AS f FROM r),"""
+    u0 AS MATERIALIZED (SELECT DISTINCT c, CAST(10000000000 AS BIGINT) AS fi FROM r),"""
     + ",".join(_pif_iter_sql(i) for i in (1, 2, 3))
-    + """,
-    sigma AS MATERIALIZED (SELECT SUM(r.w * u3.f * v3.f) AS s1
+    + f""",
+    sigma AS MATERIALIZED (SELECT {dec2dbl_expr(dot_sum_sql('r.wi * u3.fi', 'v3.fi'))} / 1e22 AS s1
               FROM r JOIN u3 USING (c) JOIN v3 USING (p)),
-    y0 AS MATERIALIZED (SELECT DISTINCT c, 1.0 AS f FROM r),"""
+    y0 AS MATERIALIZED (SELECT DISTINCT c, CAST(10000000000 AS BIGINT) AS fi FROM r),"""
     + ",".join(_pif2_iter_sql(i) for i in (1, 2, 3))
-    + """
+    + f"""
     SELECT 'part' AS entity, p AS entity_id, 1 AS component,
-           ROUND(f, 6) + 0 AS affinity FROM v3
+           {_AFF_V} AS affinity FROM v3
     UNION ALL
-    SELECT 'part', p, 2, ROUND(f, 6) + 0 FROM x3
+    SELECT 'part', p, 2, {_AFF_V} FROM x3
     UNION ALL
-    SELECT 'customer', c, 1, ROUND(f, 6) + 0 FROM u3
+    SELECT 'customer', c, 1, {_AFF_V} FROM u3
     UNION ALL
-    SELECT 'customer', c, 2, ROUND(f, 6) + 0 FROM y3
+    SELECT 'customer', c, 2, {_AFF_V} FROM y3
     """
 )
 
@@ -804,8 +838,10 @@ def latent_rank2_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     R₂ = R − σ₁u₁v₁ᵀ is dense and never materialized; every half-step
     applies the correction as −σ₁·factor₁·(overlap scalar), one broadcast
     scalar + one keyed join, keeping deflation linear in nnz(R) at any
-    scale. Same 10-dp per-half-iteration rounding contract; the oracle
-    unrolls both components' iterations in SQL."""
+    scale. Same exact-integer state contract (the deflated combination is
+    the one double expression, re-pinned to integer state before its
+    norm); the oracle unrolls both components' iterations in SQL from the
+    same shared expression text."""
     from open_ftth_relational_projector_spark.functions.factorization import (
         power_iteration_rank2,
     )

@@ -11,12 +11,28 @@ matrix-vector product applies the rank-1 correction as
 R₂y = Ry − σ₁·u₁·(v₁ᵀy), one broadcast scalar + one keyed join — the trick
 that keeps deflation linear in nnz(R) at any scale.
 
-Determinism contract (same as functions/graph.pagerank and
-functions/clustering.kmeans_fit): both factor vectors are L2-normalized and
-ROUNDED to ``iter_dp`` decimals after every half-iteration, so ulp-level
-float-sum ordering differences between engines (or between Spark partial
-aggregation orders) cannot compound across iterations and an unrolled SQL
-oracle hash-matches.
+Determinism contract (EXACT, upgraded in round 8): the factor vector is
+carried as an integer-scaled BIGINT ``fi = round(f · 10^iter_dp)`` and the
+ratings weight as an exact BIGINT, so every aggregation in the iteration —
+the matrix-vector products, the L2 norm squares, σ₁ and the deflation
+overlaps — sums EXACT integers (widened to DECIMAL, which is
+summation-order-independent). The only floating-point arithmetic is the
+final normalize ratio per half-step, evaluated on identical inputs with
+identical shared expression text, so every iterate is bit-identical
+cross-engine AND across Spark partial-aggregation orders. The previous
+contract (round the double factor to 10 dp each half-step, like
+functions/graph.pagerank) only bounded drift probabilistically: a
+double-sum ulp difference landing within an ulp of a rounding boundary
+escaped the pin — the r8 bit-level sweep caught exactly one such escape
+(latent_rank2_affinity at sf0.1). Integer state closes the class.
+
+Exactness bounds (loud, not silent, on violation — DECIMAL overflow raises
+in DuckDB and nulls the aggregate in Spark, failing any differential
+check): with integer weights ≤ W and ≤ n_k matrix rows joined per output
+key, the matvec sum needs W·n_k < 10^(19−iter_dp) for its DECIMAL(19,0)
+norm-stage downcast (catalog scale: W ≈ 3·10², n_k ≤ 10⁵ at 100× — five
+orders of margin at iter_dp=10, where the bound is 10⁹); norm-square sums
+stay under DECIMAL(38,0) for raw values below ~10⁷·10^iter_dp.
 
 Scale shape: each half-iteration is one join keyed on the ratings matrix's
 row (or column) key + one map-side-combined groupBy — both linear in
@@ -38,6 +54,54 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def _scale(iter_dp: int) -> str:
+    """The factor scale 10^iter_dp as shared literal text (1e10 etc.)."""
+    return f"1e{iter_dp}"
+
+
+def matvec_sum_sql(w: str, fi: str) -> str:
+    """Exact matrix-vector partial: Σ w·fi as DECIMAL(38,0) — identical
+    text on both engines; the BIGINT product is exact (w·fi ≤ W·10^dp,
+    far under 2^63 at the documented bounds) and the DECIMAL sum is
+    order-independent."""
+    return f"SUM(CAST({w} * {fi} AS DECIMAL(38,0)))"
+
+
+def normsq_sum_sql(s: str) -> str:
+    """Exact Σ s² over the integer matvec results (DECIMAL(19,0) downcast
+    pins the documented range bound loudly; the (19,0)×(19,0) product is
+    DECIMAL(38,0)-exact on both engines)."""
+    return (
+        f"SUM(CAST({s} AS DECIMAL(19,0)) * CAST({s} AS DECIMAL(19,0)))"
+    )
+
+
+def dot_sum_sql(a: str, b: str) -> str:
+    """Exact Σ a·b for two integer-scaled factor columns (each ≤ 10^dp:
+    the (19,0)×(19,0) product is exact)."""
+    return f"SUM(CAST({a} AS DECIMAL(19,0)) * CAST({b} AS DECIMAL(19,0)))"
+
+
+def dec2dbl_expr(expr: str) -> str:
+    """Correctly-rounded DECIMAL→DOUBLE, shared text (see
+    functions/regression.dec2dbl_sql for the double-rounding rationale)."""
+    return f"CAST(CAST({expr} AS STRING) AS DOUBLE)"
+
+
+def repin_sql(x_dbl: str, iter_dp: int) -> str:
+    """Deterministic double → integer factor state: round half-away at
+    10^-iter_dp and store the scaled BIGINT (ROUND(x, 0) rounds half away
+    from zero on both engines; the cast is exact below 2^63)."""
+    return f"CAST(ROUND(({x_dbl}) * {_scale(iter_dp)}, 0) AS BIGINT)"
+
+
+def fi_to_f_sql(fi: str, iter_dp: int) -> str:
+    """Integer factor state → its exact double value (fi ≤ 10^iter_dp is
+    exactly representable; the division by a power of ten is one
+    deterministic IEEE rounding, identical on both engines)."""
+    return f"(CAST({fi} AS DOUBLE) / {_scale(iter_dp)})"
+
+
 def power_iteration_factors(
     ratings: DataFrame,
     row_col: str = "row_id",
@@ -45,48 +109,64 @@ def power_iteration_factors(
     value_col: str = "rating",
     iters: int = 3,
     iter_dp: int = 10,
+    weight_dp: int = 2,
 ) -> tuple[DataFrame, DataFrame]:
     """Alternating rank-1 power iteration over a sparse ratings matrix.
 
-    Returns ``(row_factors, col_factors)``: DataFrames
-    ``(row_col, factor double)`` / ``(col_col, factor double)``, each an
-    L2-unit vector rounded to ``iter_dp`` (the dominant left/right singular
-    directions of R after ``iters`` alternations from u = 1⃗).
+    ``value_col`` must be exact at ``weight_dp`` decimals (the exactness
+    contract — the integer weight state is round(w·10^weight_dp); the
+    catalog's integer quantity sums satisfy any weight_dp). The rank-1
+    normalize ratio cancels the weight scale, so weight_dp only widens
+    the intermediate bounds. Returns ``(row_factors, col_factors)``:
+    DataFrames ``(row_col, factor double)`` / ``(col_col, factor double)``,
+    each an L2-unit vector at 10^-iter_dp resolution (the dominant
+    left/right singular directions of R after ``iters`` alternations from
+    u = 1⃗).
     """
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
     r = (
-        ratings.select(
-            F.col(row_col).alias("_r"),
-            F.col(col_col).alias("_c"),
-            F.col(value_col).cast("double").alias("_w"),
+        ratings.selectExpr(
+            f"{row_col} AS _r",
+            f"{col_col} AS _c",
+            f"CAST(ROUND({value_col} * 1e{weight_dp}, 0) AS BIGINT) AS _wi",
         )
         .localCheckpoint(eager=True)
     )
-    u = r.select("_r").distinct().withColumn("_f", F.lit(1.0))
+    one = 10**iter_dp
+    u = r.select("_r").distinct().withColumn("_fi", F.expr(f"CAST({one} AS BIGINT)"))
     v = None
     for _ in range(iters):
         v = _half_step(r, u, "_r", "_c", iter_dp)
         u = _half_step(r, v, "_c", "_r", iter_dp)
-    row_factors = u.select(F.col("_r").alias(row_col), F.col("_f").alias("factor"))
-    col_factors = v.select(F.col("_c").alias(col_col), F.col("_f").alias("factor"))
+    row_factors = u.selectExpr(
+        f"_r AS {row_col}", f"{fi_to_f_sql('_fi', iter_dp)} AS factor"
+    )
+    col_factors = v.selectExpr(
+        f"_c AS {col_col}", f"{fi_to_f_sql('_fi', iter_dp)} AS factor"
+    )
     return row_factors, col_factors
 
 
 def _half_step(
     r: DataFrame, fac: DataFrame, join_key: str, out_key: str, iter_dp: int
 ) -> DataFrame:
-    """One matrix-vector product + L2 normalization + determinism rounding.
+    """One matrix-vector product + L2 normalization + integer re-pin.
 
-    raw(out) = Σ_join w·f  — one keyed join + one map-side-combined groupBy;
-    the norm is a scalar aggregate joined back via crossJoin(broadcast).
+    raw(out) = Σ_join w·fi — one keyed join + one map-side-combined
+    groupBy, EXACT (decimal sum of integer products); the norm is a scalar
+    aggregate joined back via crossJoin(broadcast). The normalize ratio is
+    the only double arithmetic: scales cancel (both numerator and norm
+    carry 10^iter_dp), and the result re-pins to integer state.
     """
     raw = (
-        r.join(fac.select(join_key, "_f"), join_key)
+        r.join(fac.select(join_key, "_fi"), join_key)
         .groupBy(out_key)
-        .agg(F.sum(F.col("_w") * F.col("_f")).alias("_s"))
+        .agg(F.expr(matvec_sum_sql("_wi", "_fi")).alias("_s"))
     )
-    nrm = raw.agg(F.sqrt(F.sum(F.col("_s") * F.col("_s"))).alias("_n"))
+    nrm = raw.agg(
+        F.expr(f"SQRT({dec2dbl_expr(normsq_sum_sql('_s'))})").alias("_n")
+    )
     # localCheckpoint per half-step: `raw` is referenced TWICE (norm branch
     # + value branch), so without truncation the logical plan doubles every
     # half-step — 2^(2·iters) copies of the first join by the end. The
@@ -95,7 +175,10 @@ def _half_step(
     # matrix's row/col count — the standard iterative-DataFrame guard.
     return (
         raw.crossJoin(F.broadcast(nrm))
-        .select(out_key, F.round(F.col("_s") / F.col("_n"), iter_dp).alias("_f"))
+        .selectExpr(
+            out_key,
+            f"{repin_sql(dec2dbl_expr('_s') + ' / _n', iter_dp)} AS _fi",
+        )
         .localCheckpoint(eager=True)
     )
 
@@ -107,66 +190,99 @@ def power_iteration_rank2(
     value_col: str = "rating",
     iters: int = 3,
     iter_dp: int = 10,
+    weight_dp: int = 2,
 ) -> tuple[DataFrame, DataFrame]:
     """First TWO singular components via implicit deflation.
 
     Returns ``(row_factors, col_factors)``: DataFrames
     ``(row_col, component int, factor double)`` with component 1 the
     rank-1 result and component 2 the dominant direction of
-    R − σ₁u₁v₁ᵀ, iterated from y = 1⃗ with the same per-half-step
-    normalize+round contract. σ₁ is estimated as u₁ᵀRv₁ (a single scalar
-    aggregate). The deflated matrix is never materialized: each half-step
-    computes Ry (keyed join + groupBy) minus σ₁·u₁·(v₁ᵀy) (two broadcast
-    scalars applied along the component-1 factor). Component-2 values can
-    be negative; sign is deterministic because the start vector and every
-    rounding step are.
+    R − σ₁u₁v₁ᵀ, iterated from y = 1⃗ with the same exact-integer
+    normalize+re-pin contract. σ₁ is estimated as u₁ᵀRv₁ (a single exact
+    scalar aggregate). The deflated matrix is never materialized: each
+    half-step computes Ry (keyed join + groupBy, exact) minus
+    σ₁·u₁·(v₁ᵀy) (two broadcast scalars applied along the component-1
+    factor — the one double-arithmetic combination, re-pinned to integer
+    state before its norm so the norm sum is exact again). Component-2
+    values can be negative; sign is deterministic because the start vector
+    and every re-pin are.
     """
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
     r = (
-        ratings.select(
-            F.col(row_col).alias("_r"),
-            F.col(col_col).alias("_c"),
-            F.col(value_col).cast("double").alias("_w"),
+        ratings.selectExpr(
+            f"{row_col} AS _r",
+            f"{col_col} AS _c",
+            f"CAST(ROUND({value_col} * 1e{weight_dp}, 0) AS BIGINT) AS _wi",
         )
         .localCheckpoint(eager=True)
     )
-    u1 = r.select("_r").distinct().withColumn("_f", F.lit(1.0))
+    one = 10**iter_dp
+    u1 = r.select("_r").distinct().withColumn(
+        "_fi", F.expr(f"CAST({one} AS BIGINT)")
+    )
     v1 = None
     for _ in range(iters):
         v1 = _half_step(r, u1, "_r", "_c", iter_dp)
         u1 = _half_step(r, v1, "_c", "_r", iter_dp)
+    # σ₁ = u₁ᵀRv₁: w·ui fits BIGINT exactly (≤ W·10^dp), the second
+    # product widens to DECIMAL — exact, order-independent; the scalar
+    # carries scale 10^(2·dp)
     sig = (
-        r.join(u1.select("_r", F.col("_f").alias("_g")), "_r")
-        .join(v1.select("_c", F.col("_f").alias("_h")), "_c")
-        .agg(F.sum(F.col("_w") * F.col("_g") * F.col("_h")).alias("_s1"))
+        r.join(u1.selectExpr("_r", "_fi AS _gi"), "_r")
+        .join(v1.selectExpr("_c", "_fi AS _hi"), "_c")
+        .agg(
+            F.expr(
+                f"{dec2dbl_expr(dot_sum_sql('_wi * _gi', '_hi'))}"
+                f" / 1e{2 * iter_dp + weight_dp}"
+            ).alias("_s1")
+        )
         # computed once: every deflated half-step broadcasts this scalar,
         # and without the checkpoint each of the 2·iters steps would
         # re-evaluate the three-way join-aggregate over R
         .localCheckpoint(eager=True)
     )
-    y = r.select("_r").distinct().withColumn("_f", F.lit(1.0))
+    y = r.select("_r").distinct().withColumn(
+        "_fi", F.expr(f"CAST({one} AS BIGINT)")
+    )
     x = None
     for _ in range(iters):
-        x = _deflated_half_step(r, y, u1, v1, sig, "_r", "_c", iter_dp)
-        y = _deflated_half_step(r, x, v1, u1, sig, "_c", "_r", iter_dp)
+        x = _deflated_half_step(r, y, u1, v1, sig, "_r", "_c", iter_dp, weight_dp)
+        y = _deflated_half_step(r, x, v1, u1, sig, "_c", "_r", iter_dp, weight_dp)
+    f_out = fi_to_f_sql("_fi", iter_dp)
     row_factors = (
-        u1.select(F.col("_r").alias(row_col), F.lit(1).alias("component"),
-                  F.col("_f").alias("factor"))
+        u1.selectExpr(f"_r AS {row_col}", "1 AS component", f"{f_out} AS factor")
+        .withColumn("component", F.col("component").cast("int"))
         .unionByName(
-            y.select(F.col("_r").alias(row_col), F.lit(2).alias("component"),
-                     F.col("_f").alias("factor"))
+            y.selectExpr(
+                f"_r AS {row_col}", "2 AS component", f"{f_out} AS factor"
+            ).withColumn("component", F.col("component").cast("int"))
         )
     )
     col_factors = (
-        v1.select(F.col("_c").alias(col_col), F.lit(1).alias("component"),
-                  F.col("_f").alias("factor"))
+        v1.selectExpr(f"_c AS {col_col}", "1 AS component", f"{f_out} AS factor")
+        .withColumn("component", F.col("component").cast("int"))
         .unionByName(
-            x.select(F.col("_c").alias(col_col), F.lit(2).alias("component"),
-                     F.col("_f").alias("factor"))
+            x.selectExpr(
+                f"_c AS {col_col}", "2 AS component", f"{f_out} AS factor"
+            ).withColumn("component", F.col("component").cast("int"))
         )
     )
     return row_factors, col_factors
+
+
+def deflated_raw_sql(
+    s0: str, s1: str, gi: str, d: str, iter_dp: int, weight_dp: int
+) -> str:
+    """The deflated raw value as shared double text:
+    base/scale − σ₁·g·overlap, with base NULL-coalesced to 0 (an output
+    key can miss the join when fac has exact zeros). The base matvec
+    carries scale 10^(iter_dp + weight_dp); σ₁ and the overlap arrive
+    already de-scaled."""
+    return (
+        f"(COALESCE({dec2dbl_expr(s0)}, 0.0) / 1e{iter_dp + weight_dp}"
+        f" - {s1} * {fi_to_f_sql(gi, iter_dp)} * {d})"
+    )
 
 
 def _deflated_half_step(
@@ -178,6 +294,7 @@ def _deflated_half_step(
     join_key: str,
     out_key: str,
     iter_dp: int,
+    weight_dp: int,
 ) -> DataFrame:
     """One deflated matrix-vector product: (R − σ₁u₁v₁ᵀ)ᵀ·fac along one side.
 
@@ -185,33 +302,42 @@ def _deflated_half_step(
     raw(out) = Σ_join w·f  −  σ₁ · out1(out) · (par1ᵀ·fac); the overlap
     par1ᵀ·fac and σ₁ are scalar aggregates broadcast back, and out1 (which
     spans the FULL output-key support, unlike the join aggregate when fac
-    has exact zeros) anchors a left join so no key drops out.
+    has exact zeros) anchors a left join so no key drops out. The raw
+    combination is double arithmetic on deterministic inputs; it re-pins
+    to integer state (``_si``) BEFORE the norm, so the norm sum is exact.
     """
     overlap = (
-        fac.join(par1.select(join_key, F.col("_f").alias("_g")), join_key)
-        .agg(F.sum(F.col("_f") * F.col("_g")).alias("_d"))
+        fac.join(par1.selectExpr(join_key, "_fi AS _gi"), join_key)
+        .agg(
+            F.expr(
+                f"{dec2dbl_expr(dot_sum_sql('_fi', '_gi'))} / 1e{2 * iter_dp}"
+            ).alias("_d")
+        )
     )
     base = (
-        r.join(fac.select(join_key, "_f"), join_key)
+        r.join(fac.select(join_key, "_fi"), join_key)
         .groupBy(out_key)
-        .agg(F.sum(F.col("_w") * F.col("_f")).alias("_s0"))
+        .agg(F.expr(matvec_sum_sql("_wi", "_fi")).alias("_s0"))
     )
     raw = (
-        out1.select(out_key, F.col("_f").alias("_g"))
+        out1.selectExpr(out_key, "_fi AS _gi")
         .join(base, out_key, "left")
         .crossJoin(F.broadcast(sig))
         .crossJoin(F.broadcast(overlap))
-        .select(
+        .selectExpr(
             out_key,
-            (
-                F.coalesce(F.col("_s0"), F.lit(0.0))
-                - F.col("_s1") * F.col("_g") * F.col("_d")
-            ).alias("_s"),
+            f"{repin_sql(deflated_raw_sql('_s0', '_s1', '_gi', '_d', iter_dp, weight_dp), iter_dp)}"
+            " AS _si",
         )
     )
-    nrm = raw.agg(F.sqrt(F.sum(F.col("_s") * F.col("_s"))).alias("_n"))
+    nrm = raw.agg(
+        F.expr(f"SQRT({dec2dbl_expr(normsq_sum_sql('_si'))})").alias("_n")
+    )
     return (
         raw.crossJoin(F.broadcast(nrm))
-        .select(out_key, F.round(F.col("_s") / F.col("_n"), iter_dp).alias("_f"))
+        .selectExpr(
+            out_key,
+            f"{repin_sql(dec2dbl_expr('_si') + ' / _n', iter_dp)} AS _fi",
+        )
         .localCheckpoint(eager=True)
     )
