@@ -195,39 +195,58 @@ def dsir_doc_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pagerank_iter_sql(i: int) -> str:
-    """One unrolled PageRank iteration: contribs keyed on dst, dangling
-    scalar, update with per-iteration ROUND(…, 10) — mirroring
-    functions/graph.pagerank's determinism contract."""
+    """One unrolled PageRank iteration in EXACT integer state: per-edge
+    integer contributions summed exactly, dangling mass summed exactly,
+    and the update expression built from the SAME helper functions the
+    Spark implementation uses (functions/graph.pr_*_sql) — so the twin
+    holds by construction (the r8 integer-state determinism contract)."""
+    from open_ftth_relational_projector_spark.functions.graph import (
+        pr_contrib_sql,
+        pr_sum_sql,
+        pr_update_sql,
+    )
+
     p = i - 1
+    contrib = pr_contrib_sql("r.ri", "deg.deg")
+    csum = pr_sum_sql(f"SUM({contrib})")
+    dsum = pr_sum_sql("COALESCE(SUM(ri), 0)")
+    update = pr_update_sql("COALESCE(c.c, 0)", "d.dm", "nn.n", 0.85, 10)
     return f"""
-    c{i} AS (SELECT e.dst, SUM(r.rank / deg.deg) AS c
+    c{i} AS (SELECT e.dst, {csum} AS c
              FROM e JOIN deg USING (src)
              JOIN r{p} r ON r.node = e.src
              GROUP BY e.dst),
-    d{i} AS (SELECT COALESCE(SUM(rank), 0.0) AS dm FROM r{p}
+    d{i} AS (SELECT {dsum} AS dm FROM r{p}
              WHERE node NOT IN (SELECT src FROM deg)),
-    r{i} AS (SELECT nodes.node,
-                    ROUND(CAST(0.15 AS DOUBLE) / nn.n
-                          + CAST(0.85 AS DOUBLE)
-                            * (COALESCE(c.c, 0.0) + d.dm / nn.n), 10) AS rank
+    r{i} AS (SELECT nodes.node, {update} AS ri
              FROM nodes CROSS JOIN nn CROSS JOIN d{i} d
              LEFT JOIN c{i} c ON c.dst = nodes.node)"""
 
 
-_PAGERANK_SQL = (
-    """
+def _pagerank_sql() -> str:
+    from open_ftth_relational_projector_spark.functions.graph import (
+        pr_init_sql,
+        pr_out_sql,
+    )
+
+    return (
+        f"""
     WITH e AS (SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
                FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
     nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
     nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n
            FROM (SELECT src AS node FROM e UNION SELECT dst FROM e)),
     deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
-    r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),"""
-    + ",".join(_pagerank_iter_sql(i) for i in (1, 2, 3))
-    + """
-    SELECT node, ROUND(rank, 6) AS rank FROM r3
+    r0 AS (SELECT node, {pr_init_sql('nn.n', 10)} AS ri
+           FROM nodes CROSS JOIN nn),"""
+        + ",".join(_pagerank_iter_sql(i) for i in (1, 2, 3))
+        + f"""
+    SELECT node, {pr_out_sql('ri', 10, 6)} AS rank FROM r3
     """
-)
+    )
+
+
+_PAGERANK_SQL = _pagerank_sql()
 
 
 def _kc_d2(a: str, b: str) -> str:

@@ -25,6 +25,23 @@ M-step on BOTH engines, so ulp-level float-sum ordering differences
 (Spark partial aggregation vs DuckDB's) cannot drift the next E-step;
 assignment ties break on lowest cluster id.
 
+Why this PROBABILISTIC pin is kept here while pagerank/factorization were
+upgraded to exact integer state in r8 (quantified escape analysis): a pin
+escapes when an aggregation-order ulp difference lands within an ulp of a
+rounding boundary, odds ≈ ulp(value)/pin_resolution per pinned value. The
+M-step mean divides the coordinate sum by the cell count, so its ulp is
+~1e-16 for unit-scale embedding coordinates against a 1e-6 pin → ~1e-10
+per value × (k·dim·iters ≈ 10³ pinned values) ≈ 1e-7 escape odds per run
+— negligible at any corpus size (the mean's ulp does NOT grow with row
+count). Contrast latent_rank2 (per-ROW state: ~10⁴ values × 1e-7
+value-ulp/pin ratio at iter_dp=10 ≈ 0.15/run — observed) and pre-r8
+pagerank (hub sums, ~1e-3/run). Distance pins (_sq_dist and the kcenter/
+PQ-ADC LUTs) are per-row sequential array folds — both engines fold
+left-to-right, so they are exactly deterministic, not probabilistic.
+If a future bit-level sweep ever catches an M-step escape, the recipe is
+functions/factorization.py: pin coordinates to BIGINT on entry, sum exact
+integers, divide once.
+
 Reference parity note: the reference engine has no clustering surface —
 these belong to the training-data-pipeline extension family
 (README "LLM-pipeline surface"), same tier as functions/dedup.py and

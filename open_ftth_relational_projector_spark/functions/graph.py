@@ -307,6 +307,58 @@ def bfs_distances(
     return dist
 
 
+def pr_init_sql(n: str, iter_dp: int) -> str:
+    """Shared-text initial PageRank state: round(10^iter_dp / N) as BIGINT.
+    One correctly-rounded double division + a half-away-from-zero integer
+    round — deterministic on both engines for identical N."""
+    return f"CAST(ROUND(1e{iter_dp} / {n}, 0) AS BIGINT)"
+
+
+def pr_contrib_sql(ri: str, deg: str) -> str:
+    """Shared-text per-edge contribution: the BIGINT rank state split over
+    the out-degree and re-pinned to an integer. ri and deg are both exact
+    as doubles (< 2^53), the division is one correctly-rounded IEEE op, and
+    ROUND(x, 0) is half-away-from-zero on both engines — so the value is a
+    deterministic function of (ri, deg), independent of row order."""
+    return f"CAST(ROUND({ri} / {deg}, 0) AS BIGINT)"
+
+
+def pr_sum_sql(x: str) -> str:
+    """Shared-text exact integer mass sum. Total rank mass is ~10^iter_dp
+    (≤ ~1.1e10 at iter_dp=10 including per-edge rounding slack), so the
+    BIGINT sum cannot overflow and its value is order-independent; the
+    outer cast pins both engines to BIGINT (DuckDB's SUM(BIGINT) widens to
+    HUGEINT, Spark's stays LONG — both exact as doubles downstream)."""
+    return f"CAST({x} AS BIGINT)"
+
+
+def pr_update_sql(
+    c: str, dm: str, n: str, damping: float, iter_dp: int
+) -> str:
+    """Shared-text rank update in integer state:
+
+        ri' = round((1−d)·S/N + d·(C + DM/N)),  S = 10^iter_dp
+
+    where C (summed in-contributions) and DM (dangling mass) are EXACT
+    integers ≤ ~1.1·S < 2^53. Every float op is a single correctly-rounded
+    IEEE operation on bit-identical operands — subtraction, one multiply,
+    two divides, two adds — so the update is deterministic cross-engine
+    and across Spark partial-aggregation orders. No double SUM anywhere."""
+    d = f"CAST({damping!r} AS DOUBLE)"
+    return (
+        f"CAST(ROUND((1.0 - {d}) * 1e{iter_dp} / {n}"
+        f" + {d} * ({c} + {dm} / {n}), 0) AS BIGINT)"
+    )
+
+
+def pr_out_sql(ri: str, iter_dp: int, out_dp: int) -> str:
+    """Shared-text integer state → rounded output rank. ri < 2^53 is exact
+    as a double, the power-of-ten division is one IEEE rounding, and
+    ROUND(·, out_dp) agrees cross-engine on identical inputs. Ranks are
+    strictly positive, so no signed-zero normalization is needed."""
+    return f"ROUND({ri} / 1e{iter_dp}, {out_dp})"
+
+
 def pagerank(
     edges: DataFrame,
     damping: float = 0.85,
@@ -322,11 +374,25 @@ def pagerank(
 
     Fixed ``iters`` power iterations with damping and full dangling-mass
     redistribution: rank ← (1−d)/N + d·(Σ in-contribs + dangling/N).
-    Ranks are ROUNDED to ``iter_dp`` after every iteration — the same
-    cross-engine determinism contract as clustering.kmeans_fit: ulp-level
-    float-sum ordering differences between engines (or between Spark
-    partial-aggregation orders) cannot compound across iterations, so an
-    unrolled SQL oracle hash-matches.
+
+    Determinism contract (EXACT, upgraded in round 8 — the
+    functions/factorization.py integer-state recipe): rank state is a
+    BIGINT ``ri = round(rank · 10^iter_dp)``; each edge contributes
+    ``round(ri / out_degree)`` (a per-row deterministic integer), so the
+    per-dst aggregation and the dangling-mass aggregation sum EXACT
+    integers — order-independent across engines and across Spark's own
+    partial-aggregation orders. The only float arithmetic is the update
+    expression on identical scalar inputs with identical shared text
+    (pr_update_sql — the SQL oracle builds its unrolled iterations from
+    these same helpers, so the twin holds by construction). The previous
+    contract (round the double rank to 10 dp per iteration) bounded drift
+    only probabilistically: hub nodes accumulate O(0.1-magnitude) double
+    sums whose ulp is ~1e-17 against a 1e-10 pin — ~1e-3 escape odds per
+    run at sf0.1, the same class that bit latent_rank2_affinity in the r8
+    bit-level sweep. Integer state closes the class. Per-edge integer
+    rounding redistributes ≤ 0.5·10^-iter_dp of mass per edge (vs exact
+    real-arithmetic PageRank) — a contract choice, not an error term that
+    can diverge between engines.
 
     Scale shape: each iteration is one join keyed on src (edges re-use one
     partitioning across iterations — on a cluster, pre-partition/bucket
@@ -347,21 +413,20 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n_nodes = nodes.count()
+    n_txt = f"CAST({float(n_nodes)!r} AS DOUBLE)"
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    ranks = nodes.withColumn(
-        "rank", F.lit(1.0) / F.lit(float(n_nodes))
-    )
-    one_minus_d = 1.0 - damping
+    ranks = nodes.withColumn("ri", F.expr(pr_init_sql(n_txt, iter_dp)))
     for _ in range(iters):
         contrib = (
             e.join(deg, "src")
             .join(ranks.withColumnRenamed("node", "src"), "src")
+            .select("dst", F.expr(pr_contrib_sql("ri", "deg")).alias("ci"))
             .groupBy("dst")
-            .agg(F.sum(F.col("rank") / F.col("deg")).alias("c"))
+            .agg(F.expr(pr_sum_sql("SUM(ci)")).alias("c"))
         )
         dangling = ranks.join(
             deg, ranks["node"] == deg["src"], "left_anti"
-        ).agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        ).agg(F.expr(pr_sum_sql("COALESCE(SUM(ri), 0)")).alias("dm"))
         ranks = (
             nodes.join(
                 contrib.withColumnRenamed("dst", "node"), "node", "left"
@@ -369,19 +434,17 @@ def pagerank(
             .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
-                F.round(
-                    F.lit(one_minus_d) / F.lit(float(n_nodes))
-                    + F.lit(damping)
-                    * (
-                        F.coalesce(F.col("c"), F.lit(0.0))
-                        + F.col("dm") / F.lit(float(n_nodes))
-                    ),
-                    iter_dp,
-                ).alias("rank"),
+                F.expr(
+                    pr_update_sql(
+                        "COALESCE(c, 0)", "dm", n_txt, damping, iter_dp
+                    )
+                ).alias("ri"),
             )
             .localCheckpoint(eager=True)
         )
-    return ranks.select("node", F.round("rank", out_dp).alias("rank"))
+    return ranks.select(
+        "node", F.expr(pr_out_sql("ri", iter_dp, out_dp)).alias("rank")
+    )
 
 
 def triangle_count(
@@ -453,8 +516,16 @@ def weighted_shortest_paths(
     one join keyed on the edge source + one min-aggregation keyed on the
     node, per round; edges reuse one partitioning across rounds (bucket
     by ``src`` on a cluster). Candidate costs are ROUNDed to ``iter_dp``
-    every round — the standard cross-engine determinism contract
-    (pagerank/kmeans/kcenter) so an unrolled SQL oracle hash-matches.
+    every round so an unrolled SQL oracle hash-matches.
+
+    Determinism class (r8 analysis): this operator is EXACTLY
+    deterministic already, unlike the pre-r8 pagerank — there is no
+    floating-point SUM anywhere. Each candidate cost is a per-row chain
+    of single correctly-rounded IEEE ops (one add + one ROUND) on
+    identical inputs, and MIN over doubles is order-independent (no
+    rounding, associative/commutative on a fixed multiset). The rounding
+    boundary therefore cannot be "escaped" by aggregation-order ulp
+    noise; no integer-state rewrite is needed.
     Nodes unreachable within the hop budget are absent. Negative weights
     are accepted (it is Bellman-Ford) but the hop bound, not convergence,
     is the termination guarantee.

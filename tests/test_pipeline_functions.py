@@ -1426,19 +1426,33 @@ def test_pagerank_star_graph_reference_values(spark):
         r["node"]: r["rank"]
         for r in pagerank(edges, damping=0.85, iters=3).collect()
     }
-    # replay the fixed-point arithmetic in plain python (same rounding)
-    n = 3.0
-    r = {1: 1 / n, 2: 1 / n, 3: 1 / n}
+    # replay the r8 integer-state contract in plain python: state is
+    # ri = round(rank·1e10); per-edge contribs round(ri/deg); update
+    # (1−d)·S/n + d·(C + DM/n) with the SAME op order as pr_update_sql.
+    # ROUND(x, k) is half-away-from-zero on the EXACT double value on
+    # both engines — Decimal(x) reproduces that exactly (Python's
+    # round() is half-to-even, so it can't be used here).
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def rint(x: float) -> int:
+        return int(Decimal(x).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+
+    def r6(x: float) -> float:
+        return float(
+            Decimal(x).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+        )
+
+    S, n, d = 1e10, 3.0, 0.85
+    ri = {1: rint(S / n), 2: rint(S / n), 3: rint(S / n)}
     for _ in range(3):
-        dm = r[3]  # node 3 has no out-edges
-        contrib3 = r[1] / 1 + r[2] / 1
-        base = 0.15 / n
-        r = {
-            1: round(base + 0.85 * (0.0 + dm / n), 10),
-            2: round(base + 0.85 * (0.0 + dm / n), 10),
-            3: round(base + 0.85 * (contrib3 + dm / n), 10),
+        dm = ri[3]  # node 3 has no out-edges
+        c3 = rint(ri[1] / 1) + rint(ri[2] / 1)
+        ri = {
+            1: rint((1.0 - d) * S / n + d * (0 + dm / n)),
+            2: rint((1.0 - d) * S / n + d * (0 + dm / n)),
+            3: rint((1.0 - d) * S / n + d * (c3 + dm / n)),
         }
-    expected = {k: round(v, 6) for k, v in r.items()}
+    expected = {k: r6(v / S) for k, v in ri.items()}
     assert out == expected
     # ranks sum to ~1 (mass conserved through dangling redistribution)
     assert abs(sum(out.values()) - 1.0) < 1e-4
