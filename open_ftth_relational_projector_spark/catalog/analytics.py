@@ -1988,3 +1988,102 @@ def ols_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ROUND(CAST(n_covered AS DOUBLE) / n_test, 4) AS test_coverage",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Logistic regression (IRLS) — quality-classifier training
+# ---------------------------------------------------------------------------
+
+# Engine-shared per-row texts for the language classifier over documents:
+# label = doc is English; features = length (kilochars) + space ratio —
+# the CCNet/fastText curation-filter shape. Every op is a single IEEE op
+# per row; the pin helpers make the state integer from here on.
+_LOGREG_Y = "CASE WHEN lang = 'en' THEN 1 ELSE 0 END"
+_LOGREG_X1 = "n_chars / 1000.0"
+_LOGREG_X2 = (
+    "(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')))"
+    " / CAST(LENGTH(text) AS DOUBLE)"
+)
+_LOGREG_WHERE = "LENGTH(text) > 0"
+
+
+def _logreg_sql() -> str:
+    """Unrolled 3-step IRLS oracle built FROM the functions/regression
+    logreg_* helpers (twin by construction — the r8 integer-state
+    convention, see functions/factorization.py and graph.pagerank)."""
+    from open_ftth_relational_projector_spark.functions.regression import (
+        LOGREG_MOMENTS,
+        OLS2_B0,
+        OLS2_B1,
+        OLS2_B2,
+        dec2dbl_sql,
+        logreg_beta_out_sql,
+        logreg_moment_exprs,
+        logreg_p_sql,
+        logreg_update_sql,
+        logreg_xpin_sql,
+        logreg_z_sql,
+    )
+
+    z = logreg_z_sql("bi0", "bi1", "bi2", "x1", "x2")
+    parts = [
+        f"""rows AS (SELECT {_LOGREG_Y} AS y,
+                   {logreg_xpin_sql(_LOGREG_X1)} AS x1,
+                   {logreg_xpin_sql(_LOGREG_X2)} AS x2
+            FROM documents WHERE {_LOGREG_WHERE})""",
+        """b0 AS (SELECT CAST(0 AS BIGINT) AS bi0,
+                  CAST(0 AS BIGINT) AS bi1, CAST(0 AS BIGINT) AS bi2)""",
+    ]
+    for i in (1, 2, 3):
+        p = i - 1
+        moments = ", ".join(logreg_moment_exprs())
+        dbl = ", ".join(f"{dec2dbl_sql(m)} AS {m}" for m in LOGREG_MOMENTS)
+        parts.append(
+            f"""s{i} AS (SELECT y, x1, x2, {logreg_p_sql(z)} AS pi
+                FROM rows CROSS JOIN b{p})"""
+        )
+        parts.append(f"mr{i} AS (SELECT {moments} FROM s{i})")
+        parts.append(f"m{i} AS (SELECT {dbl} FROM mr{i})")
+        parts.append(
+            f"""b{i} AS (SELECT {logreg_update_sql('bi0', OLS2_B0)} AS bi0,
+                   {logreg_update_sql('bi1', OLS2_B1)} AS bi1,
+                   {logreg_update_sql('bi2', OLS2_B2)} AS bi2
+                FROM m{i} CROSS JOIN b{p})"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(y) AS BIGINT) AS n_pos,
+           {logreg_beta_out_sql('bi0')} AS b0,
+           {logreg_beta_out_sql('bi1')} AS b1,
+           {logreg_beta_out_sql('bi2')} AS b2,
+           ROUND(SUM(CASE WHEN ({z} > 0) = (y = 1) THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS accuracy
+    FROM rows CROSS JOIN b3
+    GROUP BY bi0, bi1, bi2
+    """
+    )
+
+
+@_q("logreg_lang_classifier", _logreg_sql())
+def logreg_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic regression (3 unrolled IRLS/Newton steps) for
+    the is-English quality-classifier over documents — one exact-integer
+    aggregation pass per iteration + a closed-form 3×3 solve reusing the
+    OLS adjugate text (functions/regression.logreg_fit_irls). Reports the
+    raw-basis betas and the EXACT 0.5-threshold training accuracy (the
+    decision is an integer-logit sign test). Scale: per iteration one
+    map-only scoring pass + one map-side-combined 9-value aggregation —
+    O(d²) state at any corpus size."""
+    from open_ftth_relational_projector_spark.functions.regression import (
+        logreg_fit_irls,
+        logreg_summary,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pinned, beta = logreg_fit_irls(
+        docs, _LOGREG_X1, _LOGREG_X2, _LOGREG_Y, iters=3, where=_LOGREG_WHERE
+    )
+    return logreg_summary(pinned, beta)

@@ -241,3 +241,199 @@ def ols2_kfold(
         # cancels to ~±1e-9 in doubles; a tiny negative would sqrt to NaN
         f"ROUND(sqrt(GREATEST({OLS2_SSE}, 0.0) / n), 4) AS rmse_oof",
     )
+
+
+# ===========================================================================
+# Distributed logistic regression (IRLS / Newton) — quality-classifier
+# training as one exact-integer aggregation pass per iteration
+# ===========================================================================
+#
+# The corpus-curation classifier shape (CCNet / fastText-style quality and
+# language filters): fit p(y|x) = sigmoid(b0 + b1·x1 + b2·x2) over document
+# features. Newton / IRLS needs, per iteration, only the gradient
+# g_j = Σ (y−p)·x_j and the Hessian H_jk = Σ p(1−p)·x_j·x_k — O(d²) values
+# from ONE map-side-combined aggregation over any corpus size, then a tiny
+# closed-form 3×3 solve (the SAME adjugate text as OLS2_B*: H·Δ = g has the
+# identical symmetric-matrix shape). At 100 TB each iteration is one scan;
+# nothing else changes.
+#
+# Determinism contract (the factorization/pagerank integer-state recipe,
+# with ONE quantified probabilistic element): features are pinned to
+# BIGINT on entry (X̃ = round(x·10^4)), the beta state is BIGINT
+# b̃i = round(β̃·10^12) in the scaled-feature basis (β̃ = β/10^4), and the
+# per-row probability is pinned to BIGINT pi = round(p·10^7). From those
+# integers the per-row logit (Σ b̃i·X̃, exact BIGINT), the IRLS weight
+# wi = pi·(10^7 − pi), the residual ri = y·10^7 − pi, and every moment
+# product are EXACT integers, so all gradient/Hessian sums are
+# order-independent (DECIMAL(38,0) sums — the DECIMAL(19,0)×DECIMAL(19,0)
+# product pattern from functions/factorization.py, loud on overflow).
+# The Newton solve and the beta update are single-IEEE-op shared
+# expression text on identical scalar inputs. The ONE transcendental is
+# EXP inside the sigmoid: engines may differ by ~1 ulp on identical z, so
+# the pi pin is probabilistic — odds ≈ ulp(p·10^7)/1 ≈ 2e-9 per row-value
+# × rows × iters ≈ 6e-6 per run at sf0.01 (500 docs × 3 iters), ~6e-5 at
+# sf0.1 — the quantified-negligible class documented in
+# functions/clustering.py (kmeans M-step pins), not the per-row-state
+# class that required the factorization upgrade. Everything downstream of
+# pi is exact.
+#
+# Bounds (loud, never silent): |X̃| ≤ 10^5 (|x| ≤ 10 documented), wi ≤
+# 2.5·10^13 < 10^19, X̃j·X̃k ≤ 10^10 (BIGINT-exact), per-row Hessian term
+# ≤ 2.5·10^23 (DECIMAL(38,0)-exact), Hessian sum < 10^38 up to ~10^14
+# rows. z = zi/10^12 saturates EXP cleanly (p hits exactly 0 or 10^7).
+
+LOGREG_FX = 10**4  # feature pin scale
+LOGREG_FB = 10**12  # beta state scale (scaled-feature basis)
+LOGREG_PS = 10**7  # probability pin scale
+LOGREG_MOMENTS = ["n", "s1", "s2", "s11", "s12", "s22", "sy", "s1y", "s2y"]
+
+
+def logreg_xpin_sql(x: str) -> str:
+    """Shared-text feature pin: round(x·10^4) as BIGINT. The raw feature
+    expression must be a deterministic per-row chain of single IEEE ops
+    (catalog-wide convention) with |x| ≤ 10."""
+    return f"CAST(ROUND(({x}) * 1e4, 0) AS BIGINT)"
+
+
+def logreg_z_sql(bi0: str, bi1: str, bi2: str, x1: str, x2: str) -> str:
+    """Shared-text integer logit: Σ b̃i_j·X̃_j — exact BIGINT (the
+    intercept's pinned feature is the constant 10^4). The real logit is
+    this / 10^12."""
+    return f"({bi0} * 10000 + {bi1} * {x1} + {bi2} * {x2})"
+
+
+def logreg_p_sql(zi: str) -> str:
+    """Shared-text probability pin: round(sigmoid(zi/10^12)·10^7) as
+    BIGINT. EXP is the contract's one transcendental (odds analysis in
+    the section header); saturation is exact (EXP→inf gives pi=0,
+    EXP→0 gives pi=10^7)."""
+    return f"CAST(ROUND(1e7 / (1.0 + EXP(-(({zi}) / 1e12))), 0) AS BIGINT)"
+
+
+def logreg_moment_exprs() -> list[str]:
+    """The nine aggregate texts (shared verbatim) producing the Hessian
+    under the OLS2 moment names (n,s1,s2,s11,s12,s22 ← H̃) and the
+    gradient under the rhs names (sy,s1y,s2y ← g̃), so OLS2_B0/B1/B2
+    compute the Newton direction H̃⁻¹g̃ unchanged. Inputs: per-row
+    columns y (0/1), x1, x2 (pinned BIGINT), pi (pinned BIGINT)."""
+    w = "(pi * (10000000 - pi))"
+    r = "(y * 10000000 - pi)"
+
+    def h(a: str, b: str) -> str:
+        return (
+            f"SUM(CAST({w} AS DECIMAL(19,0))"
+            f" * CAST({a} * {b} AS DECIMAL(19,0)))"
+        )
+
+    def g(a: str) -> str:
+        return f"SUM(CAST({r} * {a} AS DECIMAL(38,0)))"
+
+    return [
+        f"{h('10000', '10000')} AS n",
+        f"{h('10000', 'x1')} AS s1",
+        f"{h('10000', 'x2')} AS s2",
+        f"{h('x1', 'x1')} AS s11",
+        f"{h('x1', 'x2')} AS s12",
+        f"{h('x2', 'x2')} AS s22",
+        f"{g('10000')} AS sy",
+        f"{g('x1')} AS s1y",
+        f"{g('x2')} AS s2y",
+    ]
+
+
+def logreg_update_sql(bi: str, newton_dir: str) -> str:
+    """Shared-text beta state update: b̃i' = round(b̃i + 10^7·d·10^12)
+    where d = (H̃⁻¹g̃)_j from the OLS2 adjugate text. The 10^7 rescales
+    the pinned-integer Newton direction back to the real β̃ step
+    (H̃ carries PS², g̃ carries PS — see the section header); fixed
+    left-assoc op order, every operand exact or identically computed."""
+    return f"CAST(ROUND({bi} + 1e7 * ({newton_dir}) * 1e12, 0) AS BIGINT)"
+
+
+def logreg_beta_out_sql(bi: str, out_dp: int = 6) -> str:
+    """Shared-text output beta in the RAW feature basis:
+    β = β̃·10^4 = bi/10^12·10^4, rounded with signed-zero normalization
+    (betas can be negative and round to ±0)."""
+    return f"ROUND({bi} / 1e12 * 1e4, {out_dp}) + 0"
+
+
+def logreg_fit_irls(
+    df: DataFrame,
+    x1: str,
+    x2: str,
+    y: str,
+    iters: int = 3,
+    where: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Fit the 2-feature logistic model by ``iters`` unrolled Newton
+    steps from β = 0 (where p = 0.5 EXACTLY, so the first step is a pure
+    integer weighted-least-squares step).
+
+    Returns (pinned_rows, beta): the pinned per-row frame
+    (y, x1, x2 — BIGINT) and the one-row BIGINT beta state
+    (bi0, bi1, bi2). Use logreg_summary for the reporting frame.
+
+    Scale shape: per iteration, one map-only scoring pass over the pinned
+    rows (beta rides in via crossJoin(broadcast) — one row) + one
+    map-side-combined global aggregation to 9 values + a one-row solve.
+    The pinned rows are localCheckpoint'd ONCE; each beta state is a
+    localCheckpoint'd single row, so plans stay flat across iterations
+    (the factorization pattern). No driver-side collect anywhere.
+    """
+    base = df.filter(F.expr(where)) if where else df
+    pinned = base.selectExpr(
+        f"CAST({y} AS BIGINT) AS y",
+        f"{logreg_xpin_sql(x1)} AS x1",
+        f"{logreg_xpin_sql(x2)} AS x2",
+    ).localCheckpoint(eager=True)
+    spark = pinned.sparkSession
+    beta = spark.range(1).selectExpr(
+        "CAST(0 AS BIGINT) AS bi0",
+        "CAST(0 AS BIGINT) AS bi1",
+        "CAST(0 AS BIGINT) AS bi2",
+    )
+    z = logreg_z_sql("bi0", "bi1", "bi2", "x1", "x2")
+    for _ in range(iters):
+        scored = pinned.crossJoin(F.broadcast(beta)).selectExpr(
+            "y", "x1", "x2", f"{logreg_p_sql(z)} AS pi"
+        )
+        mom = scored.selectExpr(*logreg_moment_exprs()).selectExpr(
+            *[f"{dec2dbl_sql(m)} AS {m}" for m in LOGREG_MOMENTS]
+        )
+        beta = (
+            mom.crossJoin(F.broadcast(beta))
+            .selectExpr(
+                f"{logreg_update_sql('bi0', OLS2_B0)} AS bi0",
+                f"{logreg_update_sql('bi1', OLS2_B1)} AS bi1",
+                f"{logreg_update_sql('bi2', OLS2_B2)} AS bi2",
+            )
+            .localCheckpoint(eager=True)
+        )
+    return pinned, beta
+
+
+def logreg_summary(pinned: DataFrame, beta: DataFrame) -> DataFrame:
+    """One-row report: (n_docs, n_pos, b0, b1, b2 @6dp raw-basis,
+    accuracy @6dp). The 0.5-decision accuracy is EXACT: pred positive iff
+    the integer logit > 0 — no float compare anywhere."""
+    z = logreg_z_sql("bi0", "bi1", "bi2", "x1", "x2")
+    return (
+        pinned.crossJoin(F.broadcast(beta))
+        .groupBy("bi0", "bi1", "bi2")
+        .agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_docs"),
+            F.expr("CAST(SUM(y) AS BIGINT)").alias("n_pos"),
+            F.expr(
+                f"ROUND(SUM(CASE WHEN ({z} > 0) = (y = 1) THEN 1 ELSE 0"
+                " END) / CAST(COUNT(*) AS DOUBLE), 6)"
+            ).alias("accuracy"),
+        )
+        .selectExpr(
+            "n_docs",
+            "n_pos",
+            f"{logreg_beta_out_sql('bi0')} AS b0",
+            f"{logreg_beta_out_sql('bi1')} AS b1",
+            f"{logreg_beta_out_sql('bi2')} AS b2",
+            "accuracy",
+        )
+    )

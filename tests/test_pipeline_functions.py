@@ -3596,3 +3596,102 @@ def test_split_tokenization_engine_agreement(spark):
     assert fps[2] == fps[4]
     distinct = fps[:4] + fps[5:]
     assert len(set(distinct)) == len(distinct)
+
+
+# --- logistic regression (IRLS) ---------------------------------------------
+
+
+def _logreg_fixture_rows():
+    """40 deterministic rows with overlapping classes (finite betas):
+    y depends mostly on x1 with x2 as a weak confounder."""
+    rows = []
+    for i in range(40):
+        x1 = i / 20.0
+        x2 = ((i * 7) % 13) / 13.0
+        y = 1 if (3.0 * x1 + 0.5 * x2 + ((i * 5) % 11) / 11.0) > 3.2 else 0
+        rows.append((y, x1, x2))
+    return rows
+
+
+def test_logreg_matches_unpinned_irls_reference(spark):
+    """The pinned integer-state IRLS agrees with a plain-float numpy IRLS
+    (same 3 Newton steps from zero, same quantized features) to ~1e-5 —
+    the pins (p at 1e-7, beta at 1e-8 real-basis) are resolution, not
+    bias."""
+    import numpy as np
+
+    from open_ftth_relational_projector_spark.functions.regression import (
+        logreg_fit_irls,
+        logreg_summary,
+    )
+
+    rows = _logreg_fixture_rows()
+    df = spark.createDataFrame(rows, "y int, x1 double, x2 double")
+    pinned, beta = logreg_fit_irls(df, "x1", "x2", "y", iters=3)
+    out = logreg_summary(pinned, beta).collect()[0]
+
+    X = np.array(
+        [
+            [1.0, round(x1 * 1e4) / 1e4, round(x2 * 1e4) / 1e4]
+            for _, x1, x2 in rows
+        ]
+    )
+    yv = np.array([float(y) for y, _, _ in rows])
+    b = np.zeros(3)
+    for _ in range(3):
+        p = 1.0 / (1.0 + np.exp(-(X @ b)))
+        w = p * (1.0 - p)
+        H = X.T @ (X * w[:, None])
+        g = X.T @ (yv - p)
+        b = b + np.linalg.solve(H, g)
+    assert out["n_docs"] == 40
+    assert out["n_pos"] == sum(y for y, _, _ in rows)
+    for got, ref in zip((out["b0"], out["b1"], out["b2"]), b):
+        assert abs(got - ref) < 1e-4, (got, ref)
+    # accuracy replay: exact 0.5-threshold decision on the fitted model
+    pred = (X @ b) > 0
+    assert out["accuracy"] == pytest.approx(
+        float(np.mean(pred == (yv == 1))), abs=1e-6
+    )
+
+
+def test_logreg_separable_data_perfect_accuracy(spark):
+    """On linearly separable data the 3-step fit already classifies
+    perfectly and the separating feature gets the positive weight."""
+    from open_ftth_relational_projector_spark.functions.regression import (
+        logreg_fit_irls,
+        logreg_summary,
+    )
+
+    # x2 varies (a constant column would make the Hessian singular) but
+    # carries no signal; the classes are separable purely in x1
+    rows = [
+        (1 if i >= 20 else 0, i / 20.0, ((i * 3) % 7) / 7.0)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "y int, x1 double, x2 double")
+    pinned, beta = logreg_fit_irls(df, "x1", "x2", "y", iters=3)
+    out = logreg_summary(pinned, beta).collect()[0]
+    assert out["accuracy"] == 1.0
+    assert out["b1"] > 0
+
+
+def test_logreg_where_filter_and_first_step_exactness(spark):
+    """From beta = 0 the probability pin is EXACT (p = 0.5 → pi = 5e6
+    with no transcendental involved: EXP(0) = 1 exactly), so the first
+    Newton step is fully integer-deterministic; the where clause drops
+    rows before pinning."""
+    from open_ftth_relational_projector_spark.functions.regression import (
+        logreg_fit_irls,
+    )
+
+    rows = [(1, 0.9, 0.1), (0, 0.1, 0.2), (0, 0.2, 0.3), (1, -5.0, 0.0)]
+    df = spark.createDataFrame(rows, "y int, x1 double, x2 double")
+    pinned, beta = logreg_fit_irls(
+        df, "x1", "x2", "y", iters=1, where="x1 >= 0.0"
+    )
+    assert pinned.count() == 3
+    b = beta.collect()[0]
+    # state is BIGINT and nonzero after one step on signal-bearing data
+    assert all(isinstance(b[c], int) for c in ("bi0", "bi1", "bi2"))
+    assert any(b[c] != 0 for c in ("bi0", "bi1", "bi2"))
