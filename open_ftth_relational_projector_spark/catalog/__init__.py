@@ -60,8 +60,14 @@ from . import streaming_sims  # noqa: E402,F401
 # green, recompute with the latest-green ranking (rank every query by its
 # most recent green CORRECTNESS round, oldest first, registration order
 # as tiebreak — the procedure documented here and in
-# scripts/gen_catalog_index.py): q1 + the r4-green remainder
-# (kmv_segment_overlap onward) + the oldest r5 rows fill the 50 slots.
+# scripts/gen_catalog_index.py). NEVER-GREEN queries rank FIRST: the two
+# r8 additions (logreg_lang_classifier, logreg_score_histogram — local
+# bit-level green at all three scales, no driver row yet) take the slots
+# right after q1, then the r4-green remainder (kmv_segment_overlap
+# onward) + the oldest r5 rows fill the 50 slots.
+# (pagerank_purchase_graph sits at r8 window slot 47, so its r8 row
+# already certifies the new integer-state contract — no special r9
+# treatment needed unless that row came back red.)
 # If any r8 row FAILED, put it at the front of the r9 window after the
 # fix. Keep every name in _DRIVER_WINDOW_FRONT registered (the assert
 # below enforces it) and re-pin tests/data/catalog_order.txt +

@@ -2087,3 +2087,62 @@ def logreg_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, _LOGREG_X1, _LOGREG_X2, _LOGREG_Y, iters=3, where=_LOGREG_WHERE
     )
     return logreg_summary(pinned, beta)
+
+
+def _logreg_score_sql() -> str:
+    """Scoring-pass oracle: the _logreg_sql CTE chain + one decile
+    histogram over the pinned per-doc probabilities — counts are exact
+    integers (the pi pin makes the bucket an integer floor-divide)."""
+    base = _logreg_sql()
+    # reuse the full training chain up to b3, swap the final SELECT
+    head = base[: base.rindex("SELECT")]
+    from open_ftth_relational_projector_spark.functions.regression import (
+        logreg_p_sql,
+        logreg_z_sql,
+    )
+
+    z = logreg_z_sql("bi0", "bi1", "bi2", "x1", "x2")
+    return (
+        head
+        + f"""SELECT CAST(FLOOR({logreg_p_sql(z)} / 1000000.0) AS INT) AS p_decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(y) AS BIGINT) AS n_pos
+    FROM rows CROSS JOIN b3
+    GROUP BY 1
+    ORDER BY 1
+    """
+    )
+
+
+@_q("logreg_score_histogram", _logreg_score_sql())
+def logreg_score_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation-filter application of the trained classifier: score
+    every document with the fitted model (map-only — betas ride in via
+    one broadcast row) and histogram the pinned probabilities into
+    deciles with the true-label count per bucket — the
+    calibration-at-a-glance table a filtering pipeline thresholds on.
+    Bucketing is EXACT: p_decile = FLOOR(pi / 10^6) on the pinned
+    integer probability, counts are integers."""
+    from open_ftth_relational_projector_spark.functions.regression import (
+        logreg_fit_irls,
+        logreg_p_sql,
+        logreg_z_sql,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pinned, beta = logreg_fit_irls(
+        docs, _LOGREG_X1, _LOGREG_X2, _LOGREG_Y, iters=3, where=_LOGREG_WHERE
+    )
+    z = logreg_z_sql("bi0", "bi1", "bi2", "x1", "x2")
+    return (
+        pinned.crossJoin(F.broadcast(beta))
+        .selectExpr(
+            "y", f"CAST(FLOOR({logreg_p_sql(z)} / 1000000.0) AS INT) AS p_decile"
+        )
+        .groupBy("p_decile")
+        .agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_docs"),
+            F.expr("CAST(SUM(y) AS BIGINT)").alias("n_pos"),
+        )
+        .orderBy("p_decile")
+    )
