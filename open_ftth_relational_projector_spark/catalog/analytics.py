@@ -2146,3 +2146,101 @@ def logreg_score_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_decile")
     )
+
+
+def _logreg_kfold_sql() -> str:
+    """Unrolled 5-fold × 3-step IRLS oracle: the logreg CTE chain with a
+    fold column, moments GROUP BY complement id, per-fold Newton solves
+    joined back on the fold key — every value-determining expression from
+    the shared logreg_*/OLS2_* helpers."""
+    from open_ftth_relational_projector_spark.functions.regression import (
+        LOGREG_MOMENTS,
+        OLS2_B0,
+        OLS2_B1,
+        OLS2_B2,
+        dec2dbl_sql,
+        fold_expr_sql,
+        logreg_beta_out_sql,
+        logreg_moment_exprs,
+        logreg_p_sql,
+        logreg_update_sql,
+        logreg_xpin_sql,
+        logreg_z_sql,
+    )
+
+    z = logreg_z_sql("bi0", "bi1", "bi2", "x1", "x2")
+    fold = fold_expr_sql("CAST(doc_id AS VARCHAR)", 5)
+    parts = [
+        f"""rows AS (SELECT {_LOGREG_Y} AS y,
+                   {logreg_xpin_sql(_LOGREG_X1)} AS x1,
+                   {logreg_xpin_sql(_LOGREG_X2)} AS x2,
+                   CAST({fold} AS INT) AS fold
+            FROM documents WHERE {_LOGREG_WHERE})""",
+        """b0 AS (SELECT CAST(UNNEST(generate_series(0, 4)) AS INT) AS bfold,
+                  CAST(0 AS BIGINT) AS bi0, CAST(0 AS BIGINT) AS bi1,
+                  CAST(0 AS BIGINT) AS bi2)""",
+    ]
+    for i in (1, 2, 3):
+        p = i - 1
+        moments = ", ".join(logreg_moment_exprs())
+        dbl = ", ".join(f"{dec2dbl_sql(m)} AS {m}" for m in LOGREG_MOMENTS)
+        parts.append(
+            f"""s{i} AS (SELECT b.bfold, y, x1, x2, {logreg_p_sql(z)} AS pi
+                FROM rows CROSS JOIN b{p} b WHERE fold <> b.bfold)"""
+        )
+        parts.append(f"mr{i} AS (SELECT bfold, {moments} FROM s{i} GROUP BY bfold)")
+        parts.append(f"m{i} AS (SELECT bfold, {dbl} FROM mr{i})")
+        parts.append(
+            f"""b{i} AS (SELECT m.bfold,
+                   {logreg_update_sql('bi0', OLS2_B0)} AS bi0,
+                   {logreg_update_sql('bi1', OLS2_B1)} AS bi1,
+                   {logreg_update_sql('bi2', OLS2_B2)} AS bi2
+                FROM m{i} m JOIN b{p} USING (bfold))"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f""",
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM rows),
+    oof AS (SELECT fold, bi0, bi1, bi2,
+                   CAST(COUNT(*) AS BIGINT) AS n_test,
+                   ROUND(SUM(CASE WHEN ({z} > 0) = (y = 1) THEN 1 ELSE 0 END)
+                         / CAST(COUNT(*) AS DOUBLE), 6) AS accuracy_oof
+            FROM rows JOIN b3 ON fold = bfold
+            GROUP BY fold, bi0, bi1, bi2)
+    SELECT fold, n_total - n_test AS n_train, n_test,
+           {logreg_beta_out_sql('bi0')} AS b0,
+           {logreg_beta_out_sql('bi1')} AS b1,
+           {logreg_beta_out_sql('bi2')} AS b2,
+           accuracy_oof
+    FROM oof CROSS JOIN tot
+    ORDER BY fold
+    """
+    )
+
+
+@_q("logreg_crossval_kfold", _logreg_kfold_sql())
+def logreg_crossval_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold cross-validated logistic classifier over documents: each
+    fold's model trains on its complement (3 unrolled IRLS steps, all 5
+    fits advancing in ONE k-expanded scoring pass + ONE grouped 45-value
+    aggregation per iteration) and reports honest out-of-fold accuracy —
+    the overfit gate a curation-classifier pipeline ships with
+    (functions/regression.logreg_kfold). Folds md5-bucketed on doc_id."""
+    from open_ftth_relational_projector_spark.functions.regression import (
+        logreg_kfold,
+        logreg_kfold_summary,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pinned, betas = logreg_kfold(
+        docs,
+        _LOGREG_X1,
+        _LOGREG_X2,
+        _LOGREG_Y,
+        key_expr="CAST(doc_id AS STRING)",
+        k=5,
+        iters=3,
+        where=_LOGREG_WHERE,
+    )
+    return logreg_kfold_summary(pinned, betas)

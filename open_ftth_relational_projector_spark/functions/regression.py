@@ -437,3 +437,116 @@ def logreg_summary(pinned: DataFrame, beta: DataFrame) -> DataFrame:
             "accuracy",
         )
     )
+
+
+def logreg_kfold(
+    df: DataFrame,
+    x1: str,
+    x2: str,
+    y: str,
+    key_expr: str,
+    k: int = 5,
+    iters: int = 3,
+    where: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """k-fold cross-validation of the logistic model: every fold's
+    classifier is trained on its COMPLEMENT by the same unrolled IRLS,
+    all k fits advancing together — per iteration ONE scoring pass over
+    the k·(k−1)/k-expanded rows (each row scores under the k−1 complement
+    betas that include it; betas ride in via one broadcast k-row frame)
+    and ONE map-side-combined aggregation to k×9 exact-integer moments,
+    then k independent 3×3 solves. Unlike the OLS k-fold, complement
+    moments cannot come from total−fold subtraction (they depend on each
+    fold's own beta — the model is nonlinear), so the k× scoring fan-out
+    is inherent; it is map-only and shuffles only k×9 values.
+
+    Folds are md5-bucketed on ``key_expr`` (fold_expr_spark — engine-
+    portable, replays identically in the oracle). Determinism: identical
+    to logreg_fit_irls (exact integer state per fold; EXP is the one
+    quantified-probabilistic pin).
+
+    Returns (pinned_rows, betas): pinned rows carry (y, x1, x2, fold);
+    betas is the k-row BIGINT state (bfold, bi0, bi1, bi2). Use
+    logreg_kfold_summary for the per-fold out-of-fold report.
+    """
+    base = df.filter(F.expr(where)) if where else df
+    pinned = base.selectExpr(
+        f"CAST({y} AS BIGINT) AS y",
+        f"{logreg_xpin_sql(x1)} AS x1",
+        f"{logreg_xpin_sql(x2)} AS x2",
+        f"CAST({fold_expr_spark(key_expr, k)} AS INT) AS fold",
+    ).localCheckpoint(eager=True)
+    spark = pinned.sparkSession
+    betas = spark.range(k).selectExpr(
+        "CAST(id AS INT) AS bfold",
+        "CAST(0 AS BIGINT) AS bi0",
+        "CAST(0 AS BIGINT) AS bi1",
+        "CAST(0 AS BIGINT) AS bi2",
+    )
+    z = logreg_z_sql("bi0", "bi1", "bi2", "x1", "x2")
+    for _ in range(iters):
+        scored = (
+            pinned.crossJoin(F.broadcast(betas))
+            .filter("fold <> bfold")
+            .selectExpr("bfold", "y", "x1", "x2", f"{logreg_p_sql(z)} AS pi")
+        )
+        mom = (
+            scored.groupBy("bfold")
+            .agg(
+                *[
+                    F.expr(e.rsplit(" AS ", 1)[0]).alias(
+                        e.rsplit(" AS ", 1)[1]
+                    )
+                    for e in logreg_moment_exprs()
+                ]
+            )
+            .selectExpr(
+                "bfold", *[f"{dec2dbl_sql(m)} AS {m}" for m in LOGREG_MOMENTS]
+            )
+        )
+        betas = (
+            mom.join(F.broadcast(betas), "bfold")
+            .selectExpr(
+                "bfold",
+                f"{logreg_update_sql('bi0', OLS2_B0)} AS bi0",
+                f"{logreg_update_sql('bi1', OLS2_B1)} AS bi1",
+                f"{logreg_update_sql('bi2', OLS2_B2)} AS bi2",
+            )
+            .localCheckpoint(eager=True)
+        )
+    return pinned, betas
+
+
+def logreg_kfold_summary(pinned: DataFrame, betas: DataFrame) -> DataFrame:
+    """Per-fold out-of-fold report: each row is scored ONCE, under the
+    beta whose training complement excluded it — the honest held-out
+    decision (EXACT: integer logit sign test). Returns one row per fold:
+    (fold, n_train, n_test, b0, b1, b2 @6dp, accuracy_oof @6dp)."""
+    z = logreg_z_sql("bi0", "bi1", "bi2", "x1", "x2")
+    total = pinned.agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_total")
+    )
+    return (
+        pinned.join(
+            F.broadcast(betas), pinned["fold"] == betas["bfold"]
+        )
+        .groupBy("fold", "bi0", "bi1", "bi2")
+        .agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_test"),
+            F.expr(
+                f"ROUND(SUM(CASE WHEN ({z} > 0) = (y = 1) THEN 1 ELSE 0"
+                " END) / CAST(COUNT(*) AS DOUBLE), 6)"
+            ).alias("accuracy_oof"),
+        )
+        .crossJoin(F.broadcast(total))
+        .selectExpr(
+            "fold",
+            "n_total - n_test AS n_train",
+            "n_test",
+            f"{logreg_beta_out_sql('bi0')} AS b0",
+            f"{logreg_beta_out_sql('bi1')} AS b1",
+            f"{logreg_beta_out_sql('bi2')} AS b2",
+            "accuracy_oof",
+        )
+        .orderBy("fold")
+    )

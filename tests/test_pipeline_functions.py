@@ -3695,3 +3695,38 @@ def test_logreg_where_filter_and_first_step_exactness(spark):
     # state is BIGINT and nonzero after one step on signal-bearing data
     assert all(isinstance(b[c], int) for c in ("bi0", "bi1", "bi2"))
     assert any(b[c] != 0 for c in ("bi0", "bi1", "bi2"))
+
+
+def test_logreg_kfold_matches_direct_complement_fit(spark):
+    """Fold f's cross-validation beta is BIT-IDENTICAL to logreg_fit_irls
+    run directly on fold f's complement — the k-expanded joint iteration
+    is pure bookkeeping, not an approximation. Also: folds partition the
+    rows and out-of-fold accuracy is a valid rate."""
+    from open_ftth_relational_projector_spark.functions.regression import (
+        fold_expr_spark,
+        logreg_fit_irls,
+        logreg_kfold,
+        logreg_kfold_summary,
+    )
+
+    rows = _logreg_fixture_rows()
+    df = spark.createDataFrame(
+        [(i, y, x1, x2) for i, (y, x1, x2) in enumerate(rows)],
+        "rid long, y int, x1 double, x2 double",
+    )
+    pinned, betas = logreg_kfold(
+        df, "x1", "x2", "y", key_expr="CAST(rid AS STRING)", k=3, iters=2
+    )
+    out = logreg_kfold_summary(pinned, betas).collect()
+    assert [r["fold"] for r in out] == [0, 1, 2]
+    assert sum(r["n_test"] for r in out) == 40
+    assert all(r["n_train"] + r["n_test"] == 40 for r in out)
+    assert all(0.0 <= r["accuracy_oof"] <= 1.0 for r in out)
+
+    bmap = {r["bfold"]: (r["bi0"], r["bi1"], r["bi2"]) for r in betas.collect()}
+    fold0 = f"({fold_expr_spark('CAST(rid AS STRING)', 3)}) <> 0"
+    _, beta_direct = logreg_fit_irls(
+        df, "x1", "x2", "y", iters=2, where=fold0
+    )
+    bd = beta_direct.collect()[0]
+    assert bmap[0] == (bd["bi0"], bd["bi1"], bd["bi2"])
