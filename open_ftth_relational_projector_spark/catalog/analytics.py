@@ -2244,3 +2244,82 @@ def logreg_crossval_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
         where=_LOGREG_WHERE,
     )
     return logreg_kfold_summary(pinned, betas)
+
+
+def _logreg_auc_sql() -> str:
+    """Exact-AUC oracle: the trained-model CTE chain + per-score class
+    counts + a window cumsum (the oracle MAY use a global window — the
+    Spark side replaces it with hierarchical_cumsum) + the shared
+    rank-sum texts."""
+    base = _logreg_sql()
+    head = base[: base.rindex("SELECT")]
+    from open_ftth_relational_projector_spark.functions.regression import (
+        auc_out_sql,
+        auc_u2_sum_sql,
+        logreg_p_sql,
+        logreg_z_sql,
+    )
+
+    z = logreg_z_sql("bi0", "bi1", "bi2", "x1", "x2")
+    return (
+        head.rstrip()
+        + f""",
+    scored AS (SELECT y, {logreg_p_sql(z)} AS pi FROM rows CROSS JOIN b3),
+    g AS (SELECT pi, CAST(SUM(y) AS BIGINT) AS n_p,
+                 CAST(SUM(1 - y) AS BIGINT) AS n_n
+          FROM scored GROUP BY pi),
+    c AS (SELECT pi, n_p, n_n,
+                 SUM(n_n) OVER (ORDER BY pi
+                                ROWS UNBOUNDED PRECEDING) AS cum_nn
+          FROM g),
+    a AS (SELECT CAST(SUM(n_p) AS BIGINT) AS n_pos,
+                 CAST(SUM(n_n) AS BIGINT) AS n_neg,
+                 {auc_u2_sum_sql()} AS u2
+          FROM c)
+    SELECT n_pos, n_neg, {auc_out_sql('u2', 'n_pos', 'n_neg')} AS auc
+    FROM a
+    """
+    )
+
+
+@_q("logreg_auc_exact", _logreg_auc_sql())
+def logreg_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distributed AUC of the trained language classifier: the
+    pinned integer probabilities form an exact score lattice, so the
+    tie-averaged Mann-Whitney rank-sum is pure integer arithmetic — per-
+    score class counts, negatives-below via hierarchical_cumsum (range-
+    sharded: NO single-partition global window at any lattice size), and
+    one final division. The doubled numerator 2U keeps the 0.5 tie credit
+    integral."""
+    from open_ftth_relational_projector_spark.functions.regression import (
+        auc_out_sql,
+        auc_u2_sum_sql,
+        logreg_fit_irls,
+        logreg_p_sql,
+        logreg_z_sql,
+    )
+    from open_ftth_relational_projector_spark.operators.hierarchical import (
+        hierarchical_cumsum,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pinned, beta = logreg_fit_irls(
+        docs, _LOGREG_X1, _LOGREG_X2, _LOGREG_Y, iters=3, where=_LOGREG_WHERE
+    )
+    z = logreg_z_sql("bi0", "bi1", "bi2", "x1", "x2")
+    scored = pinned.crossJoin(F.broadcast(beta)).selectExpr(
+        "y", f"{logreg_p_sql(z)} AS pi"
+    )
+    g = scored.groupBy("pi").agg(
+        F.expr("CAST(SUM(y) AS BIGINT)").alias("n_p"),
+        F.expr("CAST(SUM(1 - y) AS BIGINT)").alias("n_n"),
+    )
+    c = hierarchical_cumsum(g, [F.col("pi")], "n_n", "cum_nn")
+    a = c.agg(
+        F.expr("CAST(SUM(n_p) AS BIGINT)").alias("n_pos"),
+        F.expr("CAST(SUM(n_n) AS BIGINT)").alias("n_neg"),
+        F.expr(auc_u2_sum_sql()).alias("u2"),
+    )
+    return a.selectExpr(
+        "n_pos", "n_neg", f"{auc_out_sql('u2', 'n_pos', 'n_neg')} AS auc"
+    )

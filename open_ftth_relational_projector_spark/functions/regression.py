@@ -550,3 +550,24 @@ def logreg_kfold_summary(pinned: DataFrame, betas: DataFrame) -> DataFrame:
         )
         .orderBy("fold")
     )
+
+
+def auc_u2_sum_sql() -> str:
+    """Shared-text twice-Mann-Whitney numerator over the per-score table
+    (pi, n_p, n_n, cum_nn): 2U = Σ n_p·(2·neg_below + n_n) — the
+    tie-averaged rank-sum AUC, doubled to stay integral. Exact BIGINT
+    (2U ≤ 2·n_pos·n_neg < 2^63 to ~2·10^9 rows; the outer cast also pins
+    DuckDB's HUGEINT sum back to one correctly-rounded BIGINT→DOUBLE
+    conversion downstream — the dec2dbl double-rounding lesson)."""
+    return "CAST(SUM(n_p * (2 * (cum_nn - n_n) + n_n)) AS BIGINT)"
+
+
+def auc_out_sql(u2: str, npos: str, nneg: str, out_dp: int = 6) -> str:
+    """Shared-text AUC = 2U / (2·n_pos·n_neg): exact integers into one
+    division chain of single IEEE ops (AUC ∈ [0,1] — no signed-zero
+    hazard). Undefined (single-class input) follows IEEE through the
+    division on both engines; callers guarantee both classes present.
+    (2e0, not 2.0: Spark parses a plain decimal literal as DECIMAL and
+    would drag the whole chain into decimal arithmetic; the exponent
+    form is DOUBLE on both engines.)"""
+    return f"ROUND({u2} / (2e0 * {npos} * {nneg}), {out_dp})"
