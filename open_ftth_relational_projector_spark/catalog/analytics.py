@@ -2323,3 +2323,83 @@ def logreg_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.selectExpr(
         "n_pos", "n_neg", f"{auc_out_sql('u2', 'n_pos', 'n_neg')} AS auc"
     )
+
+
+def _stump_sql() -> str:
+    """Decision-stump oracle: pinned features, exact-integer equal-width
+    bucketing, per-feature cumulative class counts, misclassification
+    argmin — every value-determining expression from functions/tree's
+    shared helpers (stack() becomes UNION ALL; the cumulative window is
+    per-feature, oracle-side)."""
+    from open_ftth_relational_projector_spark.functions.regression import (
+        logreg_xpin_sql,
+    )
+    from open_ftth_relational_projector_spark.functions.tree import (
+        stump_bucket_sql,
+        stump_score_sql,
+        stump_threshold_sql,
+        stump_width_sql,
+    )
+
+    return f"""
+    WITH rows AS (SELECT {_LOGREG_Y} AS y,
+                   {logreg_xpin_sql(_LOGREG_X1)} AS x1,
+                   {logreg_xpin_sql(_LOGREG_X2)} AS x2
+            FROM documents WHERE {_LOGREG_WHERE}),
+    st0 AS (SELECT MIN(x1) AS lo1, MAX(x1) AS hi1, MIN(x2) AS lo2,
+                   MAX(x2) AS hi2, CAST(SUM(y) AS BIGINT) AS tnp,
+                   CAST(SUM(1 - y) AS BIGINT) AS tnn
+            FROM rows),
+    st AS (SELECT lo1, lo2, tnp, tnn,
+                  {stump_width_sql('lo1', 'hi1', 64)} AS w1,
+                  {stump_width_sql('lo2', 'hi2', 64)} AS w2
+           FROM st0),
+    buck AS (SELECT y, {stump_bucket_sql('x1', 'lo1', 'w1')} AS b1,
+                    {stump_bucket_sql('x2', 'lo2', 'w2')} AS b2
+             FROM rows CROSS JOIN st),
+    per AS (SELECT feat, b, CAST(SUM(y) AS BIGINT) AS np,
+                   CAST(SUM(1 - y) AS BIGINT) AS nn
+            FROM (SELECT y, 1 AS feat, b1 AS b FROM buck
+                  UNION ALL SELECT y, 2, b2 FROM buck)
+            GROUP BY feat, b),
+    cum AS (SELECT feat, b,
+                   SUM(np) OVER (PARTITION BY feat ORDER BY b
+                                 ROWS UNBOUNDED PRECEDING) AS cnp,
+                   SUM(nn) OVER (PARTITION BY feat ORDER BY b
+                                 ROWS UNBOUNDED PRECEDING) AS cnn,
+                   MAX(b) OVER (PARTITION BY feat) AS maxb
+            FROM per),
+    cand AS (SELECT feat, b, cnp, cnn,
+                    {stump_score_sql('cnp', 'cnn', 'tnp', 'tnn')} AS score
+             FROM cum CROSS JOIN st
+             WHERE b < maxb),
+    best AS (SELECT * FROM cand ORDER BY score, feat, b LIMIT 1)
+    SELECT feat,
+           CASE WHEN feat = 1 THEN {stump_threshold_sql('lo1', 'b', 'w1')}
+                ELSE {stump_threshold_sql('lo2', 'b', 'w2')} END AS threshold,
+           CAST(cnp + cnn AS BIGINT) AS n_left,
+           CAST(cnp AS BIGINT) AS left_np,
+           CAST(cnn AS BIGINT) AS left_nn,
+           CAST(tnp + tnn - cnp - cnn AS BIGINT) AS n_right,
+           CAST(tnp - cnp AS BIGINT) AS right_np,
+           CAST(tnn - cnn AS BIGINT) AS right_nn,
+           CAST(score AS BIGINT) AS split_miscls,
+           CAST(LEAST(tnp, tnn) AS BIGINT) AS baseline_miscls
+    FROM best CROSS JOIN st
+    """
+
+
+@_q("stump_quality_rule", _stump_sql())
+def stump_quality_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best single human-auditable threshold rule ("x ≤ t") for the
+    is-English label over (kilochars, space-ratio) — 1R/CART-root rule
+    induction with an all-integer misclassification argmin
+    (functions/tree.stump_fit); two scans + arithmetic on a ≤2·64-row
+    bucket table at any corpus size."""
+    from open_ftth_relational_projector_spark.functions.tree import stump_fit
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stump_fit(
+        docs, _LOGREG_X1, _LOGREG_X2, _LOGREG_Y, n_buckets=64,
+        where=_LOGREG_WHERE,
+    )

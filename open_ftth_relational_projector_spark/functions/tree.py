@@ -1,0 +1,167 @@
+"""Decision-stump rule induction — interpretable quality-filter training.
+
+The "one simple rule" companion to the logistic classifier
+(functions/regression.logreg_fit_irls): pick the single best threshold
+rule ``x_f ≤ t`` over the candidate features — the 1R / CART-root shape a
+curation pipeline ships when the filter must be human-auditable
+("drop documents with space_ratio ≤ 0.12").
+
+Algorithm (two scans + bounded small-table arithmetic, any corpus size):
+
+  1. One aggregation pass → per-feature integer min/max of the PINNED
+     features (x̃ = round(x·10^4) BIGINT — the logreg pin).
+  2. Equal-width integer bucketing into ≤ B buckets per feature (widths
+     derived from min/max in exact integer arithmetic); one grouped
+     aggregation → per-(feature, bucket) class counts. That table is
+     ≤ 2·B rows — everything after is arithmetic on a tiny frame.
+  3. Candidate split at every interior bucket edge; left counts by a
+     cumulative sum over the per-feature bucket table (window
+     PARTITIONED by feature — bounded partitions, never a global
+     window); split quality = total MISCLASSIFICATION COUNT
+     min(np_l, nn_l) + min(np_r, nn_r) — pure integers, so the argmin
+     (tie-break: lowest score, then feature id, then bucket) is exactly
+     deterministic cross-engine. No Gini ratio, no float compare.
+
+Determinism: the pins make every count exact; the two FLOOR-of-division
+expressions (bucket width, bucket id) divide integers ≤ ~2·10^5 whose
+quotient is either exact or ≥ 1/W away from an integer — 12+ orders
+above double ulp, so FLOOR cannot be flipped by the one correctly-rounded
+division (rationale mirrors functions/clustering.py's quantified-pin
+note). The SQL oracle builds every value-determining expression from the
+helpers below (twin by construction).
+
+Reference parity note: extension family (README "LLM-pipeline surface"),
+no counterpart in the reference engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+from open_ftth_relational_projector_spark.functions.regression import (
+    logreg_xpin_sql,
+)
+
+
+def stump_width_sql(minv: str, maxv: str, n_buckets: int) -> str:
+    """Shared-text integer bucket width: FLOOR((max−min)/B) + 1 —
+    guarantees max's bucket index ≤ B−1 and width ≥ 1."""
+    return (
+        f"CAST(FLOOR(({maxv} - {minv}) / CAST({n_buckets} AS DOUBLE))"
+        f" AS BIGINT) + 1"
+    )
+
+
+def stump_bucket_sql(x: str, minv: str, width: str) -> str:
+    """Shared-text bucket id: FLOOR((x̃−min)/W) over exact integers."""
+    return f"CAST(FLOOR(({x} - {minv}) / CAST({width} AS DOUBLE)) AS BIGINT)"
+
+
+def stump_score_sql(cnp: str, cnn: str, tnp: str, tnn: str) -> str:
+    """Shared-text split quality: misclassified count if each side
+    predicts its majority class — exact BIGINT."""
+    return (
+        f"(LEAST({cnp}, {cnn}) + LEAST({tnp} - {cnp}, {tnn} - {cnn}))"
+    )
+
+
+def stump_threshold_sql(minv: str, bucket: str, width: str) -> str:
+    """Shared-text real-units threshold: the largest pinned value in the
+    left side, unpinned (exact integer arithmetic, one division; can be
+    negative and round to ±0 → signed-zero-normalized)."""
+    return f"ROUND(({minv} + ({bucket} + 1) * {width} - 1) / 1e4, 6) + 0"
+
+
+def stump_fit(
+    df: DataFrame,
+    x1: str,
+    x2: str,
+    y: str,
+    n_buckets: int = 64,
+    where: str | None = None,
+) -> DataFrame:
+    """Fit the best single threshold rule over (x1, x2); returns ONE row:
+    (feat, threshold, n_left, left_np, left_nn, n_right, right_np,
+    right_nn, split_miscls, baseline_miscls). ``feat`` is 1 or 2;
+    the rule is ``x_feat ≤ threshold``; baseline_miscls is the
+    no-split majority-class error for lift-at-a-glance.
+
+    Scale shape: one min/max aggregation + one per-(feature, bucket)
+    grouped aggregation (map-side combined, ≤ 2·B groups); everything
+    downstream runs on ≤ 2·B rows. Constant features contribute no
+    candidates; if both are constant the result is empty (no rule
+    exists)."""
+    base = df.filter(F.expr(where)) if where else df
+    pinned = base.selectExpr(
+        f"CAST({y} AS BIGINT) AS y",
+        f"{logreg_xpin_sql(x1)} AS x1",
+        f"{logreg_xpin_sql(x2)} AS x2",
+    ).localCheckpoint(eager=True)
+    st = pinned.agg(
+        F.expr("MIN(x1)").alias("lo1"),
+        F.expr("MAX(x1)").alias("hi1"),
+        F.expr("MIN(x2)").alias("lo2"),
+        F.expr("MAX(x2)").alias("hi2"),
+        F.expr("CAST(SUM(y) AS BIGINT)").alias("tnp"),
+        F.expr("CAST(SUM(1 - y) AS BIGINT)").alias("tnn"),
+    ).selectExpr(
+        "lo1", "lo2", "tnp", "tnn",
+        f"{stump_width_sql('lo1', 'hi1', n_buckets)} AS w1",
+        f"{stump_width_sql('lo2', 'hi2', n_buckets)} AS w2",
+    )
+    tagged = pinned.crossJoin(F.broadcast(st))
+    per = (
+        tagged.selectExpr(
+            "y",
+            f"{stump_bucket_sql('x1', 'lo1', 'w1')} AS b1",
+            f"{stump_bucket_sql('x2', 'lo2', 'w2')} AS b2",
+        )
+        .selectExpr(
+            "y",
+            "stack(2, 1, b1, 2, b2) AS (feat, b)",
+        )
+        .groupBy("feat", "b")
+        .agg(
+            F.expr("CAST(SUM(y) AS BIGINT)").alias("np"),
+            F.expr("CAST(SUM(1 - y) AS BIGINT)").alias("nn"),
+        )
+    )
+    w = W.partitionBy("feat").orderBy("b").rowsBetween(W.unboundedPreceding, 0)
+    cum = per.select(
+        "feat",
+        "b",
+        F.sum("np").over(w).alias("cnp"),
+        F.sum("nn").over(w).alias("cnn"),
+        F.max("b").over(W.partitionBy("feat")).alias("maxb"),
+    )
+    cand = (
+        cum.filter("b < maxb")
+        .crossJoin(F.broadcast(st))
+        .selectExpr(
+            "feat",
+            "b",
+            "cnp",
+            "cnn",
+            f"{stump_score_sql('cnp', 'cnn', 'tnp', 'tnn')} AS score",
+        )
+    )
+    best = cand.orderBy("score", "feat", "b").limit(1)
+    return (
+        best.crossJoin(F.broadcast(st))
+        .selectExpr(
+            "feat",
+            "CASE WHEN feat = 1 THEN"
+            f" {stump_threshold_sql('lo1', 'b', 'w1')}"
+            " ELSE"
+            f" {stump_threshold_sql('lo2', 'b', 'w2')}"
+            " END AS threshold",
+            "cnp + cnn AS n_left",
+            "cnp AS left_np",
+            "cnn AS left_nn",
+            "tnp + tnn - cnp - cnn AS n_right",
+            "tnp - cnp AS right_np",
+            "tnn - cnn AS right_nn",
+            "score AS split_miscls",
+            "LEAST(tnp, tnn) AS baseline_miscls",
+        )
+    )

@@ -3730,3 +3730,42 @@ def test_logreg_kfold_matches_direct_complement_fit(spark):
     )
     bd = beta_direct.collect()[0]
     assert bmap[0] == (bd["bi0"], bd["bi1"], bd["bi2"])
+
+
+def test_stump_perfect_split_and_counts(spark):
+    """A class perfectly separated in x1 yields a zero-error rule on
+    feature 1 with a threshold between the classes; count identities
+    hold."""
+    from open_ftth_relational_projector_spark.functions.tree import stump_fit
+
+    rows = [(1 if i >= 25 else 0, i / 10.0, ((i * 3) % 7) / 7.0)
+            for i in range(50)]
+    df = spark.createDataFrame(rows, "y int, x1 double, x2 double")
+    out = stump_fit(df, "x1", "x2", "y", n_buckets=16).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["feat"] == 1
+    assert r["split_miscls"] == 0
+    assert 2.4 <= r["threshold"] < 2.5
+    assert r["n_left"] + r["n_right"] == 50
+    assert r["left_np"] == 0 and r["right_nn"] == 0
+    assert r["baseline_miscls"] == 25
+
+
+def test_stump_constant_features(spark):
+    """A constant feature contributes no candidates; both constant →
+    empty result (no rule exists)."""
+    from open_ftth_relational_projector_spark.functions.tree import stump_fit
+
+    one_const = spark.createDataFrame(
+        [(i % 2, 5.0, i / 10.0) for i in range(20)],
+        "y int, x1 double, x2 double",
+    )
+    out = stump_fit(one_const, "x1", "x2", "y", n_buckets=8).collect()
+    assert len(out) == 1 and out[0]["feat"] == 2
+
+    both_const = spark.createDataFrame(
+        [(i % 2, 5.0, -1.0) for i in range(20)],
+        "y int, x1 double, x2 double",
+    )
+    assert stump_fit(both_const, "x1", "x2", "y").count() == 0
