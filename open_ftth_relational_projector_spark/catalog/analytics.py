@@ -2403,3 +2403,114 @@ def stump_quality_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, _LOGREG_X1, _LOGREG_X2, _LOGREG_Y, n_buckets=64,
         where=_LOGREG_WHERE,
     )
+
+
+def _tree2_sql() -> str:
+    """Depth-2 tree oracle: the stump CTE chain, then per-side candidate
+    scans against the root's bucket grid, per-side ROW_NUMBER argmin —
+    all value-determining expressions from functions/tree's helpers."""
+    from open_ftth_relational_projector_spark.functions.regression import (
+        logreg_xpin_sql,
+    )
+    from open_ftth_relational_projector_spark.functions.tree import (
+        stump_bucket_sql,
+        stump_score_sql,
+        stump_threshold_sql,
+        stump_width_sql,
+    )
+
+    return f"""
+    WITH rows AS (SELECT {_LOGREG_Y} AS y,
+                   {logreg_xpin_sql(_LOGREG_X1)} AS x1,
+                   {logreg_xpin_sql(_LOGREG_X2)} AS x2
+            FROM documents WHERE {_LOGREG_WHERE}),
+    st0 AS (SELECT MIN(x1) AS lo1, MAX(x1) AS hi1, MIN(x2) AS lo2,
+                   MAX(x2) AS hi2 FROM rows),
+    st AS (SELECT lo1, lo2,
+                  {stump_width_sql('lo1', 'hi1', 64)} AS w1,
+                  {stump_width_sql('lo2', 'hi2', 64)} AS w2
+           FROM st0),
+    buck AS (SELECT y, {stump_bucket_sql('x1', 'lo1', 'w1')} AS b1,
+                    {stump_bucket_sql('x2', 'lo2', 'w2')} AS b2
+             FROM rows CROSS JOIN st),
+    rootper AS (SELECT feat, b, CAST(SUM(y) AS BIGINT) AS np,
+                       CAST(SUM(1 - y) AS BIGINT) AS nn
+                FROM (SELECT y, 1 AS feat, b1 AS b FROM buck
+                      UNION ALL SELECT y, 2, b2 FROM buck)
+                GROUP BY feat, b),
+    rootcum AS (SELECT feat, b,
+                   SUM(np) OVER (PARTITION BY feat ORDER BY b
+                                 ROWS UNBOUNDED PRECEDING) AS cnp,
+                   SUM(nn) OVER (PARTITION BY feat ORDER BY b
+                                 ROWS UNBOUNDED PRECEDING) AS cnn,
+                   MAX(b) OVER (PARTITION BY feat) AS maxb,
+                   SUM(np) OVER (PARTITION BY feat) AS gnp,
+                   SUM(nn) OVER (PARTITION BY feat) AS gnn
+            FROM rootper),
+    rootcand AS (SELECT feat, b, cnp, cnn, gnp, gnn,
+                    {stump_score_sql('cnp', 'cnn', 'gnp', 'gnn')} AS score
+             FROM rootcum WHERE b < maxb),
+    root AS (SELECT * FROM rootcand ORDER BY score, feat, b LIMIT 1),
+    sided AS (SELECT CASE WHEN (CASE WHEN root.feat = 1 THEN b1 ELSE b2 END)
+                          <= root.b THEN 'L' ELSE 'R' END AS node,
+                     y, b1, b2
+              FROM buck CROSS JOIN root),
+    sideper AS (SELECT node, feat, b, CAST(SUM(y) AS BIGINT) AS np,
+                       CAST(SUM(1 - y) AS BIGINT) AS nn
+                FROM (SELECT node, y, 1 AS feat, b1 AS b FROM sided
+                      UNION ALL SELECT node, y, 2, b2 FROM sided)
+                GROUP BY node, feat, b),
+    sidecum AS (SELECT node, feat, b,
+                   SUM(np) OVER (PARTITION BY node, feat ORDER BY b
+                                 ROWS UNBOUNDED PRECEDING) AS cnp,
+                   SUM(nn) OVER (PARTITION BY node, feat ORDER BY b
+                                 ROWS UNBOUNDED PRECEDING) AS cnn,
+                   MAX(b) OVER (PARTITION BY node, feat) AS maxb,
+                   SUM(np) OVER (PARTITION BY node, feat) AS gnp,
+                   SUM(nn) OVER (PARTITION BY node, feat) AS gnn
+            FROM sideper),
+    sidecand AS (SELECT node, feat, b, cnp, cnn, gnp, gnn,
+                    {stump_score_sql('cnp', 'cnn', 'gnp', 'gnn')} AS score
+             FROM sidecum WHERE b < maxb),
+    children AS (SELECT node, feat, b, cnp, cnn, gnp, gnn, score
+                 FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY node
+                              ORDER BY score, feat, b) AS rn
+                       FROM sidecand) WHERE rn = 1),
+    unioned AS (SELECT 'root' AS node, feat, b, cnp, cnn, gnp, gnn, score
+                FROM root
+                UNION ALL
+                SELECT node, feat, b, cnp, cnn, gnp, gnn, score
+                FROM children)
+    SELECT node, feat,
+           CASE WHEN feat = 1 THEN {stump_threshold_sql('lo1', 'b', 'w1')}
+                ELSE {stump_threshold_sql('lo2', 'b', 'w2')} END AS threshold,
+           CAST(cnp + cnn AS BIGINT) AS n_left,
+           CAST(cnp AS BIGINT) AS left_np,
+           CAST(cnn AS BIGINT) AS left_nn,
+           CAST(gnp + gnn - cnp - cnn AS BIGINT) AS n_right,
+           CAST(gnp - cnp AS BIGINT) AS right_np,
+           CAST(gnn - cnn AS BIGINT) AS right_nn,
+           CAST(score AS BIGINT) AS split_miscls,
+           CAST(LEAST(gnp, gnn) AS BIGINT) AS baseline_miscls
+    FROM unioned CROSS JOIN st
+    ORDER BY node
+    """
+
+
+@_q("tree2_quality_rules", _tree2_sql())
+def tree2_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-2 decision tree (root split + best split inside each side,
+    ≤ 4 leaves) for the is-English label over (kilochars, space-ratio) —
+    the auditable rule-set upgrade of stump_quality_rule; same exact
+    integer misclassification argmin, child thresholds snapped to the
+    root's bucket grid (functions/tree.tree_fit_depth2; three scans
+    total at any corpus size)."""
+    from open_ftth_relational_projector_spark.functions.tree import (
+        tree_fit_depth2,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tree_fit_depth2(
+        docs, _LOGREG_X1, _LOGREG_X2, _LOGREG_Y, n_buckets=64,
+        where=_LOGREG_WHERE,
+    )

@@ -165,3 +165,158 @@ def stump_fit(
             "LEAST(tnp, tnn) AS baseline_miscls",
         )
     )
+
+
+def stump_int_threshold_sql(minv: str, bucket: str, width: str) -> str:
+    """Shared-text PINNED-units threshold (the exact integer the side
+    predicate compares against): min + (b+1)·W − 1."""
+    return f"({minv} + ({bucket} + 1) * {width} - 1)"
+
+
+def tree_fit_depth2(
+    df: DataFrame,
+    x1: str,
+    x2: str,
+    y: str,
+    n_buckets: int = 64,
+    where: str | None = None,
+) -> DataFrame:
+    """Depth-2 tree: the stump's root split, then the best split INSIDE
+    each side — up to 4 leaves, every split chosen by the same exact
+    integer misclassification argmin. Child candidate thresholds reuse
+    the ROOT's bucket grid (one global min/max pass — children do not
+    re-derive widths; a contract choice that keeps the plan at three
+    scans total and the oracle finite).
+
+    Returns up to 3 rows — (node 'root'|'L'|'R', feat, threshold,
+    n_left, left_np, left_nn, n_right, right_np, right_nn,
+    split_miscls, baseline_miscls) — where a child row's baseline is its
+    side's majority-class error (so lift per node is visible) and a pure
+    or single-bucket side simply has no row.
+
+    Scale shape: scan 1 = min/max + totals; scan 2 = root per-(feature,
+    bucket) counts; scan 3 = per-(side, feature, bucket) counts with the
+    one-row root split broadcast. All argmin work happens on ≤ 4·B-row
+    frames."""
+    base = df.filter(F.expr(where)) if where else df
+    pinned = base.selectExpr(
+        f"CAST({y} AS BIGINT) AS y",
+        f"{logreg_xpin_sql(x1)} AS x1",
+        f"{logreg_xpin_sql(x2)} AS x2",
+    ).localCheckpoint(eager=True)
+    st = pinned.agg(
+        F.expr("MIN(x1)").alias("lo1"),
+        F.expr("MAX(x1)").alias("hi1"),
+        F.expr("MIN(x2)").alias("lo2"),
+        F.expr("MAX(x2)").alias("hi2"),
+        F.expr("CAST(SUM(y) AS BIGINT)").alias("tnp"),
+        F.expr("CAST(SUM(1 - y) AS BIGINT)").alias("tnn"),
+    ).selectExpr(
+        "lo1", "lo2", "tnp", "tnn",
+        f"{stump_width_sql('lo1', 'hi1', n_buckets)} AS w1",
+        f"{stump_width_sql('lo2', 'hi2', n_buckets)} AS w2",
+    ).localCheckpoint(eager=True)
+
+    bucketed = pinned.crossJoin(F.broadcast(st)).selectExpr(
+        "y",
+        f"{stump_bucket_sql('x1', 'lo1', 'w1')} AS b1",
+        f"{stump_bucket_sql('x2', 'lo2', 'w2')} AS b2",
+    ).localCheckpoint(eager=True)
+
+    def _best_splits(per: DataFrame, group: list[str]) -> DataFrame:
+        """per: (*group, feat, b, np, nn) counts → one best-split row per
+        group key (empty if no candidates)."""
+        w = (
+            W.partitionBy(*group, "feat")
+            .orderBy("b")
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+        # totals come from the per-FEATURE partition (each row appears
+        # once per feature in the stacked frame; a per-group window would
+        # double-count every document)
+        wt = W.partitionBy(*group, "feat")
+        cum = per.select(
+            *group,
+            "feat",
+            "b",
+            F.sum("np").over(w).alias("cnp"),
+            F.sum("nn").over(w).alias("cnn"),
+            F.max("b").over(wt).alias("maxb"),
+            F.sum("np").over(wt).alias("gnp"),
+            F.sum("nn").over(wt).alias("gnn"),
+        )
+        cand = cum.filter("b < maxb").selectExpr(
+            *group,
+            "feat",
+            "b",
+            "cnp",
+            "cnn",
+            "gnp",
+            "gnn",
+            f"{stump_score_sql('cnp', 'cnn', 'gnp', 'gnn')} AS score",
+        )
+        rw = W.partitionBy(*group).orderBy("score", "feat", "b")
+        return (
+            cand.withColumn("_rn", F.row_number().over(rw))
+            .filter("_rn = 1")
+            .drop("_rn")
+        )
+
+    root_per = (
+        bucketed.selectExpr("y", "stack(2, 1, b1, 2, b2) AS (feat, b)")
+        .groupBy("feat", "b")
+        .agg(
+            F.expr("CAST(SUM(y) AS BIGINT)").alias("np"),
+            F.expr("CAST(SUM(1 - y) AS BIGINT)").alias("nn"),
+        )
+        .withColumn("_g", F.lit(1))
+    )
+    root = _best_splits(root_per, ["_g"]).drop("_g").localCheckpoint(
+        eager=True
+    )
+
+    side_per = (
+        bucketed.crossJoin(
+            F.broadcast(
+                root.selectExpr("feat AS rfeat", "b AS rb")
+            )
+        )
+        .selectExpr(
+            "CASE WHEN (CASE WHEN rfeat = 1 THEN b1 ELSE b2 END) <= rb"
+            " THEN 'L' ELSE 'R' END AS node",
+            "y",
+            "stack(2, 1, b1, 2, b2) AS (feat, b)",
+        )
+        .groupBy("node", "feat", "b")
+        .agg(
+            F.expr("CAST(SUM(y) AS BIGINT)").alias("np"),
+            F.expr("CAST(SUM(1 - y) AS BIGINT)").alias("nn"),
+        )
+    )
+    children = _best_splits(side_per, ["node"])
+
+    out_cols = [
+        "node",
+        "feat",
+        "CASE WHEN feat = 1 THEN"
+        f" {stump_threshold_sql('lo1', 'b', 'w1')}"
+        " ELSE"
+        f" {stump_threshold_sql('lo2', 'b', 'w2')}"
+        " END AS threshold",
+        "cnp + cnn AS n_left",
+        "cnp AS left_np",
+        "cnn AS left_nn",
+        "gnp + gnn - cnp - cnn AS n_right",
+        "gnp - cnp AS right_np",
+        "gnn - cnn AS right_nn",
+        "score AS split_miscls",
+        "LEAST(gnp, gnn) AS baseline_miscls",
+    ]
+    allrows = root.selectExpr("'root' AS node", "*").unionByName(
+        children
+    )
+    return (
+        allrows.crossJoin(F.broadcast(st.select("lo1", "lo2", "w1", "w2")))
+        .selectExpr(*out_cols)
+        .orderBy("node")
+    )

@@ -3769,3 +3769,36 @@ def test_stump_constant_features(spark):
         "y int, x1 double, x2 double",
     )
     assert stump_fit(both_const, "x1", "x2", "y").count() == 0
+
+
+def test_tree2_refines_stump_and_conserves_counts(spark):
+    """The depth-2 root equals the stump's split; children only improve
+    (or match) total error; each child's side size equals the root's
+    side size; a pure side yields no child row."""
+    from open_ftth_relational_projector_spark.functions.tree import (
+        stump_fit,
+        tree_fit_depth2,
+    )
+
+    rows = [
+        (1 if (i % 10) >= 4 and i < 70 else 0, i / 10.0, (i % 10) / 10.0)
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "y int, x1 double, x2 double")
+    stump = stump_fit(df, "x1", "x2", "y", n_buckets=16).collect()[0]
+    out = {r["node"]: r for r in
+           tree_fit_depth2(df, "x1", "x2", "y", n_buckets=16).collect()}
+    root = out["root"]
+    assert (root["feat"], root["threshold"]) == (
+        stump["feat"], stump["threshold"]
+    )
+    assert root["split_miscls"] == stump["split_miscls"]
+    for node, n_side, side_err in (
+        ("L", root["n_left"], min(root["left_np"], root["left_nn"])),
+        ("R", root["n_right"], min(root["right_np"], root["right_nn"])),
+    ):
+        if node in out:
+            c = out[node]
+            assert c["n_left"] + c["n_right"] == n_side
+            assert c["baseline_miscls"] == side_err
+            assert c["split_miscls"] <= side_err
