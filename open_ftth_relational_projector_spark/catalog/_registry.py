@@ -28,7 +28,11 @@ execute when the catalog function is CALLED, not at the later action.
 Plan-only callers (audits, speculative construction) therefore pay those
 jobs; the collected offsets are frozen at construction, which is exactly
 the value-determinism contract above. The operator docstring carries the
-same warning.
+same warning. The iterative fits are in this class too — pagerank,
+power-iteration factorization, logreg/tree training — their per-iteration
+``localCheckpoint(eager=True)`` state pins run the (bounded-state)
+iteration jobs at construction; the returned frame is a flat plan over
+the final checkpointed state.
 """
 
 from __future__ import annotations
