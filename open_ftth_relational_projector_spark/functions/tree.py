@@ -108,7 +108,10 @@ def stump_fit(
         "lo1", "lo2", "tnp", "tnn",
         f"{stump_width_sql('lo1', 'hi1', n_buckets)} AS w1",
         f"{stump_width_sql('lo2', 'hi2', n_buckets)} AS w2",
-    )
+        # one-row frame, checkpointed: it feeds three consumers
+        # (bucketing, scoring, output) and would otherwise re-run the
+        # full-corpus min/max aggregation once per consumer
+    ).localCheckpoint(eager=True)
     tagged = pinned.crossJoin(F.broadcast(st))
     per = (
         tagged.selectExpr(
