@@ -2514,3 +2514,61 @@ def tree2_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, _LOGREG_X1, _LOGREG_X2, _LOGREG_Y, n_buckets=64,
         where=_LOGREG_WHERE,
     )
+
+
+def _woe_sql() -> str:
+    """WOE-table oracle over the stump bucket grid (shared helpers)."""
+    from open_ftth_relational_projector_spark.functions.regression import (
+        logreg_xpin_sql,
+    )
+    from open_ftth_relational_projector_spark.functions.tree import (
+        stump_bucket_sql,
+        stump_width_sql,
+        woe_sql,
+    )
+
+    return f"""
+    WITH rows AS (SELECT {_LOGREG_Y} AS y,
+                   {logreg_xpin_sql(_LOGREG_X1)} AS x1,
+                   {logreg_xpin_sql(_LOGREG_X2)} AS x2
+            FROM documents WHERE {_LOGREG_WHERE}),
+    st0 AS (SELECT MIN(x1) AS lo1, MAX(x1) AS hi1, MIN(x2) AS lo2,
+                   MAX(x2) AS hi2, CAST(SUM(y) AS BIGINT) AS tnp,
+                   CAST(SUM(1 - y) AS BIGINT) AS tnn
+            FROM rows),
+    st AS (SELECT lo1, lo2, tnp, tnn,
+                  {stump_width_sql('lo1', 'hi1', 16)} AS w1,
+                  {stump_width_sql('lo2', 'hi2', 16)} AS w2
+           FROM st0),
+    per AS (SELECT feat, b, CAST(SUM(y) AS BIGINT) AS np,
+                   CAST(SUM(1 - y) AS BIGINT) AS nn
+            FROM (SELECT y, 1 AS feat,
+                         {stump_bucket_sql('x1', 'lo1', 'w1')} AS b
+                  FROM rows CROSS JOIN st
+                  UNION ALL
+                  SELECT y, 2, {stump_bucket_sql('x2', 'lo2', 'w2')}
+                  FROM rows CROSS JOIN st)
+            GROUP BY feat, b)
+    SELECT feat, b,
+           CASE WHEN feat = 1 THEN ROUND((lo1 + b * w1) / 1e4, 6) + 0
+                ELSE ROUND((lo2 + b * w2) / 1e4, 6) + 0 END AS bucket_lo,
+           np, nn,
+           {woe_sql('np', 'nn', 'tnp', 'tnn')} AS woe
+    FROM per CROSS JOIN st
+    ORDER BY feat, b
+    """
+
+
+@_q("woe_feature_audit", _woe_sql())
+def woe_feature_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence table for the is-English label over the two
+    classifier features on the exact integer bucket grid — the scorecard
+    feature-strength diagnostic (functions/tree.woe_table): which value
+    ranges argue for/against the label, Laplace-smoothed, exact counts."""
+    from open_ftth_relational_projector_spark.functions.tree import woe_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return woe_table(
+        docs, _LOGREG_X1, _LOGREG_X2, _LOGREG_Y, n_buckets=16,
+        where=_LOGREG_WHERE,
+    )

@@ -323,3 +323,79 @@ def tree_fit_depth2(
         .selectExpr(*out_cols)
         .orderBy("node")
     )
+
+
+def woe_sql(np: str, nn: str, tnp: str, tnn: str) -> str:
+    """Shared-text Laplace-smoothed weight of evidence per bucket:
+    ln(((np+½)/(tnp+1)) / ((nn+½)/(tnn+1))), rounded 6 dp with
+    signed-zero normalization. Smoothing keeps empty-class buckets
+    finite; ½ and 1 are spelled 5e-1 / 1e0 (bare decimal literals parse
+    as DECIMAL in Spark — the r8 hazard catalog). LN is transcendental:
+    the 6-dp pin on a per-bucket output value is the quantified-
+    negligible class (≤2·B pinned values per run, ulp/pin ≈ 1e-10)."""
+    return (
+        f"ROUND(LN((({np} + 5e-1) / ({tnp} + 1e0))"
+        f" / (({nn} + 5e-1) / ({tnn} + 1e0))), 6) + 0"
+    )
+
+
+def woe_table(
+    df: DataFrame,
+    x1: str,
+    x2: str,
+    y: str,
+    n_buckets: int = 16,
+    where: str | None = None,
+) -> DataFrame:
+    """Per-(feature, bucket) weight-of-evidence audit over the stump's
+    exact integer bucket grid — the scorecard-style feature-strength
+    diagnostic (which ranges of a feature argue for/against the label).
+    Returns (feat, b, bucket_lo, np, nn, woe): bucket_lo is the bucket's
+    smallest raw-units value; WOE positive ⇒ the bucket leans positive.
+    Same scan shape as stump_fit (min/max pass + one grouped count pass;
+    everything downstream on ≤ 2·B rows)."""
+    base = df.filter(F.expr(where)) if where else df
+    pinned = base.selectExpr(
+        f"CAST({y} AS BIGINT) AS y",
+        f"{logreg_xpin_sql(x1)} AS x1",
+        f"{logreg_xpin_sql(x2)} AS x2",
+    ).localCheckpoint(eager=True)
+    st = pinned.agg(
+        F.expr("MIN(x1)").alias("lo1"),
+        F.expr("MAX(x1)").alias("hi1"),
+        F.expr("MIN(x2)").alias("lo2"),
+        F.expr("MAX(x2)").alias("hi2"),
+        F.expr("CAST(SUM(y) AS BIGINT)").alias("tnp"),
+        F.expr("CAST(SUM(1 - y) AS BIGINT)").alias("tnn"),
+    ).selectExpr(
+        "lo1", "lo2", "tnp", "tnn",
+        f"{stump_width_sql('lo1', 'hi1', n_buckets)} AS w1",
+        f"{stump_width_sql('lo2', 'hi2', n_buckets)} AS w2",
+    ).localCheckpoint(eager=True)
+    per = (
+        pinned.crossJoin(F.broadcast(st))
+        .selectExpr(
+            "y",
+            f"{stump_bucket_sql('x1', 'lo1', 'w1')} AS b1",
+            f"{stump_bucket_sql('x2', 'lo2', 'w2')} AS b2",
+        )
+        .selectExpr("y", "stack(2, 1, b1, 2, b2) AS (feat, b)")
+        .groupBy("feat", "b")
+        .agg(
+            F.expr("CAST(SUM(y) AS BIGINT)").alias("np"),
+            F.expr("CAST(SUM(1 - y) AS BIGINT)").alias("nn"),
+        )
+    )
+    return (
+        per.crossJoin(F.broadcast(st))
+        .selectExpr(
+            "feat",
+            "b",
+            "CASE WHEN feat = 1 THEN ROUND((lo1 + b * w1) / 1e4, 6) + 0"
+            " ELSE ROUND((lo2 + b * w2) / 1e4, 6) + 0 END AS bucket_lo",
+            "np",
+            "nn",
+            f"{woe_sql('np', 'nn', 'tnp', 'tnn')} AS woe",
+        )
+        .orderBy("feat", "b")
+    )

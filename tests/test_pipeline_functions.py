@@ -3802,3 +3802,28 @@ def test_tree2_refines_stump_and_conserves_counts(spark):
             assert c["n_left"] + c["n_right"] == n_side
             assert c["baseline_miscls"] == side_err
             assert c["split_miscls"] <= side_err
+
+
+def test_woe_table_signs_and_counts(spark):
+    """WOE sign tracks the bucket's class balance vs the corpus balance;
+    per-feature counts each sum to the corpus size."""
+    from open_ftth_relational_projector_spark.functions.tree import woe_table
+
+    rows = [(1 if i >= 30 else 0, i / 10.0, ((i * 3) % 7) / 7.0)
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "y int, x1 double, x2 double")
+    out = woe_table(df, "x1", "x2", "y", n_buckets=8).collect()
+    for feat in (1, 2):
+        fr = [r for r in out if r["feat"] == feat]
+        assert sum(r["np"] + r["nn"] for r in fr) == 60
+    # x1 is monotone in the label: the lowest bucket is all-negative
+    # (negative WOE), the highest all-positive (positive WOE)
+    f1 = sorted((r for r in out if r["feat"] == 1), key=lambda r: r["b"])
+    assert f1[0]["woe"] < 0 < f1[-1]["woe"]
+    import math
+    r0 = f1[0]
+    expect = round(
+        math.log(((r0["np"] + 0.5) / (30 + 1)) / ((r0["nn"] + 0.5) / (30 + 1))),
+        6,
+    )
+    assert r0["woe"] == pytest.approx(expect, abs=2e-6)
