@@ -148,6 +148,15 @@ EXTRA_QUERIES = [
     "emb_lsh_twin_agreement",
     "knn_lsh_twin_agreement",
     "knn_ivf_twin_agreement",
+    # round-8 classifier/rule-induction family (cold tracked; warm floors
+    # measured on the next idle SPARK_GRAFT_WARM_BEST3=1 run)
+    "logreg_lang_classifier",
+    "logreg_score_histogram",
+    "logreg_crossval_kfold",
+    "logreg_auc_exact",
+    "stump_quality_rule",
+    "tree2_quality_rules",
+    "woe_feature_audit",
 ]
 
 
