@@ -170,12 +170,6 @@ def stump_fit(
     )
 
 
-def stump_int_threshold_sql(minv: str, bucket: str, width: str) -> str:
-    """Shared-text PINNED-units threshold (the exact integer the side
-    predicate compares against): min + (b+1)·W − 1."""
-    return f"({minv} + ({bucket} + 1) * {width} - 1)"
-
-
 def tree_fit_depth2(
     df: DataFrame,
     x1: str,
