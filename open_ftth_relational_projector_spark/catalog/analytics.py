@@ -2572,3 +2572,86 @@ def woe_feature_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, _LOGREG_X1, _LOGREG_X2, _LOGREG_Y, n_buckets=16,
         where=_LOGREG_WHERE,
     )
+
+
+def _logreg_group_sql() -> str:
+    """Per-source IRLS oracle: the logreg CTE chain keyed on the source
+    column — moments GROUP BY source, per-source solves joined back on
+    the key (shared helpers throughout)."""
+    from open_ftth_relational_projector_spark.functions.regression import (
+        LOGREG_MOMENTS,
+        OLS2_B0,
+        OLS2_B1,
+        OLS2_B2,
+        dec2dbl_sql,
+        logreg_beta_out_sql,
+        logreg_moment_exprs,
+        logreg_p_sql,
+        logreg_update_sql,
+        logreg_xpin_sql,
+        logreg_z_sql,
+    )
+
+    z = logreg_z_sql("bi0", "bi1", "bi2", "x1", "x2")
+    parts = [
+        f"""rows AS (SELECT source AS g, {_LOGREG_Y} AS y,
+                   {logreg_xpin_sql(_LOGREG_X1)} AS x1,
+                   {logreg_xpin_sql(_LOGREG_X2)} AS x2
+            FROM documents WHERE {_LOGREG_WHERE})""",
+        """b0 AS (SELECT g, CAST(0 AS BIGINT) AS bi0,
+                  CAST(0 AS BIGINT) AS bi1, CAST(0 AS BIGINT) AS bi2
+           FROM (SELECT DISTINCT g FROM rows))""",
+    ]
+    for i in (1, 2, 3):
+        p = i - 1
+        moments = ", ".join(logreg_moment_exprs())
+        dbl = ", ".join(f"{dec2dbl_sql(m)} AS {m}" for m in LOGREG_MOMENTS)
+        parts.append(
+            f"""s{i} AS (SELECT rows.g, y, x1, x2, {logreg_p_sql(z)} AS pi
+                FROM rows JOIN b{p} USING (g))"""
+        )
+        parts.append(f"mr{i} AS (SELECT g, {moments} FROM s{i} GROUP BY g)")
+        parts.append(f"m{i} AS (SELECT g, {dbl} FROM mr{i})")
+        parts.append(
+            f"""b{i} AS (SELECT m.g,
+                   {logreg_update_sql('bi0', OLS2_B0)} AS bi0,
+                   {logreg_update_sql('bi1', OLS2_B1)} AS bi1,
+                   {logreg_update_sql('bi2', OLS2_B2)} AS bi2
+                FROM m{i} m JOIN b{p} USING (g))"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT g, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(y) AS BIGINT) AS n_pos,
+           {logreg_beta_out_sql('bi0')} AS b0,
+           {logreg_beta_out_sql('bi1')} AS b1,
+           {logreg_beta_out_sql('bi2')} AS b2,
+           ROUND(SUM(CASE WHEN ({z} > 0) = (y = 1) THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS accuracy
+    FROM rows JOIN b3 USING (g)
+    GROUP BY g, bi0, bi1, bi2
+    ORDER BY g
+    """
+    )
+
+
+@_q("logreg_per_source", _logreg_group_sql())
+def logreg_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One is-English logistic filter PER SOURCE, all 20 models trained
+    together (functions/regression.logreg_fit_irls_grouped): per IRLS
+    iteration one map-only scoring pass + one grouped 9-moment
+    aggregation — the per-domain quality-filter farm a curation pipeline
+    trains over thousands of sources at the cost of one model's scans."""
+    from open_ftth_relational_projector_spark.functions.regression import (
+        logreg_fit_irls_grouped,
+        logreg_group_summary,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pinned, betas = logreg_fit_irls_grouped(
+        docs, _LOGREG_X1, _LOGREG_X2, _LOGREG_Y, group_expr="source",
+        iters=3, where=_LOGREG_WHERE,
+    )
+    return logreg_group_summary(pinned, betas)

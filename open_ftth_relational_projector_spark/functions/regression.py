@@ -571,3 +571,106 @@ def auc_out_sql(u2: str, npos: str, nneg: str, out_dp: int = 6) -> str:
     would drag the whole chain into decimal arithmetic; the exponent
     form is DOUBLE on both engines.)"""
     return f"ROUND({u2} / (2e0 * {npos} * {nneg}), {out_dp})"
+
+
+def logreg_fit_irls_grouped(
+    df: DataFrame,
+    x1: str,
+    x2: str,
+    y: str,
+    group_expr: str,
+    iters: int = 3,
+    where: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """One logistic model PER GROUP (per-source / per-domain quality
+    filters), every group's IRLS advancing together: per iteration ONE
+    map-only scoring pass (each row scores under its own group's beta,
+    riding in via a broadcast of the per-group beta frame) and ONE
+    grouped aggregation to groups×9 exact-integer moments, then
+    independent closed-form solves — training thousands of per-domain
+    filters costs the same scan count as training one.
+
+    Determinism identical to logreg_fit_irls. Caller guarantees each
+    group's design is non-degenerate (features non-constant within the
+    group): a singular Hessian's division-by-zero follows different
+    inf/NaN CAST semantics across engines. The beta frame is broadcast —
+    right for bounded group counts (domains/sources); swap the two
+    broadcast joins for shuffle joins if groups are unbounded.
+
+    Returns (pinned_rows(g, y, x1, x2), betas(g, bi0, bi1, bi2))."""
+    base = df.filter(F.expr(where)) if where else df
+    pinned = base.selectExpr(
+        f"({group_expr}) AS g",
+        f"CAST({y} AS BIGINT) AS y",
+        f"{logreg_xpin_sql(x1)} AS x1",
+        f"{logreg_xpin_sql(x2)} AS x2",
+    ).localCheckpoint(eager=True)
+    betas = (
+        pinned.select("g")
+        .distinct()
+        .selectExpr(
+            "g",
+            "CAST(0 AS BIGINT) AS bi0",
+            "CAST(0 AS BIGINT) AS bi1",
+            "CAST(0 AS BIGINT) AS bi2",
+        )
+        .localCheckpoint(eager=True)
+    )
+    z = logreg_z_sql("bi0", "bi1", "bi2", "x1", "x2")
+    for _ in range(iters):
+        scored = pinned.join(F.broadcast(betas), "g").selectExpr(
+            "g", "y", "x1", "x2", f"{logreg_p_sql(z)} AS pi"
+        )
+        mom = (
+            scored.groupBy("g")
+            .agg(
+                *[
+                    F.expr(e.rsplit(" AS ", 1)[0]).alias(
+                        e.rsplit(" AS ", 1)[1]
+                    )
+                    for e in logreg_moment_exprs()
+                ]
+            )
+            .selectExpr(
+                "g", *[f"{dec2dbl_sql(m)} AS {m}" for m in LOGREG_MOMENTS]
+            )
+        )
+        betas = (
+            mom.join(F.broadcast(betas), "g")
+            .selectExpr(
+                "g",
+                f"{logreg_update_sql('bi0', OLS2_B0)} AS bi0",
+                f"{logreg_update_sql('bi1', OLS2_B1)} AS bi1",
+                f"{logreg_update_sql('bi2', OLS2_B2)} AS bi2",
+            )
+            .localCheckpoint(eager=True)
+        )
+    return pinned, betas
+
+
+def logreg_group_summary(pinned: DataFrame, betas: DataFrame) -> DataFrame:
+    """Per-group report: (g, n_docs, n_pos, b0, b1, b2 @6dp raw basis,
+    accuracy @6dp — the exact integer-logit decision)."""
+    z = logreg_z_sql("bi0", "bi1", "bi2", "x1", "x2")
+    return (
+        pinned.join(F.broadcast(betas), "g")
+        .groupBy("g", "bi0", "bi1", "bi2")
+        .agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_docs"),
+            F.expr("CAST(SUM(y) AS BIGINT)").alias("n_pos"),
+            F.expr(
+                f"ROUND(SUM(CASE WHEN ({z} > 0) = (y = 1) THEN 1 ELSE 0"
+                " END) / CAST(COUNT(*) AS DOUBLE), 6)"
+            ).alias("accuracy"),
+        )
+        .selectExpr(
+            "g",
+            "n_docs",
+            "n_pos",
+            f"{logreg_beta_out_sql('bi0')} AS b0",
+            f"{logreg_beta_out_sql('bi1')} AS b1",
+            f"{logreg_beta_out_sql('bi2')} AS b2",
+            "accuracy",
+        )
+        .orderBy("g")
+    )

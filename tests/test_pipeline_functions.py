@@ -3827,3 +3827,33 @@ def test_woe_table_signs_and_counts(spark):
         6,
     )
     assert r0["woe"] == pytest.approx(expect, abs=2e-6)
+
+
+def test_logreg_grouped_matches_per_group_direct_fits(spark):
+    """Each group's jointly-trained beta is BIT-IDENTICAL to a direct
+    logreg_fit_irls on that group alone — the grouped iteration is
+    bookkeeping, not approximation."""
+    from open_ftth_relational_projector_spark.functions.regression import (
+        logreg_fit_irls,
+        logreg_fit_irls_grouped,
+        logreg_group_summary,
+    )
+
+    rows = [
+        ("a" if i % 2 == 0 else "b", y, x1, x2)
+        for i, (y, x1, x2) in enumerate(_logreg_fixture_rows())
+    ]
+    df = spark.createDataFrame(rows, "src string, y int, x1 double, x2 double")
+    pinned, betas = logreg_fit_irls_grouped(
+        df, "x1", "x2", "y", group_expr="src", iters=2
+    )
+    bmap = {r["g"]: (r["bi0"], r["bi1"], r["bi2"]) for r in betas.collect()}
+    for grp in ("a", "b"):
+        _, direct = logreg_fit_irls(
+            df.filter(f"src = '{grp}'"), "x1", "x2", "y", iters=2
+        )
+        d = direct.collect()[0]
+        assert bmap[grp] == (d["bi0"], d["bi1"], d["bi2"]), grp
+    out = logreg_group_summary(pinned, betas).collect()
+    assert [r["g"] for r in out] == ["a", "b"]
+    assert sum(r["n_docs"] for r in out) == 40
