@@ -157,6 +157,7 @@ EXTRA_QUERIES = [
     "stump_quality_rule",
     "tree2_quality_rules",
     "woe_feature_audit",
+    "logreg_per_source",
 ]
 
 

@@ -61,9 +61,10 @@ from . import streaming_sims  # noqa: E402,F401
 # most recent green CORRECTNESS round, oldest first, registration order
 # as tiebreak — the procedure documented here and in
 # scripts/gen_catalog_index.py). NEVER-GREEN queries rank FIRST: the
-# seven r8 additions (logreg_lang_classifier, logreg_score_histogram,
+# eight r8 additions (logreg_lang_classifier, logreg_score_histogram,
 # logreg_crossval_kfold, logreg_auc_exact, stump_quality_rule,
-# tree2_quality_rules, woe_feature_audit — each locally bit-level green
+# tree2_quality_rules, woe_feature_audit, logreg_per_source — each
+# locally bit-level green
 # at all three scales AND under local[5], no driver row yet) take the
 # slots right after q1, then the r4-green remainder (kmv_segment_overlap
 # onward) + the oldest r5 rows fill the 50 slots.
