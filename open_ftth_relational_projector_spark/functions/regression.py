@@ -573,6 +573,54 @@ def auc_out_sql(u2: str, npos: str, nneg: str, out_dp: int = 6) -> str:
     return f"ROUND({u2} / (2e0 * {npos} * {nneg}), {out_dp})"
 
 
+def _raise_on_degenerate_groups(pinned: DataFrame) -> None:
+    """Exact per-group design-rank check for the grouped IRLS. Aggregates
+    the pinned BIGINT features to six raw moments per group (exact:
+    DECIMAL(19,0)×DECIMAL(19,0)→DECIMAL(38,0) products, |x̃| ≤ 10^5 so
+    s11-class sums stay exact to ~10^28 rows), then evaluates
+    n·det(M) = (n·s11 − s1²)(n·s22 − s2²) − (n·s12 − s1·s2)² in Python
+    bigints — a zero-test with no rounding at any step. Bounded collect:
+    one row per group (the broadcast-beta bound)."""
+
+    def _sq(a: str, b: str) -> str:
+        return (
+            f"CAST(SUM(CAST({a} AS DECIMAL(19,0))"
+            f" * CAST({b} AS DECIMAL(19,0))) AS DECIMAL(38,0))"
+        )
+
+    stats = pinned.groupBy("g").agg(
+        F.expr("CAST(COUNT(*) AS DECIMAL(38,0))").alias("rn"),
+        F.expr(_sq("x1", "1")).alias("rs1"),
+        F.expr(_sq("x2", "1")).alias("rs2"),
+        F.expr(_sq("x1", "x1")).alias("rs11"),
+        F.expr(_sq("x1", "x2")).alias("rs12"),
+        F.expr(_sq("x2", "x2")).alias("rs22"),
+    ).collect()
+    bad: list[str] = []
+    for r in stats:
+        rn, s1, s2, s11, s12, s22 = (
+            int(r[c]) for c in ("rn", "rs1", "rs2", "rs11", "rs12", "rs22")
+        )
+        a = rn * s11 - s1 * s1
+        b = rn * s22 - s2 * s2
+        c = rn * s12 - s1 * s2
+        if a * b == c * c:
+            bad.append(str(r["g"]))
+    if bad:
+        bad = sorted(bad)
+        shown = bad if len(bad) <= 10 else bad[:10] + [f"... {len(bad) - 10} more"]
+        raise ValueError(
+            "logreg_fit_irls_grouped: degenerate design in "
+            f"{len(bad)} group(s) "
+            f"{shown} — a pinned feature is constant within the "
+            "group (or the two features are affinely collinear), so the "
+            "IRLS Hessian is exactly singular and the closed-form solve "
+            "would divide by zero (divergent inf/NaN CAST semantics "
+            "across engines). Drop or re-feature these groups, or widen "
+            "the WHERE filter."
+        )
+
+
 def logreg_fit_irls_grouped(
     df: DataFrame,
     x1: str,
@@ -581,6 +629,7 @@ def logreg_fit_irls_grouped(
     group_expr: str,
     iters: int = 3,
     where: str | None = None,
+    check_degenerate: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """One logistic model PER GROUP (per-source / per-domain quality
     filters), every group's IRLS advancing together: per iteration ONE
@@ -590,12 +639,27 @@ def logreg_fit_irls_grouped(
     independent closed-form solves — training thousands of per-domain
     filters costs the same scan count as training one.
 
-    Determinism identical to logreg_fit_irls. Caller guarantees each
-    group's design is non-degenerate (features non-constant within the
-    group): a singular Hessian's division-by-zero follows different
-    inf/NaN CAST semantics across engines. The beta frame is broadcast —
-    right for bounded group counts (domains/sources); swap the two
-    broadcast joins for shuffle joins if groups are unbounded.
+    Determinism identical to logreg_fit_irls. A degenerate per-group
+    design (a feature constant within the group, or the two features
+    affinely collinear) makes the Hessian exactly singular, and the
+    solve's division-by-zero follows different inf/NaN CAST semantics
+    across engines — a silent cross-engine hash divergence. With
+    ``check_degenerate`` (the default) the fit detects this EXACTLY and
+    fails named: one extra grouped aggregation over the pinned integers
+    to the six raw moments, then per group the singularity test
+    n·det(M) = A·B − C² == 0 (A = n·s11 − s1², B = n·s22 − s2²,
+    C = n·s12 − s1·s2) in arbitrary-precision Python integers — no
+    float anywhere, so the test cannot itself diverge. The collect is
+    bounded by the group count (the same bound that justifies the
+    broadcast beta frame). Residual caveat: a full-rank design whose
+    informative rows ALL saturate (pi exactly 0/10^7) at a later
+    iteration can still produce a singular weighted Hessian — the guard
+    certifies the iteration-1 (uniform-weight) Hessian, which is the
+    design-rank property.
+
+    The beta frame is broadcast — right for bounded group counts
+    (domains/sources); swap the two broadcast joins for shuffle joins
+    if groups are unbounded.
 
     Returns (pinned_rows(g, y, x1, x2), betas(g, bi0, bi1, bi2))."""
     base = df.filter(F.expr(where)) if where else df
@@ -605,6 +669,8 @@ def logreg_fit_irls_grouped(
         f"{logreg_xpin_sql(x1)} AS x1",
         f"{logreg_xpin_sql(x2)} AS x2",
     ).localCheckpoint(eager=True)
+    if check_degenerate:
+        _raise_on_degenerate_groups(pinned)
     betas = (
         pinned.select("g")
         .distinct()

@@ -64,6 +64,11 @@ ALLOWLIST: dict[str, str] = {
     ),
     "sinks/jdbc_sink.py::write_full": "per-partition executor writes; collect is DDL table list",
     "sinks/jdbc_sink.py::merge_incremental": "collects per-batch delta under the incremental row guard",
+    "functions/regression.py::_raise_on_degenerate_groups": (
+        "bounded: one 6-moment row per group (the same bounded-group "
+        "contract that justifies the grouped fit's broadcast beta frame) "
+        "— exact-integer singular-Hessian guard, fails named"
+    ),
     "operators/hierarchical.py::hierarchical_cumsum": "#shards rows (scalar-sized totals)",
     "operators/hierarchical.py::hierarchical_grouped_row_number": (
         "~n_groups + n_shards rows — bounded by the few-giant-groups "
