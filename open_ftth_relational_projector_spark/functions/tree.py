@@ -96,6 +96,14 @@ def stump_fit(
         f"CAST({y} AS BIGINT) AS y",
         f"{logreg_xpin_sql(x1)} AS x1",
         f"{logreg_xpin_sql(x2)} AS x2",
+    ).filter(
+        # NULL raw features would put a NULL bucket row into the
+        # cumulative b-ordered window, where Spark defaults to NULLS
+        # FIRST and DuckDB to NULLS LAST — the cumulative class counts
+        # (hence the split/WOE) would diverge cross-engine. Dropping
+        # NULL-pinned rows makes the non-null contract structural
+        # instead of caller-guaranteed (r8 advisor note).
+        "x1 IS NOT NULL AND x2 IS NOT NULL"
     ).localCheckpoint(eager=True)
     st = pinned.agg(
         F.expr("MIN(x1)").alias("lo1"),
@@ -200,6 +208,14 @@ def tree_fit_depth2(
         f"CAST({y} AS BIGINT) AS y",
         f"{logreg_xpin_sql(x1)} AS x1",
         f"{logreg_xpin_sql(x2)} AS x2",
+    ).filter(
+        # NULL raw features would put a NULL bucket row into the
+        # cumulative b-ordered window, where Spark defaults to NULLS
+        # FIRST and DuckDB to NULLS LAST — the cumulative class counts
+        # (hence the split/WOE) would diverge cross-engine. Dropping
+        # NULL-pinned rows makes the non-null contract structural
+        # instead of caller-guaranteed (r8 advisor note).
+        "x1 IS NOT NULL AND x2 IS NOT NULL"
     ).localCheckpoint(eager=True)
     st = pinned.agg(
         F.expr("MIN(x1)").alias("lo1"),
@@ -220,9 +236,12 @@ def tree_fit_depth2(
         f"{stump_bucket_sql('x2', 'lo2', 'w2')} AS b2",
     ).localCheckpoint(eager=True)
 
-    def _best_splits(per: DataFrame, group: list[str]) -> DataFrame:
-        """per: (*group, feat, b, np, nn) counts → one best-split row per
-        group key (empty if no candidates)."""
+    def _split_candidates(per: DataFrame, group: list[str]) -> DataFrame:
+        """per: (*group, feat, b, np, nn) counts → scored candidate rows
+        (*group, feat, b, cnp, cnn, gnp, gnn, score). Every window here
+        partitions by at least ``feat`` — no global window even when
+        ``group`` is empty (the root call), keeping the module contract
+        auditable at the plan level."""
         w = (
             W.partitionBy(*group, "feat")
             .orderBy("b")
@@ -242,7 +261,7 @@ def tree_fit_depth2(
             F.sum("np").over(wt).alias("gnp"),
             F.sum("nn").over(wt).alias("gnn"),
         )
-        cand = cum.filter("b < maxb").selectExpr(
+        return cum.filter("b < maxb").selectExpr(
             *group,
             "feat",
             "b",
@@ -252,9 +271,13 @@ def tree_fit_depth2(
             "gnn",
             f"{stump_score_sql('cnp', 'cnn', 'gnp', 'gnn')} AS score",
         )
+
+    def _best_splits(per: DataFrame, group: list[str]) -> DataFrame:
+        """One best-split row per group key (empty if no candidates)."""
         rw = W.partitionBy(*group).orderBy("score", "feat", "b")
         return (
-            cand.withColumn("_rn", F.row_number().over(rw))
+            _split_candidates(per, group)
+            .withColumn("_rn", F.row_number().over(rw))
             .filter("_rn = 1")
             .drop("_rn")
         )
@@ -266,10 +289,15 @@ def tree_fit_depth2(
             F.expr("CAST(SUM(y) AS BIGINT)").alias("np"),
             F.expr("CAST(SUM(1 - y) AS BIGINT)").alias("nn"),
         )
-        .withColumn("_g", F.lit(1))
     )
-    root = _best_splits(root_per, ["_g"]).drop("_g").localCheckpoint(
-        eager=True
+    # root argmin: orderBy + limit(1) (the stump_fit shape) — a
+    # row_number window here would have an empty partition spec (the
+    # r8 advisor finding: a literal group key folds to a global window)
+    root = (
+        _split_candidates(root_per, [])
+        .orderBy("score", "feat", "b")
+        .limit(1)
+        .localCheckpoint(eager=True)
     )
 
     side_per = (
@@ -353,6 +381,14 @@ def woe_table(
         f"CAST({y} AS BIGINT) AS y",
         f"{logreg_xpin_sql(x1)} AS x1",
         f"{logreg_xpin_sql(x2)} AS x2",
+    ).filter(
+        # NULL raw features would put a NULL bucket row into the
+        # cumulative b-ordered window, where Spark defaults to NULLS
+        # FIRST and DuckDB to NULLS LAST — the cumulative class counts
+        # (hence the split/WOE) would diverge cross-engine. Dropping
+        # NULL-pinned rows makes the non-null contract structural
+        # instead of caller-guaranteed (r8 advisor note).
+        "x1 IS NOT NULL AND x2 IS NOT NULL"
     ).localCheckpoint(eager=True)
     st = pinned.agg(
         F.expr("MIN(x1)").alias("lo1"),
