@@ -1999,7 +1999,10 @@ def ols_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the CCNet/fastText curation-filter shape. Every op is a single IEEE op
 # per row; the pin helpers make the state integer from here on.
 _LOGREG_Y = "CASE WHEN lang = 'en' THEN 1 ELSE 0 END"
-_LOGREG_X1 = "n_chars / 1000.0"
+# 1e3 (not 1000.0): a bare decimal literal parses as DECIMAL in Spark
+# but drives DOUBLE division in DuckDB — the exponent form keeps the
+# whole per-row chain DOUBLE on both engines (r8 shared-text convention)
+_LOGREG_X1 = "n_chars / 1e3"
 _LOGREG_X2 = (
     "(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')))"
     " / CAST(LENGTH(text) AS DOUBLE)"
@@ -2104,7 +2107,7 @@ def _logreg_score_sql() -> str:
     z = logreg_z_sql("bi0", "bi1", "bi2", "x1", "x2")
     return (
         head
-        + f"""SELECT CAST(FLOOR({logreg_p_sql(z)} / 1000000.0) AS INT) AS p_decile,
+        + f"""SELECT CAST(FLOOR({logreg_p_sql(z)} / 1e6) AS INT) AS p_decile,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(y) AS BIGINT) AS n_pos
     FROM rows CROSS JOIN b3
@@ -2137,7 +2140,7 @@ def logreg_score_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pinned.crossJoin(F.broadcast(beta))
         .selectExpr(
-            "y", f"CAST(FLOOR({logreg_p_sql(z)} / 1000000.0) AS INT) AS p_decile"
+            "y", f"CAST(FLOOR({logreg_p_sql(z)} / 1e6) AS INT) AS p_decile"
         )
         .groupBy("p_decile")
         .agg(
