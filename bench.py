@@ -272,6 +272,20 @@ def main() -> None:
         app_name="bench",
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
+    # Silence WindowExec's "No Partition Defined" warning for THIS bench
+    # process only: the 8 emitting sites are the bounded score-lattice /
+    # sketch-spine windows (≤8-256 rows by construction), each enumerated
+    # and exempted in scripts/audit_global_windows.py — in a bench tail
+    # the repeated warning reads as a regression signal it isn't. The
+    # audit, not the logger, remains the gate for real global windows.
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:
+        pass  # logging cosmetics must never fail the bench
     # JVM/codegen warm-up so the first timed query isn't charged session
     # startup; table data itself stays cold. The tiny untimed domain passes
     # JIT the fold/sink code paths the same way spark.range warms the
@@ -364,6 +378,10 @@ def main() -> None:
     # driver's tail capture (BENCH_r03.json parsed: null). The extras go to
     # a sidecar file; the final stdout line stays compact (~1 KB) so the
     # driver can always parse it.
+    try:
+        load_avg_end = round(os.getloadavg()[0], 2)
+    except OSError:
+        load_avg_end = None
     with open(sidecar, "w") as f:
         json.dump(
             {
@@ -379,6 +397,7 @@ def main() -> None:
                 "warm_invalidated_by_plan_change": sorted(invalidated),
                 "sf": sf,
                 "load_avg_start": _LOAD_AVG_START,
+                "load_avg_end": load_avg_end,
                 "note": (
                     "cold = single in-sequence run (contention-sensitive, "
                     "2-4x swing with host load); warm_best3 = min of 3 "
@@ -394,6 +413,11 @@ def main() -> None:
             indent=1,
         )
 
+    # Self-adjudicating headline (round-8 verdict #2): the r8 driver run
+    # read as a 2.4x regression (56.2 s) until the sidecar's
+    # load_avg_start: 26.37 exonerated it as host contention. Carry the
+    # load context in the parsed line itself so every future BENCH_rN.json
+    # explains its own wall clock without the sidecar.
     print(
         json.dumps(
             {
@@ -402,6 +426,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "load_avg_start": _LOAD_AVG_START,
+                "load_avg_end": load_avg_end,
             }
         )
     )
