@@ -158,6 +158,10 @@ EXTRA_QUERIES = [
     "tree2_quality_rules",
     "woe_feature_audit",
     "logreg_per_source",
+    # round-9: boosted-stump rule list (cold tracked; warm floors measured
+    # on the next idle SPARK_GRAFT_WARM_BEST3=1 run)
+    "adaboost_quality_rounds",
+    "adaboost_margin_report",
 ]
 
 

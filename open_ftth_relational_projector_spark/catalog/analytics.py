@@ -2577,6 +2577,204 @@ def woe_feature_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ada_chain_sql(n_rounds: int = 3, n_buckets: int = 16) -> tuple[str, str]:
+    """Shared CTE chain for the AdaBoost oracles: pinned rows, the root
+    bucket grid, then per boosting round a weight CTE (the nested
+    shared-text weight expression over the prior stump CTEs), weighted
+    bucket counts, per-feature cumulative window, and the ORDER BY/LIMIT
+    argmin stump — every value-determining expression from
+    functions/boosting's helpers (twin by construction). Returns
+    (with_clause, cross_joins_of_all_stumps)."""
+    from open_ftth_relational_projector_spark.functions.boosting import (
+        ADA_WS,
+        ada_alpha_sql,
+        ada_factor_sql,
+        ada_next_w_sql,
+        ada_pred_sql,
+        ada_wcount_sql,
+    )
+    from open_ftth_relational_projector_spark.functions.regression import (
+        logreg_xpin_sql,
+    )
+    from open_ftth_relational_projector_spark.functions.tree import (
+        stump_bucket_sql,
+        stump_score_sql,
+        stump_width_sql,
+    )
+
+    parts = [
+        f"""rows AS (SELECT {_LOGREG_Y} AS y,
+                   {logreg_xpin_sql(_LOGREG_X1)} AS x1,
+                   {logreg_xpin_sql(_LOGREG_X2)} AS x2
+            FROM documents WHERE {_LOGREG_WHERE})""",
+        """st0 AS (SELECT MIN(x1) AS lo1, MAX(x1) AS hi1, MIN(x2) AS lo2,
+                   MAX(x2) AS hi2 FROM rows)""",
+        f"""st AS (SELECT lo1, lo2,
+                  {stump_width_sql('lo1', 'hi1', n_buckets)} AS w1,
+                  {stump_width_sql('lo2', 'hi2', n_buckets)} AS w2
+           FROM st0)""",
+        f"""buck AS (SELECT y, {stump_bucket_sql('x1', 'lo1', 'w1')} AS b1,
+                    {stump_bucket_sql('x2', 'lo2', 'w2')} AS b2
+             FROM rows CROSS JOIN st)""",
+    ]
+    w_text = str(ADA_WS)
+    joins = ""
+    for t in range(1, n_rounds + 1):
+        alpha = ada_alpha_sql("score", "(gnp + gnn)")
+        parts.append(
+            f"""wr{t} AS (SELECT y, b1, b2, ({w_text}) AS w
+                FROM buck{joins})"""
+        )
+        parts.append(
+            f"""per{t} AS (SELECT feat, b,
+                    {ada_wcount_sql('w', 'y')} AS wnp,
+                    {ada_wcount_sql('w', '(1 - y)')} AS wnn
+                FROM (SELECT y, w, 1 AS feat, b1 AS b FROM wr{t}
+                      UNION ALL SELECT y, w, 2, b2 FROM wr{t})
+                GROUP BY feat, b)"""
+        )
+        parts.append(
+            f"""cum{t} AS (SELECT feat, b,
+                   SUM(wnp) OVER (PARTITION BY feat ORDER BY b
+                                 ROWS UNBOUNDED PRECEDING) AS cnp,
+                   SUM(wnn) OVER (PARTITION BY feat ORDER BY b
+                                 ROWS UNBOUNDED PRECEDING) AS cnn,
+                   MAX(b) OVER (PARTITION BY feat) AS maxb,
+                   SUM(wnp) OVER (PARTITION BY feat) AS gnp,
+                   SUM(wnn) OVER (PARTITION BY feat) AS gnn
+            FROM per{t})"""
+        )
+        parts.append(
+            f"""cand{t} AS (SELECT feat, b, cnp, cnn, gnp, gnn,
+                    {stump_score_sql('cnp', 'cnn', 'gnp', 'gnn')} AS score
+             FROM cum{t} WHERE b < maxb)"""
+        )
+        parts.append(
+            f"""s{t} AS (SELECT feat AS rf_{t}, b AS rb_{t},
+                   CASE WHEN cnp > cnn THEN 1 ELSE 0 END AS ll_{t},
+                   CASE WHEN gnp - cnp > gnn - cnn THEN 1 ELSE 0 END AS rl_{t},
+                   {alpha} AS ab_{t},
+                   {ada_factor_sql(alpha, wrong=False)} AS fc_{t},
+                   {ada_factor_sql(alpha, wrong=True)} AS fw_{t},
+                   score AS score_{t},
+                   gnp + gnn AS wtot_{t}
+                FROM cand{t} ORDER BY score, feat, b LIMIT 1)"""
+        )
+        joins += f" CROSS JOIN s{t}"
+        pred = ada_pred_sql(f"rf_{t}", f"rb_{t}", f"ll_{t}", f"rl_{t}")
+        w_text = ada_next_w_sql(w_text, pred, f"fc_{t}", f"fw_{t}")
+    return "WITH " + ",\n    ".join(parts), joins
+
+
+def _ada_rounds_sql() -> str:
+    """Boosting rounds-table oracle: the chain + one row per round from
+    its stump CTE (threshold/ε/α via the shared texts)."""
+    from open_ftth_relational_projector_spark.functions.regression import (
+        dec2dbl_sql,
+    )
+    from open_ftth_relational_projector_spark.functions.tree import (
+        stump_threshold_sql,
+    )
+
+    with_clause, _ = _ada_chain_sql()
+    selects = []
+    for t in (1, 2, 3):
+        selects.append(
+            f"""SELECT {t} AS boost_round, rf_{t} AS feat,
+           CASE WHEN rf_{t} = 1 THEN {stump_threshold_sql('lo1', f'rb_{t}', 'w1')}
+                ELSE {stump_threshold_sql('lo2', f'rb_{t}', 'w2')} END AS threshold,
+           ll_{t} AS left_label,
+           rl_{t} AS right_label,
+           ROUND(({dec2dbl_sql(f'score_{t}')}) / ({dec2dbl_sql(f'wtot_{t}')}), 6) AS eps,
+           ROUND(ab_{t} / 1e6, 6) AS alpha
+    FROM s{t} CROSS JOIN st"""
+        )
+    return (
+        with_clause
+        + "\n    "
+        + "\n    UNION ALL ".join(selects)
+        + "\n    ORDER BY boost_round"
+    )
+
+
+def _ada_summary_sql() -> str:
+    """Boosting ensemble-summary oracle: margin = Σ ±α̃ per row over the
+    bucketed corpus crossed with all stump CTEs; exact integer sign
+    test for accuracy."""
+    from open_ftth_relational_projector_spark.functions.boosting import (
+        ada_pred_sql,
+    )
+    from open_ftth_relational_projector_spark.functions.regression import (
+        dec2dbl_sql,
+    )
+
+    with_clause, joins = _ada_chain_sql()
+    terms = []
+    for t in (1, 2, 3):
+        pred = ada_pred_sql(f"rf_{t}", f"rb_{t}", f"ll_{t}", f"rl_{t}")
+        terms.append(f"(CASE WHEN ({pred}) = 1 THEN ab_{t} ELSE -ab_{t} END)")
+    margin = "(" + " + ".join(terms) + ")"
+    avg_num = dec2dbl_sql(
+        "CAST(SUM(CASE WHEN y = 1 THEN margin ELSE -margin END)"
+        " AS DECIMAL(38,0))"
+    )
+    return (
+        with_clause
+        + f""",
+    scored AS (SELECT y, {margin} AS margin FROM buck{joins})
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(y) AS BIGINT) AS n_pos,
+           ROUND(SUM(CASE WHEN (margin > 0) = (y = 1) THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS accuracy,
+           ROUND({avg_num} / 1e6 / CAST(COUNT(*) AS DOUBLE), 6) + 0
+               AS avg_margin
+    FROM scored
+    """
+    )
+
+
+@_q("adaboost_quality_rounds", _ada_rounds_sql())
+def adaboost_quality_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three rounds of discrete AdaBoost over exact-integer decision
+    stumps for the is-English label — the boosted rule-list curation
+    filter (functions/boosting.adaboost_fit): each round ONE map-only
+    weighted-count pass (per-row weights are a nested expression over
+    the broadcast prior stumps, never materialized) + an argmin on a
+    ≤2·16-row frame. Reports each round's rule (feature, threshold,
+    side labels), weighted error ε and pinned round weight α."""
+    from open_ftth_relational_projector_spark.functions.boosting import (
+        adaboost_fit,
+        adaboost_rounds_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    _, st, stumps = adaboost_fit(
+        docs, _LOGREG_X1, _LOGREG_X2, _LOGREG_Y, n_rounds=3, n_buckets=16,
+        where=_LOGREG_WHERE,
+    )
+    return adaboost_rounds_table(st, stumps)
+
+
+@_q("adaboost_margin_report", _ada_summary_sql())
+def adaboost_margin_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ensemble report for the boosted rule list: training accuracy of
+    sign(Σ ±α̃) — an EXACT integer test on the pinned round weights —
+    plus the mean label-signed margin (how confidently the rules
+    separate the classes). One map-only scoring pass with all three
+    one-row stumps broadcast."""
+    from open_ftth_relational_projector_spark.functions.boosting import (
+        adaboost_fit,
+        adaboost_train_summary,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucketed, _, stumps = adaboost_fit(
+        docs, _LOGREG_X1, _LOGREG_X2, _LOGREG_Y, n_rounds=3, n_buckets=16,
+        where=_LOGREG_WHERE,
+    )
+    return adaboost_train_summary(bucketed, stumps)
+
+
 def _logreg_group_sql() -> str:
     """Per-source IRLS oracle: the logreg CTE chain keyed on the source
     column — moments GROUP BY source, per-source solves joined back on

@@ -3857,3 +3857,155 @@ def test_logreg_grouped_matches_per_group_direct_fits(spark):
     out = logreg_group_summary(pinned, betas).collect()
     assert [r["g"] for r in out] == ["a", "b"]
     assert sum(r["n_docs"] for r in out) == 40
+
+
+def test_logreg_grouped_degenerate_group_fails_named(spark):
+    """A group whose design is singular (constant feature / collinear
+    features / too few rows) must fail NAMED, not silently diverge
+    cross-engine through inf/NaN CAST semantics (r8 verdict #4)."""
+    from open_ftth_relational_projector_spark.functions.regression import (
+        logreg_fit_irls_grouped,
+    )
+
+    healthy = [
+        ("ok", y, x1, x2) for (y, x1, x2) in _logreg_fixture_rows()
+    ]
+    # x1 constant within the group -> n*s11 - s1^2 == 0 exactly
+    const_feat = [("flat", i % 2, 3.5, float(i)) for i in range(10)]
+    # x2 = 2*x1 + 1 exactly on the pinned integer grid -> collinear
+    collinear = [("line", i % 2, i * 0.25, i * 0.5 + 1.0) for i in range(10)]
+    # 2 rows: rank <= 2 < 3 regardless of values
+    tiny = [("tiny", 0, 1.0, 2.0), ("tiny", 1, 3.0, 4.0)]
+    df = spark.createDataFrame(
+        healthy + const_feat + collinear + tiny,
+        "src string, y int, x1 double, x2 double",
+    )
+    with pytest.raises(ValueError, match="degenerate design") as ei:
+        logreg_fit_irls_grouped(df, "x1", "x2", "y", group_expr="src")
+    msg = str(ei.value)
+    assert "'flat'" in msg and "'line'" in msg and "'tiny'" in msg
+    assert "'ok'" not in msg
+    # the guard is an opt-out, not a behavior change: disabling it
+    # reproduces the old contract (caller guarantees non-degeneracy)
+    pinned, betas = logreg_fit_irls_grouped(
+        df, "x1", "x2", "y", group_expr="src", where="src = 'ok'",
+    )
+    assert betas.count() == 1
+
+
+def _ada_python_reference(rows, n_rounds=2, n_buckets=8):
+    """Pure-Python replication of the pinned AdaBoost texts: exact
+    integer weights/counts, HALF-UP rounding (SQL ROUND), transcendental
+    pins replayed with math.log/exp on the same inputs."""
+    import math
+
+    def rnd(x):  # HALF_UP for the non-negative quantities used here
+        return math.floor(x + 0.5)
+
+    pin = lambda v: rnd(v * 1e4) if v >= 0 else -rnd(-v * 1e4)
+    data = [(y, pin(x1), pin(x2)) for (y, x1, x2) in rows]
+    lo1 = min(r[1] for r in data); hi1 = max(r[1] for r in data)
+    lo2 = min(r[2] for r in data); hi2 = max(r[2] for r in data)
+    w1 = math.floor((hi1 - lo1) / n_buckets) + 1
+    w2 = math.floor((hi2 - lo2) / n_buckets) + 1
+    buck = [
+        (y, math.floor((p1 - lo1) / w1), math.floor((p2 - lo2) / w2))
+        for (y, p1, p2) in data
+    ]
+    weights = [10**6] * len(buck)
+    stumps = []
+    for _ in range(n_rounds):
+        cand = []
+        for feat in (1, 2):
+            bs = sorted({b[feat] for b in buck})
+            gnp = sum(w for (r, w) in zip(buck, weights) if r[0] == 1)
+            gnn = sum(w for (r, w) in zip(buck, weights) if r[0] == 0)
+            for b in bs[:-1]:
+                cnp = sum(
+                    w for (r, w) in zip(buck, weights)
+                    if r[feat] <= b and r[0] == 1
+                )
+                cnn = sum(
+                    w for (r, w) in zip(buck, weights)
+                    if r[feat] <= b and r[0] == 0
+                )
+                score = min(cnp, cnn) + min(gnp - cnp, gnn - cnn)
+                cand.append((score, feat, b, cnp, cnn, gnp, gnn))
+        score, feat, b, cnp, cnn, gnp, gnn = min(cand)
+        ll = 1 if cnp > cnn else 0
+        rl = 1 if gnp - cnp > gnn - cnn else 0
+        ab = rnd(0.5 * math.log((gnp + gnn - score + 1) / (score + 1)) * 1e6)
+        fc = rnd(math.exp(-(ab / 1e6)) * 1e6)
+        fw = rnd(math.exp(ab / 1e6) * 1e6)
+        stumps.append(
+            dict(feat=feat, b=b, ll=ll, rl=rl, ab=ab, fc=fc, fw=fw,
+                 score=score, wtot=gnp + gnn)
+        )
+        weights = [
+            rnd(w * (fc if (ll if r[feat] <= b else rl) == r[0] else fw)
+                / 1e6)
+            for (r, w) in zip(buck, weights)
+        ]
+    return lo1, lo2, w1, w2, stumps
+
+
+def test_adaboost_matches_python_reference(spark):
+    """Every pinned per-round value (split, labels, α̃, factors, weighted
+    error) matches an independent pure-Python replay of the shared
+    texts — the boosting iteration is exact integer state end-to-end."""
+    from open_ftth_relational_projector_spark.functions.boosting import (
+        adaboost_fit,
+    )
+
+    rows = _logreg_fixture_rows()
+    df = spark.createDataFrame(rows, "y int, x1 double, x2 double")
+    _, st, stumps = adaboost_fit(
+        df, "x1", "x2", "y", n_rounds=2, n_buckets=8
+    )
+    lo1, lo2, w1, w2, ref = _ada_python_reference(rows, 2, 8)
+    strow = st.collect()[0]
+    assert (strow["lo1"], strow["lo2"], strow["w1"], strow["w2"]) == (
+        lo1, lo2, w1, w2,
+    )
+    for t, (s, r) in enumerate(zip(stumps, ref), 1):
+        row = s.collect()[0]
+        got = (
+            row[f"rf_{t}"], row[f"rb_{t}"], row[f"ll_{t}"], row[f"rl_{t}"],
+            row[f"ab_{t}"], row[f"fc_{t}"], row[f"fw_{t}"],
+            int(row[f"score_{t}"]), int(row[f"wtot_{t}"]),
+        )
+        want = (
+            r["feat"], r["b"], r["ll"], r["rl"], r["ab"], r["fc"], r["fw"],
+            r["score"], r["wtot"],
+        )
+        assert got == want, f"round {t}: {got} != {want}"
+
+
+def test_adaboost_reports_shape_and_invariants(spark):
+    """Rounds table: ε ∈ (0, ½] and α ≥ 0 per round (majority side
+    labels bound the weighted error at half); summary accuracy is the
+    exact sign-test fraction and beats the majority-class baseline on
+    the separable-ish fixture."""
+    from open_ftth_relational_projector_spark.functions.boosting import (
+        adaboost_fit,
+        adaboost_rounds_table,
+        adaboost_train_summary,
+    )
+
+    rows = _logreg_fixture_rows()
+    df = spark.createDataFrame(rows, "y int, x1 double, x2 double")
+    bucketed, st, stumps = adaboost_fit(
+        df, "x1", "x2", "y", n_rounds=3, n_buckets=8
+    )
+    rt = adaboost_rounds_table(st, stumps).collect()
+    assert [r["boost_round"] for r in rt] == [1, 2, 3]
+    for r in rt:
+        assert 0 < r["eps"] <= 0.5
+        assert r["alpha"] >= 0
+        assert r["left_label"] in (0, 1) and r["right_label"] in (0, 1)
+    summ = adaboost_train_summary(bucketed, stumps).collect()[0]
+    assert summ["n_docs"] == 40
+    n_pos = summ["n_pos"]
+    baseline = max(n_pos, 40 - n_pos) / 40
+    assert summ["accuracy"] >= baseline - 1e-9
+    assert summ["avg_margin"] is not None
