@@ -1,0 +1,98 @@
+"""Scaling sweep for the trainable-curation-filter family (IRLS logreg).
+
+The graph/dedup families carry measured scaling tables in BENCH_NOTES;
+this does the same for the r8 classifier family. Two claims under test:
+
+1. **Corpus growth** (single fit): per IRLS iteration the cost is ONE
+   map-only scoring pass + ONE map-side-combined aggregation to 9
+   exact-integer moments — wall time should grow ~linearly in rows with
+   a flat driver-side state (the 100 TB shape: more executors, same
+   9-value reduce).
+2. **Group-count growth** (grouped fit, fixed corpus): all groups
+   advance per scan, so wall time should stay ~flat in the number of
+   groups until the broadcast per-group beta frame stops being small —
+   the measured knee is the documented threshold for swapping the two
+   broadcast joins to shuffle joins (functions/regression.py docstring).
+
+Synthesis is hash-derived (no Python RNG): every run sees identical
+frames, so numbers are comparable across rounds.
+
+Run (quiet host): python scripts/bench_logreg_scaling.py
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F
+
+from open_ftth_relational_projector_spark.functions.regression import (
+    logreg_fit_irls,
+    logreg_fit_irls_grouped,
+)
+from open_ftth_relational_projector_spark.session import get_spark
+
+
+def docs_df(spark, n_rows: int, n_groups: int):
+    """Deterministic labeled corpus: features on the pinned |x| ≤ 10
+    grid, label correlated with both features. Features derive from the
+    WITHIN-group index ``id div G`` (not id itself): deriving them from
+    ``id mod <modulus>`` makes every feature constant inside a
+    ``id mod G`` group whenever G divides the modulus — the exact
+    degenerate-design class the fit's singular-Hessian guard exists to
+    catch (it did, in this script's first draft)."""
+    j = F.col("id") / n_groups  # integer div below keeps it exact
+    j = F.floor(j)
+    x1 = (j * 2654435761 % 1000) / 100.0
+    x2 = (j * 97 % 500) / 100.0
+    return (
+        spark.range(n_rows)
+        .select(
+            (F.col("id") % n_groups).cast("string").alias("g"),
+            x1.alias("x1"),
+            x2.alias("x2"),
+            ((j * 31 % 100) < (20 + 6 * x1 - 4 * x2)).cast("int").alias("y"),
+        )
+        .repartition(32)
+    )
+
+
+def main() -> None:
+    spark = get_spark(
+        app_name="bench-logreg-scaling",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    print("sweep 1: single fit (3 IRLS iterations) vs corpus size")
+    print("| rows | fit wall | wall / Mrow |")
+    print("|---|---|---|")
+    for n in (100_000, 1_000_000, 10_000_000):
+        d = docs_df(spark, n, 1).localCheckpoint()
+        d.count()
+        t0 = time.perf_counter()
+        _, beta = logreg_fit_irls(d, "x1", "x2", "y", iters=3)
+        beta.collect()
+        dt = time.perf_counter() - t0
+        print(f"| {n:,} | {dt:.2f} s | {dt / (n / 1e6):.2f} s |")
+
+    print()
+    print("sweep 2: grouped fit (3 IRLS iterations, 2M rows) vs group count")
+    print("| groups | fit wall (incl. degeneracy guard) |")
+    print("|---|---|")
+    for g in (10, 100, 1_000, 10_000):
+        d = docs_df(spark, 2_000_000, g).localCheckpoint()
+        d.count()
+        t0 = time.perf_counter()
+        _, betas = logreg_fit_irls_grouped(d, "x1", "x2", "y", group_expr="g", iters=3)
+        betas.agg(F.count(F.lit(1))).collect()
+        dt = time.perf_counter() - t0
+        print(f"| {g:,} | {dt:.2f} s |")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
