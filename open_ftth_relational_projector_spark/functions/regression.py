@@ -364,6 +364,7 @@ def logreg_fit_irls(
     y: str,
     iters: int = 3,
     where: str | None = None,
+    check_degenerate: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Fit the 2-feature logistic model by ``iters`` unrolled Newton
     steps from β = 0 (where p = 0.5 EXACTLY, so the first step is a pure
@@ -378,7 +379,10 @@ def logreg_fit_irls(
     map-side-combined global aggregation to 9 values + a one-row solve.
     The pinned rows are localCheckpoint'd ONCE; each beta state is a
     localCheckpoint'd single row, so plans stay flat across iterations
-    (the factorization pattern). No driver-side collect anywhere.
+    (the factorization pattern). The only driver-side collect is the
+    default-on degeneracy guard's one-row moment check
+    (_raise_on_degenerate_design), which turns a singular design into a
+    named failure instead of a silent cross-engine divergence.
     """
     base = df.filter(F.expr(where)) if where else df
     pinned = base.selectExpr(
@@ -386,6 +390,8 @@ def logreg_fit_irls(
         f"{logreg_xpin_sql(x1)} AS x1",
         f"{logreg_xpin_sql(x2)} AS x2",
     ).localCheckpoint(eager=True)
+    if check_degenerate:
+        _raise_on_degenerate_design(pinned)
     spark = pinned.sparkSession
     beta = spark.range(1).selectExpr(
         "CAST(0 AS BIGINT) AS bi0",
@@ -448,6 +454,7 @@ def logreg_kfold(
     k: int = 5,
     iters: int = 3,
     where: str | None = None,
+    check_degenerate: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """k-fold cross-validation of the logistic model: every fold's
     classifier is trained on its COMPLEMENT by the same unrolled IRLS,
@@ -476,6 +483,8 @@ def logreg_kfold(
         f"{logreg_xpin_sql(x2)} AS x2",
         f"CAST({fold_expr_spark(key_expr, k)} AS INT) AS fold",
     ).localCheckpoint(eager=True)
+    if check_degenerate:
+        _raise_on_degenerate_complements(pinned)
     spark = pinned.sparkSession
     betas = spark.range(k).selectExpr(
         "CAST(id AS INT) AS bfold",
@@ -573,14 +582,13 @@ def auc_out_sql(u2: str, npos: str, nneg: str, out_dp: int = 6) -> str:
     return f"ROUND({u2} / (2e0 * {npos} * {nneg}), {out_dp})"
 
 
-def _raise_on_degenerate_groups(pinned: DataFrame) -> None:
-    """Exact per-group design-rank check for the grouped IRLS. Aggregates
-    the pinned BIGINT features to six raw moments per group (exact:
-    DECIMAL(19,0)×DECIMAL(19,0)→DECIMAL(38,0) products, |x̃| ≤ 10^5 so
-    s11-class sums stay exact to ~10^28 rows), then evaluates
-    n·det(M) = (n·s11 − s1²)(n·s22 − s2²) − (n·s12 − s1·s2)² in Python
-    bigints — a zero-test with no rounding at any step. Bounded collect:
-    one row per group (the broadcast-beta bound)."""
+_RAW_MOMENT_COLS = ("rn", "rs1", "rs2", "rs11", "rs12", "rs22")
+
+
+def _raw_moment_aggs() -> list:
+    """The six exact raw design moments of the pinned BIGINT features
+    (DECIMAL(19,0)×DECIMAL(19,0)→DECIMAL(38,0) products; |x̃| ≤ 10^5 so
+    s11-class sums stay exact to ~10^28 rows)."""
 
     def _sq(a: str, b: str) -> str:
         return (
@@ -588,23 +596,77 @@ def _raise_on_degenerate_groups(pinned: DataFrame) -> None:
             f" * CAST({b} AS DECIMAL(19,0))) AS DECIMAL(38,0))"
         )
 
-    stats = pinned.groupBy("g").agg(
+    return [
         F.expr("CAST(COUNT(*) AS DECIMAL(38,0))").alias("rn"),
         F.expr(_sq("x1", "1")).alias("rs1"),
         F.expr(_sq("x2", "1")).alias("rs2"),
         F.expr(_sq("x1", "x1")).alias("rs11"),
         F.expr(_sq("x1", "x2")).alias("rs12"),
         F.expr(_sq("x2", "x2")).alias("rs22"),
-    ).collect()
+    ]
+
+
+def _is_singular(m: dict) -> bool:
+    """Exact singularity of the intercept-augmented design moment matrix:
+    n·det(M) = (n·s11 − s1²)(n·s22 − s2²) − (n·s12 − s1·s2)² == 0,
+    evaluated in Python bigints — a zero-test with no rounding at any
+    step (a feature constant in the slice, affinely collinear features,
+    and < 3 distinct rows all land here)."""
+    rn, s1, s2, s11, s12, s22 = (int(m[c]) for c in _RAW_MOMENT_COLS)
+    a = rn * s11 - s1 * s1
+    b = rn * s22 - s2 * s2
+    c = rn * s12 - s1 * s2
+    return a * b == c * c
+
+
+def _raise_on_degenerate_design(pinned: DataFrame) -> None:
+    """Single-fit guard: one aggregation to the six raw moments (a
+    one-row bounded collect), exact singularity test, named failure —
+    the same inf/NaN CAST divergence hazard the grouped guard closes."""
+    row = pinned.agg(*_raw_moment_aggs()).collect()[0]
+    if _is_singular(row.asDict()):
+        raise ValueError(
+            "logreg_fit_irls: degenerate design — a pinned feature is "
+            "constant (or the two features are affinely collinear, or "
+            "there are fewer than 3 distinct rows), so the IRLS Hessian "
+            "is exactly singular and the closed-form solve would divide "
+            "by zero (divergent inf/NaN CAST semantics across engines)."
+        )
+
+
+def _raise_on_degenerate_complements(pinned: DataFrame) -> None:
+    """k-fold guard: each fold TRAINS on its complement, so the design
+    that must be non-degenerate is every complement's. Raw moments are
+    unweighted, so complement moments are exact subtractions
+    totals − fold (one k-row bounded collect); the singularity test per
+    complement is the same Python-bigint zero-test."""
+    rows = pinned.groupBy("fold").agg(*_raw_moment_aggs()).collect()
+    tot = {
+        c: sum(int(r[c]) for r in rows) for c in _RAW_MOMENT_COLS
+    }
+    bad = sorted(
+        int(r["fold"])
+        for r in rows
+        if _is_singular({c: tot[c] - int(r[c]) for c in _RAW_MOMENT_COLS})
+    )
+    if bad:
+        raise ValueError(
+            f"logreg_kfold: degenerate training design for the "
+            f"complement(s) of fold(s) {bad} — outside those folds a "
+            "pinned feature is constant (or the features are affinely "
+            "collinear), so those folds' IRLS Hessians are exactly "
+            "singular and the closed-form solve would divide by zero "
+            "(divergent inf/NaN CAST semantics across engines)."
+        )
+
+
+def _raise_on_degenerate_groups(pinned: DataFrame) -> None:
+    """Exact per-group design-rank check for the grouped IRLS. Bounded
+    collect: one 6-moment row per group (the broadcast-beta bound)."""
+    stats = pinned.groupBy("g").agg(*_raw_moment_aggs()).collect()
     bad: list[str] = []
     for r in stats:
-        rn, s1, s2, s11, s12, s22 = (
-            int(r[c]) for c in ("rn", "rs1", "rs2", "rs11", "rs12", "rs22")
-        )
-        a = rn * s11 - s1 * s1
-        b = rn * s22 - s2 * s2
-        c = rn * s12 - s1 * s2
-        if a * b == c * c:
+        if _is_singular(r.asDict()):
             bad.append(str(r["g"]))
     if bad:
         bad = sorted(bad)

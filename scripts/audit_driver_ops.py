@@ -69,6 +69,14 @@ ALLOWLIST: dict[str, str] = {
         "contract that justifies the grouped fit's broadcast beta frame) "
         "— exact-integer singular-Hessian guard, fails named"
     ),
+    "functions/regression.py::_raise_on_degenerate_design": (
+        "bounded: ONE 6-moment row — the single-fit singular-Hessian "
+        "guard, fails named"
+    ),
+    "functions/regression.py::_raise_on_degenerate_complements": (
+        "bounded: k 6-moment rows (k folds); complement moments are "
+        "exact subtractions from the totals — fails named"
+    ),
     "operators/hierarchical.py::hierarchical_cumsum": "#shards rows (scalar-sized totals)",
     "operators/hierarchical.py::hierarchical_grouped_row_number": (
         "~n_groups + n_shards rows — bounded by the few-giant-groups "

@@ -4009,3 +4009,73 @@ def test_adaboost_reports_shape_and_invariants(spark):
     baseline = max(n_pos, 40 - n_pos) / 40
     assert summ["accuracy"] >= baseline - 1e-9
     assert summ["avg_margin"] is not None
+
+
+def test_logreg_single_fit_degenerate_fails_named(spark):
+    """The single fit shares the grouped fit's guard: constant feature /
+    collinear features / too-few-rows fail named; check_degenerate=False
+    restores the caller-guaranteed contract."""
+    from open_ftth_relational_projector_spark.functions.regression import (
+        logreg_fit_irls,
+    )
+
+    df = spark.createDataFrame(
+        [(i % 2, 3.5, float(i)) for i in range(10)],
+        "y int, x1 double, x2 double",
+    )
+    with pytest.raises(ValueError, match="logreg_fit_irls: degenerate"):
+        logreg_fit_irls(df, "x1", "x2", "y")
+    # without the guard the failure still surfaces, but as Spark's ANSI
+    # DIVIDE_BY_ZERO deep in the first beta update (and as a silent
+    # inf/NaN divergence on a non-ANSI engine) — the guard's value is
+    # the EARLY, NAMED version of the same condition
+    with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+        logreg_fit_irls(df, "x1", "x2", "y", check_degenerate=False)
+    healthy = spark.createDataFrame(
+        _logreg_fixture_rows(), "y int, x1 double, x2 double"
+    )
+    _, beta = logreg_fit_irls(healthy, "x1", "x2", "y", iters=1)
+    assert beta.columns == ["bi0", "bi1", "bi2"]
+
+
+def test_logreg_kfold_complement_degeneracy_mechanism(spark):
+    """The k-fold guard certifies each COMPLEMENT design (what each fold
+    actually trains on): if all variation of x1 lives inside one fold,
+    every OTHER fold's complement keeps it and passes, but that fold's
+    own complement sees a constant x1 and must fail named."""
+    from open_ftth_relational_projector_spark.functions.regression import (
+        _raise_on_degenerate_complements,
+    )
+
+    # fold 0 holds the only x1 variation -> complement of fold 0 is
+    # degenerate; complements of folds 1 and 2 include fold 0 and are fine
+    rows = (
+        [(i % 2, float(i), float((i * 7) % 5), 0) for i in range(10)]
+        + [(i % 2, 2.0, float((i * 3) % 7), 1) for i in range(10)]
+        + [(i % 2, 2.0, float((i * 5) % 6), 2) for i in range(10)]
+    )
+    pinned = spark.createDataFrame(
+        rows, "y long, xr1 double, xr2 double, fold int"
+    ).selectExpr(
+        "y",
+        "CAST(ROUND(xr1 * 1e4, 0) AS BIGINT) AS x1",
+        "CAST(ROUND(xr2 * 1e4, 0) AS BIGINT) AS x2",
+        "fold",
+    )
+    with pytest.raises(ValueError, match=r"fold\(s\) \[0\]"):
+        _raise_on_degenerate_complements(pinned)
+
+
+def test_logreg_kfold_guard_passes_healthy_fixture(spark):
+    """The catalog-shaped k-fold call (md5 folds over the healthy
+    fixture) still fits with the default-on guard."""
+    from open_ftth_relational_projector_spark.functions.regression import (
+        logreg_kfold,
+    )
+
+    rows = [(i,) + r for i, r in enumerate(_logreg_fixture_rows())]
+    df = spark.createDataFrame(rows, "id int, y int, x1 double, x2 double")
+    pinned, betas = logreg_kfold(
+        df, "x1", "x2", "y", key_expr="CAST(id AS STRING)", k=3, iters=2
+    )
+    assert betas.count() == 3
