@@ -162,6 +162,7 @@ EXTRA_QUERIES = [
     # on the next idle SPARK_GRAFT_WARM_BEST3=1 run)
     "adaboost_quality_rounds",
     "adaboost_margin_report",
+    "logreg_isotonic_calibration",
 ]
 
 

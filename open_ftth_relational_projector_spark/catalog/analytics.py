@@ -2577,6 +2577,69 @@ def woe_feature_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _logreg_isotonic_sql() -> str:
+    """Calibration oracle: the classifier training chain, the decile
+    CTE, then the PAV minimax program verbatim from
+    functions/calibration.pav_isotonic_sql (twin by construction)."""
+    from open_ftth_relational_projector_spark.functions.calibration import (
+        pav_isotonic_sql,
+    )
+    from open_ftth_relational_projector_spark.functions.regression import (
+        logreg_p_sql,
+        logreg_z_sql,
+    )
+
+    base = _logreg_sql()
+    head = base[: base.rindex("SELECT")]
+    z = logreg_z_sql("bi0", "bi1", "bi2", "x1", "x2")
+    return (
+        head
+        + f""", dec AS (SELECT CAST(FLOOR({logreg_p_sql(z)} / 1e6) AS INT) AS p_decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(y) AS BIGINT) AS n_pos
+    FROM rows CROSS JOIN b3
+    GROUP BY 1),"""
+        + pav_isotonic_sql("dec")
+    )
+
+
+@_q("logreg_isotonic_calibration", _logreg_isotonic_sql())
+def logreg_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV) calibration of the trained quality classifier's
+    decile table — the monotone-probability step a curation pipeline
+    runs before picking a filtering threshold. The corpus-scale work is
+    the classifier's one map-only scoring pass; the PAV fit is the
+    closed-form minimax identity (functions/calibration.pav_isotonic)
+    evaluated engine-side on the bounded decile frame — no windows, no
+    driver logic, no transcendentals."""
+    from open_ftth_relational_projector_spark.functions.calibration import (
+        pav_isotonic,
+    )
+    from open_ftth_relational_projector_spark.functions.regression import (
+        logreg_fit_irls,
+        logreg_p_sql,
+        logreg_z_sql,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pinned, beta = logreg_fit_irls(
+        docs, _LOGREG_X1, _LOGREG_X2, _LOGREG_Y, iters=3, where=_LOGREG_WHERE
+    )
+    z = logreg_z_sql("bi0", "bi1", "bi2", "x1", "x2")
+    dec = (
+        pinned.crossJoin(F.broadcast(beta))
+        .selectExpr(
+            "y", f"CAST(FLOOR({logreg_p_sql(z)} / 1e6) AS INT) AS p_decile"
+        )
+        .groupBy("p_decile")
+        .agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_docs"),
+            F.expr("CAST(SUM(y) AS BIGINT)").alias("n_pos"),
+        )
+    )
+    return pav_isotonic(dec)
+
+
 def _ada_chain_sql(n_rounds: int = 3, n_buckets: int = 16) -> tuple[str, str]:
     """Shared CTE chain for the AdaBoost oracles: pinned rows, the root
     bucket grid, then per boosting round a weight CTE (the nested

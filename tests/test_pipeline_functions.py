@@ -4079,3 +4079,43 @@ def test_logreg_kfold_guard_passes_healthy_fixture(spark):
         df, "x1", "x2", "y", key_expr="CAST(id AS STRING)", k=3, iters=2
     )
     assert betas.count() == 3
+
+
+def test_pav_isotonic_matches_stack_reference(spark):
+    """The minimax-identity isotonic fit equals the classic
+    pool-adjacent-violators stack algorithm (weighted), and is monotone
+    non-decreasing."""
+    from open_ftth_relational_projector_spark.functions.calibration import (
+        pav_isotonic,
+    )
+
+    rows = [  # (bucket, n, n_pos) with two monotonicity violations
+        (0, 10, 1), (1, 20, 9), (2, 10, 3), (3, 5, 1), (4, 8, 7),
+        (5, 4, 2), (6, 12, 11),
+    ]
+    dec = spark.createDataFrame(
+        rows, "p_decile int, n_docs long, n_pos long"
+    )
+    out = pav_isotonic(dec).collect()
+
+    # weighted PAV stack reference
+    pools = []  # (weight, pos, count_of_buckets)
+    for (_, n, npos) in rows:
+        pools.append([n, npos, 1])
+        while len(pools) > 1 and (
+            pools[-2][1] * pools[-1][0] >= pools[-1][1] * pools[-2][0]
+        ):  # prev_rate >= cur_rate -> pool (exact fraction compare)
+            b = pools.pop()
+            pools[-1] = [
+                pools[-1][0] + b[0], pools[-1][1] + b[1], pools[-1][2] + b[2]
+            ]
+    want = []
+    for n, npos, cnt in pools:
+        want += [round(npos / n, 6)] * cnt
+    got = [r["iso_rate"] for r in out]
+    assert got == pytest.approx(want, abs=1e-9)
+    assert all(a <= b + 1e-12 for a, b in zip(got, got[1:]))
+    # raw rates are reported untouched
+    assert [r["raw_rate"] for r in out] == pytest.approx(
+        [round(npos / n, 6) for (_, n, npos) in rows], abs=1e-9
+    )
