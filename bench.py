@@ -163,6 +163,7 @@ EXTRA_QUERIES = [
     "adaboost_quality_rounds",
     "adaboost_margin_report",
     "logreg_isotonic_calibration",
+    "adaboost_per_source_rounds",
 ]
 
 

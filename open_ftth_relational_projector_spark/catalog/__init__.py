@@ -60,9 +60,10 @@ from . import streaming_sims  # noqa: E402,F401
 # green, recompute with the latest-green ranking (rank every query by its
 # most recent green CORRECTNESS round, oldest first, registration order
 # as tiebreak — the procedure documented here and in
-# scripts/gen_catalog_index.py): q1 first, then the THREE never-green r9
-# additions (adaboost_quality_rounds, adaboost_margin_report — the
-# boosted-stump family — and logreg_isotonic_calibration, the PAV
+# scripts/gen_catalog_index.py): q1 first, then the FOUR never-green r9
+# additions (adaboost_quality_rounds, adaboost_margin_report,
+# adaboost_per_source_rounds — the boosted-stump family and its
+# per-source model farm — and logreg_isotonic_calibration, the PAV
 # calibration step; each bit-level certified locally this round at
 # sf0.001/0.01/0.1 and under local[5]), then the r5-green remainder
 # (repeat_buyer_churn_setops onward), then the oldest r6-green rows to

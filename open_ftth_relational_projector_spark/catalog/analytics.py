@@ -2838,6 +2838,136 @@ def adaboost_margin_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return adaboost_train_summary(bucketed, stumps)
 
 
+def _ada_group_rounds_sql(n_rounds: int = 3, n_buckets: int = 16) -> str:
+    """Per-source AdaBoost oracle: the _ada_chain_sql program keyed on
+    the source column — per-group grids, PARTITION BY (g, feat) windows,
+    ROW_NUMBER per-group argmin, group-keyed weight nesting (shared
+    helpers throughout, twin by construction)."""
+    from open_ftth_relational_projector_spark.functions.boosting import (
+        ADA_WS,
+        ada_alpha_sql,
+        ada_factor_sql,
+        ada_next_w_sql,
+        ada_pred_sql,
+        ada_wcount_sql,
+    )
+    from open_ftth_relational_projector_spark.functions.regression import (
+        dec2dbl_sql,
+        logreg_xpin_sql,
+    )
+    from open_ftth_relational_projector_spark.functions.tree import (
+        stump_bucket_sql,
+        stump_score_sql,
+        stump_threshold_sql,
+        stump_width_sql,
+    )
+
+    parts = [
+        f"""rows AS (SELECT source AS g, {_LOGREG_Y} AS y,
+                   {logreg_xpin_sql(_LOGREG_X1)} AS x1,
+                   {logreg_xpin_sql(_LOGREG_X2)} AS x2
+            FROM documents WHERE {_LOGREG_WHERE})""",
+        """st0 AS (SELECT g, MIN(x1) AS lo1, MAX(x1) AS hi1, MIN(x2) AS lo2,
+                   MAX(x2) AS hi2 FROM rows GROUP BY g)""",
+        f"""st AS (SELECT g, lo1, lo2,
+                  {stump_width_sql('lo1', 'hi1', n_buckets)} AS w1,
+                  {stump_width_sql('lo2', 'hi2', n_buckets)} AS w2
+           FROM st0)""",
+        f"""buck AS (SELECT rows.g, y,
+                    {stump_bucket_sql('x1', 'lo1', 'w1')} AS b1,
+                    {stump_bucket_sql('x2', 'lo2', 'w2')} AS b2
+             FROM rows JOIN st USING (g))""",
+    ]
+    w_text = str(ADA_WS)
+    joins = ""
+    for t in range(1, n_rounds + 1):
+        alpha = ada_alpha_sql("score", "(gnp + gnn)")
+        parts.append(
+            f"""wr{t} AS (SELECT g, y, b1, b2, ({w_text}) AS w
+                FROM buck{joins})"""
+        )
+        parts.append(
+            f"""per{t} AS (SELECT g, feat, b,
+                    {ada_wcount_sql('w', 'y')} AS wnp,
+                    {ada_wcount_sql('w', '(1 - y)')} AS wnn
+                FROM (SELECT g, y, w, 1 AS feat, b1 AS b FROM wr{t}
+                      UNION ALL SELECT g, y, w, 2, b2 FROM wr{t})
+                GROUP BY g, feat, b)"""
+        )
+        parts.append(
+            f"""cum{t} AS (SELECT g, feat, b,
+                   SUM(wnp) OVER (PARTITION BY g, feat ORDER BY b
+                                 ROWS UNBOUNDED PRECEDING) AS cnp,
+                   SUM(wnn) OVER (PARTITION BY g, feat ORDER BY b
+                                 ROWS UNBOUNDED PRECEDING) AS cnn,
+                   MAX(b) OVER (PARTITION BY g, feat) AS maxb,
+                   SUM(wnp) OVER (PARTITION BY g, feat) AS gnp,
+                   SUM(wnn) OVER (PARTITION BY g, feat) AS gnn
+            FROM per{t})"""
+        )
+        parts.append(
+            f"""cand{t} AS (SELECT g, feat, b, cnp, cnn, gnp, gnn,
+                    {stump_score_sql('cnp', 'cnn', 'gnp', 'gnn')} AS score
+             FROM cum{t} WHERE b < maxb)"""
+        )
+        parts.append(
+            f"""s{t} AS (SELECT g, feat AS rf_{t}, b AS rb_{t},
+                   CASE WHEN cnp > cnn THEN 1 ELSE 0 END AS ll_{t},
+                   CASE WHEN gnp - cnp > gnn - cnn THEN 1 ELSE 0 END AS rl_{t},
+                   {alpha} AS ab_{t},
+                   {ada_factor_sql(alpha, wrong=False)} AS fc_{t},
+                   {ada_factor_sql(alpha, wrong=True)} AS fw_{t},
+                   score AS score_{t},
+                   gnp + gnn AS wtot_{t}
+                FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY g
+                             ORDER BY score, feat, b) AS rn
+                      FROM cand{t}) WHERE rn = 1)"""
+        )
+        joins += f" JOIN s{t} USING (g)"
+        pred = ada_pred_sql(f"rf_{t}", f"rb_{t}", f"ll_{t}", f"rl_{t}")
+        w_text = ada_next_w_sql(w_text, pred, f"fc_{t}", f"fw_{t}")
+    selects = []
+    for t in range(1, n_rounds + 1):
+        selects.append(
+            f"""SELECT s{t}.g AS g, {t} AS boost_round, rf_{t} AS feat,
+           CASE WHEN rf_{t} = 1 THEN {stump_threshold_sql('lo1', f'rb_{t}', 'w1')}
+                ELSE {stump_threshold_sql('lo2', f'rb_{t}', 'w2')} END AS threshold,
+           ll_{t} AS left_label,
+           rl_{t} AS right_label,
+           ROUND(({dec2dbl_sql(f'score_{t}')}) / ({dec2dbl_sql(f'wtot_{t}')}), 6) AS eps,
+           ROUND(ab_{t} / 1e6, 6) AS alpha
+    FROM s{t} JOIN st USING (g)"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + "\n    "
+        + "\n    UNION ALL ".join(selects)
+        + "\n    ORDER BY g, boost_round"
+    )
+
+
+@_q("adaboost_per_source_rounds", _ada_group_rounds_sql())
+def adaboost_per_source_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One boosted rule list PER SOURCE, all models trained together
+    (functions/boosting.adaboost_fit_grouped): per boosting round one
+    grouped weighted-count aggregation (groups × 2·16 bucket rows) and
+    a per-group argmin — the per-domain rule-list farm at the scan cost
+    of one model. Reports every (source, round) rule with its weighted
+    error and pinned round weight."""
+    from open_ftth_relational_projector_spark.functions.boosting import (
+        adaboost_fit_grouped,
+        adaboost_group_rounds_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    _, st, stumps = adaboost_fit_grouped(
+        docs, _LOGREG_X1, _LOGREG_X2, _LOGREG_Y, group_expr="source",
+        n_rounds=3, n_buckets=16, where=_LOGREG_WHERE,
+    )
+    return adaboost_group_rounds_table(st, stumps)
+
+
 def _logreg_group_sql() -> str:
     """Per-source IRLS oracle: the logreg CTE chain keyed on the source
     column — moments GROUP BY source, per-source solves joined back on

@@ -285,3 +285,194 @@ def adaboost_train_summary(
             ).alias("avg_margin"),
         )
     )
+
+
+def adaboost_fit_grouped(
+    df: DataFrame,
+    x1: str,
+    x2: str,
+    y: str,
+    group_expr: str,
+    n_rounds: int = 3,
+    n_buckets: int = 16,
+    where: str | None = None,
+) -> tuple[DataFrame, DataFrame, list[DataFrame]]:
+    """One boosted rule list PER GROUP (per-source/per-domain curation
+    filters), every group's rounds advancing together — the model-farm
+    treatment of adaboost_fit: per round ONE grouped aggregation to
+    groups×2·B weighted bucket counts and a per-group argmin on that
+    small frame; per-row weights stay a nested expression over the
+    joined (broadcast, group-keyed) prior stump frames. Training
+    thousands of per-domain rule lists costs the same scan count as one.
+
+    Each group gets its OWN bucket grid (per-group min/max — one grouped
+    aggregation). A group whose features are both constant has no split
+    candidates and simply drops out (no rule list — the stump_fit empty
+    contract); the candidate set is grid-fixed, so a group either holds
+    a full T-round list or none. Determinism identical to adaboost_fit
+    (per-group pinned α/factors — groups×3·T pinned scalars per run).
+    The grid and stump frames are broadcast — the bounded-group contract
+    of logreg_fit_irls_grouped; swap to shuffle joins if groups are
+    unbounded.
+
+    Returns (bucketed(g, y, b1, b2), st(g, lo1, lo2, w1, w2),
+    stumps: per round one frame (g, rf_t, rb_t, ll_t, rl_t, ab_t,
+    fc_t, fw_t, score_t, wtot_t))."""
+    base = df.filter(F.expr(where)) if where else df
+    pinned = base.selectExpr(
+        f"({group_expr}) AS g",
+        f"CAST({y} AS BIGINT) AS y",
+        f"{logreg_xpin_sql(x1)} AS x1",
+        f"{logreg_xpin_sql(x2)} AS x2",
+    ).filter(
+        "x1 IS NOT NULL AND x2 IS NOT NULL"
+    ).localCheckpoint(eager=True)
+    st = pinned.groupBy("g").agg(
+        F.expr("MIN(x1)").alias("lo1"),
+        F.expr("MAX(x1)").alias("hi1"),
+        F.expr("MIN(x2)").alias("lo2"),
+        F.expr("MAX(x2)").alias("hi2"),
+    ).selectExpr(
+        "g", "lo1", "lo2",
+        f"{stump_width_sql('lo1', 'hi1', n_buckets)} AS w1",
+        f"{stump_width_sql('lo2', 'hi2', n_buckets)} AS w2",
+    ).localCheckpoint(eager=True)
+    bucketed = pinned.join(F.broadcast(st), "g").selectExpr(
+        "g",
+        "y",
+        f"{stump_bucket_sql('x1', 'lo1', 'w1')} AS b1",
+        f"{stump_bucket_sql('x2', 'lo2', 'w2')} AS b2",
+    ).localCheckpoint(eager=True)
+
+    stumps: list[DataFrame] = []
+    w_text = str(ADA_WS)
+    for t in range(1, n_rounds + 1):
+        cur = bucketed
+        for s in stumps:
+            cur = cur.join(F.broadcast(s), "g")
+        per = (
+            cur.selectExpr("g", "y", f"({w_text}) AS w", "b1", "b2")
+            .selectExpr("g", "y", "w", "stack(2, 1, b1, 2, b2) AS (feat, b)")
+            .groupBy("g", "feat", "b")
+            .agg(
+                F.expr(f"{ada_wcount_sql('w', 'y')}").alias("wnp"),
+                F.expr(f"{ada_wcount_sql('w', '(1 - y)')}").alias("wnn"),
+            )
+        )
+        cw = W.partitionBy("g", "feat").orderBy("b").rowsBetween(
+            W.unboundedPreceding, 0
+        )
+        tw = W.partitionBy("g", "feat")
+        cum = per.select(
+            "g",
+            "feat",
+            "b",
+            F.sum("wnp").over(cw).alias("cnp"),
+            F.sum("wnn").over(cw).alias("cnn"),
+            F.max("b").over(tw).alias("maxb"),
+            F.sum("wnp").over(tw).alias("gnp"),
+            F.sum("wnn").over(tw).alias("gnn"),
+        )
+        cand = cum.filter("b < maxb").selectExpr(
+            "g",
+            "feat",
+            "b",
+            "cnp",
+            "cnn",
+            "gnp",
+            "gnn",
+            f"{stump_score_sql('cnp', 'cnn', 'gnp', 'gnn')} AS score",
+        )
+        alpha = ada_alpha_sql("score", "(gnp + gnn)")
+        rw = W.partitionBy("g").orderBy("score", "feat", "b")
+        stump = (
+            cand.withColumn("_rn", F.row_number().over(rw))
+            .filter("_rn = 1")
+            .selectExpr(
+                "g",
+                f"feat AS rf_{t}",
+                f"b AS rb_{t}",
+                f"CASE WHEN cnp > cnn THEN 1 ELSE 0 END AS ll_{t}",
+                f"CASE WHEN gnp - cnp > gnn - cnn THEN 1 ELSE 0 END"
+                f" AS rl_{t}",
+                f"{alpha} AS ab_{t}",
+                f"{ada_factor_sql(alpha, wrong=False)} AS fc_{t}",
+                f"{ada_factor_sql(alpha, wrong=True)} AS fw_{t}",
+                f"score AS score_{t}",
+                f"gnp + gnn AS wtot_{t}",
+            )
+            .localCheckpoint(eager=True)
+        )
+        stumps.append(stump)
+        pred = ada_pred_sql(f"rf_{t}", f"rb_{t}", f"ll_{t}", f"rl_{t}")
+        w_text = ada_next_w_sql(w_text, pred, f"fc_{t}", f"fw_{t}")
+    return bucketed, st, stumps
+
+
+def adaboost_group_rounds_table(
+    st: DataFrame, stumps: list[DataFrame]
+) -> DataFrame:
+    """Per-(group, round) rule report: (g, boost_round, feat, threshold,
+    left_label, right_label, eps, alpha) — the rounds table of
+    adaboost_rounds_table keyed by group (thresholds on each group's own
+    grid)."""
+    from open_ftth_relational_projector_spark.functions.tree import (
+        stump_threshold_sql,
+    )
+
+    outs = []
+    for t, s in enumerate(stumps, 1):
+        outs.append(
+            s.join(F.broadcast(st), "g").selectExpr(
+                "g",
+                f"{t} AS boost_round",
+                f"rf_{t} AS feat",
+                f"CASE WHEN rf_{t} = 1 THEN"
+                f" {stump_threshold_sql('lo1', f'rb_{t}', 'w1')}"
+                " ELSE"
+                f" {stump_threshold_sql('lo2', f'rb_{t}', 'w2')}"
+                " END AS threshold",
+                f"ll_{t} AS left_label",
+                f"rl_{t} AS right_label",
+                f"ROUND(({dec2dbl_sql(f'score_{t}')})"
+                f" / ({dec2dbl_sql(f'wtot_{t}')}), 6) AS eps",
+                f"ROUND(ab_{t} / 1e6, 6) AS alpha",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("g", "boost_round")
+
+
+def adaboost_group_summary(
+    bucketed: DataFrame, stumps: list[DataFrame]
+) -> DataFrame:
+    """Per-group ensemble report: (g, n_docs, n_pos, accuracy,
+    avg_margin) — the exact integer sign test per group; groups without
+    a rule list (constant features) are absent, matching the fit."""
+    cur = bucketed
+    for s in stumps:
+        cur = cur.join(F.broadcast(s), "g")
+    terms = []
+    for t in range(1, len(stumps) + 1):
+        pred = ada_pred_sql(f"rf_{t}", f"rb_{t}", f"ll_{t}", f"rl_{t}")
+        terms.append(f"(CASE WHEN ({pred}) = 1 THEN ab_{t} ELSE -ab_{t} END)")
+    margin = "(" + " + ".join(terms) + ")"
+    return (
+        cur.selectExpr("g", "y", f"{margin} AS margin")
+        .groupBy("g")
+        .agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_docs"),
+            F.expr("CAST(SUM(y) AS BIGINT)").alias("n_pos"),
+            F.expr(
+                "ROUND(SUM(CASE WHEN (margin > 0) = (y = 1) THEN 1"
+                " ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6)"
+            ).alias("accuracy"),
+            F.expr(
+                f"ROUND({dec2dbl_sql('CAST(SUM(CASE WHEN y = 1 THEN margin ELSE -margin END) AS DECIMAL(38,0))')}"
+                " / 1e6 / CAST(COUNT(*) AS DOUBLE), 6) + 0"
+            ).alias("avg_margin"),
+        )
+        .orderBy("g")
+    )

@@ -4119,3 +4119,44 @@ def test_pav_isotonic_matches_stack_reference(spark):
     assert [r["raw_rate"] for r in out] == pytest.approx(
         [round(npos / n, 6) for (_, n, npos) in rows], abs=1e-9
     )
+
+
+def test_adaboost_grouped_matches_per_group_direct_fits(spark):
+    """Each group's jointly-trained rule list is BIT-IDENTICAL to a
+    direct adaboost_fit on that group alone (grids, splits, labels,
+    pinned alphas/factors) — the grouped iteration is bookkeeping, not
+    approximation (the logreg model-farm property)."""
+    from open_ftth_relational_projector_spark.functions.boosting import (
+        adaboost_fit,
+        adaboost_fit_grouped,
+        adaboost_group_summary,
+    )
+
+    rows = [
+        ("a" if i % 2 == 0 else "b", y, x1, x2)
+        for i, (y, x1, x2) in enumerate(_logreg_fixture_rows())
+    ]
+    df = spark.createDataFrame(rows, "src string, y int, x1 double, x2 double")
+    bucketed, st, stumps = adaboost_fit_grouped(
+        df, "x1", "x2", "y", group_expr="src", n_rounds=2, n_buckets=8
+    )
+    cols = ("rf", "rb", "ll", "rl", "ab", "fc", "fw")
+    for grp in ("a", "b"):
+        _, dst, dstumps = adaboost_fit(
+            df.filter(f"src = '{grp}'"), "x1", "x2", "y",
+            n_rounds=2, n_buckets=8,
+        )
+        want_st = dst.collect()[0]
+        got_st = st.filter(f"g = '{grp}'").collect()[0]
+        assert tuple(got_st[c] for c in ("lo1", "lo2", "w1", "w2")) == tuple(
+            want_st[c] for c in ("lo1", "lo2", "w1", "w2")
+        ), grp
+        for t, (gs, ds) in enumerate(zip(stumps, dstumps), 1):
+            grow = gs.filter(f"g = '{grp}'").collect()[0]
+            drow = ds.collect()[0]
+            got = tuple(grow[f"{c}_{t}"] for c in cols)
+            want = tuple(drow[f"{c}_{t}"] for c in cols)
+            assert got == want, (grp, t, got, want)
+    summ = {r["g"]: r for r in adaboost_group_summary(bucketed, stumps).collect()}
+    assert set(summ) == {"a", "b"}
+    assert sum(r["n_docs"] for r in summ.values()) == 40
