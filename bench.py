@@ -258,6 +258,16 @@ def _plan_signature(df) -> str:
     drift is fine — a nulled warm number just gets re-measured."""
     txt = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
     txt = re.sub(r"#\d+[L]?", "#", txt)
+    # higher-order-function lambda variables carry a SESSION-GLOBAL
+    # counter in their names (lambda x_20#) that #-stripping misses —
+    # registering new catalog entries shifted the counter and flapped
+    # curation_decisions' signature between identical-code runs (r9)
+    txt = re.sub(r"(lambda [A-Za-z]+)_\d+", r"\1_", txt)
+    # a localCheckpoint'd intermediate embeds its EXECUTED AQE subtree in
+    # the optimized plan; its stage/codegen numbering (BroadcastQueryStage
+    # 9, *(5)) counts session-global work and is not part of the shape
+    txt = re.sub(r"QueryStage \d+", "QueryStage", txt)
+    txt = re.sub(r"\*\(\d+\)", "*", txt)
     txt = re.sub(r"plan_id=\d+", "plan_id=", txt)
     txt = re.sub(r"@[0-9a-f]{6,}", "@", txt)
     return hashlib.md5(txt.encode()).hexdigest()[:12]
