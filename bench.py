@@ -164,6 +164,7 @@ EXTRA_QUERIES = [
     "adaboost_margin_report",
     "logreg_isotonic_calibration",
     "adaboost_per_source_rounds",
+    "adaboost_per_source_margins",
 ]
 
 

@@ -60,14 +60,15 @@ from . import streaming_sims  # noqa: E402,F401
 # green, recompute with the latest-green ranking (rank every query by its
 # most recent green CORRECTNESS round, oldest first, registration order
 # as tiebreak — the procedure documented here and in
-# scripts/gen_catalog_index.py): q1 first, then the FOUR never-green r9
+# scripts/gen_catalog_index.py): q1 first, then the FIVE never-green r9
 # additions (adaboost_quality_rounds, adaboost_margin_report,
-# adaboost_per_source_rounds — the boosted-stump family and its
-# per-source model farm — and logreg_isotonic_calibration, the PAV
-# calibration step; each bit-level certified locally this round at
-# sf0.001/0.01/0.1 and under local[5]), then the r5-green remainder
-# (repeat_buyer_churn_setops onward), then the oldest r6-green rows to
-# fill 50. Any r9 FAIL goes to the front after its fix.
+# adaboost_per_source_rounds, adaboost_per_source_margins — the
+# boosted-stump family and its per-source model farm — and
+# logreg_isotonic_calibration, the PAV calibration step; each bit-level
+# certified locally this round at sf0.001/0.01/0.1 and under local[5]),
+# then the r5-green remainder (repeat_buyer_churn_setops onward), then
+# the oldest r6-green rows to fill 50. Any r9 FAIL goes to the front
+# after its fix.
 # Keep every name in _DRIVER_WINDOW_FRONT registered (the assert below
 # enforces it) and re-pin tests/data/catalog_order.txt + CATALOG.md
 # (scripts/gen_catalog_index.py) after any reorder. The production ANN

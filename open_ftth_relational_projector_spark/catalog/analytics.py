@@ -2838,11 +2838,15 @@ def adaboost_margin_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return adaboost_train_summary(bucketed, stumps)
 
 
-def _ada_group_rounds_sql(n_rounds: int = 3, n_buckets: int = 16) -> str:
+def _ada_group_rounds_sql(
+    n_rounds: int = 3, n_buckets: int = 16, _want: str = "rounds"
+) -> str:
     """Per-source AdaBoost oracle: the _ada_chain_sql program keyed on
     the source column — per-group grids, PARTITION BY (g, feat) windows,
     ROW_NUMBER per-group argmin, group-keyed weight nesting (shared
-    helpers throughout, twin by construction)."""
+    helpers throughout, twin by construction). ``_want`` picks the final
+    report: the per-(group, round) rules table or the per-group margin
+    summary over the same chain."""
     from open_ftth_relational_projector_spark.functions.boosting import (
         ADA_WS,
         ada_alpha_sql,
@@ -2926,6 +2930,34 @@ def _ada_group_rounds_sql(n_rounds: int = 3, n_buckets: int = 16) -> str:
         joins += f" JOIN s{t} USING (g)"
         pred = ada_pred_sql(f"rf_{t}", f"rb_{t}", f"ll_{t}", f"rl_{t}")
         w_text = ada_next_w_sql(w_text, pred, f"fc_{t}", f"fw_{t}")
+    if _want == "margins":
+        terms = []
+        for t in range(1, n_rounds + 1):
+            pred = ada_pred_sql(f"rf_{t}", f"rb_{t}", f"ll_{t}", f"rl_{t}")
+            terms.append(
+                f"(CASE WHEN ({pred}) = 1 THEN ab_{t} ELSE -ab_{t} END)"
+            )
+        margin = "(" + " + ".join(terms) + ")"
+        avg_num = dec2dbl_sql(
+            "CAST(SUM(CASE WHEN y = 1 THEN margin ELSE -margin END)"
+            " AS DECIMAL(38,0))"
+        )
+        return (
+            "WITH "
+            + ",\n    ".join(parts)
+            + f""",
+    scored AS (SELECT g, y, {margin} AS margin FROM buck{joins})
+    SELECT g, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(y) AS BIGINT) AS n_pos,
+           ROUND(SUM(CASE WHEN (margin > 0) = (y = 1) THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS accuracy,
+           ROUND({avg_num} / 1e6 / CAST(COUNT(*) AS DOUBLE), 6) + 0
+               AS avg_margin
+    FROM scored
+    GROUP BY g
+    ORDER BY g
+    """
+        )
     selects = []
     for t in range(1, n_rounds + 1):
         selects.append(
@@ -2966,6 +2998,26 @@ def adaboost_per_source_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_rounds=3, n_buckets=16, where=_LOGREG_WHERE,
     )
     return adaboost_group_rounds_table(st, stumps)
+
+
+@_q("adaboost_per_source_margins", _ada_group_rounds_sql(_want="margins"))
+def adaboost_per_source_margins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source ensemble report for the boosted rule-list farm: each
+    source's training accuracy under sign(Σ ±α̃) — the exact integer
+    decision — plus its mean label-signed margin, from one map-only
+    scoring pass with the group-keyed stump frames broadcast
+    (functions/boosting.adaboost_group_summary)."""
+    from open_ftth_relational_projector_spark.functions.boosting import (
+        adaboost_fit_grouped,
+        adaboost_group_summary,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucketed, _, stumps = adaboost_fit_grouped(
+        docs, _LOGREG_X1, _LOGREG_X2, _LOGREG_Y, group_expr="source",
+        n_rounds=3, n_buckets=16, where=_LOGREG_WHERE,
+    )
+    return adaboost_group_summary(bucketed, stumps)
 
 
 def _logreg_group_sql() -> str:
