@@ -389,7 +389,12 @@ def main() -> None:
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 dt = time.perf_counter() - t0
                 best = dt if best is None else min(best, dt)
-            best = round(best, 3)
+            # the run's own in-sequence cold participates too: a query
+            # whose internal persists interact with end-of-session cache
+            # pressure (curation_decisions, r9) can measure a best-of-3
+            # ABOVE its cold — a "floor" above the same run's cold is a
+            # contradiction
+            best = round(min(best, extra.get(name, best)), 3)
             # a floor is the best KNOWN wall under the current plan: keep
             # the carried value when it beats this session's best-of-3 (a
             # refresh on a not-quite-idle host must not RAISE floors — an
