@@ -40,35 +40,30 @@ from . import streaming_sims  # noqa: E402,F401
 # ===========================================================================
 # Registration order for the driver window
 # ===========================================================================
-# ROUND-9 WINDOW (this session): CORRECTNESS_r08 landed 50/50 — no fixes
-# to front-load. Executed exactly per the r8 pinned plan: q1 first, then
-# the eight NEVER-driver-checked classifier/rule-induction queries
-# (logreg_lang_classifier, logreg_score_histogram, logreg_crossval_kfold,
-# logreg_auc_exact, stump_quality_rule, tree2_quality_rules,
-# woe_feature_audit, logreg_per_source — re-certified bit-level this
-# round at sf0.001/0.01/0.1 AND under local[5] AFTER the r9 shared-text
-# literal change: 1e3/1e6 exponent-form doubles replacing the bare
-# decimal literals, the r8 advisor item). Then the latest-green ranking
-# fills the window: all 34 remaining r4-green rows (kmv_segment_overlap
-# onward, registration order) and the 7 oldest r5-green rows. A green
-# round makes cumulative driver certification 240/240 (235 direct + the
-# 5 ANN production paths certified via their driver-green twin_agreement
-# entries) and leaves every catalog query's latest green row <= 5 rounds
+# ROUND-10 WINDOW (this session): CORRECTNESS_r09 landed 50/50 — no fixes
+# to front-load. Executed exactly per the r9 pinned plan with the
+# latest-green ranking (rank every query by its most recent green
+# CORRECTNESS round, oldest first, registration order as tiebreak): q1
+# first, then the FIVE never-driver-checked r9 additions
+# (logreg_isotonic_calibration and the adaboost_* boosted-stump family —
+# re-certified bit-level this round at sf0.001/0.01/0.1 AND under
+# local[5] AFTER the r10 shared-text change: the IS NOT NULL pinned-
+# feature filter hoisted into the oracle rows CTEs, the r9 advisor item),
+# then the full r5-green remainder (repeat_buyer_churn_setops onward, 42
+# entries, registration order), then the 2 oldest r6-green rows
+# (q3_order_revenue, q5_region_nation_revenue). A green round makes
+# cumulative driver certification 245/245 (240 direct + the 5 ANN
+# production paths certified via their driver-green twin_agreement
+# entries) and keeps every catalog query's latest green row <= 4 rounds
 # old (the refresh invariant).
 #
-# ROUND-10 PLAN (for the next session): assuming CORRECTNESS_r09 lands
-# green, recompute with the latest-green ranking (rank every query by its
-# most recent green CORRECTNESS round, oldest first, registration order
-# as tiebreak — the procedure documented here and in
-# scripts/gen_catalog_index.py): q1 first, then the FIVE never-green r9
-# additions (adaboost_quality_rounds, adaboost_margin_report,
-# adaboost_per_source_rounds, adaboost_per_source_margins — the
-# boosted-stump family and its per-source model farm — and
-# logreg_isotonic_calibration, the PAV calibration step; each bit-level
-# certified locally this round at sf0.001/0.01/0.1 and under local[5]),
-# then the r5-green remainder (repeat_buyer_churn_setops onward), then
-# the oldest r6-green rows to fill 50. Any r9 FAIL goes to the front
-# after its fix.
+# ROUND-11 PLAN (for the next session): assuming CORRECTNESS_r10 lands
+# green, recompute with the same latest-green ranking: q1 first, then any
+# never-green additions from r10, then the oldest remaining rows — the 47
+# r6-green rows (q2_min_cost_supplier onward, registration order) fill
+# the 50. Any r10 FAIL goes to the front after its fix. Capacity note:
+# the rotation cycle is 245/50 ≈ 5 rounds, so at most ~2 brand-new
+# catalog queries per round keep the refresh invariant satisfiable.
 # Keep every name in _DRIVER_WINDOW_FRONT registered (the assert below
 # enforces it) and re-pin tests/data/catalog_order.txt + CATALOG.md
 # (scripts/gen_catalog_index.py) after any reorder. The production ANN
@@ -82,58 +77,58 @@ from . import streaming_sims  # noqa: E402,F401
 # recent green row.
 _DRIVER_WINDOW_FRONT = [
     "q1_pricing_summary",
-    # -- never driver-checked (r8 classifier/rule-induction family) --
-    "logreg_lang_classifier",
-    "logreg_score_histogram",
-    "logreg_crossval_kfold",
-    "logreg_auc_exact",
-    "stump_quality_rule",
-    "tree2_quality_rules",
-    "woe_feature_audit",
-    "logreg_per_source",
-    # -- all remaining r4-green rows (oldest green), registration order --
-    "kmv_segment_overlap",
-    "cms_join_size_estimate",
-    "cms_heavy_hitters",
-    "bloom_decontamination",
-    "incremental_dedup_report",
-    "knn_label_propagation",
-    "winnow_fingerprints",
-    "scd2_user_value_history",
-    "snapshot_diff_orders",
-    "dedup_graph_triangles",
-    "tfidf_cosine_pairs",
-    "time_weighted_user_value",
-    "rolling_7d_active_users",
-    "customer_er_candidates",
-    "point_in_time_features",
-    "rolling_zscore_anomalies",
-    "peak_concurrent_sessions",
-    "psi_value_drift",
-    "rfm_customer_segments",
-    "corpus_zipf_heaps",
-    "user_activity_streaks",
-    "lang_source_chisq",
-    "ab_test_zscore",
-    "dedup_strategy_matrix",
-    "jaccard_pairs_prefix_filtered",
-    "pq_codes",
-    "pq_knn_adc",
-    "conversion_survival_curve",
-    "cusum_changepoints",
-    "ewma_user_values",
-    "exact_median_twopass",
-    "benford_price_audit",
-    "forward_filled_values",
-    "linear_interpolated_values",
-    # -- oldest r5-green rows, registration order --
-    "q15_top_supplier",
-    "unpivot_lineitem_measures",
-    "cube_orders_status_priority",
-    "asof_forward_error_recovery",
-    "attribution_last_touch",
-    "event_deltas_range_frame",
-    "doc_length_deciles",
+    # -- never driver-checked (r9 isotonic + AdaBoost family) --
+    "logreg_isotonic_calibration",
+    "adaboost_quality_rounds",
+    "adaboost_margin_report",
+    "adaboost_per_source_rounds",
+    "adaboost_per_source_margins",
+    # -- all remaining r5-green rows (oldest green), registration order --
+    "repeat_buyer_churn_setops",
+    "ngram_jaccard_pairs",
+    "dedup_clusters",
+    "knn_bruteforce",
+    "knn_label_noise",
+    "multimodal_features",
+    "weekly_cohort_retention",
+    "stratified_doc_sample",
+    "token_budget_chunks",
+    "pii_scan",
+    "cross_doc_shingle_dup",
+    "dsir_doc_weights",
+    "curation_decisions",
+    "embedding_outlier_stats",
+    "hybrid_rrf_retrieval",
+    "temperature_mixture_sample",
+    "length_bucketed_batches",
+    "audio_wav_features",
+    "audio_wav_resample",
+    "expectations_audit",
+    "price_histogram",
+    "zorder_locality_audit",
+    "event_transition_matrix",
+    "json_dlq_report",
+    "negative_samples_per_customer",
+    "pseudonymized_join_integrity",
+    "k_anonymity_audit",
+    "dow_seasonality_index",
+    "attribution_linear_multitouch",
+    "acctbal_distribution_ranks",
+    "item_item_similarity",
+    "part_cooccurrence_top_pairs",
+    "calendar_monthly_rollup",
+    "kwic_snippets",
+    "user_value_trend",
+    "top_user_journey_prefixes",
+    "fd_violation_profile",
+    "fk_fanout_audit",
+    "table_content_fingerprints",
+    "grouping_sets_revenue",
+    "null_safe_segment_join",
+    "revenue_share_of_region",
+    # -- oldest r6-green rows, registration order --
+    "q3_order_revenue",
+    "q5_region_nation_revenue",
 ]
 
 
