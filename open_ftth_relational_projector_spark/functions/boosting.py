@@ -26,9 +26,15 @@ pinned scalar values per run, the quantified-negligible class
 (ulp/pin ≈ 1e-10 each), NOT the per-row-state fine-pin class: every
 per-row quantity derived from the pinned scalars is exact integer
 arithmetic plus one ROUND-of-division whose quotient granularity (10⁻⁶)
-sits 10 orders above double ulp. Bounds (caller contract, loud in the
-docstrings): weights stay exact while w̃·f̃ < 2⁵³ — holds for T ≤ 5
-rounds with smoothed ε ≥ ~10⁻³, far beyond the shipped T = 3.
+sits 10 orders above double ulp. Bounds: weights stay exact while
+w̃·f̃ < 2⁵³ — holds for T ≤ 5 rounds with smoothed ε ≥ ~10⁻³, far beyond
+the shipped T = 3, and the contract is STRUCTURAL, not caller-
+guaranteed: each fit tracks an exact Python-bigint upper bound on the
+nested weight and fails named (_check_weight_bound) before any round
+whose re-weight factor could push a product past 2⁵³ — the small
+perfectly-separated group whose smoothed ε = 1/(W+1) inflates
+α̃ ≈ ½ln(W+1)·10⁶ trips the guard instead of silently losing exactness
+(r9 advisor item 3).
 
 α is Laplace-smoothed: α = ½·ln((W−err+1)/(err+1)) — always finite
 (a perfect stump cannot divide by zero), the same smoothing woe_sql
@@ -44,6 +50,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W, functions as F
 
 from open_ftth_relational_projector_spark.functions.regression import (
+    PIN_NOTNULL,
     dec2dbl_sql,
     logreg_xpin_sql,
 )
@@ -112,6 +119,35 @@ def ada_next_w_sql(w: str, pred: str, fc: str, fw: str) -> str:
 
 _STUMP_COLS = ("rf", "rb", "ll", "rl", "ab", "fc", "fw")
 
+# Exactness bound for the nested weight expression: every product
+# w̃·f̃ formed inside ada_next_w_sql must stay below 2⁵³ so the one
+# double division ROUND(w·f/1e6) is correctly rounded from an exactly-
+# represented product (module-header contract).
+ADA_WEIGHT_EXACT_BOUND = 2**53
+
+
+def _check_weight_bound(wmax: int, fw_max: int, t: int, fit_name: str) -> int:
+    """Named guard for the weight-exactness contract (the degeneracy-
+    guard treatment): ``wmax`` is an exact upper bound on any row's
+    pinned weight entering round t+1, ``fw_max`` the largest round-t
+    re-weight factor (fw ≥ 10⁶ ≥ fc since α ≥ 0). If the next nested
+    product w̃·f̃ could reach 2⁵³, fail loudly instead of silently
+    leaving the quantified-exactness regime (a tiny perfectly-separated
+    group's smoothed ε = 1/(W+1) makes α̃ ≈ ½ln(W+1)·10⁶ — far past the
+    ε ≥ ~10⁻³ the header bound assumes). Returns the updated bound:
+    round-half-up of wmax·fw/10⁶."""
+    if wmax * fw_max >= ADA_WEIGHT_EXACT_BOUND:
+        raise ValueError(
+            f"{fit_name}: round-{t} re-weight factor f̃ = {fw_max} would "
+            f"push the max nested weight product to {wmax * fw_max} ≥ "
+            f"2^53 = {ADA_WEIGHT_EXACT_BOUND}, outside the regime where "
+            "ROUND(w·f/1e6) is exact cross-engine. Lower n_rounds, or "
+            "pre-balance/limit the (group's) corpus so a stump cannot "
+            "separate it near-perfectly (the Laplace-smoothed ε collapses "
+            "to 1/(W+1) and α̃ ≈ ½·ln(W+1)·1e6)."
+        )
+    return (wmax * fw_max + ADA_WS // 2) // ADA_WS
+
 
 def adaboost_fit(
     df: DataFrame,
@@ -141,7 +177,7 @@ def adaboost_fit(
     ).filter(
         # same structural non-null contract as functions/tree.py: a NULL
         # bucket row would hit divergent NULLS FIRST/LAST window defaults
-        "x1 IS NOT NULL AND x2 IS NOT NULL"
+        PIN_NOTNULL
     ).localCheckpoint(eager=True)
     st = pinned.agg(
         F.expr("MIN(x1)").alias("lo1"),
@@ -161,6 +197,7 @@ def adaboost_fit(
 
     stumps: list[DataFrame] = []
     w_text = str(ADA_WS)
+    wmax = ADA_WS  # exact upper bound on any row's nested pinned weight
     for t in range(1, n_rounds + 1):
         cur = bucketed
         for s in stumps:
@@ -215,6 +252,12 @@ def adaboost_fit(
             .localCheckpoint(eager=True)
         )
         stumps.append(stump)
+        if t < n_rounds:
+            # weight-exactness guard: one bounded collect from the
+            # already-checkpointed ONE-ROW stump frame — rounds whose
+            # factors never enter another aggregation are not checked
+            fw = int(stump.selectExpr(f"fw_{t}").collect()[0][0])
+            wmax = _check_weight_bound(wmax, fw, t, "adaboost_fit")
         pred = ada_pred_sql(f"rf_{t}", f"rb_{t}", f"ll_{t}", f"rl_{t}")
         w_text = ada_next_w_sql(w_text, pred, f"fc_{t}", f"fw_{t}")
     return bucketed, st, stumps
@@ -325,7 +368,7 @@ def adaboost_fit_grouped(
         f"{logreg_xpin_sql(x1)} AS x1",
         f"{logreg_xpin_sql(x2)} AS x2",
     ).filter(
-        "x1 IS NOT NULL AND x2 IS NOT NULL"
+        PIN_NOTNULL
     ).localCheckpoint(eager=True)
     st = pinned.groupBy("g").agg(
         F.expr("MIN(x1)").alias("lo1"),
@@ -346,6 +389,7 @@ def adaboost_fit_grouped(
 
     stumps: list[DataFrame] = []
     w_text = str(ADA_WS)
+    wmax = ADA_WS  # exact upper bound on any row's nested pinned weight
     for t in range(1, n_rounds + 1):
         cur = bucketed
         for s in stumps:
@@ -404,6 +448,16 @@ def adaboost_fit_grouped(
             .localCheckpoint(eager=True)
         )
         stumps.append(stump)
+        if t < n_rounds:
+            # weight-exactness guard over ALL groups: one bounded
+            # one-row MAX collect from the checkpointed per-group stump
+            # frame (the small perfectly-separated source is exactly the
+            # case this catches — its smoothed ε = 1/(W+1) blows α̃ up)
+            fw = stump.agg(F.expr(f"MAX(fw_{t})")).collect()[0][0]
+            if fw is not None:  # no group held a split candidate
+                wmax = _check_weight_bound(
+                    wmax, int(fw), t, "adaboost_fit_grouped"
+                )
         pred = ada_pred_sql(f"rf_{t}", f"rb_{t}", f"ll_{t}", f"rl_{t}")
         w_text = ada_next_w_sql(w_text, pred, f"fc_{t}", f"fw_{t}")
     return bucketed, st, stumps

@@ -34,6 +34,14 @@ from pyspark.sql import DataFrame, functions as F
 
 ISO_MEAN_SQL = "CAST(seg_np AS DOUBLE) / CAST(seg_n AS DOUBLE)"
 
+# The O(B²)-segment / O(B³)-join program below is priced for BOUNDED
+# bucket axes (deciles, fixed lattices). This cap makes that contract
+# structural (the degeneracy-guard treatment: one bounded probe, named
+# failure) instead of caller-guaranteed — a corpus-scale score table can
+# never reach the cubic joins silently. 1,024 buckets ≈ 10⁹ joined rows,
+# the documented worst case a single executor still absorbs.
+PAV_MAX_BUCKETS = 1024
+
 
 def pav_isotonic(
     dec: DataFrame, d: str = "p_decile", n: str = "n_docs",
@@ -50,6 +58,17 @@ def pav_isotonic(
         f"{d} AS d", f"CAST({n} AS BIGINT) AS n",
         f"CAST({npos} AS BIGINT) AS np",
     )
+    # bounded-axis guard: probe at most cap+1 bucket rows (the limit()
+    # bounds the collect regardless of the caller's frame size)
+    probe = base.select("d").limit(PAV_MAX_BUCKETS + 1).collect()
+    if len(probe) > PAV_MAX_BUCKETS:
+        raise ValueError(
+            f"pav_isotonic: bucket axis exceeds {PAV_MAX_BUCKETS} rows — "
+            "the minimax-identity program enumerates O(B²) segments and "
+            "O(B³) joined rows, which is only priced for bounded score "
+            "lattices (deciles / fixed grids). Aggregate the score table "
+            "to a bounded bucket axis first."
+        )
     j = base.selectExpr("d AS j")
     k = base.selectExpr("d AS k")
     m = base.selectExpr("d AS md", "n AS mn", "np AS mnp")

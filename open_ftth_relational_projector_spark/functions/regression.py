@@ -287,6 +287,14 @@ LOGREG_FB = 10**12  # beta state scale (scaled-feature basis)
 LOGREG_PS = 10**7  # probability pin scale
 LOGREG_MOMENTS = ["n", "s1", "s2", "s11", "s12", "s22", "sy", "s1y", "s2y"]
 
+# Shared-text structural non-null contract for the pinned design (x1, x2):
+# the SAME predicate filters the Spark pinned frames (logreg/stump/tree/
+# woe/adaboost) AND the oracle rows CTEs, so a NULL raw feature can never
+# put a NULL-keyed row into a b-ordered cumulative window (divergent
+# NULLS FIRST/LAST defaults) or inflate COUNT(*) against NULL-skipping
+# moment SUMs (the degeneracy guard's rn) — r9 advisor items 1+2.
+PIN_NOTNULL = "x1 IS NOT NULL AND x2 IS NOT NULL"
+
 
 def logreg_xpin_sql(x: str) -> str:
     """Shared-text feature pin: round(x·10^4) as BIGINT. The raw feature
@@ -382,16 +390,23 @@ def logreg_fit_irls(
     (the factorization pattern). The only driver-side collect is the
     default-on degeneracy guard's one-row moment check
     (_raise_on_degenerate_design), which turns a singular design into a
-    named failure instead of a silent cross-engine divergence.
+    named failure instead of a silent cross-engine divergence — and that
+    pass is NOT extra: its raw moments seed iteration 1 exactly
+    (_iter1_moments_from_raw — at β = 0 every pi is 5·10⁶), so the
+    guarded fit runs the same ``iters`` corpus scans as the unguarded
+    one. Rows with a NULL pinned feature are dropped structurally
+    (PIN_NOTNULL — shared text with the oracle rows CTEs).
     """
     base = df.filter(F.expr(where)) if where else df
-    pinned = base.selectExpr(
-        f"CAST({y} AS BIGINT) AS y",
-        f"{logreg_xpin_sql(x1)} AS x1",
-        f"{logreg_xpin_sql(x2)} AS x2",
-    ).localCheckpoint(eager=True)
-    if check_degenerate:
-        _raise_on_degenerate_design(pinned)
+    pinned = (
+        base.selectExpr(
+            f"CAST({y} AS BIGINT) AS y",
+            f"{logreg_xpin_sql(x1)} AS x1",
+            f"{logreg_xpin_sql(x2)} AS x2",
+        )
+        .filter(PIN_NOTNULL)
+        .localCheckpoint(eager=True)
+    )
     spark = pinned.sparkSession
     beta = spark.range(1).selectExpr(
         "CAST(0 AS BIGINT) AS bi0",
@@ -399,7 +414,28 @@ def logreg_fit_irls(
         "CAST(0 AS BIGINT) AS bi2",
     )
     z = logreg_z_sql("bi0", "bi1", "bi2", "x1", "x2")
-    for _ in range(iters):
+    remaining = iters
+    if check_degenerate:
+        # The guard already paid one full-corpus pass for the exact raw
+        # moments; at β = 0 every pi is EXACTLY 5·10⁶ (z ≡ 0 and
+        # EXP(-0.0) is IEEE-exact), so iteration 1's nine weighted
+        # moments are affine in those raw moments — seed the first
+        # Newton step from the guard's row (exact Python-bigint algebra
+        # + the identical dec2dbl/OLS2 shared text) and skip its scan.
+        raw = _raise_on_degenerate_design(pinned)
+    if check_degenerate and iters > 0:
+        mom = _literal_moment_frame(spark, _iter1_moments_from_raw(raw))
+        beta = (
+            mom.crossJoin(F.broadcast(beta))
+            .selectExpr(
+                f"{logreg_update_sql('bi0', OLS2_B0)} AS bi0",
+                f"{logreg_update_sql('bi1', OLS2_B1)} AS bi1",
+                f"{logreg_update_sql('bi2', OLS2_B2)} AS bi2",
+            )
+            .localCheckpoint(eager=True)
+        )
+        remaining = iters - 1
+    for _ in range(remaining):
         scored = pinned.crossJoin(F.broadcast(beta)).selectExpr(
             "y", "x1", "x2", f"{logreg_p_sql(z)} AS pi"
         )
@@ -470,21 +506,25 @@ def logreg_kfold(
     Folds are md5-bucketed on ``key_expr`` (fold_expr_spark — engine-
     portable, replays identically in the oracle). Determinism: identical
     to logreg_fit_irls (exact integer state per fold; EXP is the one
-    quantified-probabilistic pin).
+    quantified-probabilistic pin). The guard's k-row complement collect
+    seeds all k first Newton steps (β = 0 → pi exactly 5·10⁶), so the
+    guarded k-fold runs ``iters`` scans, same as unguarded.
 
     Returns (pinned_rows, betas): pinned rows carry (y, x1, x2, fold);
     betas is the k-row BIGINT state (bfold, bi0, bi1, bi2). Use
     logreg_kfold_summary for the per-fold out-of-fold report.
     """
     base = df.filter(F.expr(where)) if where else df
-    pinned = base.selectExpr(
-        f"CAST({y} AS BIGINT) AS y",
-        f"{logreg_xpin_sql(x1)} AS x1",
-        f"{logreg_xpin_sql(x2)} AS x2",
-        f"CAST({fold_expr_spark(key_expr, k)} AS INT) AS fold",
-    ).localCheckpoint(eager=True)
-    if check_degenerate:
-        _raise_on_degenerate_complements(pinned)
+    pinned = (
+        base.selectExpr(
+            f"CAST({y} AS BIGINT) AS y",
+            f"{logreg_xpin_sql(x1)} AS x1",
+            f"{logreg_xpin_sql(x2)} AS x2",
+            f"CAST({fold_expr_spark(key_expr, k)} AS INT) AS fold",
+        )
+        .filter(PIN_NOTNULL)
+        .localCheckpoint(eager=True)
+    )
     spark = pinned.sparkSession
     betas = spark.range(k).selectExpr(
         "CAST(id AS INT) AS bfold",
@@ -493,7 +533,33 @@ def logreg_kfold(
         "CAST(0 AS BIGINT) AS bi2",
     )
     z = logreg_z_sql("bi0", "bi1", "bi2", "x1", "x2")
-    for _ in range(iters):
+    remaining = iters
+    if check_degenerate:
+        # Same amortization as logreg_fit_irls: the guard's per-fold raw
+        # moments give every COMPLEMENT's exact raw moments (unweighted
+        # moments subtract), and at β = 0 each complement's iteration-1
+        # weighted moments are affine in them — seed all k first Newton
+        # steps from the guard's k-row collect and skip iteration 1's
+        # k-fan-out scoring scan.
+        comps = _raise_on_degenerate_complements(pinned, folds=range(k))
+    if check_degenerate and iters > 0:
+        mom = _literal_moment_frame_keyed(
+            spark,
+            "bfold",
+            {f: _iter1_moments_from_raw(m) for f, m in comps.items()},
+        )
+        betas = (
+            mom.join(F.broadcast(betas), "bfold")
+            .selectExpr(
+                "bfold",
+                f"{logreg_update_sql('bi0', OLS2_B0)} AS bi0",
+                f"{logreg_update_sql('bi1', OLS2_B1)} AS bi1",
+                f"{logreg_update_sql('bi2', OLS2_B2)} AS bi2",
+            )
+            .localCheckpoint(eager=True)
+        )
+        remaining = iters - 1
+    for _ in range(remaining):
         scored = (
             pinned.crossJoin(F.broadcast(betas))
             .filter("fold <> bfold")
@@ -586,9 +652,14 @@ _RAW_MOMENT_COLS = ("rn", "rs1", "rs2", "rs11", "rs12", "rs22")
 
 
 def _raw_moment_aggs() -> list:
-    """The six exact raw design moments of the pinned BIGINT features
-    (DECIMAL(19,0)×DECIMAL(19,0)→DECIMAL(38,0) products; |x̃| ≤ 10^5 so
-    s11-class sums stay exact to ~10^28 rows)."""
+    """The nine exact raw design/label moments of the pinned BIGINT
+    features (DECIMAL(19,0)×DECIMAL(19,0)→DECIMAL(38,0) products;
+    |x̃| ≤ 10^5 so s11-class sums stay exact to ~10^28 rows). The first
+    six feed the singularity test; the y-moments let the fit seed its
+    first Newton step from the same pass (_iter1_moments_from_raw).
+    COUNT(*) is exact BECAUSE the pinned frames are structurally
+    non-null (PIN_NOTNULL) — no NULL row can inflate rn against the
+    NULL-skipping SUMs."""
 
     def _sq(a: str, b: str) -> str:
         return (
@@ -603,7 +674,89 @@ def _raw_moment_aggs() -> list:
         F.expr(_sq("x1", "x1")).alias("rs11"),
         F.expr(_sq("x1", "x2")).alias("rs12"),
         F.expr(_sq("x2", "x2")).alias("rs22"),
+        F.expr(_sq("y", "1")).alias("ry"),
+        F.expr(_sq("y", "x1")).alias("ry1"),
+        F.expr(_sq("y", "x2")).alias("ry2"),
     ]
+
+
+_RAW_Y_COLS = ("ry", "ry1", "ry2")
+_RAW_ALL_COLS = _RAW_MOMENT_COLS + _RAW_Y_COLS
+
+
+def _iter1_moments_from_raw(m: dict) -> dict[str, int]:
+    """EXACT iteration-1 weighted moments at β = 0, in Python bigints.
+
+    At β = 0 the integer logit is 0 for every row, and
+    pi = ROUND(1e7 / (1.0 + EXP(-0.0))) = 5·10⁶ EXACTLY on any IEEE
+    engine (no transcendental variability at z = 0), so the nine
+    logreg_moment_exprs collapse to affine combinations of the raw
+    design/label moments: constant weight W = pi·(10⁷−pi) = 2.5·10¹³
+    multiplies the Hessian moments; the gradient residual
+    y·10⁷ − 5·10⁶ splits over the y-moments. Pure ℤ algebra — the
+    seeded first Newton step consumes values bit-identical to the
+    scanned ones."""
+    W = 5_000_000 * 5_000_000  # pi·(10^7 − pi) at pi = 5e6
+    P = 10_000_000  # probability pin scale
+    H = 5_000_000  # pi at β = 0
+    F0 = 10_000  # the intercept's pinned feature
+    rn, s1, s2, s11, s12, s22 = (int(m[c]) for c in _RAW_MOMENT_COLS)
+    ry, ry1, ry2 = (int(m[c]) for c in _RAW_Y_COLS)
+    return {
+        "n": W * F0 * F0 * rn,
+        "s1": W * F0 * s1,
+        "s2": W * F0 * s2,
+        "s11": W * s11,
+        "s12": W * s12,
+        "s22": W * s22,
+        "sy": F0 * (P * ry - H * rn),
+        "s1y": P * ry1 - H * s1,
+        "s2y": P * ry2 - H * s2,
+    }
+
+
+def _literal_moment_frame(
+    spark, m: dict[str, int], extra: str | None = None
+) -> DataFrame:
+    """One-row frame of the nine iteration-1 moments as exact-digit
+    literals routed through the SAME dec2dbl tail the scan path uses
+    (DECIMAL(38,0) → STRING → DOUBLE: exact digits + one correctly-
+    rounded parse), so the seeded Newton step is bit-identical to the
+    scanned one. ``extra`` prepends a key select (e.g. a fold id)."""
+    sel = [extra] if extra else []
+    for c in LOGREG_MOMENTS:
+        lit = "CAST('" + str(m[c]) + "' AS DECIMAL(38,0))"
+        sel.append(f"{dec2dbl_sql(lit)} AS {c}")
+    return spark.range(1).selectExpr(*sel)
+
+
+def _sql_key_literal(v) -> str:
+    """Render a collected fold/group key as a SQL literal (ints and
+    strings — the catalog's key types; strings single-quote-escaped)."""
+    if isinstance(v, bool) or not isinstance(v, (int, str)):
+        raise ValueError(
+            f"logreg seeding: unsupported key literal type {type(v)!r} — "
+            "use an INT or STRING fold/group expression"
+        )
+    if isinstance(v, int):
+        return str(v)
+    return "'" + v.replace("'", "''") + "'"
+
+
+def _literal_moment_frame_keyed(
+    spark, key_col: str, mapping: dict
+) -> DataFrame:
+    """Union of one-row literal moment frames, one per fold/group key
+    (bounded by the same contract that bounds the guard's collect and
+    the broadcast beta frame)."""
+    frames = []
+    for kv in sorted(mapping):
+        extra = f"{_sql_key_literal(kv)} AS {key_col}"
+        frames.append(_literal_moment_frame(spark, mapping[kv], extra=extra))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
 
 
 def _is_singular(m: dict) -> bool:
@@ -619,12 +772,14 @@ def _is_singular(m: dict) -> bool:
     return a * b == c * c
 
 
-def _raise_on_degenerate_design(pinned: DataFrame) -> None:
-    """Single-fit guard: one aggregation to the six raw moments (a
+def _raise_on_degenerate_design(pinned: DataFrame) -> dict:
+    """Single-fit guard: one aggregation to the nine raw moments (a
     one-row bounded collect), exact singularity test, named failure —
-    the same inf/NaN CAST divergence hazard the grouped guard closes."""
-    row = pinned.agg(*_raw_moment_aggs()).collect()[0]
-    if _is_singular(row.asDict()):
+    the same inf/NaN CAST divergence hazard the grouped guard closes.
+    Returns the raw-moment row so the fit can seed its first Newton
+    step from the same pass (no second corpus scan)."""
+    row = pinned.agg(*_raw_moment_aggs()).collect()[0].asDict()
+    if _is_singular(row):
         raise ValueError(
             "logreg_fit_irls: degenerate design — a pinned feature is "
             "constant (or the two features are affinely collinear, or "
@@ -632,23 +787,34 @@ def _raise_on_degenerate_design(pinned: DataFrame) -> None:
             "is exactly singular and the closed-form solve would divide "
             "by zero (divergent inf/NaN CAST semantics across engines)."
         )
+    return row
 
 
-def _raise_on_degenerate_complements(pinned: DataFrame) -> None:
+def _raise_on_degenerate_complements(
+    pinned: DataFrame, folds=None
+) -> dict[int, dict]:
     """k-fold guard: each fold TRAINS on its complement, so the design
     that must be non-degenerate is every complement's. Raw moments are
     unweighted, so complement moments are exact subtractions
     totals − fold (one k-row bounded collect); the singularity test per
-    complement is the same Python-bigint zero-test."""
+    complement is the same Python-bigint zero-test. Returns every
+    complement's raw moments (keyed by fold — all of ``folds`` when
+    given, so an empty fold's complement is the totals), letting the
+    fit seed all k first Newton steps from the same pass."""
     rows = pinned.groupBy("fold").agg(*_raw_moment_aggs()).collect()
     tot = {
-        c: sum(int(r[c]) for r in rows) for c in _RAW_MOMENT_COLS
+        c: sum(int(r[c]) for r in rows) for c in _RAW_ALL_COLS
     }
-    bad = sorted(
-        int(r["fold"])
-        for r in rows
-        if _is_singular({c: tot[c] - int(r[c]) for c in _RAW_MOMENT_COLS})
-    )
+    per = {int(r["fold"]): r for r in rows}
+    fold_ids = sorted(folds) if folds is not None else sorted(per)
+    comps = {
+        f: {
+            c: tot[c] - (int(per[f][c]) if f in per else 0)
+            for c in _RAW_ALL_COLS
+        }
+        for f in fold_ids
+    }
+    bad = sorted(f for f, m in comps.items() if _is_singular(m))
     if bad:
         raise ValueError(
             f"logreg_kfold: degenerate training design for the "
@@ -658,11 +824,13 @@ def _raise_on_degenerate_complements(pinned: DataFrame) -> None:
             "singular and the closed-form solve would divide by zero "
             "(divergent inf/NaN CAST semantics across engines)."
         )
+    return comps
 
 
-def _raise_on_degenerate_groups(pinned: DataFrame) -> None:
+def _raise_on_degenerate_groups(pinned: DataFrame) -> dict:
     """Exact per-group design-rank check for the grouped IRLS. Bounded
-    collect: one 6-moment row per group (the broadcast-beta bound)."""
+    collect: one 9-moment row per group (the broadcast-beta bound).
+    Returns the per-group raw moments for iteration-1 seeding."""
     stats = pinned.groupBy("g").agg(*_raw_moment_aggs()).collect()
     bad: list[str] = []
     for r in stats:
@@ -681,6 +849,7 @@ def _raise_on_degenerate_groups(pinned: DataFrame) -> None:
             "across engines). Drop or re-feature these groups, or widen "
             "the WHERE filter."
         )
+    return {r["g"]: r.asDict() for r in stats}
 
 
 def logreg_fit_irls_grouped(
@@ -725,14 +894,17 @@ def logreg_fit_irls_grouped(
 
     Returns (pinned_rows(g, y, x1, x2), betas(g, bi0, bi1, bi2))."""
     base = df.filter(F.expr(where)) if where else df
-    pinned = base.selectExpr(
-        f"({group_expr}) AS g",
-        f"CAST({y} AS BIGINT) AS y",
-        f"{logreg_xpin_sql(x1)} AS x1",
-        f"{logreg_xpin_sql(x2)} AS x2",
-    ).localCheckpoint(eager=True)
-    if check_degenerate:
-        _raise_on_degenerate_groups(pinned)
+    pinned = (
+        base.selectExpr(
+            f"({group_expr}) AS g",
+            f"CAST({y} AS BIGINT) AS y",
+            f"{logreg_xpin_sql(x1)} AS x1",
+            f"{logreg_xpin_sql(x2)} AS x2",
+        )
+        .filter(PIN_NOTNULL)
+        .localCheckpoint(eager=True)
+    )
+    spark = pinned.sparkSession
     betas = (
         pinned.select("g")
         .distinct()
@@ -745,7 +917,29 @@ def logreg_fit_irls_grouped(
         .localCheckpoint(eager=True)
     )
     z = logreg_z_sql("bi0", "bi1", "bi2", "x1", "x2")
-    for _ in range(iters):
+    remaining = iters
+    if check_degenerate:
+        # Same amortization as logreg_fit_irls, per group: the guard's
+        # groups×9 raw-moment collect seeds every group's first Newton
+        # step (β = 0 → pi exactly 5·10⁶ everywhere), skipping
+        # iteration 1's corpus scan.
+        raws = _raise_on_degenerate_groups(pinned)
+    if check_degenerate and iters > 0:
+        mom = _literal_moment_frame_keyed(
+            spark, "g", {g: _iter1_moments_from_raw(m) for g, m in raws.items()}
+        )
+        betas = (
+            mom.join(F.broadcast(betas), "g")
+            .selectExpr(
+                "g",
+                f"{logreg_update_sql('bi0', OLS2_B0)} AS bi0",
+                f"{logreg_update_sql('bi1', OLS2_B1)} AS bi1",
+                f"{logreg_update_sql('bi2', OLS2_B2)} AS bi2",
+            )
+            .localCheckpoint(eager=True)
+        )
+        remaining = iters - 1
+    for _ in range(remaining):
         scored = pinned.join(F.broadcast(betas), "g").selectExpr(
             "g", "y", "x1", "x2", f"{logreg_p_sql(z)} AS pi"
         )

@@ -39,6 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W, functions as F
 
 from open_ftth_relational_projector_spark.functions.regression import (
+    PIN_NOTNULL,
     logreg_xpin_sql,
 )
 
@@ -103,7 +104,7 @@ def stump_fit(
         # (hence the split/WOE) would diverge cross-engine. Dropping
         # NULL-pinned rows makes the non-null contract structural
         # instead of caller-guaranteed (r8 advisor note).
-        "x1 IS NOT NULL AND x2 IS NOT NULL"
+        PIN_NOTNULL
     ).localCheckpoint(eager=True)
     st = pinned.agg(
         F.expr("MIN(x1)").alias("lo1"),
@@ -215,7 +216,7 @@ def tree_fit_depth2(
         # (hence the split/WOE) would diverge cross-engine. Dropping
         # NULL-pinned rows makes the non-null contract structural
         # instead of caller-guaranteed (r8 advisor note).
-        "x1 IS NOT NULL AND x2 IS NOT NULL"
+        PIN_NOTNULL
     ).localCheckpoint(eager=True)
     st = pinned.agg(
         F.expr("MIN(x1)").alias("lo1"),
@@ -388,7 +389,7 @@ def woe_table(
         # (hence the split/WOE) would diverge cross-engine. Dropping
         # NULL-pinned rows makes the non-null contract structural
         # instead of caller-guaranteed (r8 advisor note).
-        "x1 IS NOT NULL AND x2 IS NOT NULL"
+        PIN_NOTNULL
     ).localCheckpoint(eager=True)
     st = pinned.agg(
         F.expr("MIN(x1)").alias("lo1"),

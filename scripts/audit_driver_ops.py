@@ -64,6 +64,20 @@ ALLOWLIST: dict[str, str] = {
     ),
     "sinks/jdbc_sink.py::write_full": "per-partition executor writes; collect is DDL table list",
     "sinks/jdbc_sink.py::merge_incremental": "collects per-batch delta under the incremental row guard",
+    "functions/boosting.py::adaboost_fit": (
+        "bounded: one value from the checkpointed ONE-ROW stump frame "
+        "per boosting round — the named weight-exactness (2^53) guard"
+    ),
+    "functions/boosting.py::adaboost_fit_grouped": (
+        "bounded: one-row MAX(fw) aggregate over the checkpointed "
+        "per-group stump frame per round (the broadcast-group bound) — "
+        "the named weight-exactness (2^53) guard"
+    ),
+    "functions/calibration.py::pav_isotonic": (
+        "bounded: the limit(cap+1) in the same expression caps the "
+        "probe at 1,025 bucket ids — the named bounded-axis guard for "
+        "the O(B³) PAV joins"
+    ),
     "functions/regression.py::_raise_on_degenerate_groups": (
         "bounded: one 6-moment row per group (the same bounded-group "
         "contract that justifies the grouped fit's broadcast beta frame) "

@@ -1,7 +1,8 @@
-"""Scaling sweep for the trainable-curation-filter family (IRLS logreg).
+"""Scaling sweep for the trainable-curation-filter family (IRLS logreg
++ the r9 AdaBoost boosted rule list).
 
 The graph/dedup families carry measured scaling tables in BENCH_NOTES;
-this does the same for the r8 classifier family. Two claims under test:
+this does the same for the r8 classifier family. Claims under test:
 
 1. **Corpus growth** (single fit): per IRLS iteration the cost is ONE
    map-only scoring pass + ONE map-side-combined aggregation to 9
@@ -13,6 +14,14 @@ this does the same for the r8 classifier family. Two claims under test:
    groups until the broadcast per-group beta frame stops being small —
    the measured knee is the documented threshold for swapping the two
    broadcast joins to shuffle joins (functions/regression.py docstring).
+3. **Boost rounds** (adaboost_fit, fixed corpus): 2 up-front passes +
+   ONE map-only weighted-count pass per round — wall should grow
+   ~linearly in T with a small per-round constant (the nested weight
+   expression deepens, but stays a per-row integer chain).
+4. **Boosted model farm** (adaboost_fit_grouped, fixed corpus) vs group
+   count: same all-groups-advance-per-scan shape as the logreg farm;
+   the measured knee documents the broadcast threshold for the
+   group-keyed stump-frame joins (functions/boosting.py docstring).
 
 Synthesis is hash-derived (no Python RNG): every run sees identical
 frames, so numbers are comparable across rounds.
@@ -29,6 +38,10 @@ sys.path.insert(0, ".")
 
 from pyspark.sql import functions as F
 
+from open_ftth_relational_projector_spark.functions.boosting import (
+    adaboost_fit,
+    adaboost_fit_grouped,
+)
 from open_ftth_relational_projector_spark.functions.regression import (
     logreg_fit_irls,
     logreg_fit_irls_grouped,
@@ -89,6 +102,35 @@ def main() -> None:
         t0 = time.perf_counter()
         _, betas = logreg_fit_irls_grouped(d, "x1", "x2", "y", group_expr="g", iters=3)
         betas.agg(F.count(F.lit(1))).collect()
+        dt = time.perf_counter() - t0
+        print(f"| {g:,} | {dt:.2f} s |")
+
+    print()
+    print("sweep 3: adaboost_fit (2M rows) vs boosting rounds T")
+    print("| rounds | fit wall (incl. weight-bound guard) | wall / round |")
+    print("|---|---|---|")
+    d = docs_df(spark, 2_000_000, 1).localCheckpoint()
+    d.count()
+    for t_rounds in (1, 2, 3, 5):
+        t0 = time.perf_counter()
+        _, _, stumps = adaboost_fit(d, "x1", "x2", "y", n_rounds=t_rounds)
+        for s in stumps:
+            s.collect()
+        dt = time.perf_counter() - t0
+        print(f"| {t_rounds} | {dt:.2f} s | {dt / t_rounds:.2f} s |")
+
+    print()
+    print("sweep 4: adaboost_fit_grouped (T=3, 2M rows) vs group count")
+    print("| groups | fit wall (incl. weight-bound guard) |")
+    print("|---|---|")
+    for g in (10, 100, 1_000, 10_000):
+        d = docs_df(spark, 2_000_000, g).localCheckpoint()
+        d.count()
+        t0 = time.perf_counter()
+        _, _, stumps = adaboost_fit_grouped(
+            d, "x1", "x2", "y", group_expr="g", n_rounds=3
+        )
+        stumps[-1].agg(F.count(F.lit(1))).collect()
         dt = time.perf_counter() - t0
         print(f"| {g:,} | {dt:.2f} s |")
     spark.stop()

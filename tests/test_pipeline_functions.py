@@ -4081,6 +4081,151 @@ def test_logreg_kfold_guard_passes_healthy_fixture(spark):
     assert betas.count() == 3
 
 
+def _bitrows(df, key_cols):
+    """Rows as bit-exact tuples (floats by IEEE bit pattern), sorted."""
+    import struct
+
+    def pin(v):
+        return struct.pack(">d", v).hex() if isinstance(v, float) else v
+
+    return sorted(
+        tuple(pin(r[c]) for c in sorted(df.columns)) for r in df.collect()
+    )
+
+
+def test_logreg_guard_seeded_iter1_bit_identical(spark):
+    """The degeneracy guard's amortization (iteration 1 seeded from the
+    guard's raw-moment collect — at β = 0 every pi is exactly 5·10⁶) is
+    BIT-IDENTICAL to the scanned iteration 1, for all three fit shapes:
+    check_degenerate=True (seeded) vs False (full scan) must agree on
+    every output bit."""
+    from open_ftth_relational_projector_spark.functions.regression import (
+        logreg_fit_irls,
+        logreg_fit_irls_grouped,
+        logreg_group_summary,
+        logreg_kfold,
+        logreg_kfold_summary,
+        logreg_summary,
+    )
+
+    rows = [
+        (i, "s%d" % (i % 3),) + r
+        for i, r in enumerate(_logreg_fixture_rows())
+    ]
+    df = spark.createDataFrame(
+        rows, "id int, src string, y int, x1 double, x2 double"
+    )
+    # single fit
+    a = logreg_summary(*logreg_fit_irls(df, "x1", "x2", "y", iters=3))
+    b = logreg_summary(
+        *logreg_fit_irls(df, "x1", "x2", "y", iters=3, check_degenerate=False)
+    )
+    assert _bitrows(a, []) == _bitrows(b, [])
+    # k-fold fit
+    a = logreg_kfold_summary(
+        *logreg_kfold(df, "x1", "x2", "y", "CAST(id AS STRING)", k=3, iters=2)
+    )
+    b = logreg_kfold_summary(
+        *logreg_kfold(
+            df, "x1", "x2", "y", "CAST(id AS STRING)", k=3, iters=2,
+            check_degenerate=False,
+        )
+    )
+    assert _bitrows(a, []) == _bitrows(b, [])
+    # grouped fit (string group keys — the catalog per-source shape)
+    a = logreg_group_summary(
+        *logreg_fit_irls_grouped(df, "x1", "x2", "y", "src", iters=2)
+    )
+    b = logreg_group_summary(
+        *logreg_fit_irls_grouped(
+            df, "x1", "x2", "y", "src", iters=2, check_degenerate=False
+        )
+    )
+    assert _bitrows(a, []) == _bitrows(b, [])
+
+
+def test_logreg_pinned_frames_drop_null_features(spark):
+    """The structural PIN_NOTNULL contract extends to the logreg fits
+    (r9 advisor item 2): rows with a NULL pinned feature are dropped
+    from the pinned frame, so the guard's COUNT(*) and the moment SUMs
+    see the same row set."""
+    from open_ftth_relational_projector_spark.functions.regression import (
+        logreg_fit_irls,
+        logreg_summary,
+    )
+
+    rows = _logreg_fixture_rows()
+    clean = spark.createDataFrame(rows, "y int, x1 double, x2 double")
+    dirty = spark.createDataFrame(
+        [(r[0], r[1], r[2]) for r in rows]
+        + [(1, None, 0.5), (0, 0.7, None), (1, None, None)],
+        "y int, x1 double, x2 double",
+    )
+    a = logreg_summary(*logreg_fit_irls(clean, "x1", "x2", "y"))
+    b = logreg_summary(*logreg_fit_irls(dirty, "x1", "x2", "y"))
+    assert _bitrows(a, []) == _bitrows(b, [])
+
+
+def test_naive_bayes_matches_python_reference(spark):
+    """nb_fit/nb_summary equal a plain-Python Naive Bayes computed from
+    the same pinned bucketing (priors, per-bucket Laplace likelihoods,
+    integer log-score decision, accuracy)."""
+    import math
+
+    from open_ftth_relational_projector_spark.functions.bayes import (
+        nb_fit,
+        nb_summary,
+    )
+
+    rows = _logreg_fixture_rows()
+    df = spark.createDataFrame(rows, "y int, x1 double, x2 double")
+    B = 8
+    bucketed, prior, lik = nb_fit(df, "x1", "x2", "y", n_buckets=B)
+    got = nb_summary(bucketed, prior, lik).collect()[0]
+
+    # python reference over the identical pinned grid
+    pin = [(y, round(x1 * 1e4), round(x2 * 1e4)) for y, x1, x2 in rows]
+    lo1 = min(p[1] for p in pin)
+    lo2 = min(p[2] for p in pin)
+    w1 = (max(p[1] for p in pin) - lo1) // B + 1
+    w2 = (max(p[2] for p in pin) - lo2) // B + 1
+    bk = [(y, (a - lo1) // w1, (b - lo2) // w2) for y, a, b in pin]
+    n = len(bk)
+    tnp = sum(y for y, *_ in bk)
+    tnn = n - tnp
+
+    def pinln(num, den):
+        return round(math.log(num / den) * 1e6)
+
+    pr = {1: pinln(tnp + 1, n + 2), 0: pinln(tnn + 1, n + 2)}
+    cnt = {}
+    for y, b1, b2 in bk:
+        for feat, b in ((1, b1), (2, b2)):
+            c = cnt.setdefault((feat, b), [0, 0])
+            c[y] += 1
+    ll = {
+        k: {
+            1: pinln(c[1] + 1, tnp + B),
+            0: pinln(c[0] + 1, tnn + B),
+        }
+        for k, c in cnt.items()
+    }
+    correct = 0
+    for y, b1, b2 in bk:
+        s1 = pr[1] + ll[(1, b1)][1] + ll[(2, b2)][1]
+        s0 = pr[0] + ll[(1, b1)][0] + ll[(2, b2)][0]
+        correct += ((s1 > s0) == (y == 1))
+    assert got["n_docs"] == n
+    assert got["n_pos"] == tnp
+    assert got["prior_pos"] == round(pr[1] / 1e6, 6)
+    assert got["accuracy"] == round(correct / n, 6)
+    # the likelihood table matches the reference counts/pins
+    for r in lik.collect():
+        k = (r["feat"], r["b"])
+        assert (r["np"], r["nn"]) == (cnt[k][1], cnt[k][0]), k
+        assert r["ll1"] == ll[k][1] and r["ll0"] == ll[k][0], k
+
+
 def test_pav_isotonic_matches_stack_reference(spark):
     """The minimax-identity isotonic fit equals the classic
     pool-adjacent-violators stack algorithm (weighted), and is monotone
@@ -4160,3 +4305,49 @@ def test_adaboost_grouped_matches_per_group_direct_fits(spark):
     summ = {r["g"]: r for r in adaboost_group_summary(bucketed, stumps).collect()}
     assert set(summ) == {"a", "b"}
     assert sum(r["n_docs"] for r in summ.values()) == 40
+
+
+def test_adaboost_weight_exactness_guard_fails_named(spark):
+    """A perfectly-separable corpus big enough that round 1's smoothed
+    ε = 1/(W+1) inflates f̃w past the 2⁵³ product bound must fail NAMED
+    before round 2's aggregation (r9 advisor item 3) — and the same
+    data with n_rounds=1 (no subsequent product) still fits."""
+    from open_ftth_relational_projector_spark.functions.boosting import (
+        adaboost_fit,
+        adaboost_fit_grouped,
+    )
+
+    # 200 rows, y = 1 iff x1 > 0.5 — a stump separates them exactly;
+    # W = 200·10⁶ → α̃ ≈ ½ln(W+1)·10⁶ ≈ 9.6·10⁶, f̃w ≈ 1.4·10¹⁰,
+    # 10⁶·f̃w ≈ 1.4·10¹⁶ > 2⁵³ ≈ 9.0·10¹⁵
+    rows = [
+        (1 if i >= 100 else 0, float(i) / 100.0, ((i * 7) % 13) / 13.0)
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "y int, x1 double, x2 double")
+    with pytest.raises(ValueError, match="adaboost_fit: round-1 .* 2\\^53"):
+        adaboost_fit(df, "x1", "x2", "y", n_rounds=2)
+    _, _, stumps = adaboost_fit(df, "x1", "x2", "y", n_rounds=1)
+    assert len(stumps) == 1
+    gdf = df.selectExpr("'s' AS src", "*")
+    with pytest.raises(
+        ValueError, match="adaboost_fit_grouped: round-1 .* 2\\^53"
+    ):
+        adaboost_fit_grouped(gdf, "x1", "x2", "y", "src", n_rounds=2)
+
+
+def test_pav_isotonic_bounded_axis_guard(spark):
+    """pav_isotonic refuses an over-bounded bucket axis with a named
+    failure (the O(B³) joins are priced for deciles/lattices only)."""
+    from open_ftth_relational_projector_spark.functions.calibration import (
+        PAV_MAX_BUCKETS,
+        pav_isotonic,
+    )
+
+    big = spark.range(PAV_MAX_BUCKETS + 1).selectExpr(
+        "CAST(id AS INT) AS p_decile",
+        "CAST(10 AS BIGINT) AS n_docs",
+        "CAST(id % 10 AS BIGINT) AS n_pos",
+    )
+    with pytest.raises(ValueError, match="pav_isotonic: bucket axis"):
+        pav_isotonic(big)
