@@ -58,12 +58,17 @@ from . import streaming_sims  # noqa: E402,F401
 # old (the refresh invariant).
 #
 # ROUND-11 PLAN (for the next session): assuming CORRECTNESS_r10 lands
-# green, recompute with the same latest-green ranking: q1 first, then any
-# never-green additions from r10, then the oldest remaining rows — the 47
-# r6-green rows (q2_min_cost_supplier onward, registration order) fill
-# the 50. Any r10 FAIL goes to the front after its fix. Capacity note:
-# the rotation cycle is 245/50 ≈ 5 rounds, so at most ~2 brand-new
-# catalog queries per round keep the refresh invariant satisfiable.
+# green, recompute with the same latest-green ranking: q1 first, then
+# the TWO never-green r10 additions (naive_bayes_quality,
+# naive_bayes_bucket_likelihoods — the bucketed-Naive-Bayes counting
+# classifier; certified bit-level this round at sf0.001/0.01/0.1 and
+# under local[5]), then the oldest remaining rows — the 47 r6-green
+# rows (registration order) fill the 50 exactly. Any r10 FAIL goes to
+# the front after its fix. Capacity note: the rotation cycle is
+# 247/50 ≈ 5 rounds, so at most ~2 brand-new catalog queries per round
+# keep the refresh invariant satisfiable — r10 used exactly that
+# budget; r11 has room for 0 new entries beyond the two above unless a
+# refresh slot is sacrificed.
 # Keep every name in _DRIVER_WINDOW_FRONT registered (the assert below
 # enforces it) and re-pin tests/data/catalog_order.txt + CATALOG.md
 # (scripts/gen_catalog_index.py) after any reorder. The production ANN

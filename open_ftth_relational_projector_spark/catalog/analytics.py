@@ -1054,6 +1054,7 @@ from open_ftth_relational_projector_spark.functions.regression import (  # noqa:
     OLS2_B2,
     OLS2_SSE,
     OLS2_SST,
+    PIN_NOTNULL,
 )
 
 _OLS_MOMENTS_SQL = """
@@ -2030,10 +2031,11 @@ def _logreg_sql() -> str:
 
     z = logreg_z_sql("bi0", "bi1", "bi2", "x1", "x2")
     parts = [
-        f"""rows AS (SELECT {_LOGREG_Y} AS y,
+        f"""rows AS (SELECT * FROM (SELECT {_LOGREG_Y} AS y,
                    {logreg_xpin_sql(_LOGREG_X1)} AS x1,
                    {logreg_xpin_sql(_LOGREG_X2)} AS x2
-            FROM documents WHERE {_LOGREG_WHERE})""",
+            FROM documents WHERE {_LOGREG_WHERE}) pinraw
+            WHERE {PIN_NOTNULL})""",
         """b0 AS (SELECT CAST(0 AS BIGINT) AS bi0,
                   CAST(0 AS BIGINT) AS bi1, CAST(0 AS BIGINT) AS bi2)""",
     ]
@@ -2174,11 +2176,12 @@ def _logreg_kfold_sql() -> str:
     z = logreg_z_sql("bi0", "bi1", "bi2", "x1", "x2")
     fold = fold_expr_sql("CAST(doc_id AS VARCHAR)", 5)
     parts = [
-        f"""rows AS (SELECT {_LOGREG_Y} AS y,
+        f"""rows AS (SELECT * FROM (SELECT {_LOGREG_Y} AS y,
                    {logreg_xpin_sql(_LOGREG_X1)} AS x1,
                    {logreg_xpin_sql(_LOGREG_X2)} AS x2,
                    CAST({fold} AS INT) AS fold
-            FROM documents WHERE {_LOGREG_WHERE})""",
+            FROM documents WHERE {_LOGREG_WHERE}) pinraw
+            WHERE {PIN_NOTNULL})""",
         """b0 AS (SELECT CAST(UNNEST(generate_series(0, 4)) AS INT) AS bfold,
                   CAST(0 AS BIGINT) AS bi0, CAST(0 AS BIGINT) AS bi1,
                   CAST(0 AS BIGINT) AS bi2)""",
@@ -2345,10 +2348,11 @@ def _stump_sql() -> str:
     )
 
     return f"""
-    WITH rows AS (SELECT {_LOGREG_Y} AS y,
+    WITH rows AS (SELECT * FROM (SELECT {_LOGREG_Y} AS y,
                    {logreg_xpin_sql(_LOGREG_X1)} AS x1,
                    {logreg_xpin_sql(_LOGREG_X2)} AS x2
-            FROM documents WHERE {_LOGREG_WHERE}),
+            FROM documents WHERE {_LOGREG_WHERE}) pinraw
+            WHERE {PIN_NOTNULL}),
     st0 AS (SELECT MIN(x1) AS lo1, MAX(x1) AS hi1, MIN(x2) AS lo2,
                    MAX(x2) AS hi2, CAST(SUM(y) AS BIGINT) AS tnp,
                    CAST(SUM(1 - y) AS BIGINT) AS tnn
@@ -2423,10 +2427,11 @@ def _tree2_sql() -> str:
     )
 
     return f"""
-    WITH rows AS (SELECT {_LOGREG_Y} AS y,
+    WITH rows AS (SELECT * FROM (SELECT {_LOGREG_Y} AS y,
                    {logreg_xpin_sql(_LOGREG_X1)} AS x1,
                    {logreg_xpin_sql(_LOGREG_X2)} AS x2
-            FROM documents WHERE {_LOGREG_WHERE}),
+            FROM documents WHERE {_LOGREG_WHERE}) pinraw
+            WHERE {PIN_NOTNULL}),
     st0 AS (SELECT MIN(x1) AS lo1, MAX(x1) AS hi1, MIN(x2) AS lo2,
                    MAX(x2) AS hi2 FROM rows),
     st AS (SELECT lo1, lo2,
@@ -2531,10 +2536,11 @@ def _woe_sql() -> str:
     )
 
     return f"""
-    WITH rows AS (SELECT {_LOGREG_Y} AS y,
+    WITH rows AS (SELECT * FROM (SELECT {_LOGREG_Y} AS y,
                    {logreg_xpin_sql(_LOGREG_X1)} AS x1,
                    {logreg_xpin_sql(_LOGREG_X2)} AS x2
-            FROM documents WHERE {_LOGREG_WHERE}),
+            FROM documents WHERE {_LOGREG_WHERE}) pinraw
+            WHERE {PIN_NOTNULL}),
     st0 AS (SELECT MIN(x1) AS lo1, MAX(x1) AS hi1, MIN(x2) AS lo2,
                    MAX(x2) AS hi2, CAST(SUM(y) AS BIGINT) AS tnp,
                    CAST(SUM(1 - y) AS BIGINT) AS tnn
@@ -2666,10 +2672,11 @@ def _ada_chain_sql(n_rounds: int = 3, n_buckets: int = 16) -> tuple[str, str]:
     )
 
     parts = [
-        f"""rows AS (SELECT {_LOGREG_Y} AS y,
+        f"""rows AS (SELECT * FROM (SELECT {_LOGREG_Y} AS y,
                    {logreg_xpin_sql(_LOGREG_X1)} AS x1,
                    {logreg_xpin_sql(_LOGREG_X2)} AS x2
-            FROM documents WHERE {_LOGREG_WHERE})""",
+            FROM documents WHERE {_LOGREG_WHERE}) pinraw
+            WHERE {PIN_NOTNULL})""",
         """st0 AS (SELECT MIN(x1) AS lo1, MAX(x1) AS hi1, MIN(x2) AS lo2,
                    MAX(x2) AS hi2 FROM rows)""",
         f"""st AS (SELECT lo1, lo2,
@@ -2867,10 +2874,11 @@ def _ada_group_rounds_sql(
     )
 
     parts = [
-        f"""rows AS (SELECT source AS g, {_LOGREG_Y} AS y,
+        f"""rows AS (SELECT * FROM (SELECT source AS g, {_LOGREG_Y} AS y,
                    {logreg_xpin_sql(_LOGREG_X1)} AS x1,
                    {logreg_xpin_sql(_LOGREG_X2)} AS x2
-            FROM documents WHERE {_LOGREG_WHERE})""",
+            FROM documents WHERE {_LOGREG_WHERE}) pinraw
+            WHERE {PIN_NOTNULL})""",
         """st0 AS (SELECT g, MIN(x1) AS lo1, MAX(x1) AS hi1, MIN(x2) AS lo2,
                    MAX(x2) AS hi2 FROM rows GROUP BY g)""",
         f"""st AS (SELECT g, lo1, lo2,
@@ -3040,10 +3048,11 @@ def _logreg_group_sql() -> str:
 
     z = logreg_z_sql("bi0", "bi1", "bi2", "x1", "x2")
     parts = [
-        f"""rows AS (SELECT source AS g, {_LOGREG_Y} AS y,
+        f"""rows AS (SELECT * FROM (SELECT source AS g, {_LOGREG_Y} AS y,
                    {logreg_xpin_sql(_LOGREG_X1)} AS x1,
                    {logreg_xpin_sql(_LOGREG_X2)} AS x2
-            FROM documents WHERE {_LOGREG_WHERE})""",
+            FROM documents WHERE {_LOGREG_WHERE}) pinraw
+            WHERE {PIN_NOTNULL})""",
         """b0 AS (SELECT g, CAST(0 AS BIGINT) AS bi0,
                   CAST(0 AS BIGINT) AS bi1, CAST(0 AS BIGINT) AS bi2
            FROM (SELECT DISTINCT g FROM rows))""",
@@ -3101,3 +3110,147 @@ def logreg_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         iters=3, where=_LOGREG_WHERE,
     )
     return logreg_group_summary(pinned, betas)
+
+
+# ---------------------------------------------------------------------------
+# Bucketed Naive Bayes (r10): the counting classifier of the
+# trainable-curation-filter family — same pinned features, same stump
+# grid, Laplace-smoothed per-bucket class likelihoods, exact integer
+# log-score decision.
+# ---------------------------------------------------------------------------
+
+
+def _nb_chain_sql(n_buckets: int = 16) -> str:
+    """Shared CTE chain for the Naive Bayes oracles: pinned non-null
+    rows → grid/totals → bucketing → pinned log-priors → per-(feature,
+    bucket) class counts → pinned log-likelihoods — every
+    value-determining expression from functions/bayes' shared texts."""
+    from open_ftth_relational_projector_spark.functions.bayes import (
+        nb_loglik_sql,
+    )
+    from open_ftth_relational_projector_spark.functions.regression import (
+        PIN_NOTNULL,
+        logreg_xpin_sql,
+    )
+    from open_ftth_relational_projector_spark.functions.tree import (
+        stump_bucket_sql,
+        stump_width_sql,
+    )
+
+    return f"""
+    WITH rows AS (SELECT * FROM (SELECT {_LOGREG_Y} AS y,
+                   {logreg_xpin_sql(_LOGREG_X1)} AS x1,
+                   {logreg_xpin_sql(_LOGREG_X2)} AS x2
+            FROM documents WHERE {_LOGREG_WHERE}) pinraw
+            WHERE {PIN_NOTNULL}),
+    st0 AS (SELECT MIN(x1) AS lo1, MAX(x1) AS hi1, MIN(x2) AS lo2,
+                   MAX(x2) AS hi2, CAST(SUM(y) AS BIGINT) AS tnp,
+                   CAST(SUM(1 - y) AS BIGINT) AS tnn
+            FROM rows),
+    st AS (SELECT lo1, lo2, tnp, tnn,
+                  {stump_width_sql('lo1', 'hi1', n_buckets)} AS w1,
+                  {stump_width_sql('lo2', 'hi2', n_buckets)} AS w2
+           FROM st0),
+    buck AS (SELECT y, {stump_bucket_sql('x1', 'lo1', 'w1')} AS b1,
+                    {stump_bucket_sql('x2', 'lo2', 'w2')} AS b2
+             FROM rows CROSS JOIN st),
+    prior AS (SELECT tnp, tnn,
+                     {nb_loglik_sql('tnp', 'tnp + tnn', 2)} AS pr1,
+                     {nb_loglik_sql('tnn', 'tnp + tnn', 2)} AS pr0
+              FROM st),
+    cnt AS (SELECT feat, b, CAST(SUM(y) AS BIGINT) AS np,
+                   CAST(SUM(1 - y) AS BIGINT) AS nn
+            FROM (SELECT y, 1 AS feat, b1 AS b FROM buck
+                  UNION ALL SELECT y, 2, b2 FROM buck)
+            GROUP BY feat, b),
+    lik AS (SELECT feat, b, np, nn,
+                   {nb_loglik_sql('np', 'tnp', n_buckets)} AS ll1,
+                   {nb_loglik_sql('nn', 'tnn', n_buckets)} AS ll0
+            FROM cnt CROSS JOIN prior)"""
+
+
+def _nb_quality_sql() -> str:
+    """Naive Bayes fit-report oracle: the chain, then the exact integer
+    log-score decision replayed per row."""
+    from open_ftth_relational_projector_spark.functions.bayes import (
+        nb_out_sql,
+    )
+
+    return f"""{_nb_chain_sql()},
+    scored AS (SELECT bk.y, pr1 + l1.ll1 + l2.ll1 AS s1,
+                      pr0 + l1.ll0 + l2.ll0 AS s0, pr1
+               FROM buck bk
+               JOIN lik l1 ON l1.feat = 1 AND l1.b = bk.b1
+               JOIN lik l2 ON l2.feat = 2 AND l2.b = bk.b2
+               CROSS JOIN prior)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(y) AS BIGINT) AS n_pos,
+           {nb_out_sql('pr1')} AS prior_pos,
+           ROUND(SUM(CASE WHEN (s1 > s0) = (y = 1) THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS accuracy
+    FROM scored
+    GROUP BY pr1
+    """
+
+
+@_q("naive_bayes_quality", _nb_quality_sql())
+def naive_bayes_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed Naive Bayes is-English filter over (kilochars,
+    space-ratio) — the counting classifier of the curation-filter
+    family (functions/bayes.nb_fit): one grid pass + one bucketing pass
+    + one ≤2·B-row count reduce train the model; scoring is map-only
+    with the model broadcast. Exact integer log-score decision."""
+    from open_ftth_relational_projector_spark.functions.bayes import (
+        nb_fit,
+        nb_summary,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucketed, prior, lik = nb_fit(
+        docs, _LOGREG_X1, _LOGREG_X2, _LOGREG_Y, n_buckets=16,
+        where=_LOGREG_WHERE,
+    )
+    return nb_summary(bucketed, prior, lik)
+
+
+def _nb_lik_sql() -> str:
+    """Per-bucket likelihood-table oracle: the chain's lik CTE."""
+    from open_ftth_relational_projector_spark.functions.bayes import (
+        nb_out_sql,
+    )
+
+    return f"""{_nb_chain_sql()}
+    SELECT feat, b, np AS n_pos, nn AS n_neg,
+           {nb_out_sql('ll1')} AS ll_pos,
+           {nb_out_sql('ll0')} AS ll_neg
+    FROM lik
+    ORDER BY feat, b
+    """
+
+
+@_q("naive_bayes_bucket_likelihoods", _nb_lik_sql())
+def naive_bayes_bucket_likelihoods(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The Naive Bayes model itself, human-auditable: per (feature,
+    bucket) class counts and Laplace-smoothed log-likelihoods — the
+    WOE-table treatment of the counting classifier (≤ 2·B rows at any
+    corpus size)."""
+    from open_ftth_relational_projector_spark.functions.bayes import (
+        nb_fit,
+        nb_out_sql,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    _, _, lik = nb_fit(
+        docs, _LOGREG_X1, _LOGREG_X2, _LOGREG_Y, n_buckets=16,
+        where=_LOGREG_WHERE,
+    )
+    return lik.selectExpr(
+        "feat",
+        "b",
+        "np AS n_pos",
+        "nn AS n_neg",
+        f"{nb_out_sql('ll1')} AS ll_pos",
+        f"{nb_out_sql('ll0')} AS ll_neg",
+    ).orderBy("feat", "b")
