@@ -165,6 +165,10 @@ EXTRA_QUERIES = [
     "logreg_isotonic_calibration",
     "adaboost_per_source_rounds",
     "adaboost_per_source_margins",
+    # round-10: bucketed Naive Bayes (cold tracked; warm floors measured
+    # on the next idle SPARK_GRAFT_WARM_BEST3=1 run)
+    "naive_bayes_quality",
+    "naive_bayes_bucket_likelihoods",
 ]
 
 
@@ -264,10 +268,41 @@ def _plan_signature(df) -> str:
     # registering new catalog entries shifted the counter and flapped
     # curation_decisions' signature between identical-code runs (r9)
     txt = re.sub(r"(lambda [A-Za-z]+)_\d+", r"\1_", txt)
-    # a localCheckpoint'd intermediate embeds its EXECUTED AQE subtree in
-    # the optimized plan; its stage/codegen numbering (BroadcastQueryStage
-    # 9, *(5)) counts session-global work and is not part of the shape
-    txt = re.sub(r"QueryStage \d+", "QueryStage", txt)
+    # A persist()-cached subtree prints under its InMemoryRelation node
+    # whatever EXECUTION STATE / CACHE SUBSTITUTION it happens to hold
+    # when the sig is computed: unexecuted = isFinalPlan=false + the
+    # initial subtree; executed = isFinalPlan=true + a duplicated
+    # "== Final Plan ==" / "== Initial Plan ==" pair wrapped in
+    # {Result,Shuffle,TableCache,Broadcast}QueryStage nodes — and
+    # CacheManager dedupes cached frames session-wide, so the embedded
+    # tree can even swap between cache-over-cache and cache-over-scan
+    # forms depending on what ran earlier in the session (measured r10:
+    # THREE distinct sigs for byte-identical curation_decisions code —
+    # fresh-session, in-protocol, post-warm-rerun). None of that is plan
+    # shape. Canonicalize by PRUNING every subtree below an
+    # InMemoryRelation line (its output schema stays in the sig): cached
+    # frames then fingerprint like localCheckpoint'd ones already do
+    # (LogicalRDD leaves carry no embedded plan). The cost is symmetric
+    # with the checkpoint convention: a rewrite that only changes how a
+    # cached/checkpointed intermediate is COMPUTED no longer invalidates
+    # floors — min-carry keeps them honest for speedups; document slower
+    # upstream rewrites in BENCH_NOTES when making them.
+    pruned: list[str] = []
+    skip_indent: int | None = None
+    for line in txt.splitlines():
+        stripped = re.sub(r"^[\s:+\-*]+", "", line)
+        if not stripped:
+            continue
+        indent = len(line) - len(stripped)
+        if skip_indent is not None:
+            if indent > skip_indent:
+                continue
+            skip_indent = None
+        pruned.append(stripped)
+        if "InMemoryRelation" in stripped:
+            skip_indent = indent
+    txt = "\n".join(pruned)
+    txt = re.sub(r"isFinalPlan=\w+", "isFinalPlan=", txt)
     txt = re.sub(r"\*\(\d+\)", "*", txt)
     txt = re.sub(r"plan_id=\d+", "plan_id=", txt)
     txt = re.sub(r"@[0-9a-f]{6,}", "@", txt)
