@@ -546,6 +546,7 @@ def logreg_kfold(
         mom = _literal_moment_frame_keyed(
             spark,
             "bfold",
+            "int",
             {f: _iter1_moments_from_raw(m) for f, m in comps.items()},
         )
         betas = (
@@ -730,33 +731,34 @@ def _literal_moment_frame(
     return spark.range(1).selectExpr(*sel)
 
 
-def _sql_key_literal(v) -> str:
-    """Render a collected fold/group key as a SQL literal (ints and
-    strings — the catalog's key types; strings single-quote-escaped)."""
-    if isinstance(v, bool) or not isinstance(v, (int, str)):
-        raise ValueError(
-            f"logreg seeding: unsupported key literal type {type(v)!r} — "
-            "use an INT or STRING fold/group expression"
-        )
-    if isinstance(v, int):
-        return str(v)
-    return "'" + v.replace("'", "''") + "'"
-
-
 def _literal_moment_frame_keyed(
-    spark, key_col: str, mapping: dict
+    spark, key_col: str, key_type: str, mapping: dict
 ) -> DataFrame:
-    """Union of one-row literal moment frames, one per fold/group key
-    (bounded by the same contract that bounds the guard's collect and
-    the broadcast beta frame)."""
-    frames = []
-    for kv in sorted(mapping):
-        extra = f"{_sql_key_literal(kv)} AS {key_col}"
-        frames.append(_literal_moment_frame(spark, mapping[kv], extra=extra))
-    out = frames[0]
-    for f in frames[1:]:
-        out = out.unionByName(f)
-    return out
+    """Keyed literal moment frame: ONE createDataFrame of
+    (key, 9 exact-digit STRINGS) — one row per fold/group, bounded by
+    the same contract that bounds the guard's collect and the broadcast
+    beta frame — then one selectExpr applying the identical
+    string → DECIMAL(38,0) → dec2dbl tail per column. (NOT a per-key
+    union: chaining G one-row unions makes Catalyst analysis quadratic
+    in G and stalls the driver for minutes at G ≥ 10³ — measured in the
+    r10 scaling sweep.) The digit strings parse exactly into
+    DECIMAL(38,0), so the value chain is bit-identical to the one-row
+    literal route."""
+    rows = [
+        tuple([kv] + [str(mapping[kv][c]) for c in LOGREG_MOMENTS])
+        for kv in sorted(mapping)
+    ]
+    schema = ", ".join(
+        [f"{key_col} {key_type}"] + [f"{c} string" for c in LOGREG_MOMENTS]
+    )
+    raw = spark.createDataFrame(rows, schema)
+    return raw.selectExpr(
+        key_col,
+        *[
+            f"{dec2dbl_sql(f'CAST({c} AS DECIMAL(38,0))')} AS {c}"
+            for c in LOGREG_MOMENTS
+        ],
+    )
 
 
 def _is_singular(m: dict) -> bool:
@@ -926,7 +928,10 @@ def logreg_fit_irls_grouped(
         raws = _raise_on_degenerate_groups(pinned)
     if check_degenerate and iters > 0:
         mom = _literal_moment_frame_keyed(
-            spark, "g", {g: _iter1_moments_from_raw(m) for g, m in raws.items()}
+            spark,
+            "g",
+            dict(pinned.dtypes)["g"],
+            {g: _iter1_moments_from_raw(m) for g, m in raws.items()},
         )
         betas = (
             mom.join(F.broadcast(betas), "g")
