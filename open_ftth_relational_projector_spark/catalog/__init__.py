@@ -40,35 +40,31 @@ from . import streaming_sims  # noqa: E402,F401
 # ===========================================================================
 # Registration order for the driver window
 # ===========================================================================
-# ROUND-10 WINDOW (this session): CORRECTNESS_r09 landed 50/50 — no fixes
-# to front-load. Executed exactly per the r9 pinned plan with the
+# ROUND-11 WINDOW (this session): CORRECTNESS_r10 landed 50/50 — no fixes
+# to front-load. Executed exactly per the r10 pinned plan with the
 # latest-green ranking (rank every query by its most recent green
 # CORRECTNESS round, oldest first, registration order as tiebreak): q1
-# first, then the FIVE never-driver-checked r9 additions
-# (logreg_isotonic_calibration and the adaboost_* boosted-stump family —
-# re-certified bit-level this round at sf0.001/0.01/0.1 AND under
-# local[5] AFTER the r10 shared-text change: the IS NOT NULL pinned-
-# feature filter hoisted into the oracle rows CTEs, the r9 advisor item),
-# then the full r5-green remainder (repeat_buyer_churn_setops onward, 42
-# entries, registration order), then the 2 oldest r6-green rows
-# (q3_order_revenue, q5_region_nation_revenue). A green round makes
-# cumulative driver certification 245/245 (240 direct + the 5 ANN
+# first, then the TWO never-driver-checked r10 additions
+# (naive_bayes_quality, naive_bayes_bucket_likelihoods — the bucketed
+# Naive Bayes counting classifier, certified bit-level in r10 at
+# sf0.001/0.01/0.1 and under local[5], and re-certified this session
+# after the shared rows-CTE hoist), then the 47 r6-green rows
+# (registration order), which fill the 50 exactly. A green round makes
+# cumulative driver certification 247/247 (242 direct + the 5 ANN
 # production paths certified via their driver-green twin_agreement
-# entries) and keeps every catalog query's latest green row <= 4 rounds
-# old (the refresh invariant).
+# entries) and keeps every catalog query's latest green row <= 5 rounds
+# old (the refresh invariant at the 247/50 capacity ceiling).
 #
-# ROUND-11 PLAN (for the next session): assuming CORRECTNESS_r10 lands
+# ROUND-12 PLAN (for the next session): assuming CORRECTNESS_r11 lands
 # green, recompute with the same latest-green ranking: q1 first, then
-# the TWO never-green r10 additions (naive_bayes_quality,
-# naive_bayes_bucket_likelihoods — the bucketed-Naive-Bayes counting
-# classifier; certified bit-level this round at sf0.001/0.01/0.1 and
-# under local[5]), then the oldest remaining rows — the 47 r6-green
-# rows (registration order) fill the 50 exactly. Any r10 FAIL goes to
-# the front after its fix. Capacity note: the rotation cycle is
-# 247/50 ≈ 5 rounds, so at most ~2 brand-new catalog queries per round
-# keep the refresh invariant satisfiable — r10 used exactly that
-# budget; r11 has room for 0 new entries beyond the two above unless a
-# refresh slot is sacrificed.
+# any never-green additions, then the oldest remaining rows — the 45
+# r7-green rows (registration order) plus the first 4 r8-green rows
+# fill the 50. Any r11 FAIL goes to the front after its fix. Capacity
+# note: the rotation cycle is 247/50 ≈ 5 rounds, so at most ~2
+# brand-new catalog queries per round keep the refresh invariant
+# satisfiable; after this round every row is ≤5 rounds old, so r12 has
+# budget for up to ~4 new entries (45 r7 + 4 r8 + q1 = 50 leaves the
+# remaining 45 r8-greens due r13).
 # Keep every name in _DRIVER_WINDOW_FRONT registered (the assert below
 # enforces it) and re-pin tests/data/catalog_order.txt + CATALOG.md
 # (scripts/gen_catalog_index.py) after any reorder. The production ANN
@@ -82,58 +78,57 @@ from . import streaming_sims  # noqa: E402,F401
 # recent green row.
 _DRIVER_WINDOW_FRONT = [
     "q1_pricing_summary",
-    # -- never driver-checked (r9 isotonic + AdaBoost family) --
-    "logreg_isotonic_calibration",
-    "adaboost_quality_rounds",
-    "adaboost_margin_report",
-    "adaboost_per_source_rounds",
-    "adaboost_per_source_margins",
-    # -- all remaining r5-green rows (oldest green), registration order --
-    "repeat_buyer_churn_setops",
-    "ngram_jaccard_pairs",
-    "dedup_clusters",
-    "knn_bruteforce",
-    "knn_label_noise",
-    "multimodal_features",
-    "weekly_cohort_retention",
-    "stratified_doc_sample",
-    "token_budget_chunks",
-    "pii_scan",
-    "cross_doc_shingle_dup",
-    "dsir_doc_weights",
-    "curation_decisions",
-    "embedding_outlier_stats",
-    "hybrid_rrf_retrieval",
-    "temperature_mixture_sample",
-    "length_bucketed_batches",
-    "audio_wav_features",
-    "audio_wav_resample",
-    "expectations_audit",
-    "price_histogram",
-    "zorder_locality_audit",
-    "event_transition_matrix",
-    "json_dlq_report",
-    "negative_samples_per_customer",
-    "pseudonymized_join_integrity",
-    "k_anonymity_audit",
-    "dow_seasonality_index",
-    "attribution_linear_multitouch",
-    "acctbal_distribution_ranks",
-    "item_item_similarity",
-    "part_cooccurrence_top_pairs",
-    "calendar_monthly_rollup",
-    "kwic_snippets",
-    "user_value_trend",
-    "top_user_journey_prefixes",
-    "fd_violation_profile",
-    "fk_fanout_audit",
-    "table_content_fingerprints",
-    "grouping_sets_revenue",
-    "null_safe_segment_join",
-    "revenue_share_of_region",
-    # -- oldest r6-green rows, registration order --
-    "q3_order_revenue",
-    "q5_region_nation_revenue",
+    # -- never driver-checked (r10 bucketed Naive Bayes family) --
+    "naive_bayes_quality",
+    "naive_bayes_bucket_likelihoods",
+    # -- all 47 r6-green rows (oldest green), registration order --
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q12_shipmode_priority",
+    "q18_large_volume_customers",
+    "q7_nation_volume_shipping",
+    "q9_product_type_profit",
+    "q10_returned_items",
+    "q13_customer_order_distribution",
+    "q14_promo_effect",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q19_discounted_revenue",
+    "q22_sales_opportunity",
+    "order_item_seq",
+    "embedding_near_dups",
+    "multimodal_frames",
+    "multimodal_resize",
+    "epoch_shuffle_manifest",
+    "bpe_learned_merges",
+    "bpe_token_counts",
+    "cluster_safe_split_stats",
+    "dup_substring_spans",
+    "quality_score_auc",
+    "quality_pr_curve",
+    "lang_guess_kappa",
+    "quality_brier_calibration",
+    "ccnet_perplexity_buckets",
+    "latent_part_affinity",
+    "jl_projection_audit",
+    "latent_rank2_affinity",
+    "jl_knn_recall",
+    "hll_distinct_rollup",
+    "hdr_quantile_rollup",
+    "ivfpq_knn_adc",
+    "ols_price_model",
+    "ols_residual_by_nation",
+    "nb_lang_confusion",
+    "bootstrap_revenue_ci",
+    "ab_tests_fdr_nations",
+    "stream_dedup_sim",
+    "stream_lsh_sim",
+    "stream_hll_sim",
+    "stream_hdr_sim",
+    "stream_topk_sim",
+    "stream_join_sim",
+    "stream_session_sim",
+    "stream_ols_sim",
 ]
 
 
