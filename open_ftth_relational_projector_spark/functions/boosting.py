@@ -389,7 +389,13 @@ def adaboost_fit_grouped(
 
     stumps: list[DataFrame] = []
     w_text = str(ADA_WS)
-    wmax = ADA_WS  # exact upper bound on any row's nested pinned weight
+    # exact upper bound on any row's nested pinned weight, PER GROUP: a
+    # row only ever multiplies by its own group's factors (the stump
+    # frames join back on g), so a single cross-group scalar bound —
+    # round-1's max factor from group A times round-2's from group B —
+    # is a chain no actual row experiences and can spuriously fail a
+    # healthy multi-group fit.
+    wmax: dict = {}
     for t in range(1, n_rounds + 1):
         cur = bucketed
         for s in stumps:
@@ -449,14 +455,20 @@ def adaboost_fit_grouped(
         )
         stumps.append(stump)
         if t < n_rounds:
-            # weight-exactness guard over ALL groups: one bounded
-            # one-row MAX collect from the checkpointed per-group stump
-            # frame (the small perfectly-separated source is exactly the
-            # case this catches — its smoothed ε = 1/(W+1) blows α̃ up)
-            fw = stump.agg(F.expr(f"MAX(fw_{t})")).collect()[0][0]
-            if fw is not None:  # no group held a split candidate
-                wmax = _check_weight_bound(
-                    wmax, int(fw), t, "adaboost_fit_grouped"
+            # weight-exactness guard PER GROUP: one bounded collect of
+            # (g, fw_t) from the checkpointed per-group stump frame —
+            # one row per group, the same bound that justifies the
+            # broadcast stump joins (the small perfectly-separated
+            # source is exactly the case this catches — its smoothed
+            # ε = 1/(W+1) blows α̃ up). Tracking the bound per group
+            # keeps it tight: no cross-group factor chain.
+            for r in stump.select("g", f"fw_{t}").collect():
+                g = r["g"]
+                wmax[g] = _check_weight_bound(
+                    wmax.get(g, ADA_WS),
+                    int(r[f"fw_{t}"]),
+                    t,
+                    f"adaboost_fit_grouped[g={g!r}]",
                 )
         pred = ada_pred_sql(f"rf_{t}", f"rb_{t}", f"ll_{t}", f"rl_{t}")
         w_text = ada_next_w_sql(w_text, pred, f"fc_{t}", f"fw_{t}")

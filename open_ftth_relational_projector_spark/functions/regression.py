@@ -834,6 +834,21 @@ def _raise_on_degenerate_groups(pinned: DataFrame) -> dict:
     collect: one 9-moment row per group (the broadcast-beta bound).
     Returns the per-group raw moments for iteration-1 seeding."""
     stats = pinned.groupBy("g").agg(*_raw_moment_aggs()).collect()
+    if any(r["g"] is None for r in stats):
+        # A NULL group key would (a) crash the seeded path's
+        # sorted(mapping) with a None-vs-str TypeError and (b) silently
+        # vanish from the seeded step's null-unsafe mom.join(betas, "g")
+        # — while the unseeded scan path ALSO drops NULL-g rows (same
+        # null-unsafe join), but silently. Fail named instead of
+        # diverging between the two paths; callers who want NULL-key
+        # rows dropped should COALESCE or filter the group expression.
+        raise ValueError(
+            "logreg_fit_irls_grouped: NULL group key — the group "
+            "expression produced NULL for some rows. A NULL key cannot "
+            "ride the null-unsafe per-group beta join (the rows would "
+            "silently drop from the fit); COALESCE the group expression "
+            "or filter NULL keys explicitly."
+        )
     bad: list[str] = []
     for r in stats:
         if _is_singular(r.asDict()):

@@ -69,9 +69,9 @@ ALLOWLIST: dict[str, str] = {
         "per boosting round — the named weight-exactness (2^53) guard"
     ),
     "functions/boosting.py::adaboost_fit_grouped": (
-        "bounded: one-row MAX(fw) aggregate over the checkpointed "
+        "bounded: one (g, fw) row per group from the checkpointed "
         "per-group stump frame per round (the broadcast-group bound) — "
-        "the named weight-exactness (2^53) guard"
+        "the named weight-exactness (2^53) guard, tracked per group"
     ),
     "functions/calibration.py::pav_isotonic": (
         "bounded: the limit(cap+1) in the same expression caps the "
@@ -79,17 +79,21 @@ ALLOWLIST: dict[str, str] = {
         "the O(B³) PAV joins"
     ),
     "functions/regression.py::_raise_on_degenerate_groups": (
-        "bounded: one 6-moment row per group (the same bounded-group "
-        "contract that justifies the grouped fit's broadcast beta frame) "
-        "— exact-integer singular-Hessian guard, fails named"
+        "bounded: one 9-moment row per group (6 design + 3 y-moments "
+        "for iteration-1 seeding; the same bounded-group contract that "
+        "justifies the grouped fit's broadcast beta frame) — "
+        "exact-integer singular-Hessian guard, fails named (NULL group "
+        "keys included)"
     ),
     "functions/regression.py::_raise_on_degenerate_design": (
-        "bounded: ONE 6-moment row — the single-fit singular-Hessian "
-        "guard, fails named"
+        "bounded: ONE 9-moment row (6 design + 3 y-moments for "
+        "iteration-1 seeding) — the single-fit singular-Hessian guard, "
+        "fails named"
     ),
     "functions/regression.py::_raise_on_degenerate_complements": (
-        "bounded: k 6-moment rows (k folds); complement moments are "
-        "exact subtractions from the totals — fails named"
+        "bounded: k 9-moment rows (k folds; 6 design + 3 y-moments for "
+        "iteration-1 seeding); complement moments are exact "
+        "subtractions from the totals — fails named"
     ),
     "operators/hierarchical.py::hierarchical_cumsum": "#shards rows (scalar-sized totals)",
     "operators/hierarchical.py::hierarchical_grouped_row_number": (

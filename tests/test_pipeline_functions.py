@@ -3893,6 +3893,69 @@ def test_logreg_grouped_degenerate_group_fails_named(spark):
     assert betas.count() == 1
 
 
+def test_logreg_grouped_null_group_key_fails_named(spark):
+    """A NULL group key must fail NAMED: the seeded iteration-1 path
+    would otherwise crash in sorted(mapping) (None vs str TypeError)
+    and — worse — the null-unsafe mom.join(betas, 'g') would silently
+    drop the NULL group from the fit (r10 advisory)."""
+    from open_ftth_relational_projector_spark.functions.regression import (
+        logreg_fit_irls_grouped,
+    )
+
+    healthy = [
+        ("ok", y, x1, x2) for (y, x1, x2) in _logreg_fixture_rows()
+    ]
+    nulled = [
+        (None, y, x1 + 0.125, x2 - 0.25)
+        for (y, x1, x2) in _logreg_fixture_rows()
+    ]
+    df = spark.createDataFrame(
+        healthy + nulled, "src string, y int, x1 double, x2 double"
+    )
+    with pytest.raises(ValueError, match="NULL group key"):
+        logreg_fit_irls_grouped(df, "x1", "x2", "y", group_expr="src")
+    # COALESCE'ing the key (the error's own advice) fits both groups
+    _, betas = logreg_fit_irls_grouped(
+        df, "x1", "x2", "y", group_expr="COALESCE(src, '<null>')"
+    )
+    assert betas.count() == 2
+
+
+def test_adaboost_grouped_weight_guard_is_per_group(spark):
+    """The grouped weight-exactness guard tracks the 2^53 bound PER
+    GROUP (r10 advisory): a tiny perfectly-separated group blows its
+    own bound and the failure names THAT group, while the same healthy
+    group trained alongside a merely-mild group passes — no cross-group
+    factor chain inflating the bound."""
+    from open_ftth_relational_projector_spark.functions.boosting import (
+        adaboost_fit_grouped,
+    )
+
+    healthy = [
+        ("ok", y, x1, x2) for (y, x1, x2) in _logreg_fixture_rows()
+    ]
+    # perfectly separated on x1 -> score 0, smoothed eps = 1/(W+1),
+    # alpha ~ 0.5*ln(W+1): fw ~ sqrt(W)*1e6 each round, so the nested
+    # bound wmax*fw crosses 2^53 by the round-2 guard check.
+    sep = [
+        ("sep", 1 if i < 20 else 0, float(i), (i * 7 % 13) * 0.5)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        healthy + sep, "src string, y int, x1 double, x2 double"
+    )
+    with pytest.raises(ValueError, match=r"adaboost_fit_grouped\[g='sep'\]"):
+        adaboost_fit_grouped(
+            df, "x1", "x2", "y", group_expr="src", n_rounds=3
+        )
+    # the healthy group alone fits fine under the identical call
+    _, _, stumps = adaboost_fit_grouped(
+        df, "x1", "x2", "y", group_expr="src", n_rounds=3,
+        where="src = 'ok'",
+    )
+    assert len(stumps) == 3
+
+
 def _ada_python_reference(rows, n_rounds=2, n_buckets=8):
     """Pure-Python replication of the pinned AdaBoost texts: exact
     integer weights/counts, HALF-UP rounding (SQL ROUND), transcendental
@@ -4331,7 +4394,7 @@ def test_adaboost_weight_exactness_guard_fails_named(spark):
     assert len(stumps) == 1
     gdf = df.selectExpr("'s' AS src", "*")
     with pytest.raises(
-        ValueError, match="adaboost_fit_grouped: round-1 .* 2\\^53"
+        ValueError, match="adaboost_fit_grouped\\[g='s'\\]: round-1 .* 2\\^53"
     ):
         adaboost_fit_grouped(gdf, "x1", "x2", "y", "src", n_rounds=2)
 
