@@ -302,6 +302,22 @@ def _plan_signature(df) -> str:
         if "InMemoryRelation" in stripped:
             skip_indent = indent
     txt = "\n".join(pruned)
+    # The pruning above makes the OPTIMIZED-plan half of the signature
+    # blind to rewrites of how a cached intermediate is COMPUTED (r10
+    # advisor): a slower upstream rewrite would carry the stale faster
+    # floor as its regression baseline, guarded only by a BENCH_NOTES
+    # convention. Close the hole by mixing in the ANALYZED logical plan
+    # — computed BEFORE CacheManager substitution, so it carries every
+    # cached intermediate's full unexecuted subtree (exactly the text
+    # the pruning drops) while holding none of the execution state
+    # (QueryStage / isFinalPlan / cache-over-cache forms) that made the
+    # raw optimized text flap. localCheckpoint'd intermediates remain
+    # LogicalRDD leaves in BOTH halves — the documented checkpoint
+    # convention is unchanged.
+    ana = df._jdf.queryExecution().analyzed().toString()  # noqa: SLF001
+    ana = re.sub(r"#\d+[L]?", "#", ana)
+    ana = re.sub(r"(lambda [A-Za-z]+)_\d+", r"\1_", ana)
+    txt = txt + "\n== analyzed ==\n" + ana
     txt = re.sub(r"isFinalPlan=\w+", "isFinalPlan=", txt)
     txt = re.sub(r"\*\(\d+\)", "*", txt)
     txt = re.sub(r"plan_id=\d+", "plan_id=", txt)

@@ -2011,6 +2011,31 @@ _LOGREG_X2 = (
 _LOGREG_WHERE = "LENGTH(text) > 0"
 
 
+def _pinned_rows_cte(lead: str = "", extra: str = "") -> str:
+    """THE classifier-family rows CTE — one shared definition for every
+    family oracle (logreg fit / k-fold / stump / depth-2 tree / WOE /
+    AdaBoost / grouped AdaBoost / grouped logreg / Naive Bayes): the
+    pinned (y, x1, x2) document projection with the PIN_NOTNULL filter
+    hoisted OUTSIDE the pin subquery, exactly the shape of every fit's
+    pinned frame (functions/regression.py PIN_NOTNULL — shared text).
+    Hoisting it into ONE helper closes the advisory class permanently:
+    an edit to the pinned projection reaches all 13+ family oracles at
+    once, so sibling CTEs cannot drift (r9 advisory; its 10-parallel-
+    sites closure was flagged again in r10 as re-openable).
+
+    ``lead`` prepends select columns ('source AS g, '); ``extra``
+    appends them (', CAST(... ) AS fold')."""
+    from open_ftth_relational_projector_spark.functions.regression import (
+        logreg_xpin_sql,
+    )
+
+    return f"""rows AS (SELECT * FROM (SELECT {lead}{_LOGREG_Y} AS y,
+                   {logreg_xpin_sql(_LOGREG_X1)} AS x1,
+                   {logreg_xpin_sql(_LOGREG_X2)} AS x2{extra}
+            FROM documents WHERE {_LOGREG_WHERE}) pinraw
+            WHERE {PIN_NOTNULL})"""
+
+
 def _logreg_sql() -> str:
     """Unrolled 3-step IRLS oracle built FROM the functions/regression
     logreg_* helpers (twin by construction — the r8 integer-state
@@ -2031,11 +2056,7 @@ def _logreg_sql() -> str:
 
     z = logreg_z_sql("bi0", "bi1", "bi2", "x1", "x2")
     parts = [
-        f"""rows AS (SELECT * FROM (SELECT {_LOGREG_Y} AS y,
-                   {logreg_xpin_sql(_LOGREG_X1)} AS x1,
-                   {logreg_xpin_sql(_LOGREG_X2)} AS x2
-            FROM documents WHERE {_LOGREG_WHERE}) pinraw
-            WHERE {PIN_NOTNULL})""",
+        _pinned_rows_cte(),
         """b0 AS (SELECT CAST(0 AS BIGINT) AS bi0,
                   CAST(0 AS BIGINT) AS bi1, CAST(0 AS BIGINT) AS bi2)""",
     ]
@@ -2176,12 +2197,9 @@ def _logreg_kfold_sql() -> str:
     z = logreg_z_sql("bi0", "bi1", "bi2", "x1", "x2")
     fold = fold_expr_sql("CAST(doc_id AS VARCHAR)", 5)
     parts = [
-        f"""rows AS (SELECT * FROM (SELECT {_LOGREG_Y} AS y,
-                   {logreg_xpin_sql(_LOGREG_X1)} AS x1,
-                   {logreg_xpin_sql(_LOGREG_X2)} AS x2,
-                   CAST({fold} AS INT) AS fold
-            FROM documents WHERE {_LOGREG_WHERE}) pinraw
-            WHERE {PIN_NOTNULL})""",
+        _pinned_rows_cte(
+            extra=f",\n                   CAST({fold} AS INT) AS fold"
+        ),
         """b0 AS (SELECT CAST(UNNEST(generate_series(0, 4)) AS INT) AS bfold,
                   CAST(0 AS BIGINT) AS bi0, CAST(0 AS BIGINT) AS bi1,
                   CAST(0 AS BIGINT) AS bi2)""",
@@ -2348,11 +2366,7 @@ def _stump_sql() -> str:
     )
 
     return f"""
-    WITH rows AS (SELECT * FROM (SELECT {_LOGREG_Y} AS y,
-                   {logreg_xpin_sql(_LOGREG_X1)} AS x1,
-                   {logreg_xpin_sql(_LOGREG_X2)} AS x2
-            FROM documents WHERE {_LOGREG_WHERE}) pinraw
-            WHERE {PIN_NOTNULL}),
+    WITH {_pinned_rows_cte()},
     st0 AS (SELECT MIN(x1) AS lo1, MAX(x1) AS hi1, MIN(x2) AS lo2,
                    MAX(x2) AS hi2, CAST(SUM(y) AS BIGINT) AS tnp,
                    CAST(SUM(1 - y) AS BIGINT) AS tnn
@@ -2427,11 +2441,7 @@ def _tree2_sql() -> str:
     )
 
     return f"""
-    WITH rows AS (SELECT * FROM (SELECT {_LOGREG_Y} AS y,
-                   {logreg_xpin_sql(_LOGREG_X1)} AS x1,
-                   {logreg_xpin_sql(_LOGREG_X2)} AS x2
-            FROM documents WHERE {_LOGREG_WHERE}) pinraw
-            WHERE {PIN_NOTNULL}),
+    WITH {_pinned_rows_cte()},
     st0 AS (SELECT MIN(x1) AS lo1, MAX(x1) AS hi1, MIN(x2) AS lo2,
                    MAX(x2) AS hi2 FROM rows),
     st AS (SELECT lo1, lo2,
@@ -2536,11 +2546,7 @@ def _woe_sql() -> str:
     )
 
     return f"""
-    WITH rows AS (SELECT * FROM (SELECT {_LOGREG_Y} AS y,
-                   {logreg_xpin_sql(_LOGREG_X1)} AS x1,
-                   {logreg_xpin_sql(_LOGREG_X2)} AS x2
-            FROM documents WHERE {_LOGREG_WHERE}) pinraw
-            WHERE {PIN_NOTNULL}),
+    WITH {_pinned_rows_cte()},
     st0 AS (SELECT MIN(x1) AS lo1, MAX(x1) AS hi1, MIN(x2) AS lo2,
                    MAX(x2) AS hi2, CAST(SUM(y) AS BIGINT) AS tnp,
                    CAST(SUM(1 - y) AS BIGINT) AS tnn
@@ -2672,11 +2678,7 @@ def _ada_chain_sql(n_rounds: int = 3, n_buckets: int = 16) -> tuple[str, str]:
     )
 
     parts = [
-        f"""rows AS (SELECT * FROM (SELECT {_LOGREG_Y} AS y,
-                   {logreg_xpin_sql(_LOGREG_X1)} AS x1,
-                   {logreg_xpin_sql(_LOGREG_X2)} AS x2
-            FROM documents WHERE {_LOGREG_WHERE}) pinraw
-            WHERE {PIN_NOTNULL})""",
+        _pinned_rows_cte(),
         """st0 AS (SELECT MIN(x1) AS lo1, MAX(x1) AS hi1, MIN(x2) AS lo2,
                    MAX(x2) AS hi2 FROM rows)""",
         f"""st AS (SELECT lo1, lo2,
@@ -2874,11 +2876,7 @@ def _ada_group_rounds_sql(
     )
 
     parts = [
-        f"""rows AS (SELECT * FROM (SELECT source AS g, {_LOGREG_Y} AS y,
-                   {logreg_xpin_sql(_LOGREG_X1)} AS x1,
-                   {logreg_xpin_sql(_LOGREG_X2)} AS x2
-            FROM documents WHERE {_LOGREG_WHERE}) pinraw
-            WHERE {PIN_NOTNULL})""",
+        _pinned_rows_cte(lead="source AS g, "),
         """st0 AS (SELECT g, MIN(x1) AS lo1, MAX(x1) AS hi1, MIN(x2) AS lo2,
                    MAX(x2) AS hi2 FROM rows GROUP BY g)""",
         f"""st AS (SELECT g, lo1, lo2,
@@ -3048,11 +3046,7 @@ def _logreg_group_sql() -> str:
 
     z = logreg_z_sql("bi0", "bi1", "bi2", "x1", "x2")
     parts = [
-        f"""rows AS (SELECT * FROM (SELECT source AS g, {_LOGREG_Y} AS y,
-                   {logreg_xpin_sql(_LOGREG_X1)} AS x1,
-                   {logreg_xpin_sql(_LOGREG_X2)} AS x2
-            FROM documents WHERE {_LOGREG_WHERE}) pinraw
-            WHERE {PIN_NOTNULL})""",
+        _pinned_rows_cte(lead="source AS g, "),
         """b0 AS (SELECT g, CAST(0 AS BIGINT) AS bi0,
                   CAST(0 AS BIGINT) AS bi1, CAST(0 AS BIGINT) AS bi2
            FROM (SELECT DISTINCT g FROM rows))""",
@@ -3138,11 +3132,7 @@ def _nb_chain_sql(n_buckets: int = 16) -> str:
     )
 
     return f"""
-    WITH rows AS (SELECT * FROM (SELECT {_LOGREG_Y} AS y,
-                   {logreg_xpin_sql(_LOGREG_X1)} AS x1,
-                   {logreg_xpin_sql(_LOGREG_X2)} AS x2
-            FROM documents WHERE {_LOGREG_WHERE}) pinraw
-            WHERE {PIN_NOTNULL}),
+    WITH {_pinned_rows_cte()},
     st0 AS (SELECT MIN(x1) AS lo1, MAX(x1) AS hi1, MIN(x2) AS lo2,
                    MAX(x2) AS hi2, CAST(SUM(y) AS BIGINT) AS tnp,
                    CAST(SUM(1 - y) AS BIGINT) AS tnn
