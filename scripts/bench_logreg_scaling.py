@@ -22,11 +22,20 @@ this does the same for the r8 classifier family. Claims under test:
    count: same all-groups-advance-per-scan shape as the logreg farm;
    the measured knee documents the broadcast threshold for the
    group-keyed stump-frame joins (functions/boosting.py docstring).
+5. **Naive Bayes corpus growth** (nb_fit, B=16): one pinned pass + one
+   min/max/count aggregate + ONE stack/groupBy count pass to a ≤ 2·B-row
+   model frame — wall should grow ~linearly in rows with a fixed-size
+   reduce (the 100 TB shape).
+6. **Naive Bayes bucket growth** (nb_fit, fixed corpus) vs B: the corpus
+   work is B-independent (bucketing is per-row arithmetic; the count
+   pass reduces to 2·B cells), so wall should stay ~flat in B until the
+   model frame itself matters.
 
 Synthesis is hash-derived (no Python RNG): every run sees identical
 frames, so numbers are comparable across rounds.
 
 Run (quiet host): python scripts/bench_logreg_scaling.py
+Pass sweep numbers to run a subset: python scripts/bench_logreg_scaling.py 5 6
 """
 
 from __future__ import annotations
@@ -38,6 +47,7 @@ sys.path.insert(0, ".")
 
 from pyspark.sql import functions as F
 
+from open_ftth_relational_projector_spark.functions.bayes import nb_fit
 from open_ftth_relational_projector_spark.functions.boosting import (
     adaboost_fit,
     adaboost_fit_grouped,
@@ -74,65 +84,106 @@ def docs_df(spark, n_rows: int, n_groups: int):
 
 
 def main() -> None:
+    want = {int(a) for a in sys.argv[1:]} or set(range(1, 7))
     spark = get_spark(
         app_name="bench-logreg-scaling",
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
-    print("sweep 1: single fit (3 IRLS iterations) vs corpus size")
-    print("| rows | fit wall | wall / Mrow |")
-    print("|---|---|---|")
-    for n in (100_000, 1_000_000, 10_000_000):
-        d = docs_df(spark, n, 1).localCheckpoint()
-        d.count()
-        t0 = time.perf_counter()
-        _, beta = logreg_fit_irls(d, "x1", "x2", "y", iters=3)
-        beta.collect()
-        dt = time.perf_counter() - t0
-        print(f"| {n:,} | {dt:.2f} s | {dt / (n / 1e6):.2f} s |")
+    if 1 in want:
+        print("sweep 1: single fit (3 IRLS iterations) vs corpus size")
+        print("| rows | fit wall | wall / Mrow |")
+        print("|---|---|---|")
+        for n in (100_000, 1_000_000, 10_000_000):
+            d = docs_df(spark, n, 1).localCheckpoint()
+            d.count()
+            t0 = time.perf_counter()
+            _, beta = logreg_fit_irls(d, "x1", "x2", "y", iters=3)
+            beta.collect()
+            dt = time.perf_counter() - t0
+            print(f"| {n:,} | {dt:.2f} s | {dt / (n / 1e6):.2f} s |")
+        print()
 
-    print()
-    print("sweep 2: grouped fit (3 IRLS iterations, 2M rows) vs group count")
-    print("| groups | fit wall (incl. degeneracy guard) |")
-    print("|---|---|")
-    for g in (10, 100, 1_000, 10_000):
-        d = docs_df(spark, 2_000_000, g).localCheckpoint()
-        d.count()
-        t0 = time.perf_counter()
-        _, betas = logreg_fit_irls_grouped(d, "x1", "x2", "y", group_expr="g", iters=3)
-        betas.agg(F.count(F.lit(1))).collect()
-        dt = time.perf_counter() - t0
-        print(f"| {g:,} | {dt:.2f} s |")
+    if 2 in want:
+        print("sweep 2: grouped fit (3 IRLS iterations, 2M rows) vs group count")
+        print("| groups | fit wall (incl. degeneracy guard) |")
+        print("|---|---|")
+        for g in (10, 100, 1_000, 10_000):
+            d = docs_df(spark, 2_000_000, g).localCheckpoint()
+            d.count()
+            t0 = time.perf_counter()
+            _, betas = logreg_fit_irls_grouped(
+                d, "x1", "x2", "y", group_expr="g", iters=3
+            )
+            betas.agg(F.count(F.lit(1))).collect()
+            dt = time.perf_counter() - t0
+            print(f"| {g:,} | {dt:.2f} s |")
+        print()
 
-    print()
-    print("sweep 3: adaboost_fit (2M rows) vs boosting rounds T")
-    print("| rounds | fit wall (incl. weight-bound guard) | wall / round |")
-    print("|---|---|---|")
-    d = docs_df(spark, 2_000_000, 1).localCheckpoint()
-    d.count()
-    for t_rounds in (1, 2, 3, 5):
-        t0 = time.perf_counter()
-        _, _, stumps = adaboost_fit(d, "x1", "x2", "y", n_rounds=t_rounds)
-        for s in stumps:
-            s.collect()
-        dt = time.perf_counter() - t0
-        print(f"| {t_rounds} | {dt:.2f} s | {dt / t_rounds:.2f} s |")
-
-    print()
-    print("sweep 4: adaboost_fit_grouped (T=3, 2M rows) vs group count")
-    print("| groups | fit wall (incl. weight-bound guard) |")
-    print("|---|---|")
-    for g in (10, 100, 1_000, 10_000):
-        d = docs_df(spark, 2_000_000, g).localCheckpoint()
+    if 3 in want:
+        print("sweep 3: adaboost_fit (2M rows) vs boosting rounds T")
+        print("| rounds | fit wall (incl. weight-bound guard) | wall / round |")
+        print("|---|---|---|")
+        d = docs_df(spark, 2_000_000, 1).localCheckpoint()
         d.count()
-        t0 = time.perf_counter()
-        _, _, stumps = adaboost_fit_grouped(
-            d, "x1", "x2", "y", group_expr="g", n_rounds=3
-        )
-        stumps[-1].agg(F.count(F.lit(1))).collect()
-        dt = time.perf_counter() - t0
-        print(f"| {g:,} | {dt:.2f} s |")
+        for t_rounds in (1, 2, 3, 5):
+            t0 = time.perf_counter()
+            _, _, stumps = adaboost_fit(d, "x1", "x2", "y", n_rounds=t_rounds)
+            for s in stumps:
+                s.collect()
+            dt = time.perf_counter() - t0
+            print(f"| {t_rounds} | {dt:.2f} s | {dt / t_rounds:.2f} s |")
+        print()
+
+    if 4 in want:
+        print("sweep 4: adaboost_fit_grouped (T=3, 2M rows) vs group count")
+        print("| groups | fit wall (incl. weight-bound guard) |")
+        print("|---|---|")
+        for g in (10, 100, 1_000, 10_000):
+            d = docs_df(spark, 2_000_000, g).localCheckpoint()
+            d.count()
+            t0 = time.perf_counter()
+            _, _, stumps = adaboost_fit_grouped(
+                d, "x1", "x2", "y", group_expr="g", n_rounds=3
+            )
+            stumps[-1].agg(F.count(F.lit(1))).collect()
+            dt = time.perf_counter() - t0
+            print(f"| {g:,} | {dt:.2f} s |")
+        print()
+
+    if 5 in want:
+        print("sweep 5: nb_fit (B=16) vs corpus size")
+        print("| rows | fit wall | wall / Mrow |")
+        print("|---|---|---|")
+        for n in (100_000, 1_000_000, 10_000_000):
+            d = docs_df(spark, n, 1).localCheckpoint()
+            d.count()
+            t0 = time.perf_counter()
+            _, prior, lik = nb_fit(d, "x1", "x2", "y", n_buckets=16)
+            # force the full model frame (every pinned log-likelihood),
+            # not a prunable count
+            lik.write.format("noop").mode("overwrite").save()
+            prior.write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            print(f"| {n:,} | {dt:.2f} s | {dt / (n / 1e6):.2f} s |")
+        print()
+
+    if 6 in want:
+        print("sweep 6: nb_fit (2M rows) vs bucket count B")
+        print("| buckets | fit wall | model rows |")
+        print("|---|---|---|")
+        d = docs_df(spark, 2_000_000, 1).localCheckpoint()
+        d.count()
+        for b in (8, 16, 64, 256, 1024):
+            t0 = time.perf_counter()
+            _, prior, lik = nb_fit(d, "x1", "x2", "y", n_buckets=b)
+            lik.write.format("noop").mode("overwrite").save()
+            prior.write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            nmodel = lik.count()
+            print(f"| {b:,} | {dt:.2f} s | {nmodel} |")
+        print()
     spark.stop()
 
 

@@ -115,7 +115,7 @@ def test_tws_work_task_matches_batch(spark):
         except Exception as exc:  # environment-level tWS worker crash
             if "driver worker exited" in str(exc):
                 # pinned cause (probed 2026-08-13; re-probed rounds 7,
-                # 8 (2026-08-15), 9 and 10 (2026-08-16) — `import
+                # 8 (2026-08-15), 9, 10 and 11 (2026-08-16) — `import
                 # google.protobuf` still ModuleNotFoundError): the tWS
                 # driver worker
                 # imports protobuf, absent in this container —
