@@ -625,6 +625,19 @@ def poisson_bootstrap_ci(
     - hashing dominates the per-row cost, so each md5 digest yields TEN
       draws (3 hex chars = 12 bits each); B=40 needs 4 digests per row,
       computed BEFORE the explode;
+    - the digest is also PARSED before the explode — each digest's 30
+      draw chars become two 60-bit BIGINTs (15 hex chars each), and the
+      full B-weight ARRAY is built pre-explode from shiftright/AND
+      field extracts, so the generator carries only ints (not 32-char
+      digest strings) and the per-pair project is gone entirely. The
+      r11 rework: the old per-pair element_at+substring+conv evaluated
+      string ops 24M times at sf0.1 (and its 40-wide conv array tripped
+      a janino compile failure in a first draft) — parse-once+shift
+      halved the warm wall (~10 → ~5 s) with ZERO codegen fallbacks.
+      Draw VALUES are pinned: the top 12 bits of a 15-char parse ARE
+      the first 3 hex chars (char 3j+1 of the digest = chars 3jd+1 of
+      word o for j = 5o+jd), so the oracle's per-3-char substr recipe
+      is untouched and the B means stay bit-identical;
     - the draw→weight map is branch-free integer cutpoints
       (POISSON1_CUT4096), exactly equivalent to comparing the (h+1)/4096
       uniform against POISSON1_CDF;
@@ -648,21 +661,30 @@ def poisson_bootstrap_ci(
             for m in range(n_blocks)
         ],
     )
-    harr = "array(" + ", ".join(f"_h{m}" for m in range(n_blocks)) + ")"
-    draw = (
-        f"CAST(conv(substring(element_at({harr},"
-        f" CAST(_j DIV 10 AS INT) + 1), (_j % 10) * 3 + 1, 3),"
-        f" 16, 10) AS BIGINT)"
+    parsed = hashed.selectExpr(
+        *groups,
+        "_vc",
+        *[
+            f"CAST(conv(substring(_h{m}, {o * 15 + 1}, 15), 16, 10)"
+            f" AS BIGINT) AS _g{m}_{o}"
+            for m in range(n_blocks)
+            for o in range(2)
+        ],
+    )
+
+    def _draw(j: int) -> str:
+        m, jj = divmod(j, 10)
+        o, jd = divmod(jj, 5)
+        return f"(shiftright(_g{m}_{o}, {60 - 12 * (jd + 1)}) & 4095)"
+
+    warr = (
+        "array("
+        + ", ".join(poisson_weight_sql(_draw(j)) for j in range(b))
+        + ")"
     )
     per_resample = (
-        hashed.selectExpr(
-            *groups,
-            "_vc",
-            *[f"_h{m}" for m in range(n_blocks)],
-            f"explode(sequence(0, {b - 1})) AS _j",
-        )
-        .selectExpr(
-            *groups, "_j", "_vc", f"{poisson_weight_sql(draw)} AS _w"
+        parsed.selectExpr(
+            *groups, "_vc", f"posexplode({warr}) AS (_j, _w)"
         )
         .groupBy(*groups, "_j")
         .agg(
