@@ -1331,7 +1331,11 @@ def bootstrap_revenue_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         poisson_bootstrap_ci,
     )
 
-    li = load_table(spark, sf_dir, "lineitem")
+    # scattered: the per-row work (4 md5 + 8 hex parses + a 40-wide
+    # explode) dwarfs the scan, and the single-file local scan yields
+    # 2-3 partitions — the same compute-parallelism trap the shingling
+    # queries hit (sources/tables.scattered docstring)
+    li = scattered(load_table(spark, sf_dir, "lineitem"))
     return poisson_bootstrap_ci(
         li,
         value_col="l_extendedprice",

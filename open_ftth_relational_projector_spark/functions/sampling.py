@@ -677,14 +677,19 @@ def poisson_bootstrap_ci(
         o, jd = divmod(jj, 5)
         return f"(shiftright(_g{m}_{o}, {60 - 12 * (jd + 1)}) & 4095)"
 
-    warr = (
-        "array("
-        + ", ".join(poisson_weight_sql(_draw(j)) for j in range(b))
-        + ")"
-    )
+    # the generator array holds the 40 DRAWS (two integer ops each),
+    # NOT the weights: generator expressions evaluate outside
+    # whole-stage codegen, so a weights array would run 40×7 cutpoint
+    # comparisons interpreted per row (measured 3-5× slower than the
+    # substring formulation it replaced) — the 7-comparison weight map
+    # stays in the codegen'd project above the Generate instead
+    darr = "array(" + ", ".join(_draw(j) for j in range(b)) + ")"
     per_resample = (
         parsed.selectExpr(
-            *groups, "_vc", f"posexplode({warr}) AS (_j, _w)"
+            *groups, "_vc", f"posexplode({darr}) AS (_j, _d)"
+        )
+        .selectExpr(
+            *groups, "_j", "_vc", f"{poisson_weight_sql('_d')} AS _w"
         )
         .groupBy(*groups, "_j")
         .agg(
