@@ -159,26 +159,34 @@ def _half_step(
     the only double arithmetic: scales cancel (both numerator and norm
     carry 10^iter_dp), and the result re-pins to integer state.
     """
+    # `raw` is referenced TWICE (norm branch + value branch): without a
+    # truncation the logical plan doubles every half-step (2^(2·iters)
+    # copies of the first join), and without MATERIALIZATION the matvec
+    # join EXECUTES twice per half-step — once under the broadcast-norm
+    # subquery, once on the value side (no exchange reuse: the two
+    # branches aggregate differently). Checkpointing raw itself (one
+    # integer row per output key — the factor-vector bound) fixes both
+    # at once; the downstream normalize step is then two trivial scans
+    # of the materialized vector (r11: halved the measured matvec work
+    # per half-step vs checkpointing only the normalized result).
     raw = (
         r.join(fac.select(join_key, "_fi"), join_key)
         .groupBy(out_key)
         .agg(F.expr(matvec_sum_sql("_wi", "_fi")).alias("_s"))
+        .localCheckpoint(eager=True)
     )
     nrm = raw.agg(
         F.expr(f"SQRT({dec2dbl_expr(normsq_sum_sql('_s'))})").alias("_n")
     )
-    # localCheckpoint per half-step: `raw` is referenced TWICE (norm branch
-    # + value branch), so without truncation the logical plan doubles every
-    # half-step — 2^(2·iters) copies of the first join by the end. The
-    # checkpoint keeps the plan flat (analyzer/optimizer cost linear in
-    # iters); the materialized state is one factor vector, linear in the
-    # matrix's row/col count — the standard iterative-DataFrame guard.
     return (
         raw.crossJoin(F.broadcast(nrm))
         .selectExpr(
             out_key,
             f"{repin_sql(dec2dbl_expr('_s') + ' / _n', iter_dp)} AS _fi",
         )
+        # the result is referenced repeatedly by the caller (next half-
+        # step, sigma, deflated steps) — keep it materialized too, or
+        # every reference re-runs the norm aggregate + normalize scan
         .localCheckpoint(eager=True)
     )
 
@@ -319,6 +327,13 @@ def _deflated_half_step(
         .groupBy(out_key)
         .agg(F.expr(matvec_sum_sql("_wi", "_fi")).alias("_s0"))
     )
+    # checkpoint the re-pinned deflated vector itself (one integer row
+    # per output key): `raw` feeds both the norm branch and the value
+    # branch, and without materialization the base matvec join executes
+    # twice per half-step (same double-execution as _half_step — the
+    # broadcast-norm subquery holds its own copy of the subtree). The
+    # plan-flattening role of the old final-result checkpoint rides
+    # along: everything downstream is a scan of this vector.
     raw = (
         out1.selectExpr(out_key, "_fi AS _gi")
         .join(base, out_key, "left")
@@ -329,6 +344,7 @@ def _deflated_half_step(
             f"{repin_sql(deflated_raw_sql('_s0', '_s1', '_gi', '_d', iter_dp, weight_dp), iter_dp)}"
             " AS _si",
         )
+        .localCheckpoint(eager=True)
     )
     nrm = raw.agg(
         F.expr(f"SQRT({dec2dbl_expr(normsq_sum_sql('_si'))})").alias("_n")
