@@ -414,7 +414,14 @@ def pagerank(
     )
     n_nodes = nodes.count()
     n_txt = f"CAST({float(n_nodes)!r} AS DOUBLE)"
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # materialized once (node-sized): deg is referenced by BOTH the
+    # contribution join and the dangling anti-join in EVERY iteration —
+    # unmaterialized it re-aggregates the edge set 2·iters times
+    deg = (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)
+    )
     ranks = nodes.withColumn("ri", F.expr(pr_init_sql(n_txt, iter_dp)))
     for _ in range(iters):
         contrib = (
