@@ -262,12 +262,6 @@ def _plan_signature(df) -> str:
     SHAPE/expressions change. Over-invalidation on cosmetic plan-text
     drift is fine — a nulled warm number just gets re-measured."""
     txt = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
-    txt = re.sub(r"#\d+[L]?", "#", txt)
-    # higher-order-function lambda variables carry a SESSION-GLOBAL
-    # counter in their names (lambda x_20#) that #-stripping misses —
-    # registering new catalog entries shifted the counter and flapped
-    # curation_decisions' signature between identical-code runs (r9)
-    txt = re.sub(r"(lambda [A-Za-z]+)_\d+", r"\1_", txt)
     # A persist()-cached subtree prints under its InMemoryRelation node
     # whatever EXECUTION STATE / CACHE SUBSTITUTION it happens to hold
     # when the sig is computed: unexecuted = isFinalPlan=false + the
@@ -315,9 +309,17 @@ def _plan_signature(df) -> str:
     # LogicalRDD leaves in BOTH halves — the documented checkpoint
     # convention is unchanged.
     ana = df._jdf.queryExecution().analyzed().toString()  # noqa: SLF001
-    ana = re.sub(r"#\d+[L]?", "#", ana)
-    ana = re.sub(r"(lambda [A-Za-z]+)_\d+", r"\1_", ana)
     txt = txt + "\n== analyzed ==\n" + ana
+    # ONE normalization pass over the concatenated halves (r11 review:
+    # the exprId/lambda regexes were previously applied to each half
+    # separately — duplicated patterns that could drift apart):
+    # expression ids ``#123``; higher-order-function lambda variables,
+    # whose SESSION-GLOBAL counter (lambda x_20#) #-stripping misses —
+    # registering new catalog entries shifted the counter and flapped
+    # curation_decisions' signature between identical-code runs (r9);
+    # and the session/plan-varying tokens below.
+    txt = re.sub(r"#\d+[L]?", "#", txt)
+    txt = re.sub(r"(lambda [A-Za-z]+)_\d+", r"\1_", txt)
     txt = re.sub(r"isFinalPlan=\w+", "isFinalPlan=", txt)
     txt = re.sub(r"\*\(\d+\)", "*", txt)
     txt = re.sub(r"plan_id=\d+", "plan_id=", txt)

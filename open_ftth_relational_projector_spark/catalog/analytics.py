@@ -2054,7 +2054,6 @@ def _logreg_sql() -> str:
         logreg_moment_exprs,
         logreg_p_sql,
         logreg_update_sql,
-        logreg_xpin_sql,
         logreg_z_sql,
     )
 
@@ -2194,7 +2193,6 @@ def _logreg_kfold_sql() -> str:
         logreg_moment_exprs,
         logreg_p_sql,
         logreg_update_sql,
-        logreg_xpin_sql,
         logreg_z_sql,
     )
 
@@ -2359,9 +2357,6 @@ def _stump_sql() -> str:
     argmin — every value-determining expression from functions/tree's
     shared helpers (stack() becomes UNION ALL; the cumulative window is
     per-feature, oracle-side)."""
-    from open_ftth_relational_projector_spark.functions.regression import (
-        logreg_xpin_sql,
-    )
     from open_ftth_relational_projector_spark.functions.tree import (
         stump_bucket_sql,
         stump_score_sql,
@@ -2434,9 +2429,6 @@ def _tree2_sql() -> str:
     """Depth-2 tree oracle: the stump CTE chain, then per-side candidate
     scans against the root's bucket grid, per-side ROW_NUMBER argmin —
     all value-determining expressions from functions/tree's helpers."""
-    from open_ftth_relational_projector_spark.functions.regression import (
-        logreg_xpin_sql,
-    )
     from open_ftth_relational_projector_spark.functions.tree import (
         stump_bucket_sql,
         stump_score_sql,
@@ -2540,9 +2532,6 @@ def tree2_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _woe_sql() -> str:
     """WOE-table oracle over the stump bucket grid (shared helpers)."""
-    from open_ftth_relational_projector_spark.functions.regression import (
-        logreg_xpin_sql,
-    )
     from open_ftth_relational_projector_spark.functions.tree import (
         stump_bucket_sql,
         stump_width_sql,
@@ -2671,9 +2660,6 @@ def _ada_chain_sql(n_rounds: int = 3, n_buckets: int = 16) -> tuple[str, str]:
         ada_next_w_sql,
         ada_pred_sql,
         ada_wcount_sql,
-    )
-    from open_ftth_relational_projector_spark.functions.regression import (
-        logreg_xpin_sql,
     )
     from open_ftth_relational_projector_spark.functions.tree import (
         stump_bucket_sql,
@@ -2870,7 +2856,6 @@ def _ada_group_rounds_sql(
     )
     from open_ftth_relational_projector_spark.functions.regression import (
         dec2dbl_sql,
-        logreg_xpin_sql,
     )
     from open_ftth_relational_projector_spark.functions.tree import (
         stump_bucket_sql,
@@ -3044,7 +3029,6 @@ def _logreg_group_sql() -> str:
         logreg_moment_exprs,
         logreg_p_sql,
         logreg_update_sql,
-        logreg_xpin_sql,
         logreg_z_sql,
     )
 
@@ -3125,10 +3109,6 @@ def _nb_chain_sql(n_buckets: int = 16) -> str:
     value-determining expression from functions/bayes' shared texts."""
     from open_ftth_relational_projector_spark.functions.bayes import (
         nb_loglik_sql,
-    )
-    from open_ftth_relational_projector_spark.functions.regression import (
-        PIN_NOTNULL,
-        logreg_xpin_sql,
     )
     from open_ftth_relational_projector_spark.functions.tree import (
         stump_bucket_sql,

@@ -51,6 +51,7 @@ from pyspark.sql import DataFrame, Window as W, functions as F
 
 from open_ftth_relational_projector_spark.functions.regression import (
     PIN_NOTNULL,
+    _raise_on_null_group_key,
     dec2dbl_sql,
     logreg_xpin_sql,
 )
@@ -380,6 +381,12 @@ def adaboost_fit_grouped(
         f"{stump_width_sql('lo1', 'hi1', n_buckets)} AS w1",
         f"{stump_width_sql('lo2', 'hi2', n_buckets)} AS w2",
     ).localCheckpoint(eager=True)
+    # same family contract as the logreg farm: a NULL group key would
+    # silently drop from every null-unsafe group-keyed join below (grid,
+    # per-round stump frames) — fail named instead (r11 review: the
+    # sibling fit gained this guard first, leaving this one silently
+    # inconsistent)
+    _raise_on_null_group_key(st, "g", "adaboost_fit_grouped")
     bucketed = pinned.join(F.broadcast(st), "g").selectExpr(
         "g",
         "y",

@@ -829,26 +829,37 @@ def _raise_on_degenerate_complements(
     return comps
 
 
-def _raise_on_degenerate_groups(pinned: DataFrame) -> dict:
-    """Exact per-group design-rank check for the grouped IRLS. Bounded
-    collect: one 9-moment row per group (the broadcast-beta bound).
-    Returns the per-group raw moments for iteration-1 seeding."""
-    stats = pinned.groupBy("g").agg(*_raw_moment_aggs()).collect()
-    if any(r["g"] is None for r in stats):
-        # A NULL group key would (a) crash the seeded path's
-        # sorted(mapping) with a None-vs-str TypeError and (b) silently
-        # vanish from the seeded step's null-unsafe mom.join(betas, "g")
-        # — while the unseeded scan path ALSO drops NULL-g rows (same
-        # null-unsafe join), but silently. Fail named instead of
-        # diverging between the two paths; callers who want NULL-key
-        # rows dropped should COALESCE or filter the group expression.
+def _raise_on_null_group_key(
+    groups_df: DataFrame, g_col: str, fit_name: str
+) -> None:
+    """Unconditional NULL-group-key guard shared by every grouped fit
+    (logreg farm, AdaBoost farm). A NULL key would (a) crash the logreg
+    seeded path's sorted(mapping) with a None-vs-str TypeError and (b)
+    silently vanish from every null-unsafe per-group model join (beta /
+    grid / stump frames) — silent data loss, not an error. Fail named
+    instead, on EVERY path (including check_degenerate=False: the first
+    cut gated this behind the degeneracy opt-out, leaving the opt-out
+    path with exactly the silent drop the error says cannot happen).
+    Bounded: one existence probe (limit 1) against an already-
+    checkpointed group-sized frame."""
+    if groups_df.filter(F.expr(f"{g_col} IS NULL")).limit(1).count() > 0:
         raise ValueError(
-            "logreg_fit_irls_grouped: NULL group key — the group "
-            "expression produced NULL for some rows. A NULL key cannot "
-            "ride the null-unsafe per-group beta join (the rows would "
+            f"{fit_name}: NULL group key — the group expression "
+            "produced NULL for some rows. A NULL key cannot ride the "
+            "null-unsafe per-group model joins (the rows would "
             "silently drop from the fit); COALESCE the group expression "
             "or filter NULL keys explicitly."
         )
+
+
+def _raise_on_degenerate_groups(pinned: DataFrame) -> dict:
+    """Exact per-group design-rank check for the grouped IRLS. Bounded
+    collect: one 9-moment row per group (the broadcast-beta bound).
+    Returns the per-group raw moments for iteration-1 seeding. NULL
+    group keys are rejected before this runs (_raise_on_null_group_key,
+    unconditional in every grouped fit), so the seeded path's
+    sorted(mapping) cannot see a None key."""
+    stats = pinned.groupBy("g").agg(*_raw_moment_aggs()).collect()
     bad: list[str] = []
     for r in stats:
         if _is_singular(r.asDict()):
@@ -933,6 +944,7 @@ def logreg_fit_irls_grouped(
         )
         .localCheckpoint(eager=True)
     )
+    _raise_on_null_group_key(betas, "g", "logreg_fit_irls_grouped")
     z = logreg_z_sql("bi0", "bi1", "bi2", "x1", "x2")
     remaining = iters
     if check_degenerate:

@@ -83,7 +83,8 @@ ALLOWLIST: dict[str, str] = {
         "for iteration-1 seeding; the same bounded-group contract that "
         "justifies the grouped fit's broadcast beta frame) — "
         "exact-integer singular-Hessian guard, fails named (NULL group "
-        "keys included)"
+        "keys rejected earlier by the unconditional "
+        "_raise_on_null_group_key existence probe)"
     ),
     "functions/regression.py::_raise_on_degenerate_design": (
         "bounded: ONE 9-moment row (6 design + 3 y-moments for "

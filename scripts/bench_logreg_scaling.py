@@ -84,7 +84,18 @@ def docs_df(spark, n_rows: int, n_groups: int):
 
 
 def main() -> None:
-    want = {int(a) for a in sys.argv[1:]} or set(range(1, 7))
+    try:
+        want = {int(a) for a in sys.argv[1:]} or set(range(1, 7))
+    except ValueError:
+        sys.exit(f"usage: {sys.argv[0]} [sweep numbers 1-6]")
+    if not want <= set(range(1, 7)):
+        # fail BEFORE Spark startup — an out-of-range number would
+        # otherwise pay the session + warmup and exit printing nothing,
+        # looking like a sweep that ran (r11 review)
+        sys.exit(
+            f"unknown sweep number(s) {sorted(want - set(range(1, 7)))}; "
+            f"usage: {sys.argv[0]} [sweep numbers 1-6]"
+        )
     spark = get_spark(
         app_name="bench-logreg-scaling",
         extra_conf={"spark.ui.showConsoleProgress": "false"},

@@ -3914,6 +3914,21 @@ def test_logreg_grouped_null_group_key_fails_named(spark):
     )
     with pytest.raises(ValueError, match="NULL group key"):
         logreg_fit_irls_grouped(df, "x1", "x2", "y", group_expr="src")
+    # the guard is UNCONDITIONAL — disabling the degeneracy opt-out must
+    # not re-open the silent NULL-key drop (r11 review)
+    with pytest.raises(ValueError, match="NULL group key"):
+        logreg_fit_irls_grouped(
+            df, "x1", "x2", "y", group_expr="src", check_degenerate=False
+        )
+    # the AdaBoost farm shares the family contract
+    from open_ftth_relational_projector_spark.functions.boosting import (
+        adaboost_fit_grouped,
+    )
+
+    with pytest.raises(
+        ValueError, match="adaboost_fit_grouped: NULL group key"
+    ):
+        adaboost_fit_grouped(df, "x1", "x2", "y", group_expr="src")
     # COALESCE'ing the key (the error's own advice) fits both groups
     _, betas = logreg_fit_irls_grouped(
         df, "x1", "x2", "y", group_expr="COALESCE(src, '<null>')"
