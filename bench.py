@@ -261,7 +261,25 @@ def _plan_signature(df) -> str:
     are normalized away so the signature changes exactly when the plan
     SHAPE/expressions change. Over-invalidation on cosmetic plan-text
     drift is fine — a nulled warm number just gets re-measured."""
-    txt = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
+    # r12: compute the optimized half by running the optimizer DIRECTLY on
+    # the analyzed plan, bypassing CacheManager substitution. The previous
+    # leaf-level canonicalization (kept below as defense) closed the
+    # single-leaf case but not MULTI-NODE cache-covered subtrees: another
+    # query's persist of scattered(documents) covers repartition+scan, so
+    # in-protocol the InMemoryRelation replaced TWO lines with one and
+    # simhash_near_dups' sig still flapped fresh-session vs in-protocol
+    # (verified both ways this round). With no cache substitution the sig
+    # is order-invariant by construction.
+    jqe = df._jdf.queryExecution()  # noqa: SLF001
+    try:
+        txt = (
+            df.sparkSession._jsparkSession.sessionState()  # noqa: SLF001
+            .optimizer()
+            .execute(jqe.analyzed())
+            .toString()
+        )
+    except Exception:  # pragma: no cover — py4j surface drift
+        txt = jqe.optimizedPlan().toString()
     # A persist()-cached subtree prints under its InMemoryRelation node
     # whatever EXECUTION STATE / CACHE SUBSTITUTION it happens to hold
     # when the sig is computed: unexecuted = isFinalPlan=false + the
@@ -292,9 +310,26 @@ def _plan_signature(df) -> str:
             if indent > skip_indent:
                 continue
             skip_indent = None
-        pruned.append(stripped)
         if "InMemoryRelation" in stripped:
             skip_indent = indent
+            # r12 (closing the r11 residual note): a scan COVERED BY ANOTHER
+            # QUERY'S persist fingerprints as an InMemoryRelation line
+            # in-protocol but as a parquet Relation line in a fresh session
+            # (observed: dsir_doc_weights' documents scan) — the sig was
+            # cache-POSITION-dependent, so a bench reorder would have
+            # invalidated its floor. Canonicalize BOTH leaf forms to one
+            # token; the analyzed half below (computed before CacheManager
+            # substitution) still disambiguates what is actually computed.
+            stripped = re.sub(
+                r"^InMemoryRelation \[([^\]]*)\].*", r"Relation [\1] <scan>",
+                stripped,
+            )
+        else:
+            stripped = re.sub(
+                r"^Relation \[([^\]]*)\] parquet$", r"Relation [\1] <scan>",
+                stripped,
+            )
+        pruned.append(stripped)
     txt = "\n".join(pruned)
     # The pruning above makes the OPTIMIZED-plan half of the signature
     # blind to rewrites of how a cached intermediate is COMPUTED (r10
@@ -368,24 +403,77 @@ def main() -> None:
     bench_domain_projection(spark, scale=2)
     bench_streaming_catchup(spark, scale=2)
 
+    sidecar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_EXTRA.json"
+    )
+    try:
+        with open(sidecar) as f:
+            prior_sidecar = json.load(f)
+    except (OSError, ValueError):
+        prior_sidecar = {}
+
+    # Load-robust headline retry (round-11 verdict #3): two driver lines in
+    # a row read 1.7-2.4x the true floor purely from host load. Any headline
+    # query whose in-sequence cold measures >1.5x its stamped warm floor
+    # (same plan signature) is re-run ONCE in-process and the min kept as
+    # the official number — bounded at <=1 extra execution per headline
+    # entry, fires only under load, and the first-attempt number is
+    # preserved in the printed line's "retried" map. Floors come from the
+    # committed sidecar's headline_queries section (stamped on idle
+    # SPARK_GRAFT_WARM_BEST3=1 runs, min-carried like the extras).
+    headline_floor: dict[str, tuple[float, str | None]] = {}
+    for qname, rec in prior_sidecar.get("headline_queries", {}).items():
+        if isinstance(rec, dict) and rec.get("warm_best3") is not None:
+            headline_floor[qname] = (rec["warm_best3"], rec.get("plan_sig"))
+
     timings: dict[str, float] = {}
+    retried: dict[str, float] = {}
+    headline_sig: dict[str, str | None] = {}
+
+    def _retry_min(name: str, first: float, sig, rerun) -> float:
+        floor = headline_floor.get(name)
+        if floor is None or floor[1] != sig or first <= 1.5 * floor[0]:
+            return first
+        retried[name] = first
+        return min(first, rerun())
+
     for name in BENCH_QUERIES:
         fn = SPARK_QUERIES[name]
-        t0 = time.perf_counter()
-        # noop sink since r5: count() let Catalyst prune unused output
-        # columns, so map-only queries (simhash_fingerprints: the whole
-        # fingerprint expression; running_value_per_user: the window) were
-        # partially skipped. The noop writer forces every output column to
-        # evaluate with no sink cost — honest wall clock, one-time step
-        # change documented with a dual measurement in BENCH_NOTES (r1-r4
-        # totals remain comparable to each other under the old protocol).
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
 
+        def _run(fn=fn):
+            t0 = time.perf_counter()
+            # noop sink since r5: count() let Catalyst prune unused output
+            # columns, so map-only queries (simhash_fingerprints: the whole
+            # fingerprint expression; running_value_per_user: the window)
+            # were partially skipped. The noop writer forces every output
+            # column to evaluate with no sink cost — honest wall clock,
+            # one-time step change documented with a dual measurement in
+            # BENCH_NOTES (r1-r4 totals remain comparable to each other
+            # under the old protocol).
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            return time.perf_counter() - t0
+
+        first = _run()
+        headline_sig[name] = _plan_signature(fn(spark, sf_dir))
+        timings[name] = round(
+            _retry_min(name, first, headline_sig[name], _run), 3
+        )
+
+    # the two composed benches carry no single plan; their floors key on
+    # plan_sig None (a code rewrite cannot auto-invalidate them — worst
+    # case is one spurious or missed retry, bounded and documented)
     pname, psec = bench_domain_projection(spark)
-    timings[pname] = round(psec, 3)
+    headline_sig[pname] = None
+    timings[pname] = round(
+        _retry_min(pname, psec, None, lambda: bench_domain_projection(spark)[1]),
+        3,
+    )
     sname, ssec = bench_streaming_catchup(spark)
-    timings[sname] = round(ssec, 3)
+    headline_sig[sname] = None
+    timings[sname] = round(
+        _retry_min(sname, ssec, None, lambda: bench_streaming_catchup(spark)[1]),
+        3,
+    )
 
     total = round(sum(timings.values()), 3)
 
@@ -412,28 +500,50 @@ def main() -> None:
     # only when SPARK_GRAFT_WARM_BEST3=1 (an idle-host local run — too
     # expensive for every driver round) and carried forward from the
     # committed sidecar otherwise.
-    sidecar = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_EXTRA.json"
-    )
     # each warm number carries the date it was MEASURED plus the plan
     # signature it was measured UNDER: a carried-forward floor from before
     # a query rewrite is dropped automatically (plan_sig mismatch ⇒ the
     # measured plan no longer exists), not just visibly stale
     prior_warm: dict[str, tuple[float, str | None]] = {}
     invalidated: list[str] = []
-    try:
-        with open(sidecar) as f:
-            for qname, rec in json.load(f).get("extra_queries", {}).items():
-                if isinstance(rec, dict) and rec.get("warm_best3") is not None:
-                    if rec.get("plan_sig") != plan_sig.get(qname):
-                        invalidated.append(qname)
-                        continue
-                    prior_warm[qname] = (rec["warm_best3"], rec.get("warm_recorded"))
-    except (OSError, ValueError):
-        pass
+    for qname, rec in prior_sidecar.get("extra_queries", {}).items():
+        if isinstance(rec, dict) and rec.get("warm_best3") is not None:
+            if rec.get("plan_sig") != plan_sig.get(qname):
+                invalidated.append(qname)
+                continue
+            prior_warm[qname] = (rec["warm_best3"], rec.get("warm_recorded"))
+    # headline floors (r12): same min-carry scheme, keyed on the headline
+    # plan sigs computed above; they feed the in-sequence retry rule
+    prior_hwarm: dict[str, tuple[float, str | None]] = {}
+    for qname, rec in prior_sidecar.get("headline_queries", {}).items():
+        if isinstance(rec, dict) and rec.get("warm_best3") is not None:
+            if rec.get("plan_sig") != headline_sig.get(qname):
+                invalidated.append(f"headline:{qname}")
+                continue
+            prior_hwarm[qname] = (rec["warm_best3"], rec.get("warm_recorded"))
     warm: dict[str, tuple[float, str | None]] = dict(prior_warm)
+    hwarm: dict[str, tuple[float, str | None]] = dict(prior_hwarm)
     if os.environ.get("SPARK_GRAFT_WARM_BEST3") == "1":
         stamp = time.strftime("%Y-%m-%d")
+
+        def _stamp_floor(dest, prior_map, name, best, cold):
+            # the run's own in-sequence cold participates too: a query
+            # whose internal persists interact with end-of-session cache
+            # pressure (curation_decisions, r9) can measure a best-of-3
+            # ABOVE its cold — a "floor" above the same run's cold is a
+            # contradiction
+            best = round(min(best, cold if cold is not None else best), 3)
+            # a floor is the best KNOWN wall under the current plan: keep
+            # the carried value when it beats this session's best-of-3 (a
+            # refresh on a not-quite-idle host must not RAISE floors — an
+            # r9 run with 5-min load ~4 inflated 32 of them before this
+            # min; plan changes still invalidate via plan_sig above)
+            prior = prior_map.get(name)
+            if prior is not None and prior[0] <= best:
+                dest[name] = prior
+            else:
+                dest[name] = (best, stamp)
+
         for name in EXTRA_QUERIES:
             fn = SPARK_QUERIES[name]
             best = None
@@ -442,22 +552,22 @@ def main() -> None:
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 dt = time.perf_counter() - t0
                 best = dt if best is None else min(best, dt)
-            # the run's own in-sequence cold participates too: a query
-            # whose internal persists interact with end-of-session cache
-            # pressure (curation_decisions, r9) can measure a best-of-3
-            # ABOVE its cold — a "floor" above the same run's cold is a
-            # contradiction
-            best = round(min(best, extra.get(name, best)), 3)
-            # a floor is the best KNOWN wall under the current plan: keep
-            # the carried value when it beats this session's best-of-3 (a
-            # refresh on a not-quite-idle host must not RAISE floors — an
-            # r9 run with 5-min load ~4 inflated 32 of them before this
-            # min; plan changes still invalidate via plan_sig above)
-            prior = prior_warm.get(name)
-            if prior is not None and prior[0] <= best:
-                warm[name] = prior
-            else:
-                warm[name] = (best, stamp)
+            _stamp_floor(warm, prior_warm, name, best, extra.get(name))
+        for name in BENCH_QUERIES:
+            fn = SPARK_QUERIES[name]
+            best = None
+            for _ in range(3):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            _stamp_floor(hwarm, prior_hwarm, name, best, timings.get(name))
+        for name, fn_b in (
+            ("domain_projection_8tables", lambda: bench_domain_projection(spark)[1]),
+            ("streaming_catchup_4batches", lambda: bench_streaming_catchup(spark)[1]),
+        ):
+            best = min(fn_b() for _ in range(3))
+            _stamp_floor(hwarm, prior_hwarm, name, best, timings.get(name))
 
     # Round 3's final line carried 45 inline extra_queries and outgrew the
     # driver's tail capture (BENCH_r03.json parsed: null). The extras go to
@@ -478,6 +588,19 @@ def main() -> None:
                         "plan_sig": plan_sig.get(name),
                     }
                     for name, c in extra.items()
+                },
+                # headline floors (r12): cold = the FIRST in-sequence
+                # attempt (pre-retry, contention-sensitive); the printed
+                # line's queries map holds min(first, one retry) — the
+                # official number the driver records
+                "headline_queries": {
+                    name: {
+                        "cold": retried.get(name, timings.get(name)),
+                        "warm_best3": hwarm.get(name, (None, None))[0],
+                        "warm_recorded": hwarm.get(name, (None, None))[1],
+                        "plan_sig": headline_sig.get(name),
+                    }
+                    for name in timings
                 },
                 "warm_invalidated_by_plan_change": sorted(invalidated),
                 "sf": sf,
@@ -513,6 +636,10 @@ def main() -> None:
                 "sf": sf,
                 "load_avg_start": _LOAD_AVG_START,
                 "load_avg_end": load_avg_end,
+                # first-attempt numbers for the entries the load-robust
+                # retry re-ran (queries map holds the min) — the old
+                # methodology's value is never discarded, just annotated
+                "retried": {k: round(v, 3) for k, v in retried.items()},
             }
         )
     )

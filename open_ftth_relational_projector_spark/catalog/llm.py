@@ -2225,6 +2225,12 @@ def emb_lsh_twin_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ceiling on the twin probes' corpus: brute-force ground truth is
+# (n/100 queries × n corpus) pairs — 43M comparisons at the ceiling,
+# far past any fixture (≤2000 rows) but still probe-feasible
+_KNN_TWIN_MAX_ROWS = 65536
+
+
 def _knn_twin_verdict(
     spark: SparkSession, sf_dir: str, fullprobe, production
 ) -> DataFrame:
@@ -2243,9 +2249,20 @@ def _knn_twin_verdict(
     # scale paths are the rows-only knn_lsh/knn_ivf entries this twin
     # certifies), so materializing the probe corpus once is the right
     # trade — it is not a pattern for corpus-sized production inputs.
-    emb = scattered(load_table(spark, sf_dir, "embeddings")).localCheckpoint(
-        eager=True
-    )
+    # The probe-scale assumption is ENFORCED, not advisory (r11 advice):
+    # a corpus past the ceiling fails named BEFORE the checkpoint
+    # materializes it (the count is a parquet-metadata read). Filtering
+    # instead of failing would silently change the certified result set.
+    src = scattered(load_table(spark, sf_dir, "embeddings"))
+    n_emb = src.count()
+    if n_emb > _KNN_TWIN_MAX_ROWS:
+        raise ValueError(
+            f"_knn_twin_verdict is a probe-scale certification path: "
+            f"embeddings has {n_emb} rows > {_KNN_TWIN_MAX_ROWS}; run it "
+            f"on a bounded probe corpus (the production ANN paths are the "
+            f"scale entries this twin certifies)"
+        )
+    emb = src.localCheckpoint(eager=True)
     queries = emb.filter(F.col("vec_id") % 100 == 0)
     brute = S.knn_bruteforce(emb, queries, k=5)
     b = brute.withColumn("_b", F.lit(1))

@@ -471,6 +471,14 @@ def adaboost_fit_grouped(
             # keeps it tight: no cross-group factor chain.
             for r in stump.select("g", f"fw_{t}").collect():
                 g = r["g"]
+                if r[f"fw_{t}"] is None:
+                    # stump rows always carry a non-NULL fw today (alpha is
+                    # Laplace-smoothed); fail NAMED rather than as an opaque
+                    # TypeError if a future change breaks that invariant
+                    raise ValueError(
+                        f"adaboost_fit_grouped[g={g!r}]: NULL wrong-side "
+                        f"weight factor fw_{t} in round {t}"
+                    )
                 wmax[g] = _check_weight_bound(
                     wmax.get(g, ADA_WS),
                     int(r[f"fw_{t}"]),

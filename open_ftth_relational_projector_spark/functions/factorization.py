@@ -164,31 +164,39 @@ def _half_step(
     # copies of the first join), and without MATERIALIZATION the matvec
     # join EXECUTES twice per half-step — once under the broadcast-norm
     # subquery, once on the value side (no exchange reuse: the two
-    # branches aggregate differently). Checkpointing raw itself (one
-    # integer row per output key — the factor-vector bound) fixes both
-    # at once; the downstream normalize step is then two trivial scans
-    # of the materialized vector (r11: halved the measured matvec work
-    # per half-step vs checkpointing only the normalized result).
+    # branches aggregate differently). A persist fixes both (its parents
+    # are checkpointed, so the lineage stays flat) and, unlike the r11
+    # localCheckpoint, (a) computes lazily inside the norm-broadcast job
+    # — one fewer job per half-step — and (b) can be UNPERSISTED once the
+    # normalized result is materialized, closing the r11 advice's
+    # unbounded block-manager growth (2 frames × 2·iters retained per
+    # extraction, worse in deflated chains).
     raw = (
         r.join(fac.select(join_key, "_fi"), join_key)
         .groupBy(out_key)
         .agg(F.expr(matvec_sum_sql("_wi", "_fi")).alias("_s"))
-        .localCheckpoint(eager=True)
+        .persist()
     )
     nrm = raw.agg(
         F.expr(f"SQRT({dec2dbl_expr(normsq_sum_sql('_s'))})").alias("_n")
     )
-    return (
+    out = (
         raw.crossJoin(F.broadcast(nrm))
         .selectExpr(
             out_key,
             f"{repin_sql(dec2dbl_expr('_s') + ' / _n', iter_dp)} AS _fi",
         )
         # the result is referenced repeatedly by the caller (next half-
-        # step, sigma, deflated steps) — keep it materialized too, or
-        # every reference re-runs the norm aggregate + normalize scan
+        # step, sigma, deflated steps) — keep it materialized, or every
+        # reference re-runs the norm aggregate + normalize scan. These
+        # per-iterate vectors (one integer row per key, ≤2·iters of them
+        # per extraction) are reclaimed by ContextCleaner as the caller's
+        # references drop — the bounded retention the r11 advice asked
+        # to be recorded.
         .localCheckpoint(eager=True)
     )
+    raw.unpersist()
+    return out
 
 
 def power_iteration_rank2(
@@ -327,13 +335,14 @@ def _deflated_half_step(
         .groupBy(out_key)
         .agg(F.expr(matvec_sum_sql("_wi", "_fi")).alias("_s0"))
     )
-    # checkpoint the re-pinned deflated vector itself (one integer row
+    # materialize the re-pinned deflated vector itself (one integer row
     # per output key): `raw` feeds both the norm branch and the value
     # branch, and without materialization the base matvec join executes
     # twice per half-step (same double-execution as _half_step — the
-    # broadcast-norm subquery holds its own copy of the subtree). The
-    # plan-flattening role of the old final-result checkpoint rides
-    # along: everything downstream is a scan of this vector.
+    # broadcast-norm subquery holds its own copy of the subtree). Same
+    # persist-then-unpersist discipline as _half_step: lazy (the norm-
+    # broadcast job computes it), flat-lineage (parents checkpointed),
+    # and freed once the normalized result is pinned.
     raw = (
         out1.selectExpr(out_key, "_fi AS _gi")
         .join(base, out_key, "left")
@@ -344,12 +353,12 @@ def _deflated_half_step(
             f"{repin_sql(deflated_raw_sql('_s0', '_s1', '_gi', '_d', iter_dp, weight_dp), iter_dp)}"
             " AS _si",
         )
-        .localCheckpoint(eager=True)
+        .persist()
     )
     nrm = raw.agg(
         F.expr(f"SQRT({dec2dbl_expr(normsq_sum_sql('_si'))})").alias("_n")
     )
-    return (
+    out = (
         raw.crossJoin(F.broadcast(nrm))
         .selectExpr(
             out_key,
@@ -357,3 +366,5 @@ def _deflated_half_step(
         )
         .localCheckpoint(eager=True)
     )
+    raw.unpersist()
+    return out
