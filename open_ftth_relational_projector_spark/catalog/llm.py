@@ -2281,15 +2281,20 @@ def _knn_twin_verdict(
     qv = emb.select(
         F.col("vec_id").alias("query_id"),
         S.as_double(F.col("embedding")).alias("qv"),
-    )
+    ).withColumn("qn", S.l2_norm(F.col("qv")))
     cv = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         S.as_double(F.col("embedding")).alias("cv"),
-    )
+    ).withColumn("cn", S.l2_norm(F.col("cv")))
     scored = (
         cv.join(F.broadcast(prod), "neighbor_id")
         .join(F.broadcast(qv.join(F.broadcast(prod.select("query_id").distinct()), "query_id")), "query_id")
-        .withColumn("sim", S.cosine(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "sim",
+            S.cosine_prenormed(
+                F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+            ),
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     n_misrank = scored.withColumn("_rr", F.row_number().over(w)).agg(

@@ -54,7 +54,9 @@ from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
 from open_ftth_relational_projector_spark.functions.similarity import (
     as_double,
-    cosine,
+    cosine,  # noqa: F401 - re-exported for callers/tests
+    cosine_prenormed,
+    l2_norm,
 )
 
 
@@ -337,22 +339,28 @@ def semantic_dedup(
             )
             .drop("n_cell")
         )
+    # norms once per row per side, not once per in-cell pair (bit-identical
+    # to cosine(); see similarity.cosine_prenormed)
     a = assigned.select(
         F.col("cell"),
         F.col("vec_id").alias("id_a"),
         F.col("v").alias("va"),
+        l2_norm(F.col("v")).alias("nrm_a"),
     )
     b = assigned.select(
         F.col("cell"),
         F.col("vec_id").alias("id_b"),
         F.col("v").alias("vb"),
+        l2_norm(F.col("v")).alias("nrm_b"),
     )
     sims = (
         a.join(b, "cell")
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             F.col("id_b").alias("vec_id"),
-            cosine(F.col("va"), F.col("vb")).alias("sim"),
+            cosine_prenormed(
+                F.col("va"), F.col("vb"), F.col("nrm_a"), F.col("nrm_b")
+            ).alias("sim"),
         )
         .groupBy("vec_id")
         .agg(F.max("sim").alias("max_sim"))
