@@ -171,8 +171,22 @@ def _half_step(
     # normalized result is materialized, closing the r11 advice's
     # unbounded block-manager growth (2 frames × 2·iters retained per
     # extraction, worse in deflated chains).
+    # r12: pin the factor vector as the broadcast side of the matvec join
+    # (guide §3.1 "pick the strategy deliberately"). At catalog scale the
+    # planner already picks BroadcastHashJoin(BuildRight) from the
+    # checkpointed RDD's origin-stats estimate — plan-identical, measured
+    # neutral — but that choice is estimate-dependent: where the origin
+    # stats are conservative (or absent) the fallback is a SortMergeJoin
+    # that shuffles+sorts the nnz(R)-row ratings side EVERY half-step
+    # (13 big-side shuffles per rank-2 extraction). The factor vector is
+    # one integer row per key (the documented node-sized bound), so the
+    # hint is always safe; the only remaining exchange is the map-side-
+    # combined groupBy of the aggregated output. Join strategy cannot
+    # change the result: the aggregate is an order-independent exact
+    # decimal sum. Past the broadcast cap (~billions of keys) switch to a
+    # bucketed/shuffled-hash layout of R instead.
     raw = (
-        r.join(fac.select(join_key, "_fi"), join_key)
+        r.join(F.broadcast(fac.select(join_key, "_fi")), join_key)
         .groupBy(out_key)
         .agg(F.expr(matvec_sum_sql("_wi", "_fi")).alias("_s"))
         .persist()
@@ -245,8 +259,8 @@ def power_iteration_rank2(
     # product widens to DECIMAL — exact, order-independent; the scalar
     # carries scale 10^(2·dp)
     sig = (
-        r.join(u1.selectExpr("_r", "_fi AS _gi"), "_r")
-        .join(v1.selectExpr("_c", "_fi AS _hi"), "_c")
+        r.join(F.broadcast(u1.selectExpr("_r", "_fi AS _gi")), "_r")
+        .join(F.broadcast(v1.selectExpr("_c", "_fi AS _hi")), "_c")
         .agg(
             F.expr(
                 f"{dec2dbl_expr(dot_sum_sql('_wi * _gi', '_hi'))}"
@@ -323,15 +337,18 @@ def _deflated_half_step(
     to integer state (``_si``) BEFORE the norm, so the norm sum is exact.
     """
     overlap = (
-        fac.join(par1.selectExpr(join_key, "_fi AS _gi"), join_key)
+        fac.join(F.broadcast(par1.selectExpr(join_key, "_fi AS _gi")), join_key)
         .agg(
             F.expr(
                 f"{dec2dbl_expr(dot_sum_sql('_fi', '_gi'))} / 1e{2 * iter_dp}"
             ).alias("_d")
         )
     )
+    # pin the factor vector as the broadcast side (same deliberate-strategy
+    # rationale as _half_step: estimate-dependent fallback would shuffle
+    # the nnz(R) side per half-step)
     base = (
-        r.join(fac.select(join_key, "_fi"), join_key)
+        r.join(F.broadcast(fac.select(join_key, "_fi")), join_key)
         .groupBy(out_key)
         .agg(F.expr(matvec_sum_sql("_wi", "_fi")).alias("_s0"))
     )
@@ -345,7 +362,7 @@ def _deflated_half_step(
     # and freed once the normalized result is pinned.
     raw = (
         out1.selectExpr(out_key, "_fi AS _gi")
-        .join(base, out_key, "left")
+        .join(F.broadcast(base), out_key, "left")
         .crossJoin(F.broadcast(sig))
         .crossJoin(F.broadcast(overlap))
         .selectExpr(
