@@ -2031,8 +2031,15 @@ def minhash_twin_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = scattered(load_table(spark, sf_dir, "documents"))
     sh = D.add_shingles(docs, 3)
     fp = _canon_set_fp(F.col("sh"))
+    # cheap-token-count pre-filter instead of size(sh) > 0 on the projected
+    # column: the latter is pushed below the shingle Project with the whole
+    # chain substituted into the predicate — double evaluation per row
+    # (same r12 fix as functions/dedup.minhash_banded; exactly equivalent,
+    # grams are non-empty iff the token count reaches n=3)
     expected = (
-        sh.filter(F.size("sh") > 0)
+        D.add_shingles(
+            docs.filter(F.size(TXT.tokens(F.col("text"))) >= 3), 3
+        )
         .groupBy(fp.alias("f"))
         .agg(F.count(F.lit(1)).alias("n"))
         .agg(

@@ -281,11 +281,19 @@ def minhash_banded(
     # NULL, so ALL of them would share one band key and pair quadratically
     # (k² candidates that the later NULL-Jaccard verify only discards).
     # They cannot be near-duplicates of anything — drop them before banding.
-    sh = docs.select(
+    # r12: the drop predicate is the CHEAP token count, applied below the
+    # shingle projection. Filtering on the projected sh column
+    # (`.filter(F.size("sh") > 0)`) let PushDownPredicate substitute the
+    # whole tokenize+gram+distinct chain into the pushed filter — the full
+    # shingle expression evaluated TWICE per row (plan showed the chain in
+    # both Filter and Project). size(split(text)) >= n is exactly
+    # equivalent: grams are non-empty iff the token count reaches n (NULL
+    # text yields NULL/-1 size on both paths and is dropped either way).
+    sh = docs.filter(F.size(tokens(F.col(text_col))) >= n).select(
         F.col(id_col).alias("doc_id"),
         shingles(F.col(text_col), n).alias("sh"),
         *[F.col(c) for c in carry_cols],
-    ).filter(F.size("sh") > 0)
+    )
     if hash_fn is None or hash_fn is portable_hash64:
         sig = sh.selectExpr(
             "doc_id",
@@ -331,16 +339,41 @@ def minhash_lsh_candidates(
     banded = minhash_banded(
         docs, num_hashes, bands, n, text_col, id_col, hash_fn, portable_bands
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(b, ["band_id", "band_hash"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
+    # r12: in-bucket pair expansion via ONE grouped pass instead of a
+    # self-join of the banded frame. The join form computed the banding
+    # side (tokenize + num_hashes-transform signature) TWICE — once per
+    # alias (no exchange reuse: one side becomes the build side) — and
+    # paid the join exchange on top. Grouping on the band key collects
+    # each bucket's sorted doc ids once and expands the in-bucket pairs
+    # with the same higher-order slice/transform expansion
+    # ngram_jaccard_pairs uses. Identical distinct (doc_a < doc_b) set:
+    # a doc appears at most once per bucket (one row per band), so the
+    # ascending-sorted expansion enumerates exactly the join's pairs. A
+    # degenerate bucket of k docs buffers k ids in one aggregation state —
+    # strictly smaller than the k² pair rows either form must emit.
+    buckets = (
+        banded.groupBy("band_id", "band_hash")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") > 1)
     )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ds"),
+                    lambda a, i: F.transform(
+                        F.slice(
+                            F.col("ds"), i + F.lit(2), F.size("ds") - i - 1
+                        ),
+                        lambda b: F.struct(
+                            a.alias("doc_a"), b.alias("doc_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.doc_a", "p.doc_b").distinct()
 
 
 def _verify_jaccard(

@@ -107,6 +107,34 @@ def test_minhash_candidates_find_exact_dups(docs):
     assert (1, 2) in cands  # identical docs always collide on every band
 
 
+def test_minhash_candidates_match_banded_selfjoin(docs):
+    """The r12 grouped in-bucket pair expansion must emit exactly the pair
+    set of the reference banded self-join it replaced (doc_a < doc_b,
+    distinct across bands)."""
+    from pyspark.sql import functions as F
+
+    banded = D.minhash_banded(docs)
+    a, b = banded.alias("a"), banded.alias("b")
+    ref = {
+        (r["doc_a"], r["doc_b"])
+        for r in (
+            a.join(b, ["band_id", "band_hash"])
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+            .collect()
+        )
+    }
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.minhash_lsh_candidates(docs).collect()
+    }
+    assert got == ref and ref  # non-empty: the fixture has exact dups
+
+
 def test_minhash_near_dups_verified(docs):
     out = {
         (r["doc_a"], r["doc_b"]): r["jaccard"]
