@@ -70,7 +70,7 @@ class EventLog:
         # absent type → empty DataFrame with the right flattened schema
         return self._spark.createDataFrame([], _flat_schema(event_type))
 
-    def persisted(self, level: str = "MEMORY_AND_DISK") -> "EventLog":
+    def persisted(self, level: str = "MEMORY_AND_DISK", eager: bool = True) -> "EventLog":
         """Stop consumers re-reading the envelope source.
 
         When the log came from envelopes, persist the RAW envelope frame and
@@ -82,13 +82,23 @@ class EventLog:
         each typed stream persists lazily instead. At 100 TB the same role
         is played by a durable typed-bronze layer (sources/bronze.py): one
         parse, N pruned columnar scans.
+
+        ``eager=False`` skips the priming count: a caller that immediately
+        primes a DERIVED frame in the background (project_all's span-state
+        count computes through the cache and fills it as a byproduct) can
+        overlap the materialization with its own driver-side plan building
+        instead of blocking on a count job first (r12, guide §1.2 — the
+        blocking count was ~40% of the warm domain-fold wall). First-touch
+        races then duplicate at most one partition set's parse — the
+        bounded, documented trade of plans/concurrency.py.
         """
         from pyspark.storagelevel import StorageLevel
 
         lvl = getattr(StorageLevel, level)
         if self._raw is not None:
             raw = self._raw.persist(lvl)
-            raw.count()
+            if eager:
+                raw.count()
             return EventLog.from_envelopes(raw)
         return EventLog(
             {t: df.persist(lvl) for t, df in self._typed.items()}, self._spark

@@ -56,6 +56,8 @@ from open_ftth_relational_projector_spark.functions.similarity import (
     as_double,
     cosine,  # noqa: F401 - re-exported for callers/tests
     cosine_prenormed,
+    dlit,
+    dlit2,
     l2_norm,
 )
 
@@ -70,7 +72,9 @@ def _sq_dist(vec: Column, centroid: Column) -> Column:
 
 
 def _centroid_lit(centroids: list[list[float]]) -> Column:
-    return F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    # ONE nested-array literal (r12, same as similarity._centroid_lit):
+    # n_centroids×dim py4j round trips → 1; identical values.
+    return dlit2(centroids)
 
 
 def assign_cluster(vec: Column, centroids: list[list[float]]) -> Column:
@@ -692,7 +696,9 @@ def kcenter_select(
             F.round(
                 _sq_dist(
                     as_double(F.col(vec_col)),
-                    F.array(*[F.lit(x) for x in vec]),
+                    # one parsed literal per chosen vector (r12): dim py4j
+                    # round trips → 1 per round-vector, identical doubles
+                    dlit(vec),
                 ),
                 iter_dp,
             )

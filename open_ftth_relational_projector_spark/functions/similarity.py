@@ -17,6 +17,44 @@ def as_double(vec: Column) -> Column:
     return vec.cast("array<double>")
 
 
+def dlit(values) -> Column:
+    """Driver-constant double array as ONE parsed expression (r12).
+
+    ``F.array(*[F.lit(x) ...])`` costs one py4j round trip per element —
+    a 64-dim hyperplane/centroid literal was 64 calls, and call sites
+    build dozens of them (knn_lsh spent 78% of its warm wall in plan
+    construction). One ``F.expr`` string is ~7× cheaper than even the
+    ndarray literal path. Value-exact: Python ``repr`` prints the
+    shortest round-trip decimal and Catalyst parses ``...D`` with
+    correctly-rounded ``parseDouble`` — bit-identical doubles (asserted
+    in tests against the per-element form).
+    """
+    return F.expr("array(" + ",".join(repr(float(v)) + "D" for v in values) + ")")
+
+
+def dlit2(rows) -> Column:
+    """Nested driver-constant array<array<double>> in ONE parsed
+    expression (see dlit): a 16×64 codebook literal drops from 1024 py4j
+    round trips to one ~8 ms parse."""
+    return F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(repr(float(v)) + "D" for v in row) + ")"
+            for row in rows
+        )
+        + ")"
+    )
+
+
+def ilit(values) -> Column:
+    """Driver-constant int array in ONE parsed expression (see dlit).
+    Values must fit INT so element type matches the per-element
+    ``F.lit(int)`` form the call sites previously built."""
+    vals = [int(v) for v in values]
+    assert all(-(2**31) <= v < 2**31 for v in vals)
+    return F.expr("array(" + ",".join(str(v) for v in vals) + ")")
+
+
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
@@ -89,13 +127,29 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
 
 
-def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Random-hyperplane signature: one bit per plane → int bucket id."""
-    bucket = F.lit(0)
+def lsh_bucket(vec_sql: str, planes: list[list[float]]) -> Column:
+    """Random-hyperplane signature: one bit per plane → int bucket id.
+
+    ``vec_sql`` is the NAME of an ``array<double>`` column; the whole
+    signature builds as ONE parsed expression (r12, the jl_project
+    pattern). The previous Column-API form cost 64 ``F.lit`` round trips
+    per plane plus ~8 ms of lambda plumbing per ``zip_with``/``aggregate``
+    — with 8 planes on both join sides that was >1 s of pure plan
+    construction per knn_lsh call (78% of its warm wall). Semantics are
+    unchanged: per plane the identical left-to-right ``x*y`` fold against
+    the identical double literals (repr round-trips exactly; Catalyst
+    parses ``...D`` correctly rounded), then the same int bit-sum —
+    bucket values are bit-identical (pinned in tests against the
+    Column-built form)."""
+    terms = ["0"]
     for i, p in enumerate(planes):
-        proj = dot(vec, F.array(*[F.lit(x) for x in p]))
-        bucket = bucket + F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
-    return bucket
+        arr = "array(" + ",".join(repr(float(x)) + "D" for x in p) + ")"
+        proj = (
+            f"aggregate(zip_with({vec_sql}, {arr}, (x, y) -> x * y),"
+            " 0D, (acc, x) -> acc + x)"
+        )
+        terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << i} ELSE 0 END)")
+    return F.expr(" + ".join(terms))
 
 
 def probe_masks(n_planes: int, radius: int) -> list[int]:
@@ -145,18 +199,22 @@ def embedding_near_dups(
         planes = _hyperplanes(dim, n_planes)
         masks = probe_masks(n_planes, probe_radius)
         a = (
-            a.withColumn("b0", lsh_bucket(F.col("va"), planes))
+            a.withColumn("b0", lsh_bucket("va", planes))
             .withColumn(
                 "bucket",
+                # one int-array literal + transform instead of |masks|
+                # xor-column builds (r12): at fullprobe radius the mask set
+                # is 2^n_planes entries — pure construction latency. Same
+                # int xor per element ⇒ identical bucket ids.
                 F.explode(
-                    F.array(
-                        *[F.col("b0").bitwiseXOR(F.lit(m)) for m in masks]
+                    F.transform(
+                        ilit(masks), lambda m: F.col("b0").bitwiseXOR(m)
                     )
                 ),
             )
             .drop("b0")
         )
-        b = b.withColumn("bucket", lsh_bucket(F.col("vb"), planes))
+        b = b.withColumn("bucket", lsh_bucket("vb", planes))
         pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
     else:
         pairs = a.join(b, F.col("id_a") < F.col("id_b"))
@@ -196,7 +254,10 @@ def _spherical_kmeans(
 
 
 def _centroid_lit(centroids: list[list[float]]) -> Column:
-    return F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    # ONE nested-array literal (r12): the per-element form cost
+    # n_centroids×dim py4j round trips (1024 for a 16×64 codebook) per
+    # call site — identical array<array<double>> values.
+    return dlit2(centroids)
 
 
 def _nearest_centroids(vec: Column, centroids: list[list[float]], n: int) -> Column:
@@ -298,7 +359,7 @@ def knn_lsh(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         as_double(F.col(vec_col)).alias("cv"),
-    ).withColumn("bucket", lsh_bucket(F.col("cv"), planes)).withColumn(
+    ).withColumn("bucket", lsh_bucket("cv", planes)).withColumn(
         "cn", l2_norm(F.col("cv"))
     )
     q = (
@@ -307,11 +368,15 @@ def knn_lsh(
             as_double(F.col(vec_col)).alias("qv"),
         )
         .withColumn("qn", l2_norm(F.col("qv")))
-        .withColumn("b0", lsh_bucket(F.col("qv"), planes))
+        .withColumn("b0", lsh_bucket("qv", planes))
         .withColumn(
             "bucket",
+            # same single-literal probe expansion as embedding_near_dups
+            # (r12) — identical xor values, |masks|× fewer py4j calls
             F.explode(
-                F.array(*[F.col("b0").bitwiseXOR(F.lit(m)) for m in masks])
+                F.transform(
+                    ilit(masks), lambda m: F.col("b0").bitwiseXOR(m)
+                )
             ),
         )
         .drop("b0")

@@ -43,9 +43,32 @@ from open_ftth_relational_projector_spark.projections.base import fold_entity
 # --------------------------------------------------------------------------
 
 
+def _memo(log: EventLog, name: str, build) -> DataFrame:
+    """Per-log memo of shared substream PLANS (r12, guide §7.3 planning
+    time): _walk_versions/_span_placements are consumed by several of the 8
+    projections, and rebuilding the same asof-join/selectExpr chains per
+    consumer was pure driver-side py4j + Catalyst-analysis latency — plan
+    construction is ~75% of the warm 8-table fold wall at bench scale.
+    Memoizing the DataFrame object dedupes construction without changing
+    any plan (the same lazy frame is referenced instead of an identical
+    copy). Concurrent builders may race a miss and build twice — benign
+    (identical plans; dict assignment is atomic under the GIL)."""
+    memo = getattr(log, "_plan_memo", None)
+    if memo is None:
+        memo = {}
+        log._plan_memo = memo
+    if name not in memo:
+        memo[name] = build(log)
+    return memo[name]
+
+
 def _walk_versions(log: EventLog) -> DataFrame:
     """Interest-walk state versions: registered ∪ modified, stored deduped
     (ProjektorState.cs:101, 106)."""
+    return _memo(log, "walk_versions", _walk_versions_build)
+
+
+def _walk_versions_build(log: EventLog) -> DataFrame:
     reg = log.of("WalkOfInterestRegistered").selectExpr(
         "interest.id AS interest_id",
         "seq",
@@ -60,7 +83,13 @@ def _walk_versions(log: EventLog) -> DataFrame:
 
 
 def _span_placements(log: EventLog) -> DataFrame:
-    """Placement events with all derived per-event fields + as-of spec joins."""
+    """Placement events with all derived per-event fields + as-of spec joins.
+    Memoized per log (see _memo): built by the span-state fold AND the
+    fiber-cable projection."""
+    return _memo(log, "span_placements", _span_placements_build)
+
+
+def _span_placements_build(log: EventLog) -> DataFrame:
     eq = log.of("SpanEquipmentPlacedInRouteNetwork").selectExpr("seq", "equipment.*")
     segs = "flatten(spanStructures.spanSegments)"
     placed = eq.selectExpr(
@@ -671,19 +700,26 @@ def project_all(
     """
     from concurrent.futures import ThreadPoolExecutor
 
-    if persist:
-        log = log.persisted()
     prime = None
-    if state is None:
+    pool0 = None
+    if persist and state is None:
+        # r12 (guide §1.2): skip the raw-prime COUNT JOB — the span-state
+        # prime below computes THROUGH the raw cache and fills it as a
+        # byproduct, so the blocking count bought nothing but a serial job
+        # before any plan could build (~40% of the warm fold wall). The
+        # state prime runs in a background thread, overlapping the
+        # materialization with the driver-side plan construction of the 8
+        # tables; a table-count job that beats the prime to a raw partition
+        # re-parses it once (the bounded first-touch trade documented in
+        # plans/concurrency.py).
+        log = log.persisted(eager=False)
+        state = _span_state(log).persist()
+        pool0 = ThreadPoolExecutor(1)
+        prime = pool0.submit(state.count)
+    elif persist:
+        log = log.persisted()
+    elif state is None:
         state = _span_state(log)
-        if persist:
-            # prime eagerly: concurrent first-touch from the table fan-out
-            # would compute the fold once per touching job. The count runs
-            # in a background thread — plan BUILDING only references the
-            # state DataFrame, it doesn't need it materialized yet.
-            state = state.persist()
-            pool0 = ThreadPoolExecutor(1)
-            prime = pool0.submit(state.count)
 
     def build(name):
         fn = PROJECTIONS[name]
@@ -694,8 +730,10 @@ def project_all(
         return name, fn(log)
 
     # plan construction is driver-side py4j traffic — threads overlap the
-    # socket round-trips (each thread gets its own gateway connection)
-    with ThreadPoolExecutor(4) as pool:
+    # socket round-trips (each thread gets its own gateway connection); 8
+    # threads so every projection's build is in flight at once (r12 — the
+    # build cost is Catalyst analysis inside the JVM, which parallelizes)
+    with ThreadPoolExecutor(8) as pool:
         out = dict(pool.map(build, PROJECTIONS))
     if prime is not None:
         prime.result()

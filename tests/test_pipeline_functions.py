@@ -4457,3 +4457,39 @@ def test_pav_isotonic_bounded_axis_guard(spark):
     )
     with pytest.raises(ValueError, match="pav_isotonic: bucket axis"):
         pav_isotonic(big)
+
+
+def test_string_built_literals_bit_identical_to_column_form(spark):
+    """r12: dlit/dlit2/lsh_bucket build driver-constant literals as ONE
+    parsed expression (plan-construction latency fix). Pin bit-identity
+    against the per-element Column-API forms they replaced."""
+    import struct
+
+    planes = S._hyperplanes(dim=8, n_planes=4)
+    vals = planes[0]
+    df = spark.createDataFrame(
+        [([0.5 * i - 1.75 for i in range(8)],)], "v array<double>"
+    )
+    a = df.select(S.dlit(vals).alias("x")).collect()[0]["x"]
+    b = df.select(F.array(*[F.lit(float(x)) for x in vals]).alias("x")).collect()[0]["x"]
+    assert [struct.pack(">d", x) for x in a] == [struct.pack(">d", y) for y in b]
+
+    n = df.select(S.dlit2(planes).alias("x")).collect()[0]["x"]
+    m = df.select(
+        F.array(*[F.array(*[F.lit(float(x)) for x in p]) for p in planes]).alias("x")
+    ).collect()[0]["x"]
+    assert [[struct.pack(">d", x) for x in row] for row in n] == [
+        [struct.pack(">d", y) for y in row] for row in m
+    ]
+
+    # lsh_bucket string form vs the replaced Column-API construction
+    def bucket_column_form(vec, planes):
+        bucket = F.lit(0)
+        for i, p in enumerate(planes):
+            proj = S.dot(vec, F.array(*[F.lit(x) for x in p]))
+            bucket = bucket + F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        return bucket
+
+    got = df.select(S.lsh_bucket("v", planes).alias("b")).collect()[0]["b"]
+    ref = df.select(bucket_column_form(F.col("v"), planes).alias("b")).collect()[0]["b"]
+    assert got == ref
