@@ -29,6 +29,28 @@ TABLES = [
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Memoized per session (r12, guide §6 file-listing caching / §7.3
+    planning time): each call previously re-read the parquet footer and
+    rebuilt the scan plan — ~0.1 s per call, and a composed catalog query
+    loads 3-5 tables, so table loading alone was a measurable slice of
+    every query's construction wall. The memo returns the SAME immutable
+    lazy DataFrame (identical plan; data is still scanned fresh at every
+    action — nothing about execution or results changes). Keyed on the
+    resolved path; the memo lives on the session object so it dies with
+    the session."""
+    memo = getattr(spark, "_ofrp_table_memo", None)
+    if memo is None:
+        memo = {}
+        spark._ofrp_table_memo = memo
+    key = (os.path.abspath(sf_dir), name)
+    df = memo.get(key)
+    if df is None:
+        df = _load_table_build(spark, sf_dir, name)
+        memo[key] = df
+    return df
+
+
+def _load_table_build(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # runtime-settable; needed even when the caller owns the session
         # (events.ts is parquet TIMESTAMP(NANOS))
@@ -60,9 +82,19 @@ def scattered(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    # r12: the .rdd partition-count probe costs ~0.25 s of driver-side
+    # plan-to-RDD conversion per call; memoize the answer on the (shared,
+    # immutable — see load_table's memo) input frame so each table pays
+    # it once per session. Same plan out, construction latency only.
+    cache = getattr(df, "_ofrp_scattered", None)
+    if cache is not None and cache[0] == target:
+        return cache[1]
+    out = df.repartition(target) if df.rdd.getNumPartitions() < target else df
+    try:
+        df._ofrp_scattered = (target, out)
+    except AttributeError:  # pragma: no cover — exotic DataFrame subclass
+        pass
+    return out
 
 
 def load_tables(
