@@ -114,48 +114,55 @@ def kmeans_fit(
     Each iteration collects exactly k×dim doubles (the M-step output) —
     bounded driver traffic regardless of corpus size.
     """
-    init_rows = (
-        corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
-        .orderBy(F.col(id_col))
-        .limit(k)
-        .collect()
-    )
-    centroids = [[round(float(x), 6) for x in r["v"]] for r in init_rows]
+    # r12 (guide §5 caching): the training frame is consumed iters+1 times
+    # (init collect + one M-step collect per iteration), and each action
+    # otherwise re-executes the input lineage from the source scan —
+    # which for ivfpq's residual training is scan + coarse assign +
+    # zip_with PER Lloyd step. Persist the projected (id, v) frame for
+    # the duration of training and drop it after; the input is
+    # deterministic (registry contract), so caching cannot change the
+    # fit. At 100 TB training runs on a bounded sample
+    # (train_sample_frac), which bounds this cache.
     vecs = corpus.select(
         F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v")
-    )
-    for _ in range(iters):
-        assigned = vecs.select(
-            assign_cluster(F.col("v"), centroids).alias("cid"),
-            F.posexplode(F.col("v")).alias("pos", "val"),
-        )
-        rows = (
-            assigned.groupBy("cid", "pos")
-            .agg(F.avg("val").alias("cv"))
-            .collect()
-        )
-        by_cid: dict[int, dict[int, float]] = {}
-        for r in rows:
-            by_cid.setdefault(r["cid"], {})[r["pos"]] = r["cv"]
-        new_centroids = [
-            [
-                round(float(by_cid[cid][p]), 6)
-                for p in range(len(centroids[cid - 1]))
+    ).persist()
+    try:
+        init_rows = vecs.orderBy(F.col("vec_id")).limit(k).collect()
+        centroids = [[round(float(x), 6) for x in r["v"]] for r in init_rows]
+        for _ in range(iters):
+            assigned = vecs.select(
+                assign_cluster(F.col("v"), centroids).alias("cid"),
+                F.posexplode(F.col("v")).alias("pos", "val"),
+            )
+            rows = (
+                assigned.groupBy("cid", "pos")
+                .agg(F.avg("val").alias("cv"))
+                .collect()
+            )
+            by_cid: dict[int, dict[int, float]] = {}
+            for r in rows:
+                by_cid.setdefault(r["cid"], {})[r["pos"]] = r["cv"]
+            new_centroids = [
+                [
+                    round(float(by_cid[cid][p]), 6)
+                    for p in range(len(centroids[cid - 1]))
+                ]
+                if cid in by_cid
+                else centroids[cid - 1]  # empty cell keeps its old centroid
+                for cid in range(1, k + 1)
             ]
-            if cid in by_cid
-            else centroids[cid - 1]  # empty cell keeps its old centroid
-            for cid in range(1, k + 1)
-        ]
-        converged = new_centroids == centroids
-        centroids = new_centroids
-        if converged:
-            # Lloyd is a deterministic function of the centroids (rounded
-            # to 6 dp before the next E-step), so an unchanged M-step makes
-            # every remaining iteration a no-op — the result is identical
-            # to running all `iters`, the contract the unrolled SQL oracle
-            # pins. Free to detect: the centroids are already on the
-            # driver.
-            break
+            converged = new_centroids == centroids
+            centroids = new_centroids
+            if converged:
+                # Lloyd is a deterministic function of the centroids (rounded
+                # to 6 dp before the next E-step), so an unchanged M-step makes
+                # every remaining iteration a no-op — the result is identical
+                # to running all `iters`, the contract the unrolled SQL oracle
+                # pins. Free to detect: the centroids are already on the
+                # driver.
+                break
+    finally:
+        vecs.unpersist()
     return centroids
 
 
@@ -179,20 +186,35 @@ def pq_fit_codebooks(
 
     Returns ``m`` centroid lists, each shaped (≤k, dim//m)."""
     sub_len = dim // m
-    init_rows = (
-        corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
-        .orderBy(F.col(id_col))
-        .limit(k)
-        .collect()
-    )
-    books = [
-        [
-            [round(float(x), 6) for x in r["v"][j * sub_len : (j + 1) * sub_len]]
-            for r in init_rows
+    # same training-frame persist as kmeans_fit (r12, guide §5): the init
+    # collect plus one M-step collect per iteration re-executed the input
+    # lineage — for ivfpq's residual codebooks that lineage is scan +
+    # coarse assign + zip_with per action. Deterministic input ⇒ caching
+    # cannot change the fit; bounded by the caller's training sample at
+    # scale.
+    keyed = corpus.select(
+        F.col(id_col).alias("_kid"), as_double(F.col(vec_col)).alias("v")
+    ).persist()
+    try:
+        init_rows = keyed.orderBy(F.col("_kid")).limit(k).collect()
+        books = [
+            [
+                [
+                    round(float(x), 6)
+                    for x in r["v"][j * sub_len : (j + 1) * sub_len]
+                ]
+                for r in init_rows
+            ]
+            for j in range(m)
         ]
-        for j in range(m)
-    ]
-    vecs = corpus.select(as_double(F.col(vec_col)).alias("v"))
+        vecs = keyed.select("v")
+        books = _pq_lloyd_rounds(vecs, books, m, k, iters, sub_len)
+    finally:
+        keyed.unpersist()
+    return books
+
+
+def _pq_lloyd_rounds(vecs, books, m, k, iters, sub_len):
     for _ in range(iters):
         cid_cols = [
             assign_cluster(
