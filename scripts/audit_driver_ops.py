@@ -119,6 +119,10 @@ ALLOWLIST: dict[str, str] = {
         "first-k init rows + m x k x sub_len M-step doubles per iteration "
         "(fused quantizer training)"
     ),
+    "functions/clustering.py::_pq_lloyd_rounds": (
+        "m x k x sub_len M-step doubles per iteration (pq_fit_codebooks' "
+        "loop, split out by the r12 training-frame persist)"
+    ),
     "functions/clustering.py::ivfpq_knn_adc": (
         "scalar training-sample count guard (train_sample_frac path only)"
     ),
