@@ -2260,8 +2260,12 @@ def _knn_twin_verdict(
     # a corpus past the ceiling fails named BEFORE the checkpoint
     # materializes it (the count is a parquet-metadata read). Filtering
     # instead of failing would silently change the certified result set.
-    src = scattered(load_table(spark, sf_dir, "embeddings"))
-    n_emb = src.count()
+    # guard-count the UN-scattered frame (r12 review): counting after the
+    # round-robin repartition executed a full scan + exchange job; on the
+    # bare parquet scan Spark answers the count from footer metadata —
+    # same value, same guard, no data pass
+    base = load_table(spark, sf_dir, "embeddings")
+    n_emb = base.count()
     if n_emb > _KNN_TWIN_MAX_ROWS:
         raise ValueError(
             f"_knn_twin_verdict is a probe-scale certification path: "
@@ -2269,7 +2273,7 @@ def _knn_twin_verdict(
             f"on a bounded probe corpus (the production ANN paths are the "
             f"scale entries this twin certifies)"
         )
-    emb = src.localCheckpoint(eager=True)
+    emb = scattered(base).localCheckpoint(eager=True)
     queries = emb.filter(F.col("vec_id") % 100 == 0)
     brute = S.knn_bruteforce(emb, queries, k=5)
     b = brute.withColumn("_b", F.lit(1))

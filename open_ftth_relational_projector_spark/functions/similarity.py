@@ -29,7 +29,24 @@ def dlit(values) -> Column:
     correctly-rounded ``parseDouble`` — bit-identical doubles (asserted
     in tests against the per-element form).
     """
-    return F.expr("array(" + ",".join(repr(float(v)) + "D" for v in values) + ")")
+    return F.expr("array(" + ",".join(_d(v) for v in values) + ")")
+
+
+def _d(v) -> str:
+    """One double as exact SQL literal text. Finite doubles print via
+    repr (shortest round-trip decimal, parsed correctly rounded);
+    NaN/±Infinity have no SQL double-literal syntax, so they render as
+    the CAST forms Spark parses to the same IEEE values — the F.lit
+    forms these helpers replaced handled non-finite values, so the
+    string path must too (r12 review)."""
+    import math
+
+    v = float(v)
+    if math.isfinite(v):
+        return repr(v) + "D"
+    if math.isnan(v):
+        return "CAST('NaN' AS DOUBLE)"
+    return f"CAST('{'-' if v < 0 else ''}Infinity' AS DOUBLE)"
 
 
 def dlit2(rows) -> Column:
@@ -39,8 +56,7 @@ def dlit2(rows) -> Column:
     return F.expr(
         "array("
         + ",".join(
-            "array(" + ",".join(repr(float(v)) + "D" for v in row) + ")"
-            for row in rows
+            "array(" + ",".join(_d(v) for v in row) + ")" for row in rows
         )
         + ")"
     )
@@ -143,7 +159,7 @@ def lsh_bucket(vec_sql: str, planes: list[list[float]]) -> Column:
     Column-built form)."""
     terms = ["0"]
     for i, p in enumerate(planes):
-        arr = "array(" + ",".join(repr(float(x)) + "D" for x in p) + ")"
+        arr = "array(" + ",".join(_d(x) for x in p) + ")"
         proj = (
             f"aggregate(zip_with({vec_sql}, {arr}, (x, y) -> x * y),"
             " 0D, (acc, x) -> acc + x)"

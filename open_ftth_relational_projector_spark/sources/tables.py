@@ -34,10 +34,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     rebuilt the scan plan — ~0.1 s per call, and a composed catalog query
     loads 3-5 tables, so table loading alone was a measurable slice of
     every query's construction wall. The memo returns the SAME immutable
-    lazy DataFrame (identical plan; data is still scanned fresh at every
-    action — nothing about execution or results changes). Keyed on the
-    resolved path; the memo lives on the session object so it dies with
-    the session."""
+    lazy DataFrame (identical plan; row data is still scanned fresh at
+    every action). Caveat (r12 review): the parquet FILE LISTING is
+    pinned at first read (spark.read.parquet snapshots its
+    InMemoryFileIndex), so a caller that rewrites or appends files under
+    the same path mid-session would see the first read's file set — the
+    same semantics as Spark's own filesource listing cache (guide §6).
+    Every repo caller reads immutable fixture dirs; a path whose contents
+    must be re-listed needs a fresh session or ``_load_table_build``.
+    Keyed on the resolved path; the memo lives on the session object so
+    it dies with the session."""
     memo = getattr(spark, "_ofrp_table_memo", None)
     if memo is None:
         memo = {}

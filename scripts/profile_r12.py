@@ -64,7 +64,11 @@ def main() -> None:
                 f.write(df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
                     df._jdf.queryExecution(), "formatted"))
         if args.explain_only:
-            print(f"{name}: plan written", flush=True)
+            print(
+                f"{name}: plan written" if args.plans
+                else f"{name}: skipped (--explain-only without --plans)",
+                flush=True,
+            )
             continue
         runs = []
         for i in range(args.n):

@@ -4493,3 +4493,21 @@ def test_string_built_literals_bit_identical_to_column_form(spark):
     got = df.select(S.lsh_bucket("v", planes).alias("b")).collect()[0]["b"]
     ref = df.select(bucket_column_form(F.col("v"), planes).alias("b")).collect()[0]["b"]
     assert got == ref
+
+
+def test_dlit_nonfinite_matches_lit_form(spark):
+    """r12 review: the string-built literals must handle NaN/±Infinity
+    like the F.lit forms they replaced (no SQL double-literal syntax —
+    rendered as CAST forms)."""
+    import math
+
+    vals = [float("nan"), float("inf"), float("-inf"), 1.5]
+    df = spark.range(1)
+    got = df.select(S.dlit(vals).alias("x")).collect()[0]["x"]
+    ref = df.select(
+        F.array(*[F.lit(v) for v in vals]).alias("x")
+    ).collect()[0]["x"]
+    assert math.isnan(got[0]) and math.isnan(ref[0])
+    assert got[1:] == ref[1:]
+    nested = df.select(S.dlit2([vals, [0.0]]).alias("x")).collect()[0]["x"]
+    assert math.isnan(nested[0][0]) and nested[0][1:] == ref[1:] and nested[1] == [0.0]
