@@ -3,21 +3,23 @@
 Family modules register via the ``_q`` decorator; ``catalog/__init__``
 imports them in a fixed order and then applies the driver-window reorder.
 
-Caching convention: catalog functions return LAZY DataFrames, so a
+Caching convention (r13): catalog functions return LAZY DataFrames, so a
 ``.persist()`` placed inside one (to stop a multi-consumer sub-pipeline
-re-executing per consumer) cannot be paired with an ``unpersist()`` — the
-action happens later, in the caller. Repeated invocations (bench
-best-of-N loops) therefore accumulate cached frames and rely on Spark's
-LRU block eviction (storage-level MEMORY_AND_DISK blocks are dropped
-least-recently-used under memory pressure; for the DETERMINISTIC frames
-catalog functions persist, correctness is unaffected — the frame just
-recomputes to the same values). Long-lived callers that loop over
-catalog entries can call ``spark.catalog.clearCache()`` between
-iterations. Caveat: eviction recomputes with fresh evaluation, so
-persist() is NOT a durability guarantee for rand()-derived frames —
-operators with a value-determinism contract on their input
-(operators/hierarchical, operators/quantiles) must not be fed a
-persisted nondeterministic frame; derive determinism from the data
+re-executing per consumer) cannot be paired with an ``unpersist()`` at
+the call site — the action happens later, in the caller. Such persists
+go through ``cache.tracked_persist``: long-lived callers (bench.py,
+scripts/check_oracle.py) call ``cache.release_tracked_persists(spark)``
+after each query's action, giving every catalog-created cache a
+query-scoped lifetime instead of the pre-r13 session lifetime (which
+silently warmed later queries in shared sessions and leaked executor
+memory at scale — r12 verdict items 1-2). Callers that do not release
+still fall back to Spark's LRU block eviction, which is correctness-free
+for the DETERMINISTIC frames catalog functions persist (the frame just
+recomputes to the same values). Caveat: eviction/release recompute with
+fresh evaluation, so persist() is NOT a durability guarantee for
+rand()-derived frames — operators with a value-determinism contract on
+their input (operators/hierarchical, operators/quantiles) must not be
+fed a persisted nondeterministic frame; derive determinism from the data
 (hash columns), as every catalog entry does.
 
 Laziness exception: entries built on ``operators/quantiles.

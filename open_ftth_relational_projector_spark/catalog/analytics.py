@@ -23,6 +23,7 @@ from open_ftth_relational_projector_spark.projections.core import (  # noqa: F40
     project_work_task,
 )
 
+from open_ftth_relational_projector_spark.cache import tracked_persist  # noqa: F401
 from ._registry import _q, _r4  # noqa: F401
 
 @_q(
@@ -1938,8 +1939,10 @@ def ols_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
             " - (b0 + b1 * CAST(x1d AS DOUBLE)"
             " + b2 * CAST(x2d AS DOUBLE))), 6) AS ar",
         )
-        .persist()  # consumed by the calib quantile AND the test coverage
     )
+    # consumed by the calib quantile AND the test coverage; tracked (r13):
+    # released by the caller loop after the consuming action
+    scored = tracked_persist(scored)
     # calib-fold q90 via the hierarchical-rank exact quantile: the calib
     # fold is corpus/5-sized, so the exact `percentile` aggregate would
     # buffer it in ONE aggregation state at 100× — exact_quantiles is

@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F, Window as W  # noqa: F401
 
 from open_ftth_relational_projector_spark.sources.tables import load_table, scattered  # noqa: F401
+from open_ftth_relational_projector_spark.cache import tracked_persist  # noqa: F401
 from open_ftth_relational_projector_spark.events.reader import EventLog  # noqa: F401
 from open_ftth_relational_projector_spark.operators import asof_join, latest_by_key  # noqa: F401
 from open_ftth_relational_projector_spark.functions import dedup as D  # noqa: F401
@@ -162,8 +163,18 @@ def curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE materialization of the documents scan feeds all four signal
     # sub-pipelines (quality, DSIR, bigram-LM — and DSIR/LM each walk
     # their exploded features twice); without it every branch re-reads
-    # and re-decodes the text column from parquet.
-    docs = scattered(load_table(spark, sf_dir, "documents")).persist()
+    # and re-decodes the text column from parquet. The persist is on a
+    # derived projection of ONLY the consumed columns (guide §2.3 project
+    # early — source/n_chars never feed a signal), which also keeps the
+    # shared scattered()/load_table frame itself unpersisted (r12 advice:
+    # persisting the session-shared memo frame covered every sibling
+    # query's documents scan for the rest of the session). Tracked:
+    # released by the caller loop after the consuming action.
+    docs = tracked_persist(
+        scattered(load_table(spark, sf_dir, "documents")).select(
+            "doc_id", "text", "lang"
+        )
+    )
     emb = scattered(load_table(spark, sf_dir, "embeddings"))
     q = docs.select(
         "doc_id",
@@ -175,11 +186,13 @@ def curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dw/lms are each consumed TWICE (threshold aggregate + the final
     # join); without the persist the whole DSIR resp. bigram-LM pipeline
     # re-executes for the percentile branch. The persisted frames are
-    # per-doc dimension-sized (one row per document). No paired
-    # unpersist is possible in a lazy catalog function — repeated
-    # invocations rely on LRU block eviction (see catalog/_registry.py).
-    dw = dsir_importance_weights(docs, target_lang="en", n_buckets=256).persist()
-    lms = bigram_lm_scores(docs).persist()
+    # per-doc dimension-sized (one row per document). Tracked (r13): the
+    # caller loop releases them after the consuming action (previously
+    # session-lifetime, relying on LRU eviction).
+    dw = tracked_persist(
+        dsir_importance_weights(docs, target_lang="en", n_buckets=256)
+    )
+    lms = tracked_persist(bigram_lm_scores(docs))
     # corpus 20th-percentile thresholds via the hierarchical-rank exact
     # quantile: the dw/lms frames are per-doc (one row per document), so
     # the exact `percentile` aggregate would buffer the whole corpus's
@@ -199,7 +212,9 @@ def curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(
         lms.select(F.lit("l").alias("sig"), F.col("avg_logprob").alias("v"))
     )
-    thr2 = exact_quantiles(both, "v", {"t": 0.2}, group_cols=["sig"]).persist()
+    thr2 = tracked_persist(
+        exact_quantiles(both, "v", {"t": 0.2}, group_cols=["sig"])
+    )
     dthr = thr2.filter(F.col("sig") == "d").select(F.col("t").alias("dt"))
     lthr = thr2.filter(F.col("sig") == "l").select(F.col("t").alias("lt"))
     dsir_ok = F.col("log_weight") >= F.col("dt")

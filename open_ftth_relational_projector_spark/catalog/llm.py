@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F, Window as W  # noqa: F401
 
 from open_ftth_relational_projector_spark.sources.tables import load_table, scattered  # noqa: F401
+from open_ftth_relational_projector_spark.cache import tracked_persist  # noqa: F401
 from open_ftth_relational_projector_spark.events.reader import EventLog  # noqa: F401
 from open_ftth_relational_projector_spark.operators import asof_join, latest_by_key  # noqa: F401
 from open_ftth_relational_projector_spark.functions import dedup as D  # noqa: F401
@@ -502,7 +503,9 @@ def corpus_pipeline_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # without a persist Spark recomputes the quality filter + md5-dedup
     # semi-join once per consumer (a real pipeline would checkpoint the
     # filtered corpus to parquet here for exactly the same reason).
-    surv = keepq.join(canon.select("doc_id"), "doc_id", "semi").persist()
+    # tracked (r13): released by the caller loop after the consuming
+    # action — this persist previously lived for the whole session.
+    surv = tracked_persist(keepq.join(canon.select("doc_id"), "doc_id", "semi"))
     pairs = D.ngram_jaccard_pairs(surv, threshold=0.05, n=3)
     comp = connected_components(pairs)
     final = (

@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F, Window as W  # noqa: F401
 
 from open_ftth_relational_projector_spark.sources.tables import load_table, scattered  # noqa: F401
+from open_ftth_relational_projector_spark.cache import tracked_persist  # noqa: F401
 from open_ftth_relational_projector_spark.events.reader import EventLog  # noqa: F401
 from open_ftth_relational_projector_spark.operators import asof_join, latest_by_key  # noqa: F401
 from open_ftth_relational_projector_spark.functions import dedup as D  # noqa: F401
@@ -464,9 +465,11 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
     )
     s = load_table(spark, sf_dir, "supplier")
-    rev = li.groupBy("l_suppkey").agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_rev")
-    ).persist()
+    rev = tracked_persist(
+        li.groupBy("l_suppkey").agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_rev")
+        )
+    )
     max_rev = rev.agg(F.max("total_rev").alias("_max"))
     top = rev.crossJoin(F.broadcast(max_rev)).filter(
         F.col("total_rev") == F.col("_max")
@@ -734,9 +737,11 @@ def q11_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     total re-aggregates the cached relation and broadcasts as a 1-row cross
     join."""
     li = load_table(spark, sf_dir, "lineitem")
-    pv = li.groupBy("l_partkey").agg(
-        F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("part_value")
-    ).persist()
+    pv = tracked_persist(
+        li.groupBy("l_partkey").agg(
+            F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("part_value")
+        )
+    )
     threshold = pv.agg((F.sum("part_value") * 0.0005).alias("_threshold"))
     return (
         pv.crossJoin(F.broadcast(threshold))

@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F, Window as W  # noqa: F401
 
 from open_ftth_relational_projector_spark.sources.tables import load_table, scattered  # noqa: F401
+from open_ftth_relational_projector_spark.cache import tracked_persist  # noqa: F401
 from open_ftth_relational_projector_spark.events.reader import EventLog  # noqa: F401
 from open_ftth_relational_projector_spark.operators import asof_join, latest_by_key  # noqa: F401
 from open_ftth_relational_projector_spark.operators.hierarchical import (  # noqa: F401
@@ -1360,7 +1361,8 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("recency_d"),
         F.count(F.lit(1)).alias("frequency"),
         _r4(F.sum("o_totalprice")).alias("monetary"),
-    ).persist()  # every rank's eager actions and the final evaluation
+    )
+    rfm = tracked_persist(rfm)  # every rank's eager actions and the final evaluation
     # read this aggregate; independent (unchained) ranks keep each of
     # those actions a pure cache read — chaining them made action k
     # re-execute the k-1 upstream windows (measured 6s of construction

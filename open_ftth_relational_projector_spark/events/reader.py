@@ -92,16 +92,19 @@ class EventLog:
         races then duplicate at most one partition set's parse — the
         bounded, documented trade of plans/concurrency.py.
         """
-        from pyspark.storagelevel import StorageLevel
+        from open_ftth_relational_projector_spark.cache import tracked_persist
 
-        lvl = getattr(StorageLevel, level)
+        # tracked (r13): callers that loop over many logs/queries (bench,
+        # oracle sweeps) release these session-wide between queries;
+        # single-log consumers (dehydrate) still unpersist explicitly.
         if self._raw is not None:
-            raw = self._raw.persist(lvl)
+            raw = tracked_persist(self._raw, level)
             if eager:
                 raw.count()
             return EventLog.from_envelopes(raw)
         return EventLog(
-            {t: df.persist(lvl) for t, df in self._typed.items()}, self._spark
+            {t: tracked_persist(df, level) for t, df in self._typed.items()},
+            self._spark,
         )
 
     def unpersist(self) -> None:

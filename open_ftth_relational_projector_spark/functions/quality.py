@@ -320,9 +320,11 @@ def robust_outlier_stats(
     # (which exact_quantiles evaluates in two eager jobs + the final
     # action) AND the final join — without it the whole median pipeline
     # re-executes once per consumer evaluation
-    med = exact_quantiles(
-        df, value_col, {"_med": 0.5}, group_cols=[group_col]
-    ).persist()
+    from open_ftth_relational_projector_spark.cache import tracked_persist
+
+    med = tracked_persist(
+        exact_quantiles(df, value_col, {"_med": 0.5}, group_cols=[group_col])
+    )
     mad = exact_quantiles(
         df.join(F.broadcast(med), group_col),
         F.abs(F.col(value_col) - F.col("_med")),

@@ -10,6 +10,8 @@ to a SQL oracle using the same order.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
 
@@ -67,7 +69,11 @@ def ilit(values) -> Column:
     Values must fit INT so element type matches the per-element
     ``F.lit(int)`` form the call sites previously built."""
     vals = [int(v) for v in values]
-    assert all(-(2**31) <= v < 2**31 for v in vals)
+    if not all(-(2**31) <= v < 2**31 for v in vals):
+        # a hard error, not an assert: under `python -O` an assert is
+        # stripped and an out-of-range value would silently parse as a
+        # BIGINT literal, changing the array element type (r12 advice)
+        raise ValueError(f"ilit: values out of INT range: {vals}")
     return F.expr("array(" + ",".join(str(v) for v in vals) + ")")
 
 
@@ -157,6 +163,15 @@ def lsh_bucket(vec_sql: str, planes: list[list[float]]) -> Column:
     parses ``...D`` correctly rounded), then the same int bit-sum —
     bucket values are bit-identical (pinned in tests against the
     Column-built form)."""
+    # vec_sql is interpolated into SQL text: restrict it to a plain
+    # identifier (every call site passes one) so a name needing backtick
+    # quoting — or arbitrary expression text — cannot slip through the
+    # string seam unnoticed (r12 advice)
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", vec_sql):
+        raise ValueError(
+            f"lsh_bucket: vec_sql must be a simple column identifier, "
+            f"got {vec_sql!r}"
+        )
     terms = ["0"]
     for i, p in enumerate(planes):
         arr = "array(" + ",".join(_d(x) for x in p) + ")"

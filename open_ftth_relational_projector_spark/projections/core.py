@@ -712,8 +712,10 @@ def project_all(
         # tables; a table-count job that beats the prime to a raw partition
         # re-parses it once (the bounded first-touch trade documented in
         # plans/concurrency.py).
+        from open_ftth_relational_projector_spark.cache import tracked_persist
+
         log = log.persisted(eager=False)
-        state = _span_state(log).persist()
+        state = tracked_persist(_span_state(log))
         pool0 = ThreadPoolExecutor(1)
         prime = pool0.submit(state.count)
     elif persist:

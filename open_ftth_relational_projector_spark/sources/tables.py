@@ -28,7 +28,9 @@ TABLES = [
 ]
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, refresh: bool = False
+) -> DataFrame:
     """Memoized per session (r12, guide §6 file-listing caching / §7.3
     planning time): each call previously re-read the parquet footer and
     rebuilt the scan plan — ~0.1 s per call, and a composed catalog query
@@ -41,15 +43,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     the same path mid-session would see the first read's file set — the
     same semantics as Spark's own filesource listing cache (guide §6).
     Every repo caller reads immutable fixture dirs; a path whose contents
-    must be re-listed needs a fresh session or ``_load_table_build``.
-    Keyed on the resolved path; the memo lives on the session object so
-    it dies with the session."""
+    must be re-listed passes ``refresh=True`` (re-reads the footer/file
+    listing and replaces the memo entry — the programmatic escape hatch
+    the r12 advice asked for). Keyed on the resolved path; the memo lives
+    on the session object so it dies with the session."""
     memo = getattr(spark, "_ofrp_table_memo", None)
     if memo is None:
         memo = {}
         spark._ofrp_table_memo = memo
     key = (os.path.abspath(sf_dir), name)
-    df = memo.get(key)
+    df = None if refresh else memo.get(key)
     if df is None:
         df = _load_table_build(spark, sf_dir, name)
         memo[key] = df

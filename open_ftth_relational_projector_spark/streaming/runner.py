@@ -177,6 +177,12 @@ def dehydrate(envelopes: DataFrame, sink) -> int:
     row = envelopes.agg(F.max("seq")).collect()[0]
     watermark = int(row[0]) if row[0] is not None else 0
     sink.set_meta("watermark", str(watermark))
+    # every consumer of the cached log/state/edges has materialized above
+    # — release the blocks (r13, guide §5: unpersist when done; these
+    # previously lived for the rest of the session)
+    state.unpersist(False)
+    edges.unpersist(False)
+    log.unpersist()
     return watermark
 
 

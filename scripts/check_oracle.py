@@ -75,12 +75,17 @@ def main(sf_dir: str, only: list[str] | None = None) -> int:
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
+    from open_ftth_relational_projector_spark.cache import (  # noqa: E402
+        release_tracked_persists,
+    )
+
     qs = entry_mod.queries()
     if only:
         qs = {n: f for n, f in qs.items() if n in only}
     osql = entry_mod.oracle_sql()
     failures = []
     for name, fn in qs.items():
+        release_tracked_persists(spark)  # query-scoped catalog caches (r13)
         try:
             sdf = fn(spark, sf_dir)
             s_rows = rows_of_spark(sdf)
