@@ -36,12 +36,15 @@ stay under DECIMAL(38,0) for raw values below ~10⁷·10^iter_dp.
 
 Scale shape: each half-iteration is one join keyed on the ratings matrix's
 row (or column) key + one map-side-combined groupBy — both linear in
-nnz(R); the L2 norm is a scalar aggregate broadcast back (the q20
-scalar-agg + crossJoin(broadcast) pattern — NO ``OVER ()`` window). R and
-each half-step's factor vector are localCheckpoint'd so the per-iteration
-plans stay flat (see _half_step for why the plan would otherwise double
-per half-step); on a cluster, pre-partitioning/bucketing R by its join
-keys lets every iteration reuse one partitioning.
+nnz(R); the L2 norm (like σ₁ and the deflation overlaps) is a 1-row
+scalar aggregate COLLECTED to the driver and embedded as an exact double
+literal (NO ``OVER ()`` window; r13 — the previous crossJoin(broadcast)
+scalar pattern cost one extra serial job per half-step). R, the chain
+inits and the chain FINALS are localCheckpoint'd so plans stay flat and
+the per-step raw aggregates can unpersist (see _half_step); intermediate
+iterates stay lazy projections over their persisted raw. On a cluster,
+pre-partitioning/bucketing R by its join keys lets every iteration reuse
+one partitioning.
 
 Because R is non-negative and the row factor starts at all-ones, every
 intermediate value stays non-negative (Perron-Frobenius) — the usual SVD
@@ -52,6 +55,8 @@ without sign fixups.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+
+from open_ftth_relational_projector_spark.functions.similarity import _d
 
 
 def _scale(iter_dp: int) -> str:
@@ -136,9 +141,20 @@ def power_iteration_factors(
     one = 10**iter_dp
     u = r.select("_r").distinct().withColumn("_fi", F.expr(f"CAST({one} AS BIGINT)"))
     v = None
+    raws: list[DataFrame] = []
     for _ in range(iters):
-        v = _half_step(r, u, "_r", "_c", iter_dp)
-        u = _half_step(r, v, "_c", "_r", iter_dp)
+        v, rw = _half_step(r, u, "_r", "_c", iter_dp)
+        raws.append(rw)
+        u, rw = _half_step(r, v, "_c", "_r", iter_dp)
+        raws.append(rw)
+    # the finals outlive this function (the caller's action runs later):
+    # pin them flat, THEN release every half-step's raw aggregate — a
+    # lazy final over an unpersisted raw chain would recompute the whole
+    # iteration per consumer reference.
+    u = u.localCheckpoint(eager=True)
+    v = v.localCheckpoint(eager=True)
+    for rw in raws:
+        rw.unpersist(False)
     row_factors = u.selectExpr(
         f"_r AS {row_col}", f"{fi_to_f_sql('_fi', iter_dp)} AS factor"
     )
@@ -148,29 +164,42 @@ def power_iteration_factors(
     return row_factors, col_factors
 
 
+def _scalar_lit(n_val: float | None) -> str:
+    """A collected double scalar (norm / σ₁ / overlap) as exact SQL
+    literal text. None (empty
+    input) renders as a NULL double — the same NULL the broadcast-column
+    form produced, so downstream arithmetic is unchanged."""
+    return "CAST(NULL AS DOUBLE)" if n_val is None else _d(n_val)
+
+
 def _half_step(
     r: DataFrame, fac: DataFrame, join_key: str, out_key: str, iter_dp: int
-) -> DataFrame:
+) -> tuple[DataFrame, DataFrame]:
     """One matrix-vector product + L2 normalization + integer re-pin.
 
     raw(out) = Σ_join w·fi — one keyed join + one map-side-combined
-    groupBy, EXACT (decimal sum of integer products); the norm is a scalar
-    aggregate joined back via crossJoin(broadcast). The normalize ratio is
-    the only double arithmetic: scales cancel (both numerator and norm
-    carry 10^iter_dp), and the result re-pins to integer state.
+    groupBy, EXACT (decimal sum of integer products). The L2 norm is
+    collected as ONE bounded scalar and embedded as an exactly-rendered
+    double literal (``_d``: repr round-trip + Catalyst's correctly-
+    rounded parse — bit-identical to the broadcast-column form it
+    replaces, pinned by the r12 literal-parity test). The normalize
+    ratio is the only double arithmetic: scales cancel (both numerator
+    and norm carry 10^iter_dp), and the result re-pins to integer state.
+
+    Returns ``(out, raw)``: ``out`` is a LAZY single projection over the
+    persisted ``raw`` aggregate; the caller unpersists ``raw`` once the
+    chain's finals are checkpointed. r13 (guide §1.2 / §7.3, r12 verdict
+    #7 job sequencing): the previous form ran TWO serial job barriers
+    per half-step — a broadcast-norm sub-job plus an eager
+    localCheckpoint of the normalized vector. The norm collect is now
+    the only job (it materializes ``raw`` into cache as a byproduct);
+    the next half-step's broadcast build reads the cached ``raw``
+    through the lazy projection. 13 half-steps per rank-2 extraction ⇒
+    13 fewer serial jobs and 13 fewer materialization passes.
     """
-    # `raw` is referenced TWICE (norm branch + value branch): without a
-    # truncation the logical plan doubles every half-step (2^(2·iters)
-    # copies of the first join), and without MATERIALIZATION the matvec
-    # join EXECUTES twice per half-step — once under the broadcast-norm
-    # subquery, once on the value side (no exchange reuse: the two
-    # branches aggregate differently). A persist fixes both (its parents
-    # are checkpointed, so the lineage stays flat) and, unlike the r11
-    # localCheckpoint, (a) computes lazily inside the norm-broadcast job
-    # — one fewer job per half-step — and (b) can be UNPERSISTED once the
-    # normalized result is materialized, closing the r11 advice's
-    # unbounded block-manager growth (2 frames × 2·iters retained per
-    # extraction, worse in deflated chains).
+    # `raw` is referenced TWICE (norm collect + value branch): the
+    # persist keeps the matvec join executing ONCE per half-step (its
+    # parents are checkpointed, so the lineage stays flat).
     # r12: pin the factor vector as the broadcast side of the matvec join
     # (guide §3.1 "pick the strategy deliberately"). At catalog scale the
     # planner already picks BroadcastHashJoin(BuildRight) from the
@@ -191,26 +220,17 @@ def _half_step(
         .agg(F.expr(matvec_sum_sql("_wi", "_fi")).alias("_s"))
         .persist()
     )
-    nrm = raw.agg(
+    # bounded collect: ONE double (the half-step norm), same expression
+    # text the broadcast-column form evaluated
+    n_val = raw.agg(
         F.expr(f"SQRT({dec2dbl_expr(normsq_sum_sql('_s'))})").alias("_n")
+    ).collect()[0]["_n"]
+    out = raw.selectExpr(
+        out_key,
+        f"{repin_sql(dec2dbl_expr('_s') + ' / ' + _scalar_lit(n_val), iter_dp)}"
+        " AS _fi",
     )
-    out = (
-        raw.crossJoin(F.broadcast(nrm))
-        .selectExpr(
-            out_key,
-            f"{repin_sql(dec2dbl_expr('_s') + ' / _n', iter_dp)} AS _fi",
-        )
-        # the result is referenced repeatedly by the caller (next half-
-        # step, sigma, deflated steps) — keep it materialized, or every
-        # reference re-runs the norm aggregate + normalize scan. These
-        # per-iterate vectors (one integer row per key, ≤2·iters of them
-        # per extraction) are reclaimed by ContextCleaner as the caller's
-        # references drop — the bounded retention the r11 advice asked
-        # to be recorded.
-        .localCheckpoint(eager=True)
-    )
-    raw.unpersist()
-    return out
+    return out, raw
 
 
 def power_iteration_rank2(
@@ -248,17 +268,37 @@ def power_iteration_rank2(
         .localCheckpoint(eager=True)
     )
     one = 10**iter_dp
-    u1 = r.select("_r").distinct().withColumn(
-        "_fi", F.expr(f"CAST({one} AS BIGINT)")
+    # one all-ones init, materialized once and shared by BOTH chains
+    # (r13: the u-chain and the deflated y-chain previously each ran the
+    # same distinct shuffle)
+    init = (
+        r.select("_r")
+        .distinct()
+        .withColumn("_fi", F.expr(f"CAST({one} AS BIGINT)"))
+        .localCheckpoint(eager=True)
     )
+    u1 = init
     v1 = None
+    raws: list[DataFrame] = []
     for _ in range(iters):
-        v1 = _half_step(r, u1, "_r", "_c", iter_dp)
-        u1 = _half_step(r, v1, "_c", "_r", iter_dp)
+        v1, rw = _half_step(r, u1, "_r", "_c", iter_dp)
+        raws.append(rw)
+        u1, rw = _half_step(r, v1, "_c", "_r", iter_dp)
+        raws.append(rw)
+    # u1/v1 anchor σ, every deflated half-step, and the final output —
+    # pin them flat so the rank-1 raws can release now
+    u1 = u1.localCheckpoint(eager=True)
+    v1 = v1.localCheckpoint(eager=True)
+    for rw in raws:
+        rw.unpersist(False)
+    raws = []
     # σ₁ = u₁ᵀRv₁: w·ui fits BIGINT exactly (≤ W·10^dp), the second
     # product widens to DECIMAL — exact, order-independent; the scalar
-    # carries scale 10^(2·dp)
-    sig = (
+    # carries scale 10^(2·dp). Collected once as a bounded 1-row scalar
+    # and embedded as an exact literal in every deflated half-step (r13:
+    # previously a checkpointed 1-row frame crossJoin-broadcast per step
+    # — one checkpoint job + 6 broadcast builds removed).
+    s1_val = (
         r.join(F.broadcast(u1.selectExpr("_r", "_fi AS _gi")), "_r")
         .join(F.broadcast(v1.selectExpr("_c", "_fi AS _hi")), "_c")
         .agg(
@@ -267,18 +307,23 @@ def power_iteration_rank2(
                 f" / 1e{2 * iter_dp + weight_dp}"
             ).alias("_s1")
         )
-        # computed once: every deflated half-step broadcasts this scalar,
-        # and without the checkpoint each of the 2·iters steps would
-        # re-evaluate the three-way join-aggregate over R
-        .localCheckpoint(eager=True)
+        .collect()[0]["_s1"]
     )
-    y = r.select("_r").distinct().withColumn(
-        "_fi", F.expr(f"CAST({one} AS BIGINT)")
-    )
+    y = init
     x = None
     for _ in range(iters):
-        x = _deflated_half_step(r, y, u1, v1, sig, "_r", "_c", iter_dp, weight_dp)
-        y = _deflated_half_step(r, x, v1, u1, sig, "_c", "_r", iter_dp, weight_dp)
+        x, rw = _deflated_half_step(
+            r, y, u1, v1, s1_val, "_r", "_c", iter_dp, weight_dp
+        )
+        raws.append(rw)
+        y, rw = _deflated_half_step(
+            r, x, v1, u1, s1_val, "_c", "_r", iter_dp, weight_dp
+        )
+        raws.append(rw)
+    x = x.localCheckpoint(eager=True)
+    y = y.localCheckpoint(eager=True)
+    for rw in raws:
+        rw.unpersist(False)
     f_out = fi_to_f_sql("_fi", iter_dp)
     row_factors = (
         u1.selectExpr(f"_r AS {row_col}", "1 AS component", f"{f_out} AS factor")
@@ -320,29 +365,40 @@ def _deflated_half_step(
     fac: DataFrame,
     par1: DataFrame,
     out1: DataFrame,
-    sig: DataFrame,
+    s1_val: float | None,
     join_key: str,
     out_key: str,
     iter_dp: int,
     weight_dp: int,
-) -> DataFrame:
+) -> tuple[DataFrame, DataFrame]:
     """One deflated matrix-vector product: (R − σ₁u₁v₁ᵀ)ᵀ·fac along one side.
 
     ``par1``/``out1`` are the component-1 factors on the join/output side.
-    raw(out) = Σ_join w·f  −  σ₁ · out1(out) · (par1ᵀ·fac); the overlap
-    par1ᵀ·fac and σ₁ are scalar aggregates broadcast back, and out1 (which
-    spans the FULL output-key support, unlike the join aggregate when fac
-    has exact zeros) anchors a left join so no key drops out. The raw
-    combination is double arithmetic on deterministic inputs; it re-pins
-    to integer state (``_si``) BEFORE the norm, so the norm sum is exact.
+    raw(out) = Σ_join w·f  −  σ₁ · out1(out) · (par1ᵀ·fac); σ₁ arrives as
+    a driver scalar and the overlap par1ᵀ·fac is collected the same way —
+    both embed as exactly-rendered double literals (bit-identical to the
+    broadcast-column forms they replace), and out1 (which spans the FULL
+    output-key support, unlike the join aggregate when fac has exact
+    zeros) anchors a left join so no key drops out. The raw combination
+    is double arithmetic on deterministic inputs; it re-pins to integer
+    state (``_si``) BEFORE the norm, so the norm sum is exact.
+
+    Returns ``(out, raw)`` with the same lazy-out/persisted-raw contract
+    as ``_half_step`` (r13: the per-step norm-broadcast sub-job and the
+    eager localCheckpoint are gone — serial barriers per deflated step
+    drop from ~4 to 2: the overlap collect and the norm collect, the
+    latter materializing ``raw`` and building the base broadcast as
+    sub-work).
     """
-    overlap = (
+    # bounded collect: ONE double (the deflation overlap par1ᵀ·fac)
+    d_val = (
         fac.join(F.broadcast(par1.selectExpr(join_key, "_fi AS _gi")), join_key)
         .agg(
             F.expr(
                 f"{dec2dbl_expr(dot_sum_sql('_fi', '_gi'))} / 1e{2 * iter_dp}"
             ).alias("_d")
         )
+        .collect()[0]["_d"]
     )
     # pin the factor vector as the broadcast side (same deliberate-strategy
     # rationale as _half_step: estimate-dependent fallback would shuffle
@@ -352,36 +408,24 @@ def _deflated_half_step(
         .groupBy(out_key)
         .agg(F.expr(matvec_sum_sql("_wi", "_fi")).alias("_s0"))
     )
-    # materialize the re-pinned deflated vector itself (one integer row
-    # per output key): `raw` feeds both the norm branch and the value
-    # branch, and without materialization the base matvec join executes
-    # twice per half-step (same double-execution as _half_step — the
-    # broadcast-norm subquery holds its own copy of the subtree). Same
-    # persist-then-unpersist discipline as _half_step: lazy (the norm-
-    # broadcast job computes it), flat-lineage (parents checkpointed),
-    # and freed once the normalized result is pinned.
+    # `raw` feeds both the norm collect and the value branch; the persist
+    # keeps the base matvec join executing once per half-step.
     raw = (
         out1.selectExpr(out_key, "_fi AS _gi")
         .join(F.broadcast(base), out_key, "left")
-        .crossJoin(F.broadcast(sig))
-        .crossJoin(F.broadcast(overlap))
         .selectExpr(
             out_key,
-            f"{repin_sql(deflated_raw_sql('_s0', '_s1', '_gi', '_d', iter_dp, weight_dp), iter_dp)}"
+            f"{repin_sql(deflated_raw_sql('_s0', _scalar_lit(s1_val), '_gi', _scalar_lit(d_val), iter_dp, weight_dp), iter_dp)}"
             " AS _si",
         )
         .persist()
     )
-    nrm = raw.agg(
+    n_val = raw.agg(
         F.expr(f"SQRT({dec2dbl_expr(normsq_sum_sql('_si'))})").alias("_n")
+    ).collect()[0]["_n"]
+    out = raw.selectExpr(
+        out_key,
+        f"{repin_sql(dec2dbl_expr('_si') + ' / ' + _scalar_lit(n_val), iter_dp)}"
+        " AS _fi",
     )
-    out = (
-        raw.crossJoin(F.broadcast(nrm))
-        .selectExpr(
-            out_key,
-            f"{repin_sql(dec2dbl_expr('_si') + ' / _n', iter_dp)} AS _fi",
-        )
-        .localCheckpoint(eager=True)
-    )
-    raw.unpersist()
-    return out
+    return out, raw

@@ -68,6 +68,19 @@ ALLOWLIST: dict[str, str] = {
         "bounded: one value from the checkpointed ONE-ROW stump frame "
         "per boosting round — the named weight-exactness (2^53) guard"
     ),
+    "functions/factorization.py::_half_step": (
+        "bounded: ONE double (the half-step L2 norm) per call — embedded "
+        "as an exact literal, replacing the broadcast-norm sub-job + "
+        "per-step localCheckpoint (r13 job sequencing)"
+    ),
+    "functions/factorization.py::_deflated_half_step": (
+        "bounded: TWO doubles per call (deflation overlap + norm) — same "
+        "exact-literal embedding as _half_step"
+    ),
+    "functions/factorization.py::power_iteration_rank2": (
+        "bounded: ONE double (σ₁ = u₁ᵀRv₁) per extraction — embedded as "
+        "an exact literal in every deflated half-step"
+    ),
     "functions/boosting.py::adaboost_fit_grouped": (
         "bounded: one (g, fw) row per group from the checkpointed "
         "per-group stump frame per round (the broadcast-group bound) — "
