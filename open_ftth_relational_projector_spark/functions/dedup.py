@@ -261,12 +261,18 @@ def minhash_banded(
     hash_fn: HashFn | None = None,
     portable_bands: bool = False,
     carry_cols: tuple[str, ...] = (),
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, band_id, band_hash) LSH bucket rows — the shared banding
     core of ``minhash_lsh_candidates`` (batch) and
     ``streaming/stateful.streaming_lsh_candidates`` (keyed-state stream).
     ``carry_cols`` ride through unchanged (e.g. a stream's seq column).
-    All pure built-in expressions, so the frame is streaming-safe."""
+    All pure built-in expressions, so the frame is streaming-safe.
+
+    ``shingled`` (r13): a prepared ``(doc_id, sh, *carry_cols)`` frame —
+    already short-doc-filtered — to band instead of deriving the
+    shingles here; lets batch callers that ALSO verify candidates share
+    one persisted shingle pass (see minhash_near_dups)."""
     rows = num_hashes // bands
 
     def band_key(i: int) -> Column:
@@ -289,7 +295,9 @@ def minhash_banded(
     # both Filter and Project). size(split(text)) >= n is exactly
     # equivalent: grams are non-empty iff the token count reaches n (NULL
     # text yields NULL/-1 size on both paths and is dropped either way).
-    sh = docs.filter(F.size(tokens(F.col(text_col))) >= n).select(
+    sh = shingled if shingled is not None else docs.filter(
+        F.size(tokens(F.col(text_col))) >= n
+    ).select(
         F.col(id_col).alias("doc_id"),
         shingles(F.col(text_col), n).alias("sh"),
         *[F.col(c) for c in carry_cols],
@@ -325,6 +333,7 @@ def minhash_lsh_candidates(
     id_col: str = "doc_id",
     hash_fn: HashFn | None = None,
     portable_bands: bool = False,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing ≥1 identical signature band.
 
@@ -335,9 +344,12 @@ def minhash_lsh_candidates(
     portable_bands=True keys each band on the comma-joined signature slice
     (a string both engines render identically) instead of F.hash, so a
     DuckDB oracle built with string_agg reproduces the exact bucketing.
+    ``shingled`` passes a prepared shingle frame through to
+    ``minhash_banded``.
     """
     banded = minhash_banded(
-        docs, num_hashes, bands, n, text_col, id_col, hash_fn, portable_bands
+        docs, num_hashes, bands, n, text_col, id_col, hash_fn, portable_bands,
+        shingled=shingled,
     )
     # r12: in-bucket pair expansion via ONE grouped pass instead of a
     # self-join of the banded frame. The join form computed the banding
@@ -412,10 +424,27 @@ def minhash_near_dups(
     pipeline — signatures, banding, candidate join, verification — is
     reproducible in ANSI SQL, which is how the driver hash-matches it
     (catalog ``minhash_near_dups_md5``)."""
-    cands = minhash_lsh_candidates(
-        docs, num_hashes, bands, n, hash_fn=hash_fn, portable_bands=portable_bands
+    from open_ftth_relational_projector_spark.cache import tracked_persist
+
+    # ONE shingle pass (r13, guide §1.2/§5): the banding side and BOTH
+    # verify join sides previously each re-scanned the documents and
+    # re-derived tokenize+grams (3 scans, 3 shingle chains in the plan).
+    # The shared frame is persisted for the duration of the consuming
+    # action (query-scoped: the caller loop releases it). Filtering the
+    # verify side to ≥n-token docs is lossless: a shorter doc has no
+    # shingles, so it can never appear in a banding candidate pair, and
+    # the inner verify join drops it either way.
+    sh = tracked_persist(
+        docs.filter(F.size(tokens(F.col("text"))) >= n).select(
+            F.col("doc_id"),
+            shingles(F.col("text"), n).alias("sh"),
+        )
     )
-    return _verify_jaccard(cands, add_shingles(docs, n), threshold)
+    cands = minhash_lsh_candidates(
+        docs, num_hashes, bands, n, hash_fn=hash_fn,
+        portable_bands=portable_bands, shingled=sh,
+    )
+    return _verify_jaccard(cands, sh, threshold)
 
 
 def cross_doc_shingle_dup(
