@@ -180,8 +180,23 @@ def curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         (TXT.quality_score(F.col("text")) >= 0.7).alias("q_keep"),
     )
-    sem = semantic_dedup(emb, threshold=0.9, k=4, iters=2).select(
-        F.col("vec_id").alias("doc_id"), F.col("keep").alias("sem_keep")
+    # r13 (guide §2.6 overlap independent jobs): semantic_dedup's
+    # construction runs the kmeans fit (init + per-iteration M-step
+    # collects over the embeddings) and is INDEPENDENT of the documents
+    # branch below, whose exact_quantiles construction runs the
+    # shard-bound sample + counts jobs over the DSIR/bigram pipelines.
+    # Build the embedding branch in a worker thread so the two
+    # construction-time job chains overlap instead of running serially
+    # (~45% of the sf1 construction wall was the shorter chain waiting).
+    # The fit itself is deterministic (first-k init, 6 dp pins), so
+    # thread scheduling cannot change any result.
+    from concurrent.futures import ThreadPoolExecutor
+
+    _sem_pool = ThreadPoolExecutor(1)
+    _sem_future = _sem_pool.submit(
+        lambda: semantic_dedup(emb, threshold=0.9, k=4, iters=2).select(
+            F.col("vec_id").alias("doc_id"), F.col("keep").alias("sem_keep")
+        )
     )
     # dw/lms are each consumed TWICE (threshold aggregate + the final
     # join); without the persist the whole DSIR resp. bigram-LM pipeline
@@ -219,6 +234,8 @@ def curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     lthr = thr2.filter(F.col("sig") == "l").select(F.col("t").alias("lt"))
     dsir_ok = F.col("log_weight") >= F.col("dt")
     lm_ok = F.col("avg_logprob") >= F.col("lt")
+    sem = _sem_future.result()
+    _sem_pool.shutdown()
     return (
         q.join(sem, "doc_id")
         .join(dw.select("doc_id", "log_weight"), "doc_id")
