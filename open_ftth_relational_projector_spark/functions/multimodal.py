@@ -504,31 +504,47 @@ def extract_features(docs_with_payload: DataFrame, fake: bool = True) -> DataFra
     - width/height need a decoder → mapInPandas (one pandas DataFrame per
       Arrow batch; the payload crosses exactly once, for the decode).
 
+    fake=True (r13, guide §4.1 "pass only the columns the function
+    needs"): the pseudo-dims are a pure function of the byte LENGTH,
+    which is already computed JVM-side as n_bytes — so the payload
+    column does not cross the Arrow boundary at all and the dims
+    vectorize in pandas. The pipeline shape (JVM hash/length → Arrow
+    batch → Python feature step) is unchanged; only the bytes shipped
+    per row drop from the whole blob to three scalar columns. Values
+    are identical: decode_image's fake branch is
+    ``(len(payload) % 1920 + 1, len(payload) % 1080 + 1)`` and
+    ``n_bytes == len(payload)`` by construction.
+
     Single pass, no join, no shuffle.
     """
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            dims = [decode_image(p, fake=fake) for p in pdf["payload"]]
+            if fake:
+                width = (pdf["n_bytes"] % 1920 + 1).astype("int32")
+                height = (pdf["n_bytes"] % 1080 + 1).astype("int32")
+            else:
+                dims = [decode_image(p, fake=False) for p in pdf["payload"]]
+                width = [d[0] for d in dims]
+                height = [d[1] for d in dims]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "n_bytes": pdf["n_bytes"],
                     "sha256": pdf["sha256"],
-                    "width": [d[0] for d in dims],
-                    "height": [d[1] for d in dims],
+                    "width": width,
+                    "height": height,
                 }
             )
 
-    return (
-        docs_with_payload.select(
-            "doc_id",
-            "payload",
-            F.length("payload").cast("long").alias("n_bytes"),
-            F.sha2(F.col("payload"), 256).alias("sha256"),
-        )
-        .mapInPandas(op, FEATURE_SCHEMA)
-    )
+    cols = [
+        "doc_id",
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.sha2(F.col("payload"), 256).alias("sha256"),
+    ]
+    if not fake:
+        cols.insert(1, F.col("payload"))
+    return docs_with_payload.select(*cols).mapInPandas(op, FEATURE_SCHEMA)
 
 
 FRAME_SCHEMA = "doc_id long, frame_idx int, frame_sha256 string, n_bytes int"
