@@ -130,13 +130,31 @@ def kmeans_fit(
         init_rows = vecs.orderBy(F.col("vec_id")).limit(k).collect()
         centroids = [[round(float(x), 6) for x in r["v"]] for r in init_rows]
         for _ in range(iters):
-            assigned = vecs.select(
-                assign_cluster(F.col("v"), centroids).alias("cid"),
-                F.posexplode(F.col("v")).alias("pos", "val"),
+            # r13 (guide §1.2): the previous `select(cid, posexplode(v))`
+            # + downstream projection let CollapseProject pull the
+            # single-referenced assignment fold THROUGH the Generate —
+            # the k×dim distance fold re-evaluated once per EXPLODED
+            # row, i.e. dim× per vector (measured: the fold sat in the
+            # post-Generate Project; ~64× redundant M-step compute).
+            # Building the (cid, pos, val) rows inside ONE let-bound
+            # generator expression pins the assignment to exactly one
+            # evaluation per input row; the emitted (cid, pos, val)
+            # multiset — and its per-partition order — is identical.
+            from open_ftth_relational_projector_spark.functions.text import let
+
+            gen = let(
+                assign_cluster(F.col("v"), centroids),
+                lambda cid: F.transform(
+                    F.col("v"),
+                    lambda x, i: F.struct(
+                        cid.alias("cid"), i.alias("pos"), x.alias("val")
+                    ),
+                ),
             )
             rows = (
-                assigned.groupBy("cid", "pos")
-                .agg(F.avg("val").alias("cv"))
+                vecs.select(F.explode(gen).alias("e"))
+                .groupBy(F.col("e.cid").alias("cid"), F.col("e.pos").alias("pos"))
+                .agg(F.avg(F.col("e.val")).alias("cv"))
                 .collect()
             )
             by_cid: dict[int, dict[int, float]] = {}
@@ -215,25 +233,48 @@ def pq_fit_codebooks(
 
 
 def _pq_lloyd_rounds(vecs, books, m, k, iters, sub_len):
+    from open_ftth_relational_projector_spark.functions.text import let
+
     for _ in range(iters):
-        cid_cols = [
-            assign_cluster(
-                F.slice(F.col("v"), j * sub_len + 1, sub_len), books[j]
-            ).alias(f"_c{j}")
-            for j in range(m)
-        ]
-        sub = F.floor(F.col("pos") / sub_len).cast("int")
-        cid = F.element_at(
-            F.array(*[F.col(f"_c{j}") for j in range(m)]), sub + 1
+        # r13 (guide §1.2, same defect as kmeans_fit's M-step): the
+        # single-referenced per-subspace assignment folds collapsed
+        # THROUGH the posexplode Generate and re-evaluated once per
+        # exploded row (m·k·sub_len fold elements × dim rows per
+        # vector). The let-bound cids array evaluates once per input
+        # row inside the generator expression. slice(v, 1, m·sub_len)
+        # replaces the pos < m·sub_len filter (identical positions:
+        # dim % m tail positions belong to NO subspace, and their sub
+        # index would run past the cids array — an ANSI element_at
+        # error, not just wasted work).
+        cids_arr = F.array(
+            *[
+                assign_cluster(
+                    F.slice(F.col("v"), j * sub_len + 1, sub_len), books[j]
+                )
+                for j in range(m)
+            ]
+        )
+        gen = let(
+            cids_arr,
+            lambda cids: F.transform(
+                F.slice(F.col("v"), 1, m * sub_len),
+                lambda x, i: F.struct(
+                    i.alias("pos"),
+                    x.alias("val"),
+                    F.element_at(
+                        cids, F.floor(i / sub_len).cast("int") + 1
+                    ).alias("cid"),
+                ),
+            ),
         )
         rows = (
-            vecs.select(*cid_cols, F.posexplode(F.col("v")).alias("pos", "val"))
-            # dim % m tail positions belong to NO subspace (kmeans_fit's
-            # per-slice loop never read them); without this filter their
-            # sub index would run past the cid array — an ANSI
-            # element_at error, not just wasted work
-            .filter(F.col("pos") < m * sub_len)
-            .select(sub.alias("sub"), cid.alias("cid"), "pos", "val")
+            vecs.select(F.explode(gen).alias("e"))
+            .select(
+                F.floor(F.col("e.pos") / sub_len).cast("int").alias("sub"),
+                F.col("e.cid").alias("cid"),
+                F.col("e.pos").alias("pos"),
+                F.col("e.val").alias("val"),
+            )
             .groupBy("sub", "cid", "pos")
             .agg(F.avg("val").alias("cv"))
             .collect()
